@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The CDC merge core (SURVEY.md §2.3/§2.5): last-write-wins upsert of a
+  * delta batch into a base table on the PK, soft-delete propagation, and
+  * within-batch dedup. This is the reference's
+  * `INSERT … ON CONFLICT DO UPDATE` + `DELETE … WHERE IsDeleted`
+  * (`query_poll_table.py:107-152`) re-expressed as a single-shuffle
+  * full-outer-join rewrite.
+  *
+  * Scale posture: one shuffle on the PK for the join (AQE handles skew);
+  * the within-batch dedup window shuffles only the (small) delta. Delete
+  * ordering matters — a PK inserted then soft-deleted inside one delta
+  * must vanish (`query_poll_table.py:119-152`), which the last-wins dedup
+  * + post-merge filter preserves.
+  */
+object MergeOps {
+
+  /** J4 — at most one row per PK survives; later timestamp wins, with a
+    * deterministic tiebreak column list (reference: later page wins,
+    * consequence of `query_poll_table.py:124-127`).
+    */
+  def dedupLastWins(delta: DataFrame, pk: String, ts: String,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val ordering = (col(ts).desc +: tiebreak.map(col(_).desc))
+    val w = Window.partitionBy(col(pk)).orderBy(ordering: _*)
+    delta.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J1 — upsert merge: delta row wins wholesale when the PK collides
+    * (ON CONFLICT … SET (cols) = (EXCLUDED.cols) updates every column,
+    * `query_poll_table.py:124-127`). Columns = base's columns; the delta
+    * must carry all of them (plus optionally the soft-delete flag).
+    */
+  def upsert(base: DataFrame, delta: DataFrame, pk: String): DataFrame = {
+    val cols = base.columns
+    val d = delta.select(cols.map(c => col(c).as(s"__d_$c")): _*)
+    base.join(d, col(pk) === col(s"__d_$pk"), "full_outer")
+      .select(cols.map { c =>
+        when(col(s"__d_$pk").isNotNull, col(s"__d_$c")).otherwise(col(c)).as(c)
+      }: _*)
+  }
+
+  /** J1+J2 — full merge transaction body: dedup delta, upsert, then
+    * propagate soft deletes (delete AFTER upsert, same transaction —
+    * `query_poll_table.py:119-152`). `isDeleted` names a boolean column
+    * of the delta; rows whose final image is deleted are dropped.
+    */
+  def merge(base: DataFrame, delta: DataFrame, pk: String, ts: String,
+      isDeleted: Option[String] = None): DataFrame = {
+    val deduped = dedupLastWins(delta, pk, ts)
+    isDeleted match {
+      case None => upsert(base, deduped, pk)
+      case Some(flag) =>
+        // Upsert ALL delta rows first (deleted rows included — faithful
+        // to the reference's insert-then-delete ordering), then anti-join
+        // away PKs whose latest delta image is deleted.
+        val withFlag = base.columns :+ flag
+        val baseFlagged = base.withColumn(flag, lit(false))
+        val merged = upsert(baseFlagged, deduped.select(withFlag.map(col): _*), pk)
+        merged.filter(!coalesce(col(flag), lit(false))).drop(flag)
+    }
+  }
+
+  /** C2 — zero-delta fast path: nothing to merge, base unchanged
+    * (`query_poll_table.py:165-168`). `delta.isEmpty` triggers one cheap
+    * job over the delta only; at scale the delta is the small side.
+    */
+  def mergeIfNonEmpty(base: DataFrame, delta: DataFrame, pk: String, ts: String,
+      isDeleted: Option[String] = None): DataFrame =
+    if (delta.isEmpty) base else merge(base, delta, pk, ts, isDeleted)
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's relational operator surface (SURVEY.md §2.2-§2.4),
+  * re-expressed as declarative DataFrame pipelines so Catalyst handles
+  * pushdown, pruning, and join strategy selection.
+  *
+  * Numeric discipline for oracle parity: any aggregate over a double
+  * column goes through an exact `DecimalType` cast first (decimal
+  * addition is associative, so Spark and the DuckDB oracle agree
+  * bit-for-bit regardless of partial-aggregation order), then a final
+  * cast back to double. Per-row double arithmetic needs no such care —
+  * IEEE ops are deterministic and identical across engines.
+  */
+object Relational {
+
+  /** Exact-sum helper: sum(cast(c as decimal(18,2))) cast back to double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Flagship pricing-summary aggregate (partial agg map-side, one
+    * shuffle on the two low-cardinality grouping keys — scales flat).
+    */
+  def q1Agg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P1 — static column pruning (reference: mapping-file select list
+    * pushed into SOQL, `query_bulk.py:37`). Projection reaches the
+    * parquet ReadSchema; no other columns are scanned.
+    */
+  def p1Projection(customer: DataFrame): DataFrame =
+    customer.select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** P2 — Id-dropped-for-DurableId rule (`createtable.py:102-103`):
+    * when both identity columns exist, the redundant one is dropped.
+    * Emulated: derive a DurableId, then apply the conditional drop.
+    */
+  def p2DropRule(orders: DataFrame): DataFrame = {
+    val withDurable = orders
+      .withColumn("durable_id", concat(lit("ord-"), col("o_orderkey")))
+    val dropped =
+      if (withDurable.columns.contains("durable_id")) withDurable.drop("o_orderkey")
+      else withDurable
+    dropped.select("durable_id", "o_custkey", "o_orderstatus")
+      .orderBy("durable_id")
+  }
+
+  /** P3 — compound address explode (`createtable.py:52-71`): a struct
+    * column flattened to mangled scalar columns at the sink boundary.
+    */
+  def p3StructFlatten(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey"),
+        struct(col("c_name").as("name"), col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment")).as("profile"))
+      .select(col("c_custkey"),
+        col("profile.name").as("profile_name"),
+        col("profile.nation").as("profile_nation"),
+        col("profile.segment").as("profile_segment"))
+      .orderBy("c_custkey")
+
+  /** F1 — arbitrary theta predicate pass-through (`query_bulk.py:38-39`);
+    * pushed to the parquet scan by Catalyst (PushedFilters).
+    */
+  def f1Where(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F2 — incremental watermark filter, strictly greater-than, UTC
+    * second precision (`query_poll_table.py:78-85`).
+    */
+  def f2Watermark(orders: DataFrame, watermark: String): DataFrame =
+    orders
+      .filter(col("o_orderdate") > to_timestamp(lit(watermark)))
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** F3 — soft-delete split (`query_poll_table.py:112,134`): the insert
+    * path keeps NOT deleted rows. Deletion flag derived from the events
+    * stream's type column (stand-in for IsDeleted).
+    */
+  def f3SoftDelete(events: DataFrame): DataFrame =
+    events
+      .withColumn("is_deleted", col("event_type") === "error")
+      .filter(!col("is_deleted"))
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  /** F5 — due-table scheduler filter (`sync:13`): rows whose
+    * last_refresh + refresh_minutes is in the past. Sync-state stood in
+    * by per-user latest event times against a fixed "now".
+    */
+  def f5DueFilter(events: DataFrame, now: String): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_refresh"))
+      .withColumn("refresh_minutes", (col("user_id") % 60 + 1).cast("int"))
+      .filter(col("last_refresh") +
+        expr("make_interval(0, 0, 0, 0, 0, refresh_minutes, 0)") <
+        to_timestamp(lit(now)))
+      .select("user_id", "last_refresh", "refresh_minutes")
+      .orderBy("user_id")
+
+  /** L1 — LIMIT pushdown (`query_bulk.py:40-41`); deterministic via
+    * total order on the PK.
+    */
+  def l1Limit(part: DataFrame, n: Int): DataFrame =
+    part.orderBy("p_partkey").limit(n)
+
+  /** A1 — COUNT() answered without fetching rows (`query.py:53-65`). */
+  def a1Count(lineitem: DataFrame): DataFrame =
+    lineitem.agg(count(lit(1)).as("total_size"))
+
+  /** A2 — watermark advance = max(ts) actually landed
+    * (`synctable.py:45-54`) — never wall clock.
+    */
+  def a2MaxWatermark(events: DataFrame): DataFrame =
+    events.agg(max(col("ts")).as("syncuntil"), count(lit(1)).as("n_landed"))
+
+  /** T6 — ISO8601/UTC second-precision watermark rendering
+    * (`query_poll_table.py:82`).
+    */
+  def t6TsFormat(orders: DataFrame): DataFrame =
+    orders
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts_iso"))
+      .orderBy("o_orderkey")
+
+  /** T1 — CSV value encoding (`query_poll_table.py:21-50`): booleans as
+    * t/f, NUL bytes stripped from strings, NULL as empty marker.
+    */
+  def t1CsvEncode(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        when(col("event_type") === "purchase", lit("t")).otherwise(lit("f")).as("bool_enc"),
+        regexp_replace(col("props"), " ", "").as("clean_props"),
+        coalesce(col("props"), lit("")).as("null_enc"))
+      .orderBy("event_id")
+
+  /** Multi-way join with broadcast dims: facts shuffle-join on keys,
+    * small dimensions broadcast (no shuffle for nation/region at any
+    * scale — they are bounded-size).
+    */
+  def q3Join(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("l_orderkey")
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+
+  /** Broadcast star join up the region→nation→customer hierarchy. */
+  def q5BroadcastJoin(region: DataFrame, nation: DataFrame, customer: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy("r_name", "n_name")
+
+  /** Window running aggregate (free from Spark; absent in reference —
+    * part of the engine's superset surface).
+    */
+  def w1RunningSum(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select("user_id", "event_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+}

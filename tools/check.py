@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local dev-only correctness pre-check mirroring the driver's gate:
+runs graft.Verify output parquet vs DuckDB executing oracle_sql.json
+on the same testdata tables. Not part of the shipped library.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].replace(".parquet", "")
+        con.execute(f"create view {name} as select * from read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        res_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not res_glob:
+            print(f"FAIL {name}: no spark result written")
+            failed.append(name)
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            failed.append(name)
+            continue
+        got = con.execute(
+            f"select * from read_parquet({res_glob!r})").fetchdf()
+        # driver semantics: sort columns by name, then compare values
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: cols want={list(want.columns)} got={list(got.columns)}")
+            failed.append(name)
+            continue
+        # sort rows for order-insensitive compare
+        wrows = sorted(tuple(norm(v) for v in r) for r in want.itertuples(index=False))
+        grows = sorted(tuple(norm(v) for v in r) for r in got.itertuples(index=False))
+        if len(wrows) != len(grows):
+            print(f"FAIL {name}: rows want={len(wrows)} got={len(grows)}")
+            failed.append(name)
+        elif wrows != grows:
+            bad = next(i for i, (a, b) in enumerate(zip(wrows, grows)) if a != b)
+            print(f"FAIL {name}: first diff at sorted-row {bad}:")
+            print(f"  want {wrows[bad]}")
+            print(f"  got  {grows[bad]}")
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({len(wrows)} rows)")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} match")
+    return 1 if failed else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
