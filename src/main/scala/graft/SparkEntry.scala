@@ -50,6 +50,31 @@ object SparkEntry {
     "j4_dedup_lastwins" -> ((s, d) => dedupLastWinsQuery(s, d)),
     "c1_incremental_2step" -> ((s, d) => incremental2StepQuery(s, d)),
     "c2_zero_delta" -> ((s, d) => zeroDeltaQuery(s, d)),
+    // LLM-data-pipeline extension set (BASELINE.json north star)
+    "text_tokens" -> ((s, d) => TextOps.tokenCount(t(s, d)("documents"))),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(t(s, d)("documents"))),
+    "text_langid" -> ((s, d) => TextOps.languageId(t(s, d)("documents"))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
+    "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(t(s, d)("documents"))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      SimilarityOps.cosineNearDup(t(s, d)("embeddings"), 0.463)
+        .select("vec_a", "vec_b")),
+    "sim_topk_brute" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+    "sim_lsh_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.lshTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, t(s, d)("documents"))),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
   )
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -241,5 +266,204 @@ object SparkEntry {
     "c2_zero_delta" ->
       s"""WITH $BaseCte
          |SELECT * FROM base ORDER BY o_orderkey""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(text) AS BIGINT) AS n_chars_measured
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(text) AS BIGINT) AS n_chars_measured,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+        |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> len(t))) AS BIGINT) AS total_len
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_chars_measured, n_punct, n_stop,
+        |  CAST(n_punct AS DOUBLE) / n_chars_measured AS punct_ratio,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+        |  CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      val markers = Seq(
+        "en" -> Seq("the", "a", "and", "of", "is"),
+        "de" -> Seq("der", "die", "und", "ist", "das"),
+        "es" -> Seq("el", "la", "y", "es", "de"),
+        "fr" -> Seq("le", "la", "et", "est", "un"),
+        "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+      val scoreCols = markers.map { case (language, words) =>
+        s"CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
+          s"t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$language"
+      }.mkString(",\n    ")
+      val greatestAll = markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+      val caseChain = markers.map { case (language, _) =>
+        s"WHEN score_$language = $greatestAll AND score_$language > 0 THEN '$language'"
+      }.mkString("\n    ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    $scoreCols
+         |  FROM documents)
+         |SELECT doc_id, lang_label,
+         |  CASE $caseChain ELSE 'und' END AS lang_pred,
+         |  score_en, score_de, score_es, score_fr, score_zh
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp_full,
+        |  md5(array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 3), ' ')) AS fp_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
+        |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS minhash
+         |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (
+         |  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
+         |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 4, '0') || '=' || minhash, '|' ORDER BY seed)) AS band_key
+         |  FROM mh GROUP BY doc_id, CAST(floor(seed / 2) AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.463
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${duckCosine("qe", "embedding")} AS sim
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(0, 8), i ->
+         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), d ->
+         |          CAST(embedding[d] AS DOUBLE) *
+         |          ((i * 1009 + (d - 1)) * 2654435761 % 1000 / 500.0 - 1.0))) > 0
+         |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id % 25 = 0),
+         |cand AS (
+         |  SELECT q.query_id, s.vec_id, q.qe, s.embedding
+         |  FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id),
+         |scored AS (SELECT query_id, vec_id, ${duckCosine("qe", "embedding")} AS sim FROM cand)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE CAST(octet_length(encode(text)) % 3 AS INT)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 2)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_fp
+        |FROM m, unnest(range(0, n_frames, 7)) t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
+
+  /** DuckDB-side tokenizer CTE (mirrors TextOps.toksCol). */
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+      |)""".stripMargin
+
+  /** DuckDB-side distinct word-trigram shingles (mirrors DedupOps.shingles). */
+  private val ShinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM toks, unnest(range(1, greatest(len(ws) - 1, 1))) t(i)
+      |  WHERE len(ws) >= 3
+      |)""".stripMargin
+
+  /** DuckDB-side 32-bit simhash signature (mirrors DedupOps.simhash). */
+  private val SimhashSigCte =
+    """tok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)),
+      |h AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+      |    i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1) * power(16, 8 - i)))
+      |    AS BIGINT) AS h
+      |  FROM tok),
+      |bits AS (SELECT doc_id, h, unnest(range(0, 32)) AS b FROM h),
+      |s AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM bits GROUP BY doc_id, b),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM s GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB-side cosine over two FLOAT[] columns — same element-wise
+    * double cast + sequential accumulation as SimilarityOps.cosineExpr.
+    */
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
 }

