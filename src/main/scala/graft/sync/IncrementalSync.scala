@@ -1,0 +1,124 @@
+package graft.sync
+
+import java.sql.{Connection, Timestamp}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.operators.MergeOps
+import graft.sink.SqlDialect
+
+/** The steady-state CDC transaction (C1, `query_poll_table.py:155-204`;
+  * SURVEY.md §3.2): CAS lock → watermark-filtered delta → within-batch
+  * dedup (J4) → stage → merge J1 + delete J2 → watermark advance A2 →
+  * single commit; exception path resets the lock and re-raises.
+  *
+  * Scale split, same as the reference: the delta LOAD into staging may
+  * be parallel (per-partition JDBC inserts from executors), but the
+  * MERGE is one serial transaction on a driver-held connection — merge
+  * + watermark + state update are atomic, which is the no-lost-updates
+  * invariant (`query_poll_table.py:198`, SURVEY §7.4). A crash between
+  * load and watermark update re-fetches from the old watermark and the
+  * idempotent merge absorbs the overlap.
+  */
+final case class SyncConfig(
+    tablename: String,
+    pk: String,
+    tsCol: String,
+    isDeletedCol: Option[String] = None,
+    schema: Option[String] = None)
+
+sealed trait SyncResult
+object SyncResult {
+  case object NotDue extends SyncResult
+  case object LockBusy extends SyncResult
+  case object NoChange extends SyncResult
+  final case class Merged(rows: Long, newWatermark: Timestamp) extends SyncResult
+}
+
+final class IncrementalSync(conn: Connection, dialect: SqlDialect,
+    state: SyncStateStore) {
+
+  /** One sync round for one table. `fetchDelta(watermark)` returns the
+    * strictly-greater-than delta including soft-deleted rows (F2
+    * semantics; the caller wires the actual source — connector, file,
+    * or test fixture).
+    */
+  def syncTable(cfg: SyncConfig,
+      fetchDelta: Option[Timestamp] => DataFrame): SyncResult = {
+    if (!state.tryLock(cfg.tablename)) return SyncResult.LockBusy
+    try {
+      val watermark = state.get(cfg.tablename).flatMap(_.syncuntil)
+      val delta = fetchDelta(watermark)
+      if (delta.isEmpty) {                       // C2 fast path
+        state.touch(cfg.tablename)
+        conn.commit()
+        SyncResult.NoChange
+      } else {
+        val deduped = MergeOps.dedupLastWins(delta, cfg.pk, cfg.tsCol)
+        val n = stageAndMerge(cfg, deduped)
+        val wm = maxLandedTs(cfg)                // A2: from landed data
+        state.finish(cfg.tablename, wm)
+        conn.commit()                            // one txn: merge + state
+        SyncResult.Merged(n, wm.orNull)
+      }
+    } catch {
+      case e: Throwable =>
+        conn.rollback()
+        state.markError(cfg.tablename)
+        conn.commit()
+        throw e
+    }
+  }
+
+  private def destName(cfg: SyncConfig): String =
+    dialect.qualified(cfg.schema, cfg.tablename)
+
+  /** Stage the (small) deduped delta through the driver connection and
+    * run J1+J2 in order. Delta batches are bounded by the refresh
+    * cadence — they are the small side by construction; a full reload
+    * takes the bulk path instead (`README.rst:68` watchdog note).
+    */
+  private def stageAndMerge(cfg: SyncConfig, delta: DataFrame): Long = {
+    val staging = dialect.quoteIdent(s"__stg_${cfg.tablename}")
+    val dest = destName(cfg)
+    val cols = delta.columns.toSeq
+    exec(dialect.createStagingSql(staging, dest))
+    try {
+      val insert = s"INSERT INTO $staging (${cols.map(dialect.quoteIdent).mkString(", ")})" +
+        s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+      val ps = conn.prepareStatement(insert)
+      try {
+        var n = 0L
+        // the deduped delta is small (bounded by poll cadence); rows
+        // stream through the driver exactly like the reference's COPY
+        delta.toLocalIterator().forEachRemaining { row: Row =>
+          cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+          ps.addBatch()
+          n += 1
+          if (n % 1000 == 0) ps.executeBatch()
+        }
+        ps.executeBatch()
+        // IsDeleted is an ordinary synced column in the dest table, as
+        // in the reference; the insert path filters it, the delete path
+        // consumes it (`query_poll_table.py:112,134`)
+        exec(dialect.upsertSql(dest, staging, cols, cfg.pk, cfg.isDeletedCol))
+        cfg.isDeletedCol.foreach(fl =>
+          exec(dialect.deleteSql(dest, staging, cfg.pk, fl)))
+        n
+      } finally ps.close()
+    } finally exec(dialect.dropSql(staging))
+  }
+
+  private def maxLandedTs(cfg: SyncConfig): Option[Timestamp] = {
+    val stmt = conn.createStatement()
+    try {
+      val rs = stmt.executeQuery(
+        dialect.maxTsSql(destName(cfg), cfg.tsCol))
+      if (rs.next()) Option(rs.getTimestamp(1)) else None
+    } finally stmt.close()
+  }
+
+  private def exec(sql: String): Unit = {
+    val stmt = conn.createStatement()
+    try stmt.execute(sql) finally stmt.close()
+  }
+}

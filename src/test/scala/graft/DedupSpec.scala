@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{DedupOps, TextOps}
+
+/** Near-dup + text-analysis operator semantics on controlled inputs. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  // docB = docA with one word changed -> high trigram overlap
+  private val docB = "the quick brown fox leaps over the lazy dog again and again"
+  // docC unrelated
+  private val docC = "completely different content about spark query engines at scale"
+
+  private def docs: DataFrame = Seq(
+    (0L, docA, "en", "s", docA.length.toLong),
+    (1L, docB, "en", "s", docB.length.toLong),
+    (2L, docC, "en", "s", docC.length.toLong)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhashLsh finds the planted near-dup pair and nothing else") {
+    // jaccard(A,B) ~= 0.54: banding with 2-row bands can miss at that
+    // level (p_band = j^2); 1-row bands make the miss probability
+    // (1-j)^16 ~ 4e-6 — the recall dial, demonstrated deliberately.
+    val pairs = DedupOps.minhashLsh(docs, numHashes = 16, rowsPerBand = 1, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("ngramJaccard computes exact jaccard for the near pair") {
+    val row = DedupOps.ngramJaccard(docs, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(row.map(r => (r._1, r._2)) == Seq((0L, 1L)))
+    // docA/docB: 12 tokens -> 10 trigrams each; diff word hits 3 trigrams
+    // (positions 3,4,5 for A side) -> intersection 7, union 13
+    assert(math.abs(row.head._3 - 7.0 / 13.0) < 1e-12)
+  }
+
+  test("identical docs have identical simhash; near docs are close") {
+    val two = Seq((0L, docA, "en", "s", 1L), (1L, docA, "en", "s", 1L), (2L, docC, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sig = DedupOps.simhash(two).as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(0L) != sig(2L))
+  }
+
+  test("simhashPairs banding finds all pairs within hamming<=3 (exact, pigeonhole)") {
+    val two = Seq((0L, docA, "en", "s", 1L), (1L, docA, "en", "s", 1L), (2L, docC, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = DedupOps.simhashPairs(two, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 0L)))
+  }
+
+  test("dedupExact groups case/whitespace variants under one fingerprint") {
+    val variants = Seq(
+      (10L, "Hello   World", "en", "s", 1L),
+      (11L, "hello world", "en", "s", 1L),
+      (12L, "HELLO\tWORLD", "en", "s", 1L),
+      (13L, "goodbye world", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val groups = TextOps.dedupExact(variants)
+      .select("survivor_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(groups == Map(10L -> 3L, 13L -> 1L))
+  }
+
+  test("tokenCount + quality ratios on a known string") {
+    val one = Seq((0L, "The cat, the hat!", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = TextOps.qualityScore(one).collect().head
+    assert(q.getAs[Long]("n_tokens") == 4)
+    assert(q.getAs[Long]("n_punct") == 2) // ',' and '!'
+    assert(q.getAs[Long]("n_stop") == 2)  // 'the' twice
+    assert(math.abs(q.getAs[Double]("mean_token_len") - 12.0 / 4) < 1e-12)
+  }
+
+  test("languageId picks marker-majority language with deterministic tiebreak") {
+    val mixed = Seq(
+      (0L, "der hund und die katze ist da", "de", "s", 1L),
+      (1L, "the dog and a cat of mine", "en", "s", 1L),
+      (2L, "xyzzy plugh", "zz", "s", 1L) // no markers -> 'und' (undetermined)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.languageId(mixed)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out == Map(0L -> "de", 1L -> "en", 2L -> "und"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.operators.MergeOps
+
+/** CDC merge semantics pinned from the reference
+  * (`query_poll_table.py:107-152`, SURVEY.md §2.3/§2.5): last-write-wins
+  * upsert, delete-after-upsert ordering, idempotent re-application,
+  * within-batch dedup, zero-delta fast path.
+  */
+class MergeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def base: DataFrame = Seq(
+    (1L, "a", 10.0, ts("2024-01-01 00:00:00")),
+    (2L, "b", 20.0, ts("2024-01-01 00:00:00")),
+    (3L, "c", 30.0, ts("2024-01-01 00:00:00"))
+  ).toDF("pk", "name", "amount", "modstamp")
+
+  private def sortedRows(df: DataFrame): Seq[(Long, String, Double)] =
+    df.select("pk", "name", "amount").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+
+  test("upsert: delta wins wholesale on PK collision, new PKs inserted") {
+    val delta = Seq(
+      (2L, "b2", 25.0, ts("2024-01-02 00:00:00"), false),
+      (4L, "d", 40.0, ts("2024-01-02 00:00:00"), false)
+    ).toDF("pk", "name", "amount", "modstamp", "is_deleted")
+    val out = MergeOps.merge(base, delta, "pk", "modstamp", Some("is_deleted"))
+    assert(sortedRows(out) == Seq(
+      (1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("soft delete: flagged PK removed from the merged image") {
+    val delta = Seq(
+      (3L, "c", 30.0, ts("2024-01-02 00:00:00"), true)
+    ).toDF("pk", "name", "amount", "modstamp", "is_deleted")
+    val out = MergeOps.merge(base, delta, "pk", "modstamp", Some("is_deleted"))
+    assert(sortedRows(out) == Seq((1L, "a", 10.0), (2L, "b", 20.0)))
+  }
+
+  test("insert-then-delete of the same PK within one delta vanishes") {
+    // reference ordering J1 then J2 in one txn (`query_poll_table.py:119-152`)
+    val delta = Seq(
+      (9L, "new", 90.0, ts("2024-01-02 00:00:00"), false),
+      (9L, "new", 90.0, ts("2024-01-02 00:00:01"), true)
+    ).toDF("pk", "name", "amount", "modstamp", "is_deleted")
+    val out = MergeOps.merge(base, delta, "pk", "modstamp", Some("is_deleted"))
+    assert(sortedRows(out).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("within-batch dedup: later timestamp wins (J4 last-wins)") {
+    val delta = Seq(
+      (2L, "old", 21.0, ts("2024-01-02 00:00:00"), false),
+      (2L, "new", 22.0, ts("2024-01-02 00:00:05"), false)
+    ).toDF("pk", "name", "amount", "modstamp", "is_deleted")
+    val out = MergeOps.merge(base, delta, "pk", "modstamp", Some("is_deleted"))
+    assert(sortedRows(out).contains((2L, "new", 22.0)))
+  }
+
+  test("idempotency: applying the same delta twice equals once") {
+    val delta = Seq(
+      (2L, "b2", 25.0, ts("2024-01-02 00:00:00"), false),
+      (3L, "c", 30.0, ts("2024-01-02 00:00:00"), true),
+      (5L, "e", 50.0, ts("2024-01-02 00:00:00"), false)
+    ).toDF("pk", "name", "amount", "modstamp", "is_deleted")
+    val once = MergeOps.merge(base, delta, "pk", "modstamp", Some("is_deleted"))
+    val twice = MergeOps.merge(once.withColumn("x", org.apache.spark.sql.functions.lit(1)).drop("x"),
+      delta, "pk", "modstamp", Some("is_deleted"))
+    assert(sortedRows(once) == sortedRows(twice))
+  }
+
+  test("watermark advance = max(modstamp) of landed data, not wall clock") {
+    val delta = Seq(
+      (2L, "b2", 25.0, ts("2024-01-05 07:00:00"), false)
+    ).toDF("pk", "name", "amount", "modstamp", "is_deleted")
+    val out = MergeOps.merge(base, delta, "pk", "modstamp", Some("is_deleted"))
+    val wm = out.agg(org.apache.spark.sql.functions.max("modstamp")).as[Timestamp].head()
+    assert(wm == ts("2024-01-05 07:00:00"))
+  }
+
+  test("zero-delta fast path returns base unchanged") {
+    val delta = base.withColumn("is_deleted", org.apache.spark.sql.functions.lit(false))
+      .filter("pk < 0")
+    val out = MergeOps.mergeIfNonEmpty(base, delta, "pk", "modstamp", Some("is_deleted"))
+    assert(sortedRows(out) == sortedRows(base))
+  }
+
+  test("two-step incremental equals one-shot (C1 composition)") {
+    val d1 = Seq((2L, "b2", 21.0, ts("2024-01-02 00:00:00"))).toDF("pk", "name", "amount", "modstamp")
+    val d2 = Seq((2L, "b3", 22.0, ts("2024-01-03 00:00:00")),
+      (6L, "f", 60.0, ts("2024-01-03 00:00:00"))).toDF("pk", "name", "amount", "modstamp")
+    val stepwise = MergeOps.merge(MergeOps.merge(base, d1, "pk", "modstamp"), d2, "pk", "modstamp")
+    val oneshot = MergeOps.merge(base, d1.unionAll(d2), "pk", "modstamp")
+    assert(sortedRows(stepwise) == sortedRows(oneshot))
+  }
+}

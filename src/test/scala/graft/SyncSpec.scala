@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.{Connection, DriverManager, Timestamp}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.BeforeAndAfterAll
+import graft.sink.DerbyDialect
+import graft.sync.{IncrementalSync, SyncConfig, SyncResult, SyncStateStore}
+
+/** End-to-end CDC loop against embedded Derby (the JDBC database that
+  * ships with Spark): state machine C3-C6, incremental transaction C1,
+  * zero-delta C2, idempotent re-application, watermark-from-landed-data
+  * A2, soft-delete propagation J2. PostgreSQL SQL generation is covered
+  * separately by golden-string tests in SinkSqlSpec.
+  */
+class SyncSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private var conn: Connection = _
+  private var state: SyncStateStore = _
+  private var sync: IncrementalSync = _
+  private val dialect = new DerbyDialect
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    conn = DriverManager.getConnection("jdbc:derby:memory:syncspec;create=true")
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    st.execute(
+      """CREATE TABLE "contacts" (
+        |  "pk" BIGINT NOT NULL PRIMARY KEY,
+        |  "name" VARCHAR(80),
+        |  "amount" DOUBLE,
+        |  "modstamp" TIMESTAMP,
+        |  "is_deleted" BOOLEAN
+        |)""".stripMargin)
+    st.close()
+    state = new SyncStateStore(conn)
+    state.install()
+    state.register("contacts", ts("2024-01-01 00:00:00"))
+    conn.commit()
+    sync = new IncrementalSync(conn, dialect, state)
+  }
+
+  override def afterAll(): Unit = {
+    try conn.close() catch { case _: Throwable => () }
+    super.afterAll()
+  }
+
+  private val cfg = SyncConfig("contacts", "pk", "modstamp", Some("is_deleted"))
+
+  private def delta(rows: (Long, String, Double, String, Boolean)*): DataFrame =
+    rows.map { case (pk, n, a, t, d) => (pk, n, a, ts(t), d) }
+      .toDF("pk", "name", "amount", "modstamp", "is_deleted")
+
+  private def destRows(): Seq[(Long, String, Double)] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery("""SELECT "pk", "name", "amount" FROM "contacts" ORDER BY "pk"""")
+      val out = Seq.newBuilder[(Long, String, Double)]
+      while (rs.next()) out += ((rs.getLong(1), rs.getString(2), rs.getDouble(3)))
+      out.result()
+    } finally st.close()
+  }
+
+  test("initial delta lands, watermark advances to max(landed ts)") {
+    val r = sync.syncTable(cfg, wm => {
+      assert(wm.contains(ts("2024-01-01 00:00:00")))
+      delta(
+        (1L, "ann", 10.0, "2024-01-02 08:00:00", false),
+        (2L, "bob", 20.0, "2024-01-02 09:30:00", false))
+    })
+    assert(r.isInstanceOf[SyncResult.Merged])
+    assert(destRows() == Seq((1L, "ann", 10.0), (2L, "bob", 20.0)))
+    assert(state.get("contacts").flatMap(_.syncuntil).contains(ts("2024-01-02 09:30:00")))
+    assert(state.get("contacts").exists(_.status == "ready"))
+  }
+
+  test("second round: upsert + soft delete in one transaction") {
+    val r = sync.syncTable(cfg, _ => delta(
+      (2L, "bob2", 25.0, "2024-01-03 10:00:00", false),
+      (1L, "ann", 10.0, "2024-01-03 11:00:00", true),   // delete
+      (3L, "cid", 30.0, "2024-01-03 09:00:00", false)))
+    assert(r.isInstanceOf[SyncResult.Merged])
+    assert(destRows() == Seq((2L, "bob2", 25.0), (3L, "cid", 30.0)))
+  }
+
+  test("re-applying an already-landed delta is idempotent") {
+    val before = destRows()
+    sync.syncTable(cfg, _ => delta(
+      (2L, "bob2", 25.0, "2024-01-03 10:00:00", false),
+      (3L, "cid", 30.0, "2024-01-03 09:00:00", false)))
+    assert(destRows() == before)
+  }
+
+  test("zero delta takes the fast path: no writes, state touched") {
+    val r = sync.syncTable(cfg, _ => delta().filter($"pk" < 0))
+    assert(r == SyncResult.NoChange)
+  }
+
+  test("lock is exclusive: running table refuses a second sync") {
+    assert(state.tryLock("contacts"))
+    conn.commit()
+    val r = sync.syncTable(cfg, _ => fail("should not fetch"))
+    assert(r == SyncResult.LockBusy)
+    state.recoverAll() // C6
+    conn.commit()
+    assert(state.get("contacts").exists(_.status == "ready"))
+  }
+
+  test("failure marks error state and halts future syncs") {
+    intercept[RuntimeException] {
+      sync.syncTable(cfg, _ => throw new RuntimeException("source down"))
+    }
+    assert(state.get("contacts").exists(_.status == "error"))
+    assert(sync.syncTable(cfg, _ => fail("must not run")) == SyncResult.LockBusy)
+    state.recoverAll()
+    conn.commit()
+    // recoverAll only clears stale 'running' locks, not 'error'
+    assert(state.get("contacts").exists(_.status == "error"))
+    state.register("contacts", ts("2024-01-03 11:00:00"))
+    conn.commit()
+  }
+
+  test("dueTables respects refresh cadence") {
+    state.register("t_due", ts("2024-01-01 00:00:00"), refreshMinutes = 10)
+    state.register("t_fresh", ts("2024-01-01 00:00:00"), refreshMinutes = 100000)
+    conn.commit()
+    // last_refresh was just set by register; t_due is due 10 min later
+    val now = new Timestamp(System.currentTimeMillis() + 11 * 60 * 1000)
+    val due = state.dueTables(now)
+    assert(due.contains("t_due"))
+    assert(!due.contains("t_fresh"))
+  }
+
+  test("delta insert-then-delete of a new PK never survives") {
+    val r = sync.syncTable(cfg, _ => delta(
+      (9L, "ghost", 90.0, "2024-01-04 00:00:00", false),
+      (9L, "ghost", 91.0, "2024-01-04 00:00:01", true)))
+    assert(r.isInstanceOf[SyncResult.Merged])
+    assert(!destRows().exists(_._1 == 9L))
+  }
+}
