@@ -1,0 +1,135 @@
+package graft.reverse
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Reverse ETL (K5/T3, `upload_table.py`): DataFrame → canonical CSV →
+  * size/count-bounded chunks → bulk-update batches.
+  *
+  * The chunker enforces BOTH bounds of the reference (≤10 MB and
+  * ≤10 000 records per batch, header repeated per chunk,
+  * `upload_table.py:15-16,43-74`). Posting runs per partition on the
+  * executors — each partition chunks and posts its own rows, which is
+  * the Spark-shaped version of the reference's sequential loop; the
+  * batch wait/retry loop stays per batch.
+  */
+object BulkUpload {
+
+  val DefaultMaxBytes: Int = 10 * 1024 * 1024
+  val DefaultMaxRecords: Int = 10000
+
+  /** T1 — pgsf CSV value encoding: quote-doubling, booleans t/f, NULL
+    * as empty, NUL bytes stripped (`query_poll_table.py:21-50`).
+    */
+  def encodeValue(v: Any): String = v match {
+    case null => ""
+    case b: Boolean => if (b) "t" else "f"
+    case s: String => "\"" + s.replace("\u0000", "").replace("\"", "\"\"") + "\""
+    case ts: java.sql.Timestamp =>
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      fmt.format(ts)
+    case other => other.toString
+  }
+
+  def encodeRow(row: Row): String =
+    (0 until row.length).map(i => encodeValue(row.get(i))).mkString(",")
+
+  def header(schema: StructType): String =
+    schema.fieldNames.map(n => "\"" + n.replace("\"", "\"\"") + "\"").mkString(",")
+
+  /** T3 — greedy chunking under both bounds; header repeated per chunk.
+    * A record larger than maxBytes still ships alone (the reference
+    * would as well — the server rejects it, not the client).
+    */
+  def chunk(header: String, records: Iterator[String],
+      maxBytes: Int = DefaultMaxBytes,
+      maxRecords: Int = DefaultMaxRecords): Iterator[String] = new Iterator[String] {
+    private val headerBytes = header.getBytes("UTF-8").length + 1
+    private var pending: Option[String] = None
+
+    override def hasNext: Boolean = pending.isDefined || records.hasNext
+
+    override def next(): String = {
+      val sb = new StringBuilder(header).append('\n')
+      var bytes = headerBytes
+      var n = 0
+      var full = false
+      while (!full && (pending.isDefined || records.hasNext)) {
+        val rec = pending.getOrElse(records.next())
+        pending = None
+        val recBytes = rec.getBytes("UTF-8").length + 1
+        if (n > 0 && (bytes + recBytes > maxBytes || n + 1 > maxRecords)) {
+          pending = Some(rec)
+          full = true
+        } else {
+          sb.append(rec).append('\n')
+          bytes += recBytes
+          n += 1
+          if (n >= maxRecords) full = true
+        }
+      }
+      sb.result()
+    }
+  }
+
+  /** Upload-side wire seam (`salesforce_bulk` job/batch lifecycle). */
+  trait UploadTransport extends Serializable {
+    def createJob(objectName: String, operation: String): String
+    def postBatch(jobId: String, chunkCsv: String): String
+    /** Poll until the batch completes (`wait_for_batch`, 600 s/10 s). */
+    def waitBatch(jobId: String, batchId: String): Unit
+    def closeJob(jobId: String): Unit
+  }
+
+  /** K5 — chunk + post every partition's rows as batches of one update
+    * job. Job create/close are driver-side; batch posting is
+    * distributed (each task posts its own partition's chunks).
+    */
+  def upload(df: DataFrame, objectName: String, transportName: String,
+      operation: String = "update",
+      maxBytes: Int = DefaultMaxBytes,
+      maxRecords: Int = DefaultMaxRecords): String = {
+    val transport = MockUploadTransport.get(transportName)
+    val jobId = transport.createJob(objectName, operation)
+    val hdr = header(df.schema)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val t = MockUploadTransport.get(transportName)
+      chunk(hdr, rows.map(encodeRow), maxBytes, maxRecords).foreach { c =>
+        val batchId = t.postBatch(jobId, c)
+        t.waitBatch(jobId, batchId)
+      }
+    }
+    transport.closeJob(jobId)
+    jobId
+  }
+}
+
+/** In-memory upload transport double (same registry scope rationale as
+  * MockSfTransport).
+  */
+object MockUploadTransport {
+  private val registry = TrieMap.empty[String, MockUploadTransport]
+  def register(name: String, t: MockUploadTransport): Unit = registry.put(name, t)
+  def get(name: String): MockUploadTransport =
+    registry.getOrElse(name, throw new IllegalArgumentException(
+      s"no upload transport registered under '$name'"))
+}
+
+final class MockUploadTransport extends BulkUpload.UploadTransport {
+  private val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+  private val batchCounter = new java.util.concurrent.atomic.AtomicInteger
+  val batches = TrieMap.empty[String, String]   // batchId -> chunk csv
+  @volatile var closedJobs: List[String] = Nil
+
+  override def createJob(objectName: String, operation: String): String =
+    s"job-$objectName-$operation-${jobCounter.incrementAndGet()}"
+  override def postBatch(jobId: String, chunkCsv: String): String = {
+    val id = s"$jobId/batch-${batchCounter.incrementAndGet()}"
+    batches.put(id, chunkCsv)
+    id
+  }
+  override def waitBatch(jobId: String, batchId: String): Unit = ()
+  override def closeJob(jobId: String): Unit = closedJobs ::= jobId
+}

@@ -1,0 +1,144 @@
+package graft.sources.salesforce
+
+import scala.collection.concurrent.TrieMap
+
+/** Wire-protocol seam for the Salesforce connector. The real deployment
+  * implements this over HTTP (REST SOQL pagination `query.py:37-51` +
+  * Bulk V1 PK-chunked CSV `query_bulk.py` / `download.py`); tests and
+  * offline builds plug in [[MockSfTransport]]. Implementations must be
+  * thread-safe: partition readers call concurrently.
+  */
+trait SfTransport extends Serializable {
+
+  /** describe(): field metadata for an object (`tabledesc.py:24-33`). */
+  def describe(objectName: String): Seq[SfFieldMeta]
+
+  /** Total record count for a SOQL (`query.py:53-65` COUNT pushdown);
+    * the query/queryAll endpoint split governs deleted-row visibility.
+    */
+  def count(objectName: String, where: Option[String],
+      includeDeleted: Boolean): Long
+
+  /** PK-chunk boundaries for a bulk scan: sorted chunk-start keys
+    * (`Sforce-Enable-PKChunking`, `query_bulk.py:22-36`). Empty when the
+    * object does not support chunking — caller falls back to a single
+    * partition (S2 fallback semantics).
+    */
+  def pkChunks(objectName: String, chunkSize: Int): Seq[(String, String)]
+
+  /** Execute a SOQL scan for one partition: records as field-name →
+    * value maps, in stable order. `pkRange` bounds the scan to one
+    * chunk; None = whole object (un-chunked fallback / REST path).
+    */
+  def query(objectName: String, fields: Seq[String], where: Option[String],
+      limit: Option[Int], includeDeleted: Boolean,
+      pkRange: Option[(String, String)]): Iterator[Map[String, Any]]
+}
+
+final case class SfFieldMeta(name: String, sfType: String, length: Int = 0,
+    precision: Int = 0, scale: Int = 0, nillable: Boolean = true)
+
+/** In-memory transport double. Registered by name in a JVM-local
+  * registry — partition readers resolve it lazily; in `local[*]` (and
+  * tests) executors share the JVM, which is exactly the scope a mock
+  * needs. A cluster deployment would register an HTTP transport whose
+  * construction is driven by connection options instead.
+  */
+object MockSfTransport {
+  private val registry = TrieMap.empty[String, MockSfTransport]
+  def register(name: String, t: MockSfTransport): Unit = registry.put(name, t)
+  def get(name: String): MockSfTransport =
+    registry.getOrElse(name, throw new IllegalArgumentException(
+      s"no mock transport registered under '$name'"))
+}
+
+final class MockSfTransport(
+    schema: Map[String, Seq[SfFieldMeta]],
+    data: Map[String, Seq[Map[String, Any]]],
+    val supportsPkChunking: Boolean = true) extends SfTransport {
+
+  /** Call log for pushdown assertions in tests. */
+  @volatile var lastFields: Seq[String] = Nil
+  @volatile var lastWhere: Option[String] = None
+  @volatile var lastLimit: Option[Int] = None
+  @volatile var countCalls: Int = 0
+
+  override def describe(objectName: String): Seq[SfFieldMeta] =
+    schema.getOrElse(objectName,
+      throw new IllegalArgumentException(s"unknown object $objectName"))
+
+  private def rows(objectName: String): Seq[Map[String, Any]] =
+    data.getOrElse(objectName, Nil)
+
+  override def count(objectName: String, where: Option[String],
+      includeDeleted: Boolean): Long = {
+    countCalls += 1
+    val rs = filtered(objectName, where)
+    val visible = if (includeDeleted) rs
+                  else rs.filterNot(_.get("IsDeleted").contains(true))
+    visible.size.toLong
+  }
+
+  override def pkChunks(objectName: String, chunkSize: Int): Seq[(String, String)] = {
+    if (!supportsPkChunking) return Nil
+    val ids = rows(objectName).map(_("Id").toString).sorted
+    if (ids.isEmpty) Nil
+    else ids.grouped(chunkSize).map(g => (g.head, g.last)).toSeq
+  }
+
+  /** Tiny SOQL-WHERE evaluator for the mock: supports the conjunctive
+    * comparison subset the connector generates.
+    */
+  private def filtered(objectName: String,
+      where: Option[String]): Seq[Map[String, Any]] = where match {
+    case None => rows(objectName)
+    case Some(w) =>
+      val clauses = w.split(" AND ").map(_.trim)
+      rows(objectName).filter(r => clauses.forall(c => evalClause(r, c)))
+  }
+
+  private def evalClause(r: Map[String, Any], clause: String): Boolean = {
+    val m = "^(\\w+)\\s*(>=|<=|!=|=|>|<)\\s*(.*)$".r
+    clause match {
+      case m(f, op, lit) =>
+        val v = r.get(f).orNull
+        if (v == null) return false
+        val litVal = lit.stripPrefix("'").stripSuffix("'")
+        val cmp = (v, litVal) match {
+          case (n: Int, s) => n.toLong.compareTo(s.toLong)
+          case (n: Long, s) => n.compareTo(s.toLong)
+          case (n: Double, s) => n.compareTo(s.toDouble)
+          case (b: Boolean, s) => b.compareTo(s.toBoolean)
+          case (x, s) => x.toString.compareTo(s)
+        }
+        op match {
+          case "=" => cmp == 0
+          case "!=" => cmp != 0
+          case ">" => cmp > 0
+          case "<" => cmp < 0
+          case ">=" => cmp >= 0
+          case "<=" => cmp <= 0
+        }
+      case _ => true
+    }
+  }
+
+  override def query(objectName: String, fields: Seq[String],
+      where: Option[String], limit: Option[Int], includeDeleted: Boolean,
+      pkRange: Option[(String, String)]): Iterator[Map[String, Any]] = {
+    lastFields = fields
+    lastWhere = where
+    lastLimit = limit
+    var rs = filtered(objectName, where)
+    if (!includeDeleted)
+      rs = rs.filterNot(_.get("IsDeleted").contains(true))
+    pkRange.foreach { case (lo, hi) =>
+      rs = rs.filter { r =>
+        val id = r("Id").toString
+        id >= lo && id <= hi
+      }
+    }
+    limit.foreach(n => rs = rs.take(n))
+    rs.iterator.map(_.view.filterKeys(fields.contains).toMap)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingSync
+
+/** Structured Streaming layer: the foreachBatch CDC merge (C1 as
+  * micro-batches), event-time windowed aggregation with watermark, and
+  * keyed custom state (sessionization).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("foreachBatch merge stream: two micro-batches equal one batch merge (C1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft_stream_state").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val input = MemoryStream[(Long, String, Double, Timestamp, Boolean)]
+    val delta = input.toDF()
+      .toDF("pk", "name", "amount", "modstamp", "is_deleted")
+
+    val q = StreamingSync.mergeStream(delta, stateDir, "pk", "modstamp",
+      Some("is_deleted"), Some(ckpt))
+    try {
+      input.addData(
+        (1L, "a", 10.0, ts("2024-01-01 00:00:00"), false),
+        (2L, "b", 20.0, ts("2024-01-01 00:00:00"), false))
+      q.processAllAvailable()
+      input.addData(
+        (2L, "b2", 25.0, ts("2024-01-02 00:00:00"), false),  // update
+        (1L, "a", 10.0, ts("2024-01-02 00:00:00"), true),    // delete
+        (3L, "c", 30.0, ts("2024-01-02 00:00:00"), false))   // insert
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val state = StreamingSync.currentState(spark, stateDir).get
+      .select("pk", "name", "amount").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(state == Seq((2L, "b2", 25.0), (3L, "c", 30.0)))
+  }
+
+  test("windowed counts with watermark over the events table shape") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = StreamingSync.windowedCounts(events, "10 minutes", "5 minutes", "15 minutes")
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("win_counts").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), "click", 1.0),
+        (2L, ts("2024-01-01 00:02:00"), "click", 2.0),
+        (3L, ts("2024-01-01 00:08:00"), "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_counts")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    // clicks at 00:01/00:02 fall in windows [23:55,00:05) and [00:00,00:10)
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.exists(_._1 == "view"))
+  }
+
+  test("sessionization via keyed state: gap splits sessions") {
+    val events = Seq(
+      (100L, ts("2024-01-01 10:00:00")),
+      (100L, ts("2024-01-01 10:00:30")),
+      (100L, ts("2024-01-01 12:00:00")),   // > gap -> new session
+      (200L, ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "ts")
+    val sessions = StreamingSync.sessionize(spark, events, gapSeconds = 300)
+      .select("user_id", "n_events").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(sessions == Seq((100L, 1L), (100L, 2L), (200L, 1L)))
+  }
+}
