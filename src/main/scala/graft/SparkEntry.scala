@@ -75,6 +75,18 @@ object SparkEntry {
     }),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, t(s, d)("documents"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
+    // S4+K4+T2: staged CSV round trip in the reference dialect
+    "s4_csv_roundtrip" -> ((s, d) => {
+      val staging = "/tmp/graft_s4_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      FileOps.csvRoundTrip(s, t(s, d)("part"), staging).orderBy("p_partkey")
+    }),
+    // S5: JDBC catalog scan (embedded Derby stands in for PG's
+    // information_schema; rows-only check — DuckDB cannot reach it)
+    "s5_jdbc_catalog" -> ((s, _) => {
+      val url = "jdbc:derby:memory:graftcat;create=true"
+      FileOps.seedDerbyCatalogDemo(url, "CATDEMO")
+      FileOps.jdbcCatalogColumns(s, url, "CATDEMO")
+    }),
   )
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -417,6 +429,8 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
         |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s4_csv_roundtrip" ->
+      "SELECT * FROM part ORDER BY p_partkey",
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
