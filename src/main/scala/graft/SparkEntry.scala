@@ -45,6 +45,9 @@ object SparkEntry {
     "t1_csv_encode" -> ((s, d) => Relational.t1CsvEncode(t(s, d)("events"))),
     "t6_ts_format" -> ((s, d) => Relational.t6TsFormat(t(s, d)("orders"))),
     "w1_running_sum" -> ((s, d) => Relational.w1RunningSum(t(s, d)("events"))),
+    "w2_rollup" -> ((s, d) => Relational.w2Rollup(t(s, d)("lineitem"))),
+    "w3_topn_per_group" -> ((s, d) => Relational.w3TopNPerGroup(t(s, d)("orders"), 3)),
+    "set1_symmetric_diff" -> ((s, d) => Relational.set1SymmetricDiff(t(s, d)("orders"))),
     "j1_merge_upsert" -> ((s, d) => mergeQuery(s, d)),
     "j2_anti_delete" -> ((s, d) => antiDeleteQuery(s, d)),
     "j4_dedup_lastwins" -> ((s, d) => dedupLastWinsQuery(s, d)),
@@ -241,6 +244,56 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w2_rollup" ->
+      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
+        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "w3_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "set1_symmetric_diff" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |EXCEPT
+        |(SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        | INTERSECT
+        | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "w2_rollup" ->
+      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
+        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "w3_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "set1_symmetric_diff" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |EXCEPT
+        |(SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
+        | INTERSECT
+        | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "j1_merge_upsert" ->
       s"""WITH $BaseCte, ${deltaCte("delta", 2, 1.1, 1)}
          |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,

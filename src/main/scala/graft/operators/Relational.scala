@@ -180,6 +180,43 @@ object Relational {
         dsum(col("c_acctbal")).as("sum_acctbal"))
       .orderBy("r_name", "n_name")
 
+  /** Rollup aggregation (superset surface — the reference has no
+    * grouping sets; Catalyst expands rollup into grouping sets with one
+    * shuffle). Subtotal NULLs are coalesced to a sentinel so ordering
+    * is engine-independent.
+    */
+  def w2Rollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_ALL_")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_ALL_")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Set operations (superset surface): symmetric difference of two key
+    * sets via UNION/EXCEPT/INTERSECT.
+    */
+  def set1SymmetricDiff(orders: DataFrame): DataFrame = {
+    val a = orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey")
+    val b = orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy("o_orderkey")
+  }
+
+  /** Top-N per group (window ranking — a training-pipeline staple). */
+  def w3TopNPerGroup(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
   /** Window running aggregate (free from Spark; absent in reference —
     * part of the engine's superset surface).
     */
