@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection for training-data pipelines: MinHash+LSH,
   * SimHash, and exact n-gram Jaccard. Built entirely from codegen'd
@@ -17,7 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** doc_id + distinct word-trigram shingles of the tokenized text. */
+  /** doc_id + distinct word-trigram shingles of the tokenized text,
+    * persisted: every consumer (signatures, sizes, intersection) reuses
+    * one materialization instead of re-running the tokenize+explode —
+    * the same materialize-the-CTE choice a columnar engine makes.
+    */
   private def shingles(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextOps.toksCol.as("ws"))
@@ -25,6 +30,7 @@ object DedupOps {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(0, size(ws) - 3)," +
           " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the minimum md5 over the document's shingle set (md5 keeps Spark

@@ -81,21 +81,34 @@ object SimilarityOps {
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, numTables: Int = 1): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding"))
-    val cand = (0 until numTables).map { t =>
-      val sig = hyperplaneSignature(embeddings, numPlanes, t * numPlanes)
-      val qsig = hyperplaneSignature(q, numPlanes, t * numPlanes)
-        .select(col("query_id"), col("bucket"))
-      sig.join(qsig, Seq("bucket"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"))
-    }.reduce(_ unionAll _).distinct()
-    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")), "embedding", "en")
     val qn = withNorm(q.select(col("query_id"), col("embedding").as("qe")), "qe", "qn")
-    val scored = cand
-      .join(e, "vec_id")
-      .join(broadcast(qn), "query_id")
-      .withColumn("sim",
-        vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+    val scored = if (numTables == 1) {
+      // single-table fast path: no cross-table dedup needed, keep the
+      // vector through candidate selection (2 fewer joins, no distinct)
+      val sig = withNorm(hyperplaneSignature(embeddings, numPlanes), "embedding", "en")
+      val qsig = hyperplaneSignature(q, numPlanes)
+        .select(col("query_id"), col("bucket"))
+      sig.join(broadcast(qsig), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(qn), "query_id")
+        .withColumn("sim",
+          vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+    } else {
+      val cand = (0 until numTables).map { t =>
+        val sig = hyperplaneSignature(embeddings, numPlanes, t * numPlanes)
+        val qsig = hyperplaneSignature(q, numPlanes, t * numPlanes)
+          .select(col("query_id"), col("bucket"))
+        sig.join(qsig, Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"))
+      }.reduce(_ unionAll _).distinct()
+      val e = withNorm(embeddings.select(col("vec_id"), col("embedding")), "embedding", "en")
+      cand
+        .join(e, "vec_id")
+        .join(broadcast(qn), "query_id")
+        .withColumn("sim",
+          vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     scored
