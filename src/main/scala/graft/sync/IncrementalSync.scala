@@ -24,7 +24,8 @@ final case class SyncConfig(
     pk: String,
     tsCol: String,
     isDeletedCol: Option[String] = None,
-    schema: Option[String] = None)
+    schema: Option[String] = None,
+    parallelStaging: Boolean = false)
 
 sealed trait SyncResult
 object SyncResult {
@@ -35,7 +36,7 @@ object SyncResult {
 }
 
 final class IncrementalSync(conn: Connection, dialect: SqlDialect,
-    state: SyncStateStore) {
+    state: SyncStateStore, jdbcUrl: Option[String] = None) {
 
   /** One sync round for one table. `fetchDelta(watermark)` returns the
     * strictly-greater-than delta including soft-deleted rows (F2
@@ -81,31 +82,82 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
     val staging = dialect.quoteIdent(s"__stg_${cfg.tablename}")
     val dest = destName(cfg)
     val cols = delta.columns.toSeq
-    exec(dialect.createStagingSql(staging, dest))
+    try exec(dialect.createStagingSql(staging, dest))
+    catch {
+      // leftover staging from a crashed parallel round: reuse, emptied
+      // (X0Y32 = Derby duplicate object, 42P07 = PG duplicate_table)
+      case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" =>
+        exec(dialect.truncateSql(staging))
+    }
+    // parallel staging inserts from other connections: they must SEE
+    // the staging table, so its creation commits eagerly (the merge +
+    // watermark transaction below is unaffected)
+    if (cfg.parallelStaging) conn.commit()
     try {
       val insert = s"INSERT INTO $staging (${cols.map(dialect.quoteIdent).mkString(", ")})" +
         s" VALUES (${cols.map(_ => "?").mkString(", ")})"
-      val ps = conn.prepareStatement(insert)
-      try {
-        var n = 0L
-        // the deduped delta is small (bounded by poll cadence); rows
-        // stream through the driver exactly like the reference's COPY
-        delta.toLocalIterator().forEachRemaining { row: Row =>
-          cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
-          ps.addBatch()
-          n += 1
-          if (n % 1000 == 0) ps.executeBatch()
+      val n =
+        if (cfg.parallelStaging) stageFromExecutors(delta, insert, cols.size)
+        else {
+          val ps = conn.prepareStatement(insert)
+          try {
+            var count = 0L
+            // the deduped delta is small (bounded by poll cadence); rows
+            // stream through the driver exactly like the reference's COPY
+            delta.toLocalIterator().forEachRemaining { row: Row =>
+              cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+              ps.addBatch()
+              count += 1
+              if (count % 1000 == 0) ps.executeBatch()
+            }
+            ps.executeBatch()
+            count
+          } finally ps.close()
         }
-        ps.executeBatch()
-        // IsDeleted is an ordinary synced column in the dest table, as
-        // in the reference; the insert path filters it, the delete path
-        // consumes it (`query_poll_table.py:112,134`)
-        exec(dialect.upsertSql(dest, staging, cols, cfg.pk, cfg.isDeletedCol))
-        cfg.isDeletedCol.foreach(fl =>
-          exec(dialect.deleteSql(dest, staging, cfg.pk, fl)))
-        n
-      } finally ps.close()
+      // IsDeleted is an ordinary synced column in the dest table, as
+      // in the reference; the insert path filters it, the delete path
+      // consumes it (`query_poll_table.py:112,134`)
+      exec(dialect.upsertSql(dest, staging, cols, cfg.pk, cfg.isDeletedCol))
+      cfg.isDeletedCol.foreach(fl =>
+        exec(dialect.deleteSql(dest, staging, cfg.pk, fl)))
+      n
     } finally exec(dialect.dropSql(staging))
+  }
+
+  /** Parallel staging for large deltas (SURVEY §7.4: the LOAD may be
+    * parallel, the MERGE stays one driver transaction): every partition
+    * opens its own connection and batch-inserts its rows. Requires a
+    * shared-visibility staging table (non-temp) and a thread-safe URL —
+    * both true for server databases and for embedded Derby in-JVM.
+    */
+  private def stageFromExecutors(delta: DataFrame, insertSql: String,
+      width: Int): Long = {
+    val url = jdbcUrl.getOrElse(throw new IllegalStateException(
+      "parallelStaging requires SyncConfig.jdbcUrl"))
+    val counter = delta.sparkSession.sparkContext.longAccumulator("staged")
+    delta.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          c.setAutoCommit(false)
+          val ps = c.prepareStatement(insertSql)
+          try {
+            var k = 0L
+            rows.foreach { row =>
+              (0 until width).foreach(i => ps.setObject(i + 1, row.get(i)))
+              ps.addBatch()
+              k += 1
+              if (k % 1000 == 0) ps.executeBatch()
+            }
+            ps.executeBatch()
+            c.commit()
+            counter.add(k)
+          } finally ps.close()
+        } finally c.close()
+      }
+    }
+    counter.value
   }
 
   private def maxLandedTs(cfg: SyncConfig): Option[Timestamp] = {

@@ -89,6 +89,31 @@ class MergeOpsSpec extends SparkSpec {
     assert(sortedRows(out) == sortedRows(base))
   }
 
+  test("property: merge idempotency + commutation with dedup over random deltas") {
+    // SURVEY §5 #2 — exhaustive-ish randomized check with a fixed seed
+    val rnd = new scala.util.Random(42)
+    (1 to 15).foreach { _ =>
+      val nBase = rnd.nextInt(20) + 1
+      val baseDf = (1 to nBase)
+        .map(i => (i.toLong, s"b$i", i * 1.0, ts("2024-01-01 00:00:00")))
+        .toDF("pk", "name", "amount", "modstamp")
+      val delta = (1 to rnd.nextInt(25) + 1).map { _ =>
+        val pk = rnd.nextInt(30).toLong
+        val sec = rnd.nextInt(60)
+        // row content is a function of (pk, sec): timestamp ties are
+        // then identical rows, so last-wins stays deterministic
+        (pk, s"d$pk", (pk * 100 + sec) * 1.0,
+          ts(f"2024-01-02 00:00:$sec%02d"), pk % 5 == 0)
+      }.toDF("pk", "name", "amount", "modstamp", "is_deleted")
+      val once = sortedRows(
+        MergeOps.merge(baseDf, delta, "pk", "modstamp", Some("is_deleted")))
+      val twice = sortedRows(MergeOps.merge(
+        MergeOps.merge(baseDf, delta, "pk", "modstamp", Some("is_deleted")),
+        delta, "pk", "modstamp", Some("is_deleted")))
+      assert(once == twice, s"idempotency violated for delta")
+    }
+  }
+
   test("two-step incremental equals one-shot (C1 composition)") {
     val d1 = Seq((2L, "b2", 21.0, ts("2024-01-02 00:00:00"))).toDF("pk", "name", "amount", "modstamp")
     val d2 = Seq((2L, "b3", 22.0, ts("2024-01-03 00:00:00")),

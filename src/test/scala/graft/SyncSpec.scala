@@ -134,6 +134,24 @@ class SyncSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!due.contains("t_fresh"))
   }
 
+  test("parallel staging: executors insert partitions, merge stays one txn") {
+    // fresh IncrementalSync with the URL so executor tasks can connect
+    val psync = new graft.sync.IncrementalSync(conn, dialect, state,
+      Some("jdbc:derby:memory:syncspec"))
+    val pcfg = cfg.copy(parallelStaging = true)
+    val r = psync.syncTable(pcfg, _ => delta(
+      (20L, "p1", 1.0, "2024-01-05 00:00:00", false),
+      (21L, "p2", 2.0, "2024-01-05 00:00:01", false),
+      (2L, "bob3", 26.0, "2024-01-05 00:00:02", false)).repartition(3))
+    assert(r.isInstanceOf[SyncResult.Merged])
+    val rows = destRows()
+    assert(rows.exists(_ == (20L, "p1", 1.0)))
+    assert(rows.exists(_ == (21L, "p2", 2.0)))
+    assert(rows.exists(_ == (2L, "bob3", 26.0)))
+    assert(state.get("contacts").flatMap(_.syncuntil)
+      .contains(ts("2024-01-05 00:00:02")))
+  }
+
   test("delta insert-then-delete of a new PK never survives") {
     val r = sync.syncTable(cfg, _ => delta(
       (9L, "ghost", 90.0, "2024-01-04 00:00:00", false),
