@@ -1,0 +1,43 @@
+package graft
+
+/** Bucketing = the co-located-join strategy for repeated big joins at
+  * 100 TB: both fact tables bucketed+sorted on the join key join with
+  * ZERO exchanges (no shuffle at query time — the shuffle was paid once
+  * at write time). This is the "pre-partitioned join" posture the
+  * builder prompt calls for.
+  */
+class BucketingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("bucketed tables join without a shuffle (no Exchange in plan)") {
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Tables(spark, sf0001, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      Tables(spark, sf0001, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect()
+      // inspect only the adaptive FINAL plan (toString repeats the
+      // initial plan below it, double-counting exchanges)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // the only allowed exchange is the final tiny groupBy; the JOIN
+      // itself must consume bucketed distribution directly
+      assert(exchanges <= 1, s"join shuffled despite bucketing:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin"), "expected sort-merge over buckets")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
