@@ -269,31 +269,6 @@ object SparkEntry {
         | INTERSECT
         | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
-    "w2_rollup" ->
-      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
-        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  COUNT(*) AS n_rows
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY returnflag, linestatus""".stripMargin,
-    "w3_topn_per_group" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-        |  FROM orders
-        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
-    "set1_symmetric_diff" ->
-      """SELECT o_orderkey FROM (
-        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
-        |  UNION
-        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
-        |)
-        |EXCEPT
-        |(SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0
-        | INTERSECT
-        | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
-        |ORDER BY o_orderkey""".stripMargin,
     "j1_merge_upsert" ->
       s"""WITH $BaseCte, ${deltaCte("delta", 2, 1.1, 1)}
          |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,

@@ -109,6 +109,12 @@ final class MockSfTransport(
           case (n: Long, s) => n.compareTo(s.toLong)
           case (n: Double, s) => n.compareTo(s.toDouble)
           case (b: Boolean, s) => b.compareTo(s.toBoolean)
+          // the connector renders timestamp literals as ISO8601 UTC
+          // (`query_poll_table.py:82` format); Timestamp.toString is
+          // 'yyyy-MM-dd HH:mm:ss.f', so a lexicographic compare would
+          // order ' ' before 'T' and mis-evaluate same-day predicates —
+          // compare as instants instead
+          case (t: java.sql.Timestamp, s) => t.toInstant.compareTo(parseIsoInstant(s))
           case (x, s) => x.toString.compareTo(s)
         }
         op match {
@@ -122,6 +128,16 @@ final class MockSfTransport(
       case _ => true
     }
   }
+
+  /** ISO8601 literal → Instant. The connector formats timestamp
+    * literals as the value's true instant in UTC with a 'Z' suffix
+    * (SalesforceSource.toSoql), so `Instant.parse` is exact; a
+    * zone-less literal falls back to JVM-zone wall clock (matching
+    * `Timestamp.valueOf` test fixtures).
+    */
+  private def parseIsoInstant(s: String): java.time.Instant =
+    if (s.endsWith("Z")) java.time.Instant.parse(s)
+    else java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s)).toInstant
 
   override def query(objectName: String, fields: Seq[String],
       where: Option[String], limit: Option[Int], includeDeleted: Boolean,

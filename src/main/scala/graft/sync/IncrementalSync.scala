@@ -45,6 +45,11 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
     */
   def syncTable(cfg: SyncConfig,
       fetchDelta: Option[Timestamp] => DataFrame): SyncResult = {
+    if (cfg.parallelStaging && !dialect.supportsParallelStaging)
+      throw new IllegalArgumentException(
+        s"dialect ${dialect.getClass.getSimpleName} cannot create a " +
+          "cross-session visible staging table; parallelStaging would " +
+          "fail on every executor insert — use serial staging")
     if (!state.tryLock(cfg.tablename)) return SyncResult.LockBusy
     try {
       val watermark = state.get(cfg.tablename).flatMap(_.syncuntil)
@@ -82,7 +87,10 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
     val staging = dialect.quoteIdent(s"__stg_${cfg.tablename}")
     val dest = destName(cfg)
     val cols = delta.columns.toSeq
-    try exec(dialect.createStagingSql(staging, dest))
+    val stagingDdl =
+      if (cfg.parallelStaging) dialect.createSharedStagingSql(staging, dest)
+      else dialect.createStagingSql(staging, dest)
+    try exec(stagingDdl)
     catch {
       // leftover staging from a crashed parallel round: reuse, emptied
       // (X0Y32 = Derby duplicate object, 42P07 = PG duplicate_table)

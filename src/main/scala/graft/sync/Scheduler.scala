@@ -16,11 +16,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `pg.py:63-75`) — hence the factory.
   */
 final class Scheduler(spark: SparkSession,
-    mkWorker: String => (IncrementalSync, SyncStateStore)) {
+    mkWorker: String => SyncWorker) {
 
   def jobGroup(table: String): String = s"sync-$table"
 
-  /** C5 — run every due table's sync round in parallel. */
+  /** C5 — run every due table's sync round in parallel. Each worker is
+    * closed when its table's round ends, so a long-running scheduler
+    * holds at most `parallelism` connections at a time instead of
+    * leaking one per due table per round.
+    */
   def runDue(now: Timestamp, stateProbe: SyncStateStore,
       cfgs: Map[String, (SyncConfig, Option[Timestamp] => DataFrame)],
       parallelism: Int = 8): Map[String, SyncResult] = {
@@ -30,11 +34,13 @@ final class Scheduler(spark: SparkSession,
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = due.map { table =>
       Future {
-        val (syncer, _) = mkWorker(table)
-        spark.sparkContext.setJobGroup(jobGroup(table),
-          s"incremental sync of $table", interruptOnCancel = true)
-        try table -> syncer.syncTable(cfgs(table)._1, cfgs(table)._2)
-        finally spark.sparkContext.clearJobGroup()
+        val worker = mkWorker(table)
+        try {
+          spark.sparkContext.setJobGroup(jobGroup(table),
+            s"incremental sync of $table", interruptOnCancel = true)
+          try table -> worker.syncer.syncTable(cfgs(table)._1, cfgs(table)._2)
+          finally spark.sparkContext.clearJobGroup()
+        } finally worker.close()
       }
     }
     try Await.result(Future.sequence(futures), Duration.Inf).toMap
@@ -48,6 +54,18 @@ final class Scheduler(spark: SparkSession,
   def abort(table: String, state: SyncStateStore): Unit = {
     spark.sparkContext.cancelJobGroup(jobGroup(table))
     state.markError(table)
+  }
+}
+
+/** A per-table sync round's resources: syncer + state store over one
+  * JDBC connection (the reference's per-process psycopg2 singleton,
+  * `pg.py:63-75`), plus the underlying closeables — the scheduler
+  * closes them when the round completes.
+  */
+final case class SyncWorker(syncer: IncrementalSync, state: SyncStateStore,
+    resources: AutoCloseable*) extends AutoCloseable {
+  override def close(): Unit = resources.foreach { r =>
+    try r.close() catch { case _: Exception => () }
   }
 }
 

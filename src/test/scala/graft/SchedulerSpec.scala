@@ -38,8 +38,8 @@ class SchedulerSpec extends SparkSpec {
 
     val sched = new Scheduler(spark, _ => {
       val c = newConn()
-      (new IncrementalSync(c, new DerbyDialect, new SyncStateStore(c)),
-        new SyncStateStore(c))
+      SyncWorker(new IncrementalSync(c, new DerbyDialect, new SyncStateStore(c)),
+        new SyncStateStore(c), c)
     })
     val results = sched.runDue(
       new Timestamp(System.currentTimeMillis() + 2 * 60 * 1000), state,

@@ -152,6 +152,29 @@ class SyncSpec extends SparkSpec with BeforeAndAfterAll {
       .contains(ts("2024-01-05 00:00:02")))
   }
 
+  test("parallelStaging fails fast when the dialect only stages session-locally") {
+    val tempOnly = new graft.sink.SqlDialect {
+      override def quoteIdent(n: String): String = dialect.quoteIdent(n)
+      override def createStagingSql(s: String, d: String): String =
+        dialect.createStagingSql(s, d)
+      override def upsertSql(dest: String, staging: String, cols: Seq[String],
+          pk: String, isDeleted: Option[String]): String =
+        dialect.upsertSql(dest, staging, cols, pk, isDeleted)
+      override def deleteSql(dest: String, staging: String, pk: String,
+          isDeleted: String): String = dialect.deleteSql(dest, staging, pk, isDeleted)
+      override def supportsParallelStaging: Boolean = false
+    }
+    val s = new graft.sync.IncrementalSync(conn, tempOnly, state,
+      Some("jdbc:derby:memory:syncspec"))
+    val e = intercept[IllegalArgumentException] {
+      s.syncTable(cfg.copy(parallelStaging = true), _ => delta())
+    }
+    assert(e.getMessage.contains("cross-session"))
+    // fail-fast precedes the CAS lock: the table is still lockable
+    assert(state.tryLock("contacts"))
+    conn.rollback() // undo the probe lock
+  }
+
   test("delta insert-then-delete of a new PK never survives") {
     val r = sync.syncTable(cfg, _ => delta(
       (9L, "ghost", 90.0, "2024-01-04 00:00:00", false),

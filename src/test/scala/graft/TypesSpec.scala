@@ -137,6 +137,17 @@ class TypesSpec extends AnyFunSuite {
         "(SELECT \"Id\" FROM \"tmp\" WHERE \"IsDeleted\")")
   }
 
+  test("PG parallel staging uses a cross-session visible UNLOGGED table") {
+    val d = new PgDialect()
+    // serial path keeps the reference's session-local temp table...
+    assert(d.createStagingSql("\"tmp\"", "\"dest\"").startsWith("CREATE TEMPORARY TABLE"))
+    // ...but executor connections cannot see a TEMPORARY table, so the
+    // shared variant must be a real (UNLOGGED) table
+    assert(d.createSharedStagingSql("\"tmp\"", "\"dest\"") ==
+      "CREATE UNLOGGED TABLE \"tmp\" (LIKE \"dest\" INCLUDING DEFAULTS)")
+    assert(d.supportsParallelStaging)
+  }
+
   test("identifier quoting is config-gated (pg.py:108-115)") {
     assert(new PgDialect(quoteNames = false).quoteIdent("Contact") == "Contact")
     assert(new PgDialect().quoteIdent("Contact") == "\"Contact\"")
