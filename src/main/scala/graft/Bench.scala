@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated subset for targeted iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     // Warm-up pass at the smallest scale factor sharing the layout:
     // triggers codegen compilation + JIT for every query plan so the
     // timed pass measures execution, not JVM warm-up.
@@ -18,12 +25,12 @@ object Bench {
       val w = new java.io.File(parent, "sf0.001")
       if (w.exists()) w.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // min of two timed passes per query: the environment shows bursty
     // external CPU steal; the minimum is the faithful engine cost
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -363,14 +363,17 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $ToksCte,
          |$ShinglesCte,
-         |seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         |hashed AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) * power(16, 8 - i)))
+         |    AS BIGINT) AS h32
+         |  FROM sh),
          |mh AS (
-         |  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS minhash
-         |  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |  SELECT doc_id,
+         |    $MinhashMinsSql
+         |  FROM hashed GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, CAST(floor(seed / 2) AS INT) AS band,
-         |    md5(string_agg(lpad(CAST(seed AS VARCHAR), 4, '0') || '=' || minhash, '|' ORDER BY seed)) AS band_key
-         |  FROM mh GROUP BY doc_id, CAST(floor(seed / 2) AS INT)),
+         |  $MinhashBandsSql),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
@@ -474,6 +477,22 @@ object SparkEntry {
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
       |)""".stripMargin
+
+  /** DuckDB-side minhash: the same (a*H + b) mod P family as
+    * DedupOps.minhashParams(16), unrolled from the same constants.
+    */
+  private val MinhashMinsSql =
+    graft.operators.DedupOps.minhashParams(16).zipWithIndex.map {
+      case ((a, b), i) => s"min((h32 * $a + $b) % ${graft.operators.DedupOps.MinhashP}) AS m$i"
+    }.mkString(",\n    ")
+
+  /** DuckDB-side LSH bands: 8 bands of 2 consecutive minhashes (mirrors
+    * the `stack` unpivot in DedupOps.minhashLsh).
+    */
+  private val MinhashBandsSql = (0 until 8).map { j =>
+    s"SELECT doc_id, $j AS band, CAST(m${2 * j} AS VARCHAR) || '_' || " +
+      s"CAST(m${2 * j + 1} AS VARCHAR) AS band_key FROM mh"
+  }.mkString("\n  UNION ALL ")
 
   /** DuckDB-side distinct word-trigram shingles (mirrors DedupOps.shingles). */
   private val ShinglesCte =

@@ -32,19 +32,36 @@ object DedupOps {
           " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the minimum md5 over the document's shingle set (md5 keeps Spark
-    * and any SQL oracle bit-identical; a production deployment would
-    * swap in xxhash64 for speed — same topology).
+  /** MinHash prime modulus (2^31 - 1) and the derived universal-hash
+    * family h_i(H) = (a_i * H + b_i) mod P. Each shingle is hashed ONCE
+    * (md5 hex prefix → 32-bit int, the cross-engine primitive); the k
+    * per-function values are then pure arithmetic — no k-way row
+    * explode, no k md5 calls per shingle. a_i < 2^30 keeps a*H < 2^62
+    * (no 64-bit overflow for H < 2^32). Constants are a fixed LCG
+    * unrolled at plan-build time, identical in the SQL oracle.
     */
-  def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame =
-    shingles(documents)
-      .select(col("doc_id"), col("sh"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("h"))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("h")).as("minhash"))
+  private[graft] val MinhashP = 2147483647L
+  private[graft] def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % 1073741822L + 1L
+      val b = (134775813L * (i + 7) + 2531011L) % MinhashP
+      (a, b)
+    }
+
+  /** MinHash signatures as one row per doc with columns m0..m{k-1}:
+    * min over the shingle set of each derived hash function. One
+    * narrow md5 per shingle + a single groupBy(doc_id) whose k `min`
+    * aggregates combine map-side — the shuffle carries one row per
+    * (partition, doc), not per (shingle, seed).
+    */
+  def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = shingles(documents).select(col("doc_id"),
+      conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h32"))
+    val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h32") * a + b) % MinhashP).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash+LSH near-dup pairs: band the signature (rowsPerBand
     * consecutive minhashes per band key), bucket-join on (band, key),
@@ -54,13 +71,16 @@ object DedupOps {
   def minhashLsh(documents: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(documents, numHashes)
-    val bands = sigs
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      // within a band, order by seed so the key concat is deterministic
-      .agg(md5(concat_ws("|", sort_array(collect_list(
-        concat(lpad(col("seed").cast("string"), 4, "0"), lit("="), col("minhash"))))))
-        .as("band_key"))
+    val numBands = numHashes / rowsPerBand
+    // unpivot the k min columns into (band, band_key) rows — a narrow
+    // generator, no aggregation needed to build band keys
+    val stackArgs = (0 until numBands).map { j =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"m${j * rowsPerBand + r}").mkString(", '_', ")
+      s"$j, concat($key)"
+    }.mkString(", ")
+    val bands = sigs.selectExpr("doc_id",
+      s"stack($numBands, $stackArgs) AS (band, band_key)")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
@@ -97,9 +117,17 @@ object DedupOps {
     */
   def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(documents)
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // bucket docs per shingle and expand ordered pairs in-place: one
+    // shuffle of the shingle set instead of the self-join's two
+    // exchanges + sort-merge; pair counts are identical by construction
+    val pairs = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2), i ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+          |    named_struct('doc_a', ds[i], 'doc_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -119,20 +147,25 @@ object DedupOps {
     * bit contributes +1/-1; signature bit b set iff the sum is
     * positive. Narrow map + one groupBy(doc) shuffle.
     */
-  def simhash(documents: DataFrame): DataFrame =
+  def simhash(documents: DataFrame): DataFrame = {
+    // per-bit ±1 contributions as 32 COLUMNS of the token rows — the
+    // groupBy's sums partial-aggregate map-side, so the shuffle carries
+    // one 32-int row per (partition, doc) instead of 32 exploded rows
+    // per token; the signature fold is then row-local arithmetic
+    val bitCols = (0 until 32).map(b =>
+      when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1).as(s"c$b"))
+    val sums = (0 until 32).map(b => sum(col(s"c$b")).as(s"s$b"))
     documents
       .select(col("doc_id"), explode(array_distinct(TextOps.toksCol)).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .select(col("doc_id"), col("h"),
-        explode(expr("sequence(0, 31)")).as("b"))
-      .withColumn("contrib",
-        when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("contrib")).as("s"))
+      .select(col("doc_id") +: bitCols: _*)
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-        .as("simhash"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs: 4 bands of 8 bits as LSH keys — any pair
     * within Hamming distance 3 differs in at most 3 bands, so at least
