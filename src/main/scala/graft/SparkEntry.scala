@@ -48,6 +48,22 @@ object SparkEntry {
     "w2_rollup" -> ((s, d) => Relational.w2Rollup(t(s, d)("lineitem"))),
     "w3_topn_per_group" -> ((s, d) => Relational.w3TopNPerGroup(t(s, d)("orders"), 3)),
     "set1_symmetric_diff" -> ((s, d) => Relational.set1SymmetricDiff(t(s, d)("orders"))),
+    // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
+    "asof_join" -> ((s, d) => {
+      val ev = t(s, d)("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      // right side deduped to unique (user, ts) so "latest at-or-before"
+      // is well-defined under ties in BOTH engines
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.plans.AsofJoin.asof(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts")
+        .select("click_id", "user_id", "purchase_id", "purchase_ts")
+        .orderBy("click_id")
+    }),
     "j1_merge_upsert" -> ((s, d) => mergeQuery(s, d)),
     "j2_anti_delete" -> ((s, d) => antiDeleteQuery(s, d)),
     "j4_dedup_lastwins" -> ((s, d) => dedupLastWinsQuery(s, d)),
@@ -269,6 +285,14 @@ object SparkEntry {
         | INTERSECT
         | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id AS click_id, c.user_id, p.purchase_id, p.purchase_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+        |ORDER BY click_id""".stripMargin,
     "j1_merge_upsert" ->
       s"""WITH $BaseCte, ${deltaCte("delta", 2, 1.1, 1)}
          |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,

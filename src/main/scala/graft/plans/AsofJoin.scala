@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.graft.DatasetShim
+
+/** As-of join: for each left row, the single latest right row of the
+  * same key whose timestamp is <= the left timestamp (the time-series
+  * point-in-time join of kdb/QuestDB/DuckDB `ASOF JOIN`; the reference
+  * engine's watermark merge is the 1-row special case of the same
+  * "most recent state at time t" semantics, `query_poll_table.py:78-85`).
+  *
+  * Spark has no built-in operator for this — the composition
+  * (`join` + window `row_number`) shuffles the full match cross-product
+  * before discarding all but one row per left key. This is the custom
+  * whole-operator path instead: a logical node, a planner strategy, and
+  * a physical sort-merge exec.
+  *
+  * Scale posture: both sides hash-cluster on the join key (one shuffle
+  * each — exactly a sort-merge join's movement), each partition then
+  * streams BOTH sorted iterators ONCE with a single-row right-side
+  * lookback — no per-key buffering, no match amplification, memory
+  * O(1) beyond the sort. Skewed keys behave like SMJ (AQE handles
+  * them); 100 TB behavior is the same as a plain equi-SMJ.
+  */
+final case class AsofJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    leftOuter: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: AsofJoinPlan → AsofJoinExec (children planned by
+  * Spark). Registered per-session via [[AsofJoin.register]] or globally
+  * via [[GraftExtensions]].
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge. Requires both children clustered on the join
+  * keys (EnsureRequirements co-partitions them, as for SMJ) and sorted
+  * by (keys, ts); the merge is then a linear two-pointer pass per
+  * partition.
+  */
+final case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    leftOuter: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // rows stream out in the left child's sort order — downstream
+  // consumers ordering by (keys, ts) skip their sort
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val outer = leftOuter
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val lTsBound = BindReferences.bindReference(lTsExpr, lOut)
+      val rTsBound = BindReferences.bindReference(rTsExpr, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val tsOrd = TypeUtils.getInterpretedOrdering(lTsExpr.dataType)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // last right row (copied) whose (key, ts) the cursor has passed
+        private var candRow: InternalRow = _
+        private var candKey: UnsafeRow = _
+        private var pending: InternalRow = _
+
+        private def advanceRight(lKey: UnsafeRow, lTsVal: Any): Unit = {
+          var done = false
+          while (!done && rHead != null) {
+            val rk = rKeyProj(rHead)
+            var consume = false
+            if (rk.anyNull) consume = true // null keys never match
+            else {
+              val c = keyOrd.compare(rk, lKey)
+              if (c < 0) consume = true
+              else if (c == 0) {
+                val rTsVal = rTsBound.eval(rHead)
+                if (rTsVal == null) consume = true
+                else if (tsOrd.lteq(rTsVal, lTsVal)) {
+                  candRow = rHead.copy()
+                  candKey = rk.copy()
+                  consume = true
+                } else done = true
+              } else done = true
+            }
+            if (consume) rHead = if (rIter.hasNext) rIter.next() else null
+          }
+        }
+
+        private def computeNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val lRow = lIter.next()
+            val lKey = lKeyProj(lRow)
+            val lTsVal = if (lKey.anyNull) null else lTsBound.eval(lRow)
+            var matched: InternalRow = null
+            if (lTsVal != null) {
+              advanceRight(lKey, lTsVal)
+              if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
+                matched = candRow
+            }
+            if (matched != null) return resultProj(joined(lRow, matched))
+            else if (outer) return resultProj(joined(lRow, nullRight))
+            // inner + unmatched: fall through to the next left row
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (pending == null) pending = computeNext()
+          pending != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val out = pending
+          pending = null
+          numOutputRows += 1
+          out
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API + per-session strategy registration. */
+object AsofJoin {
+
+  def register(spark: SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(AsofJoinStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+
+  /** `left ASOF JOIN right ON leftKeys = rightKeys AND leftTs >= rightTs`
+    * (inner by default; `leftOuter = true` keeps unmatched left rows
+    * with a null right side). Key and timestamp columns are resolved by
+    * name against each side; ts types must agree on both sides.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      leftOuter: Boolean = false): DataFrame = {
+    register(left.sparkSession)
+    val lPlan = left.queryExecution.analyzed
+    // self-join safety: if the right plan shares attribute ids with the
+    // left (same cached source), re-alias its output to fresh ids
+    val rPlan0 = right.queryExecution.analyzed
+    val rPlan =
+      if (rPlan0.outputSet.intersect(lPlan.outputSet).nonEmpty)
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      else rPlan0
+    def resolve(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    val lk = leftKeys.map(resolve(lPlan, _))
+    val rk = rightKeys.map(resolve(rPlan, _))
+    require(lk.size == rk.size && lk.zip(rk).forall { case (a, b) => a.dataType == b.dataType },
+      "as-of join key lists must align in arity and type")
+    val lt = resolve(lPlan, leftTsCol)
+    val rt = resolve(rPlan, rightTsCol)
+    require(lt.dataType == rt.dataType,
+      s"as-of timestamp types differ: ${lt.dataType} vs ${rt.dataType}")
+    DatasetShim.ofRows(left.sparkSession,
+      AsofJoinPlan(lPlan, rPlan, lk, rk, lt, rt, leftOuter))
+  }
+}

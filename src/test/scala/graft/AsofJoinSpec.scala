@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import graft.plans.{AsofJoin, AsofJoinExec}
+
+/** Custom as-of join operator: semantics (latest right <= left ts per
+  * key, inner/outer, null keys), self-join safety, and the physical
+  * plan shape (co-partitioned exchanges + sorted linear merge).
+  */
+class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, ts("2024-01-01 09:00:00"), 10.0),
+    (1L, ts("2024-01-01 10:00:00"), 11.0),
+    (1L, ts("2024-01-01 11:00:00"), 12.0),
+    (2L, ts("2024-01-01 09:30:00"), 20.0)
+  ).toDF("qk", "qts", "px")
+
+  private val trades = Seq(
+    (1L, ts("2024-01-01 09:30:00"), 5L),  // -> 09:00 quote (10.0)
+    (1L, ts("2024-01-01 10:00:00"), 6L),  // ts equality matches (11.0)
+    (1L, ts("2024-01-01 12:00:00"), 7L),  // -> latest 11:00 quote (12.0)
+    (2L, ts("2024-01-01 09:00:00"), 8L),  // before any quote: no match
+    (3L, ts("2024-01-01 09:00:00"), 9L)   // key absent on right: no match
+  ).toDF("tk", "tts", "qty")
+
+  test("inner as-of picks the latest right row at-or-before each left ts") {
+    val out = AsofJoin.asof(trades, quotes, Seq("tk"), Seq("qk"), "tts", "qts")
+      .select("tk", "qty", "px").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 5L, 10.0), (1L, 6L, 11.0), (1L, 7L, 12.0)))
+  }
+
+  test("left-outer as-of keeps unmatched left rows with null right") {
+    val out = AsofJoin.asof(trades, quotes, Seq("tk"), Seq("qk"), "tts", "qts",
+        leftOuter = true)
+      .select("qty", "px").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(out == Set((5L, Some(10.0)), (6L, Some(11.0)), (7L, Some(12.0)),
+      (8L, None), (9L, None)))
+  }
+
+  test("self as-of join re-aliases the right side (no duplicate attribute ids)") {
+    val e = quotes // same plan on both sides
+    val out = AsofJoin.asof(e, e, Seq("qk"), Seq("qk"), "qts", "qts")
+    // every row matches at least itself (ts <= ts)
+    assert(out.count() == 4)
+  }
+
+  test("null keys and null timestamps never match") {
+    val l = Seq((Option(1L), Option(ts("2024-01-01 10:00:00")), "a"),
+      (None, Option(ts("2024-01-01 10:00:00")), "b"),
+      (Option(1L), None, "c")).toDF("k", "t", "tag")
+    val r = Seq((Option(1L), Option(ts("2024-01-01 09:00:00")), 1.0),
+      (Option[Long](None.orNull.asInstanceOf[Long]), Option(ts("2024-01-01 08:00:00")), 2.0))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "t",
+        leftOuter = true)
+      .select("tag", "v").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    assert(out == Set(("a", Some(1.0)), ("b", None), ("c", None)))
+  }
+
+  test("physical plan: AsofJoinExec over co-partitioned, sorted children") {
+    val df = AsofJoin.asof(trades, quotes, Seq("tk"), Seq("qk"), "tts", "qts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val execs = collectWithSubqueries(plan) { case e: AsofJoinExec => e }
+    assert(execs.nonEmpty, s"no AsofJoinExec in:\n$plan")
+    val s = plan.toString
+    assert(s.contains("hashpartitioning(tk"), s"left not hash-clustered:\n$s")
+    assert(s.contains("hashpartitioning(qk"), s"right not hash-clustered:\n$s")
+    assert(s.contains("Sort ["), s"children not sorted:\n$s")
+  }
+
+  test("as-of result matches the window-function composition on random data") {
+    val rnd = new scala.util.Random(42)
+    val l = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t", "rid")
+      // unique (k, t) on the right keeps the expected answer well-defined
+      .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "t")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    // oracle: plain join + keep the max right ts per left row
+    l.createOrReplaceTempView("asof_l"); r.createOrReplaceTempView("asof_r")
+    val expect = spark.sql(
+      """SELECT lid, rid FROM (
+        |  SELECT l.lid, r.rid,
+        |    ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY r.t DESC) AS rn
+        |  FROM asof_l l JOIN asof_r r ON l.k = r.k AND l.t >= r.t)
+        |WHERE rn = 1""".stripMargin).as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+}
