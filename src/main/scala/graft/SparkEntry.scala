@@ -92,6 +92,13 @@ object SparkEntry {
       SimilarityOps.lshTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
         .select("query_id", "neighbor_id", "rnk")
     }),
+    "sim_ivf_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.ivfTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+    "sim_neardup_lsh" -> ((s, d) =>
+      SimilarityOps.lshNearDup(t(s, d)("embeddings"), 0.463)),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, t(s, d)("documents"))),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
     // S4+K4+T2: staged CSV round trip in the reference dialect
@@ -457,14 +464,7 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "sim_lsh_topk" ->
-      s"""WITH sig AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(list_sum(list_transform(range(0, 8), i ->
-         |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), d ->
-         |          CAST(embedding[d] AS DOUBLE) *
-         |          ((i * 1009 + (d - 1)) * 2654435761 % 1000 / 500.0 - 1.0))) > 0
-         |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
-         |  FROM embeddings),
+      s"""WITH $LshSigCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id % 25 = 0),
          |cand AS (
          |  SELECT q.query_id, s.vec_id, q.qe, s.embedding
@@ -475,6 +475,45 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 23 = 0),
+         |assign AS (
+         |  SELECT vec_id, cent_id, embedding FROM (
+         |    SELECT e.vec_id, c.cent_id, e.embedding,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCosine("e.embedding", "c.ce")} DESC, c.cent_id DESC) AS rn
+         |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+         |probe AS (
+         |  SELECT query_id, cent_id, qe FROM (
+         |    SELECT q.query_id, c.cent_id, q.qe,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckCosine("q.qe", "c.ce")} DESC, c.cent_id) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id, ${duckCosine("p.qe", "a.embedding")} AS sim
+         |  FROM assign a JOIN probe p ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_neardup_lsh" -> {
+      val tables = (0 until 8).map(t => lshSigCte(s"sig$t", 4, t * 4))
+      val unions = (0 until 8).map(t =>
+        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig$t a " +
+          s"JOIN sig$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+        .mkString("\n    UNION ALL ")
+      s"""WITH ${tables.mkString(",\n")},
+         |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+         |    $unions))
+         |SELECT c.vec_a, c.vec_b
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_a
+         |JOIN embeddings b ON b.vec_id = c.vec_b
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.463
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -501,6 +540,22 @@ object SparkEntry {
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
       |)""".stripMargin
+
+  /** DuckDB-side random-hyperplane LSH bucket (mirrors
+    * SimilarityOps.hyperplaneSignature: `numPlanes` planes starting at
+    * plane id `offset`).
+    */
+  private def lshSigCte(name: String, numPlanes: Int, offset: Int): String =
+    s"""$name AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_sum(list_transform(range(0, $numPlanes), i ->
+       |      CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), d ->
+       |          CAST(embedding[d] AS DOUBLE) *
+       |          (((i + $offset) * 1009 + (d - 1)) * 2654435761 % 1000 / 500.0 - 1.0))) > 0
+       |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM embeddings)""".stripMargin
+
+  private val LshSigCte = lshSigCte("sig", 8, 0)
 
   /** DuckDB-side minhash: the same (a*H + b) mod P family as
     * DedupOps.minhashParams(16), unrolled from the same constants.

@@ -118,6 +118,91 @@ object SimilarityOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF (inverted-file) ANN: partition the vector space into cells
+    * around centroid vectors, assign every vector to its nearest
+    * centroid (the "inverted list"), then search only the `nProbe`
+    * cells nearest each query. Centroids here are deterministic samples
+    * (every `centroidStep`-th vector) rather than trained k-means means
+    * — same index structure, reproducible across engines.
+    *
+    * Scale posture: the centroid set stays broadcast-sized (a trained
+    * 64k×64-float codebook is ~16 MB), so assignment is a narrow
+    * broadcast pass over the vectors with a map-side `max(struct)`
+    * argmax — no N×C shuffle; the only wide op is the final per-query
+    * rerank, bounded by nProbe cells' candidates. The assignment is
+    * computed once and would be persisted as the index at 100 TB.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      centroidStep: Int = 23, nProbe: Int = 4): DataFrame = {
+    val cents = withNorm(
+      embeddings.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce")),
+      "ce", "cn")
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "en")
+    // argmax over centroids via max(struct(sim, cent_id)) — partial-
+    // aggregates map-side (ties break to the larger cent_id,
+    // deterministically on both engines)
+    val assign = e.join(broadcast(cents), lit(true))
+      .withColumn("csim", vec_dot(col("embedding"), col("ce")) / (col("en") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), col("cent_id"))).getField("cent_id").as("cent_id"),
+        first(col("embedding")).as("embedding"), first(col("en")).as("en"))
+    val q = withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "qe", "qn")
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("csim", vec_dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("query_id"), col("cent_id"), col("qe"), col("qn"))
+    val scored = assign.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding near-duplicate pairs via multi-table LSH: candidates
+    * are bucket collisions unioned over `numTables` independent plane
+    * families (each table one equi-join shuffle on its bucket key —
+    * the 100 TB path promised in [[cosineNearDup]]'s doc), verified
+    * with the exact cosine threshold. A 0.46-cosine pair survives one
+    * p-plane table with prob (1-θ/π)^p ≈ 0.18 at p=4 — the table
+    * union is what lifts recall (1-(1-0.18)^8 ≈ 0.80); recall < 1
+    * remains by construction.
+    */
+  def lshNearDup(embeddings: DataFrame, threshold: Double,
+      numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "en")
+    val cand = (0 until numTables).map { t =>
+      val sig = hyperplaneSignature(
+          embeddings.select(col("vec_id"), col("embedding")),
+          numPlanes, t * numPlanes)
+        .select(col("vec_id"), col("bucket"))
+      sig.as("a").join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("en").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("en").as("nb")), "vec_b")
+      .withColumn("sim", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * (all-pairs via broadcast of the deduplicated right side) at test
     * scale; at 100 TB this swaps to bucketed candidates from

@@ -41,6 +41,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
+  // 100 vectors in 5 tight clusters (cluster = id mod 5, deterministic
+  // jitter); centroidStep = 21 samples ids 0,21,42,63,84 — one seed per
+  // cluster — so the IVF cells align with the planted structure.
+  private def clusteredVecs: DataFrame = (0 until 100).map { i =>
+    val a = Array.fill(8)(0.05f)
+    a(i % 5) = 1.0f
+    (0 until 8).foreach(d => a(d) += ((i * 31 + d * 7) % 10) / 100.0f)
+    (i.toLong, a)
+  }.toDF("vec_id", "embedding")
+
+  test("ivfTopK with nProbe=1 recovers in-cluster neighbors on clustered vectors") {
+    val queries = clusteredVecs.filter($"vec_id" % 19 === 0) // one per cluster+
+    val brute = SimilarityOps.bruteForceTopK(clusteredVecs, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(clusteredVecs, queries, 5,
+        centroidStep = 21, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
+  }
+
+  test("ivfTopK with nProbe = all centroids degenerates to brute force") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val queries = e.filter($"vec_id" % 20 === 0)
+    val brute = SimilarityOps.bruteForceTopK(e, queries, 3)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val ivf = SimilarityOps.ivfTopK(e, queries, 3, centroidStep = 11, nProbe = 1000)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("lshNearDup finds a nonempty subset of the exact near-dup pairs (sf0.01)") {
+    val e = Tables(spark, sf001, "embeddings")
+    val exact = SimilarityOps.cosineNearDup(e, 0.463)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.lshNearDup(e, 0.463)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH pairs not a subset: ${lsh diff exact}")
+    assert(lsh.nonEmpty, "LSH near-dup found nothing — buckets too fine")
+  }
+
   test("hyperplane signature is deterministic across invocations") {
     val a = SimilarityOps.hyperplaneSignature(vecs, 8)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
