@@ -48,6 +48,13 @@ object SparkEntry {
     "w2_rollup" -> ((s, d) => Relational.w2Rollup(t(s, d)("lineitem"))),
     "w3_topn_per_group" -> ((s, d) => Relational.w3TopNPerGroup(t(s, d)("orders"), 3)),
     "set1_symmetric_diff" -> ((s, d) => Relational.set1SymmetricDiff(t(s, d)("orders"))),
+    "w4_sessionize" -> ((s, d) => Relational.w4Sessionize(t(s, d)("events"), 30)),
+    "w5_cube" -> ((s, d) => Relational.w5Cube(t(s, d)("lineitem"))),
+    "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
+    "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
+    "j5_range_join" -> ((s, d) =>
+      Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
     "asof_join" -> ((s, d) => {
       val ev = t(s, d)("events")
@@ -292,6 +299,55 @@ object SparkEntry {
         | INTERSECT
         | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "w4_sessionize" ->
+      """SELECT user_id, event_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
+        |  SELECT user_id, event_id,
+        |    SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w5_cube" ->
+      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
+        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "p4_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+      s"""SELECT user_id,
+         |  ${cols.mkString(",\n  ")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "a4_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j5_range_join" ->
+      """WITH months AS (
+        |  SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders)
+        |SELECT l_orderkey, l_linenumber, count(*) AS n_month_starts
+        |FROM lineitem JOIN months
+        |  ON m BETWEEN l_shipdate AND l_shipdate + INTERVAL 60 DAY
+        |GROUP BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "text_bigram_freq" ->
+      s"""WITH $ToksCte,
+         |bg AS (
+         |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+         |  FROM toks, unnest(range(1, greatest(len(ws), 1))) t(i)
+         |  WHERE len(ws) >= 2)
+         |SELECT bigram, count(*) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "asof_join" ->
       """WITH p AS (
         |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id

@@ -217,6 +217,82 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds `gapMinutes`. Two windows over ONE
+    * partitioning (user_id) — Catalyst reuses the single sort+shuffle
+    * for both the lag and the running sum, so the whole op is one
+    * exchange regardless of scale. Interval arithmetic (not epoch
+    * casts) keeps sub-second timestamps exact on both engines.
+    */
+  def w4Sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "event_id", "session_seq")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** CUBE over two dims (all four grouping sets in one pass — Spark
+    * expands grouping sets before the single shuffle).
+    */
+  def w5Cube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_ALL_")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_ALL_")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Pivot event_type to columns (explicit value list, so the plan is
+    * a single conditional aggregation — no distinct-values pre-pass).
+    */
+  def p4Pivot(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double"))
+      .orderBy("user_id")
+
+  /** Exact interpolated percentiles per group (same continuous-quantile
+    * definition as the oracle's quantile_cont).
+    */
+  def a4Percentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25D)").as("p25"),
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_quantity, 0.75D)").as("p75"),
+        expr("percentile(l_quantity, 0.95D)").as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Range (interval-containment) join: month boundaries falling inside
+    * each lineitem's [ship, receipt] window. The point set is bounded
+    * (one row per distinct month) so it broadcasts and the non-equi
+    * join is a BroadcastNestedLoop over a tiny build side — the shape
+    * that stays cheap at any fact-table scale; an unbounded point set
+    * would instead take a binned equi-join on (interval ∩ bin) keys.
+    */
+  def j5RangeJoin(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val months = orders.select(trunc(col("o_orderdate"), "MM").as("m")).distinct()
+    lineitem
+      .join(broadcast(months),
+        col("m").between(col("l_shipdate"),
+          col("l_shipdate") + expr("INTERVAL 60 DAYS")))
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n_month_starts"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Window running aggregate (free from Spark; absent in reference —
     * part of the engine's superset surface).
     */

@@ -103,6 +103,24 @@ object TextOps {
           .as("fp_head"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary statistics: global top-K word bigrams. The
+    * explode is narrow; the count is one map-side-combining groupBy on
+    * the bigram; the top-K is a single-partition sort of the (already
+    * tiny) aggregate — at 100 TB the groupBy output is bounded by the
+    * vocabulary, not the corpus. Ties break lexicographically.
+    */
+  def bigramFreq(documents: DataFrame, topK: Int): DataFrame =
+    documents
+      .select(toksCol.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+
   /** Exact dedup: canonical-text hash groups; keeps the smallest doc_id
     * as the survivor (hash-groupBy — one shuffle on the fingerprint,
     * map-side partial aggregation).

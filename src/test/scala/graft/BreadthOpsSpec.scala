@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, TextOps}
+
+/** Constructed-data semantics for the round-2 breadth operators
+  * (sessionize, cube, pivot, percentiles, range join, bigram freq);
+  * the DuckDB oracles cover them at scale, these pin the edge cases.
+  */
+class BreadthOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("w4Sessionize starts a new session exactly past the gap") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (1L, 2L, ts("2024-01-01 10:29:59")), // inside gap: same session
+      (1L, 3L, ts("2024-01-01 11:00:00")), // 30:01 after #2: new session
+      (1L, 4L, ts("2024-01-01 11:30:00")), // exactly 30:00: same session
+      (2L, 5L, ts("2024-01-01 00:00:00"))  // other user: own session 1
+    ).toDF("user_id", "event_id", "ts")
+    val out = Relational.w4Sessionize(ev, 30)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 5L, 1L)))
+  }
+
+  test("w5Cube emits all four grouping sets") {
+    val li = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = Relational.w5Cube(li)
+      .select("returnflag", "linestatus", "sum_qty")
+      .as[(String, String, Double)].collect().toSet
+    assert(out == Set(
+      ("_ALL_", "_ALL_", 7.0),
+      ("_ALL_", "x", 5.0), ("_ALL_", "y", 2.0),
+      ("A", "_ALL_", 3.0), ("B", "_ALL_", 4.0),
+      ("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0)))
+  }
+
+  test("p4Pivot produces one column per event type, null when absent") {
+    val ev = Seq((1L, "click", 1.5), (1L, "click", 2.5), (1L, "view", 1.0),
+      (2L, "error", 4.0)).toDF("user_id", "event_type", "value")
+    val out = Relational.p4Pivot(ev).orderBy("user_id").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("click")) == 4.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("purchase")))
+    assert(out(1).getDouble(out(1).fieldIndex("error")) == 4.0)
+  }
+
+  test("a4Percentiles interpolates the continuous quantile") {
+    val li = (1 to 5).map(q => ("A", q.toDouble)).toDF("l_returnflag", "l_quantity")
+    val r = Relational.a4Percentiles(li).head()
+    assert(r.getDouble(r.fieldIndex("p25")) == 2.0) // 0.25*(5-1)=1 -> exact
+    assert(r.getDouble(r.fieldIndex("p50")) == 3.0)
+    assert(r.getDouble(r.fieldIndex("p95")) == 4.8) // 0.95*4=3.8 -> 4+0.8
+  }
+
+  test("j5RangeJoin counts month starts inside each ship window") {
+    val li = Seq((1L, 1, "2024-01-15"), (2L, 1, "2024-03-30"))
+      .toDF("l_orderkey", "l_linenumber", "d")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("d").cast("timestamp").as("l_shipdate"))
+    val ord = Seq("2024-01-01", "2024-02-01", "2024-03-01", "2024-04-01", "2024-05-01")
+      .toDF("d").select(col("d").cast("date").as("o_orderdate"))
+    val out = Relational.j5RangeJoin(li, ord)
+      .as[(Long, Int, Long)].collect().toSet
+    // window 1: Jan15..Mar15 -> Feb1, Mar1; window 2: Mar30..May29 -> Apr1, May1
+    assert(out == Set((1L, 1, 2L), (2L, 1, 2L)))
+  }
+
+  test("bigramFreq counts overlapping bigrams with deterministic ties") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextOps.bigramFreq(docs, 3).as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+}
