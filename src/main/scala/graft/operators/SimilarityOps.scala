@@ -60,14 +60,20 @@ object SimilarityOps {
     // driver (identical arithmetic to the SQL-oracle formula) so the
     // per-row work is one codegen'd vec_dot per plane — the previous
     // interpreted aggregate(zip_with(...)) was the bench bottleneck.
+    embeddings.withColumn("bucket", bucketCol(numPlanes, planeOffset, dim))
+  }
+
+  /** The bucket expression alone — lets callers compute several plane
+    * families' buckets in ONE narrow pass instead of one pass per table.
+    */
+  private def bucketCol(numPlanes: Int, planeOffset: Int, dim: Int): org.apache.spark.sql.Column = {
     def planeVal(i: Int, d: Int): Double =
       (((i.toLong * 1009 + d) * 2654435761L) % 1000L) / 500.0 - 1.0
-    val bucket = (0 until numPlanes).map { j =>
+    (0 until numPlanes).map { j =>
       val plane = array((0 until dim).map(d =>
         lit(planeVal(planeOffset + j, d))): _*)
       when(vec_dot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    embeddings.withColumn("bucket", bucket)
   }
 
   /** LSH-bucketed ANN: vectors and queries hash to hyperplane-sign
@@ -183,15 +189,22 @@ object SimilarityOps {
       numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
     val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
       "embedding", "en")
-    val cand = (0 until numTables).map { t =>
-      val sig = hyperplaneSignature(
-          embeddings.select(col("vec_id"), col("embedding")),
-          numPlanes, t * numPlanes)
-        .select(col("vec_id"), col("bucket"))
-      sig.as("a").join(sig.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    }.reduce(_ unionAll _).distinct()
+    // all tables' buckets in one narrow pass over the vectors, then one
+    // stack unpivot + ONE self-join on (table, bucket) — not a join per
+    // table: 8× fewer scans and exchanges for the same candidate set
+    val withBuckets = (0 until numTables).foldLeft(
+        embeddings.select(col("vec_id"), col("embedding"))) { (df, t) =>
+      df.withColumn(s"bucket_$t", bucketCol(numPlanes, t * numPlanes, 64))
+    }
+    val stackArgs = (0 until numTables).map(t => s"$t, bucket_$t").mkString(", ")
+    val bands = withBuckets.selectExpr("vec_id",
+      s"stack($numTables, $stackArgs) AS (tbl, bucket)")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("en").as("na")), "vec_a")
