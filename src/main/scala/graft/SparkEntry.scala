@@ -48,6 +48,8 @@ object SparkEntry {
     "w2_rollup" -> ((s, d) => Relational.w2Rollup(t(s, d)("lineitem"))),
     "w3_topn_per_group" -> ((s, d) => Relational.w3TopNPerGroup(t(s, d)("orders"), 3)),
     "set1_symmetric_diff" -> ((s, d) => Relational.set1SymmetricDiff(t(s, d)("orders"))),
+    "a5_distinct_count" -> ((s, d) => Relational.a5DistinctCount(t(s, d)("events"))),
+    "w6_grouping_sets" -> ((s, d) => Relational.w6GroupingSets(t(s, d)("lineitem"))),
     "w4_sessionize" -> ((s, d) => Relational.w4Sessionize(t(s, d)("events"), 30)),
     "w5_cube" -> ((s, d) => Relational.w5Cube(t(s, d)("lineitem"))),
     "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
@@ -299,6 +301,16 @@ object SparkEntry {
         | INTERSECT
         | SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
         |ORDER BY o_orderkey""".stripMargin,
+    "a5_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "w6_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
+        |  coalesce(l_linestatus, '_ALL_') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
     "w4_sessionize" ->
       """SELECT user_id, event_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
         |  SELECT user_id, event_id,

@@ -177,17 +177,17 @@ object DedupOps {
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("band_key", expr("shiftright(simhash, band * 8) & 255"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // verify (cheap bit_count) BEFORE the distinct so the dedup shuffle
+    // carries only surviving pairs, not every band collision
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -300,6 +300,32 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Exact distinct-count per group. Spark plans this as a two-phase
+    * aggregate (partial distinct on (key, value), then count) — the
+    * skew-robust shape — without manual salting.
+    */
+  def a5DistinctCount(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Explicit GROUPING SETS with grouping_id disambiguation (the
+    * general form of rollup/cube — one Expand + one shuffle).
+    */
+  def w6GroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("_ALL_")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("_ALL_")).as("linestatus"),
+        col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
   /** Window running aggregate (free from Spark; absent in reference —
     * part of the engine's superset surface).
     */

@@ -46,6 +46,38 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial agg:\n${p.take(2000)}")
   }
 
+  test("j5 binned range join plans a broadcast HASH join, not nested-loop") {
+    val p = plan(Relational.j5RangeJoin(Tables(spark, sf0001, "lineitem"),
+      Tables(spark, sf0001, "orders")))
+    assert(p.contains("BroadcastHashJoin"), s"no hash join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to nested-loop — binning broken")
+  }
+
+  test("minhash signatures aggregate partially before their single shuffle") {
+    val df = graft.operators.DedupOps.minhashSignatures(
+      Tables(spark, sf0001, "documents"), 16)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("partial_min"), s"no map-side min agg:\n${p.take(2000)}")
+    // one exchange for the groupBy(doc_id) — the shingle explode is narrow
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"too many exchanges in minhash plan:\n${p.take(3000)}")
+  }
+
+  test("sessionize reuses one (user_id) exchange for both window passes") {
+    val df = Relational.w4Sessionize(Tables(spark, sf0001, "events"), 30)
+    df.collect()
+    val p = plan(df)
+    // lag + running sum share the Window partitioning; only the final
+    // presentation orderBy adds a range exchange. (AQE's toString
+    // repeats the plan under "== Initial Plan ==" — count the final
+    // section only.)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val df = Relational.f1Where(Tables(spark, sf0001, "lineitem"))
     df.collect() // finalize the adaptive plan so codegen spans materialize
