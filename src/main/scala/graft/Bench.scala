@@ -28,10 +28,10 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
-    // min of two timed passes per query: the environment shows bursty
+    // min of three timed passes per query: the environment shows bursty
     // external CPU steal; the minimum is the faithful engine cost
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9

@@ -14,6 +14,19 @@ object ColumnShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Test-only bridge to inspect what a SparkSessionExtensions hook
+  * registered (the build* methods are `private[sql]`).
+  */
+object ExtensionsShim {
+  import org.apache.spark.sql.SparkSessionExtensions
+  import org.apache.spark.sql.classic.SparkSession
+  import org.apache.spark.sql.execution.SparkStrategy
+
+  def plannerStrategies(ext: SparkSessionExtensions,
+      session: SparkSession): Seq[SparkStrategy] =
+    ext.buildPlannerStrategies(session)
+}
+
 /** Bridge to `Dataset.ofRows` for libraries that build custom logical
   * plans (the extension-library counterpart of what `spark.sql` does
   * internally).
