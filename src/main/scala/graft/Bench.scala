@@ -10,9 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated subset for targeted iteration
+    // optional comma-separated subset for targeted iteration; unknown
+    // names fail fast — a typo must not bench an empty set that looks
+    // like a clean pass
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
@@ -29,19 +36,30 @@ object Bench {
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // min of three timed passes per query: the environment shows bursty
-    // external CPU steal; the minimum is the faithful engine cost
-    val results = queries.map { case (name, fn) =>
+    // external CPU steal; the minimum is the faithful engine cost.
+    // A query that throws is reported loudly (stderr + "failures" in the
+    // JSON line) instead of benching as a ~0 s phantom success.
+    var failures = Map.empty[String, String]
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failures += name -> e.toString.linesIterator.next()
+            System.err.println(s"[bench] FAILED $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failures.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -95,4 +95,12 @@ object GraftFunctions {
   /** cosine(a, b) with the canonical dot/(|a|*|b|) shape. */
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** count of sorted-array elements in [lo, hi] — two binary searches,
+    * codegen'd; the broadcast-range-join kernel.
+    */
+  def sorted_count_between(sortedArr: Column, lo: Column, hi: Column): Column =
+    ColumnShim.column(SortedCountBetween(
+      ColumnShim.expression(sortedArr), ColumnShim.expression(lo),
+      ColumnShim.expression(hi)))
 }

@@ -276,27 +276,33 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** Range (interval-containment) join: month boundaries falling inside
-    * each lineitem's [ship, ship+60d] window, as a BINNED equi-join —
-    * each interval expands to its (≤3) candidate month bins, the bins
-    * equi-join the point set (codegen'd broadcast hash join), and the
-    * exact between-filter runs on the matched pairs only. This replaces
-    * the naive non-equi BroadcastNestedLoop (O(facts × points)
-    * comparisons — measured 5× slower at sf0.1) with O(facts × bins) —
-    * the shape that survives an unbounded point set at 100 TB.
+    * each lineitem's [ship, ship+60d] window. The point set (distinct
+    * month starts) is calendar-bounded, so the scalable plan is not a
+    * join at all: fold the points into ONE sorted broadcast array and
+    * count matches per fact row with a codegen'd binary search
+    * ([[graft.functions.SortedCountBetween]]) — a pure narrow map over
+    * lineitem. No explode (the r2 binned equi-join cost 5× the oracle on
+    * the 3-way row expansion alone), no per-row join, and the only
+    * shuffle is the final groupBy, which at 100 TB is a near-no-op
+    * because (l_orderkey, l_linenumber) rows are already unique.
+    * Comparisons stay in timestamp space — identical coercion to the
+    * `m BETWEEN ship AND ship+60d` predicate it replaces.
     */
   def j5RangeJoin(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val months = orders.select(trunc(col("o_orderdate"), "MM").as("m")).distinct()
+    val months = orders
+      .select(trunc(col("o_orderdate"), "MM").cast("timestamp").as("m"))
+      .distinct()
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
     lineitem
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
-        explode(expr(
-          "sequence(trunc(cast(l_shipdate AS date), 'MM')," +
-            " cast(l_shipdate + INTERVAL 60 DAYS AS date), interval 1 month)"))
-          .as("mcand"))
-      .join(broadcast(months), col("mcand") === col("m"))
-      .filter(col("m").between(col("l_shipdate"),
-        col("l_shipdate") + expr("INTERVAL 60 DAYS")))
+      .crossJoin(broadcast(months)) // single-row array: a broadcast constant
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.GraftFunctions.sorted_count_between(col("ms"),
+          col("l_shipdate").cast("timestamp"),
+          col("l_shipdate").cast("timestamp") + expr("INTERVAL 60 DAYS"))
+          .as("cnt"))
+      .filter(col("cnt") > 0) // inner-join semantics: no-match rows drop out
       .groupBy("l_orderkey", "l_linenumber")
-      .agg(count(lit(1)).as("n_month_starts"))
+      .agg(sum(col("cnt")).as("n_month_starts"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

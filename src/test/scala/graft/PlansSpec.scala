@@ -46,12 +46,16 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial agg:\n${p.take(2000)}")
   }
 
-  test("j5 binned range join plans a broadcast HASH join, not nested-loop") {
+  test("j5 range join is a narrow map over one broadcast month array") {
     val p = plan(Relational.j5RangeJoin(Tables(spark, sf0001, "lineitem"),
       Tables(spark, sf0001, "orders")))
-    assert(p.contains("BroadcastHashJoin"), s"no hash join:\n${p.take(2000)}")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "range join fell back to nested-loop — binning broken")
+    // no per-month row expansion, no per-row join on the fact side —
+    // the only join is the single-row broadcast of the sorted array
+    assert(!p.contains("Generate"), s"explode reappeared:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle-join")
+    assert(p.contains("sorted_count_between") || p.contains("sortedcountbetween") ||
+      p.contains("SortedCountBetween"),
+      s"binary-search kernel missing from plan:\n${p.take(2000)}")
   }
 
   test("minhash signatures aggregate partially before their single shuffle") {
