@@ -82,6 +82,100 @@ case class VectorDot(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** All `numPlanes` random-hyperplane sign bits of an embedding in ONE
+  * sweep: bit j of the result = (dot(v, plane(planeOffset + j)) > 0).
+  *
+  * Plane values are derived arithmetically in the inner loop —
+  * plane(i)[d] = (((i·1009 + d)·2654435761) mod 1000) / 500 − 1 — so
+  * the dimension comes from the data (no hardcoded dim) and no plane
+  * matrix is materialized. Each array element is loaded once and
+  * multiplied into all plane accumulators (d-major), which preserves
+  * the per-plane ascending-d accumulation order of the one-vec_dot-
+  * per-plane formulation it replaces: signatures are bit-for-bit
+  * identical, at 1/numPlanes the loop and null-check overhead and with
+  * far better locality. Multi-table LSH slices per-table buckets out of
+  * one wide signature with shift/mask instead of hashing per table.
+  */
+case class HyperplaneSignature(child: Expression, numPlanes: Int, planeOffset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(numPlanes >= 1 && numPlanes <= 64, s"numPlanes must be in [1,64], got $numPlanes")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isFloat = elemIsFloat
+    val acc = new Array[Double](numPlanes)
+    var d = 0
+    while (d < n) {
+      val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      var j = 0
+      while (j < numPlanes) {
+        val h = ((planeOffset + j).toLong * 1009L + d) * 2654435761L % 1000L
+        acc(j) += v * (h / 500.0 - 1.0)
+        j += 1
+      }
+      d += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < numPlanes) {
+      if (acc(j) > 0.0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val acc = ctx.addMutableState("double[]", "hsigAcc",
+        v => s"$v = new double[$numPlanes];")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      val getV = if (elemIsFloat) s"(double) $arr.getFloat($d)" else s"$arr.getDouble($d)"
+      s"""
+         |java.util.Arrays.fill($acc, 0.0);
+         |int $n = $arr.numElements();
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $v = $getV;
+         |  for (int $j = 0; $j < $numPlanes; $j++) {
+         |    long $h = (($planeOffset + (long) $j) * 1009L + $d) * 2654435761L % 1000L;
+         |    $acc[$j] += $v * ($h / 500.0 - 1.0);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $numPlanes; $j++) {
+         |  if ($acc[$j] > 0.0) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   /** dot(a, b) over array<float|double> columns — codegen'd. */
   def vec_dot(a: Column, b: Column): Column =
@@ -95,6 +189,13 @@ object GraftFunctions {
   /** cosine(a, b) with the canonical dot/(|a|*|b|) shape. */
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** numPlanes random-hyperplane sign bits in one codegen'd sweep —
+    * the LSH signature kernel (dim inferred from the array).
+    */
+  def hyperplane_sig(v: Column, numPlanes: Int, planeOffset: Int = 0): Column =
+    ColumnShim.column(HyperplaneSignature(
+      ColumnShim.expression(v), numPlanes, planeOffset))
 
   /** count of sorted-array elements in [lo, hi] — two binary searches,
     * codegen'd; the broadcast-range-join kernel.

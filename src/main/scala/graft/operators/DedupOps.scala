@@ -18,19 +18,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupOps {
 
-  /** doc_id + distinct word-trigram shingles of the tokenized text,
-    * persisted: every consumer (signatures, sizes, intersection) reuses
-    * one materialization instead of re-running the tokenize+explode —
-    * the same materialize-the-CTE choice a columnar engine makes.
+  /** doc_id + distinct word-trigram shingle rows, each row carrying the
+    * doc's total shingle count `n`. `n` is computed narrowly from the
+    * per-doc array BEFORE the explode, so Jaccard denominators ride
+    * along with the rows — no separate sizes aggregation and no
+    * sizes joins downstream. Persisted: every consumer (signatures,
+    * intersection) reuses one materialization instead of re-running the
+    * tokenize+explode — the same materialize-the-CTE choice a columnar
+    * engine makes.
     */
   private def shingles(documents: DataFrame): DataFrame =
+    shingleRows(documents).persist(StorageLevel.MEMORY_AND_DISK)
+
+  private def shingleRows(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextOps.toksCol.as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
+      .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(ws) - 3)," +
-          " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
 
   /** MinHash prime modulus (2^31 - 1) and the derived universal-hash
     * family h_i(H) = (a_i * H + b_i) mod P. Each shingle is hashed ONCE
@@ -90,19 +97,21 @@ object DedupOps {
     verifyJaccard(documents, candidates, threshold)
   }
 
-  /** Exact word-trigram Jaccard over a candidate pair set. */
+  /** Exact word-trigram Jaccard over a candidate pair set. Denominators
+    * na/nb ride along with the shingle rows (see [[shingles]]), so the
+    * whole verify is two joins + one aggregate — no sizes table.
+    * Grouping keys include na/nb, which are functionally dependent on
+    * the doc ids — no extra group cardinality.
+    */
   private def verifyJaccard(documents: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     val sh = shingles(documents)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
@@ -116,24 +125,22 @@ object DedupOps {
     * is the 100 TB path).
     */
   def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(documents)
-    // bucket docs per shingle and expand ordered pairs in-place: one
+    // bucket (doc, n) per shingle and expand ordered pairs in-place: one
     // shuffle of the shingle set instead of the self-join's two
-    // exchanges + sort-merge; pair counts are identical by construction
-    val pairs = sh.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // exchanges + sort-merge; pair counts are identical by construction.
+    // Jaccard denominators ride with the rows (shingleRows), so the
+    // whole operator is two shuffles total — no sizes table, no joins.
+    // Single consumer of the shingle set: no persist needed.
+    shingleRows(documents).groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds) - 2), i ->
           |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-          |    named_struct('doc_a', ds[i], 'doc_b', y))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy("doc_a", "doc_b")
+          |    named_struct('a', ds[i], 'b', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
@@ -147,7 +154,10 @@ object DedupOps {
     * bit contributes +1/-1; signature bit b set iff the sum is
     * positive. Narrow map + one groupBy(doc) shuffle.
     */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(documents: DataFrame): DataFrame =
+    simhashSig(documents).orderBy("doc_id") // presentation order only
+
+  private def simhashSig(documents: DataFrame): DataFrame = {
     // per-bit ±1 contributions as 32 COLUMNS of the token rows — the
     // groupBy's sums partial-aggregate map-side, so the shuffle carries
     // one 32-int row per (partition, doc) instead of 32 exploded rows
@@ -164,7 +174,6 @@ object DedupOps {
       .select(col("doc_id"),
         (0 until 32).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs: 4 bands of 8 bits as LSH keys — any pair
@@ -173,21 +182,33 @@ object DedupOps {
     * not probabilistic. Verification = bit_count(xor) on candidates.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(documents)
+    val sig = simhashSig(documents) // unsorted — no wasted sort mid-pipeline
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("band_key", expr("shiftright(simhash, band * 8) & 255"))
-    // verify (cheap bit_count) BEFORE the distinct so the dedup shuffle
-    // carries only surviving pairs, not every band collision
+    // A close pair collides in up to 4 bands; instead of a distinct
+    // (a full shuffle of every surviving pair) each pair is emitted
+    // exactly once — only from its FIRST matching band, which both
+    // sides can decide locally from the signature XOR. The verify
+    // (cheap bit_count) and the first-band predicate run inside the
+    // join's codegen stage, so the whole operator has no post-join
+    // shuffle at all. No final orderBy either: the result is
+    // pair-set-sized (output-bound already) and a global sort of it
+    // would be the single largest stage — consumers needing order sort
+    // the (small) slice they keep.
+    val firstMatchingBand = expr(
+      """CASE WHEN (xr & 255) = 0 THEN 0
+        |     WHEN (shiftright(xr, 8) & 255) = 0 THEN 1
+        |     WHEN (shiftright(xr, 16) & 255) = 0 THEN 2
+        |     ELSE 3 END""".stripMargin)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
+      .withColumn("xr", col("x.simhash").bitwiseXOR(col("y.simhash")))
+      .filter(bit_count(col("xr")) <= maxHamming &&
+        col("x.band") === firstMatchingBand)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+        bit_count(col("xr")).cast("long").as("hamming"))
   }
 }

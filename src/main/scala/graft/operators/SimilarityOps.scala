@@ -54,26 +54,15 @@ object SimilarityOps {
     * across engines and executors.
     */
   def hyperplaneSignature(embeddings: DataFrame, numPlanes: Int,
-      planeOffset: Int = 0, dim: Int = 64): DataFrame = {
+      planeOffset: Int = 0): DataFrame = {
     // plane(i)[d] = (((i * 1009 + d) * 2654435761) mod 1000) / 500 - 1 ∈ [-1, 1)
-    // Plane values are materialized as constant double arrays on the
-    // driver (identical arithmetic to the SQL-oracle formula) so the
-    // per-row work is one codegen'd vec_dot per plane — the previous
-    // interpreted aggregate(zip_with(...)) was the bench bottleneck.
-    embeddings.withColumn("bucket", bucketCol(numPlanes, planeOffset, dim))
-  }
-
-  /** The bucket expression alone — lets callers compute several plane
-    * families' buckets in ONE narrow pass instead of one pass per table.
-    */
-  private def bucketCol(numPlanes: Int, planeOffset: Int, dim: Int): org.apache.spark.sql.Column = {
-    def planeVal(i: Int, d: Int): Double =
-      (((i.toLong * 1009 + d) * 2654435761L) % 1000L) / 500.0 - 1.0
-    (0 until numPlanes).map { j =>
-      val plane = array((0 until dim).map(d =>
-        lit(planeVal(planeOffset + j, d))): _*)
-      when(vec_dot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // All sign bits in one codegen'd sweep over the vector
+    // (graft.functions.HyperplaneSignature); the embedding dimension
+    // comes from the data, and plane values are derived arithmetically
+    // in-loop — no plane matrix, identical arithmetic to the SQL oracle.
+    embeddings.withColumn("bucket",
+      graft.functions.GraftFunctions.hyperplane_sig(
+        col("embedding"), numPlanes, planeOffset))
   }
 
   /** LSH-bucketed ANN: vectors and queries hash to hyperplane-sign
@@ -187,24 +176,42 @@ object SimilarityOps {
     */
   def lshNearDup(embeddings: DataFrame, threshold: Double,
       numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+    require(numPlanes * numTables <= 64, "plane family exceeds one 64-bit signature")
     val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
       "embedding", "en")
-    // all tables' buckets in one narrow pass over the vectors, then one
-    // stack unpivot + ONE self-join on (table, bucket) — not a join per
-    // table: 8× fewer scans and exchanges for the same candidate set
-    val withBuckets = (0 until numTables).foldLeft(
-        embeddings.select(col("vec_id"), col("embedding"))) { (df, t) =>
-      df.withColumn(s"bucket_$t", bucketCol(numPlanes, t * numPlanes, 64))
-    }
-    val stackArgs = (0 until numTables).map(t => s"$t, bucket_$t").mkString(", ")
-    val bands = withBuckets.selectExpr("vec_id",
+    // ONE wide signature pass over the vectors (numPlanes·numTables sign
+    // bits in a single codegen'd sweep), per-table buckets sliced out
+    // with shift/mask, then one stack unpivot + ONE self-join on
+    // (table, bucket) — not a hash pass or join per table: table t's
+    // bucket = bits [t·p, (t+1)·p) of the signature, identical values to
+    // hashing each family separately
+    val mask = (1L << numPlanes) - 1
+    // the pair-expansion work downstream is orders of magnitude larger
+    // than the input, so parallelism must not be bound by the input's
+    // split count (a small table can be a single split executing the
+    // whole candidate join on one core). One narrow-width exchange of
+    // (id, vector) spreads the hot stage across the cluster and evens
+    // out file-split skew; it is amortized by computing the signature
+    // after it, once, reused by both sides of the self-join.
+    val withSig = embeddings.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
+      .withColumn("sig", graft.functions.GraftFunctions.hyperplane_sig(
+        col("embedding"), numPlanes * numTables, 0))
+    val stackArgs = (0 until numTables)
+      .map(t => s"$t, shiftright(sig, ${t * numPlanes}) & ${mask}L")
+      .mkString(", ")
+    val bands = withSig.selectExpr("vec_id",
       s"stack($numTables, $stackArgs) AS (tbl, bucket)")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    // verify BEFORE dedup: a pair colliding in k tables is re-verified k
+    // times (≤ numTables, each one codegen'd O(dim) dot), which is far
+    // cheaper than a full-width distinct exchange over every raw
+    // candidate — the distinct then runs on the tiny surviving set. (If
+    // verify were expensive — long documents, say — flip the order.)
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("en").as("na")), "vec_a")
@@ -213,6 +220,7 @@ object SimilarityOps {
       .withColumn("sim", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select("vec_a", "vec_b")
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
