@@ -1,7 +1,7 @@
 package graft.reverse
 
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
 
 /** Reverse ETL (K5/T3, `upload_table.py`): DataFrame → canonical CSV →
@@ -19,6 +19,15 @@ object BulkUpload {
   val DefaultMaxBytes: Int = 10 * 1024 * 1024
   val DefaultMaxRecords: Int = 10000
 
+  /** Shared ISO8601/UTC formatter: `DateTimeFormatter` is immutable and
+    * thread-safe, so one instance serves every executor thread (a
+    * per-value `SimpleDateFormat` allocation was the hot-path cost
+    * here).
+    */
+  private val IsoUtc = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
   /** T1 — pgsf CSV value encoding: quote-doubling, booleans t/f, NULL
     * as empty, NUL bytes stripped (`query_poll_table.py:21-50`).
     */
@@ -26,10 +35,7 @@ object BulkUpload {
     case null => ""
     case b: Boolean => if (b) "t" else "f"
     case s: String => "\"" + s.replace("\u0000", "").replace("\"", "\"\"") + "\""
-    case ts: java.sql.Timestamp =>
-      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss'Z'")
-      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-      fmt.format(ts)
+    case ts: java.sql.Timestamp => IsoUtc.format(ts.toInstant)
     case other => other.toString
   }
 
@@ -78,8 +84,15 @@ object BulkUpload {
   trait UploadTransport extends Serializable {
     def createJob(objectName: String, operation: String): String
     def postBatch(jobId: String, chunkCsv: String): String
-    /** Poll until the batch completes (`wait_for_batch`, 600 s/10 s). */
+    /** Poll until the batch completes (`wait_for_batch`, 600 s/10 s,
+      * retrying connection errors — `upload_table.py:89-96`).
+      */
     def waitBatch(jobId: String, batchId: String): Unit
+    /** Per-record outcome of a completed upload batch — the
+      * `UploadResult(id, success, created, error)` rows of
+      * `salesforce_bulk.py:498-546`.
+      */
+    def batchResults(jobId: String, batchId: String): Seq[UploadResult]
     def closeJob(jobId: String): Unit
   }
 
@@ -91,11 +104,11 @@ object BulkUpload {
       operation: String = "update",
       maxBytes: Int = DefaultMaxBytes,
       maxRecords: Int = DefaultMaxRecords): String = {
-    val transport = MockUploadTransport.get(transportName)
+    val transport = UploadTransports.get(transportName)
     val jobId = transport.createJob(objectName, operation)
     val hdr = header(df.schema)
     df.foreachPartition { rows: Iterator[Row] =>
-      val t = MockUploadTransport.get(transportName)
+      val t = UploadTransports.get(transportName)
       chunk(hdr, rows.map(encodeRow), maxBytes, maxRecords).foreach { c =>
         val batchId = t.postBatch(jobId, c)
         t.waitBatch(jobId, batchId)
@@ -104,20 +117,70 @@ object BulkUpload {
     transport.closeJob(jobId)
     jobId
   }
+
+  /** [[upload]] + per-record results: every batch's `UploadResult` rows
+    * come back as a Dataset (distributed — each task collects only its
+    * own batches' results), so failed records are queryable instead of
+    * silently dropped: `upload_table.py:89-103` prints them; a pipeline
+    * joins them back to the source rows for retry/report.
+    */
+  def uploadWithResults(df: DataFrame, objectName: String,
+      transportName: String, operation: String = "update",
+      maxBytes: Int = DefaultMaxBytes,
+      maxRecords: Int = DefaultMaxRecords): (String, DataFrame) = {
+    val spark = df.sparkSession
+    val transport = UploadTransports.get(transportName)
+    val jobId = transport.createJob(objectName, operation)
+    val hdr = header(df.schema)
+    import spark.implicits._
+    val results = df.mapPartitions { rows: Iterator[Row] =>
+      val t = UploadTransports.get(transportName)
+      chunk(hdr, rows.map(encodeRow), maxBytes, maxRecords).flatMap { c =>
+        val batchId = t.postBatch(jobId, c)
+        t.waitBatch(jobId, batchId)
+        t.batchResults(jobId, batchId)
+          .map(r => (batchId, r.id, r.success, r.created, r.error))
+      }
+    }(Encoders.product[(String, String, Boolean, Boolean, String)])
+      .toDF("batch_id", "id", "success", "created", "error")
+    // materialize so the job is fully posted before closeJob
+    results.cache().count()
+    transport.closeJob(jobId)
+    (jobId, results)
+  }
+}
+
+/** Per-record upload outcome (`salesforce_bulk.py:29` namedtuple). */
+final case class UploadResult(id: String, success: Boolean, created: Boolean,
+    error: String)
+
+/** JVM-local upload-transport registry (same resolution pattern and
+  * rationale as `SfTransports`).
+  */
+object UploadTransports {
+  private val registry = TrieMap.empty[String, BulkUpload.UploadTransport]
+  def register(name: String, t: BulkUpload.UploadTransport): Unit =
+    registry.put(name, t)
+  def get(name: String): BulkUpload.UploadTransport =
+    registry.getOrElse(name, throw new IllegalArgumentException(
+      s"no upload transport registered under '$name'"))
 }
 
 /** In-memory upload transport double (same registry scope rationale as
   * MockSfTransport).
   */
 object MockUploadTransport {
-  private val registry = TrieMap.empty[String, MockUploadTransport]
-  def register(name: String, t: MockUploadTransport): Unit = registry.put(name, t)
+  def register(name: String, t: MockUploadTransport): Unit =
+    UploadTransports.register(name, t)
   def get(name: String): MockUploadTransport =
-    registry.getOrElse(name, throw new IllegalArgumentException(
-      s"no upload transport registered under '$name'"))
+    UploadTransports.get(name).asInstanceOf[MockUploadTransport]
 }
 
-final class MockUploadTransport extends BulkUpload.UploadTransport {
+/** @param failEvery every n-th record reports success=false (exercises
+  *                   the per-record error path without a server)
+  */
+final class MockUploadTransport(failEvery: Int = 0)
+    extends BulkUpload.UploadTransport {
   private val jobCounter = new java.util.concurrent.atomic.AtomicInteger
   private val batchCounter = new java.util.concurrent.atomic.AtomicInteger
   val batches = TrieMap.empty[String, String]   // batchId -> chunk csv
@@ -131,5 +194,16 @@ final class MockUploadTransport extends BulkUpload.UploadTransport {
     id
   }
   override def waitBatch(jobId: String, batchId: String): Unit = ()
+  override def batchResults(jobId: String, batchId: String): Seq[UploadResult] = {
+    // one result row per posted record, in order (`salesforce_bulk.py:
+    // 524-533` CSV rows); ids are synthetic like a real insert's
+    val csv = batches.getOrElse(batchId, "")
+    val n = csv.linesIterator.size - 1 // minus header
+    (0 until math.max(n, 0)).map { i =>
+      val fail = failEvery > 0 && (i + 1) % failEvery == 0
+      UploadResult(s"$batchId-rec-$i", success = !fail, created = !fail,
+        error = if (fail) "MOCK_FAILURE:row rejected" else "")
+    }
+  }
   override def closeJob(jobId: String): Unit = closedJobs ::= jobId
 }

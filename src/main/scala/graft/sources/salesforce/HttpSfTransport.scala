@@ -1,0 +1,413 @@
+package graft.sources.salesforce
+
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.reverse.{BulkUpload, UploadResult}
+
+/** HTTP error surfaced by the Salesforce endpoints (4xx/5xx after
+  * retries; analogue of `BulkApiError`, `salesforce_bulk.py:34-41`).
+  */
+final class SfApiError(val statusCode: Int, message: String)
+    extends RuntimeException(s"[$statusCode] $message")
+
+/** Production [[SfTransport]] + [[BulkUpload.UploadTransport]]: the
+  * wire protocols the reference speaks, over real HTTP.
+  *
+  *  - REST SOQL with `query/` vs `queryAll/` endpoint split and
+  *    `nextRecordsUrl` pagination (`simple_salesforce/api.py:343-425`);
+  *    auth is the `Authorization: Bearer` header (`api.py:180-183`).
+  *  - COUNT pushdown as `SELECT COUNT() ... WHERE ...` answered from
+  *    `totalSize` (`query.py:53-65`).
+  *  - Bulk V1 job lifecycle: XML `jobInfo` create with the
+  *    `Sforce-Enable-PKChunking: chunkSize=N;` header, batch post,
+  *    close/abort docs, `X-SFDC-Session` auth
+  *    (`salesforce_bulk/salesforce_bulk.py:147-208,235-296`).
+  *  - Batch polling with retry-on-connection-error and the 600 s/10 s
+  *    wait semantics (`download.py:50-80`, `upload_table.py:89-96`,
+  *    `salesforce_bulk.py:505-511`).
+  *  - Streamed CSV batch results with NUL bytes stripped
+  *    (`salesforce_bulk.py:461-496`) and per-record
+  *    `UploadResult(id, success, created, error)` parsing for upload
+  *    batches (`salesforce_bulk.py:498-546`).
+  *
+  * Partition tokens returned by [[pkChunks]] are `(jobId, batchId)` —
+  * the server does the chunk split, so one Spark partition maps to one
+  * server-side batch, exactly the reference's unit of download
+  * parallelism. Thread-safe: `HttpClient` is shared and immutable
+  * state only. Resolved on executors via [[SfTransports]] by name —
+  * the instance itself never crosses a task boundary.
+  */
+final class HttpSfTransport(
+    instanceUrl: String,
+    sessionId: String,
+    apiVersion: String = "52.0",
+    pollIntervalMs: Long = 10000, // reference sleep_interval = 10 s
+    pollTimeoutMs: Long = 600000, // reference timeout = 600 s
+    maxRetries: Int = 3) extends SfTransport with BulkUpload.UploadTransport {
+
+  @transient private lazy val client: HttpClient = HttpClient.newHttpClient()
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def restBase = s"$instanceUrl/services/data/v$apiVersion/"
+  private def bulkBase = s"$instanceUrl/services/async/$apiVersion"
+
+  // ---- low-level HTTP -------------------------------------------------
+
+  /** Send with retry on connection errors — the reference treats a
+    * dropped connection mid-poll as "bad but not fatal"
+    * (`download.py:76-80`, `upload_table.py:89-96`).
+    */
+  private def send(b: HttpRequest.Builder): HttpResponse[Array[Byte]] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() >= 400)
+          throw new SfApiError(resp.statusCode(),
+            new String(resp.body(), UTF_8).take(500))
+        return resp
+      } catch {
+        case _: java.io.IOException if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(math.min(pollIntervalMs, 1000L) * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def restGetJson(url: String): JsonNode = {
+    val resp = send(HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Authorization", "Bearer " + sessionId)
+      .header("Content-Type", "application/json")
+      .GET())
+    mapper.readTree(new String(resp.body(), UTF_8))
+  }
+
+  private def bulkRequest(path: String): HttpRequest.Builder =
+    HttpRequest.newBuilder(java.net.URI.create(bulkBase + path))
+      .header("X-SFDC-Session", sessionId)
+
+  private def bulkGet(path: String): HttpResponse[Array[Byte]] =
+    send(bulkRequest(path).GET())
+
+  private def bulkPost(path: String, body: String, contentType: String,
+      extraHeaders: Map[String, String] = Map.empty): HttpResponse[Array[Byte]] = {
+    val b = bulkRequest(path)
+      .header("Content-Type", s"$contentType; charset=UTF-8")
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
+    extraHeaders.foreach { case (k, v) => b.header(k, v) }
+    send(b)
+  }
+
+  // ---- XML helpers (jobInfo / batchInfoList / result-list) ------------
+
+  private def parseXml(bytes: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  private def childMap(el: org.w3c.dom.Element): Map[String, String] = {
+    val ns = el.getChildNodes
+    (0 until ns.getLength).flatMap { i =>
+      ns.item(i) match {
+        case e: org.w3c.dom.Element => Some(e.getLocalName -> e.getTextContent)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def elements(doc: org.w3c.dom.Document, tag: String): Seq[org.w3c.dom.Element] = {
+    val ns = doc.getElementsByTagNameNS("*", tag)
+    (0 until ns.getLength).map(ns.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  private val JobNs = "http://www.force.com/2009/06/asyncapi/dataload"
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** `create_job_doc` field order: operation, object,
+    * [externalIdFieldName], [concurrencyMode], contentType
+    * (`salesforce_bulk.py:252-274`).
+    */
+  private def jobDoc(objectName: String, operation: String,
+      externalIdField: Option[String] = None): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<jobInfo xmlns="$JobNs">""" +
+      s"<operation>$operation</operation>" +
+      s"<object>${xmlEscape(objectName)}</object>" +
+      externalIdField.map(f =>
+        s"<externalIdFieldName>${xmlEscape(f)}</externalIdFieldName>").getOrElse("") +
+      "<contentType>CSV</contentType></jobInfo>"
+
+  private def stateDoc(state: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<jobInfo xmlns="$JobNs"><state>$state</state></jobInfo>"""
+
+  // ---- SfTransport ----------------------------------------------------
+
+  /** GET sobjects/{name}/describe → field metadata
+    * (`api.py:555-567`, consumed by `tabledesc.py:24-33`).
+    */
+  override def describe(objectName: String): Seq[SfFieldMeta] = {
+    val json = restGetJson(restBase + s"sobjects/$objectName/describe")
+    json.get("fields").elements().asScala.map { f =>
+      SfFieldMeta(
+        name = f.get("name").asText(),
+        sfType = f.get("type").asText(),
+        length = if (f.has("length")) f.get("length").asInt() else 0,
+        precision = if (f.has("precision")) f.get("precision").asInt() else 0,
+        scale = if (f.has("scale")) f.get("scale").asInt() else 0,
+        nillable = !f.has("nillable") || f.get("nillable").asBoolean())
+    }.toSeq
+  }
+
+  private def queryEndpoint(includeDeleted: Boolean): String =
+    if (includeDeleted) "queryAll/" else "query/"
+
+  override def count(objectName: String, where: Option[String],
+      includeDeleted: Boolean): Long = {
+    val soql = s"SELECT COUNT() FROM $objectName" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    val url = restBase + queryEndpoint(includeDeleted) +
+      "?q=" + URLEncoder.encode(soql, "UTF-8")
+    restGetJson(url).get("totalSize").asLong()
+  }
+
+  /** Bulk scan plan: create a PK-chunked query job, post the SOQL
+    * batch, wait for the server's chunk split to finish (the
+    * `numberBatchesQueued/InProgress` poll of `download.py:50-80`),
+    * and return one `(jobId, batchId)` token per spawned batch. The
+    * original batch ends `NotProcessed` under chunking and is excluded
+    * (`bulk_states.py` ERROR_STATES). Empty result = server rejected
+    * chunking for this object (`query_bulk.py:26-36` fallback).
+    */
+  override def pkChunks(objectName: String, fields: Seq[String],
+      where: Option[String], includeDeleted: Boolean,
+      chunkSize: Int): Seq[(String, String)] = {
+    val operation = if (includeDeleted) "queryAll" else "query"
+    val jobId =
+      try {
+        val resp = bulkPost("/job", jobDoc(objectName, operation), "application/xml",
+          Map("Sforce-Enable-PKChunking" -> s"chunkSize=$chunkSize;"))
+        childMap(parseXml(resp.body()).getDocumentElement)("id")
+      } catch {
+        case e: SfApiError if e.getMessage.contains("PKChunking") =>
+          return Nil // S2 fallback: single-partition REST scan
+      }
+    val soql = s"SELECT ${fields.mkString(",")} FROM $objectName" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    bulkPost(s"/job/$jobId/batch", soql, "text/csv")
+    waitJobBatches(jobId)
+    batchList(jobId)
+      .filter(b => b.getOrElse("state", "") != "NotProcessed")
+      .map(b => jobId -> b("id"))
+  }
+
+  private def batchList(jobId: String): Seq[Map[String, String]] =
+    elements(parseXml(bulkGet(s"/job/$jobId/batch").body()), "batchInfo")
+      .map(childMap)
+
+  /** Poll job status until no batches are queued or in progress
+    * (`download.py:50-80`); connection errors retry inside [[send]].
+    */
+  private def waitJobBatches(jobId: String): Unit = {
+    val deadline = System.nanoTime() + pollTimeoutMs * 1000000L
+    while (true) {
+      val st = childMap(parseXml(bulkGet(s"/job/$jobId").body()).getDocumentElement)
+      val pending = st.getOrElse("numberBatchesQueued", "0").toInt +
+        st.getOrElse("numberBatchesInProgress", "0").toInt
+      if (pending == 0) return
+      if (System.nanoTime() > deadline)
+        throw new SfApiError(408, s"job $jobId still has $pending pending batches " +
+          s"after ${pollTimeoutMs / 1000} s")
+      Thread.sleep(pollIntervalMs)
+    }
+  }
+
+  override def query(objectName: String, fields: Seq[String],
+      where: Option[String], limit: Option[Int], includeDeleted: Boolean,
+      pkRange: Option[(String, String)]): Iterator[Map[String, Any]] =
+    pkRange match {
+      case Some((jobId, batchId)) => bulkBatchRows(jobId, batchId)
+      case None => restQueryRows(objectName, fields, where, limit, includeDeleted)
+    }
+
+  // ---- REST path: paginated SOQL --------------------------------------
+
+  /** Lazily follows `nextRecordsUrl` until `done` — the `query_all`
+    * loop (`api.py:396-425`) as an iterator, so a page is only fetched
+    * when the reader drains the previous one.
+    */
+  private def restQueryRows(objectName: String, fields: Seq[String],
+      where: Option[String], limit: Option[Int],
+      includeDeleted: Boolean): Iterator[Map[String, Any]] = {
+    val soql = s"SELECT ${fields.mkString(",")} FROM $objectName" +
+      where.map(w => s" WHERE $w").getOrElse("") +
+      limit.map(n => s" LIMIT $n").getOrElse("")
+    val first = restBase + queryEndpoint(includeDeleted) +
+      "?q=" + URLEncoder.encode(soql, "UTF-8")
+    new Iterator[Map[String, Any]] {
+      private var page = restGetJson(first)
+      private var recs = pageRecords(page)
+      override def hasNext: Boolean = {
+        while (!recs.hasNext && !page.path("done").asBoolean(true)) {
+          // nextRecordsUrl is instance-relative (`api.py:382-385`)
+          page = restGetJson(instanceUrl + page.get("nextRecordsUrl").asText())
+          recs = pageRecords(page)
+        }
+        recs.hasNext
+      }
+      override def next(): Map[String, Any] = {
+        if (!hasNext) throw new NoSuchElementException
+        recs.next()
+      }
+    }
+  }
+
+  private def pageRecords(page: JsonNode): Iterator[Map[String, Any]] =
+    page.get("records").elements().asScala.map { rec =>
+      rec.properties().asScala
+        .filter(_.getKey != "attributes")
+        .map(e => e.getKey -> jsonValue(e.getValue)).toMap
+    }
+
+  private def jsonValue(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isBoolean) n.booleanValue()
+    else if (n.isIntegralNumber) n.longValue()
+    else if (n.isNumber) n.doubleValue()
+    else n.asText()
+
+  // ---- Bulk path: batch download --------------------------------------
+
+  /** One server-side batch → rows: poll the batch to Completed, list
+    * its result ids, stream each result's CSV with NUL bytes stripped
+    * (`salesforce_bulk.py:440-496`).
+    */
+  private def bulkBatchRows(jobId: String, batchId: String): Iterator[Map[String, Any]] = {
+    waitBatch(jobId, batchId)
+    val resultIds = elements(
+      parseXml(bulkGet(s"/job/$jobId/batch/$batchId/result").body()), "result")
+      .map(_.getTextContent)
+    resultIds.iterator.flatMap { rid =>
+      val raw = bulkGet(s"/job/$jobId/batch/$batchId/result/$rid").body()
+      val csv = new String(raw, UTF_8).replace("\u0000", "") // NUL strip, `:495`
+      CsvWire.parse(csv)
+    }
+  }
+
+  /** `wait_for_batch` (`salesforce_bulk.py:505-511`): poll batch state
+    * every `pollIntervalMs` up to `pollTimeoutMs`; error states raise
+    * (`is_batch_done`, `:498-503`). NotProcessed is terminal-OK here:
+    * under PK chunking it marks the original batch, which has no data.
+    */
+  override def waitBatch(jobId: String, batchId: String): Unit = {
+    val deadline = System.nanoTime() + pollTimeoutMs * 1000000L
+    while (true) {
+      val st = childMap(parseXml(
+        bulkGet(s"/job/$jobId/batch/$batchId").body()).getDocumentElement)
+      st.getOrElse("state", "") match {
+        case "Completed" | "NotProcessed" => return
+        case "Failed" | "Aborted" =>
+          throw new SfApiError(400, s"batch $batchId of job $jobId failed: " +
+            st.getOrElse("stateMessage", "(no stateMessage)"))
+        case _ =>
+          if (System.nanoTime() > deadline)
+            throw new SfApiError(408,
+              s"batch $batchId not done after ${pollTimeoutMs / 1000} s")
+          Thread.sleep(pollIntervalMs)
+      }
+    }
+  }
+
+  // ---- UploadTransport (reverse ETL, K5) ------------------------------
+
+  override def createJob(objectName: String, operation: String): String = {
+    val resp = bulkPost("/job", jobDoc(objectName, operation), "application/xml")
+    childMap(parseXml(resp.body()).getDocumentElement)("id")
+  }
+
+  override def postBatch(jobId: String, chunkCsv: String): String = {
+    val resp = bulkPost(s"/job/$jobId/batch", chunkCsv, "text/csv")
+    childMap(parseXml(resp.body()).getDocumentElement)("id")
+  }
+
+  override def closeJob(jobId: String): Unit =
+    bulkPost(s"/job/$jobId", stateDoc("Closed"), "application/xml")
+
+  /** Per-record upload outcome: the CSV `"Id","Success","Created",
+    * "Error"` body of GET job/batch/result (`salesforce_bulk.py:
+    * 498-546` CSV branch).
+    */
+  override def batchResults(jobId: String, batchId: String): Seq[UploadResult] = {
+    val raw = bulkGet(s"/job/$jobId/batch/$batchId/result").body()
+    val csv = new String(raw, UTF_8).replace("\u0000", "")
+    CsvWire.parse(csv).map { row =>
+      UploadResult(
+        id = row.getOrElse("Id", "").toString,
+        success = row.getOrElse("Success", "false").toString.equalsIgnoreCase("true"),
+        created = row.getOrElse("Created", "false").toString.equalsIgnoreCase("true"),
+        error = row.getOrElse("Error", "").toString)
+    }.toSeq
+  }
+}
+
+/** Minimal RFC-4180 CSV decoder for bulk result bodies: quoted fields,
+  * doubled-quote escapes, embedded commas/newlines. Header row names
+  * the fields; every value is a String (typed decode happens in
+  * SfRowReader against the Spark schema).
+  */
+private[graft] object CsvWire {
+
+  def parse(text: String): Iterator[Map[String, Any]] = {
+    val rows = parseRows(text)
+    if (!rows.hasNext) return Iterator.empty
+    val header = rows.next()
+    rows.map(r => header.zip(r).toMap[String, Any])
+  }
+
+  private[graft] def parseRows(text: String): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private var pos = 0
+      private def eof = pos >= text.length
+      private def skipNewlines(): Unit =
+        while (!eof && (text.charAt(pos) == '\n' || text.charAt(pos) == '\r')) pos += 1
+      skipNewlines()
+      override def hasNext: Boolean = !eof
+      override def next(): Seq[String] = {
+        val fields = Seq.newBuilder[String]
+        val sb = new StringBuilder
+        var inQuotes = false
+        var done = false
+        while (!done) {
+          if (eof) {
+            fields += sb.result(); done = true
+          } else {
+            val c = text.charAt(pos)
+            if (inQuotes) {
+              if (c == '"') {
+                if (pos + 1 < text.length && text.charAt(pos + 1) == '"') {
+                  sb.append('"'); pos += 2
+                } else { inQuotes = false; pos += 1 }
+              } else { sb.append(c); pos += 1 }
+            } else c match {
+              case '"' => inQuotes = true; pos += 1
+              case ',' => fields += sb.result(); sb.clear(); pos += 1
+              case '\n' | '\r' =>
+                fields += sb.result(); done = true
+                skipNewlines()
+              case other => sb.append(other); pos += 1
+            }
+          }
+        }
+        fields.result()
+      }
+    }
+}

@@ -46,7 +46,7 @@ class SalesforceSource extends TableProvider with DataSourceRegister {
   }
 
   private def transport(options: CaseInsensitiveStringMap): SfTransport =
-    MockSfTransport.get(required(options, "transport"))
+    SfTransports.get(required(options, "transport"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val obj = required(options, "object")
@@ -127,11 +127,12 @@ final class SfScanBuilder(fullSchema: StructType, options: CaseInsensitiveString
   override def isPartiallyPushed: Boolean = false
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    // A1: only COUNT(*) with no grouping — answered by totalSize
+    // A1: only COUNT(*) with no grouping — answered by totalSize.
+    // Pushed filters compose: the transport counts WITH the WHERE
+    // (`SELECT COUNT() FROM obj WHERE ...`, `query.py:53-65`).
     val ok = aggregation.groupByExpressions().isEmpty &&
       aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar] &&
-      pushedSoqlWhere.isEmpty // keep the mock simple: count pre-filter
+      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
     if (ok) countStar = true
     ok
   }
@@ -171,7 +172,8 @@ final class SfScan(objectName: String, transportName: String,
     */
   override def planInputPartitions(): Array[InputPartition] = {
     if (countStar || limit.isDefined) return Array(SfInputPartition(None))
-    val chunks = MockSfTransport.get(transportName).pkChunks(objectName, chunkSize)
+    val chunks = SfTransports.get(transportName).pkChunks(objectName,
+      schema.fieldNames.toSeq, where, includeDeleted, chunkSize)
     if (chunks.isEmpty) Array(SfInputPartition(None))
     else chunks.map(c => SfInputPartition(Some(c))).toArray
   }
@@ -186,7 +188,7 @@ final class SfReaderFactory(objectName: String, transportName: String,
     limit: Option[Int], countStar: Boolean) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val transport = MockSfTransport.get(transportName)
+    val transport = SfTransports.get(transportName)
     val range = partition.asInstanceOf[SfInputPartition].pkRange
     if (countStar) {
       val n = transport.count(objectName, where, includeDeleted)
@@ -218,6 +220,9 @@ final class SfRowReader(it: Iterator[Map[String, Any]], schema: StructType)
     val values = schema.fields.map { f =>
       current.get(f.name).orNull match {
         case null => null
+        // bulk CSV renders NULL as the empty field (`query_poll_table
+        // .py:45-50` round-trip contract)
+        case "" if f.dataType != StringType => null
         case v => convert(v, f.dataType)
       }
     }
@@ -228,10 +233,22 @@ final class SfRowReader(it: Iterator[Map[String, Any]], schema: StructType)
     // NUL bytes stripped at the wire boundary (S3 semantics,
     // `salesforce_bulk.py:495` strips them from the CSV stream)
     case StringType => UTF8String.fromString(v.toString.replace("\u0000", ""))
-    case IntegerType => v.asInstanceOf[Number].intValue()
-    case LongType => v.asInstanceOf[Number].longValue()
-    case DoubleType => v.asInstanceOf[Number].doubleValue()
-    case BooleanType => v.asInstanceOf[Boolean]
+    case IntegerType => v match {
+      case n: Number => n.intValue()
+      case s: String => s.trim.toDouble.toInt // CSV numerics may carry ".0"
+    }
+    case LongType => v match {
+      case n: Number => n.longValue()
+      case s: String => s.trim.toDouble.toLong
+    }
+    case DoubleType => v match {
+      case n: Number => n.doubleValue()
+      case s: String => s.trim.toDouble
+    }
+    case BooleanType => v match {
+      case b: Boolean => b
+      case s: String => s.trim.equalsIgnoreCase("true") || s.trim == "t"
+    }
     case TimestampType => v match {
       case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
       case s: String => // ISO8601 `2019-11-18T15:28:14.000Z` passthrough

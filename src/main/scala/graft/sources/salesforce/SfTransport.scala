@@ -19,12 +19,17 @@ trait SfTransport extends Serializable {
   def count(objectName: String, where: Option[String],
       includeDeleted: Boolean): Long
 
-  /** PK-chunk boundaries for a bulk scan: sorted chunk-start keys
-    * (`Sforce-Enable-PKChunking`, `query_bulk.py:22-36`). Empty when the
-    * object does not support chunking — caller falls back to a single
-    * partition (S2 fallback semantics).
+  /** Plan a PK-chunked bulk scan: opaque partition tokens, one per
+    * chunk (`Sforce-Enable-PKChunking`, `query_bulk.py:22-36`). The
+    * token shape is implementation-private — the mock returns (loId,
+    * hiId) ranges; the HTTP transport creates the bulk job here (the
+    * server does the chunk split, so the job needs the final SOQL —
+    * hence fields/where) and returns (jobId, batchId) pairs. Empty when
+    * the object does not support chunking — caller falls back to a
+    * single partition (S2 fallback semantics).
     */
-  def pkChunks(objectName: String, chunkSize: Int): Seq[(String, String)]
+  def pkChunks(objectName: String, fields: Seq[String], where: Option[String],
+      includeDeleted: Boolean, chunkSize: Int): Seq[(String, String)]
 
   /** Execute a SOQL scan for one partition: records as field-name →
     * value maps, in stable order. `pkRange` bounds the scan to one
@@ -38,18 +43,27 @@ trait SfTransport extends Serializable {
 final case class SfFieldMeta(name: String, sfType: String, length: Int = 0,
     precision: Int = 0, scale: Int = 0, nillable: Boolean = true)
 
-/** In-memory transport double. Registered by name in a JVM-local
-  * registry — partition readers resolve it lazily; in `local[*]` (and
-  * tests) executors share the JVM, which is exactly the scope a mock
-  * needs. A cluster deployment would register an HTTP transport whose
-  * construction is driven by connection options instead.
+/** JVM-local transport registry: the connector's options carry a
+  * transport NAME, and partition readers resolve it lazily — nothing
+  * non-serializable crosses a task boundary. In `local[*]` executors
+  * share the JVM; on a real cluster each executor registers the
+  * (connection-option-built) transport at startup, the same pattern
+  * JDBC drivers use.
   */
-object MockSfTransport {
-  private val registry = TrieMap.empty[String, MockSfTransport]
-  def register(name: String, t: MockSfTransport): Unit = registry.put(name, t)
-  def get(name: String): MockSfTransport =
+object SfTransports {
+  private val registry = TrieMap.empty[String, SfTransport]
+  def register(name: String, t: SfTransport): Unit = registry.put(name, t)
+  def get(name: String): SfTransport =
     registry.getOrElse(name, throw new IllegalArgumentException(
-      s"no mock transport registered under '$name'"))
+      s"no transport registered under '$name'"))
+}
+
+/** In-memory transport double (tests and offline builds). */
+object MockSfTransport {
+  def register(name: String, t: MockSfTransport): Unit =
+    SfTransports.register(name, t)
+  def get(name: String): MockSfTransport =
+    SfTransports.get(name).asInstanceOf[MockSfTransport]
 }
 
 final class MockSfTransport(
@@ -79,7 +93,9 @@ final class MockSfTransport(
     visible.size.toLong
   }
 
-  override def pkChunks(objectName: String, chunkSize: Int): Seq[(String, String)] = {
+  override def pkChunks(objectName: String, fields: Seq[String],
+      where: Option[String], includeDeleted: Boolean,
+      chunkSize: Int): Seq[(String, String)] = {
     if (!supportsPkChunking) return Nil
     val ids = rows(objectName).map(_("Id").toString).sorted
     if (ids.isEmpty) Nil
@@ -133,11 +149,13 @@ final class MockSfTransport(
     * literals as the value's true instant in UTC with a 'Z' suffix
     * (SalesforceSource.toSoql), so `Instant.parse` is exact; a
     * zone-less literal falls back to JVM-zone wall clock (matching
-    * `Timestamp.valueOf` test fixtures).
+    * `Timestamp.valueOf` test fixtures). Both 'T' and space separators
+    * are accepted — `Timestamp.toString` renders the latter.
     */
   private def parseIsoInstant(s: String): java.time.Instant =
     if (s.endsWith("Z")) java.time.Instant.parse(s)
-    else java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(s)).toInstant
+    else java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))).toInstant
 
   override def query(objectName: String, fields: Seq[String],
       where: Option[String], limit: Option[Int], includeDeleted: Boolean,

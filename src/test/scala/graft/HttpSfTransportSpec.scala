@@ -1,0 +1,349 @@
+package graft
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.net.URLDecoder
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.concurrent.TrieMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+
+import graft.reverse.{BulkUpload, UploadTransports}
+import graft.sources.salesforce.{CsvWire, HttpSfTransport, SfTransports}
+
+/** The real HTTP transport against recorded protocol fixtures served by
+  * a local JDK HttpServer — the same request/response shapes the
+  * vendored client tests replay (`test_api.py:594-626` pagination,
+  * `salesforce_bulk.py` job XML / batch CSV). Covers: describe-driven
+  * schema, REST pagination via nextRecordsUrl, queryAll split,
+  * COUNT()-with-WHERE, PK-chunked bulk scan (header, job XML, batch
+  * split, NUL-stripped quoted CSV), connection-error retry, and the
+  * upload path incl. per-record UploadResult parsing.
+  */
+class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
+
+  // ---- recorded fixtures ---------------------------------------------
+
+  private val DescribeJson =
+    """{"name":"Contact","fields":[
+      |{"name":"Id","type":"id","length":18,"nillable":false},
+      |{"name":"Name","type":"string","length":80,"nillable":true},
+      |{"name":"NumEmployees","type":"int","nillable":true}
+      |]}""".stripMargin
+
+  private def rec(id: String, name: String, n: Long): String =
+    s"""{"attributes":{"type":"Contact","url":"/sobjects/Contact/$id"},
+       |"Id":"$id","Name":"$name","NumEmployees":$n}""".stripMargin
+
+  private val Page1 =
+    s"""{"totalSize":3,"done":false,
+       |"nextRecordsUrl":"/services/data/v52.0/query/01gRR-2000",
+       |"records":[${rec("001A", "alpha", 1)},${rec("001B", "beta", 2)}]}""".stripMargin
+  private val Page2 =
+    s"""{"totalSize":3,"done":true,
+       |"records":[${rec("001C", "gam\\u0000ma", 3)}]}""".stripMargin
+
+  private val JobNs = "http://www.force.com/2009/06/asyncapi/dataload"
+  private def jobXml(id: String, queued: Int = 0, inProgress: Int = 0): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?><jobInfo xmlns="$JobNs">
+       |<id>$id</id><state>Open</state>
+       |<numberBatchesQueued>$queued</numberBatchesQueued>
+       |<numberBatchesInProgress>$inProgress</numberBatchesInProgress>
+       |</jobInfo>""".stripMargin
+  private def batchXml(id: String, state: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?><batchInfo xmlns="$JobNs">
+       |<id>$id</id><state>$state</state></batchInfo>""".stripMargin
+  private val BatchListXml =
+    s"""<?xml version="1.0" encoding="UTF-8"?><batchInfoList xmlns="$JobNs">
+       |<batchInfo><id>751ORIG</id><state>NotProcessed</state></batchInfo>
+       |<batchInfo><id>751A</id><state>Completed</state></batchInfo>
+       |<batchInfo><id>751B</id><state>Completed</state></batchInfo>
+       |</batchInfoList>""".stripMargin
+  private val ResultListXml =
+    s"""<?xml version="1.0" encoding="UTF-8"?><result-list xmlns="$JobNs">
+       |<result>752R1</result></result-list>""".stripMargin
+  // quoted comma, doubled-quote escape, embedded newline, NUL byte
+  private val CsvA =
+    "\"Id\",\"Name\",\"NumEmployees\"\n" +
+      "\"003A\",\" acme, inc. \"\"west\"\"\",\"7\"\n" +
+      "\"003B\",\"two\nlines\",\"8\"\n"
+  private val CsvB = // embeds a real NUL byte inside the Name value
+    "\"Id\",\"Name\",\"NumEmployees\"\n\"003C\",\"nu" + 0.toChar +
+      "l stripped\",\"9\"\n"
+  private val UploadResultCsv =
+    "\"Id\",\"Success\",\"Created\",\"Error\"\n" +
+      "\"003X\",\"true\",\"true\",\"\"\n" +
+      "\"\",\"false\",\"false\",\"REQUIRED_FIELD_MISSING:Name missing:Name--\"\n"
+
+  // ---- fixture server -------------------------------------------------
+
+  private var server: HttpServer = _
+  private var base: String = _
+  val seen = TrieMap.empty[String, Any] // request capture for assertions
+  private val uploadBatchPolls = new java.util.concurrent.atomic.AtomicInteger
+
+  private def respond(ex: HttpExchange, body: String, status: Int = 200,
+      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length)
+    val os: OutputStream = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val q = Option(ex.getRequestURI.getRawQuery)
+        .map(s => URLDecoder.decode(s.stripPrefix("q="), "UTF-8")).getOrElse("")
+      try {
+        (ex.getRequestMethod, path) match {
+          // ---- REST
+          case ("GET", "/services/data/v52.0/sobjects/Contact/describe") =>
+            seen.put("describeAuth", ex.getRequestHeaders.getFirst("Authorization"))
+            respond(ex, DescribeJson)
+          case ("GET", p) if p.startsWith("/services/data/v52.0/queryAll") =>
+            seen.put("queryAllSoql", q)
+            if (q.startsWith("SELECT COUNT()")) respond(ex,
+              """{"totalSize":42,"done":true,"records":[]}""")
+            else respond(ex, Page1)
+          case ("GET", "/services/data/v52.0/query/01gRR-2000") =>
+            respond(ex, Page2)
+          case ("GET", p) if p.startsWith("/services/data/v52.0/query") =>
+            seen.put("querySoql", q)
+            if (q.startsWith("SELECT COUNT()")) respond(ex,
+              """{"totalSize":17,"done":true,"records":[]}""")
+            else respond(ex, Page1)
+          // ---- Bulk: job create (query + upload) and close
+          case ("POST", "/services/async/52.0/job") =>
+            val body = readBody(ex)
+            seen.put("jobDoc", body)
+            seen.put("pkChunkHeader",
+              ex.getRequestHeaders.getFirst("Sforce-Enable-PKChunking"))
+            seen.put("sessionHeader", ex.getRequestHeaders.getFirst("X-SFDC-Session"))
+            if (body.contains("<operation>insert</operation>"))
+              respond(ex, jobXml("750UP"), contentType = "application/xml")
+            else if (seen.get("rejectChunking").contains(true) &&
+              ex.getRequestHeaders.getFirst("Sforce-Enable-PKChunking") != null)
+              respond(ex, "Contact is not supported to use PKChunking", 400,
+                "text/plain")
+            else respond(ex, jobXml("750JOB"), contentType = "application/xml")
+          case ("POST", "/services/async/52.0/job/750JOB") =>
+            seen.put("jobStateDoc", readBody(ex))
+            respond(ex, jobXml("750JOB"), contentType = "application/xml")
+          case ("POST", "/services/async/52.0/job/750UP") =>
+            seen.put("uploadCloseDoc", readBody(ex))
+            respond(ex, jobXml("750UP"), contentType = "application/xml")
+          // ---- Bulk: batches
+          case ("POST", "/services/async/52.0/job/750JOB/batch") =>
+            seen.put("batchSoql", readBody(ex))
+            respond(ex, batchXml("751ORIG", "Queued"), contentType = "application/xml")
+          case ("POST", "/services/async/52.0/job/750UP/batch") =>
+            seen.put("uploadBatchCsv", readBody(ex))
+            seen.put("uploadBatchContentType",
+              ex.getRequestHeaders.getFirst("Content-Type"))
+            respond(ex, batchXml("753B", "Queued"), contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB") =>
+            respond(ex, jobXml("750JOB"), contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch") =>
+            respond(ex, BatchListXml, contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751A") =>
+            respond(ex, batchXml("751A", "Completed"), contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751B") =>
+            respond(ex, batchXml("751B", "Completed"), contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750UP/batch/753B") =>
+            // first poll InProgress, then Completed — exercises the wait loop
+            val st = if (uploadBatchPolls.getAndIncrement() == 0) "InProgress"
+                     else "Completed"
+            respond(ex, batchXml("753B", st), contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751A/result") =>
+            respond(ex, ResultListXml, contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751B/result") =>
+            respond(ex, ResultListXml, contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751A/result/752R1") =>
+            respond(ex, CsvA, contentType = "text/csv")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751B/result/752R1") =>
+            respond(ex, CsvB, contentType = "text/csv")
+          case ("GET", "/services/async/52.0/job/750UP/batch/753B/result") =>
+            respond(ex, UploadResultCsv, contentType = "text/csv")
+          case (m, p) =>
+            respond(ex, s"""{"error":"no fixture for $m $p"}""", 404)
+        }
+      } catch {
+        case t: Throwable => respond(ex, t.toString, 500, "text/plain")
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.start()
+    base = s"http://localhost:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private def transport(pollMs: Long = 5): HttpSfTransport =
+    new HttpSfTransport(base, "SESSION-TOKEN", "52.0",
+      pollIntervalMs = pollMs, pollTimeoutMs = 5000, maxRetries = 3)
+
+  // ---- REST path ------------------------------------------------------
+
+  test("describe parses field metadata and sends Bearer auth") {
+    val metas = transport().describe("Contact")
+    assert(metas.map(_.name) == Seq("Id", "Name", "NumEmployees"))
+    assert(metas.head.length == 18 && !metas.head.nillable)
+    assert(seen("describeAuth") == "Bearer SESSION-TOKEN")
+  }
+
+  test("REST query follows nextRecordsUrl across pages and strips NUL") {
+    val rows = transport().query("Contact", Seq("Id", "Name", "NumEmployees"),
+      Some("NumEmployees > 0"), None, includeDeleted = false, None).toSeq
+    assert(rows.map(_("Id")) == Seq("001A", "001B", "001C"))
+    assert(seen("querySoql") ==
+      "SELECT Id,Name,NumEmployees FROM Contact WHERE NumEmployees > 0")
+    // typed JSON values survive (numbers as Long)
+    assert(rows.head("NumEmployees") == 1L)
+  }
+
+  test("includeDeleted routes to the queryAll endpoint") {
+    transport().query("Contact", Seq("Id"), None, Some(5),
+      includeDeleted = true, None).toSeq
+    assert(seen("queryAllSoql").toString.startsWith("SELECT Id FROM Contact"))
+    assert(seen("queryAllSoql").toString.endsWith("LIMIT 5"))
+  }
+
+  test("COUNT() composes with the pushed WHERE and reads totalSize") {
+    val n = transport().count("Contact", Some("NumEmployees > 5"),
+      includeDeleted = false)
+    assert(n == 17L)
+    assert(seen("querySoql") ==
+      "SELECT COUNT() FROM Contact WHERE NumEmployees > 5")
+  }
+
+  // ---- bulk path ------------------------------------------------------
+
+  test("pkChunks creates a PK-chunked job and returns spawned batch tokens") {
+    seen.put("rejectChunking", false)
+    val chunks = transport().pkChunks("Contact", Seq("Id", "Name", "NumEmployees"),
+      Some("NumEmployees > 0"), includeDeleted = false, chunkSize = 50000)
+    assert(chunks == Seq("750JOB" -> "751A", "750JOB" -> "751B"))
+    assert(seen("pkChunkHeader") == "chunkSize=50000;")
+    assert(seen("sessionHeader") == "SESSION-TOKEN")
+    val doc = seen("jobDoc").toString
+    assert(doc.contains("<operation>query</operation>") &&
+      doc.contains("<object>Contact</object>") &&
+      doc.contains("<contentType>CSV</contentType>"))
+    assert(seen("batchSoql") ==
+      "SELECT Id,Name,NumEmployees FROM Contact WHERE NumEmployees > 0")
+  }
+
+  test("bulk batch download parses quoted CSV and strips NUL bytes") {
+    val rows = transport().query("Contact", Seq("Id", "Name", "NumEmployees"),
+      None, None, includeDeleted = false, Some("750JOB" -> "751A")).toSeq
+    assert(rows.map(_("Id")) == Seq("003A", "003B"))
+    assert(rows.head("Name") == " acme, inc. \"west\"") // comma + quote escape
+    assert(rows(1)("Name") == "two\nlines") // embedded newline
+    val rowsB = transport().query("Contact", Nil, None, None,
+      includeDeleted = false, Some("750JOB" -> "751B")).toSeq
+    assert(rowsB.head("Name") == "nul stripped") // NUL gone at the wire
+  }
+
+  test("PKChunking rejection falls back to the un-chunked REST scan") {
+    seen.put("rejectChunking", true)
+    try {
+      val chunks = transport().pkChunks("Contact", Seq("Id"), None,
+        includeDeleted = false, chunkSize = 1000)
+      assert(chunks.isEmpty) // S2 fallback: caller plans a single partition
+    } finally seen.put("rejectChunking", false)
+  }
+
+  test("end-to-end DSv2 read over HTTP: describe schema + bulk partitions") {
+    SfTransports.register("http-fixture", transport())
+    val df = spark.read.format("salesforce")
+      .option("object", "Contact")
+      .option("transport", "http-fixture")
+      .load()
+    assert(df.schema.fieldNames.toSeq == Seq("Id", "Name", "NumEmployees"))
+    val got = df.collect().map(r => r.getString(0)).sorted.toSeq
+    assert(got == Seq("003A", "003B", "003C")) // both chunk batches landed
+    assert(df.rdd.getNumPartitions == 2) // one per server-side batch
+  }
+
+  // ---- resilience -----------------------------------------------------
+
+  test("connection errors retry before surfacing (download.py semantics)") {
+    val flaky = new java.net.ServerSocket(0)
+    @volatile var calls = 0
+    val t = new Thread(() => {
+      while (!flaky.isClosed) {
+        try {
+          val s = flaky.accept()
+          calls += 1
+          if (calls == 1) s.close() // abrupt EOF — client sees IOException
+          else {
+            val body = """{"totalSize":7,"done":true,"records":[]}"""
+            s.getOutputStream.write(
+              ("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n$body").getBytes(UTF_8))
+            s.close()
+          }
+        } catch { case _: Throwable => () }
+      }
+    })
+    t.setDaemon(true); t.start()
+    try {
+      val tr = new HttpSfTransport(s"http://localhost:${flaky.getLocalPort}",
+        "S", "52.0", pollIntervalMs = 5, pollTimeoutMs = 2000, maxRetries = 3)
+      assert(tr.count("Contact", None, includeDeleted = false) == 7L)
+      assert(calls >= 2) // first connection dropped, retry succeeded
+    } finally flaky.close()
+  }
+
+  // ---- upload path ----------------------------------------------------
+
+  test("upload job round trip: batch post, wait loop, per-record results, close") {
+    uploadBatchPolls.set(0)
+    val tr = transport()
+    val jobId = tr.createJob("Contact", "insert")
+    assert(jobId == "750UP")
+    assert(seen("jobDoc").toString.contains("<operation>insert</operation>"))
+    val batchId = tr.postBatch(jobId, "\"Id\",\"Name\"\n\"1\",\"x\"\n")
+    assert(batchId == "753B")
+    assert(seen("uploadBatchContentType").toString.startsWith("text/csv"))
+    tr.waitBatch(jobId, batchId) // InProgress → Completed
+    assert(uploadBatchPolls.get() >= 2)
+    val results = tr.batchResults(jobId, batchId)
+    assert(results.size == 2)
+    assert(results.head == graft.reverse.UploadResult("003X", true, true, ""))
+    assert(!results(1).success &&
+      results(1).error.startsWith("REQUIRED_FIELD_MISSING"))
+    tr.closeJob(jobId)
+    assert(seen("uploadCloseDoc").toString.contains("<state>Closed</state>"))
+  }
+
+  test("uploadWithResults surfaces failed records as a queryable DataFrame") {
+    import spark.implicits._
+    UploadTransports.register("http-upload", transport())
+    val df = Seq(("1", "a"), ("2", "b")).toDF("Id", "Name").coalesce(1)
+    val (jobId, results) = BulkUpload.uploadWithResults(df, "Contact",
+      "http-upload", operation = "insert")
+    assert(jobId == "750UP")
+    val failed = results.filter(!$"success").collect()
+    assert(failed.length == 1 &&
+      failed(0).getAs[String]("error").startsWith("REQUIRED_FIELD_MISSING"))
+  }
+
+  // ---- CSV decoder ----------------------------------------------------
+
+  test("CsvWire handles quotes, escapes, embedded separators, CRLF") {
+    val rows = CsvWire.parseRows("a,b\r\n\"x,1\",\"he said \"\"hi\"\"\"\r\n,\n").toSeq
+    assert(rows == Seq(Seq("a", "b"), Seq("x,1", "he said \"hi\""), Seq("", "")))
+  }
+}
