@@ -122,7 +122,57 @@ object SparkEntry {
       FileOps.seedDerbyCatalogDemo(url, "CATDEMO")
       FileOps.jdbcCatalogColumns(s, url, "CATDEMO")
     }),
+    // K2+C4: assembled truncate-and-load of a bulk job into Derby, then
+    // the loaded table read back — oracle is the same rows from parquet
+    "k2_bulk_load" -> ((s, d) => k2BulkLoadQuery(s, d)),
   )
+
+  /** K2 end-to-end: two Completed batches (odd/even split of `part`)
+    * plus a NotProcessed chunking artifact loaded by BulkLoad.bulkLoad
+    * into embedded Derby (truncate + F4 filter + C4 `__sync`
+    * registration in one transaction), verified by reading the
+    * destination back over JDBC.
+    */
+  private def k2BulkLoadQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.salesforce.{BatchInfo, JobInfo}
+    val url = "jdbc:derby:memory:graftk2" +
+      d.replaceAll("[^a-zA-Z0-9]", "_") + ";create=true"
+    val part = t(s, d)("part").select("p_partkey", "p_name", "p_retailprice")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        // idempotent re-run (bench executes the query several times)
+        try st.execute("""DROP TABLE "k2part"""")
+        catch { case e: java.sql.SQLException if e.getSQLState == "42Y55" => () }
+        st.execute("""CREATE TABLE "k2part" (
+          |"p_partkey" BIGINT, "p_name" VARCHAR(128), "p_retailprice" DOUBLE
+          |)""".stripMargin)
+      } finally st.close()
+      val state = new graft.sync.SyncStateStore(conn)
+      try state.install()
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      val job = JobInfo("750K2",
+        batches = Seq(
+          BatchInfo("b-orig", "NotProcessed"),
+          BatchInfo("b-odd", "Completed"),
+          BatchInfo("b-even", "Completed")),
+        numberRecordsProcessed = part.count(),
+        systemModstamp = Some(java.sql.Timestamp.valueOf("2024-03-01 09:30:00")))
+      graft.sync.BulkLoad.bulkLoad(job,
+        graft.sync.SyncConfig("k2part", "p_partkey", "p_partkey"),
+        conn, new graft.sink.DerbyDialect, state, {
+          case BatchInfo("b-odd", _, _) => part.filter(col("p_partkey") % 2 === 1)
+          case _ => part.filter(col("p_partkey") % 2 === 0)
+        })
+    } finally conn.close()
+    s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "\"k2part\"")
+      .load()
+      .orderBy("p_partkey")
+  }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
   // ---- `orders` so the DuckDB oracle can reconstruct them).
@@ -593,6 +643,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s4_csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+    "k2_bulk_load" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames

@@ -30,12 +30,17 @@ object FileOps {
     */
   def jdbcCatalogColumns(spark: SparkSession, url: String,
       tableName: String): DataFrame = {
+    // literal-escape the name (Spark's JDBC source has no bind
+    // parameters for `query`) and reject identifiers no catalog could
+    // contain — user input must not reach the SQL text raw
+    require(tableName.matches("[A-Za-z0-9_$.]{1,128}"),
+      s"suspicious catalog table name: '$tableName'")
     val q =
       s"""SELECT c.COLUMNNAME AS column_name,
          |       CAST(c.COLUMNNUMBER AS INT) AS ordinal_position
          |FROM SYS.SYSCOLUMNS c
          |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
-         |WHERE t.TABLENAME = '$tableName'""".stripMargin
+         |WHERE t.TABLENAME = '${tableName.replace("'", "''")}'""".stripMargin
     spark.read.format("jdbc")
       .option("url", url)
       .option("query", q)
