@@ -1,0 +1,208 @@
+package graft.cli
+
+import java.sql.{DriverManager, Timestamp}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.reverse.{BulkUpload, UploadTransports}
+import graft.sink.{DerbyDialect, PgDialect, SqlDialect}
+import graft.sources.salesforce.{BatchInfo, JobInfo, SfTransports}
+import graft.sync.{BulkLoad, IncrementalSync, SyncConfig, SyncStateStore}
+import graft.types.{SfField, SfSchema}
+
+/** The reference's scriptable workflow as CLI verbs (SURVEY §7.1.7 —
+  * `tabledesc.py`, `query.py`, `query_bulk.py`+`csv_to_postgres.py`,
+  * `sync`/`query_poll_table.py`, `upload_table.py`), each a thin shell
+  * over the library operators so the tool and the API cannot drift:
+  *
+  * {{{
+  * graft.cli.Cli tabledesc --transport t --object Contact [--schema sf]
+  * graft.cli.Cli query     --transport t --object Contact
+  *                         [--fields a,b] [--where W] [--limit N]
+  *                         [--count] [--include-deleted]
+  * graft.cli.Cli bulkload  --transport t --object Contact --jdbc URL
+  *                         --dest tbl --pk Id --ts-col SystemModstamp
+  * graft.cli.Cli sync      --transport t --object Contact --jdbc URL
+  *                         --dest tbl --pk Id --ts-col SystemModstamp
+  *                         [--deleted-col IsDeleted]
+  * graft.cli.Cli upload    --transport t --object Contact --csv FILE
+  *                         [--operation update]
+  * }}}
+  *
+  * Transports are resolved by registry name (SfTransports /
+  * UploadTransports) — production registers an HttpSfTransport built
+  * from connection options; tests register mocks. Output goes to the
+  * supplied sink (stdout in `main`), so specs capture it.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args.toSeq, println(_)))
+
+  /** @return process exit code; output lines go to `out` */
+  def run(args: Seq[String], out: String => Unit): Int = {
+    if (args.isEmpty) { out(usage); return 2 }
+    val verb = args.head
+    val opts = parseOpts(args.tail)
+    try {
+      verb match {
+        case "tabledesc" => tabledesc(opts, out)
+        case "query" => query(opts, out)
+        case "bulkload" => bulkload(opts, out)
+        case "sync" => sync(opts, out)
+        case "upload" => upload(opts, out)
+        case other => out(s"unknown verb '$other'\n$usage"); return 2
+      }
+      0
+    } catch {
+      case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); 2
+      case scala.util.control.NonFatal(e) => out(s"error: $e"); 1
+    }
+  }
+
+  private val usage =
+    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload> [--opt value ...]"
+
+  private def parseOpts(args: Seq[String]): Map[String, String] = {
+    val it = args.iterator
+    val m = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val k = it.next()
+      require(k.startsWith("--"), s"expected --option, got '$k'")
+      val key = k.stripPrefix("--")
+      // boolean flags: no value follows (next token is an option or end)
+      if (key == "count" || key == "include-deleted") m += key -> "true"
+      else {
+        require(it.hasNext, s"missing value for --$key")
+        m += key -> it.next()
+      }
+    }
+    m.result()
+  }
+
+  private def required(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, throw new IllegalArgumentException(s"--$key is required"))
+
+  private def spark: SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def describeFields(opts: Map[String, String]): Seq[SfField] =
+    SfTransports.get(required(opts, "transport"))
+      .describe(required(opts, "object"))
+      .map(m => SfField(m.name, m.sfType, m.length, m.precision, m.scale, m.nillable))
+
+  /** `tabledesc.py` + `createtable.py`: field inventory and the DDL the
+    * destination would get.
+    */
+  private def tabledesc(opts: Map[String, String], out: String => Unit): Unit = {
+    val obj = required(opts, "object")
+    val fields = describeFields(opts)
+    fields.foreach(f => out(
+      s"${f.name}\t${f.sfType}\tlen=${f.length}\tnillable=${f.nillable}"))
+    out(SfSchema.createTableDdl(opts.getOrElse("schema", "salesforce"), obj,
+      SfSchema.defaultSelection(fields)))
+  }
+
+  private def readObject(opts: Map[String, String]): DataFrame = {
+    var r = spark.read.format("salesforce")
+      .option("object", required(opts, "object"))
+      .option("transport", required(opts, "transport"))
+      .option("includeDeleted", opts.getOrElse("include-deleted", "false"))
+    opts.get("chunk-size").foreach(n => r = r.option("chunkSize", n))
+    var df = r.load()
+    opts.get("fields").foreach(f => df = df.select(f.split(",").map(col): _*))
+    opts.get("where").foreach(w => df = df.filter(expr(w)))
+    opts.get("limit").foreach(n => df = df.limit(n.toInt))
+    df
+  }
+
+  /** `query.py`: SOQL through the connector; `--count` mirrors
+    * `query_count` (A1 — answered without fetching rows).
+    */
+  private def query(opts: Map[String, String], out: String => Unit): Unit = {
+    val df = readObject(opts)
+    if (opts.contains("count")) out(df.count().toString)
+    else {
+      out(df.columns.mkString(","))
+      df.collect().foreach(r => out(r.mkString(",")))
+    }
+  }
+
+  private def dialectFor(url: String): SqlDialect =
+    if (url.startsWith("jdbc:derby")) new DerbyDialect else new PgDialect()
+
+  /** `query_bulk.py` + `download.py` + `csv_to_postgres.py`: full
+    * extract → truncate-and-load → C4 bootstrap, as one verb. The
+    * connector does the chunked extract; the load stamps `__sync` with
+    * the extract's max CDC timestamp (the landed-data analogue of the
+    * job's systemModstamp, A2 semantics).
+    */
+  private def bulkload(opts: Map[String, String], out: String => Unit): Unit = {
+    val url = required(opts, "jdbc")
+    val dest = required(opts, "dest")
+    val tsCol = required(opts, "ts-col")
+    val df = readObject(opts)
+    val modstamp = Option(df.agg(max(col(tsCol))).head().getTimestamp(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"source is empty — refusing truncate-and-load of $dest"))
+    val job = JobInfo(s"cli-${System.nanoTime()}",
+      batches = Seq(BatchInfo("b0", "Completed", df.count())),
+      numberRecordsProcessed = df.count(),
+      systemModstamp = Some(modstamp))
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val state = new SyncStateStore(conn)
+      try state.install()
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+      val n = BulkLoad.bulkLoad(job,
+        SyncConfig(dest, required(opts, "pk"), tsCol), conn,
+        dialectFor(url), state, _ => df)
+      out(s"loaded $n rows into $dest; __sync registered at $modstamp")
+    } finally conn.close()
+  }
+
+  /** `sync` / `query_poll_table.py`: one incremental round for one
+    * table — CAS lock, watermark delta via the connector's pushed F2
+    * filter, staged merge, watermark advance, single commit.
+    */
+  private def sync(opts: Map[String, String], out: String => Unit): Unit = {
+    val url = required(opts, "jdbc")
+    val dest = required(opts, "dest")
+    val tsCol = required(opts, "ts-col")
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val state = new SyncStateStore(conn)
+      val syncer = new IncrementalSync(conn, dialectFor(url), state)
+      val cfg = SyncConfig(dest, required(opts, "pk"), tsCol,
+        opts.get("deleted-col"))
+      val result = syncer.syncTable(cfg, { wm: Option[Timestamp] =>
+        var df = readObject(opts + ("include-deleted" -> "true"))
+        wm.foreach(w => df = df.filter(col(tsCol) > lit(w)))
+        df
+      })
+      out(s"sync $dest: $result")
+    } finally conn.close()
+  }
+
+  /** `upload_table.py`: CSV file → chunked bulk-update batches with
+    * per-record results; failures print like the reference's error
+    * report (`upload_table.py:97-103`).
+    */
+  private def upload(opts: Map[String, String], out: String => Unit): Unit = {
+    val csv = required(opts, "csv")
+    val df = spark.read.option("header", "true").csv(csv)
+    val (jobId, results) = BulkUpload.uploadWithResults(df,
+      required(opts, "object"), required(opts, "transport"),
+      opts.getOrElse("operation", "update"))
+    val failed = results.filter(!col("success")).collect()
+    out(s"job $jobId: ${results.count()} records, ${failed.length} failed")
+    failed.foreach(r => out(s"FAILED ${r.getAs[String]("id")}: " +
+      r.getAs[String]("error")))
+  }
+}

@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.{DriverManager, Timestamp}
+import scala.collection.mutable.ArrayBuffer
+
+import graft.cli.Cli
+import graft.reverse.{MockUploadTransport, UploadTransports}
+import graft.sources.salesforce.{MockSfTransport, SfFieldMeta}
+
+/** The CLI verbs (reference entry points `tabledesc.py`, `query.py`,
+  * `query_bulk.py`+`csv_to_postgres.py`, `sync`, `upload_table.py`)
+  * smoke-tested end to end against mock transports and embedded Derby.
+  */
+class CliSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val meta = Seq(
+    SfFieldMeta("Id", "id", length = 18, nillable = false),
+    SfFieldMeta("Name", "string", length = 80),
+    SfFieldMeta("NumEmployees", "int"),
+    SfFieldMeta("IsDeleted", "boolean"),
+    SfFieldMeta("SystemModstamp", "datetime"))
+
+  private def row(id: Int, name: String, n: Int, deleted: Boolean,
+      stamp: String): Map[String, Any] =
+    Map("Id" -> f"003$id%015d", "Name" -> name, "NumEmployees" -> n,
+      "IsDeleted" -> deleted, "SystemModstamp" -> ts(stamp))
+
+  private val v1 = (1 to 20).map(i =>
+    row(i, s"acct-$i", i, deleted = false, "2024-01-05 10:00:00"))
+
+  private def register(name: String, rows: Seq[Map[String, Any]]): MockSfTransport = {
+    val t = new MockSfTransport(Map("Account" -> meta), Map("Account" -> rows))
+    MockSfTransport.register(name, t)
+    t
+  }
+
+  private def runCli(args: String*): (Int, Seq[String]) = {
+    val lines = ArrayBuffer.empty[String]
+    val code = Cli.run(args, lines += _)
+    (code, lines.toSeq)
+  }
+
+  private val jdbc = "jdbc:derby:memory:clispec;create=true"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val conn = DriverManager.getConnection(jdbc)
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE "clidest" (
+        |"Id" VARCHAR(18) NOT NULL PRIMARY KEY, "Name" VARCHAR(80),
+        |"NumEmployees" INT, "IsDeleted" BOOLEAN, "SystemModstamp" TIMESTAMP
+        |)""".stripMargin)
+      st.close()
+    } finally conn.close()
+  }
+
+  test("tabledesc prints the field inventory and generated DDL") {
+    register("cli-t", v1)
+    val (code, out) = runCli("tabledesc", "--transport", "cli-t",
+      "--object", "Account")
+    assert(code == 0)
+    assert(out.exists(_.startsWith("Id\tid")))
+    assert(out.exists(_.contains("CREATE TABLE")))
+  }
+
+  test("query prints header + rows; --count answers from the wire count") {
+    val t = register("cli-q", v1)
+    val (code, out) = runCli("query", "--transport", "cli-q",
+      "--object", "Account", "--fields", "Id,Name", "--limit", "3")
+    assert(code == 0)
+    assert(out.head == "Id,Name")
+    assert(out.length == 4) // header + 3 rows
+    val before = t.countCalls
+    val (c2, out2) = runCli("query", "--transport", "cli-q",
+      "--object", "Account", "--count")
+    assert(c2 == 0 && out2 == Seq("20"))
+    assert(t.countCalls > before) // A1: pushed, not fetched-and-counted
+  }
+
+  test("bulkload truncate-loads the object into Derby and registers __sync") {
+    register("cli-b", v1)
+    val (code, out) = runCli("bulkload", "--transport", "cli-b",
+      "--object", "Account", "--jdbc", jdbc, "--dest", "clidest",
+      "--pk", "Id", "--ts-col", "SystemModstamp")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.startsWith("loaded 20 rows")))
+    val conn = DriverManager.getConnection(jdbc)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT COUNT(*) FROM "clidest"""")
+      rs.next(); assert(rs.getInt(1) == 20)
+      val ss = conn.createStatement().executeQuery(
+        """SELECT syncuntil, status FROM "__sync" WHERE tablename = 'clidest'""")
+      ss.next()
+      assert(ss.getTimestamp(1) == ts("2024-01-05 10:00:00")) // max landed ts
+      assert(ss.getString(2) == "ready")
+    } finally conn.close()
+  }
+
+  test("sync applies an incremental delta: update, insert, soft delete") {
+    // v2: record 1 renamed, record 21 new, record 2 soft-deleted — all
+    // stamped past the bootstrap watermark
+    val v2 = v1.map { r =>
+      r("Id") match {
+        case id: String if id.endsWith("1") && r("NumEmployees") == 1 =>
+          r + ("Name" -> "acct-1-renamed") + ("SystemModstamp" -> ts("2024-01-06 09:00:00"))
+        case id: String if id.endsWith("2") && r("NumEmployees") == 2 =>
+          r + ("IsDeleted" -> true) + ("SystemModstamp" -> ts("2024-01-06 09:00:00"))
+        case _ => r
+      }
+    } :+ row(21, "acct-21", 21, deleted = false, "2024-01-06 09:30:00")
+    register("cli-s", v2)
+    val (code, out) = runCli("sync", "--transport", "cli-s",
+      "--object", "Account", "--jdbc", jdbc, "--dest", "clidest",
+      "--pk", "Id", "--ts-col", "SystemModstamp", "--deleted-col", "IsDeleted")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.contains("Merged")), out.mkString("\n"))
+    val conn = DriverManager.getConnection(jdbc)
+    try {
+      val st = conn.createStatement()
+      val rs = st.executeQuery(
+        """SELECT "Id", "Name" FROM "clidest" ORDER BY "Id"""")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getString(2)).toSeq
+      assert(got.contains("acct-1-renamed")) // J1 update landed
+      assert(got.contains("acct-21")) // insert landed
+      assert(!got.contains("acct-2")) // J2 soft delete propagated
+      assert(got.size == 20) // 20 - 1 deleted + 1 new
+    } finally conn.close()
+  }
+
+  test("upload reports per-record failures from the batch results") {
+    UploadTransports.register("cli-u", new MockUploadTransport(failEvery = 3))
+    val csv = java.io.File.createTempFile("cliupload", ".csv")
+    csv.deleteOnExit()
+    val w = new java.io.PrintWriter(csv)
+    w.println("Id,Name"); (1 to 5).foreach(i => w.println(s"00$i,n$i")); w.close()
+    val (code, out) = runCli("upload", "--transport", "cli-u",
+      "--object", "Account", "--csv", csv.getPath)
+    assert(code == 0, out.mkString("\n"))
+    assert(out.head.matches("job .*: 5 records, 1 failed"), out.mkString("\n"))
+    assert(out.exists(_.startsWith("FAILED")))
+  }
+
+  test("unknown verbs and missing options fail with usage, not stack traces") {
+    val (code, out) = runCli("frobnicate")
+    assert(code == 2 && out.exists(_.contains("usage:")))
+    val (c2, out2) = runCli("query", "--object", "Account")
+    assert(c2 == 2 && out2.exists(_.contains("--transport is required")))
+  }
+}
