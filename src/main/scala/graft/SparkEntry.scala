@@ -108,7 +108,8 @@ object SparkEntry {
     }),
     "sim_neardup_lsh" -> ((s, d) =>
       SimilarityOps.lshNearDup(t(s, d)("embeddings"), 0.463)),
-    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(s, t(s, d)("documents"))),
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(s, t(s, d)("documents")).orderBy("doc_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
     // S4+K4+T2: staged CSV round trip in the reference dialect
     "s4_csv_roundtrip" -> ((s, d) => {

@@ -169,11 +169,24 @@ object Cli {
   /** `sync` / `query_poll_table.py`: one incremental round for one
     * table — CAS lock, watermark delta via the connector's pushed F2
     * filter, staged merge, watermark advance, single commit.
+    * `--max-delta N` adds the bulk-vs-poll preflight (`README.rst:68`):
+    * a wire-side `SELECT COUNT() ... WHERE ts > watermark` decides
+    * whether to stop and report NeedsFullReload instead of fetching.
     */
   private def sync(opts: Map[String, String], out: String => Unit): Unit = {
     val url = required(opts, "jdbc")
     val dest = required(opts, "dest")
     val tsCol = required(opts, "ts-col")
+    val obj = required(opts, "object")
+    val transport = SfTransports.get(required(opts, "transport"))
+    val isoZ = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+    val maxDelta = opts.get("max-delta").map(_.toLong)
+    val countFn = maxDelta.map { _ => (wm: Option[Timestamp]) =>
+      transport.count(obj,
+        wm.map(w => s"$tsCol > ${isoZ.format(w.toInstant)}"),
+        includeDeleted = true)
+    }
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
@@ -185,7 +198,7 @@ object Cli {
         var df = readObject(opts + ("include-deleted" -> "true"))
         wm.foreach(w => df = df.filter(col(tsCol) > lit(w)))
         df
-      })
+      }, countFn, maxDelta.getOrElse(Long.MaxValue))
       out(s"sync $dest: $result")
     } finally conn.close()
   }

@@ -50,11 +50,14 @@ object Multimodal {
     val bin = documents.select(col("doc_id"),
       col("text").cast("binary").as("payload"))
     val enc = Encoders.row(mediaMetaSchema)
+    // no presentation orderBy here: composed pipelines (frameSample)
+    // must not inherit a global sort mid-stream — callers that need
+    // order sort their final output
     bin.mapPartitions { rows =>
       rows.map { r =>
         fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))
       }
-    }(enc).orderBy("doc_id")
+    }(enc)
   }
 
   /** Frame-sample plumbing: one row per sampled "frame" (generator

@@ -27,8 +27,11 @@ import org.apache.spark.sql.graft.DatasetShim
   * each — exactly a sort-merge join's movement), each partition then
   * streams BOTH sorted iterators ONCE with a single-row right-side
   * lookback — no per-key buffering, no match amplification, memory
-  * O(1) beyond the sort. Skewed keys behave like SMJ (AQE handles
-  * them); 100 TB behavior is the same as a plain equi-SMJ.
+  * O(1) beyond the sort. Skew caveat: AQE's OptimizeSkewedJoin only
+  * rewrites built-in SMJ/SHJ nodes, so a skewed partition feeding this
+  * exec is NOT split — AQE still coalesces small partitions, but a hot
+  * key needs salting (suffix the key, replicate the right side) like
+  * any custom exec at 100 TB.
   */
 final case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -207,10 +210,22 @@ object AsofJoin {
       if (rPlan0.outputSet.intersect(lPlan.outputSet).nonEmpty)
         Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
       else rPlan0
-    def resolve(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name.equalsIgnoreCase(n)).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    // honor the session's case-sensitivity resolution rule, and refuse
+    // ambiguous names (duplicates are common right after a self-join
+    // re-alias) instead of silently picking the first match
+    val caseSensitive = left.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def resolve(p: LogicalPlan, n: String): Attribute = {
+      val matches = p.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.size} attributes match " +
+            s"[${many.map(_.name).mkString(", ")}] — alias the inputs first")
+      }
+    }
     val lk = leftKeys.map(resolve(lPlan, _))
     val rk = rightKeys.map(resolve(rPlan, _))
     require(lk.size == rk.size && lk.zip(rk).forall { case (a, b) => a.dataType == b.dataType },

@@ -33,6 +33,12 @@ object SyncResult {
   case object LockBusy extends SyncResult
   case object NoChange extends SyncResult
   final case class Merged(rows: Long, newWatermark: Timestamp) extends SyncResult
+  /** Preflight verdict: the delta is too big for the poll path — run
+    * the bulk extract + truncate-and-load instead (`README.rst:68`
+    * watchdog TODO; the count comes from A1's pushed
+    * `SELECT COUNT() ... WHERE ts > watermark`, so nothing is fetched).
+    */
+  final case class NeedsFullReload(estimatedRows: Long) extends SyncResult
 }
 
 final class IncrementalSync(conn: Connection, dialect: SqlDialect,
@@ -42,9 +48,19 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
     * strictly-greater-than delta including soft-deleted rows (F2
     * semantics; the caller wires the actual source — connector, file,
     * or test fixture).
+    *
+    * `countDelta` is the optional bulk-vs-poll preflight
+    * (`README.rst:68`): a cheap wire-side `SELECT COUNT() ... WHERE
+    * ts > watermark` (A1 over F2's predicate). When it reports more
+    * than `maxDeltaRows`, the round stops BEFORE fetching anything and
+    * returns [[SyncResult.NeedsFullReload]] — the orchestrator then
+    * takes the bulk path (`BulkLoad.bulkLoad`), which is cheaper than
+    * streaming an oversized delta through the poll machinery.
     */
   def syncTable(cfg: SyncConfig,
-      fetchDelta: Option[Timestamp] => DataFrame): SyncResult = {
+      fetchDelta: Option[Timestamp] => DataFrame,
+      countDelta: Option[Option[Timestamp] => Long] = None,
+      maxDeltaRows: Long = Long.MaxValue): SyncResult = {
     if (cfg.parallelStaging && !dialect.supportsParallelStaging)
       throw new IllegalArgumentException(
         s"dialect ${dialect.getClass.getSimpleName} cannot create a " +
@@ -53,18 +69,26 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
     if (!state.tryLock(cfg.tablename)) return SyncResult.LockBusy
     try {
       val watermark = state.get(cfg.tablename).flatMap(_.syncuntil)
-      val delta = fetchDelta(watermark)
-      if (delta.isEmpty) {                       // C2 fast path
+      val tooBig = countDelta.map(_(watermark)).filter(_ > maxDeltaRows)
+      if (tooBig.isDefined) {
+        // release the lock; the bulk path will re-register state (C4)
         state.touch(cfg.tablename)
         conn.commit()
-        SyncResult.NoChange
+        SyncResult.NeedsFullReload(tooBig.get)
       } else {
-        val deduped = MergeOps.dedupLastWins(delta, cfg.pk, cfg.tsCol)
-        val n = stageAndMerge(cfg, deduped)
-        val wm = maxLandedTs(cfg)                // A2: from landed data
-        state.finish(cfg.tablename, wm)
-        conn.commit()                            // one txn: merge + state
-        SyncResult.Merged(n, wm.orNull)
+        val delta = fetchDelta(watermark)
+        if (delta.isEmpty) {                     // C2 fast path
+          state.touch(cfg.tablename)
+          conn.commit()
+          SyncResult.NoChange
+        } else {
+          val deduped = MergeOps.dedupLastWins(delta, cfg.pk, cfg.tsCol)
+          val n = stageAndMerge(cfg, deduped)
+          val wm = maxLandedTs(cfg)              // A2: from landed data
+          state.finish(cfg.tablename, wm)
+          conn.commit()                          // one txn: merge + state
+          SyncResult.Merged(n, wm.orNull)
+        }
       }
     } catch {
       case e: Throwable =>

@@ -51,6 +51,17 @@ class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.count() == 4)
   }
 
+  test("ambiguous column names are refused, not silently resolved") {
+    import spark.implicits._
+    // "k" differs from "K" only by case → ambiguous when case-insensitive
+    val dup = Seq((1L, 2L, ts("2024-01-02 00:00:00"))).toDF("k", "K", "lts")
+    val r = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("rk", "rts")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(dup, r, Seq("k"), Seq("rk"), "lts", "rts")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("null keys and null timestamps never match") {
     val l = Seq((Option(1L), Option(ts("2024-01-01 10:00:00")), "a"),
       (None, Option(ts("2024-01-01 10:00:00")), "b"),

@@ -99,6 +99,23 @@ class SyncSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r == SyncResult.NoChange)
   }
 
+  test("oversized delta preflight switches to full reload without fetching") {
+    // wire-count says 1M rows pending: poll path must stop BEFORE
+    // fetching and hand control to the bulk path (README.rst:68)
+    var countedFrom: Option[Timestamp] = None
+    val r = sync.syncTable(cfg,
+      _ => fail("preflight must prevent the fetch"),
+      countDelta = Some { wm => countedFrom = wm; 1000000L },
+      maxDeltaRows = 50000L)
+    assert(r == SyncResult.NeedsFullReload(1000000L))
+    assert(countedFrom.isDefined) // counted WITH the watermark predicate
+    assert(state.get("contacts").exists(_.status == "ready")) // lock released
+    // a small delta sails through the same preflight
+    val r2 = sync.syncTable(cfg, _ => delta().filter($"pk" < 0),
+      countDelta = Some(_ => 10L), maxDeltaRows = 50000L)
+    assert(r2 == SyncResult.NoChange)
+  }
+
   test("lock is exclusive: running table refuses a second sync") {
     assert(state.tryLock("contacts"))
     conn.commit()
