@@ -56,6 +56,11 @@ object SparkEntry {
     "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
     "j5_range_join" -> ((s, d) =>
       Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    "j6_salted_skew_join" -> ((s, d) =>
+      Relational.j6SaltedSkewJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    // sketch aggregates: algorithm-specific outputs, rows-only check
+    "a6_approx_distinct" -> ((s, d) => Relational.a6ApproxDistinct(t(s, d)("events"))),
+    "a7_approx_quantile" -> ((s, d) => Relational.a7ApproxQuantiles(t(s, d)("lineitem"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
     "asof_join" -> ((s, d) => {
@@ -87,6 +92,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
+    "dedup_simhash64" -> ((s, d) => DedupOps.simhash64(t(s, d)("documents"))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(t(s, d)("documents"))),
     "dedup_embedding_cosine" -> ((s, d) =>
       SimilarityOps.cosineNearDup(t(s, d)("embeddings"), 0.463)
@@ -559,6 +565,23 @@ object SparkEntry {
       s"""WITH $ToksCte,
          |$SimhashSigCte
          |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_simhash64" ->
+      s"""WITH $ToksCte,
+         |$Simhash64SigCte
+         |SELECT doc_id, simhash_hi, simhash_lo FROM sig ORDER BY doc_id""".stripMargin,
+    "j6_salted_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey % 500 END AS k,
+        |         l_quantity
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT o_orderkey % 500 AS dk,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS dim_total
+        |  FROM orders GROUP BY 1)
+        |SELECT k, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       MAX(dim_total) AS dim_total
+        |FROM f JOIN d ON f.k = d.dk
+        |GROUP BY k ORDER BY k""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $ToksCte,
          |$SimhashSigCte
@@ -718,6 +741,30 @@ object SparkEntry {
       |  SELECT doc_id,
       |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM s GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB-side 64-bit simhash as two exact 32-bit halves (mirrors
+    * DedupOps.simhash64: h1 = md5(tok), h2 = md5('x'||tok)).
+    */
+  private val Simhash64SigCte = {
+    def h32(arg: String) =
+      s"CAST(list_sum(list_transform(range(1, 9), i -> " +
+        s"(strpos('0123456789abcdef', substr(md5($arg), i, 1)) - 1) * power(16, 8 - i))) AS BIGINT)"
+    s"""tok AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(ws) AS tok FROM toks)),
+       |h AS (
+       |  SELECT doc_id, ${h32("tok")} AS h1, ${h32("'x' || tok")} AS h2
+       |  FROM tok),
+       |bits AS (SELECT doc_id, h1, h2, unnest(range(0, 32)) AS b FROM h),
+       |s AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h1 >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+       |    sum(CASE WHEN (h2 >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s2
+       |  FROM bits GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash_hi,
+       |    CAST(sum(CASE WHEN s2 > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash_lo
+       |  FROM s GROUP BY doc_id)""".stripMargin
+  }
 
   /** DuckDB-side cosine over two FLOAT[] columns — same element-wise
     * double cast + sequential accumulation as SimilarityOps.cosineExpr.

@@ -176,6 +176,37 @@ object DedupOps {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** 64-bit SimHash (the production width noted on [[simhash]]): 64
+    * independent hyperplane bits from TWO 32-bit token hashes —
+    * md5(tok) for the high half, md5('x'||tok) for the low half. The
+    * halves stay separate columns (simhash_hi, simhash_lo) so every
+    * value is an exactly-representable non-negative BIGINT on both
+    * engines (a packed 64-bit value would wrap signed and the SQL
+    * oracle's double-based list_sum loses exactness past 2^53).
+    * Hamming distance = bit_count(xor(hi)) + bit_count(xor(lo)).
+    * Same plan shape as [[simhash]]: narrow map + ONE groupBy whose 64
+    * sums partial-aggregate map-side.
+    */
+  def simhash64(documents: DataFrame): DataFrame = {
+    def bits(h: String, p: String) = (0 until 32).map(b =>
+      when(expr(s"shiftright($h, $b) & 1") === 1, 1).otherwise(-1).as(s"$p$b"))
+    val sums = (Seq("a", "b").flatMap(p => (0 until 32).map(b =>
+      sum(col(s"$p$b")).as(s"s$p$b"))))
+    def fold(p: String) = (0 until 32)
+      .map(b => when(col(s"s$p$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    documents
+      .select(col("doc_id"), explode(array_distinct(TextOps.toksCol)).as("tok"))
+      .withColumn("h1", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2",
+        conv(substring(md5(concat(lit("x"), col("tok"))), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id") +: (bits("h1", "a") ++ bits("h2", "b")): _*)
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fold("a").as("simhash_hi"), fold("b").as("simhash_lo"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 4 bands of 8 bits as LSH keys — any pair
     * within Hamming distance 3 differs in at most 3 bands, so at least
     * one band matches (pigeonhole): banding is EXACT for distance<=3,

@@ -306,6 +306,34 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Approximate distinct count per group — HyperLogLog++ sketch, the
+    * 100 TB replacement for exact countDistinct when the key set no
+    * longer fits a hash table per group: fixed-size sketch, map-side
+    * mergeable, one narrow shuffle. Sketch output is algorithm-specific
+    * (no cross-engine oracle); the spec bounds its error vs the exact
+    * count instead.
+    */
+  def a6ApproxDistinct(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Approximate quantiles per group — a mergeable quantile sketch
+    * (Greenwald-Khanna style) instead of [[a4Percentiles]]'s exact
+    * sort-based percentile: bounded memory at any scale. Returns real
+    * data values, not interpolations; spec-checked against the exact
+    * quantiles within the sketch's rank-error bound.
+    */
+  def a7ApproxQuantiles(lineitem: DataFrame, accuracy: Int = 10000): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_quantity, array(0.5D, 0.95D), $accuracy)").as("q"))
+      .select(col("l_returnflag"),
+        col("q")(0).as("p50_approx"), col("q")(1).as("p95_approx"))
+      .orderBy("l_returnflag")
+
   /** Exact distinct-count per group. Spark plans this as a two-phase
     * aggregate (partial distinct on (key, value), then count) — the
     * skew-robust shape — without manual salting.
@@ -331,6 +359,54 @@ object Relational {
         coalesce(col("l_linestatus"), lit("_ALL_")).as("linestatus"),
         col("sum_qty"))
       .orderBy("returnflag", "linestatus")
+
+  /** Skew-tolerant equi-join by salting: the big (skewed) side gets a
+    * deterministic per-row salt in [0, saltCount), the small side is
+    * replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread across `saltCount` shuffle
+    * partitions instead of landing on one straggler task. Row
+    * multiplicity is unchanged: each big row meets exactly one replica
+    * of every matching small row. This is the manual mitigation for
+    * skew that AQE cannot split (custom execs, aggregation-free joins
+    * feeding further stages) — the standard 100 TB salting recipe.
+    * Cost: small side inflated ×saltCount — keep saltCount modest and
+    * the small side genuinely small.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltCount: Int): DataFrame = {
+    require(saltCount >= 1, "saltCount must be >= 1")
+    // salt from the whole row hash: deterministic, uniform, and not a
+    // function of the (skewed) key alone
+    val salted = big.withColumn("_salt_b",
+      pmod(hash(big.columns.map(col): _*), lit(saltCount)))
+    val replicated = small.withColumn("_salt_s",
+      explode(expr(s"sequence(0, ${saltCount - 1})")))
+    salted.join(replicated,
+        salted.col(bigKey) === replicated.col(smallKey) &&
+        col("_salt_b") === col("_salt_s"))
+      .drop("_salt_b", "_salt_s")
+  }
+
+  /** Salted-join demonstration query: a fact key where a quarter of
+    * all rows collide on one value (the classic hot-key shape) joined
+    * to a per-key dimension aggregate — results identical to the plain
+    * join, shuffle spread over (key, salt).
+    */
+  def j6SaltedSkewJoin(lineitem: DataFrame, orders: DataFrame,
+      saltCount: Int = 16): DataFrame = {
+    val facts = lineitem.select(
+      when(col("l_orderkey") % 4 === 0, 0L)
+        .otherwise(col("l_orderkey") % 500).as("k"),
+      col("l_quantity"))
+    val dim = orders
+      .groupBy((col("o_orderkey") % 500).as("dk"))
+      .agg(dsum(col("o_totalprice")).as("dim_total"))
+    saltedJoin(facts, dim, "k", "dk", saltCount)
+      .groupBy("k")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        max(col("dim_total")).as("dim_total"))
+      .orderBy("k")
+  }
 
   /** Window running aggregate (free from Spark; absent in reference —
     * part of the engine's superset surface).

@@ -285,6 +285,37 @@ final class HttpSfTransport(
     else if (n.isNumber) n.doubleValue()
     else n.asText()
 
+  // ---- S7: Get Updated / Get Deleted ----------------------------------
+
+  private val IsoTz = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss'+00:00'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private def rangeUrl(objectName: String, resource: String,
+      start: java.sql.Timestamp, end: java.sql.Timestamp): String =
+    restBase + s"sobjects/$objectName/$resource/?start=" +
+      URLEncoder.encode(IsoTz.format(start.toInstant), "UTF-8") +
+      "&end=" + URLEncoder.encode(IsoTz.format(end.toInstant), "UTF-8")
+
+  /** GET sobjects/{name}/updated/?start=…&end=… → {"ids":[…]}
+    * (`api.py:737-754`; surfaced by `query.py:26-34`).
+    */
+  override def updatedIds(objectName: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Seq[String] =
+    restGetJson(rangeUrl(objectName, "updated", start, end))
+      .path("ids").elements().asScala.map(_.asText()).toSeq
+
+  /** GET sobjects/{name}/deleted/?start=…&end=… →
+    * {"deletedRecords":[{"id":…,"deletedDate":…}]} (`api.py:715-735`).
+    */
+  override def deletedIds(objectName: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Seq[(String, java.sql.Timestamp)] =
+    restGetJson(rangeUrl(objectName, "deleted", start, end))
+      .path("deletedRecords").elements().asScala.map { r =>
+        r.get("id").asText() ->
+          java.sql.Timestamp.from(java.time.Instant.parse(r.get("deletedDate").asText()))
+      }.toSeq
+
   // ---- Bulk path: batch download --------------------------------------
 
   /** One server-side batch → rows: poll the batch to Completed, list

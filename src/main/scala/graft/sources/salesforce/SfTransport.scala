@@ -38,6 +38,19 @@ trait SfTransport extends Serializable {
   def query(objectName: String, fields: Seq[String], where: Option[String],
       limit: Option[Int], includeDeleted: Boolean,
       pkRange: Option[(String, String)]): Iterator[Map[String, Any]]
+
+  /** S7 — ids of records modified or added inside [start, end] (the
+    * Get Updated resource, `query.py:26-34`,
+    * `simple_salesforce/api.py:737-754`).
+    */
+  def updatedIds(objectName: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Seq[String]
+
+  /** S7 — (id, deletedDate) of records deleted inside [start, end]
+    * (the Get Deleted resource, `api.py:715-735`).
+    */
+  def deletedIds(objectName: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Seq[(String, java.sql.Timestamp)]
 }
 
 final case class SfFieldMeta(name: String, sfType: String, length: Int = 0,
@@ -175,4 +188,26 @@ final class MockSfTransport(
     limit.foreach(n => rs = rs.take(n))
     rs.iterator.map(_.view.filterKeys(fields.contains).toMap)
   }
+
+  private def inRange(r: Map[String, Any], start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Boolean = r.get("SystemModstamp") match {
+    case Some(ts: java.sql.Timestamp) =>
+      !ts.before(start) && !ts.after(end)
+    case _ => false
+  }
+
+  override def updatedIds(objectName: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Seq[String] =
+    rows(objectName)
+      .filterNot(_.get("IsDeleted").contains(true))
+      .filter(inRange(_, start, end))
+      .map(_("Id").toString)
+
+  override def deletedIds(objectName: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp): Seq[(String, java.sql.Timestamp)] =
+    rows(objectName)
+      .filter(_.get("IsDeleted").contains(true))
+      .filter(inRange(_, start, end))
+      .map(r => r("Id").toString ->
+        r("SystemModstamp").asInstanceOf[java.sql.Timestamp])
 }

@@ -70,6 +70,42 @@ class BreadthOpsSpec extends SparkSpec {
     assert(out == Set((1L, 1, 2L), (2L, 1, 2L)))
   }
 
+  test("saltedJoin matches the plain join on skewed data, spreads the key") {
+    // 70% of facts share one key — the hot-key shape salting exists for
+    val facts = (1 to 200).map(i =>
+      (if (i <= 140) 1L else (i % 20).toLong, i.toDouble)).toDF("k", "v")
+    val dim = (0 to 19).map(i => (i.toLong, s"dim-$i")).toDF("dk", "name")
+    val plain = facts.join(dim, col("k") === col("dk"))
+      .select("k", "v", "name").collect().toSet
+    val salted = Relational.saltedJoin(facts, dim, "k", "dk", 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain) // identical multiset (rows unique here)
+    val p = Relational.saltedJoin(facts, dim, "k", "dk", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("_salt_"), "salt column missing from the join plan")
+  }
+
+  test("approx sketches stay within error bounds of the exact answers") {
+    val ev = Tables(spark, sf0001, "events")
+    val exact = Relational.a5DistinctCount(ev)
+      .select("event_type", "n_users").as[(String, Long)].collect().toMap
+    val approx = Relational.a6ApproxDistinct(ev)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    approx.foreach { case (t, a) =>
+      val e = exact(t).toDouble
+      assert(math.abs(a - e) / e <= 0.10, s"$t: approx $a vs exact $e") // 2% rsd, wide margin
+    }
+    val li = Tables(spark, sf0001, "lineitem")
+    val exactQ = Relational.a4Percentiles(li)
+      .select("l_returnflag", "p50").as[(String, Double)].collect().toMap
+    Relational.a7ApproxQuantiles(li)
+      .select("l_returnflag", "p50_approx").as[(String, Double)].collect()
+      .foreach { case (f, p50a) =>
+        assert(math.abs(p50a - exactQ(f)) <= 2.0,
+          s"$f: approx p50 $p50a vs exact ${exactQ(f)}")
+      }
+  }
+
   test("bigramFreq counts overlapping bigrams with deterministic ties") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val out = TextOps.bigramFreq(docs, 3).as[(String, Long)].collect().toSeq

@@ -5,6 +5,25 @@ import graft.operators.{DedupOps, TextOps}
 
 /** Near-dup + text-analysis operator semantics on controlled inputs. */
 class DedupSpec extends SparkSpec {
+
+  test("simhash64: equal docs share both halves; halves are independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely different content about spark engines")).toDF("doc_id", "text")
+    val sig = graft.operators.DedupOps.simhash64(docs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, hi, lo) => k -> (hi, lo) }.toMap
+    assert(sig(1L) == sig(2L)) // identical text → identical 64-bit signature
+    assert(sig(1L) != sig(3L))
+    // both halves carry signal (not a duplicated 32-bit hash)
+    assert(sig(1L)._1 != sig(1L)._2)
+    // every half fits a non-negative 32-bit range (exact in BIGINT)
+    sig.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32))
+    }
+  }
   import spark.implicits._
 
   private val docA = "the quick brown fox jumps over the lazy dog again and again"

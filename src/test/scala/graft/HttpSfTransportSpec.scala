@@ -2,6 +2,7 @@ package graft
 
 import java.io.OutputStream
 import java.net.InetSocketAddress
+import java.sql.Timestamp
 import java.net.URLDecoder
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.collection.concurrent.TrieMap
@@ -115,6 +116,15 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
             else respond(ex, Page1)
           case ("GET", "/services/data/v52.0/query/01gRR-2000") =>
             respond(ex, Page2)
+          case ("GET", "/services/data/v52.0/sobjects/Contact/updated/") =>
+            seen.put("updatedRange", ex.getRequestURI.getRawQuery)
+            respond(ex,
+              """{"ids":["001A","001B"],"latestDateCovered":"2024-02-01T00:00:00.000+0000"}""")
+          case ("GET", "/services/data/v52.0/sobjects/Contact/deleted/") =>
+            respond(ex,
+              """{"deletedRecords":[{"id":"001Z","deletedDate":"2024-01-15T08:30:00.000Z"}],
+                |"earliestDateAvailable":"2024-01-01T00:00:00.000+0000",
+                |"latestDateCovered":"2024-02-01T00:00:00.000+0000"}""".stripMargin)
           case ("GET", p) if p.startsWith("/services/data/v52.0/query") =>
             seen.put("querySoql", q)
             if (q.startsWith("SELECT COUNT()")) respond(ex,
@@ -225,6 +235,19 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
     assert(n == 17L)
     assert(seen("querySoql") ==
       "SELECT COUNT() FROM Contact WHERE NumEmployees > 5")
+  }
+
+  test("updated/deleted id-range resources parse ids and timestamps") {
+    val t = transport()
+    val s = Timestamp.valueOf("2024-01-01 00:00:00")
+    val e = Timestamp.valueOf("2024-02-01 00:00:00")
+    assert(t.updatedIds("Contact", s, e) == Seq("001A", "001B"))
+    // start/end rendered as URL-encoded ISO8601 with explicit +00:00
+    assert(seen("updatedRange").toString ==
+      "start=2024-01-01T00%3A00%3A00%2B00%3A00&end=2024-02-01T00%3A00%3A00%2B00%3A00")
+    val del = t.deletedIds("Contact", s, e)
+    assert(del == Seq("001Z" ->
+      Timestamp.from(java.time.Instant.parse("2024-01-15T08:30:00.000Z"))))
   }
 
   // ---- bulk path ------------------------------------------------------
