@@ -35,23 +35,29 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
     }
-    // min of three timed passes per query: the environment shows bursty
-    // external CPU steal; the minimum is the faithful engine cost.
-    // A query that throws is reported loudly (stderr + "failures" in the
-    // JSON line) instead of benching as a ~0 s phantom success.
+    // min over timed passes per query, passes INTERLEAVED across the
+    // whole suite (pass 1 of every query, then pass 2, ...): the
+    // environment shows bursty external CPU steal lasting seconds — a
+    // burst during consecutive per-query repeats poisons all of that
+    // query's samples, while interleaving gives each query samples from
+    // well-separated wall-clock windows, so the min is the faithful
+    // engine cost. A query that throws is reported loudly (stderr +
+    // "failures" in the JSON line) instead of benching as a ~0 s
+    // phantom success.
     var failures = Map.empty[String, String]
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            failures += name -> e.toString.linesIterator.next()
-            System.err.println(s"[bench] FAILED $name: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val names = queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; name <- names) {
+      val t0 = System.nanoTime()
+      try { queries(name)(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures += name -> e.toString.linesIterator.next()
+          System.err.println(s"[bench] FAILED $name: $e")
       }
-      name -> times.min
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples.updateWith(name)(s => Some(dt :: s.getOrElse(Nil)))
     }
+    val results = names.map(n => n -> samples(n).min)
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
