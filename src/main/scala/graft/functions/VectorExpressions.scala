@@ -197,6 +197,12 @@ object GraftFunctions {
     ColumnShim.column(HyperplaneSignature(
       ColumnShim.expression(v), numPlanes, planeOffset))
 
+  /** one row per (arr[i], arr[j]) pair with i < j — lazy candidate-pair
+    * expansion for bucketed dedup.
+    */
+  def pair_explode(arr: Column): Column =
+    ColumnShim.column(PairExplode(ColumnShim.expression(arr)))
+
   /** count of sorted-array elements in [lo, hi] — two binary searches,
     * codegen'd; the broadcast-range-join kernel.
     */

@@ -134,12 +134,13 @@ object DedupOps {
     shingleRows(documents).groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2), i ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), y ->
-          |    named_struct('a', ds[i], 'b', y))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
-        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+      // lazy custom generator: one row per in-bucket pair, no O(k²)
+      // array materialization, no interpreted lambda per element
+      // (graft.functions.PairExplode)
+      .select(graft.functions.GraftFunctions.pair_explode(col("ds"))
+        .as(Seq("a", "b")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
