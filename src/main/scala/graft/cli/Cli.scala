@@ -51,6 +51,8 @@ object Cli {
         case "bulkload" => bulkload(opts, out)
         case "sync" => sync(opts, out)
         case "upload" => upload(opts, out)
+        case "abort" => abort(opts, out)
+        case "gc" => gc(opts, out)
         case other => out(s"unknown verb '$other'\n$usage"); return 2
       }
       0
@@ -61,7 +63,7 @@ object Cli {
   }
 
   private val usage =
-    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload> [--opt value ...]"
+    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|abort|gc> [--opt value ...]"
 
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val it = args.iterator
@@ -201,6 +203,31 @@ object Cli {
       }, countFn, maxDelta.getOrElse(Long.MaxValue))
       out(s"sync $dest: $result")
     } finally conn.close()
+  }
+
+  /** `abort_refresh.py`: cancel a table's running sync jobs and mark
+    * its state row 'error' so auto-sync halts until an operator
+    * re-registers (C7).
+    */
+  private def abort(opts: Map[String, String], out: String => Unit): Unit = {
+    val dest = required(opts, "dest")
+    val conn = DriverManager.getConnection(required(opts, "jdbc"))
+    try {
+      conn.setAutoCommit(false)
+      val state = new SyncStateStore(conn)
+      new graft.sync.Scheduler(spark, _ => sys.error("abort spawns no workers"))
+        .abort(dest, state)
+      conn.commit()
+      out(s"aborted $dest: jobs cancelled, status=error")
+    } finally conn.close()
+  }
+
+  /** `delete_old_jobs_data.sh`: staging-area retention sweep (C8). */
+  private def gc(opts: Map[String, String], out: String => Unit): Unit = {
+    val dir = new java.io.File(required(opts, "dir"))
+    val days = opts.getOrElse("days", "7").toInt
+    val n = graft.sync.StagingGc.sweep(dir, days)
+    out(s"removed $n entries older than $days days from ${dir.getPath}")
   }
 
   /** `upload_table.py`: CSV file → chunked bulk-update batches with

@@ -15,6 +15,11 @@ import graft.reverse.{BulkUpload, UploadResult}
 final class SfApiError(val statusCode: Int, message: String)
     extends RuntimeException(s"[$statusCode] $message")
 
+/** Parsed `Sforce-Limit-Info` api-usage (`api.py:472-485` Usage). */
+final case class ApiUsage(used: Long, total: Long) {
+  def fractionUsed: Double = if (total == 0) 0.0 else used.toDouble / total
+}
+
 /** Production [[SfTransport]] + [[BulkUpload.UploadTransport]]: the
   * wire protocols the reference speaks, over real HTTP.
   *
@@ -80,11 +85,24 @@ final class HttpSfTransport(
     throw new IllegalStateException("unreachable")
   }
 
+  /** Latest `Sforce-Limit-Info: api-usage=used/total` seen on a REST
+    * response (`api.py:466-500`) — quota observability so an
+    * orchestrator can throttle before the org's daily limit trips.
+    */
+  @volatile var apiUsage: Option[ApiUsage] = None
+
+  private val UsagePattern = """[^-]?api-usage=(\d+)/(\d+).*""".r
+
   private def restGetJson(url: String): JsonNode = {
     val resp = send(HttpRequest.newBuilder(java.net.URI.create(url))
       .header("Authorization", "Bearer " + sessionId)
       .header("Content-Type", "application/json")
       .GET())
+    resp.headers().firstValue("Sforce-Limit-Info").ifPresent {
+      case UsagePattern(used, total) =>
+        apiUsage = Some(ApiUsage(used.toLong, total.toLong))
+      case _ => ()
+    }
     mapper.readTree(new String(resp.body(), UTF_8))
   }
 

@@ -145,6 +145,28 @@ class CliSpec extends SparkSpec {
     assert(out.exists(_.startsWith("FAILED")))
   }
 
+  test("abort cancels the table's sync and parks it in error state") {
+    val (code, out) = runCli("abort", "--jdbc", jdbc, "--dest", "clidest")
+    assert(code == 0, out.mkString("\n"))
+    val conn = DriverManager.getConnection(jdbc)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT status FROM "__sync" WHERE tablename = 'clidest'""")
+      rs.next(); assert(rs.getString(1) == "error")
+    } finally conn.close()
+  }
+
+  test("gc sweeps staging entries older than the retention window") {
+    val dir = java.nio.file.Files.createTempDirectory("cligc").toFile
+    val old = new java.io.File(dir, "job-old"); old.mkdir()
+    new java.io.PrintWriter(new java.io.File(old, "b.csv")) { write("x"); close() }
+    old.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    val fresh = new java.io.File(dir, "job-new"); fresh.mkdir()
+    val (code, out) = runCli("gc", "--dir", dir.getPath, "--days", "7")
+    assert(code == 0 && out.head.startsWith("removed 1 "))
+    assert(!old.exists() && fresh.exists())
+  }
+
   test("unknown verbs and missing options fail with usage, not stack traces") {
     val (code, out) = runCli("frobnicate")
     assert(code == 2 && out.exists(_.contains("usage:")))

@@ -108,6 +108,8 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
           // ---- REST
           case ("GET", "/services/data/v52.0/sobjects/Contact/describe") =>
             seen.put("describeAuth", ex.getRequestHeaders.getFirst("Authorization"))
+            ex.getResponseHeaders.set("Sforce-Limit-Info",
+              "api-usage=18/15000; per-app-api-usage=2/250(appName=graft)")
             respond(ex, DescribeJson)
           case ("GET", p) if p.startsWith("/services/data/v52.0/queryAll") =>
             seen.put("queryAllSoql", q)
@@ -206,10 +208,13 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
   // ---- REST path ------------------------------------------------------
 
   test("describe parses field metadata and sends Bearer auth") {
-    val metas = transport().describe("Contact")
+    val t = transport()
+    val metas = t.describe("Contact")
     assert(metas.map(_.name) == Seq("Id", "Name", "NumEmployees"))
     assert(metas.head.length == 18 && !metas.head.nillable)
     assert(seen("describeAuth") == "Bearer SESSION-TOKEN")
+    // quota observability: Sforce-Limit-Info parsed off the response
+    assert(t.apiUsage.contains(graft.sources.salesforce.ApiUsage(18L, 15000L)))
   }
 
   test("REST query follows nextRecordsUrl across pages and strips NUL") {
