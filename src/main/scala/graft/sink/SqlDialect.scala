@@ -55,6 +55,16 @@ trait SqlDialect {
   def dropSql(table: String): String = s"DROP TABLE $table"
 
   def truncateSql(table: String): String = s"TRUNCATE TABLE $table"
+
+  /** K1 fast path: `COPY ... FROM STDIN` SQL for streaming a CSV into
+    * the destination through the wire protocol
+    * (`csv_to_postgres.py:38-45`). `forceNullCols` lists nullable
+    * columns whose empty CSV field must become NULL (the reference's
+    * FORCE_NULL over nillable sync fields). None when the dialect has
+    * no bulk-copy protocol — callers fall back to batched INSERTs.
+    */
+  def copyInSql(dest: String, cols: Seq[String],
+      forceNullCols: Seq[String]): Option[String] = None
 }
 
 /** Faithful PostgreSQL dialect (`query_poll_table.py`, `pg.py`). */
@@ -85,6 +95,20 @@ final class PgDialect(quoteNames: Boolean = true) extends SqlDialect {
       isDeleted: String): String =
     s"DELETE FROM $dest WHERE ${quoteIdent(pk)} IN " +
       s"(SELECT ${quoteIdent(pk)} FROM $staging WHERE ${quoteIdent(isDeleted)})"
+
+  /** `COPY t (c1,…) FROM STDIN WITH (FORMAT csv, HEADER, FORCE_NULL
+    * (…))` — byte-faithful to `csv_to_postgres.get_pgsql_import`
+    * (`csv_to_postgres.py:29-45`): FORCE_NULL only when a nillable
+    * column list exists.
+    */
+  override def copyInSql(dest: String, cols: Seq[String],
+      forceNullCols: Seq[String]): Option[String] = {
+    val forceNull =
+      if (forceNullCols.isEmpty) ""
+      else ", FORCE_NULL (" + forceNullCols.map(quoteIdent).mkString(",") + ")"
+    Some(s"COPY $dest (${cols.map(quoteIdent).mkString(",")})" +
+      s" FROM STDIN WITH (FORMAT csv, HEADER$forceNull)")
+  }
 }
 
 /** Embedded-Derby dialect (test double; ANSI MERGE instead of

@@ -67,25 +67,31 @@ object BulkLoad {
     try st.execute(sql) finally st.close()
   }
 
-  /** Serial batched INSERTs through the driver connection (the COPY
-    * analogue; 1000-row JDBC batches).
+  /** Loads one batch through the driver connection: the dialect's COPY
+    * fast path when the wire protocol offers one
+    * (`csv_to_postgres.py:86-89`), else 1000-row batched INSERTs.
     */
   private def insertRows(conn: Connection, dialect: SqlDialect,
       dest: String, df: DataFrame): Long = {
     val cols = df.columns.toSeq
-    val sql = s"INSERT INTO $dest (${cols.map(dialect.quoteIdent).mkString(", ")})" +
-      s" VALUES (${cols.map(_ => "?").mkString(", ")})"
-    val ps = conn.prepareStatement(sql)
-    try {
-      var count = 0L
-      df.toLocalIterator().forEachRemaining { row: Row =>
-        cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
-        ps.addBatch()
-        count += 1
-        if (count % 1000 == 0) ps.executeBatch()
+    dialect.copyInSql(dest, cols,
+        df.schema.fields.filter(_.nullable).map(_.name).toSeq)
+      .flatMap(sql => graft.sink.CopyStager.copyInto(conn, sql, df))
+      .getOrElse {
+        val sql = s"INSERT INTO $dest (${cols.map(dialect.quoteIdent).mkString(", ")})" +
+          s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+        val ps = conn.prepareStatement(sql)
+        try {
+          var count = 0L
+          df.toLocalIterator().forEachRemaining { row: Row =>
+            cols.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+            ps.addBatch()
+            count += 1
+            if (count % 1000 == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          count
+        } finally ps.close()
       }
-      ps.executeBatch()
-      count
-    } finally ps.close()
   }
 }

@@ -131,7 +131,10 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
         s" VALUES (${cols.map(_ => "?").mkString(", ")})"
       val n =
         if (cfg.parallelStaging) stageFromExecutors(delta, insert, cols.size)
-        else {
+        else dialect.copyInSql(staging, cols,
+            delta.schema.fields.filter(_.nullable).map(_.name).toSeq)
+          .flatMap(sql => graft.sink.CopyStager.copyInto(conn, sql, delta))
+          .getOrElse {
           val ps = conn.prepareStatement(insert)
           try {
             var count = 0L

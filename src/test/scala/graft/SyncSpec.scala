@@ -99,6 +99,25 @@ class SyncSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r == SyncResult.NoChange)
   }
 
+  test("COPY stager: pgsf CSV payload streams correctly; no-PG falls back") {
+    val df = Seq((1L, Option("a\"b"), Option(true)), (2L, None, None))
+      .toDF("pk", "name", "flag")
+    val reader = graft.sink.CopyStager.csvReader(df)
+    val text = {
+      val sb = new StringBuilder; val buf = new Array[Char](7)
+      var n = reader.read(buf, 0, buf.length)
+      while (n >= 0) { sb.appendAll(buf, 0, n); n = reader.read(buf, 0, buf.length) }
+      sb.result()
+    }
+    // T1 encoding: header, quote doubling, t/f booleans, NULL as empty
+    assert(text ==
+      "\"pk\",\"name\",\"flag\"\n1,\"a\"\"b\",t\n2,,\n")
+    // this build has no PostgreSQL driver: the reflective seam reports
+    // None on a Derby connection and loads take the INSERT path
+    assert(graft.sink.CopyStager.copyInto(conn,
+      "COPY x FROM STDIN", df).isEmpty)
+  }
+
   test("oversized delta preflight switches to full reload without fetching") {
     // wire-count says 1M rows pending: poll path must stop BEFORE
     // fetching and hand control to the bulk path (README.rst:68)

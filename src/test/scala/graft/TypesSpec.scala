@@ -137,6 +137,19 @@ class TypesSpec extends AnyFunSuite {
         "(SELECT \"Id\" FROM \"tmp\" WHERE \"IsDeleted\")")
   }
 
+  test("PG COPY SQL golden string incl. FORCE_NULL (csv_to_postgres.py:29-45)") {
+    val d = new PgDialect()
+    assert(d.copyInSql("\"contacts\"", Seq("Id", "Name", "Amount"),
+      Seq("Name", "Amount")).contains(
+      "COPY \"contacts\" (\"Id\",\"Name\",\"Amount\") FROM STDIN WITH " +
+        "(FORMAT csv, HEADER, FORCE_NULL (\"Name\",\"Amount\"))"))
+    // no nillable columns -> no FORCE_NULL clause at all
+    assert(d.copyInSql("t", Seq("Id"), Nil).contains(
+      "COPY t (\"Id\") FROM STDIN WITH (FORMAT csv, HEADER)"))
+    // Derby has no COPY protocol: callers must fall back to INSERTs
+    assert(new graft.sink.DerbyDialect().copyInSql("t", Seq("Id"), Nil).isEmpty)
+  }
+
   test("PG parallel staging uses a cross-session visible UNLOGGED table") {
     val d = new PgDialect()
     // serial path keeps the reference's session-local temp table...
