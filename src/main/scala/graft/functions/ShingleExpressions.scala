@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused tokenize → n-gram shingle → distinct kernel.
+  *
+  * The composable route — `array_distinct(transform(sequence(...), i ->
+  * concat(ws[i], ' ', ws[i+1], ...)))` over `ws =
+  * regexp_extract_all(lower(text), '[a-z0-9]+')` — has two structural
+  * costs on Spark that only show up in real plans:
+  *
+  *  1. higher-order-function lambdas are evaluated interpreted, and
+  *     when `ws` is inlined into the lambda (alias substitution during
+  *     predicate pushdown has no cheapness check), the tokenizer regex
+  *     re-runs for EVERY array element of every row;
+  *  2. `InferFiltersFromGenerate` clones the whole shingle expression
+  *     into a `size(...) > 0` filter that pushdown moves to the scan,
+  *     so the interpreted monster runs once more per input row — on the
+  *     scan side, before any repartitioning can spread it out.
+  *
+  * One codegen'd expression removes the class of problem: a single
+  * scan of the lower-cased text builds maximal `[a-z0-9]+` token runs
+  * and emits distinct space-joined n-grams (first-occurrence order) in
+  * one pass. Wherever the optimizer copies it, each copy is one tight
+  * per-row call, never a per-element regex.
+  *
+  * Token/lowercase semantics are byte-identical to
+  * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)`: same UTF8String
+  * lowercasing, and a scan for maximal ASCII `[a-z0-9]` runs is exactly
+  * that regex (multi-byte code points can't match the class).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 8, s"shingle width must be in [1,8], got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleKernel {
+
+  /** Distinct space-joined word n-grams of `text`, first-occurrence
+    * order. One pass: lowercase once, scan token runs, slide a window.
+    * Static and allocation-lean so the codegen call site JITs well.
+    */
+  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+    // identical to lower(text) in SQL (UTF8String.toLowerCase)
+    val s = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        i += 1
+        while (i < len && {
+          val d = s.charAt(i); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) i += 1
+        toks.add(s.substring(start, i))
+      } else i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder(32)
+    var k = 0
+    while (k < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(k + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+}

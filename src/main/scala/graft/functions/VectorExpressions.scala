@@ -197,6 +197,13 @@ object GraftFunctions {
     ColumnShim.column(HyperplaneSignature(
       ColumnShim.expression(v), numPlanes, planeOffset))
 
+  /** distinct space-joined word n-gram shingles of a text column in
+    * one fused codegen'd pass (tokenize + window + dedup) — see
+    * [[WordShingles]] for why the composable HOF route is pathological.
+    */
+  def word_shingles(text: Column, n: Int = 3): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
+
   /** one row per (arr[i], arr[j]) pair with i < j — lazy candidate-pair
     * expansion for bucketed dedup.
     */

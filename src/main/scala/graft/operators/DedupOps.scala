@@ -32,11 +32,22 @@ object DedupOps {
 
   private def shingleRows(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), TextOps.toksCol.as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(ws) - 3)," +
-          " i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")).as("shs"))
+      // entry repartition: the shingle build + explode amplifies each
+      // doc ~50x, so parallelism must come from the row count, not the
+      // scan's split count (a single parquet file = one task, and the
+      // whole pipeline serializes before its first shuffle). Shuffling
+      // raw text once is proportional to input and buys a full-width
+      // stage for the expansion.
+      .repartition(col("doc_id"))
+      // fused codegen'd tokenize→trigram→distinct kernel: one pass per
+      // doc wherever the optimizer places (or clones) it — the HOF
+      // formulation re-ran the tokenizer regex per array element,
+      // interpreted, inside a pushed-down InferFiltersFromGenerate
+      // predicate (see WordShingles scaladoc for the autopsy).
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs"))
+      // >=1 shingle ≡ >=3 tokens, the old pre-filter
+      .filter(size(col("shs")) >= 1)
       .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
 
   /** MinHash prime modulus (2^31 - 1) and the derived universal-hash

@@ -38,6 +38,31 @@ class DedupSpec extends SparkSpec {
     (2L, docC, "en", "s", docC.length.toLong)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("word_shingles kernel matches the composable SQL formulation exactly") {
+    import org.apache.spark.sql.functions._
+    // edge cases: punctuation, case, digits, unicode, dup trigrams,
+    // exactly 3 tokens, under 3 tokens, empty, null
+    val texts = Seq(
+      "The quick  brown FOX—jumps over² the: lazy dog 42 times, the quick brown fox again",
+      "a b c", "a b", "", "Ünïcode tõkens résumé naïve 日本語 text here ok",
+      "x1 y2 z3 x1 y2 z3 x1 y2 z3", null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the SQL route is the round-2 shape (regex tokens + HOF trigrams)
+    val sqlRef = df
+      .select(col("doc_id"), expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+      .select(col("doc_id"), when(size(col("ws")) >= 3, array_distinct(expr(
+        "transform(sequence(0, size(ws) - 3), i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))")))
+        .otherwise(array().cast("array<string>")).as("shs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaKernel = df
+      .select(col("doc_id"), graft.functions.GraftFunctions.word_shingles(col("text"), 3).as("shs"))
+      .as[(Long, Seq[String])].collect().toMap
+    texts.indices.foreach { i =>
+      if (texts(i) == null) assert(viaKernel(i.toLong) == null || viaKernel(i.toLong).isEmpty)
+      else assert(viaKernel(i.toLong) == sqlRef(i.toLong), s"doc $i")
+    }
+  }
+
   test("minhashLsh finds the planted near-dup pair and nothing else") {
     // jaccard(A,B) ~= 0.54: banding with 2-row bands can miss at that
     // level (p_band = j^2); 1-row bands make the miss probability
