@@ -132,6 +132,11 @@ object SparkEntry {
     // K2+C4: assembled truncate-and-load of a bulk job into Derby, then
     // the loaded table read back — oracle is the same rows from parquet
     "k2_bulk_load" -> ((s, d) => k2BulkLoadQuery(s, d)),
+    // Structured Streaming end-to-end: file-source readStream over the
+    // events table → watermarked sliding-window aggregation →
+    // Trigger.AvailableNow → memory sink; oracle is the batch-SQL
+    // restatement of the same sliding windows
+    "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -179,6 +184,41 @@ object SparkEntry {
       .option("dbtable", "\"k2part\"")
       .load()
       .orderBy("p_partkey")
+  }
+
+  /** A real streaming run, not a batch restatement: the events parquet
+    * is consumed by the file SOURCE (so the plan is a StreamingRelation
+    * with micro-batch planning), aggregated with an event-time watermark
+    * and 1h/30m sliding windows, and drained to completion with
+    * Trigger.AvailableNow. Complete output mode keeps every window in
+    * the memory sink, making the result equal to the batch aggregation
+    * the DuckDB oracle computes. At scale the same pipeline pointed at
+    * a growing directory is the production incremental aggregation; the
+    * state store holds only open windows once append mode + watermark
+    * expiry apply.
+    */
+  private def streamWindowedAggQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    // the file source streams a DIRECTORY (new files appear over time);
+    // stage the static table as one file in a scratch dir to model it
+    val srcDir = java.nio.file.Paths.get(
+      "/tmp/graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val rawSchema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamingSync
+      .windowedCounts(stream, "1 hour", "30 minutes", "1 hour")
+    val sink = "stream_win_agg"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("window_start", "event_type")
   }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -327,6 +367,17 @@ object SparkEntry {
     "t6_ts_format" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // batch restatement of the 1h/30m sliding windows: each event lands
+    // in exactly two 30-min-aligned windows (k = 0, 1); time_bucket's
+    // 2000-01-01 origin is a whole multiple of 30 min past the epoch,
+    // so alignment matches Spark's epoch-aligned window()
+    "stream_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * (INTERVAL 30 MINUTE) AS window_start,
+        |  time_bucket(INTERVAL 30 MINUTE, ts) - k * (INTERVAL 30 MINUTE) + INTERVAL 60 MINUTE AS window_end,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, (VALUES (0), (1)) t(k)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "w1_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
@@ -667,6 +718,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s4_csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+    // the Derby catalog demo is seeded by the query itself, so its
+    // information_schema projection is a deterministic constant — a
+    // VALUES oracle upgrades it from rows-only to a full hash match
+    "s5_jdbc_catalog" ->
+      ("SELECT * FROM (VALUES ('Id', 1), ('Name', 2), ('Amount', 3), " +
+        "('SystemModstamp', 4)) AS t(column_name, ordinal_position) " +
+        "ORDER BY ordinal_position"),
     "k2_bulk_load" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
     "mm_frame_sample" ->

@@ -36,8 +36,8 @@ object FileOps {
     require(tableName.matches("[A-Za-z0-9_$.]{1,128}"),
       s"suspicious catalog table name: '$tableName'")
     val q =
-      s"""SELECT c.COLUMNNAME AS column_name,
-         |       CAST(c.COLUMNNUMBER AS INT) AS ordinal_position
+      s"""SELECT c.COLUMNNAME AS "column_name",
+         |       CAST(c.COLUMNNUMBER AS INT) AS "ordinal_position"
          |FROM SYS.SYSCOLUMNS c
          |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
          |WHERE t.TABLENAME = '${tableName.replace("'", "''")}'""".stripMargin
