@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowercasing, and a scan for maximal ASCII `[a-z0-9]` runs is exactly
   * that regex (multi-byte code points can't match the class).
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
 
   require(n >= 1 && n <= 8, s"shingle width must be in [1,8], got $n")
 
@@ -48,11 +49,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleKernel.shingles($c, $n);")
+      s"${ev.value} = graft.functions.ShingleKernel.shingles($c, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -60,11 +61,13 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object ShingleKernel {
 
-  /** Distinct space-joined word n-grams of `text`, first-occurrence
-    * order. One pass: lowercase once, scan token runs, slide a window.
-    * Static and allocation-lean so the codegen call site JITs well.
+  /** Space-joined word n-grams of `text` in document order — distinct
+    * first-occurrence set (`distinct = true`, the shingle shape) or the
+    * full occurrence list (`distinct = false`, the frequency shape).
+    * One pass: lowercase once, scan token runs, slide a window. Static
+    * and allocation-lean so the codegen call site JITs well.
     */
-  def shingles(text: UTF8String, n: Int): GenericArrayData = {
+  def shingles(text: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
     // identical to lower(text) in SQL (UTF8String.toLowerCase)
     val s = text.toLowerCase.toString
     val toks = new java.util.ArrayList[String](64)
@@ -83,7 +86,8 @@ object ShingleKernel {
     }
     val m = toks.size - n + 1
     if (m <= 0) return new GenericArrayData(new Array[Any](0))
-    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val grams = new java.util.ArrayList[String](m)
+    val seen = if (distinct) new java.util.HashSet[String](m * 2) else null
     val sb = new java.lang.StringBuilder(32)
     var k = 0
     while (k < m) {
@@ -94,13 +98,13 @@ object ShingleKernel {
         sb.append(toks.get(k + j))
         j += 1
       }
-      seen.add(sb.toString)
+      val g = sb.toString
+      if (seen == null || seen.add(g)) grams.add(g)
       k += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    val out = new Array[Any](grams.size)
     var o = 0
-    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    while (o < grams.size) { out(o) = UTF8String.fromString(grams.get(o)); o += 1 }
     new GenericArrayData(out)
   }
 }

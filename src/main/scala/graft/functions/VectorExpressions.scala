@@ -197,12 +197,14 @@ object GraftFunctions {
     ColumnShim.column(HyperplaneSignature(
       ColumnShim.expression(v), numPlanes, planeOffset))
 
-  /** distinct space-joined word n-gram shingles of a text column in
-    * one fused codegen'd pass (tokenize + window + dedup) — see
+  /** space-joined word n-gram shingles of a text column in one fused
+    * codegen'd pass (tokenize + window + optional dedup) — see
     * [[WordShingles]] for why the composable HOF route is pathological.
+    * `distinct = true` is the shingle-set shape; `false` keeps every
+    * occurrence for frequency counting.
     */
-  def word_shingles(text: Column, n: Int = 3): Column =
-    ColumnShim.column(WordShingles(ColumnShim.expression(text), n))
+  def word_shingles(text: Column, n: Int = 3, distinct: Boolean = true): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(text), n, distinct))
 
   /** one row per (arr[i], arr[j]) pair with i < j — lazy candidate-pair
     * expansion for bucketed dedup.

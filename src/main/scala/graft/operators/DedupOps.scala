@@ -178,7 +178,10 @@ object DedupOps {
       when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1).as(s"c$b"))
     val sums = (0 until 32).map(b => sum(col(s"c$b")).as(s"s$b"))
     documents
-      .select(col("doc_id"), explode(array_distinct(TextOps.toksCol)).as("tok"))
+      // distinct tokens via the fused kernel (n=1 shingles) — same set
+      // and order as array_distinct(regex tokens), one codegen'd pass
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 1)).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       .select(col("doc_id") +: bitCols: _*)
       .groupBy("doc_id")
@@ -208,7 +211,10 @@ object DedupOps {
       .map(b => when(col(s"s$p$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_ + _)
     documents
-      .select(col("doc_id"), explode(array_distinct(TextOps.toksCol)).as("tok"))
+      // distinct tokens via the fused kernel (n=1 shingles) — same set
+      // and order as array_distinct(regex tokens), one codegen'd pass
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 1)).as("tok"))
       .withColumn("h1", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       .withColumn("h2",
         conv(substring(md5(concat(lit("x"), col("tok"))), 1, 8), 16, 10).cast("long"))

@@ -111,11 +111,12 @@ object TextOps {
     */
   def bigramFreq(documents: DataFrame, topK: Int): DataFrame =
     documents
-      .select(toksCol.as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"))
-        .as("bigram"))
+      // fused kernel, non-distinct: every bigram occurrence, one
+      // codegen'd pass per doc (the HOF route re-ran the tokenizer per
+      // element inside a pushed-down generate filter — see WordShingles)
+      .select(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 2, distinct = false).as("bs"))
+      .select(explode(col("bs")).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
