@@ -137,6 +137,14 @@ object SparkEntry {
     // Trigger.AvailableNow → memory sink; oracle is the batch-SQL
     // restatement of the same sliding windows
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
+    // dataset-assembly: deterministic hash splits, context-window
+    // chunking, fixed-budget sequence packing
+    "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
+    "pipe_chunk_tokens" -> ((s, d) =>
+      PipelineOps.chunkTokens(t(s, d)("documents"), 50)
+        .withColumn("chunk_id", col("chunk_id").cast("long"))),
+    "pipe_pack_budget" -> ((s, d) =>
+      PipelineOps.packByBudget(t(s, d)("documents"), 2000L)),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -367,6 +375,38 @@ object SparkEntry {
     "t6_ts_format" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // first md5 byte of the decimal doc_id → uniform bucket 0..255;
+    // thresholds 204/230 give the ~80/10/10 split
+    "pipe_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 204 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "pipe_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents),
+        |ks AS (
+        |  SELECT doc_id, ws, unnest(range(CAST(ceil(len(ws) / 50.0) AS BIGINT))) AS k
+        |  FROM toks)
+        |SELECT doc_id, k AS chunk_id,
+        |  array_to_string(list_slice(ws, k * 50 + 1, k * 50 + 50), ' ') AS chunk_text,
+        |  len(list_slice(ws, k * 50 + 1, k * 50 + 50)) AS n_chunk_tokens
+        |FROM ks ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipe_pack_budget" ->
+      """SELECT doc_id, source,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |  CAST(floor(COALESCE(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |    OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+        |    AS BIGINT) AS batch_id
+        |FROM documents ORDER BY source, doc_id""".stripMargin,
     // batch restatement of the 1h/30m sliding windows: each event lands
     // in exactly two 30-min-aligned windows (k = 0, 1); time_bucket's
     // 2000-01-01 origin is a whole multiple of 30 min past the epoch,

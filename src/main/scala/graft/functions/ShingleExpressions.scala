@@ -59,6 +59,37 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
     copy(child = newChild)
 }
 
+/** Fixed-token-window chunking kernel: the document's token stream cut
+  * into consecutive `chunkTokens`-token windows (last one partial),
+  * each space-joined — the context-window packing primitive of a
+  * training-data pipeline. Same fused single-pass design (and the same
+  * tokenizer) as [[WordShingles]]; one codegen'd call per row.
+  */
+case class WordChunks(child: Expression, chunkTokens: Int)
+    extends UnaryExpression {
+
+  require(chunkTokens >= 1, s"chunk size must be positive, got $chunkTokens")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_chunks expects a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.chunks(input.asInstanceOf[UTF8String], chunkTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.chunks($c, $chunkTokens);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleKernel {
 
   /** Space-joined word n-grams of `text` in document order — distinct
@@ -105,6 +136,33 @@ object ShingleKernel {
     val out = new Array[Any](grams.size)
     var o = 0
     while (o < grams.size) { out(o) = UTF8String.fromString(grams.get(o)); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Consecutive `c`-token windows of the token stream, space-joined;
+    * the final window may be shorter. Shares the tokenizer semantics of
+    * [[shingles]] exactly.
+    */
+  def chunks(text: UTF8String, c: Int): GenericArrayData = {
+    val toksArr = shingles(text, 1, distinct = false)
+    val nToks = toksArr.numElements()
+    if (nToks == 0) return new GenericArrayData(new Array[Any](0))
+    val nChunks = (nToks + c - 1) / c
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder(64)
+    var k = 0
+    while (k < nChunks) {
+      sb.setLength(0)
+      var j = k * c
+      val end = math.min(j + c, nToks)
+      while (j < end) {
+        if (j > k * c) sb.append(' ')
+        sb.append(toksArr.getUTF8String(j).toString)
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
     new GenericArrayData(out)
   }
 }

@@ -206,6 +206,12 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3, distinct: Boolean = true): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(text), n, distinct))
 
+  /** consecutive fixed-token-window chunks of a text column (last one
+    * partial), space-joined — the context-window packing primitive.
+    */
+  def word_chunks(text: Column, chunkTokens: Int): Column =
+    ColumnShim.column(WordChunks(ColumnShim.expression(text), chunkTokens))
+
   /** one row per (arr[i], arr[j]) pair with i < j — lazy candidate-pair
     * expansion for bucketed dedup.
     */

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Dataset-assembly operators for training-data pipelines: the steps
+  * that turn a cleaned corpus into model-ready inputs — deterministic
+  * train/val/test splits, context-window chunking, and fixed-budget
+  * sequence packing.
+  *
+  * Scale posture: splits and chunking are narrow per-row maps (no
+  * shuffle — at 100 TB they run inside the scan stage); packing is one
+  * window over (source, doc_id), i.e. a single shuffle partitioned by
+  * source. All arithmetic is integer/hash-deterministic so the same
+  * document lands in the same split/chunk/batch on every engine and
+  * every rerun — the property that makes dataset builds reproducible.
+  */
+object PipelineOps {
+
+  /** Deterministic split assignment: bucket = first byte of
+    * md5(doc_id) (uniform over 0..255), thresholds at 204/230 →
+    * ~80/10/10 train/val/test. Hash-based (not row-order-based) so
+    * membership is stable under repartitioning, appends, and reruns —
+    * and implicitly stratified: any subpopulation hashes uniformly.
+    */
+  def splitAssign(documents: DataFrame,
+      trainUpper: Int = 204, valUpper: Int = 230): DataFrame =
+    documents
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainUpper, lit("train"))
+          .when(col("bucket") < valUpper, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy("doc_id")
+
+  /** Context-window chunking: each document's token stream cut into
+    * consecutive `chunkTokens`-token windows (last partial). The chunk
+    * array is built by one codegen'd kernel call per document
+    * ([[graft.functions.WordChunks]]); posexplode yields (chunk_id,
+    * chunk_text) with no re-tokenization after the generate.
+    */
+  def chunkTokens(documents: DataFrame, chunkTokens: Int): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.word_chunks(col("text"), chunkTokens))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Fixed-budget sequential packing: documents are laid out in
+    * (source, doc_id) order and cut into batches every time the running
+    * token total crosses `budgetTokens` — batch_id = floor(prefix_sum /
+    * budget). One window shuffle partitioned by source; the prefix sum
+    * is the standard scalable formulation (a true greedy first-fit is
+    * inherently sequential and would serialize the corpus).
+    */
+  def packByBudget(documents: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), col("source"),
+        size(GraftFunctions.word_shingles(col("text"), 1, distinct = false))
+          .cast("long").as("n_tokens"))
+      .withColumn("batch_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          budgetTokens.toDouble).cast("long"))
+      .select("doc_id", "source", "n_tokens", "batch_id")
+      .orderBy("source", "doc_id")
+  }
+}
