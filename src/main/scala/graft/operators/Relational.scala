@@ -199,10 +199,21 @@ object Relational {
     * sets via UNION/EXCEPT/INTERSECT.
     */
   def set1SymmetricDiff(orders: DataFrame): DataFrame = {
-    val a = orders.filter(col("o_orderkey") % 2 === 0).select("o_orderkey")
-    val b = orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
-    a.union(b).distinct()
-      .except(a.intersect(b))
+    // symmetric difference as ONE shuffle: tag each side, group by key,
+    // keep keys seen on exactly one side. The literal composition —
+    // union.distinct.except(intersect) — compiles to five exchanges on
+    // Spark (distinct, intersect's two, except's two); the tagged
+    // aggregate is the shape that survives 100 TB. Sides are key-unique
+    // here, so min(tag)=max(tag) ⇔ one side only.
+    val a = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit(1).as("side"))
+    val b = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit(2).as("side"))
+    a.unionAll(b)
+      .groupBy("o_orderkey")
+      .agg(min(col("side")).as("mn"), max(col("side")).as("mx"))
+      .filter(col("mn") === col("mx"))
+      .select("o_orderkey")
       .orderBy("o_orderkey")
   }
 
