@@ -145,6 +145,9 @@ object SparkEntry {
         .withColumn("chunk_id", col("chunk_id").cast("long"))),
     "pipe_pack_budget" -> ((s, d) =>
       PipelineOps.packByBudget(t(s, d)("documents"), 2000L)),
+    // flagship composition: quality gates + language-ID + exact-dedup
+    // survivorship fused into a single-shuffle clean
+    "pipe_clean_corpus" -> ((s, d) => PipelineOps.cleanCorpus(t(s, d)("documents"))),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -375,6 +378,34 @@ object SparkEntry {
     "t6_ts_format" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // composed clean: same signal definitions as text_quality /
+    // text_langid / dedup_exact, dedup survivor chosen among ALL docs,
+    // then the quality + language gates
+    "pipe_clean_corpus" -> {
+      val scoreCols = TextOpsOracle.langScoreCols("ws")
+      val caseChain = TextOpsOracle.langCaseChain
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |      / len(text) AS punct_ratio,
+         |    md5(array_to_string(ws, ' ')) AS fp,
+         |    $scoreCols
+         |  FROM base),
+         |p AS (
+         |  SELECT *, CASE $caseChain ELSE 'und' END AS lang_pred,
+         |    MIN(doc_id) OVER (PARTITION BY fp) AS surv
+         |  FROM s)
+         |SELECT doc_id, source, n_tokens, punct_ratio, lang_pred
+         |FROM p
+         |WHERE doc_id = surv AND n_tokens >= 10
+         |  AND punct_ratio <= 0.30 AND lang_pred <> 'und'
+         |ORDER BY doc_id""".stripMargin
+    },
     // first md5 byte of the decimal doc_id → uniform bucket 0..255;
     // thresholds 204/230 give the ~80/10/10 split
     "pipe_split_assign" ->
@@ -575,20 +606,9 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
         |FROM q ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
-      val markers = Seq(
-        "en" -> Seq("the", "a", "and", "of", "is"),
-        "de" -> Seq("der", "die", "und", "ist", "das"),
-        "es" -> Seq("el", "la", "y", "es", "de"),
-        "fr" -> Seq("le", "la", "et", "est", "un"),
-        "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
-      val scoreCols = markers.map { case (language, words) =>
-        s"CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), " +
-          s"t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$language"
-      }.mkString(",\n    ")
-      val greatestAll = markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
-      val caseChain = markers.map { case (language, _) =>
-        s"WHEN score_$language = $greatestAll AND score_$language > 0 THEN '$language'"
-      }.mkString("\n    ")
+      val scoreCols = TextOpsOracle.langScoreCols(
+        "regexp_extract_all(lower(text), '[a-z0-9]+')")
+      val caseChain = TextOpsOracle.langCaseChain
       s"""WITH s AS (
          |  SELECT doc_id, lang AS lang_label,
          |    $scoreCols
@@ -787,6 +807,32 @@ object SparkEntry {
     * SimilarityOps.hyperplaneSignature: `numPlanes` planes starting at
     * plane id `offset`).
     */
+  /** Shared DuckDB fragments for the language-ID scoring, used by the
+    * text_langid oracle and the composed corpus-clean oracle (marker
+    * lists mirror TextOps.LangMarkers).
+    */
+  private object TextOpsOracle {
+    private val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "es" -> Seq("el", "la", "y", "es", "de"),
+      "fr" -> Seq("le", "la", "et", "est", "un"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+    /** per-language score columns over a token-list SQL expression */
+    def langScoreCols(toksSql: String): String = markers.map { case (language, words) =>
+      s"CAST(len(list_filter($toksSql, " +
+        s"t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS score_$language"
+    }.mkString(",\n    ")
+
+    val langCaseChain: String = {
+      val greatestAll = markers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+      markers.map { case (language, _) =>
+        s"WHEN score_$language = $greatestAll AND score_$language > 0 THEN '$language'"
+      }.mkString("\n    ")
+    }
+  }
+
   private def lshSigCte(name: String, numPlanes: Int, offset: Int): String =
     s"""$name AS (
        |  SELECT vec_id, embedding,

@@ -54,6 +54,46 @@ object PipelineOps {
       .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
       .orderBy("doc_id", "chunk_id")
 
+  /** The flagship composition: corpus cleaning = quality gates +
+    * language-ID + exact-dedup survivorship in ONE pipeline. Rather
+    * than joining the standalone operators (four scans + three join
+    * shuffles of the same base table), the per-row signals — token
+    * count, punctuation ratio, language scores, content fingerprint —
+    * are computed in a single narrow pass (sharing one kernel token
+    * array), and survivorship is a min-over-fingerprint window: the
+    * whole clean is ONE shuffle at any scale. Semantics are exactly the
+    * composed operators': [[TextOps.qualityScore]] ratios,
+    * [[TextOps.languageId]] argmax, [[TextOps.dedupExact]] min-doc_id
+    * survivor.
+    */
+  def cleanCorpus(documents: DataFrame, minTokens: Long = 10L,
+      maxPunctRatio: Double = 0.30): DataFrame = {
+    val toks = GraftFunctions.word_shingles(col("text"), 1, distinct = false)
+    val scored = TextOps.LangMarkers.foldLeft(
+      documents.select(col("doc_id"), col("source"), col("text"),
+        toks.as("__toks"))) { case (df, (language, words)) =>
+      df.withColumn(s"score_$language",
+        expr(s"size(filter(__toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
+          .cast("long"))
+    }
+    val w = Window.partitionBy(col("fp"))
+    scored
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("punct_ratio",
+        expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("double") /
+          length(col("text")))
+      .withColumn("lang_pred", TextOps.langBest)
+      .withColumn("fp", md5(array_join(col("__toks"), " ")))
+      .withColumn("__surv", min(col("doc_id")).over(w))
+      // dedup first (survivor chosen among ALL docs), then the gates
+      .filter(col("doc_id") === col("__surv") &&
+        col("n_tokens") >= minTokens &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("lang_pred") =!= "und")
+      .select("doc_id", "source", "n_tokens", "punct_ratio", "lang_pred")
+      .orderBy("doc_id")
+  }
+
   /** Fixed-budget sequential packing: documents are laid out in
     * (source, doc_id) order and cut into batches every time the running
     * token total crosses `budgetTokens` — batch_id = floor(prefix_sum /

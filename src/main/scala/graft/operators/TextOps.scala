@@ -62,13 +62,26 @@ object TextOps {
     * n-gram/stopword heuristic — deliberately simple and fully
     * deterministic so the pipeline stays codegen'd.
     */
+  /** Marker vocabularies for the language-ID heuristic — shared with
+    * the composed corpus-cleaning pipeline ([[PipelineOps.cleanCorpus]]).
+    */
+  private[operators] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "y", "es", "de"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** argmax-with-fixed-tiebreak CASE over per-language score columns. */
+  private[operators] def langBest: Column =
+    LangMarkers.map(_._1).foldRight(lit("und")) { case (language, elseCol) =>
+      // strict > in fold order encodes the fixed tiebreak priority
+      when(col(s"score_$language") === greatest(LangMarkers.map(m => col(s"score_${m._1}")): _*)
+        && col(s"score_$language") > 0, lit(language)).otherwise(elseCol)
+    }
+
   def languageId(documents: DataFrame): DataFrame = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "and", "of", "is"),
-      "de" -> Seq("der", "die", "und", "ist", "das"),
-      "es" -> Seq("el", "la", "y", "es", "de"),
-      "fr" -> Seq("le", "la", "et", "est", "un"),
-      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+    val markers = LangMarkers
     val scored = markers.foldLeft(
       documents.select(col("doc_id"), col("lang").as("lang_label"), toksCol.as("__toks"))) {
       case (df, (language, words)) =>
@@ -76,13 +89,8 @@ object TextOps {
           expr(s"size(filter(__toks, t -> t IN (${words.map("'" + _ + "'").mkString(",")})))")
             .cast("long"))
     }
-    val best = markers.map(_._1).foldRight(lit("und")) { case (language, elseCol) =>
-      // strict > in fold order encodes the fixed tiebreak priority
-      when(col(s"score_$language") === greatest(markers.map(m => col(s"score_${m._1}")): _*)
-        && col(s"score_$language") > 0, lit(language)).otherwise(elseCol)
-    }
     scored
-      .withColumn("lang_pred", best)
+      .withColumn("lang_pred", langBest)
       .select(Seq("doc_id", "lang_label", "lang_pred")
         .map(col) ++ markers.map(m => col(s"score_${m._1}")): _*)
       .orderBy("doc_id")

@@ -41,6 +41,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(reassembled == "x y z w q r s t u v")
   }
 
+  test("cleanCorpus equals the literal quality+langid+dedup composition") {
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      // passes all gates (en markers, low punct, >=10 tokens)
+      (1L, "the cat and the dog walk of the house and a bird is here", "web", "en"),
+      // exact duplicate of 1 -> not a survivor
+      (2L, "the cat and the dog walk of the house and a bird is here", "web", "en"),
+      // too short
+      (3L, "the of and", "web", "en"),
+      // no markers -> 'und'
+      (4L, "zebra quokka wombat lemur gecko iguana ferret otter badger marmot", "zoo", "en"),
+      // punctuation-heavy (>30% of chars)
+      (5L, "the!!! cat??? and--- the### dog%%% the of and a is the of and a is!!!@@@###$$$%%%^^^&&&***((()))", "web", "en")
+    ).map { case (id, text, src, lang) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val fused = PipelineOps.cleanCorpus(corpus)
+      .select("doc_id").as[Long].collect().toSeq
+    // literal composition: survivors of dedupExact that pass quality +
+    // language gates — the semantics cleanCorpus fuses
+    val q = graft.operators.TextOps.qualityScore(corpus)
+      .filter(col("n_tokens") >= 10 && col("punct_ratio") <= 0.30)
+      .select("doc_id")
+    val l = graft.operators.TextOps.languageId(corpus)
+      .filter(col("lang_pred") =!= "und").select("doc_id")
+    val s = graft.operators.TextOps.dedupExact(corpus)
+      .select(col("survivor_id").as("doc_id"))
+    val composed = q.join(l, "doc_id").join(s, "doc_id")
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(fused == composed)
+    assert(fused == Seq(1L))
+  }
+
   test("packByBudget cuts batches at the running-total boundary per source") {
     val rows = PipelineOps.packByBudget(docs, budgetTokens = 10L)
       .as[(Long, String, Long, Long)].collect().toSeq
