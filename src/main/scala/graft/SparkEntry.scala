@@ -137,6 +137,7 @@ object SparkEntry {
     // Trigger.AvailableNow → memory sink; oracle is the batch-SQL
     // restatement of the same sliding windows
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
+    "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
@@ -230,6 +231,48 @@ object SparkEntry {
       .queryName(sink).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(sink).orderBy("window_start", "event_type")
+  }
+
+  /** Streaming exact dedup driver query: the staged source directory
+    * holds the events table PLUS a deterministic duplicate shard (every
+    * 7th event re-delivered, as a poll-overlap would). A huge watermark
+    * delay keeps all dedup state live for the bounded replay, so the
+    * output is exactly the original table — which is the oracle.
+    */
+  private def streamDedupQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val srcDir = Paths.get(
+      "/tmp/graft_stream_dedup_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(path))
+    val dup = srcDir.resolve("dups.parquet")
+    if (!Files.exists(dup)) {
+      val tmp = Files.createTempDirectory("graft_dups")
+      s.read.parquet(path).filter(col("event_id") % 7 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst().get()
+      Files.copy(part, dup)
+    }
+    val rawSchema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = graft.streaming.StreamingSync
+      .dedupWithinWatermark(stream, "ts", "3650 days", Seq("event_id"))
+    val sink = "stream_dedup_sink"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
   }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -449,6 +492,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events, (VALUES (0), (1)) t(k)
         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // the staged stream re-delivers every 7th event; dedup collapses
+    // the input back to exactly the original table
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "w1_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

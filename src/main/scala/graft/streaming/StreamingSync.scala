@@ -76,6 +76,19 @@ object StreamingSync {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the unbounded twin of the batch
+    * `TextOps.dedupExact`: re-deliveries arriving within the watermark
+    * horizon are dropped, and the dedup state is evicted once the
+    * watermark passes it, so the state store stays bounded no matter
+    * how long the stream runs. Emits each surviving row immediately
+    * (append mode) rather than holding it until window close.
+    */
+  def dedupWithinWatermark(events: DataFrame, eventTimeCol: String,
+      watermarkDelay: String, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom keyed state: per-user session assembly via
     * flatMapGroupsWithState-style semantics, expressed with
     * mapGroupsWithState (KeyValueGroupedDataset) — the escape hatch for

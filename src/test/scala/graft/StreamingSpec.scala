@@ -65,6 +65,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_._1 == "view"))
   }
 
+  test("dedupWithinWatermark drops re-deliveries across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val deduped = StreamingSync.dedupWithinWatermark(
+      events, "ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), "click"),
+        (1L, ts("2024-01-01 00:01:00"), "click"),   // intra-batch dup
+        (2L, ts("2024-01-01 00:02:00"), "view"))
+      q.processAllAvailable()
+      input.addData(
+        (2L, ts("2024-01-01 00:05:00"), "view"),    // cross-batch dup
+        (3L, ts("2024-01-01 00:06:00"), "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("sessionization via keyed state: gap splits sessions") {
     val events = Seq(
       (100L, ts("2024-01-01 10:00:00")),
