@@ -88,12 +88,26 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(t(s, d)("documents"))),
     "text_langid" -> ((s, d) => TextOps.languageId(t(s, d)("documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d)("documents"), 5).orderBy("doc_id", "rnk")),
+    "text_pii_mask" -> ((s, d) => TextOps.piiMask(t(s, d)("documents"))
+      .orderBy("doc_id")),
+    "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
+      t(s, d)("documents"), Map("en" -> 0.5, "de" -> 0.9))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
     "dedup_simhash64" -> ((s, d) => DedupOps.simhash64(t(s, d)("documents"))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(t(s, d)("documents"))),
+    // pairs → clusters → survivors: the transitive-closure step that
+    // turns LSH candidate pairs into an actual deduped corpus
+    "dedup_components" -> ((s, d) => GraphOps.connectedComponents(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
+      .orderBy("doc_id")),
+    "dedup_survivors" -> ((s, d) => GraphOps.dedupSurvivors(t(s, d)("documents"),
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
+      .orderBy("doc_id")),
     "dedup_embedding_cosine" -> ((s, d) =>
       SimilarityOps.cosineNearDup(t(s, d)("embeddings"), 0.463)
         .select("vec_a", "vec_b")),
@@ -671,41 +685,74 @@ object SparkEntry {
         |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp_full,
         |  md5(array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 3), ' ')) AS fp_head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+    "text_pii_mask" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g'), '<NUM>')) AS BIGINT) AS n_nums,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS text_masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_sample_stratified" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |        * power(16, 8 - i))) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, lang FROM u
+        |WHERE u < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 0.9 ELSE 1.0 END)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $ToksCte,
-         |$ShinglesCte,
-         |hashed AS (
-         |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
-         |    i -> (strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) * power(16, 8 - i)))
-         |    AS BIGINT) AS h32
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id,
-         |    $MinhashMinsSql
-         |  FROM hashed GROUP BY doc_id),
-         |bands AS (
-         |  $MinhashBandsSql),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = doc_a
-         |JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $MinhashPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS component
+         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $ToksCte,
          |$ShinglesCte,
@@ -908,6 +955,43 @@ object SparkEntry {
     s"SELECT doc_id, $j AS band, CAST(m${2 * j} AS VARCHAR) || '_' || " +
       s"CAST(m${2 * j + 1} AS VARCHAR) AS band_key FROM mh"
   }.mkString("\n  UNION ALL ")
+
+  /** DuckDB-side MinHash+LSH pipeline through the verified pair set
+    * (mirrors DedupOps.minhashLsh, threshold 0.5), shared by the
+    * minhash-LSH, connected-components, and survivors oracles. Ends in
+    * a `pairs(doc_a, doc_b, jaccard)` CTE.
+    */
+  private lazy val MinhashPairsCtes =
+    s"""$ToksCte,
+       |$ShinglesCte,
+       |hashed AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
+       |    i -> (strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) * power(16, 8 - i)))
+       |    AS BIGINT) AS h32
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $MinhashMinsSql
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $MinhashBandsSql),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)""".stripMargin
 
   /** DuckDB-side distinct word-trigram shingles (mirrors DedupOps.shingles). */
   private val ShinglesCte =

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph-shaped steps of the dedup pipeline: near-dup PAIRS (from
+  * MinHash/SimHash LSH) are only candidates — corpus dedup needs the
+  * transitive closure (A~B, B~C puts all three in one cluster) and a
+  * canonical survivor per cluster. This is connected components over
+  * the pair edge list.
+  *
+  * Scale posture: min-label propagation with pointer jumping — each
+  * round is (a) one edge⋈label join + groupBy(min) to pull the best
+  * label across every edge, then (b) one label⋈label self-join that
+  * short-circuits chains (label(u) := label(label(u))), so convergence
+  * is O(log diameter) rounds, not O(diameter). Every round is a
+  * constant number of hash shuffles on the node id; nothing is ever
+  * collected to the driver — the convergence test is a monotone
+  * checksum (labels only decrease, so an unchanged sum(label) IS a
+  * fixpoint). Dup graphs are near-cliques, so rounds ≈ 2–3 in
+  * practice; maxIter bounds the worst case. (GraphX/GraphFrames use
+  * the same alternating-contraction idea; this stays in DataFrame
+  * land so Catalyst plans the joins and AQE handles skewed hub nodes.)
+  */
+object GraphOps {
+
+  /** Connected components of an undirected edge list (first two
+    * columns = endpoints). Returns (doc_id, component) for every node
+    * that appears in an edge, where component = the minimum node id
+    * reachable from doc_id.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Array(a, b) = edges.columns.take(2)
+    val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // label(u) starts at min(u, best neighbor) — one round of
+    // propagation folded into the init aggregate. Each round ends in an
+    // EAGER localCheckpoint: iterative DataFrames must truncate lineage
+    // or the logical plan doubles per round (planning cost explodes and
+    // tree traversal eventually overflows the stack). localCheckpoint
+    // materializes to executor-local storage — on a cluster, executor
+    // loss forces a job restart, the standard trade for iterative algos
+    // (a reliable `checkpoint` to DFS is the hardened alternative).
+    var labels = sym.groupBy("u").agg(min("v").as("nb"))
+      .select(col("u"), least(col("u"), col("nb")).as("label"))
+      .localCheckpoint(true)
+    var prevSum = checksum(labels)
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // (a) best label over the neighborhood
+      val viaNb = sym
+        .join(labels.select(col("u").as("v"), col("label").as("vl")), "v")
+        .groupBy("u").agg(min("vl").as("nbl"))
+      // cached: both sides of the pointer-jump self-join read it
+      val stepped = labels.join(viaNb, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // (b) pointer jump: follow the label one hop through the label
+      // table itself — halves remaining chain length every round
+      val jumped = stepped.as("s")
+        .join(stepped.as("l"), col("s.label") === col("l.u"), "left")
+        .select(col("s.u").as("u"),
+          least(col("s.label"), coalesce(col("l.label"), col("s.label"))).as("label"))
+        .localCheckpoint(true)
+      val s = checksum(jumped)
+      stepped.unpersist(blocking = false)
+      labels = jumped
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    labels.select(col("u").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Labels are node ids (non-negative) and only ever decrease, so the
+    * label sum is strictly monotone until the fixpoint — sum unchanged
+    * ⟺ no label changed. One scalar to the driver per round.
+    */
+  private def checksum(labels: DataFrame): Long = {
+    val r = labels.agg(sum("label")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** The corpus after near-dup removal: every document not in a dup
+    * cluster, plus the canonical (minimum-id) member of each cluster.
+    * `pairs` is any (doc_a, doc_b) near-dup pair set, e.g.
+    * [[DedupOps.minhashLsh]] output.
+    */
+  def dedupSurvivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    documents.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
+  }
+}

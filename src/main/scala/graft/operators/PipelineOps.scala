@@ -38,6 +38,28 @@ object PipelineOps {
           .otherwise(lit("test")))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling: per-stratum keep rates (e.g.
+    * downsample the dominant language) applied through a uniform
+    * content-independent hash — u = first 8 md5 hex digits of the
+    * doc_id mapped to [0,1), kept iff u < rate(stratum). Division by
+    * 2^32 is exact in doubles, so membership is bit-reproducible
+    * across engines and reruns; a narrow per-row filter, no shuffle,
+    * and at 100 TB the sample decision rides inside the scan stage.
+    */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (e, (stratum, r)) =>
+      when(col("lang") === stratum, lit(r)).otherwise(e)
+    }
+    documents
+      .withColumn("__u",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0d)
+      .filter(col("__u") < rate)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Context-window chunking: each document's token stream cut into
     * consecutive `chunkTokens`-token windows (last partial). The chunk
     * array is built by one codegen'd kernel call per document

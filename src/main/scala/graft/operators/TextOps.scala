@@ -130,6 +130,57 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topK)
 
+  /** Per-document top-K terms by smoothed tf-idf
+    * (`tf * ln((N+1)/(df+1))`), the keyword-extraction primitive of a
+    * corpus pipeline.
+    *
+    * Scale shape: tf is one map-side-combining groupBy on (doc, term);
+    * the document-frequency table is VOCABULARY-bounded, so it joins
+    * back by broadcast — no shuffle of the tf rows on term; the only
+    * other exchange is the per-doc top-K window on doc_id. Scores are
+    * rounded to 6 decimals on both engines so a ±1-ulp `ln` difference
+    * can never reorder the ranking.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 1, distinct = false)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (doc, term), so df = row count per term
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0d) / (col("df") + 1.0d)), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rnk") <= topK)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+  }
+
+  /** PII scrubbing: mask emails then long digit runs (an email's
+    * digits are gone by the time the number pass runs, so the two
+    * regexes compose without overlap). Narrow codegen'd per-row
+    * transform — zero shuffles; patterns are ASCII classes that mean
+    * the same thing to Java regex and DuckDB's RE2 (`[0-9]` over `\d`
+    * to dodge dialect differences).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumRe = "[0-9]{6,}"
+
+  def piiMask(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      expr(s"size(regexp_extract_all(text, '$EmailRe', 0))").cast("long")
+        .as("n_emails"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(LongNumRe), lit("<NUM>")).as("text_masked"))
+      .withColumn("n_nums",
+        expr(s"size(regexp_extract_all(text_masked, '<NUM>', 0))").cast("long"))
+      .select("doc_id", "n_emails", "n_nums", "text_masked")
+
   /** Exact dedup: canonical-text hash groups; keeps the smallest doc_id
     * as the survivor (hash-groupBy — one shuffle on the fingerprint,
     * map-side partial aggregation).

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{DedupOps, GraphOps}
+
+/** Connected-components + survivor semantics for dup-cluster assembly. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains close transitively, islands stay apart") {
+    // 1-2-3-4 is a path (diameter 3 — exercises multi-round propagation
+    // and the pointer jump), 10-11 a separate pair, 20-21-22 a triangle
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long path converges within the iteration cap") {
+    // a 64-node path has diameter 63; pointer jumping must close it in
+    // far fewer than 63 rounds (log-ish), well inside maxIter=25
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = GraphOps.connectedComponents(edges).as[(Long, Long)].collect()
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents: empty edge list yields empty labeling") {
+    val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(GraphOps.connectedComponents(edges).count() == 0)
+  }
+
+  test("dedupSurvivors keeps cluster minima and all untouched docs") {
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (9L, "f"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L), (5L, 9L)).toDF("doc_a", "doc_b")
+    val kept = GraphOps.dedupSurvivors(docs, pairs)
+      .as[Long].collect().sorted
+    // cluster {1,2,4} → keep 1; cluster {5,9} → keep 5; 3 untouched
+    assert(kept.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("components over minhashLsh pairs cluster the planted dup group") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, base.replace("dog", "cat")),
+      (7L, "completely unrelated text about columnar query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val comps = GraphOps.connectedComponents(
+      DedupOps.minhashLsh(docs).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    // 1,2,3 are mutual near-dups (or at least chained) → one component
+    assert(comps.keySet.forall(Set(1L, 2L, 3L)))
+    assert(comps.values.toSet == Set(1L))
+    assert(!comps.contains(7L))
+  }
+}

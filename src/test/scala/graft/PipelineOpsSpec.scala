@@ -84,4 +84,21 @@ class PipelineOpsSpec extends SparkSpec {
     // books: doc3 n=10 (prefix 0 -> 0), doc4 n=0 (prefix 10 -> 1), doc5 (prefix 10 -> 1)
     assert(books == Seq((3L, 10L, 0L), (4L, 0L, 1L), (5L, 1L, 1L)))
   }
+
+  test("stratifiedSample: rate 1.0 keeps all, 0.0 drops all, per-stratum only") {
+    val langDocs = Seq(
+      (1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"), (5L, "de"), (6L, "fr"))
+      .toDF("doc_id", "lang")
+    val all = PipelineOps.stratifiedSample(langDocs, Map.empty)
+    assert(all.count() == 6) // default rate 1.0 keeps everything
+    val noEn = PipelineOps.stratifiedSample(langDocs, Map("en" -> 0.0))
+      .as[(Long, String)].collect()
+    assert(noEn.forall(_._2 != "en")) // en fully dropped
+    assert(noEn.map(_._1).toSet == Set(4L, 5L, 6L)) // other strata untouched
+    // determinism: same membership on every run and any partitioning
+    val s1 = PipelineOps.stratifiedSample(langDocs, Map("en" -> 0.5)).collect()
+    val s2 = PipelineOps.stratifiedSample(langDocs.repartition(5), Map("en" -> 0.5))
+      .collect()
+    assert(s1.toSeq == s2.toSeq)
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.TextOps
+
+/** tf-idf keyword extraction + PII masking semantics. */
+class TextCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "spark spark spark shuffle the the"),
+      (2L, "duck duck pond the"),
+      (3L, "pond shuffle the")).toDF("doc_id", "text")
+    val rows = TextOps.tfidfTopTerms(docs, 2)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._6).map(_._2).toSeq }
+    // 'the' appears in every doc (df=3, idf=0) — never a top term
+    assert(rows.values.flatten.toSet.intersect(Set("the")).isEmpty)
+    // doc 1's most distinctive term is 'spark' (tf=3, df=1)
+    assert(rows(1L).head == "spark")
+    // doc 2's is 'duck' (tf=2, df=1)
+    assert(rows(2L).head == "duck")
+  }
+
+  test("tfidfTopTerms: tf and df counts are exact") {
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "b c")).toDF("doc_id", "text")
+    val byTerm = TextOps.tfidfTopTerms(docs, 3)
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byTerm((1L, "a")) == (2L, 1L)) // tf=2 in doc1, df=1
+    assert(byTerm((1L, "b")) == (1L, 2L)) // b in both docs
+    assert(byTerm((2L, "c")) == (1L, 1L))
+  }
+
+  test("piiMask scrubs emails and long digit runs, counts them, keeps short numbers") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+      (2L, "card 1234567890123456 pin 1234 serial 999999"),
+      (3L, "clean text, nothing to mask")).toDF("doc_id", "text")
+    val got = TextOps.piiMask(docs).as[(Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2L) // two emails
+    assert(got(1L)._4 == "contact <EMAIL> or <EMAIL> today")
+    assert(got(2L)._3 == 2L) // two long digit runs; 'pin 1234' survives
+    assert(got(2L)._4 == "card <NUM> pin 1234 serial <NUM>")
+    assert(got(3L)._4 == "clean text, nothing to mask")
+  }
+}
