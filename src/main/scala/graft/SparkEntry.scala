@@ -152,6 +152,8 @@ object SparkEntry {
     // restatement of the same sliding windows
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
+    "stream_join" -> ((s, d) => streamJoinQuery(s, d)),
+    "stream_session" -> ((s, d) => streamSessionQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
@@ -287,6 +289,61 @@ object SparkEntry {
     s.table(sink)
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
+  }
+
+  /** Stage `events.parquet` as a streamed DIRECTORY (the file source
+    * watches a directory for new files) and return the micro-batch
+    * stream with ts truncated nanos→micros, shared by the streaming
+    * driver queries.
+    */
+  private def stagedEventsStream(s: SparkSession, d: String,
+      tag: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val srcDir = Paths.get(
+      s"/tmp/graft_stream_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(path))
+    val rawSchema = s.read.parquet(path).schema
+    s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stream-stream interval self-join driven to completion: clicks ⋈
+    * purchases per user within 30 minutes, both sides watermarked so
+    * join state is evictable. AvailableNow + append-mode memory sink =
+    * exactly the batch join the oracle states.
+    */
+  private def streamJoinQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = stagedEventsStream(s, d, "join")
+    val joined = graft.streaming.StreamingSync
+      .clickPurchaseJoin(stream, maxLagSeconds = 1800L)
+    val sink = "stream_join_sink"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("click_id", "purchase_id")
+  }
+
+  /** Keyed-state sessionization driven to completion: the
+    * mapGroupsWithState state machine (gap 30 min, micro-second session
+    * bounds) over the event stream; update-mode memory sink. The oracle
+    * is the batch gaps-and-islands restatement.
+    */
+  private def streamSessionQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = stagedEventsStream(s, d, "sess")
+    val sessions = graft.streaming.StreamingSync
+      .sessionize(s, stream, gapSeconds = 1800L)
+    val sink = "stream_session_sink"
+    val q = sessions.writeStream.outputMode("update").format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("user_id", "session_start")
   }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -511,6 +568,29 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |g AS (
+        |  SELECT user_id, tus,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM x)
+        |SELECT user_id, MIN(tus) AS session_start, MAX(tus) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
     "w1_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (

@@ -89,6 +89,35 @@ object StreamingSync {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream inner join with event-time bounds — the streaming
+    * enrichment primitive (attribute each purchase to the click that
+    * preceded it within `maxLagSeconds`). Both sides carry a watermark
+    * and the join predicate bounds purchase_ts to a window after
+    * click_ts, so Spark can evict join state once the watermark passes
+    * a row's last possible match — state stays bounded on an unbounded
+    * stream. Derived as a self-join of one streaming source (two
+    * filtered branches), which Structured Streaming plans as a
+    * stream-stream join with two independent state stores keyed by
+    * user_id.
+    */
+  def clickPurchaseJoin(events: DataFrame, maxLagSeconds: Long,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   /** Custom keyed state: per-user session assembly via
     * flatMapGroupsWithState-style semantics, expressed with
     * mapGroupsWithState (KeyValueGroupedDataset) — the escape hatch for

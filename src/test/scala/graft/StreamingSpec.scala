@@ -89,6 +89,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("clickPurchaseJoin: purchases attribute to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Timestamp)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val joined = StreamingSync.clickPurchaseJoin(events, maxLagSeconds = 600L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("cp_join").start()
+    try {
+      input.addData(
+        (1L, 7L, "click", ts("2024-01-01 10:00:00")),
+        (2L, 7L, "purchase", ts("2024-01-01 10:05:00")), // within 10 min → match
+        (3L, 7L, "purchase", ts("2024-01-01 11:00:00")), // too late → no match
+        (4L, 8L, "purchase", ts("2024-01-01 10:05:00")), // other user → no match
+        (5L, 9L, "click", ts("2024-01-01 10:10:00")),
+        (6L, 9L, "purchase", ts("2024-01-01 10:09:00"))) // before click → no match
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cp_join")
+      .select("click_id", "purchase_id", "user_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 7L)))
+  }
+
   test("sessionization via keyed state: gap splits sessions") {
     val events = Seq(
       (100L, ts("2024-01-01 10:00:00")),
