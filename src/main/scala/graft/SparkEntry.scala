@@ -58,6 +58,8 @@ object SparkEntry {
       Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
     "j6_salted_skew_join" -> ((s, d) =>
       Relational.j6SaltedSkewJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    "a8_profile" -> ((s, d) => Relational.a8ProfileColumns(t(s, d)("lineitem"),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))),
     // sketch aggregates: algorithm-specific outputs, rows-only check
     "a6_approx_distinct" -> ((s, d) => Relational.a6ApproxDistinct(t(s, d)("events"))),
     "a7_approx_quantile" -> ((s, d) => Relational.a7ApproxQuantiles(t(s, d)("lineitem"))),
@@ -128,6 +130,9 @@ object SparkEntry {
     }),
     "sim_neardup_lsh" -> ((s, d) =>
       SimilarityOps.lshNearDup(t(s, d)("embeddings"), 0.463)),
+    // trained IVF path: 2 Lloyd iterations, deterministic init
+    "sim_kmeans" -> ((s, d) =>
+      SimilarityOps.kmeansAssign(t(s, d)("embeddings")).orderBy("vec_id")),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(s, t(s, d)("documents")).orderBy("doc_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
@@ -658,6 +663,15 @@ object SparkEntry {
          |  ${cols.mkString(",\n  ")}
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    "a8_profile" -> Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_returnflag", "l_shipdate").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n_notnull,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "a4_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
@@ -942,6 +956,7 @@ object SparkEntry {
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.463
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+    "sim_kmeans" -> KmeansOracle,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1120,6 +1135,46 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash_hi,
        |    CAST(sum(CASE WHEN s2 > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash_lo
        |  FROM s GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB-side k-means restatement (mirrors
+    * SimilarityOps.kmeansAssign: k=8, 2 Lloyd iterations, `% 23`
+    * lowest-id init, 6-decimal quantization, DECIMAL-exact mean
+    * accumulation, argmax of 2·dot−|c|² with lowest-cid tiebreak).
+    */
+  private val KmeansOracle: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, e, cid AS cluster FROM (
+         |    SELECT q.vec_id, q.e, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY 2 * ${dot("q.e", "c.ce")} - ${dot("c.ce", "c.ce")} DESC,
+         |          c.cid) AS rn
+         |    FROM q CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def update(mName: String, cName: String, aName: String) =
+      s"""$mName AS (
+         |  SELECT cluster, i,
+         |    round(CAST(SUM(CAST(e[i] AS DECIMAL(21,6))) AS DOUBLE) / COUNT(*), 6) AS m
+         |  FROM $aName, unnest(range(1, len(e) + 1)) t(i)
+         |  GROUP BY cluster, i),
+         |$cName AS (SELECT cluster AS cid, list(m ORDER BY i) AS ce
+         |  FROM $mName GROUP BY cluster)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+       |  FROM (SELECT vec_id, e FROM q WHERE vec_id % 23 = 0 ORDER BY vec_id LIMIT 8)),
+       |${assign("a0", "c0")},
+       |${update("m1", "c1", "a0")},
+       |${assign("a1", "c1")},
+       |${update("m2", "c2", "a1")},
+       |${assign("a2", "c2")}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM a2 ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB-side cosine over two FLOAT[] columns — same element-wise

@@ -242,4 +242,63 @@ object SimilarityOps {
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Trained k-means (Lloyd's) cluster assignment — the real training
+    * loop behind a production IVF index (ivfTopK's deterministic-sample
+    * centroids are the untrained stand-in). Each iteration is the
+    * canonical Spark shape: centroids live on the DRIVER (k·dim values,
+    * tiny by construction — this is principled, not a scale leak; MLlib
+    * does the same), assignment is a narrow codegen'd map over the
+    * vectors (k dot products per row via [[graft.functions.VectorDot]]
+    * against broadcast literal centroids — no join, no shuffle), and
+    * the centroid update is ONE map-side-combining groupBy(cluster,
+    * dim) whose output is k·dim rows.
+    *
+    * Cross-engine determinism: embedding values are quantized to 6
+    * decimals up front, per-dim sums accumulate in DECIMAL (exact ⇒
+    * order-independent — a raw double sum varies with partition order),
+    * and new centroids are rounded back to 6 decimals. Squared-distance
+    * argmin uses max(2·dot(x,c) − |c|², tiebreak lowest cluster id).
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> round(cast(x as double), 6))").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // deterministic init: the same sampled vectors ivfTopK uses,
+    // lowest-id-first — reproducible on any engine, no RNG
+    var cents: Seq[(Int, Seq[Double])] = q.filter(col("vec_id") % 23 === 0)
+      .orderBy("vec_id").limit(k)
+      .select("e").collect().toSeq
+      .map(_.getSeq[Double](0)).zipWithIndex.map { case (c, j) => (j, c) }
+
+    def assigned: DataFrame = {
+      // score_j = 2·dot(x,c_j) − |c_j|²  (argmax ⟺ squared-L2 argmin);
+      // struct max picks highest score, then LOWEST cluster id
+      val scored = array(cents.map { case (j, c) =>
+        val dotCC = c.foldLeft(0.0d)((s, v) => s + v * v)
+        struct(
+          (vec_dot(col("e"), typedLit(c)) * 2.0d - lit(dotCC)).as("s"),
+          lit(-j).as("nj"))
+      }: _*)
+      q.withColumn("cluster", -array_max(scored).getField("nj"))
+    }
+
+    for (_ <- 0 until iters) {
+      val means = assigned
+        .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(round(sum(col("x").cast("decimal(21,6)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .groupBy("cluster")
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cluster"), col("ms.m").as("c"))
+        .collect()
+      // empty clusters drop out, exactly as in the SQL restatement
+      cents = means.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    }
+    val out = assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    q.unpersist(blocking = false)
+    out
+  }
 }

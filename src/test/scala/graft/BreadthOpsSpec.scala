@@ -111,4 +111,17 @@ class BreadthOpsSpec extends SparkSpec {
     val out = TextOps.bigramFreq(docs, 3).as[(String, Long)].collect().toSeq
     assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
+
+  test("a8ProfileColumns: one row per column with exact stats, nulls counted") {
+    val df = Seq(
+      (1L, Some("x"), Some(2.5)),
+      (2L, None, Some(2.5)),
+      (3L, Some("y"), None)).toDF("id", "s", "v")
+    val rows = Relational.a8ProfileColumns(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("id") == ("id", 3L, 0L, 3L, "1", "3"))
+    assert(rows("s") == ("s", 2L, 1L, 2L, "x", "y"))
+    assert(rows("v") == ("v", 2L, 1L, 1L, "2.5", "2.5"))
+  }
 }

@@ -89,4 +89,40 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("kmeansAssign separates well-formed clusters and is deterministic") {
+    // seeds: % 23 == 0 → ids 0 and 23, one planted in each blob
+    val blobs = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.0f)), (2L, Array(1.1f, 0.05f)),
+      (23L, Array(0.0f, 1.0f)), (24L, Array(0.1f, 0.9f)), (25L, Array(0.0f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansAssign(blobs, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 6)
+    val a = got(0L)
+    val b = got(23L)
+    assert(a != b)
+    assert(Seq(1L, 2L).forall(got(_) == a))
+    assert(Seq(24L, 25L).forall(got(_) == b))
+    // deterministic end to end (init, decimal means, tiebreaks)
+    val again = SimilarityOps.kmeansAssign(blobs, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+  }
+
+  test("kmeansAssign: iterations move centroids off the seeds") {
+    // seed 0 sits BETWEEN the two blobs; seed 23 inside blob B. After
+    // Lloyd updates, the blob-A points must still form one cluster
+    // (centroid migrates toward the blob mean rather than splitting it)
+    val blobs = Seq(
+      (0L, Array(0.5f, 0.5f)),
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.1f, 0.1f)), (3L, Array(0.9f, -0.1f)),
+      (23L, Array(0.0f, 1.0f)), (24L, Array(0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.kmeansAssign(blobs, k = 2, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1)
+    assert(got(23L) == got(24L))
+    assert(got(1L) != got(23L))
+  }
 }
