@@ -90,7 +90,66 @@ case class WordChunks(child: Expression, chunkTokens: Int)
     copy(child = newChild)
 }
 
+/** Fused tokenize → per-document term-frequency kernel: one pass over
+  * the text emits `array<struct<term, tf>>` (first-occurrence order).
+  * Because a document's tokens all live in ONE row, tf is a per-row
+  * computation — no (doc, term) shuffle — so downstream tf-idf only
+  * shuffles the vocabulary-bounded document-frequency aggregate and
+  * the per-doc ranking. Same tokenizer semantics as [[WordShingles]].
+  */
+case class WordTermFreqs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_term_freqs expects a string column, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.termFreqs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernel.termFreqs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleKernel {
+
+  /** (term, tf) pairs of the token stream in first-occurrence order —
+    * the per-row half of tf-idf. One tokenizer pass + one LinkedHashMap.
+    */
+  def termFreqs(text: UTF8String): GenericArrayData = {
+    val toksArr = shingles(text, 1, distinct = false)
+    val n = toksArr.numElements()
+    val counts = new java.util.LinkedHashMap[String, Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = toksArr.getUTF8String(i).toString
+      // unboxToLong(null) == 0, so absent keys read as 0
+      counts.put(t, counts.get(t) + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** Space-joined word n-grams of `text` in document order — distinct
     * first-occurrence set (`distinct = true`, the shingle shape) or the

@@ -218,6 +218,12 @@ object GraftFunctions {
   def pair_explode(arr: Column): Column =
     ColumnShim.column(PairExplode(ColumnShim.expression(arr)))
 
+  /** per-document (term, tf) pairs in one fused pass — the shuffle-free
+    * tf half of tf-idf.
+    */
+  def word_term_freqs(text: Column): Column =
+    ColumnShim.column(WordTermFreqs(ColumnShim.expression(text)))
+
   /** count of sorted-array elements in [lo, hi] — two binary searches,
     * codegen'd; the broadcast-range-join kernel.
     */

@@ -71,7 +71,7 @@ object GraphOps {
       val s = checksum(jumped)
       stepped.unpersist(blocking = false)
       labels = jumped
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
@@ -81,11 +81,14 @@ object GraphOps {
 
   /** Labels are node ids (non-negative) and only ever decrease, so the
     * label sum is strictly monotone until the fixpoint — sum unchanged
-    * ⟺ no label changed. One scalar to the driver per round.
+    * ⟺ no label changed. Accumulated in DECIMAL(38,0): a long sum
+    * could wrap at billions-of-rows × 2^63-scale ids, and a wrapped
+    * checksum could alias two different labelings. One scalar to the
+    * driver per round.
     */
-  private def checksum(labels: DataFrame): Long = {
-    val r = labels.agg(sum("label")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+  private def checksum(labels: DataFrame): java.math.BigDecimal = {
+    val r = labels.agg(sum(col("label").cast("decimal(38,0)"))).head()
+    if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
   }
 
   /** The corpus after near-dup removal: every document not in a dup

@@ -331,29 +331,29 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
-  /** One-pass data profiling: per-column non-null/null/exact-distinct
-    * counts and min/max (stringified so heterogeneous column types fit
-    * one result schema), unpivoted to a row per column. The multiple
-    * exact COUNT(DISTINCT)s plan as ONE aggregate over an Expand
-    * (rows × #profiled-columns, map-side, combined partially) — a
-    * deliberate exactness/width trade; the bounded-memory alternative
-    * at 100 TB is swapping in approx_count_distinct per column.
+  /** Data profiling: per-column non-null/null/exact-distinct counts
+    * and min/max (stringified so heterogeneous column types fit one
+    * result schema), a row per column. One aggregate BRANCH per column
+    * rather than one wide aggregate: several COUNT(DISTINCT)s in a
+    * single Aggregate force an Expand (rows × #columns blowup — 6×
+    * measured 7.8 s on lineitem), while a branch with a single
+    * distinct plans Spark's no-Expand one-distinct strategy, and each
+    * branch's scan prunes to exactly its own column. The branches
+    * union into one job; at 100 TB the bounded-memory swap is
+    * approx_count_distinct per column.
     */
-  def a8ProfileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c => Seq(
-      count(col(c)).as(s"${c}__nn"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nul"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__mn"),
-      max(col(c)).cast("string").as(s"${c}__mx"))
-    }
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nn, ${c}__nul, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_notnull, n_nulls, n_distinct, min_value, max_value)")
-      .orderBy("column_name")
-  }
+  def a8ProfileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.select(col(c).as("x"))
+        .agg(
+          count(col("x")).as("n_notnull"),
+          sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("x")).as("n_distinct"),
+          min(col("x")).cast("string").as("min_value"),
+          max(col("x")).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_notnull"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ union _).orderBy("column_name")
 
   /** Approximate quantiles per group — a mergeable quantile sketch
     * (Greenwald-Khanna style) instead of [[a4Percentiles]]'s exact

@@ -143,10 +143,12 @@ object TextOps {
     */
   def tfidfTopTerms(documents: DataFrame, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf is PER-ROW: a doc's tokens all live in its own row, so the
+    // fused kernel counts them in one pass — no (doc, term) shuffle
     val tf = documents
       .select(col("doc_id"), explode(graft.functions.GraftFunctions
-        .word_shingles(col("text"), 1, distinct = false)).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .word_term_freqs(col("text"))).as("tfs"))
+      .select(col("doc_id"), col("tfs.term").as("term"), col("tfs.tf").as("tf"))
     // tf rows are distinct (doc, term), so df = row count per term
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
