@@ -58,6 +58,12 @@ object SparkEntry {
       Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
     "j6_salted_skew_join" -> ((s, d) =>
       Relational.j6SaltedSkewJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    "w7_gap_fill" -> ((s, d) => Relational.w7GapFill(t(s, d)("events"))),
+    // hive-partitioned write + partition-pruned read-back (plan pinned
+    // in PlansSpec)
+    "s8_partitioned_roundtrip" -> ((s, d) => FileOps.partitionedRoundTrip(s,
+      t(s, d)("events"), "/tmp/graft_layout_" + d.replaceAll("[^a-zA-Z0-9]", "_"),
+      "2024-01-08", "2024-01-14")),
     "a8_profile" -> ((s, d) => Relational.a8ProfileColumns(t(s, d)("lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))),
     // sketch aggregates: algorithm-specific outputs, rows-only check
@@ -685,6 +691,25 @@ object SparkEntry {
          |  ${cols.mkString(",\n  ")}
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+    "w7_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM hourly)
+        |SELECT ty.event_type, CAST(spine.hr AS VARCHAR) AS hr,
+        |  COALESCE(h.n, 0) AS n_events
+        |FROM spine CROSS JOIN ty
+        |LEFT JOIN hourly h ON h.event_type = ty.event_type AND h.hr = spine.hr
+        |ORDER BY event_type, hr""".stripMargin,
+    "s8_partitioned_roundtrip" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a8_profile" -> Seq("l_orderkey", "l_linenumber", "l_quantity",
       "l_returnflag", "l_shipdate").map { c =>
       s"""SELECT '$c' AS column_name, COUNT($c) AS n_notnull,

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.DriverManager
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** File/JDBC source-sink surface (SURVEY.md §2.1 S4/S5/K4, §2.4 T2). */
 object FileOps {
@@ -46,6 +47,35 @@ object FileOps {
       .option("query", q)
       .load()
       .orderBy("ordinal_position")
+  }
+
+  /** Partitioned-layout round trip — the 100 TB data-layout primitive:
+    * write the table hive-partitioned by event date, read it back with
+    * a date-range predicate, aggregate per day. The read plans with
+    * PartitionFilters (directory pruning — non-matching days are never
+    * opened, the dominant cost saving on a date-partitioned lake), and
+    * the per-day aggregate partial-combines map-side. Pinned by a plan
+    * spec; the write pays one shuffle on the partition key so each day
+    * lands as few files, not #tasks files (the small-files failure
+    * mode at scale).
+    */
+  def partitionedRoundTrip(spark: SparkSession, events: DataFrame,
+      layoutDir: String, loDate: String, hiDate: String): DataFrame = {
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      // co-locate each day before the write: one file per day per
+      // non-empty shuffle partition instead of one per input task
+      .repartition(col("event_date"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(layoutDir)
+    spark.read.parquet(layoutDir)
+      .filter(col("event_date") >= lit(loDate).cast("date") &&
+        col("event_date") <= lit(hiDate).cast("date"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("event_date").cast("string").as("event_date"),
+        col("n_events"), col("sum_value"))
+      .orderBy("event_date")
   }
 
   /** Seed an embedded-Derby table for the catalog-scan demo; idempotent. */

@@ -331,6 +331,29 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Time-series densification (gap fill): hourly event counts per
+    * type with missing hours restated as explicit zeros — the spine
+    * every downstream window/forecast join needs. The raw scan reduces
+    * to ONE bounded aggregate (types × hours); the hour spine is
+    * generated (`sequence`), not scanned; spine × types is a broadcast
+    * of two tiny sides. At 100 TB only the first aggregate touches
+    * data scale — everything after is calendar-sized.
+    */
+  def w7GapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+    val types = hourly.select("event_type").distinct()
+    spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr").cast("string").as("hr"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("event_type", "hr")
+  }
+
   /** Data profiling: per-column non-null/null/exact-distinct counts
     * and min/max (stringified so heterogeneous column types fit one
     * result schema), a row per column. One aggregate BRANCH per column

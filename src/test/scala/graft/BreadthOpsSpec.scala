@@ -112,6 +112,26 @@ class BreadthOpsSpec extends SparkSpec {
     assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("w7GapFill fills missing hours with zeros, bounded by the data") {
+    val ev = Seq(
+      (1L, "click", "2024-01-01 00:10:00"),
+      (2L, "click", "2024-01-01 03:20:00"), // hours 1,2 missing for click
+      (3L, "view", "2024-01-01 01:00:00"))
+      .toDF("event_id", "event_type", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    val rows = Relational.w7GapFill(ev)
+      .as[(String, String, Long)].collect().toSeq
+    // spine = hours 00..03 × {click, view} = 8 rows
+    assert(rows.length == 8)
+    val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("click", "2024-01-01 00:00:00")) == 1L)
+    assert(m(("click", "2024-01-01 01:00:00")) == 0L) // filled gap
+    assert(m(("click", "2024-01-01 02:00:00")) == 0L)
+    assert(m(("click", "2024-01-01 03:00:00")) == 1L)
+    assert(m(("view", "2024-01-01 01:00:00")) == 1L)
+    assert(m(("view", "2024-01-01 03:00:00")) == 0L)
+  }
+
   test("a8ProfileColumns: one row per column with exact stats, nulls counted") {
     val df = Seq(
       (1L, Some("x"), Some(2.5)),

@@ -95,4 +95,21 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("*("),
       s"no codegen span:\n${p.take(2000)}")
   }
+
+  test("S8 partitioned read-back prunes directories via PartitionFilters") {
+    val dir = "/tmp/graft_layout_planspec"
+    val df = graft.operators.FileOps.partitionedRoundTrip(spark,
+      Tables(spark, sf0001, "events"), dir, "2024-01-08", "2024-01-14")
+    df.collect()
+    val p = plan(df)
+    // the date predicates must be PARTITION filters (directory pruning),
+    // never data filters rescanned per row
+    assert(p.contains("PartitionFilters:"), s"no partition filters:\n${p.take(2000)}")
+    val pf = p.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("event_date"), s"event_date not in partition filters: $pf")
+    // and the row-group data filter list must NOT carry event_date
+    val dataF = p.split("PushedFilters:")(1).split("]")(0)
+    assert(!dataF.contains("event_date"),
+      s"partition column leaked into data filters: $dataF")
+  }
 }
