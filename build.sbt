@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // breadcrumbs for a driver-JVM death mid-suite: die loudly at the
+  // first OOM instead of limping into "stopped SparkContext" failures
+  "-XX:+ExitOnOutOfMemoryError",
 )

@@ -24,6 +24,21 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // One fatal driver/JVM event (stopped SparkContext, OOM) poisons
+    // every later attempt; continuing would time zombie failures for
+    // minutes and bury the real cause. Abort at once with the FIRST
+    // error as the cause.
+    def abortIfDead(name: String, pass: String, e: Throwable): Unit = {
+      val dead = spark.sparkContext.isStopped ||
+        e.isInstanceOf[OutOfMemoryError] ||
+        (e.getMessage != null && e.getMessage.contains("stopped SparkContext"))
+      if (dead) {
+        System.err.println(
+          s"[bench] FATAL during $pass '$name': SparkContext dead — aborting suite")
+        e.printStackTrace(System.err)
+        sys.exit(3)
+      }
+    }
     // Warm-up pass at the smallest scale factor sharing the layout:
     // triggers codegen compilation + JIT for every query plan so the
     // timed pass measures execution, not JVM warm-up.
@@ -32,9 +47,12 @@ object Bench {
       val w = new java.io.File(parent, "sf0.001")
       if (w.exists()) w.getPath else sfDir
     }
-    queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    queries.foreach { case (n, fn) =>
+      try { fn(spark, warmDir).count() } catch {
+        case e: Throwable => abortIfDead(n, "warm-up", e)
+      }
     }
+    System.err.println(s"[bench] warm-up done (${queries.size} queries)")
     // min over timed passes per query, passes INTERLEAVED across the
     // whole suite (pass 1 of every query, then pass 2, ...): the
     // environment shows bursty external CPU steal lasting seconds — a
@@ -47,14 +65,18 @@ object Bench {
     var failures = Map.empty[String, String]
     val names = queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to 3; name <- names) {
+    for (pass <- 1 to 3; name <- names) {
       val t0 = System.nanoTime()
       try { queries(name)(spark, sfDir).count() } catch {
         case e: Throwable =>
+          abortIfDead(name, s"pass $pass", e)
           failures += name -> e.toString.linesIterator.next()
           System.err.println(s"[bench] FAILED $name: $e")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // per-query progress stamp: a crash mid-suite is localizable from
+      // the stderr tail (last stamped query = the one that died)
+      System.err.println(f"[bench] pass $pass $name%-28s ${dt}%8.3f s")
       samples.updateWith(name)(s => Some(dt :: s.getOrElse(Nil)))
     }
     val results = names.map(n => n -> samples(n).min)

@@ -66,9 +66,12 @@ object SparkEntry {
       "2024-01-08", "2024-01-14")),
     "a8_profile" -> ((s, d) => Relational.a8ProfileColumns(t(s, d)("lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))),
-    // sketch aggregates: algorithm-specific outputs, rows-only check
-    "a6_approx_distinct" -> ((s, d) => Relational.a6ApproxDistinct(t(s, d)("events"))),
-    "a7_approx_quantile" -> ((s, d) => Relational.a7ApproxQuantiles(t(s, d)("lineitem"))),
+    // sketch aggregates: the sketch values are algorithm-specific, so
+    // the driver-checked form is the error-bound INVARIANT (booleans
+    // hash-matched against a constant-true oracle); the raw sketch
+    // operators stay in Relational + BreadthOpsSpec
+    "a6_approx_distinct" -> ((s, d) => Relational.a6ApproxDistinctCheck(t(s, d)("events"))),
+    "a7_approx_quantile" -> ((s, d) => Relational.a7ApproxQuantilesCheck(t(s, d)("lineitem"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
     "asof_join" -> ((s, d) => {
@@ -116,6 +119,14 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) => GraphOps.dedupSurvivors(t(s, d)("documents"),
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")),
+    // incremental shape: a new slice (doc_id % 10 == 0) against the
+    // persisted signature index of the rest of the corpus
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      DedupOps.minhashLshIncremental(
+        docs.filter(col("doc_id") % 10 === 0),
+        DedupOps.minhashSignatures(docs.filter(col("doc_id") % 10 =!= 0), 16))
+    }),
     "dedup_embedding_cosine" -> ((s, d) =>
       SimilarityOps.cosineNearDup(t(s, d)("embeddings"), 0.463)
         .select("vec_a", "vec_b")),
@@ -702,7 +713,7 @@ object SparkEntry {
         |  COALESCE(h.n, 0) AS n_events
         |FROM spine CROSS JOIN ty
         |LEFT JOIN hourly h ON h.event_type = ty.event_type AND h.hr = spine.hr
-        |ORDER BY event_type, hr""".stripMargin,
+        |ORDER BY ty.event_type, hr""".stripMargin,
     "s8_partitioned_roundtrip" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
         |  COUNT(*) AS n_events,
@@ -719,6 +730,15 @@ object SparkEntry {
          |  CAST(MAX($c) AS VARCHAR) AS max_value
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    // constant-true oracles: the Spark side emits bound-check booleans
+    // (see Relational.a6ApproxDistinctCheck/a7ApproxQuantilesCheck); a
+    // broken sketch flips a boolean and the hash mismatches
+    "a6_approx_distinct" ->
+      """SELECT event_type, TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a7_approx_quantile" ->
+      """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a4_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
@@ -894,6 +914,33 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> {
+      val agreeSql = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      def bandsOf(src: String) = (0 until 8).map { j =>
+        s"SELECT doc_id, $j AS band, CAST(m${2 * j} AS VARCHAR) || '_' || " +
+          s"CAST(m${2 * j + 1} AS VARCHAR) AS band_key FROM $src"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |$HashedMhCtes,
+         |newmh AS (SELECT * FROM mh WHERE doc_id % 10 = 0),
+         |idxmh AS (SELECT * FROM mh WHERE doc_id % 10 <> 0),
+         |nbands AS (
+         |  ${bandsOf("newmh")}),
+         |ibands AS (
+         |  ${bandsOf("idxmh")}),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS corpus_id
+         |  FROM nbands n JOIN ibands i
+         |    ON n.band = i.band AND n.band_key = i.band_key AND n.doc_id <> i.doc_id)
+         |SELECT new_id, corpus_id, ($agreeSql) / 16.0 AS est_jaccard
+         |FROM cand c
+         |JOIN mh a ON a.doc_id = c.new_id
+         |JOIN mh b ON b.doc_id = c.corpus_id
+         |WHERE ($agreeSql) / 16.0 >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       s"""WITH $ToksCte,
          |$ShinglesCte,
@@ -1103,10 +1150,11 @@ object SparkEntry {
     * minhash-LSH, connected-components, and survivors oracles. Ends in
     * a `pairs(doc_a, doc_b, jaccard)` CTE.
     */
-  private lazy val MinhashPairsCtes =
-    s"""$ToksCte,
-       |$ShinglesCte,
-       |hashed AS (
+  /** DuckDB-side shingle-hash + minhash-signature CTEs (end in `mh`),
+    * shared by the pairs pipeline and the incremental-index oracle.
+    */
+  private lazy val HashedMhCtes =
+    s"""hashed AS (
        |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 9),
        |    i -> (strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1) * power(16, 8 - i)))
        |    AS BIGINT) AS h32
@@ -1114,7 +1162,12 @@ object SparkEntry {
        |mh AS (
        |  SELECT doc_id,
        |    $MinhashMinsSql
-       |  FROM hashed GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
+
+  private lazy val MinhashPairsCtes =
+    s"""$ToksCte,
+       |$ShinglesCte,
+       |$HashedMhCtes,
        |bands AS (
        |  $MinhashBandsSql),
        |cand AS (

@@ -22,15 +22,14 @@ object DedupOps {
     * doc's total shingle count `n`. `n` is computed narrowly from the
     * per-doc array BEFORE the explode, so Jaccard denominators ride
     * along with the rows — no separate sizes aggregation and no
-    * sizes joins downstream. Persisted: every consumer (signatures,
-    * intersection) reuses one materialization instead of re-running the
-    * tokenize+explode — the same materialize-the-CTE choice a columnar
-    * engine makes.
+    * sizes joins downstream. NOT persisted here: multi-consumer
+    * pipelines ([[minhashLsh]]) persist it themselves with an explicit
+    * unpersist after materializing — an anonymous persist inside a
+    * helper pins storage memory for the JVM's lifetime (CacheManager
+    * holds a strong reference until unpersist), which under a long
+    * bench suite is a slow leak.
     */
-  private def shingles(documents: DataFrame): DataFrame =
-    shingleRows(documents).persist(StorageLevel.MEMORY_AND_DISK)
-
-  private def shingleRows(documents: DataFrame): DataFrame =
+  private[graft] def shingleRows(documents: DataFrame): DataFrame =
     documents
       // entry repartition: the shingle build + explode amplifies each
       // doc ~50x, so parallelism must come from the row count, not the
@@ -72,8 +71,15 @@ object DedupOps {
     * aggregates combine map-side — the shuffle carries one row per
     * (partition, doc), not per (shingle, seed).
     */
-  def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = shingles(documents).select(col("doc_id"),
+  def minhashSignatures(documents: DataFrame, numHashes: Int): DataFrame =
+    signaturesFrom(shingleRows(documents), numHashes)
+
+  /** Signatures over an already-built shingle frame (possibly persisted
+    * by the caller — [[minhashLsh]] reuses one materialization for both
+    * the signature and the verify pass).
+    */
+  private[graft] def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.select(col("doc_id"),
       conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h32"))
     val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("h32") * a + b) % MinhashP).as(s"m$i")
@@ -88,7 +94,14 @@ object DedupOps {
     */
   def minhashLsh(documents: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(documents, numHashes)
+    // the shingle set is read twice (signatures + verify): persist ONE
+    // materialization, eagerly materialize the (pair-set-sized) result
+    // with a localCheckpoint, then release the cache — the explicit
+    // lifecycle keeps repeated invocations (a bench suite, a scheduler
+    // loop) from pinning storage memory forever. Checkpoint blocks are
+    // freed by the ContextCleaner when the result frame is collected.
+    val sh = shingleRows(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFrom(sh, numHashes)
     val numBands = numHashes / rowsPerBand
     // unpivot the k min columns into (band, band_key) rows — a narrow
     // generator, no aggregation needed to build band keys
@@ -105,7 +118,62 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(documents, candidates, threshold)
+    val out = verifyJaccard(sh, candidates, threshold).localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
+  /** Incremental near-dup: a slice of NEW documents against the
+    * signature INDEX of an existing corpus — the production shape for
+    * growing corpora (you never re-LSH 100 TB to admit a day's crawl;
+    * you persist [[minhashSignatures]] as the index and join the new
+    * slice's bands against it). Candidates come from a new×index band
+    * equi-join — never index×index, so cost scales with the SLICE — and
+    * are verified by SIGNATURE AGREEMENT (matching minhashes / k, the
+    * standard unbiased Jaccard estimator) because an index retains
+    * signatures, not shingle sets.
+    *
+    * `index`: a [[minhashSignatures]]-shaped frame (doc_id, m0..m{k-1})
+    * — typically read back from storage. Returns
+    * (new_id, corpus_id, est_jaccard) pairs with est_jaccard ≥ minAgree.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, index: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 2,
+      minAgree: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    // both signature frames feed two consumers (bands + verify): one
+    // materialization each, released after the eager result checkpoint
+    // (same lifecycle discipline as minhashLsh)
+    val newSigs = minhashSignatures(newDocs, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val idxSigs = index.persist(StorageLevel.MEMORY_AND_DISK)
+    val stackArgs = (0 until numBands).map { j =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"m${j * rowsPerBand + r}").mkString(", '_', ")
+      s"$j, concat($key)"
+    }.mkString(", ")
+    def bands(sigs: DataFrame) = sigs.selectExpr("doc_id",
+      s"stack($numBands, $stackArgs) AS (band, band_key)")
+    val cand = bands(newSigs).as("n").join(bands(idxSigs).as("i"),
+        col("n.band") === col("i.band") &&
+        col("n.band_key") === col("i.band_key") &&
+        col("n.doc_id") =!= col("i.doc_id"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("corpus_id"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"ns.m$i") === col(s"ix.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val out = cand
+      .join(newSigs.as("ns"), col("new_id") === col("ns.doc_id"))
+      .join(idxSigs.as("ix"), col("corpus_id") === col("ix.doc_id"))
+      .select(col("new_id"), col("corpus_id"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minAgree)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    newSigs.unpersist(blocking = false)
+    idxSigs.unpersist(blocking = false)
+    out
   }
 
   /** Exact word-trigram Jaccard over a candidate pair set. Denominators
@@ -114,9 +182,8 @@ object DedupOps {
     * Grouping keys include na/nb, which are functionally dependent on
     * the doc ids — no extra group cardinality.
     */
-  private def verifyJaccard(documents: DataFrame, candidates: DataFrame,
+  private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
-    val sh = shingles(documents)
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")),

@@ -29,8 +29,21 @@ object GraphOps {
     * columns = endpoints). Returns (doc_id, component) for every node
     * that appears in an edge, where component = the minimum node id
     * reachable from doc_id.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses a
+    * RELIABLE `checkpoint` to that (DFS) directory instead of
+    * `localCheckpoint` — executor loss then costs one round's recompute
+    * from the checkpoint, not a job restart from scratch. The hardened
+    * choice for long 100 TB runs; local (default) is faster when
+    * executors are stable.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // one knob for both snapshot flavors; always eager (the round's
+    // plan must truncate NOW, not at some later action)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val Array(a, b) = edges.columns.take(2)
     val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
       .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
@@ -43,10 +56,9 @@ object GraphOps {
     // tree traversal eventually overflows the stack). localCheckpoint
     // materializes to executor-local storage — on a cluster, executor
     // loss forces a job restart, the standard trade for iterative algos
-    // (a reliable `checkpoint` to DFS is the hardened alternative).
-    var labels = sym.groupBy("u").agg(min("v").as("nb"))
-      .select(col("u"), least(col("u"), col("nb")).as("label"))
-      .localCheckpoint(true)
+    // (the `checkpointDir` flag selects the reliable alternative).
+    var labels = snap(sym.groupBy("u").agg(min("v").as("nb"))
+      .select(col("u"), least(col("u"), col("nb")).as("label")))
     var prevSum = checksum(labels)
 
     var converged = false
@@ -63,11 +75,10 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // (b) pointer jump: follow the label one hop through the label
       // table itself — halves remaining chain length every round
-      val jumped = stepped.as("s")
+      val jumped = snap(stepped.as("s")
         .join(stepped.as("l"), col("s.label") === col("l.u"), "left")
         .select(col("s.u").as("u"),
-          least(col("s.label"), coalesce(col("l.label"), col("s.label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("s.label"), coalesce(col("l.label"), col("s.label"))).as("label")))
       val s = checksum(jumped)
       stepped.unpersist(blocking = false)
       labels = jumped

@@ -331,6 +331,24 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Driver-verifiable restatement of [[a6ApproxDistinct]]: the sketch
+    * value itself is algorithm-specific (no cross-engine oracle), but
+    * its ERROR BOUND is checkable — emit `|approx − exact| ≤ bound` as
+    * a boolean per group, hash-matched against a constant-true oracle.
+    * Bound = 5·rsd·exact + 1 (HLL++ rsd is a standard deviation; 5σ
+    * plus one count of slack never fires spuriously, yet a broken
+    * sketch blows through it immediately).
+    */
+  def a6ApproxDistinctCheck(events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(5 * rsd) * col("exact_users") + lit(1.0)).as("within_bound"))
+      .orderBy("event_type")
+
   /** Time-series densification (gap fill): hourly event counts per
     * type with missing hours restated as explicit zeros — the spine
     * every downstream window/forecast join needs. The raw scan reduces
@@ -391,6 +409,30 @@ object Relational {
       .select(col("l_returnflag"),
         col("q")(0).as("p50_approx"), col("q")(1).as("p95_approx"))
       .orderBy("l_returnflag")
+
+  /** Driver-verifiable restatement of [[a7ApproxQuantiles]] (same trick
+    * as [[a6ApproxDistinctCheck]]): approx_percentile guarantees the
+    * returned value's RANK lies within ±1/accuracy of the target
+    * quantile, so re-rank the approx values against the data — count of
+    * rows ≤ v must reach the lower rank bound, count of rows < v must
+    * not exceed the upper — and emit booleans against a constant-true
+    * oracle. One broadcast of the 3-row approx result + one aggregate.
+    */
+  def a7ApproxQuantilesCheck(lineitem: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val approx = a7ApproxQuantiles(lineitem, accuracy)
+    val eps = 1.0 / accuracy
+    def okFor(q: Double, v: String) =
+      (sum(when(col("l_quantity") <= col(v), 1L).otherwise(0L)) >=
+        (lit(q - eps) * count(lit(1)) - 1.0)) &&
+      (sum(when(col("l_quantity") < col(v), 1L).otherwise(0L)) <=
+        (lit(q + eps) * count(lit(1)) + 1.0))
+    lineitem.select("l_returnflag", "l_quantity")
+      .join(broadcast(approx), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(okFor(0.5, "p50_approx").as("p50_ok"),
+        okFor(0.95, "p95_approx").as("p95_ok"))
+      .orderBy("l_returnflag")
+  }
 
   /** Exact distinct-count per group. Spark plans this as a two-phase
     * aggregate (partial distinct on (key, value), then count) — the

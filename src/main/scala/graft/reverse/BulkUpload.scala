@@ -1,7 +1,8 @@
 package graft.reverse
 
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /** Reverse ETL (K5/T3, `upload_table.py`): DataFrame → canonical CSV →
@@ -119,10 +120,23 @@ object BulkUpload {
   }
 
   /** [[upload]] + per-record results: every batch's `UploadResult` rows
-    * come back as a Dataset (distributed — each task collects only its
-    * own batches' results), so failed records are queryable instead of
-    * silently dropped: `upload_table.py:89-103` prints them; a pipeline
-    * joins them back to the source rows for retry/report.
+    * land in a driver-held DataFrame, so failed records are queryable
+    * instead of silently dropped: `upload_table.py:89-103` prints them;
+    * a pipeline joins them back to the source rows for retry/report.
+    *
+    * The upload runs as an ACTION (foreachPartition + collection
+    * accumulator), never as a cached transformation: a lazy/cached
+    * side-effecting Dataset can recompute after `closeJob` (cache
+    * eviction) and post batches to a closed job, and its results are
+    * only as durable as the cache. The accumulator merges from
+    * SUCCESSFUL task attempts only, so the returned results carry no
+    * duplicates; the POSTs themselves are at-least-once under task
+    * retry (a Spark-level retry re-posts the partition's earlier
+    * chunks — the server-side dedup a client cannot provide; the wire
+    * transport fails fast on POST errors rather than auto-retrying,
+    * see HttpSfTransport.send). Result volume is bounded by the upload
+    * itself (one row per uploaded record), the same driver-side scope
+    * as the reference's result loop.
     */
   def uploadWithResults(df: DataFrame, objectName: String,
       transportName: String, operation: String = "update",
@@ -133,19 +147,20 @@ object BulkUpload {
     val jobId = transport.createJob(objectName, operation)
     val hdr = header(df.schema)
     import spark.implicits._
-    val results = df.mapPartitions { rows: Iterator[Row] =>
+    val acc = spark.sparkContext.collectionAccumulator[
+      (String, String, Boolean, Boolean, String)]("upload_results")
+    df.foreachPartition { rows: Iterator[Row] =>
       val t = UploadTransports.get(transportName)
-      chunk(hdr, rows.map(encodeRow), maxBytes, maxRecords).flatMap { c =>
+      chunk(hdr, rows.map(encodeRow), maxBytes, maxRecords).foreach { c =>
         val batchId = t.postBatch(jobId, c)
         t.waitBatch(jobId, batchId)
         t.batchResults(jobId, batchId)
-          .map(r => (batchId, r.id, r.success, r.created, r.error))
+          .foreach(r => acc.add((batchId, r.id, r.success, r.created, r.error)))
       }
-    }(Encoders.product[(String, String, Boolean, Boolean, String)])
-      .toDF("batch_id", "id", "success", "created", "error")
-    // materialize so the job is fully posted before closeJob
-    results.cache().count()
+    }
     transport.closeJob(jobId)
+    val results = acc.value.asScala.toSeq
+      .toDF("batch_id", "id", "success", "created", "error")
     (jobId, results)
   }
 }

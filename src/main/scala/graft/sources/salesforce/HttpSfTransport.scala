@@ -63,11 +63,16 @@ final class HttpSfTransport(
 
   // ---- low-level HTTP -------------------------------------------------
 
-  /** Send with retry on connection errors — the reference treats a
-    * dropped connection mid-poll as "bad but not fatal"
-    * (`download.py:76-80`, `upload_table.py:89-96`).
+  /** Send with retry on connection errors for IDEMPOTENT requests only
+    * — the reference retries polling READS (`download.py:76-80`,
+    * `upload_table.py:89-96`), never job/batch POSTs: a connection that
+    * drops AFTER the server accepted a POST would re-post on retry and
+    * create duplicate bulk jobs/batches (duplicate records written on
+    * the reverse-ETL path). Non-idempotent requests fail fast and leave
+    * the job inspectable/abortable, exactly like the reference.
     */
-  private def send(b: HttpRequest.Builder): HttpResponse[Array[Byte]] = {
+  private def send(b: HttpRequest.Builder,
+      idempotent: Boolean = true): HttpResponse[Array[Byte]] = {
     var attempt = 0
     while (true) {
       try {
@@ -77,7 +82,7 @@ final class HttpSfTransport(
             new String(resp.body(), UTF_8).take(500))
         return resp
       } catch {
-        case _: java.io.IOException if attempt < maxRetries =>
+        case _: java.io.IOException if idempotent && attempt < maxRetries =>
           attempt += 1
           Thread.sleep(math.min(pollIntervalMs, 1000L) * attempt)
       }
@@ -119,7 +124,7 @@ final class HttpSfTransport(
       .header("Content-Type", s"$contentType; charset=UTF-8")
       .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
     extraHeaders.foreach { case (k, v) => b.header(k, v) }
-    send(b)
+    send(b, idempotent = false) // POSTs never auto-retry (no duplicate jobs/batches)
   }
 
   // ---- XML helpers (jobInfo / batchInfoList / result-list) ------------
@@ -338,7 +343,10 @@ final class HttpSfTransport(
 
   /** One server-side batch → rows: poll the batch to Completed, list
     * its result ids, stream each result's CSV with NUL bytes stripped
-    * (`salesforce_bulk.py:440-496`).
+    * (`salesforce_bulk.py:440-496`). Result bodies are consumed as a
+    * STREAM (ofInputStream → incremental NUL-strip → CsvWire over a
+    * Reader), never materialized whole: a result file can approach
+    * 1 GB, and one byte[] + String copy of it would OOM the executor.
     */
   private def bulkBatchRows(jobId: String, batchId: String): Iterator[Map[String, Any]] = {
     waitBatch(jobId, batchId)
@@ -346,12 +354,65 @@ final class HttpSfTransport(
       parseXml(bulkGet(s"/job/$jobId/batch/$batchId/result").body()), "result")
       .map(_.getTextContent)
     resultIds.iterator.flatMap { rid =>
-      val raw = bulkGet(s"/job/$jobId/batch/$batchId/result/$rid").body()
-      val csv = new String(raw, UTF_8).replace("\u0000", "") // NUL strip, `:495`
-      CsvWire.parse(csv)
+      CsvWire.parse(nulStripReader(
+        bulkGetStream(s"/job/$jobId/batch/$batchId/result/$rid")))
     }
   }
 
+  /** Streaming GET for (idempotent) result downloads: retries
+    * establishing the connection like [[send]]; a drop MID-stream
+    * surfaces to the reader — the task rereads the partition on retry,
+    * which the scan path tolerates (at-least-once reads).
+    */
+  private def bulkGetStream(path: String): java.io.InputStream = {
+    var attempt = 0
+    while (true) {
+      try {
+        val resp = client.send(bulkRequest(path).GET().build(),
+          HttpResponse.BodyHandlers.ofInputStream())
+        if (resp.statusCode() >= 400) {
+          val msg = try new String(resp.body().readNBytes(500), UTF_8)
+            finally resp.body().close()
+          throw new SfApiError(resp.statusCode(), msg)
+        }
+        return resp.body()
+      } catch {
+        case _: java.io.IOException if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(math.min(pollIntervalMs, 1000L) * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Incremental NUL strip (`salesforce_bulk.py:495`) over a streamed
+    * body — the Reader twin of the old whole-string `.replace`; an
+    * all-NUL refill loops instead of returning 0 chars.
+    */
+  private def nulStripReader(in: java.io.InputStream): java.io.Reader =
+    new java.io.FilterReader(
+        new java.io.InputStreamReader(new java.io.BufferedInputStream(in), UTF_8)) {
+      override def read(): Int = {
+        var c = super.read()
+        while (c == 0) c = super.read()
+        c
+      }
+      override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
+        var kept = 0
+        while (kept == 0) {
+          val n = super.read(cbuf, off, len)
+          if (n == -1) return -1
+          var w = off
+          var i = off
+          while (i < off + n) {
+            if (cbuf(i) != 0.toChar) { cbuf(w) = cbuf(i); w += 1 }
+            i += 1
+          }
+          kept = w - off
+        }
+        kept
+      }
+    }
   /** `wait_for_batch` (`salesforce_bulk.py:505-511`): poll batch state
     * every `pollIntervalMs` up to `pollTimeoutMs`; error states raise
     * (`is_batch_done`, `:498-503`). NotProcessed is terminal-OK here:
@@ -415,45 +476,57 @@ final class HttpSfTransport(
   */
 private[graft] object CsvWire {
 
-  def parse(text: String): Iterator[Map[String, Any]] = {
-    val rows = parseRows(text)
+  def parse(text: String): Iterator[Map[String, Any]] =
+    parse(new java.io.StringReader(text))
+
+  /** Streaming variant: rows decode as the Reader drains — nothing
+    * requires the whole body in memory (bulk result files can approach
+    * 1 GB). The reader closes at EOF.
+    */
+  def parse(reader: java.io.Reader): Iterator[Map[String, Any]] = {
+    val rows = parseRows(reader)
     if (!rows.hasNext) return Iterator.empty
     val header = rows.next()
     rows.map(r => header.zip(r).toMap[String, Any])
   }
 
   private[graft] def parseRows(text: String): Iterator[Seq[String]] =
+    parseRows(new java.io.StringReader(text))
+
+  private[graft] def parseRows(reader: java.io.Reader): Iterator[Seq[String]] =
     new Iterator[Seq[String]] {
-      private var pos = 0
-      private def eof = pos >= text.length
+      private val in = new java.io.BufferedReader(reader)
+      private var c: Int = in.read()
+      private var closed = false
+      private def advance(): Unit = {
+        c = in.read()
+        if (c == -1 && !closed) { closed = true; in.close() }
+      }
       private def skipNewlines(): Unit =
-        while (!eof && (text.charAt(pos) == '\n' || text.charAt(pos) == '\r')) pos += 1
+        while (c == '\n' || c == '\r') advance()
       skipNewlines()
-      override def hasNext: Boolean = !eof
+      override def hasNext: Boolean = c != -1
       override def next(): Seq[String] = {
         val fields = Seq.newBuilder[String]
         val sb = new StringBuilder
         var inQuotes = false
         var done = false
         while (!done) {
-          if (eof) {
+          if (c == -1) {
             fields += sb.result(); done = true
-          } else {
-            val c = text.charAt(pos)
-            if (inQuotes) {
-              if (c == '"') {
-                if (pos + 1 < text.length && text.charAt(pos + 1) == '"') {
-                  sb.append('"'); pos += 2
-                } else { inQuotes = false; pos += 1 }
-              } else { sb.append(c); pos += 1 }
-            } else c match {
-              case '"' => inQuotes = true; pos += 1
-              case ',' => fields += sb.result(); sb.clear(); pos += 1
-              case '\n' | '\r' =>
-                fields += sb.result(); done = true
-                skipNewlines()
-              case other => sb.append(other); pos += 1
-            }
+          } else if (inQuotes) {
+            if (c == '"') {
+              advance()
+              if (c == '"') { sb.append('"'); advance() }
+              else inQuotes = false
+            } else { sb.append(c.toChar); advance() }
+          } else c.toChar match {
+            case '"' => inQuotes = true; advance()
+            case ',' => fields += sb.result(); sb.clear(); advance()
+            case '\n' | '\r' =>
+              fields += sb.result(); done = true
+              skipNewlines()
+            case other => sb.append(other); advance()
           }
         }
         fields.result()

@@ -239,7 +239,12 @@ final class SfRowReader(it: Iterator[Map[String, Any]], schema: StructType)
     }
     case LongType => v match {
       case n: Number => n.longValue()
-      case s: String => s.trim.toDouble.toLong
+      // exact integer parse first: the double round-trip silently loses
+      // precision past 2^53 (Salesforce numeric(18,0) can exceed it);
+      // the double path only handles decimal-pointed CSV renderings
+      case s: String =>
+        val t = s.trim
+        try t.toLong catch { case _: NumberFormatException => t.toDouble.toLong }
     }
     case DoubleType => v match {
       case n: Number => n.doubleValue()

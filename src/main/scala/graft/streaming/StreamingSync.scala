@@ -122,6 +122,12 @@ object StreamingSync {
     * flatMapGroupsWithState-style semantics, expressed with
     * mapGroupsWithState (KeyValueGroupedDataset) — the escape hatch for
     * state machines windowing can't express.
+    *
+    * REPLAY-ONLY: NoTimeout keeps every session in state forever and
+    * re-emits closed sessions each micro-batch — correct only under a
+    * bounded single-pass replay (the driver's AvailableNow query). The
+    * production shape on an unbounded stream is [[sessionizeEvicting]],
+    * which emits each session once and evicts its state.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapSeconds: Long): DataFrame = {
@@ -153,5 +159,65 @@ object StreamingSync {
       }
       .flatMap(identity)
       .toDF("user_id", "session_start", "session_end", "n_events")
+  }
+
+  /** Production sessionization on an unbounded stream: per-user gap
+    * sessions via flatMapGroupsWithState with EventTimeTimeout. Each
+    * session is emitted EXACTLY ONCE — when the event-time watermark
+    * passes `session_end + gap` (no event can extend it any more) — and
+    * its state is evicted at the same moment, so the state store holds
+    * only OPEN sessions no matter how long the stream runs. A user who
+    * goes silent is closed out by the timeout (set to the earliest
+    * possible close of their open sessions), not retained forever.
+    *
+    * Late events within the watermark horizon merge correctly: state
+    * keeps every still-open session as an interval, incoming events are
+    * interval-merged (adjacent sessions within the gap coalesce), and
+    * only sessions provably beyond late-event reach are closed.
+    */
+  def sessionizeEvicting(spark: SparkSession, events: DataFrame,
+      gapSeconds: Long, watermarkDelay: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val gapMs = gapSeconds * 1000L
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+
+    // interval-merge open sessions with a batch of event times: sort by
+    // start, coalesce any neighbor within the gap (events are 1-point
+    // intervals). O(k log k) in the per-user batch size — state itself
+    // stays open-sessions-only.
+    def merge(existing: List[(Long, Long, Long)], ts: Seq[Long]): List[(Long, Long, Long)] = {
+      val all = (existing ++ ts.map(t => (t, t, 1L))).sortBy(s => (s._1, s._2))
+      all.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((ps, pe, pn) :: rest, (s, e, n)) if s - pe <= gapMs =>
+          (ps, math.max(pe, e), pn + n) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[List[(Long, Long, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val merged = merge(state.getOption.getOrElse(Nil),
+            evs.map(_._2.getTime).toSeq)
+          // closed = no event ≥ watermark can fall within the gap
+          val (closed, open) = merged.partition { case (_, e, _) => e + gapMs < wm }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake when the earliest open session becomes closable;
+            // Spark requires the timeout to sit beyond the watermark
+            state.setTimeoutTimestamp(math.max(open.map(_._2).min + gapMs, wm + 1))
+          }
+          closed.sortBy(_._1)
+            .map { case (s, e, n) => (uid, s, e, n) }.iterator
+      }
+      .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
 }

@@ -74,8 +74,15 @@ object BulkLoad {
   private def insertRows(conn: Connection, dialect: SqlDialect,
       dest: String, df: DataFrame): Long = {
     val cols = df.columns.toSeq
+    // FORCE_NULL only for NON-STRING nullable columns: encodeRow emits
+    // NULL as an unquoted empty field and '' as a quoted one, but
+    // FORCE_NULL erases that distinction (quoted empty → NULL too), so
+    // string columns under COPY would diverge from the batched-INSERT
+    // fallback (which stores ''). Non-string types have no empty-string
+    // value, so FORCE_NULL is exactly the null-restoration they need.
     dialect.copyInSql(dest, cols,
-        df.schema.fields.filter(_.nullable).map(_.name).toSeq)
+        df.schema.fields.filter(f => f.nullable &&
+          f.dataType != org.apache.spark.sql.types.StringType).map(_.name).toSeq)
       .flatMap(sql => graft.sink.CopyStager.copyInto(conn, sql, df))
       .getOrElse {
         val sql = s"INSERT INTO $dest (${cols.map(dialect.quoteIdent).mkString(", ")})" +

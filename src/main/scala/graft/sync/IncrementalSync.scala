@@ -131,8 +131,12 @@ final class IncrementalSync(conn: Connection, dialect: SqlDialect,
         s" VALUES (${cols.map(_ => "?").mkString(", ")})"
       val n =
         if (cfg.parallelStaging) stageFromExecutors(delta, insert, cols.size)
+        // FORCE_NULL only for non-string nullable columns — see the
+        // matching comment in BulkLoad.insertRows (string '' under COPY
+        // must not silently become NULL and diverge from the INSERT path)
         else dialect.copyInSql(staging, cols,
-            delta.schema.fields.filter(_.nullable).map(_.name).toSeq)
+            delta.schema.fields.filter(f => f.nullable &&
+              f.dataType != org.apache.spark.sql.types.StringType).map(_.name).toSeq)
           .flatMap(sql => graft.sink.CopyStager.copyInto(conn, sql, delta))
           .getOrElse {
           val ps = conn.prepareStatement(insert)

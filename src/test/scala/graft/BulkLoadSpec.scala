@@ -94,6 +94,41 @@ class BulkLoadSpec extends SparkSpec with BeforeAndAfterAll {
     assert(destRows() == before)
   }
 
+  test("COPY FORCE_NULL covers only non-string nullable columns") {
+    // empty string vs NULL: FORCE_NULL on a string column would load
+    // quoted '' as NULL under COPY while the INSERT fallback stores ''
+    // — the two load paths must agree, so strings are excluded
+    var recorded: Option[(Seq[String], Seq[String])] = None
+    val inner = new DerbyDialect
+    val recording = new graft.sink.SqlDialect {
+      override def quoteIdent(n: String) = inner.quoteIdent(n)
+      override def createStagingSql(s: String, d: String) = inner.createStagingSql(s, d)
+      override def upsertSql(dest: String, staging: String, cols: Seq[String],
+          pk: String, isDeleted: Option[String]) =
+        inner.upsertSql(dest, staging, cols, pk, isDeleted)
+      override def deleteSql(dest: String, staging: String, pk: String,
+          isDeleted: String) = inner.deleteSql(dest, staging, pk, isDeleted)
+      override def truncateSql(t: String) = inner.truncateSql(t)
+      override def copyInSql(dest: String, cols: Seq[String],
+          forceNullCols: Seq[String]) = {
+        recorded = Some((cols, forceNullCols))
+        None // no COPY protocol here: falls back to batched INSERTs
+      }
+    }
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE "k2fn" ("pk" BIGINT, "name" VARCHAR(80), "amount" DOUBLE)""")
+    st.close()
+    val df = Seq((1L, Option("a"), Option(2.5)), (2L, None: Option[String], None: Option[Double]))
+      .toDF("pk", "name", "amount")
+    val job = JobInfo("750N", Seq(BatchInfo("b1", "Completed", 2)),
+      numberRecordsProcessed = 2, systemModstamp = Some(Modstamp))
+    val n = BulkLoad.bulkLoad(job, SyncConfig("k2fn", "pk", "modstamp"),
+      conn, recording, state, _ => df)
+    assert(n == 2)
+    // nullable string 'name' must NOT be force-nulled; nullable double must
+    assert(recorded == Some((Seq("pk", "name", "amount"), Seq("amount"))))
+  }
+
   test("mid-load failure rolls back truncate, load, and registration") {
     val before = destRows()
     val wmBefore = state.get("k2dest").map(_.syncuntil)

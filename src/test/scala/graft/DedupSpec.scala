@@ -63,6 +63,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshIncremental matches a new doc against the corpus index only") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base + " extra"),
+      (2L, "completely unrelated text about columnar query engines and shuffles"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((10L, base)).toDF("doc_id", "text")
+    val index = DedupOps.minhashSignatures(corpus, 16)
+    val got = DedupOps.minhashLshIncremental(fresh, index)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)), s"expected the planted near-dup only, got $got")
+  }
+
   test("minhashLsh finds the planted near-dup pair and nothing else") {
     // jaccard(A,B) ~= 0.54: banding with 2-row bands can miss at that
     // level (p_band = j^2); 1-row bands make the miss probability

@@ -30,6 +30,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("connectedComponents: reliable checkpoint flag gives identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val local = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val reliable = GraphOps.connectedComponents(edges, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path really wrote checkpoint files to the directory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpoint must materialize to the directory")
+  }
+
   test("connectedComponents: empty edge list yields empty labeling") {
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(GraphOps.connectedComponents(edges).count() == 0)

@@ -64,14 +64,15 @@ class PlansSpec extends SparkSpec {
     df.collect()
     val p = plan(df)
     assert(p.contains("partial_min"), s"no map-side min agg:\n${p.take(2000)}")
-    // the shingle cache is built behind an entry repartition(doc_id), so
-    // the groupBy(doc_id) is co-partitioned with it: the aggregation
-    // must run with NO exchange above the cached shingle scan (the only
-    // shuffle in the whole pipeline is the entry repartition inside the
-    // cache build, whose plan text AQE repeats below InMemoryTableScan)
-    val aboveCache = p.split("InMemoryTableScan").head
-    assert(!aboveCache.contains("Exchange"),
-      s"signature aggregation should reuse the shingle partitioning:\n${p.take(3000)}")
+    // the shingle build runs behind an entry repartition(doc_id), so the
+    // groupBy(doc_id) is co-partitioned with it: that repartition must be
+    // the ONLY hash exchange in the whole pipeline — the aggregation
+    // reuses its partitioning. (AQE's toString repeats the plan under
+    // "== Initial Plan ==" — count the final section only.)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1,
+      s"expected only the entry repartition exchange, got $exchanges:\n${p.take(3000)}")
   }
 
   test("sessionize reuses one (user_id) exchange for both window passes") {

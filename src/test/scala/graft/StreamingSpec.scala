@@ -112,6 +112,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 7L)))
   }
 
+  test("sessionizeEvicting: sessions emit once on close and state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    // gap 5 min, watermark delay 10 min
+    val sessions = StreamingSync.sessionizeEvicting(spark, events,
+      gapSeconds = 300L, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sess_evict").start()
+    def stateRows: Long = {
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (ps.isEmpty) -1L else ps.last.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // batch 1: two users, sessions still open (watermark at epoch)
+      input.addData(
+        (100L, ts("2024-01-01 10:00:00")),
+        (100L, ts("2024-01-01 10:01:00")),
+        (200L, ts("2024-01-01 10:00:30")))
+      q.processAllAvailable()
+      assert(spark.table("sess_evict").count() == 0,
+        "open sessions must not emit")
+      // batch 2: event far in the future advances the watermark to 11:50
+      input.addData((300L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 3: watermark (computed at the previous batch boundary) now
+      // exceeds end+gap for users 100/200 → their sessions close; 300's
+      // second event merges into its still-open session
+      input.addData((300L, ts("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_evict")
+        .select("user_id", "n_events").as[(Long, Long)]
+        .collect().sorted.toSeq
+      assert(got == Seq((100L, 2L), (200L, 1L)),
+        s"each closed session must emit exactly once, got $got")
+      // closed sessions are EVICTED: only user 300's open session remains
+      assert(stateRows == 1L, s"state must hold only open sessions, got $stateRows")
+
+      // replay more traffic for an already-closed user: a NEW session
+      // opens (no resurrection of evicted state, no re-emit of old ones)
+      input.addData((100L, ts("2024-01-01 12:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_evict").count() == 2,
+        "closed sessions must not re-emit on new traffic")
+    } finally q.stop()
+  }
+
   test("sessionization via keyed state: gap splits sessions") {
     val events = Seq(
       (100L, ts("2024-01-01 10:00:00")),

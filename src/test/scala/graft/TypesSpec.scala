@@ -161,6 +161,16 @@ class TypesSpec extends AnyFunSuite {
     assert(d.supportsParallelStaging)
   }
 
+  test("PG truncate/drop/max-ts golden strings (csv_to_postgres.py:63, synctable.py:45-54)") {
+    val d = new PgDialect()
+    assert(d.truncateSql("\"t\"") == "TRUNCATE TABLE \"t\"")
+    assert(d.dropSql("\"t\"") == "DROP TABLE \"t\"")
+    assert(d.maxTsSql("\"salesforce\".\"Contact\"", "SystemModstamp") ==
+      "SELECT MAX(\"SystemModstamp\") FROM \"salesforce\".\"Contact\"")
+    // Derby's truncate analogue stays transactional (DELETE)
+    assert(new graft.sink.DerbyDialect().truncateSql("\"t\"") == "DELETE FROM \"t\"")
+  }
+
   test("identifier quoting is config-gated (pg.py:108-115)") {
     assert(new PgDialect(quoteNames = false).quoteIdent("Contact") == "Contact")
     assert(new PgDialect().quoteIdent("Contact") == "\"Contact\"")
