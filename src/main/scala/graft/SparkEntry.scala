@@ -72,6 +72,9 @@ object SparkEntry {
     // operators stay in Relational + BreadthOpsSpec
     "a6_approx_distinct" -> ((s, d) => Relational.a6ApproxDistinctCheck(t(s, d)("events"))),
     "a7_approx_quantile" -> ((s, d) => Relational.a7ApproxQuantilesCheck(t(s, d)("lineitem"))),
+    // custom TypedImperativeAggregate: one count-min sketch of the
+    // table, probed per key, CMS bounds emitted as booleans
+    "a9_cms_count" -> ((s, d) => Relational.a9CmsCheck(t(s, d)("events"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
     "asof_join" -> ((s, d) => {
@@ -187,6 +190,21 @@ object SparkEntry {
     // flagship composition: quality gates + language-ID + exact-dedup
     // survivorship fused into a single-shuffle clean
     "pipe_clean_corpus" -> ((s, d) => PipelineOps.cleanCorpus(t(s, d)("documents"))),
+    // deterministic source-mixture interleave: src0 at 2x, src1 at 4x
+    // the base rate — the data-mixing order of a training stream
+    "pipe_interleave" -> ((s, d) => PipelineOps.interleaveBySource(
+      t(s, d)("documents"), Map("src0" -> 2.0, "src1" -> 4.0))),
+    // benchmark decontamination: corpus docs sharing >= 5 trigram
+    // shingles with the eval slice (doc_id % 37 == 0)
+    "pipe_decontaminate" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      PipelineOps.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0))
+    }),
+    // stream-static join: arriving docs looked up against the static
+    // fingerprint index (stateless streaming, broadcast static side)
+    "stream_index_lookup" -> ((s, d) => streamIndexLookupQuery(s, d)),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -350,6 +368,38 @@ object SparkEntry {
     val rawSchema = s.read.parquet(path).schema
     s.readStream.schema(rawSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stateless stream-static join driven to completion: the documents
+    * table replayed as a stream, each arriving doc fingerprinted and
+    * looked up in the STATIC fingerprint index of the same corpus
+    * (every doc hits at least itself; exact dups hit their twins). The
+    * oracle is the batch fingerprint self-join.
+    */
+  private def streamIndexLookupQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    val path = s"$d/documents.parquet"
+    val srcDir = Paths.get(
+      "/tmp/graft_stream_idxlookup_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("documents.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(path))
+    val index = t(s, d)("documents").select(
+      md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+        .as("fp"),
+      col("doc_id").as("index_id"))
+    val rawSchema = s.read.parquet(path).schema
+    withStreamShuffle(s) {
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      val hits = graft.streaming.StreamingSync.streamIndexLookup(stream, index)
+      val sink = "stream_idx_sink"
+      val q = hits.writeStream.outputMode("append").format("memory")
+        .queryName(sink).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("stream_idx_sink").orderBy("doc_id", "index_id")
   }
 
   /** Stream-stream interval self-join driven to completion: clicks ⋈
@@ -564,6 +614,37 @@ object SparkEntry {
          |  AND punct_ratio <= 0.30 AND lang_pred <> 'und'
          |ORDER BY doc_id""".stripMargin
     },
+    "pipe_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT)
+        |      AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank,
+        |  CAST(src_rank AS DOUBLE) /
+        |    CAST(CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 4.0
+        |         ELSE 1.0 END AS DOUBLE) AS mix_key
+        |FROM r ORDER BY mix_key, source, doc_id""".stripMargin,
+    "pipe_decontaminate" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |bsh AS (SELECT DISTINCT s.sh FROM sh s WHERE s.doc_id % 37 = 0)
+         |SELECT s.doc_id, count(*) AS n_shared
+         |FROM sh s JOIN bsh b ON s.sh = b.sh
+         |WHERE s.doc_id % 37 <> 0
+         |GROUP BY s.doc_id
+         |HAVING count(*) >= 5
+         |ORDER BY doc_id""".stripMargin,
+    // stream-static lookup ≡ the batch fingerprint self-join (every doc
+    // hits at least itself; exact dups hit their twins)
+    "stream_index_lookup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.doc_id, b.doc_id AS index_id
+        |FROM f a JOIN f b ON a.fp = b.fp
+        |ORDER BY a.doc_id, index_id""".stripMargin,
     // first md5 byte of the decimal doc_id → uniform bucket 0..255;
     // thresholds 204/230 give the ~80/10/10 split
     "pipe_split_assign" ->
@@ -739,6 +820,9 @@ object SparkEntry {
     "a7_approx_quantile" ->
       """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a9_cms_count" ->
+      """SELECT event_type, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a4_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

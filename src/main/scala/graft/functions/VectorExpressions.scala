@@ -231,4 +231,18 @@ object GraftFunctions {
     ColumnShim.column(SortedCountBetween(
       ColumnShim.expression(sortedArr), ColumnShim.expression(lo),
       ColumnShim.expression(hi)))
+
+  /** count-min sketch aggregate over a string column — fixed
+    * depth×width counter matrix as array<bigint> (see [[CmsSketch]]).
+    */
+  def cms_sketch(value: Column, depth: Int = 4, width: Int = 512): Column =
+    ColumnShim.column(
+      CmsSketch(ColumnShim.expression(value), depth, width).toAggregateExpression())
+
+  /** point estimate from a [[cms_sketch]] matrix for a key; geometry
+    * (depth, width) must match the sketch that built it.
+    */
+  def cms_query(sketch: Column, key: Column, depth: Int = 4, width: Int = 512): Column =
+    ColumnShim.column(CmsQuery(
+      ColumnShim.expression(sketch), ColumnShim.expression(key), depth, width))
 }

@@ -38,6 +38,57 @@ object PipelineOps {
           .otherwise(lit("test")))
       .orderBy("doc_id")
 
+  /** Deterministic source-mixture interleave (data mixing): orders the
+    * corpus so a sequential reader consumes sources in proportion to
+    * `weights` — the dataset-assembly step that turns per-source
+    * corpora into one mixed training stream. Doc with per-source rank
+    * r (1-based by doc_id) gets mix_key = r / weight(source);
+    * ascending mix_key IS the interleaved order (a weight-2 source
+    * appears twice per unit of key space). Exactly one window shuffle
+    * (per-source rank); the final global order is a range sort — at
+    * 100 TB that is the write-ordering pass of the dataset build
+    * (range partition + sortWithinPartitions), not a single-partition
+    * bottleneck. Use exact binary-fraction weights (2.0, 0.5, …) for
+    * bit-identical keys across engines.
+    */
+  def interleaveBySource(documents: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val weightExpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+        when(col("source") === k, lit(v)).otherwise(acc) }
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_key", col("src_rank").cast("double") / weightExpr)
+      .orderBy("mix_key", "source", "doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word-trigram shingles with a benchmark/eval
+    * set — the n-gram-overlap contamination check a training pipeline
+    * runs before any eval-aware data release. The benchmark shingle set
+    * is DISTINCT and benchmark-sized (eval suites are tiny next to the
+    * corpus), so it broadcasts; the corpus side is one narrow
+    * codegen'd shingle pass + the broadcast join + ONE groupBy(doc_id)
+    * — a single shuffle no matter the corpus scale. Returns
+    * (doc_id, n_shared) for flagged documents.
+    */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame,
+      minShared: Long = 5L): DataFrame = {
+    val bsh = benchmark
+      .select(explode(GraftFunctions.word_shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    documents
+      .select(col("doc_id"),
+        explode(GraftFunctions.word_shingles(col("text"), 3)).as("sh"))
+      .join(broadcast(bsh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are per-doc distinct already
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: per-stratum keep rates (e.g.
     * downsample the dominant language) applied through a uniform
     * content-independent hash — u = first 8 md5 hex digits of the

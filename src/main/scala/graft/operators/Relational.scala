@@ -434,6 +434,31 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Driver-verifiable count-min-sketch check — the a6/a7 error-bound
+    * trick applied to the CUSTOM TypedImperativeAggregate
+    * ([[graft.functions.CmsSketch]]): ONE bounded-memory sketch of the
+    * whole table (fixed depth×width state, map-side mergeable — the
+    * heavy-hitter primitive when the key set outgrows an exact
+    * groupBy), probed per distinct key, emitting the CMS guarantees as
+    * booleans: the estimate never undercounts, and overcounts by at
+    * most (e/width)·N.
+    */
+  def a9CmsCheck(events: DataFrame, depth: Int = 4, width: Int = 512): DataFrame = {
+    import graft.functions.GraftFunctions.{cms_query, cms_sketch}
+    val sk = events.agg(
+      cms_sketch(col("event_type"), depth, width).as("sk"),
+      count(lit(1)).as("n_total"))
+    val eps = 2.718281828459045 / width
+    events.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      .crossJoin(broadcast(sk)) // single-row sketch: a broadcast constant
+      .select(col("event_type"),
+        (cms_query(col("sk"), col("event_type"), depth, width) >= col("exact_n"))
+          .as("lower_ok"),
+        (cms_query(col("sk"), col("event_type"), depth, width).cast("double") <=
+          col("exact_n") + lit(eps) * col("n_total")).as("upper_ok"))
+      .orderBy("event_type")
+  }
+
   /** Exact distinct-count per group. Spark plans this as a two-phase
     * aggregate (partial distinct on (key, value), then count) — the
     * skew-robust shape — without manual salting.

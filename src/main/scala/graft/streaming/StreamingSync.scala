@@ -161,6 +161,23 @@ object StreamingSync {
       .toDF("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Stream-static join: each arriving document is checked against a
+    * STATIC fingerprint index — the streaming twin of the incremental
+    * corpus-index shape (`DedupOps.minhashLshIncremental`): the corpus
+    * index is built once; the stream only looks itself up. Stateless —
+    * no watermark, no state store; the index side broadcasts (or, at
+    * 100 TB, lives as a bucketed table so the lookup is a co-located
+    * join). `index` carries (fp, index_id). Emits one row per
+    * (arriving doc, index hit).
+    */
+  def streamIndexLookup(streamDocs: DataFrame, index: DataFrame): DataFrame =
+    streamDocs
+      .select(col("doc_id"),
+        md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+          .as("fp"))
+      .join(broadcast(index), "fp")
+      .select(col("doc_id"), col("index_id"))
+
   /** Production sessionization on an unbounded stream: per-user gap
     * sessions via flatMapGroupsWithState with EventTimeTimeout. Each
     * session is emitted EXACTLY ONCE — when the event-time watermark

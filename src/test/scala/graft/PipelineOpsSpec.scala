@@ -27,6 +27,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("interleaveBySource orders docs proportionally to weights") {
+    val mix = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b")).toDF("doc_id", "source")
+    // weight 2 source 'a': its rank-r doc keys at r/2; 'b' at r/1 —
+    // reader sees two 'a' docs per 'b' doc
+    val ordered = PipelineOps.interleaveBySource(mix, Map("a" -> 2.0))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ordered == Seq(1L, 2L, 10L, 3L, 4L, 11L), s"got $ordered")
+  }
+
+  test("decontaminate flags docs sharing >= minShared trigrams with the benchmark") {
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today", "eval"))
+      .toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      // copies 8 benchmark tokens -> 6 shared trigrams: flagged
+      (1L, "intro the quick brown fox jumps over the lazy outro", "web"),
+      // shares only 1 trigram ("over the lazy"): clean at minShared=5
+      (2L, "something else entirely but over the lazy evening", "web"),
+      // no overlap at all: clean
+      (3L, "completely unrelated text about columnar engines", "web"))
+      .toDF("doc_id", "text", "source")
+    val flagged = PipelineOps.decontaminate(corpus, benchmark, minShared = 5L)
+      .as[(Long, Long)].collect().toSeq
+    assert(flagged.map(_._1) == Seq(1L), s"got $flagged")
+    assert(flagged.head._2 >= 5L)
+  }
+
   test("chunkTokens cuts consecutive windows with a partial tail and drops empty docs") {
     val rows = PipelineOps.chunkTokens(docs, 3)
       .as[(Long, Int, String, Long)].collect().toSeq

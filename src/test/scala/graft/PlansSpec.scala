@@ -75,6 +75,27 @@ class PlansSpec extends SparkSpec {
       s"expected only the entry repartition exchange, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("a7 quantile-bound check broadcasts the 3-row approx side") {
+    val df = Relational.a7ApproxQuantilesCheck(Tables(spark, sf0001, "lineitem"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"approx side must broadcast, not shuffle the fact table:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cms sketch aggregates partially before its single-row shuffle") {
+    val df = Relational.a9CmsCheck(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df)
+    // TypedImperativeAggregate → ObjectHashAggregate with a partial
+    // phase: per-partition sketches merge map-side, ONE matrix row
+    // crosses the exchange per partition
+    assert(p.contains("ObjectHashAggregate"), s"no object agg:\n${p.take(2000)}")
+    assert(p.contains("partial_cms_sketch"),
+      s"sketch must partial-aggregate map-side:\n${p.take(2000)}")
+  }
+
   test("sessionize reuses one (user_id) exchange for both window passes") {
     val df = Relational.w4Sessionize(Tables(spark, sf0001, "events"), 30)
     df.collect()

@@ -112,6 +112,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 7L)))
   }
 
+  test("streamIndexLookup joins arriving docs against the static fingerprint index") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq((10L, "Hello,  World!"), (11L, "other corpus doc"))
+      .toDF("index_id", "text")
+      .selectExpr(
+        "md5(array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')) AS fp",
+        "index_id")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val hits = StreamingSync.streamIndexLookup(docs, index)
+    val q = hits.writeStream.outputMode("append").format("memory")
+      .queryName("idx_hits").start()
+    try {
+      input.addData(
+        (1L, "hello world"),            // matches 10 despite case/punct variance
+        (2L, "no such doc anywhere"))   // no index hit
+      q.processAllAvailable()
+      input.addData((3L, "OTHER corpus DOC"))  // canonicalizes to 11's fp
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("idx_hits")
+      .select("doc_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 11L)), s"got $got")
+  }
+
   test("sessionizeEvicting: sessions emit once on close and state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
