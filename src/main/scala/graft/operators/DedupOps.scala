@@ -112,12 +112,17 @@ object DedupOps {
     }.mkString(", ")
     val bands = sigs.selectExpr("doc_id",
       s"stack($numBands, $stackArgs) AS (band, band_key)")
+    // candidates materialize eagerly (pair-set-sized): the verify stage
+    // broadcasts two projections of them, and without a materialization
+    // each broadcast exchange would re-run the whole signature+band
+    // pipeline from scratch
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(true)
     val out = verifyJaccard(sh, candidates, threshold).localCheckpoint(true)
     sh.unpersist(blocking = false)
     out
@@ -139,13 +144,23 @@ object DedupOps {
     */
   def minhashLshIncremental(newDocs: DataFrame, index: DataFrame,
       numHashes: Int = 16, rowsPerBand: Int = 2,
+      minAgree: Double = 0.5): DataFrame =
+    minhashLshIncrementalFromSigs(minhashSignatures(newDocs, numHashes),
+      index, numHashes, rowsPerBand, minAgree)
+
+  /** [[minhashLshIncremental]] when the NEW side's signatures are also
+    * already computed — e.g. both sides sliced from ONE signature pass
+    * over a combined corpus (the verification harness does this; it
+    * halves the dominant tokenize+hash cost vs two independent passes).
+    */
+  def minhashLshIncrementalFromSigs(newSignatures: DataFrame, index: DataFrame,
+      numHashes: Int = 16, rowsPerBand: Int = 2,
       minAgree: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
     // both signature frames feed two consumers (bands + verify): one
     // materialization each, released after the eager result checkpoint
     // (same lifecycle discipline as minhashLsh)
-    val newSigs = minhashSignatures(newDocs, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newSigs = newSignatures.persist(StorageLevel.MEMORY_AND_DISK)
     val idxSigs = index.persist(StorageLevel.MEMORY_AND_DISK)
     val stackArgs = (0 until numBands).map { j =>
       val key = (0 until rowsPerBand)
@@ -184,9 +199,21 @@ object DedupOps {
     */
   private def verifyJaccard(sh: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
+    // the candidate pair set is post-banding, i.e. output-bound and
+    // orders of magnitude smaller than the corpus: broadcast its two
+    // doc-id projections and semi-join-filter the shingle set BEFORE
+    // the intersection joins — the wide (doc, sh) shuffle then carries
+    // only candidate docs' shingles, not the whole corpus's. (If a
+    // pathological corpus ever made the candidate id set too big to
+    // broadcast, Spark's size estimate falls back to a shuffled semi
+    // join — same semantics.)
+    val aIds = candidates.select(col("doc_a").as("doc_id")).distinct()
+    val bIds = candidates.select(col("doc_b").as("doc_id")).distinct()
+    val shA = sh.join(broadcast(aIds), Seq("doc_id"), "left_semi")
+    val shB = sh.join(broadcast(bIds), Seq("doc_id"), "left_semi")
     candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")),
+      .join(shA.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")),
         Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b", "na", "nb")
       .agg(count(lit(1)).as("i"))
