@@ -213,6 +213,14 @@ object SparkEntry {
     // stream-static join: arriving docs looked up against the static
     // fingerprint index (stateless streaming, broadcast static side)
     "stream_index_lookup" -> ((s, d) => streamIndexLookupQuery(s, d)),
+    // the full dataset build in one declarative pipeline: clean →
+    // decontaminate → split → pack (eval slice = doc_id % 37 == 0)
+    "pipe_build_corpus" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      PipelineOps.buildCorpus(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0))
+    }),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -653,6 +661,54 @@ object SparkEntry {
         |SELECT a.doc_id, b.doc_id AS index_id
         |FROM f a JOIN f b ON a.fp = b.fp
         |ORDER BY a.doc_id, index_id""".stripMargin,
+    "pipe_build_corpus" -> {
+      val scoreCols = TextOpsOracle.langScoreCols("ws")
+      val caseChain = TextOpsOracle.langCaseChain
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |base AS (
+         |  SELECT doc_id, source, text,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+         |  FROM documents WHERE doc_id % 37 <> 0),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(ws) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |      / len(text) AS punct_ratio,
+         |    md5(array_to_string(ws, ' ')) AS fp,
+         |    $scoreCols
+         |  FROM base),
+         |p AS (
+         |  SELECT *, CASE $caseChain ELSE 'und' END AS lang_pred,
+         |    MIN(doc_id) OVER (PARTITION BY fp) AS surv
+         |  FROM sc),
+         |cleaned AS (
+         |  SELECT doc_id, source, n_tokens, lang_pred
+         |  FROM p
+         |  WHERE doc_id = surv AND n_tokens >= 10
+         |    AND punct_ratio <= 0.30 AND lang_pred <> 'und'),
+         |bsh AS (SELECT DISTINCT g.sh FROM sh g WHERE g.doc_id % 37 = 0),
+         |flagged AS (
+         |  SELECT g.doc_id
+         |  FROM sh g JOIN bsh b ON g.sh = b.sh
+         |  WHERE g.doc_id % 37 <> 0
+         |  GROUP BY g.doc_id HAVING count(*) >= 5),
+         |sp AS (
+         |  SELECT c.doc_id, c.source, c.n_tokens, c.lang_pred,
+         |    CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |            + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 2, 1)) - 1) < 204
+         |         THEN 'train'
+         |         WHEN (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |            + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+         |         THEN 'val' ELSE 'test' END AS split
+         |  FROM cleaned c
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM flagged))
+         |SELECT doc_id, source, n_tokens, lang_pred, split,
+         |  CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, source
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    / 2000.0) AS BIGINT) AS batch_id
+         |FROM sp ORDER BY doc_id""".stripMargin
+    },
     // first md5 byte of the decimal doc_id → uniform bucket 0..255;
     // thresholds 204/230 give the ~80/10/10 split
     "pipe_split_assign" ->

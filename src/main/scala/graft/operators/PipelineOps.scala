@@ -167,6 +167,38 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end dataset build as ONE declarative pipeline — what a
+    * user actually runs before training: clean (quality gates +
+    * language-ID + exact-dedup survivorship), drop benchmark-
+    * contaminated documents, assign deterministic train/val/test
+    * splits, and pack each (split, source) lane into fixed token
+    * budgets. Pure composition of [[cleanCorpus]], [[decontaminate]],
+    * [[splitAssign]]'s bucket arithmetic and [[packByBudget]]'s prefix
+    * window — Catalyst plans it as three shuffles total (clean's fp
+    * window, the contamination groupBy, the packing window); the
+    * contamination filter and split assignment are narrow
+    * (broadcast anti-join + per-row hash arithmetic).
+    */
+  def buildCorpus(documents: DataFrame, benchmark: DataFrame,
+      budgetTokens: Long = 2000L, minShared: Long = 5L): DataFrame = {
+    val cleaned = cleanCorpus(documents)
+    val flagged = decontaminate(documents, benchmark, minShared).select("doc_id")
+    val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cleaned
+      .join(broadcast(flagged), Seq("doc_id"), "left_anti")
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 204, lit("train"))
+          .when(col("bucket") < 230, lit("val")).otherwise(lit("test")))
+      .withColumn("batch_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          budgetTokens.toDouble).cast("long"))
+      .select("doc_id", "source", "n_tokens", "lang_pred", "split", "batch_id")
+      .orderBy("doc_id")
+  }
+
   /** Fixed-budget sequential packing: documents are laid out in
     * (source, doc_id) order and cut into batches every time the running
     * token total crosses `budgetTokens` — batch_id = floor(prefix_sum /

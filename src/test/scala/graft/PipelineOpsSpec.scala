@@ -27,6 +27,29 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("buildCorpus: clean survivors minus contaminated, split + packed") {
+    // "the ... and ... of" markers keep lang_pred = en (clean requires
+    // a detected language); 12+ tokens clear the min-token gate
+    val words = "the tale and the story of " + (1 to 8).map(i => s"word$i").mkString(" ")
+    val benchmark = Seq((100L, "the quick brown fox jumps over the lazy dog today", "eval"))
+      .toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      (1L, words, "web"),                          // clean, kept
+      (2L, words, "web"),                          // exact dup of 1 -> dropped
+      (3L, "intro the quick brown fox jumps over the lazy outro plus filler words here", "web"), // contaminated
+      (4L, "tiny", "web"),                         // fails min-token gate
+      (5L, words + " extra tail tokens appended", "books")) // clean, kept
+      .toDF("doc_id", "text", "source")
+    val out = PipelineOps.buildCorpus(corpus, benchmark, budgetTokens = 8L)
+      .select("doc_id", "split", "batch_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 5L), s"got $out")
+    out.foreach { case (_, split, batch) =>
+      assert(Set("train", "val", "test")(split))
+      assert(batch == 0L) // first doc in each (split, source) lane
+    }
+  }
+
   test("interleaveBySource orders docs proportionally to weights") {
     val mix = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
