@@ -106,6 +106,7 @@ object SparkEntry {
       TextOps.tfidfTopTerms(t(s, d)("documents"), 5).orderBy("doc_id", "rnk")),
     "text_pii_mask" -> ((s, d) => TextOps.piiMask(t(s, d)("documents"))
       .orderBy("doc_id")),
+    "text_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d)("documents"))),
     "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
       t(s, d)("documents"), Map("en" -> 0.5, "de" -> 0.9))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
@@ -960,6 +961,15 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
         |  CAST(len(text) AS BIGINT) AS n_chars_measured
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH $ToksCte,
+         |t AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS tok
+         |      FROM toks WHERE len(ws) >= 1),
+         |f AS (SELECT doc_id, n, tok, count(*) AS tf FROM t GROUP BY doc_id, n, tok)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(max(tf) AS BIGINT) AS max_tf,
+         |  CAST(max(tf) AS DOUBLE) / n AS rep_ratio
+         |FROM f GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,

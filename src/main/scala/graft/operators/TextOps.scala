@@ -111,6 +111,25 @@ object TextOps {
           .as("fp_head"))
       .orderBy("doc_id")
 
+  /** Repetition ratio — the boilerplate/spam quality signal (a
+    * high max-token-frequency share marks templated or degenerate
+    * text, the classic pre-training filter alongside [[qualityScore]]).
+    * Entirely NARROW: the fused tf kernel emits per-doc (term, tf)
+    * pairs in one codegen'd pass and the max folds over that (small,
+    * vocab-per-doc-sized) array — zero shuffles at any corpus scale.
+    */
+  def repetitionRatio(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.word_term_freqs(col("text")).as("tfs"),
+        size(graft.functions.GraftFunctions.word_shingles(col("text"), 1,
+          distinct = false)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("max_tf", expr("array_max(transform(tfs, x -> x.tf))"))
+      .select(col("doc_id"), col("n_tokens"), col("max_tf"),
+        (col("max_tf").cast("double") / col("n_tokens")).as("rep_ratio"))
+      .orderBy("doc_id")
+
   /** Corpus vocabulary statistics: global top-K word bigrams. The
     * explode is narrow; the count is one map-side-combining groupBy on
     * the bigram; the top-K is a single-partition sort of the (already

@@ -34,6 +34,16 @@ class TextCurationSpec extends SparkSpec {
     assert(byTerm((2L, "c")) == (1L, 1L))
   }
 
+  test("repetitionRatio: max token share flags degenerate text, empty docs drop") {
+    val docs = Seq(
+      (1L, "spam spam spam spam other"),   // 4/5 repetition
+      (2L, "all tokens here are unique"),  // 1/5
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextOps.repetitionRatio(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 5L, 4L, 0.8), (2L, 5L, 1L, 0.2)), s"got $rows")
+  }
+
   test("piiMask scrubs emails and long digit runs, counts them, keeps short numbers") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
