@@ -83,10 +83,19 @@ object Bench {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-pass times (chronological) alongside the min: external CPU
+    // steal on this host inflates wall-clock 3-10× for seconds at a
+    // time, and a burst spanning all of one query's passes makes its
+    // min a mirage. A wide min→max spread in "passes" flags exactly
+    // that — the artifact is self-diagnosing (see README).
+    val ps = names.map { n =>
+      "\"" + n + "\":" + samples(n).reverse.map(d => f"$d%.3f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fj = failures.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -162,8 +162,13 @@ object SparkEntry {
     // trained IVF path: 2 Lloyd iterations, deterministic init
     "sim_kmeans" -> ((s, d) =>
       SimilarityOps.kmeansAssign(t(s, d)("embeddings")).orderBy("vec_id")),
-    "mm_decode_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(s, t(s, d)("documents")).orderBy("doc_id")),
+    // REAL image decode (javax.imageio) for the image modality: stage
+    // deterministic PNGs (dims derived from doc_id), ingest via the
+    // binaryFile source, decode actual width/height from the bytes —
+    // the oracle predicts the dims from the generation rule, so a fake
+    // or broken decoder cannot pass. Audio/video stay byte-derived
+    // fakes (no JDK codecs for them).
+    "mm_decode_meta" -> ((s, d) => mmDecodeMetaQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
     // S4+K4+T2: staged CSV round trip in the reference dialect
     "s4_csv_roundtrip" -> ((s, d) => {
@@ -385,6 +390,25 @@ object SparkEntry {
     val rawSchema = s.read.parquet(path).schema
     s.readStream.schema(rawSchema).parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Real-decode multimodal metadata: image-typed docs render as real
+    * PNGs once per sf dir (idempotent staging), come back through the
+    * `binaryFile` source, and decode with `javax.imageio`; audio/video
+    * rows keep the deterministic byte-derived fake. Union of both
+    * modal paths, one row per doc.
+    */
+  private def mmDecodeMetaQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d)("documents")
+    val dir = "/tmp/graft_png_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    Multimodal.stagePngs(docs, dir)
+    val staged = s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+        .cast("long").as("doc_id"), col("content"))
+    val images = Multimodal.decodeImageMeta(s, staged)
+    val audioVideo = Multimodal.decodeMeta(s, docs)
+      .filter(col("media_type") =!= "image")
+    images.unionByName(audioVideo).orderBy("doc_id")
   }
 
   /** Stateless stream-static join driven to completion: the documents
@@ -1209,14 +1233,24 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     "sim_kmeans" -> KmeansOracle,
+    // image rows state what a CORRECT png decode must read back (the
+    // staging rule: w = id%64+1, h = id%48+1, n_bytes = decoded w·h·3);
+    // audio/video rows restate the byte-derived fake
     "mm_decode_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0
+        |    THEN CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) * 3 AS BIGINT)
+        |    ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
         |  CASE CAST(octet_length(encode(text)) % 3 AS INT)
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0
+        |    THEN CAST(doc_id % 64 + 1 AS INT)
+        |    ELSE CAST(octet_length(encode(text)) % 640 AS INT) END AS width,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0
+        |    THEN CAST(doc_id % 48 + 1 AS INT)
+        |    ELSE CAST(octet_length(encode(text)) % 480 AS INT) END AS height,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 1
+        |    ELSE CAST(octet_length(encode(text)) % 24 + 1 AS INT) END AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s4_csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",

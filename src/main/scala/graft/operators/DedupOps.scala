@@ -159,9 +159,17 @@ object DedupOps {
     val numBands = numHashes / rowsPerBand
     // both signature frames feed two consumers (bands + verify): one
     // materialization each, released after the eager result checkpoint
-    // (same lifecycle discipline as minhashLsh)
-    val newSigs = newSignatures.persist(StorageLevel.MEMORY_AND_DISK)
-    val idxSigs = index.persist(StorageLevel.MEMORY_AND_DISK)
+    // (same lifecycle discipline as minhashLsh). Ownership-aware: a
+    // frame the CALLER already persisted is used as-is (persisting at
+    // a different level would throw, and unpersisting here would evict
+    // the caller's cache under it); only frames we persisted ourselves
+    // are released.
+    def persistOwned(df: DataFrame): (DataFrame, Boolean) =
+      if (df.storageLevel == StorageLevel.NONE)
+        (df.persist(StorageLevel.MEMORY_AND_DISK), true)
+      else (df, false)
+    val (newSigs, ownNew) = persistOwned(newSignatures)
+    val (idxSigs, ownIdx) = persistOwned(index)
     val stackArgs = (0 until numBands).map { j =>
       val key = (0 until rowsPerBand)
         .map(r => s"m${j * rowsPerBand + r}").mkString(", '_', ")
@@ -186,8 +194,8 @@ object DedupOps {
       .filter(col("est_jaccard") >= minAgree)
       .orderBy("new_id", "corpus_id")
       .localCheckpoint(true)
-    newSigs.unpersist(blocking = false)
-    idxSigs.unpersist(blocking = false)
+    if (ownNew) newSigs.unpersist(blocking = false)
+    if (ownIdx) idxSigs.unpersist(blocking = false)
     out
   }
 
@@ -203,10 +211,13 @@ object DedupOps {
     // orders of magnitude smaller than the corpus: broadcast its two
     // doc-id projections and semi-join-filter the shingle set BEFORE
     // the intersection joins — the wide (doc, sh) shuffle then carries
-    // only candidate docs' shingles, not the whole corpus's. (If a
-    // pathological corpus ever made the candidate id set too big to
-    // broadcast, Spark's size estimate falls back to a shuffled semi
-    // join — same semantics.)
+    // only candidate docs' shingles, not the whole corpus's. The
+    // broadcast() hint is honored UNCONDITIONALLY: a pathological
+    // corpus whose candidate id set exceeds the broadcast hard limits
+    // (8 GB / 512 M rows) fails the job rather than silently degrading
+    // — at that point the banding parameters are wrong for the corpus
+    // (the candidate set should be output-sized) and failing loudly
+    // beats a quadratic shuffled fallback.
     val aIds = candidates.select(col("doc_a").as("doc_id")).distinct()
     val bIds = candidates.select(col("doc_b").as("doc_id")).distinct()
     val shA = sh.join(broadcast(aIds), Seq("doc_id"), "left_semi")

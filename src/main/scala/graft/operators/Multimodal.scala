@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   * (`mapPartitions`) — the ONE place imperative code is warranted,
   * because codec libraries are record-at-a-time.
   *
-  * The decoders themselves are STUBBED with a deterministic fake (the
-  * container has no image/audio libs — see builder prompt): the fake
-  * derives "decoded" properties purely from the byte content, so the
+  * IMAGE decode is REAL: the JDK ships PNG/JPEG codecs in
+  * `javax.imageio`, so [[decodeImageMeta]] reads actual pixel
+  * dimensions from the container bytes (ingested at scale via Spark's
+  * `binaryFile` source — one task streams many files, no shuffle).
+  * AUDIO/VIDEO decode remains a deterministic byte-derived fake
+  * ([[fakeDecode]]) — the JDK has no audio/video codecs and the
+  * container has no external libs — so for those modalities the
   * Spark-side plumbing (binary schema, batched partition iteration,
-  * output schema, partition-preserving shape) is real and testable.
+  * output schema, partition-preserving shape) is what's real and
+  * tested, not the codec.
   */
 object Multimodal {
 
@@ -58,6 +63,71 @@ object Multimodal {
         fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))
       }
     }(enc)
+  }
+
+  /** REAL image decode over (doc_id, content) binary rows: actual
+    * width/height read from the container bytes with `javax.imageio`
+    * (PNG/JPEG need no external libs). `n_bytes` reports the DECODED
+    * RGB buffer size (w·h·3) — the decode-verifiable quantity; the
+    * container byte size is compression-dependent and carried by the
+    * `binaryFile` source's `length` column for callers that want it.
+    * Narrow mapPartitions, no shuffle; at 100 TB the partition count
+    * follows the binaryFile splits and each task streams files through
+    * the codec one at a time.
+    */
+  def decodeImageMeta(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaMetaSchema)
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory decode, no tmp spill
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        Row(r.getLong(0), img.getWidth.toLong * img.getHeight * 3L,
+          "image", img.getWidth, img.getHeight, 1)
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG staging for the image-decode harness: one REAL
+    * png per image-typed doc (UTF-8 byte length % 3 == 0, matching
+    * [[fakeDecode]]'s modality rule), dimensions derived from doc_id
+    * (w = id%64+1, h = id%48+1) so an oracle can predict what a correct
+    * decoder must read back. Pixels are a deterministic gradient.
+    * Distributed render (foreachPartition), idempotent per dir: files
+    * land in `<dir>.tmp` and publish via a single rename.
+    */
+  def stagePngs(documents: DataFrame, dir: String): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
+    val tmp = new java.io.File(dir + ".tmp")
+    documents
+      .select(col("doc_id"))
+      .filter(length(col("text").cast("binary")) % 3 === 0)
+      .foreachPartition { (it: Iterator[Row]) =>
+        javax.imageio.ImageIO.setUseCache(false)
+        tmp.mkdirs()
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val w = (id % 64 + 1).toInt
+          val h = (id % 48 + 1).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (((id + x * 31 + y * 7) % 256) * 0x010101).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          javax.imageio.ImageIO.write(img, "png",
+            new java.io.File(tmp, s"doc_$id.png"))
+        }
+      }
+    tmp.renameTo(published)
+    ()
   }
 
   /** Frame-sample plumbing: one row per sampled "frame" (generator

@@ -380,16 +380,25 @@ object Relational {
     * measured 7.8 s on lineitem), while a branch with a single
     * distinct plans Spark's no-Expand one-distinct strategy, and each
     * branch's scan prunes to exactly its own column. The branches
-    * union into one job; at 100 TB the bounded-memory swap is
-    * approx_count_distinct per column.
+    * union into one job.
+    *
+    * `approx = true` is the 100 TB variant: each branch swaps the exact
+    * COUNT(DISTINCT) for `approx_count_distinct` (HLL++, rsd 2%) — the
+    * branch then needs NO per-value distinct state at all (fixed-size
+    * sketch, map-side mergeable), so a profile of a petabyte table is
+    * one bounded-memory pass per column.
     */
-  def a8ProfileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+  def a8ProfileColumns(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false, rsd: Double = 0.02): DataFrame =
     cols.map { c =>
+      val nDistinct =
+        if (approx) approx_count_distinct(col("x"), rsd).as("n_distinct")
+        else countDistinct(col("x")).as("n_distinct")
       df.select(col(c).as("x"))
         .agg(
           count(col("x")).as("n_notnull"),
           sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_nulls"),
-          countDistinct(col("x")).as("n_distinct"),
+          nDistinct,
           min(col("x")).cast("string").as("min_value"),
           max(col("x")).cast("string").as("max_value"))
         .select(lit(c).as("column_name"), col("n_notnull"), col("n_nulls"),
@@ -441,14 +450,22 @@ object Relational {
     * heavy-hitter primitive when the key set outgrows an exact
     * groupBy), probed per distinct key, emitting the CMS guarantees as
     * booleans: the estimate never undercounts, and overcounts by at
-    * most (e/width)·N.
+    * most 2·(e/width)·N.
+    *
+    * The textbook bound (e/width)·N holds per key only with probability
+    * 1−e^(−depth) (~98% at depth 4): hashing is deterministic, so it is
+    * stable for any FIXED dataset, but a benign data regeneration could
+    * flip a boolean against the constant-true oracle with no code bug.
+    * The checked bound therefore carries 2× slack — P(noise ≥ 2εN) ≤
+    * (2e)^(−depth) ≈ 10⁻⁴ per key by Markov across the depth rows —
+    * while a broken sketch still blows through it immediately.
     */
   def a9CmsCheck(events: DataFrame, depth: Int = 4, width: Int = 512): DataFrame = {
     import graft.functions.GraftFunctions.{cms_query, cms_sketch}
     val sk = events.agg(
       cms_sketch(col("event_type"), depth, width).as("sk"),
       count(lit(1)).as("n_total"))
-    val eps = 2.718281828459045 / width
+    val eps = 2.0 * 2.718281828459045 / width
     events.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
       .crossJoin(broadcast(sk)) // single-row sketch: a broadcast constant
       .select(col("event_type"),

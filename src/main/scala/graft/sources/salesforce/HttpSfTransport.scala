@@ -354,8 +354,16 @@ final class HttpSfTransport(
       parseXml(bulkGet(s"/job/$jobId/batch/$batchId/result").body()), "result")
       .map(_.getTextContent)
     resultIds.iterator.flatMap { rid =>
-      CsvWire.parse(nulStripReader(
-        bulkGetStream(s"/job/$jobId/batch/$batchId/result/$rid")))
+      val in = bulkGetStream(s"/job/$jobId/batch/$batchId/result/$rid")
+      // CsvWire closes the stream at EOF, but a partially-consumed
+      // iterator (LIMIT pushdown, task abort) is simply abandoned — the
+      // PartitionReader's close() cannot reach it. Register the close
+      // with the task, so the socket is released when the task ends
+      // however it ends (close() is idempotent; outside a task — unit
+      // specs — the EOF close is the only path, as before).
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => in.close()))
+      CsvWire.parse(nulStripReader(in))
     }
   }
 

@@ -144,4 +144,28 @@ class BreadthOpsSpec extends SparkSpec {
     assert(rows("s") == ("s", 2L, 1L, 2L, "x", "y"))
     assert(rows("v") == ("v", 2L, 1L, 1L, "2.5", "2.5"))
   }
+
+  test("a8ProfileColumns approx=true: bounded-memory distinct within HLL error bound") {
+    // 1000 rows, 250 distinct ids, plus nulls — large enough that the
+    // HLL estimate is exercised, small enough to know the exact answer
+    val df = spark.range(1000)
+      .select((col("id") % 250).as("k"),
+        when(col("id") % 10 === 0, lit(null)).otherwise(col("id") % 7)
+          .as("m"))
+    val approx = Relational.a8ProfileColumns(df, Seq("k", "m"), approx = true)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val exact = Map("k" -> 250L, "m" -> 7L)
+    for ((c, ex) <- exact) {
+      val (_, nn, nulls, nd, mn, mx) = approx(c)
+      // HLL++ rsd = 0.02 is one standard deviation; 5σ + 1 never fires
+      // spuriously yet catches a broken sketch immediately (same bound
+      // as a6ApproxDistinctCheck)
+      assert(math.abs(nd - ex) <= 5 * 0.02 * ex + 1,
+        s"$c: approx $nd vs exact $ex out of bound")
+      // the non-distinct stats stay exact in approx mode
+      if (c == "k") { assert(nn == 1000L && nulls == 0L && mn == "0" && mx == "249") }
+      if (c == "m") { assert(nn == 900L && nulls == 100L) }
+    }
+  }
 }

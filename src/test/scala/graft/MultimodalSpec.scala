@@ -37,4 +37,42 @@ class MultimodalSpec extends SparkSpec {
     // only doc 2 is video; n_frames = 8 % 24 + 1 = 9 -> frames 0,4,8
     assert(out == Seq((2L, 0), (2L, 4), (2L, 8)))
   }
+
+  test("decodeImageMeta reads REAL dimensions from png bytes (javax.imageio)") {
+    // hand-render two PNGs with known dims — no staging rule involved,
+    // so this pins the decoder itself, not the harness arithmetic
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bin = Seq((10L, png(17, 5)), (11L, png(1, 1)))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeImageMeta(spark, bin)
+      .select("doc_id", "n_bytes", "media_type", "width", "height", "n_frames")
+      .as[(Long, Long, String, Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, 17L * 5 * 3, "image", 17, 5, 1),
+      (11L, 3L, "image", 1, 1, 1)))
+  }
+
+  test("stagePngs + binaryFile round trip decodes the staged dims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_spec")
+      .resolve("staged").toString
+    Multimodal.stagePngs(docs, dir) // only doc 0 is image-typed
+    val staged = spark.read.format("binaryFile").load(dir)
+      .selectExpr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.png$', 1) AS LONG) AS doc_id",
+        "content")
+    val out = Multimodal.decodeImageMeta(spark, staged)
+      .select("doc_id", "width", "height").as[(Long, Int, Int)]
+      .collect().toSeq
+    // staging rule: w = 0%64+1 = 1, h = 0%48+1 = 1
+    assert(out == Seq((0L, 1, 1)))
+    // idempotent: second call is a no-op, not a re-render
+    Multimodal.stagePngs(docs, dir)
+    assert(spark.read.format("binaryFile").load(dir).count() == 1)
+  }
 }
