@@ -123,21 +123,23 @@ object SparkEntry {
     "dedup_survivors" -> ((s, d) => GraphOps.dedupSurvivors(t(s, d)("documents"),
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")),
-    // incremental shape: a new slice (doc_id % 10 == 0) against the
-    // persisted signature index of the rest of the corpus. ONE
-    // signature pass sliced into both sides (as the oracle does) —
-    // per-doc signatures are identical either way, and the dominant
-    // tokenize+hash cost is paid once; the shared frame is persisted
-    // for the slice reads and released after the operator's eager
-    // checkpoint materializes.
+    // incremental shape with the FULL production index lifecycle: ONE
+    // signature pass over the corpus is WRITTEN TO PARQUET as the index
+    // artifact, read back file-backed, and both sides (new slice =
+    // doc_id % 10 == 0, index = the rest) slice the read-back frame —
+    // the slice filters push down to the parquet scan. Per-doc
+    // signatures are identical to an in-memory pass, so the oracle is
+    // unchanged; what this adds is the persist→reload→join round trip
+    // a growing corpus actually runs (you never re-LSH 100 TB to admit
+    // a day's crawl — you join the day against the stored index).
     "dedup_incremental" -> ((s, d) => {
-      val sigs = DedupOps.minhashSignatures(t(s, d)("documents"), 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = DedupOps.minhashLshIncrementalFromSigs(
+      val idxDir = "/tmp/graft_minhash_index_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      DedupOps.minhashSignatures(t(s, d)("documents"), 16)
+        .write.mode("overwrite").parquet(idxDir)
+      val sigs = s.read.parquet(idxDir)
+      DedupOps.minhashLshIncrementalFromSigs(
         sigs.filter(col("doc_id") % 10 === 0),
         sigs.filter(col("doc_id") % 10 =!= 0))
-      sigs.unpersist(blocking = false)
-      out
     }),
     "dedup_embedding_cosine" -> ((s, d) =>
       SimilarityOps.cosineNearDup(t(s, d)("embeddings"), 0.463)
@@ -193,6 +195,10 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
     "stream_join" -> ((s, d) => streamJoinQuery(s, d)),
     "stream_session" -> ((s, d) => streamSessionQuery(s, d)),
+    // the PRODUCTION sessionizer (EventTimeTimeout, emit-once,
+    // state-evicting) under the oracle gate: a sentinel file closes
+    // the watermark over every real session — see streamSessionEvictQuery
+    "stream_session_evict" -> ((s, d) => streamSessionEvictQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
@@ -479,6 +485,68 @@ object SparkEntry {
       q.awaitTermination()
     }
     s.table("stream_session_sink").orderBy("user_id", "session_start")
+  }
+
+  /** The production sessionizer ([[graft.streaming.StreamingSync
+    * .sessionizeEvicting]]) under the oracle gate. Staged two-file
+    * replay with `maxFilesPerTrigger = 1`: the whole events table is
+    * micro-batch 1 (watermark still at epoch — nothing closes), then a
+    * SENTINEL file (one far-future event from user −1) is micro-batch 2
+    * and pushes the event-time watermark past every real session's
+    * `end + gap`; the trailing no-data batch fires the EventTimeTimeout
+    * for every remaining key, so each real session emits EXACTLY ONCE
+    * through the state-evicting path. The sentinel's own session stays
+    * open (delay > gap ⇒ watermark never reaches it) and is filtered
+    * from the result. Oracle = the batch gaps-and-islands restatement
+    * in milliseconds, real users only.
+    */
+  private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val srcDir = Paths.get(
+      "/tmp/graft_stream_sessevict_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("a_events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(path))
+    val sentinel = srcDir.resolve("z_sentinel.parquet")
+    if (!Files.exists(sentinel)) {
+      val raw = s.read.parquet(path)
+      val tmp = Files.createTempDirectory("graft_sentinel")
+      raw.limit(1)
+        .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
+        // 2100-01-01 in nanos: decades past any real event
+        .withColumn("ts", lit(4102444800000000000L).cast(raw.schema("ts").dataType))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst().get()
+      Files.copy(part, sentinel)
+      // the file source orders micro-batches by modification time: pin
+      // the sentinel strictly after the (old) staged events file
+      Files.setLastModifiedTime(sentinel,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    val rawSchema = s.read.parquet(path).schema
+    withStreamShuffle(s) {
+      val stream = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1") // events batch, THEN sentinel batch
+        .parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sessions = graft.streaming.StreamingSync
+        .sessionizeEvicting(s, stream, gapSeconds = 1800L,
+          watermarkDelay = "2 hours")
+      val sink = "stream_sessevict_sink"
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName(sink).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("stream_sessevict_sink")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start_ms")
   }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -805,6 +873,26 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start""".stripMargin,
+    // same gaps-and-islands restatement in MILLISECONDS (the evicting
+    // sessionizer's state granularity); the sentinel user the Spark
+    // side injects never emits and is filtered there, so the oracle
+    // sees real users only
+    "stream_session_evict" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),
+        |x AS (
+        |  SELECT user_id, tms,
+        |    CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |g AS (
+        |  SELECT user_id, tms,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM x)
+        |SELECT user_id, MIN(tms) AS session_start_ms, MAX(tms) AS session_end_ms,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     "w1_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
