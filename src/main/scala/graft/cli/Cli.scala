@@ -43,7 +43,13 @@ object Cli {
   def run(args: Seq[String], out: String => Unit): Int = {
     if (args.isEmpty) { out(usage); return 2 }
     val verb = args.head
-    val opts = parseOpts(args.tail)
+    val explicit = parseOpts(args.tail)
+    // `--config FILE` (or GRAFT_CONFIG): the reference's ~/.pgsf
+    // supplies option DEFAULTS (jdbc url, schema, quote_name, job
+    // dir); explicit flags always win
+    val opts = explicit.get("config").orElse(sys.env.get("GRAFT_CONFIG"))
+      .map(p => ConfigFile.load(p).cliDefaults ++ explicit)
+      .getOrElse(explicit)
     try {
       verb match {
         case "tabledesc" => tabledesc(opts, out)
@@ -63,7 +69,8 @@ object Cli {
   }
 
   private val usage =
-    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|abort|gc> [--opt value ...]"
+    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|abort|gc> " +
+      "[--config FILE] [--opt value ...]"
 
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val it = args.iterator
@@ -134,8 +141,13 @@ object Cli {
     }
   }
 
-  private def dialectFor(url: String): SqlDialect =
-    if (url.startsWith("jdbc:derby")) new DerbyDialect else new PgDialect()
+  /** quote_name (pg.py:108-115) reaches the dialect from config/flag;
+    * absent → the engine default (quoted, case-preserving).
+    */
+  private def dialectFor(url: String, opts: Map[String, String]): SqlDialect =
+    if (url.startsWith("jdbc:derby")) new DerbyDialect
+    else new PgDialect(quoteNames =
+      opts.get("quote-name").forall(v => Set("1", "yes", "true", "on")(v.toLowerCase)))
 
   /** `query_bulk.py` + `download.py` + `csv_to_postgres.py`: full
     * extract → truncate-and-load → C4 bootstrap, as one verb. The
@@ -163,7 +175,7 @@ object Cli {
       catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       val n = BulkLoad.bulkLoad(job,
         SyncConfig(dest, required(opts, "pk"), tsCol), conn,
-        dialectFor(url), state, _ => df)
+        dialectFor(url, opts), state, _ => df)
       out(s"loaded $n rows into $dest; __sync registered at $modstamp")
     } finally conn.close()
   }
@@ -193,7 +205,7 @@ object Cli {
     try {
       conn.setAutoCommit(false)
       val state = new SyncStateStore(conn)
-      val syncer = new IncrementalSync(conn, dialectFor(url), state)
+      val syncer = new IncrementalSync(conn, dialectFor(url, opts), state)
       val cfg = SyncConfig(dest, required(opts, "pk"), tsCol,
         opts.get("deleted-col"))
       val result = syncer.syncTable(cfg, { wm: Option[Timestamp] =>

@@ -1,0 +1,90 @@
+package graft.cli
+
+/** Config-file ingestion — the engine twin of the reference's
+  * `~/.pgsf` (`config.py:1-20`, `etc/pgsf.example`), with Python
+  * `configparser` semantics: `[section]` headers, `key = value` or
+  * `key: value` pairs, full-line `#`/`;` comments, a `[DEFAULT]`
+  * section whose keys every other section inherits, trimmed values,
+  * case-insensitive keys. Inline comments are NOT stripped
+  * (configparser's default) — so values like JDBC URLs may contain
+  * `;`.
+  *
+  * The reference reads credentials, schema, quote_name and job paths
+  * from this file; here the parsed file feeds CLI option DEFAULTS
+  * (explicit `--flags` always win) via [[Config.cliDefaults]].
+  */
+object ConfigFile {
+
+  final case class Config(sections: Map[String, Map[String, String]]) {
+    private val defaults = sections.getOrElse("DEFAULT", Map.empty)
+
+    def get(section: String, key: String): Option[String] =
+      sections.getOrElse(section, Map.empty).get(key.toLowerCase)
+        .orElse(defaults.get(key.toLowerCase))
+
+    /** configparser `getboolean`: 1/yes/true/on vs 0/no/false/off. */
+    def getBoolean(section: String, key: String): Option[Boolean] =
+      get(section, key).map(v =>
+        Set("1", "yes", "true", "on")(v.trim.toLowerCase))
+
+    /** Destination JDBC URL: an explicit `url` key wins (engine
+      * extension — lets tests and non-PG deployments point anywhere);
+      * otherwise assembled from the reference's host/port/db/user/
+      * password keys (`etc/pgsf.example` [postgresql]).
+      */
+    def jdbcUrl: Option[String] =
+      get("postgresql", "url").orElse {
+        get("postgresql", "db").map { db =>
+          val host = get("postgresql", "host").getOrElse("localhost")
+          val port = get("postgresql", "port").getOrElse("5432")
+          val params = get("postgresql", "user").map(u => s"user=$u").toSeq ++
+            get("postgresql", "password").map(p => s"password=$p").toSeq
+          s"jdbc:postgresql://$host:$port/$db" +
+            (if (params.isEmpty) "" else params.mkString("?", "&", ""))
+        }
+      }
+
+    /** CLI option defaults derived from the file; explicit flags
+      * override by map-merge order. Keys mirror the CLI surface:
+      * `--jdbc`, `--schema`, `--quote-name`, `--dir` (gc's staging
+      * root = the reference's job_dir).
+      */
+    def cliDefaults: Map[String, String] =
+      (jdbcUrl.map("jdbc" -> _) ++
+        get("postgresql", "schema").map("schema" -> _) ++
+        getBoolean("postgresql", "quote_name").map(q => "quote-name" -> q.toString) ++
+        get("DEFAULT", "job_dir").map("dir" -> _)).toMap
+  }
+
+  def parse(text: String): Config = {
+    var section = "DEFAULT"
+    val out = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    text.linesIterator.foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#") && !line.startsWith(";")) {
+        if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.substring(1, line.length - 1).trim
+        } else {
+          val sepEq = line.indexOf('=')
+          val sepCo = line.indexOf(':')
+          val sep = (sepEq, sepCo) match {
+            case (-1, c) => c
+            case (e, -1) => e
+            case (e, c) => math.min(e, c)
+          }
+          require(sep > 0, s"config line is not 'key = value': '$line'")
+          val key = line.substring(0, sep).trim.toLowerCase
+          val value = line.substring(sep + 1).trim
+          out(section) = out.getOrElse(section, Map.empty) + (key -> value)
+        }
+      }
+    }
+    Config(out.toMap)
+  }
+
+  def load(path: String): Config = {
+    val p = java.nio.file.Paths.get(path)
+    require(java.nio.file.Files.isReadable(p), s"cannot read config file $path")
+    parse(java.nio.file.Files.readString(p))
+  }
+}

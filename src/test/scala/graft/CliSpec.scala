@@ -167,6 +167,53 @@ class CliSpec extends SparkSpec {
     assert(!old.exists() && fresh.exists())
   }
 
+  test("config file feeds option defaults; explicit flags win (config.py, etc/pgsf.example)") {
+    register("cli-cfg", v1)
+    val cfg = java.io.File.createTempFile("graftcfg", ".ini")
+    cfg.deleteOnExit()
+    val w = new java.io.PrintWriter(cfg)
+    w.println("# comment line")
+    w.println("[DEFAULT]")
+    w.println("job_dir = /tmp/graft-jobs-cfg")
+    w.println("[postgresql]")
+    w.println("url = jdbc:derby:memory:clispec;create=true") // ';' survives (no inline comments)
+    w.println("schema : cfgschema") // ':' separator, configparser-style
+    w.println("quote_name = 1")
+    w.close()
+    // config schema lands in the generated DDL...
+    val (code, out) = runCli("tabledesc", "--config", cfg.getPath,
+      "--transport", "cli-cfg", "--object", "Account")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.contains("cfgschema")), out.mkString("\n"))
+    // ...and an explicit flag overrides it
+    val (c2, out2) = runCli("tabledesc", "--config", cfg.getPath,
+      "--transport", "cli-cfg", "--object", "Account", "--schema", "flagwins")
+    assert(c2 == 0 && out2.exists(_.contains("flagwins")))
+    assert(!out2.exists(_.contains("cfgschema")))
+  }
+
+  test("ConfigFile parses DEFAULT inheritance, booleans, and assembles the PG URL") {
+    import graft.cli.ConfigFile
+    val c = ConfigFile.parse(
+      """[DEFAULT]
+        |job_dir = jobs
+        |[postgresql]
+        |host = db.example.com
+        |db = localdb
+        |user = sf
+        |password = secret
+        |quote_name = off
+        |""".stripMargin)
+    assert(c.get("postgresql", "job_dir").contains("jobs")) // DEFAULT inherited
+    assert(c.getBoolean("postgresql", "quote_name").contains(false))
+    assert(c.jdbcUrl.contains(
+      "jdbc:postgresql://db.example.com:5432/localdb?user=sf&password=secret"))
+    // explicit url key wins over assembly
+    val c2 = ConfigFile.parse("[postgresql]\nurl = jdbc:x\ndb = ignored\n")
+    assert(c2.jdbcUrl.contains("jdbc:x"))
+    assert(ConfigFile.parse("").jdbcUrl.isEmpty)
+  }
+
   test("unknown verbs and missing options fail with usage, not stack traces") {
     val (code, out) = runCli("frobnicate")
     assert(code == 2 && out.exists(_.contains("usage:")))
