@@ -75,6 +75,27 @@ object SparkEntry {
     // custom TypedImperativeAggregate: one count-min sketch of the
     // table, probed per key, CMS bounds emitted as booleans
     "a9_cms_count" -> ((s, d) => Relational.a9CmsCheck(t(s, d)("events"))),
+    // native bloom_filter_agg probed via might_contain: no-false-
+    // negative exact invariant + bounded false-positive rate
+    "a10_bloom" -> ((s, d) => Relational.a10BloomCheck(t(s, d)("events"))),
+    // the profiler's bounded-memory mode vs its exact twin, as
+    // error-bound booleans (same trick as a6/a7/a9)
+    "a8_profile_approx" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_shipdate")
+      val li = t(s, d)("lineitem")
+      val exact = Relational.a8ProfileColumns(li, cols)
+        .select(col("column_name"), col("n_distinct").as("exact_nd"))
+      val approx = Relational.a8ProfileColumns(li, cols, approx = true)
+        .select(col("column_name"), col("n_distinct").as("approx_nd"))
+      // HLL++ rsd 2% is one sigma: 5 sigma + 1 never fires spuriously
+      exact.join(approx, "column_name")
+        .select(col("column_name"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+            lit(5 * 0.02) * col("exact_nd") + lit(1.0)).as("within_bound"))
+        .orderBy("column_name")
+    }),
+    "w8_ntile" -> ((s, d) => Relational.w8NtileStats(t(s, d)("orders"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
     "asof_join" -> ((s, d) => {
@@ -89,6 +110,23 @@ object SparkEntry {
         .agg(max("event_id").as("purchase_id"))
       graft.plans.AsofJoin.asof(clicks, purchases,
           Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts")
+        .select("click_id", "user_id", "purchase_id", "purchase_ts")
+        .orderBy("click_id")
+    }),
+    // forward direction of the custom operator: FIRST purchase
+    // at-or-after each click (the attribution shape), same single-pass
+    // merge exec with the direction flag flipped
+    "asof_join_forward" -> ((s, d) => {
+      val ev = t(s, d)("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.plans.AsofJoin.asof(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+          forward = true)
         .select("click_id", "user_id", "purchase_id", "purchase_ts")
         .orderBy("click_id")
     }),
@@ -1000,6 +1038,20 @@ object SparkEntry {
     "a9_cms_count" ->
       """SELECT event_type, TRUE AS lower_ok, TRUE AS upper_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a10_bloom" -> "SELECT TRUE AS all_present, TRUE AS fp_ok",
+    "a8_profile_approx" ->
+      """SELECT column_name, TRUE AS within_bound FROM (VALUES
+        | ('l_linenumber'), ('l_orderkey'), ('l_quantity'),
+        | ('l_returnflag'), ('l_shipdate')) t(column_name)
+        |ORDER BY column_name""".stripMargin,
+    "w8_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "a4_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
@@ -1030,6 +1082,19 @@ object SparkEntry {
         |SELECT c.event_id AS click_id, c.user_id, p.purchase_id, p.purchase_ts
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+        |ORDER BY click_id""".stripMargin,
+    // forward variant restated with a window (engine-agnostic; no
+    // dependence on the oracle's ASOF direction support)
+    "asof_join_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id, p.purchase_id, p.purchase_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY p.purchase_ts) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  JOIN p ON p.user_id = c.user_id AND p.purchase_ts >= c.ts)
+        |SELECT click_id, user_id, purchase_id, purchase_ts FROM j WHERE rn = 1
         |ORDER BY click_id""".stripMargin,
     "j1_merge_upsert" ->
       s"""WITH $BaseCte, ${deltaCte("delta", 2, 1.1, 1)}

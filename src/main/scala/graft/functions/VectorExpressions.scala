@@ -245,4 +245,24 @@ object GraftFunctions {
   def cms_query(sketch: Column, key: Column, depth: Int = 4, width: Int = 512): Column =
     ColumnShim.column(CmsQuery(
       ColumnShim.expression(sketch), ColumnShim.expression(key), depth, width))
+
+  /** Spark's native Bloom-filter aggregate (the runtime-filter
+    * join-pruning sketch), exposed as a typed Column — the SQL
+    * function name is not in the public registry, only the expression.
+    */
+  def bloom_agg(value: Column, estimatedItems: Long, numBits: Long): Column =
+    ColumnShim.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnShim.expression(value),
+        org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** membership probe against a [[bloom_agg]] filter (never a false
+    * negative; false positives at the configured rate).
+    */
+  def bloom_might_contain(bloom: Column, value: Column): Column =
+    ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnShim.expression(bloom), ColumnShim.expression(value)))
 }

@@ -372,6 +372,55 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** Ranking-window breadth: quartile bucket, percent_rank and
+    * cume_dist per customer ordered by price (orderkey tiebreak keeps
+    * every rank deterministic — no peer groups, so the doubles are the
+    * same exact small-integer divisions on any engine). One window =
+    * one shuffle on the partition key; all three functions share it.
+    */
+  def w8NtileStats(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Driver-verifiable Bloom-filter check (the a6/a7/a9 error-bound
+    * trick for Spark's native `bloom_filter_agg`): ONE fixed-size
+    * filter of every user_id — the join-pruning primitive at 100 TB
+    * (build on the small side, broadcast, pre-filter the big scan) —
+    * probed with `might_contain` from (a) every present key: a Bloom
+    * filter has NO false negatives, so `all_present` is an exact
+    * invariant; (b) a disjoint shifted key set: the false-positive
+    * rate must stay under a bound far above the configured fpp yet far
+    * below broken-filter behavior (~100%). Hashing is deterministic
+    * (XXH64, fixed seed), and the 2% ceiling is ~40× the nominal rate,
+    * so benign data regeneration cannot flip the booleans.
+    */
+  def a10BloomCheck(events: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    // ONE fixed-size sketch pulled to the driver and re-injected as a
+    // literal — `might_contain` requires a constant filter, and this
+    // is exactly the data movement Spark's own runtime-filter rewrite
+    // performs (aggregate the build side, ship the sketch to probes);
+    // a principled driver pull like the k-means centroids.
+    val bfBytes = events
+      .agg(bloom_agg(col("user_id"), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bfLit = lit(bfBytes)
+    val present = events.select("user_id").distinct()
+    val p = present
+      .agg(min(bloom_might_contain(bfLit, col("user_id")).cast("int")).as("m"))
+      .select((col("m") === 1).as("all_present"))
+    val a = present.select((col("user_id") + 1000000000L).as("user_id"))
+      .agg(avg(bloom_might_contain(bfLit, col("user_id")).cast("double")).as("fp_rate"))
+      .select((col("fp_rate") <= 0.02).as("fp_ok"))
+    p.crossJoin(a)
+  }
+
   /** Data profiling: per-column non-null/null/exact-distinct counts
     * and min/max (stringified so heterogeneous column types fit one
     * result schema), a row per column. One aggregate BRANCH per column

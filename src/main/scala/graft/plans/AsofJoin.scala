@@ -37,7 +37,7 @@ final case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    leftOuter: Boolean) extends BinaryNode {
+    leftOuter: Boolean, forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -54,8 +54,8 @@ final case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, outer) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, outer, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +69,7 @@ final case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    leftOuter: Boolean) extends BinaryExecNode {
+    leftOuter: Boolean, forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -101,6 +101,7 @@ final case class AsofJoinExec(
     val lTsExpr = leftTs
     val rTsExpr = rightTs
     val outer = leftOuter
+    val fwd = forward
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -143,6 +144,34 @@ final case class AsofJoinExec(
           }
         }
 
+        /** FORWARD direction: discard right rows strictly before the
+          * left cursor (left ts is non-decreasing, so they can never
+          * match a later left row either) and STOP on the first
+          * same-key row at-or-after it — that head row is the match,
+          * left un-consumed because the next left row may share it.
+          */
+        private def advanceRightForward(lKey: UnsafeRow, lTsVal: Any): InternalRow = {
+          var done = false
+          var matched: InternalRow = null
+          while (!done && rHead != null) {
+            val rk = rKeyProj(rHead)
+            var consume = false
+            if (rk.anyNull) consume = true
+            else {
+              val c = keyOrd.compare(rk, lKey)
+              if (c < 0) consume = true
+              else if (c == 0) {
+                val rTsVal = rTsBound.eval(rHead)
+                if (rTsVal == null) consume = true
+                else if (tsOrd.lt(rTsVal, lTsVal)) consume = true
+                else { matched = rHead; done = true }
+              } else done = true
+            }
+            if (consume) rHead = if (rIter.hasNext) rIter.next() else null
+          }
+          matched
+        }
+
         private def computeNext(): InternalRow = {
           while (lIter.hasNext) {
             val lRow = lIter.next()
@@ -150,9 +179,12 @@ final case class AsofJoinExec(
             val lTsVal = if (lKey.anyNull) null else lTsBound.eval(lRow)
             var matched: InternalRow = null
             if (lTsVal != null) {
-              advanceRight(lKey, lTsVal)
-              if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
-                matched = candRow
+              if (fwd) matched = advanceRightForward(lKey, lTsVal)
+              else {
+                advanceRight(lKey, lTsVal)
+                if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
+                  matched = candRow
+              }
             }
             if (matched != null) return resultProj(joined(lRow, matched))
             else if (outer) return resultProj(joined(lRow, nullRight))
@@ -196,11 +228,17 @@ object AsofJoin {
     * (inner by default; `leftOuter = true` keeps unmatched left rows
     * with a null right side). Key and timestamp columns are resolved by
     * name against each side; ts types must agree on both sides.
+    *
+    * `forward = true` flips the direction: the single EARLIEST right
+    * row with `rightTs >= leftTs` (kdb `aj` vs `asof`'s forward
+    * variant; the attribution shape "first purchase after the click").
+    * Same single-pass merge, same O(1) memory — the forward candidate
+    * is the right head itself, shared by consecutive left rows.
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      leftOuter: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false, forward: Boolean = false): DataFrame = {
     register(left.sparkSession)
     val lPlan = left.queryExecution.analyzed
     // self-join safety: if the right plan shares attribute ids with the
@@ -235,6 +273,6 @@ object AsofJoin {
     require(lt.dataType == rt.dataType,
       s"as-of timestamp types differ: ${lt.dataType} vs ${rt.dataType}")
     DatasetShim.ofRows(left.sparkSession,
-      AsofJoinPlan(lPlan, rPlan, lk, rk, lt, rt, leftOuter))
+      AsofJoinPlan(lPlan, rPlan, lk, rk, lt, rt, leftOuter, forward))
   }
 }

@@ -89,6 +89,50 @@ class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(s.contains("Sort ["), s"children not sorted:\n$s")
   }
 
+  test("forward as-of picks the earliest right row at-or-after each left ts") {
+    val out = AsofJoin.asof(trades, quotes, Seq("tk"), Seq("qk"), "tts", "qts",
+        forward = true)
+      .select("tk", "qty", "px").as[(Long, Long, Double)].collect().toSet
+    // trade 09:30 -> 10:00 quote; 10:00 -> equality 10:00; 12:00 -> none;
+    // key 2 trade 09:00 -> 09:30 quote; key 3 absent
+    assert(out == Set((1L, 5L, 11.0), (1L, 6L, 11.0), (2L, 8L, 20.0)))
+  }
+
+  test("forward as-of: consecutive left rows share one right candidate; outer keeps misses") {
+    val l = Seq((1L, ts("2024-01-01 09:01:00"), 1L),
+      (1L, ts("2024-01-01 09:30:00"), 2L),
+      (1L, ts("2024-01-01 23:00:00"), 3L)).toDF("tk", "tts", "qty")
+    val out = AsofJoin.asof(l, quotes, Seq("tk"), Seq("qk"), "tts", "qts",
+        leftOuter = true, forward = true)
+      .select("qty", "px").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toSet
+    // both early trades land on the SAME 10:00 quote (the un-consumed
+    // right head is shared); the 23:00 trade has nothing after it
+    assert(out == Set((1L, Some(11.0)), (2L, Some(11.0)), (3L, None)))
+  }
+
+  test("forward as-of matches the window-function composition on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t", "rid")
+      .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "t", forward = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    l.createOrReplaceTempView("asoff_l"); r.createOrReplaceTempView("asoff_r")
+    val expect = spark.sql(
+      """SELECT lid, rid FROM (
+        |  SELECT l.lid, r.rid,
+        |    ROW_NUMBER() OVER (PARTITION BY l.lid ORDER BY r.t ASC) AS rn
+        |  FROM asoff_l l JOIN asoff_r r ON l.k = r.k AND l.t <= r.t)
+        |WHERE rn = 1""".stripMargin).as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
+
   test("as-of result matches the window-function composition on random data") {
     val rnd = new scala.util.Random(42)
     val l = Seq.tabulate(300)(i =>
