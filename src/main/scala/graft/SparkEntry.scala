@@ -96,6 +96,8 @@ object SparkEntry {
         .orderBy("column_name")
     }),
     "w8_ntile" -> ((s, d) => Relational.w8NtileStats(t(s, d)("orders"))),
+    // JSON properties column → typed field (codegen'd per-row parse)
+    "t8_json_extract" -> ((s, d) => Relational.t8JsonExtract(t(s, d)("events"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
     "asof_join" -> ((s, d) => {
@@ -1044,6 +1046,9 @@ object SparkEntry {
         | ('l_linenumber'), ('l_orderkey'), ('l_quantity'),
         | ('l_returnflag'), ('l_shipdate')) t(column_name)
         |ORDER BY column_name""".stripMargin,
+    "t8_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "w8_ntile" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(NTILE(4) OVER w AS INT) AS quartile,

@@ -372,6 +372,17 @@ object Relational {
       .orderBy("event_type", "hr")
   }
 
+  /** Semi-structured extraction: a typed field pulled from a JSON
+    * properties column — `get_json_object` is a codegen'd per-row
+    * parse, no shuffle. At 100 TB with a STABLE shape, switch to
+    * `from_json` with an explicit schema (one parse yielding every
+    * needed field at once) — same narrow plan.
+    */
+  def t8JsonExtract(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
   /** Ranking-window breadth: quartile bucket, percent_rank and
     * cume_dist per customer ordered by price (orderkey tiebreak keeps
     * every rank deterministic — no peer groups, so the doubles are the

@@ -109,6 +109,18 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("w8 ranking trio shares ONE (o_custkey) exchange and one sort") {
+    val df = Relational.w8NtileStats(Tables(spark, sf0001, "orders"))
+    df.collect()
+    val p = plan(df)
+    // ntile + percent_rank + cume_dist all declare the same window
+    // spec: Catalyst must plan them in a single Window node over one
+    // hash exchange (plus only the presentation range exchange)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val df = Relational.f1Where(Tables(spark, sf0001, "lineitem"))
     df.collect() // finalize the adaptive plan so codegen spans materialize
