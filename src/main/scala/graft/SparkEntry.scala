@@ -201,6 +201,12 @@ object SparkEntry {
     }),
     "sim_neardup_lsh" -> ((s, d) =>
       SimilarityOps.lshNearDup(t(s, d)("embeddings"), 0.463)),
+    // ε-ball retrieval: ALL corpus vectors within the cosine radius of
+    // each query (broadcast queries, no corpus shuffle)
+    "sim_range_search" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.rangeSearch(e, e.filter(col("vec_id") % 25 === 0), 0.4)
+    }),
     // trained IVF path: 2 Lloyd iterations, deterministic init
     "sim_kmeans" -> ((s, d) =>
       SimilarityOps.kmeansAssign(t(s, d)("embeddings")).orderBy("vec_id")),
@@ -254,6 +260,9 @@ object SparkEntry {
     // the base rate — the data-mixing order of a training stream
     "pipe_interleave" -> ((s, d) => PipelineOps.interleaveBySource(
       t(s, d)("documents"), Map("src0" -> 2.0, "src1" -> 4.0))),
+    // epoch-style upsampling: src0 documents repeat 3x per pass
+    "pipe_repeat_upsample" -> ((s, d) => PipelineOps.repeatUpsample(
+      t(s, d)("documents"), Map("src0" -> 3, "src2" -> 2))),
     // benchmark decontamination: corpus docs sharing >= 5 trigram
     // shingles with the eval slice (doc_id % 37 == 0)
     "pipe_decontaminate" -> ((s, d) => {
@@ -774,6 +783,12 @@ object SparkEntry {
         |    CAST(CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 4.0
         |         ELSE 1.0 END AS DOUBLE) AS mix_key
         |FROM r ORDER BY mix_key, source, doc_id""".stripMargin,
+    "pipe_repeat_upsample" ->
+      """SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src2' THEN 2 ELSE 1 END)) AS INT)
+        |    AS epoch
+        |FROM documents ORDER BY doc_id, epoch""".stripMargin,
     "pipe_decontaminate" ->
       s"""WITH $ToksCte,
          |$ShinglesCte,
@@ -1329,6 +1344,13 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.463
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0)
+         |SELECT query_id, vec_id AS neighbor_id
+         |FROM embeddings CROSS JOIN q
+         |WHERE vec_id <> query_id
+         |  AND ${duckCosine("qe", "embedding")} >= 0.4
+         |ORDER BY query_id, neighbor_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
          |scored AS (

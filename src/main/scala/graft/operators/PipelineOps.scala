@@ -64,6 +64,26 @@ object PipelineOps {
       .orderBy("mix_key", "source", "doc_id")
   }
 
+  /** Deterministic epoch-style upsampling: each document repeats
+    * `repeats(source)` times with an explicit epoch index — the
+    * data-mixing step that shows a high-quality source to training
+    * more than once per pass (the complement of [[stratifiedSample]]'s
+    * downsampling). One bounded generate (`sequence` explode) — no
+    * shuffle; the epoch index keeps every copy addressable for
+    * downstream shuffling/sharding.
+    */
+  def repeatUpsample(documents: DataFrame, repeats: Map[String, Int],
+      defaultRepeats: Int = 1): DataFrame = {
+    val rep = repeats.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRepeats)) { case (acc, (k, v)) =>
+        when(col("source") === k, lit(v)).otherwise(acc) }
+    documents
+      .select(col("doc_id"), col("source"), rep.as("n_rep"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1, n_rep)")).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` distinct word-trigram shingles with a benchmark/eval
     * set — the n-gram-overlap contamination check a training pipeline

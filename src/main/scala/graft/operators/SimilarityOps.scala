@@ -46,6 +46,29 @@ object SimilarityOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Cosine RANGE search (the ε-ball twin of top-k): every corpus
+    * vector with cosine ≥ `minCos` of each query — retrieval when the
+    * answer set is "all sufficiently close", not a fixed k (dedup
+    * sweeps, label propagation). Same plan shape as brute-force top-k
+    * minus the ranking window: ONE broadcast join, per-row codegen'd
+    * dot, no shuffle of the corpus at all — at 100 TB the filter rides
+    * inside the scan stage. The LSH-bucketed variant (bucket-join
+    * instead of broadcast-all) is the recall-trading scale path, as
+    * for top-k.
+    */
+  def rangeSearch(embeddings: DataFrame, queries: DataFrame,
+      minCos: Double): DataFrame = {
+    val q = withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+      "qe", "qn")
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")), "embedding", "en")
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .filter(vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en"))
+        >= minCos)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** Random-hyperplane LSH signature: sign bits of dot(v, h_i) for
     * `numPlanes` deterministic pseudo-hyperplanes starting at plane id
     * `planeOffset` (offset shifts the plane family — that is how
