@@ -147,6 +147,8 @@ object SparkEntry {
     "text_pii_mask" -> ((s, d) => TextOps.piiMask(t(s, d)("documents"))
       .orderBy("doc_id")),
     "text_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d)("documents"))),
+    // token-distribution Shannon entropy (vocabulary diversity signal)
+    "text_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d)("documents"))),
     "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
       t(s, d)("documents"), Map("en" -> 0.5, "de" -> 0.9))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
@@ -1167,6 +1169,20 @@ object SparkEntry {
          |  CAST(max(tf) AS BIGINT) AS max_tf,
          |  CAST(max(tf) AS DOUBLE) / n AS rep_ratio
          |FROM f GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // per-term contribution is the identical IEEE expression rounded
+    // to 12 decimals (absorbs JVM-vs-libm log ulp differences), then
+    // decimal-summed — associative, hash-stable (see TextOps scaladoc)
+    "text_entropy" ->
+      s"""WITH $ToksCte,
+         |t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |f AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+         |p AS (SELECT doc_id,
+         |        CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
+         |      FROM f)
+         |SELECT doc_id,
+         |  CAST(-SUM(CAST(ROUND(p * LN(p) / LN(2.0), 12) AS DECIMAL(18,14))) AS DOUBLE)
+         |    AS entropy
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH q AS (
         |  SELECT doc_id,

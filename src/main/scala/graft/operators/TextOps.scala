@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for large-scale training-data pipelines
   * (north-star extension set, BASELINE.json): token counting, quality
@@ -56,6 +58,31 @@ object TextOps {
       .select("doc_id", "n_tokens", "n_chars_measured", "n_punct", "n_stop",
         "punct_ratio", "stop_ratio", "mean_token_len")
       .orderBy("doc_id")
+
+  /** Token-distribution Shannon entropy per document (vocabulary
+    * diversity — low entropy flags repetitive/template text, the
+    * complement of [[repetitionRatio]]). Cross-engine determinism:
+    * each term's contribution p·ln(p)/ln(2) is an identical IEEE
+    * expression on both sides, ROUNDED to 12 decimals (absorbing the
+    * ≤1 ulp libm difference between JVM and C log), then accumulated
+    * as exact decimals — associative, so partial-aggregation order
+    * cannot drift the hash. Two shuffles: tf on (doc, term), then the
+    * doc-level window+sum share one (doc) partitioning.
+    */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    documents
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast("double") /
+        sum(col("c")).over(w).cast("double"))
+      .withColumn("contrib",
+        round(col("p") * log(col("p")) / log(lit(2.0)), 12))
+      .groupBy("doc_id")
+      .agg((-sum(col("contrib").cast(DecimalType(18, 14))))
+        .cast("double").as("entropy"))
+      .orderBy("doc_id")
+  }
 
   /** Language-ID by stopword-marker counting: per-language marker hit
     * counts, argmax with a fixed tiebreak order (en>de>es>fr>zh). An
