@@ -64,6 +64,18 @@ object SparkEntry {
     "s8_partitioned_roundtrip" -> ((s, d) => FileOps.partitionedRoundTrip(s,
       t(s, d)("events"), "/tmp/graft_layout_" + d.replaceAll("[^a-zA-Z0-9]", "_"),
       "2024-01-08", "2024-01-14")),
+    // small-files compaction round trip: deliberately fragment the
+    // events table (64 shards), compact to 4 right-sized files, read
+    // back — oracle is the original content (count pinned in spec)
+    "s9_compact_roundtrip" -> ((s, d) => {
+      val base = "/tmp/graft_compact_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      val frag = base + "/frag"
+      if (!new java.io.File(frag).exists())
+        t(s, d)("events").repartition(64).write.mode("overwrite").parquet(frag)
+      FileOps.compactSmallFiles(s, frag, base + "/compacted", 4)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     "a8_profile" -> ((s, d) => Relational.a8ProfileColumns(t(s, d)("lineitem"),
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"))),
     // sketch aggregates: the sketch values are algorithm-specific, so
@@ -1450,6 +1462,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "s4_csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+    "s9_compact_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // the Derby catalog demo is seeded by the query itself, so its
     // information_schema projection is a deterministic constant — a
     // VALUES oracle upgrades it from rows-only to a full hash match

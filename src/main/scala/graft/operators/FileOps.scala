@@ -78,6 +78,23 @@ object FileOps {
       .orderBy("event_date")
   }
 
+  /** Small-files compaction — the lake-maintenance pass every
+    * long-running ingest needs (a CDC sink writing every few minutes
+    * accretes thousands of KB-sized files; scan cost then scales with
+    * file COUNT, not bytes). Rewrites a fragmented directory into
+    * `targetFiles` right-sized parquet files: one round-robin shuffle
+    * of exactly the data being compacted. Content-preserving, no
+    * ordering contract. At 100 TB this runs per partition-directory
+    * (bounded by directory size, never the table) and composes with
+    * [[partitionedRoundTrip]]'s layout.
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String, outDir: String,
+      targetFiles: Int): DataFrame = {
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Seed an embedded-Derby table for the catalog-scan demo; idempotent. */
   def seedDerbyCatalogDemo(url: String, tableName: String): Unit = {
     val conn = DriverManager.getConnection(url)

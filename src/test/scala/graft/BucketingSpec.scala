@@ -40,4 +40,23 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("compactSmallFiles rewrites a fragmented dir into N files, content-preserving") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val frag = base.resolve("frag").toString
+    val out = base.resolve("out").toString
+    val src = Tables(spark, sf0001, "events")
+    src.repartition(20).write.mode("overwrite").parquet(frag)
+    def partFiles(dir: String): Int =
+      new java.io.File(dir).listFiles().count { f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")
+      }
+    assert(partFiles(frag) == 20, "fragmentation staging failed")
+    val compacted = graft.operators.FileOps.compactSmallFiles(spark, frag, out, 2)
+    assert(partFiles(out) == 2, s"expected 2 compacted files, got ${partFiles(out)}")
+    assert(compacted.count() == src.count())
+    // content identity, not just cardinality
+    assert(compacted.select("event_id").except(src.select("event_id")).isEmpty)
+    assert(src.select("event_id").except(compacted.select("event_id")).isEmpty)
+  }
 }
