@@ -259,6 +259,12 @@ object SparkEntry {
     // state-evicting) under the oracle gate: a sentinel file closes
     // the watermark over every real session — see streamSessionEvictQuery
     "stream_session_evict" -> ((s, d) => streamSessionEvictQuery(s, d)),
+    // the NATIVE session_window twin, batch and streaming: built-in
+    // beats custom state when the semantics fit (SURVEY §7.3 rule)
+    "w9_session_window" -> ((s, d) => graft.streaming.StreamingSync
+      .sessionizeNative(t(s, d)("events"), "30 minutes", None)
+      .orderBy("user_id", "session_start")),
+    "stream_session_native" -> ((s, d) => streamSessionNativeQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
@@ -563,13 +569,20 @@ object SparkEntry {
     * from the result. Oracle = the batch gaps-and-islands restatement
     * in milliseconds, real users only.
     */
-  private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** Stage the events table as micro-batch 1 plus a far-future
+    * SENTINEL event (user −1, year 2100) as micro-batch 2 — with
+    * `maxFilesPerTrigger = 1` the sentinel batch pushes the event-time
+    * watermark past every real session/window close, and the trailing
+    * no-data batch flushes all engine state. Shared by both
+    * sessionizer-under-oracle queries. Returns the micro-batch stream.
+    */
+  private def stagedSentinelEventsStream(s: SparkSession, d: String,
+      tag: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     val srcDir = Paths.get(
-      "/tmp/graft_stream_sessevict_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+      s"/tmp/graft_stream_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("a_events.parquet")
     if (!Files.exists(link))
@@ -594,11 +607,16 @@ object SparkEntry {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     }
     val rawSchema = s.read.parquet(path).schema
+    s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1") // events batch, THEN sentinel batch
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
     withStreamShuffle(s) {
-      val stream = s.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1") // events batch, THEN sentinel batch
-        .parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = stagedSentinelEventsStream(s, d, "sessevict")
       val sessions = graft.streaming.StreamingSync
         .sessionizeEvicting(s, stream, gapSeconds = 1800L,
           watermarkDelay = "2 hours")
@@ -610,6 +628,26 @@ object SparkEntry {
     s.table("stream_sessevict_sink")
       .filter(col("user_id") =!= -1L)
       .orderBy("user_id", "session_start_ms")
+  }
+
+  /** The NATIVE session_window sessionizer under the same sentinel
+    * harness: watermark + append mode close and emit each session
+    * window exactly once with engine-managed state eviction.
+    */
+  private def streamSessionNativeQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    withStreamShuffle(s) {
+      val stream = stagedSentinelEventsStream(s, d, "sessnative")
+      val sessions = graft.streaming.StreamingSync
+        .sessionizeNative(stream, "30 minutes", Some("2 hours"))
+      val sink = "stream_sessnative_sink"
+      val q = sessions.writeStream.outputMode("append").format("memory")
+        .queryName(sink).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("stream_sessnative_sink")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("user_id", "session_start")
   }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
@@ -962,6 +1000,11 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id, grp
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    // native session_window semantics: window end = last event + gap,
+    // STRICT merge (an event exactly gap after the last starts a new
+    // session — hence >= in the break condition, unlike stream_session)
+    "w9_session_window" -> SessionWindowOracle,
+    "stream_session_native" -> SessionWindowOracle,
     "w1_running_sum" ->
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
@@ -1483,6 +1526,27 @@ object SparkEntry {
         |FROM m, unnest(range(0, n_frames, 7)) t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
+
+  /** Gaps-and-islands restatement of Spark's native session_window:
+    * strict merge (>= breaks), end = last event + gap. Shared by the
+    * batch (w9) and streaming (sentinel-closed) variants — identical
+    * results by construction, one oracle.
+    */
+  private val SessionWindowOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+      |x AS (
+      |  SELECT user_id, t,
+      |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |g AS (
+      |  SELECT user_id, t,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM x)
+      |SELECT user_id, MIN(t) AS session_start,
+      |  MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM g GROUP BY user_id, grp
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** DuckDB-side tokenizer CTE (mirrors TextOps.toksCol). */
   private val ToksCte =

@@ -178,6 +178,27 @@ object StreamingSync {
       .join(broadcast(index), "fp")
       .select(col("doc_id"), col("index_id"))
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregation —
+    * the built-in twin of [[sessionizeEvicting]] (prefer built-ins
+    * where they express the semantics; the custom-state variant exists
+    * for state machines windowing can't express, e.g. per-session
+    * custom payloads). Works on batch (no watermark) and streams
+    * (watermark + append mode: a session emits once, when the
+    * watermark passes its end, and its state evicts — the same
+    * bounded-state posture, managed by the engine). `session_end` is
+    * the native window end = last event + gap; merge semantics are
+    * STRICT (an event exactly `gap` after the last does NOT extend).
+    */
+  def sessionizeNative(events: DataFrame, gap: String,
+      watermarkDelay: Option[String]): DataFrame =
+    watermarkDelay.fold(events)(events.withWatermark("ts", _))
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Production sessionization on an unbounded stream: per-user gap
     * sessions via flatMapGroupsWithState with EventTimeTimeout. Each
     * session is emitted EXACTLY ONCE — when the event-time watermark
