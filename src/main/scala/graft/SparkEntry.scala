@@ -254,6 +254,11 @@ object SparkEntry {
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
     "stream_join" -> ((s, d) => streamJoinQuery(s, d)),
+    // left-outer stream-stream join: null-padded rows flush when the
+    // sentinel-advanced watermark proves no match can arrive
+    "stream_join_outer" -> ((s, d) => streamJoinOuterQuery(s, d)),
+    // the reference's CDC loop itself as a two-batch stream replay
+    "stream_cdc_merge" -> ((s, d) => streamCdcMergeQuery(s, d)),
     "stream_session" -> ((s, d) => streamSessionQuery(s, d)),
     // the PRODUCTION sessionizer (EventTimeTimeout, emit-once,
     // state-evicting) under the oracle gate: a sentinel file closes
@@ -577,7 +582,7 @@ object SparkEntry {
     * sessionizer-under-oracle queries. Returns the micro-batch stream.
     */
   private def stagedSentinelEventsStream(s: SparkSession, d: String,
-      tag: String): DataFrame = {
+      tag: String, sentinelTypes: Seq[String] = Nil): DataFrame = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
@@ -591,11 +596,19 @@ object SparkEntry {
     if (!Files.exists(sentinel)) {
       val raw = s.read.parquet(path)
       val tmp = Files.createTempDirectory("graft_sentinel")
-      raw.limit(1)
+      val one = raw.limit(1)
         .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
         // 2100-01-01 in nanos: decades past any real event
         .withColumn("ts", lit(4102444800000000000L).cast(raw.schema("ts").dataType))
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // multi-watermark queries (stream-stream joins) filter by
+      // event_type BEFORE their watermark operators: each filtered
+      // branch needs its own far-future row or its watermark never
+      // advances — hence one sentinel row per requested type
+      val sent =
+        if (sentinelTypes.isEmpty) one
+        else sentinelTypes.map(t => one.withColumn("event_type", lit(t)))
+          .reduce(_ unionAll _)
+      sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
@@ -611,6 +624,91 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1") // events batch, THEN sentinel batch
       .parquet(srcDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stream-stream LEFT OUTER join under the oracle gate: matched
+    * click→purchase pairs emit immediately; a click with no in-window
+    * purchase emits null-padded only once the (min-of-both-sides)
+    * watermark proves no match can arrive — which the sentinel batch
+    * (one far-future click AND purchase, so BOTH branch watermarks
+    * advance) forces for every real click. Oracle = the batch LEFT
+    * JOIN restatement.
+    */
+  private def streamJoinOuterQuery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    withStreamShuffle(s) {
+      val stream = stagedSentinelEventsStream(s, d, "joinouter",
+        Seq("click", "purchase"))
+      val joined = graft.streaming.StreamingSync
+        .clickPurchaseJoin(stream, maxLagSeconds = 1800L,
+          watermarkDelay = "2 hours", joinType = "left_outer")
+      val sink = "stream_join_outer_sink"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(sink).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table("stream_join_outer_sink")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** The CDC merge LOOP as a stream, under the oracle gate: the base
+    * snapshot arrives as micro-batch 1 (bootstrap merge into empty),
+    * the delta as micro-batch 2 (upsert + soft-delete), through
+    * [[graft.streaming.StreamingSync.mergeStream]]'s foreachBatch sink
+    * with its versioned-snapshot state. Base/delta are the SAME
+    * deterministic orders-derived frames as j1_merge_upsert, so the
+    * final snapshot must hash-match the j1 oracle. State + checkpoint
+    * reset per invocation for a clean two-batch replay.
+    */
+  private def streamCdcMergeQuery(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tagDir = Paths.get(
+      "/tmp/graft_stream_cdc_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val srcDir = tagDir.resolve("src")
+    def deleteTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    if (!Files.exists(srcDir)) {
+      Files.createDirectories(srcDir)
+      def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_cdc_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.findFirst().get()
+        val dest = srcDir.resolve(name)
+        Files.copy(part, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val cols = OrderCols.map(col) :+ col("is_deleted")
+      val base = baseSnapshot(s, d).withColumn("is_deleted", lit(false))
+        .select(cols: _*)
+      val delta = deltaBatch(s, d, 2, 1.1, 1).select(cols: _*)
+      val now = System.currentTimeMillis()
+      stageOne(base, "a_base.parquet", now - 60000)
+      stageOne(delta, "b_delta.parquet", now)
+    }
+    // fresh state/checkpoint each run: the replay is the test
+    val stateDir = tagDir.resolve("state")
+    val ckpt = tagDir.resolve("ckpt")
+    deleteTree(stateDir); deleteTree(ckpt)
+    val schema = s.read.parquet(srcDir.resolve("a_base.parquet").toString).schema
+    withStreamShuffle(s) {
+      val delta = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // base batch, THEN delta batch
+        .parquet(srcDir.toString)
+      val q = graft.streaming.StreamingSync.mergeStream(delta,
+        stateDir.toString, "o_orderkey", "o_orderdate",
+        Some("is_deleted"), Some(ckpt.toString))
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.streaming.StreamingSync.currentState(s, stateDir.toString).get
+      .orderBy("o_orderkey")
   }
 
   private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame = {
@@ -1173,16 +1271,16 @@ object SparkEntry {
         |  JOIN p ON p.user_id = c.user_id AND p.purchase_ts >= c.ts)
         |SELECT click_id, user_id, purchase_id, purchase_ts FROM j WHERE rn = 1
         |ORDER BY click_id""".stripMargin,
-    "j1_merge_upsert" ->
-      s"""WITH $BaseCte, ${deltaCte("delta", 2, 1.1, 1)}
-         |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
-         |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE b.o_custkey END AS o_custkey,
-         |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
-         |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
-         |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE b.o_orderdate END AS o_orderdate
-         |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
-         |WHERE NOT coalesce(d.is_deleted, false)
-         |ORDER BY o_orderkey""".stripMargin,
+    "j1_merge_upsert" -> J1MergeOracle,
+    // the streamed two-batch replay lands on the SAME final snapshot
+    "stream_cdc_merge" -> J1MergeOracle,
+    "stream_join_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "j2_anti_delete" ->
       s"""WITH $BaseCte
          |SELECT * FROM base
@@ -1526,6 +1624,21 @@ object SparkEntry {
         |FROM m, unnest(range(0, n_frames, 7)) t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
+
+  /** The J1 merge result (base FULL OUTER delta, delta wins, deletes
+    * dropped) — shared by the batch merge query and its streamed
+    * two-batch CDC replay, which must land on the same snapshot.
+    */
+  private lazy val J1MergeOracle: String =
+    s"""WITH $BaseCte, ${deltaCte("delta", 2, 1.1, 1)}
+       |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+       |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE b.o_custkey END AS o_custkey,
+       |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+       |  CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE b.o_orderdate END AS o_orderdate
+       |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+       |WHERE NOT coalesce(d.is_deleted, false)
+       |ORDER BY o_orderkey""".stripMargin
 
   /** Gaps-and-islands restatement of Spark's native session_window:
     * strict merge (>= breaks), end = last event + gap. Shared by the

@@ -101,7 +101,7 @@ object StreamingSync {
     * user_id.
     */
   def clickPurchaseJoin(events: DataFrame, maxLagSeconds: Long,
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour", joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -110,11 +110,16 @@ object StreamingSync {
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermarkDelay)
+    // joinType "left_outer": a click with no in-window purchase emits
+    // with a NULL purchase once the watermark proves no match can still
+    // arrive — the streaming outer-join semantic (matched rows emit
+    // immediately; null-padded rows only at state eviction time)
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") +
-          expr(s"INTERVAL $maxLagSeconds SECONDS"))
+          expr(s"INTERVAL $maxLagSeconds SECONDS"),
+      joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"))
   }
 
