@@ -26,6 +26,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("word_shingles / cms_sketch / cms_query work from plain SQL") {
+    GraftExtensions.registerSql(spark)
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d', 2) AS sh").head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    // one pure-SQL sketch round trip: build the aggregate, probe it —
+    // the estimate can only over-count
+    spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS k")
+      .createOrReplaceTempView("ext_keys")
+    val est = spark.sql(
+      """SELECT cms_query(sk, '0') AS est FROM (
+        |  SELECT cms_sketch(k) AS sk FROM ext_keys)""".stripMargin)
+      .head().getLong(0)
+    assert(est >= 15L, s"cms must not undercount key '0' (exact 15), got $est")
+  }
+
   test("SQL vec_dot participates in whole-stage codegen over a real scan") {
     GraftExtensions.registerSql(spark)
     // (an all-literal call constant-folds to a LocalTableScan — also
