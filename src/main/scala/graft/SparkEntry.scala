@@ -411,16 +411,9 @@ object SparkEntry {
     if (!Files.exists(link))
       Files.createSymbolicLink(link, Paths.get(path))
     val dup = srcDir.resolve("dups.parquet")
-    if (!Files.exists(dup)) {
-      val tmp = Files.createTempDirectory("graft_dups")
-      s.read.parquet(path).filter(col("event_id") % 7 === 0)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst().get()
-      Files.copy(part, dup)
-    }
+    if (!Files.exists(dup))
+      writeSingleFile(
+        s.read.parquet(path).filter(col("event_id") % 7 === 0), dup)
     val rawSchema = s.read.parquet(path).schema
     withStreamShuffle(s) {
       val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
@@ -435,6 +428,24 @@ object SparkEntry {
     s.table("stream_dedup_sink")
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
+  }
+
+  /** Stage `df` as one single parquet FILE at `dest` (the streaming
+    * file source replays whole files as micro-batches): write to a
+    * temp dir, copy out the single part file, close the dir stream.
+    */
+  private def writeSingleFile(df: DataFrame, dest: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stage1")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part = try listing.filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }.findFirst().get()
+    finally listing.close()
+    Files.copy(part, dest)
+    ()
   }
 
   /** Stateful streaming queries get a small shuffle fan-out for the
@@ -595,7 +606,6 @@ object SparkEntry {
     val sentinel = srcDir.resolve("z_sentinel.parquet")
     if (!Files.exists(sentinel)) {
       val raw = s.read.parquet(path)
-      val tmp = Files.createTempDirectory("graft_sentinel")
       val one = raw.limit(1)
         .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
         // 2100-01-01 in nanos: decades past any real event
@@ -608,12 +618,7 @@ object SparkEntry {
         if (sentinelTypes.isEmpty) one
         else sentinelTypes.map(t => one.withColumn("event_type", lit(t)))
           .reduce(_ unionAll _)
-      sent.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }.findFirst().get()
-      Files.copy(part, sentinel)
+      writeSingleFile(sent, sentinel)
       // the file source orders micro-batches by modification time: pin
       // the sentinel strictly after the (old) staged events file
       Files.setLastModifiedTime(sentinel,
@@ -668,20 +673,16 @@ object SparkEntry {
     val srcDir = tagDir.resolve("src")
     def deleteTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))
+        finally walk.close()
       }
     if (!Files.exists(srcDir)) {
       Files.createDirectories(srcDir)
       def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_cdc_stage")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }.findFirst().get()
         val dest = srcDir.resolve(name)
-        Files.copy(part, dest)
+        writeSingleFile(df, dest)
         Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(mtime))
       }
