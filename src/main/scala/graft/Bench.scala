@@ -10,16 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated subset for targeted iteration; unknown
-    // names fail fast — a typo must not bench an empty set that looks
-    // like a clean pass
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
+    val only = SparkEntry.onlySubset()
     val queries = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
@@ -76,7 +67,8 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query progress stamp: a crash mid-suite is localizable from
       // the stderr tail (last stamped query = the one that died)
-      System.err.println(f"[bench] pass $pass $name%-28s ${dt}%8.3f s")
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] pass %s %-28s %8.3f s", pass.toString, name, Double.box(dt)))
       samples.updateWith(name)(s => Some(dt :: s.getOrElse(Nil)))
     }
     val results = names.map(n => n -> samples(n).min)
@@ -88,8 +80,11 @@ object Bench {
     // time, and a burst spanning all of one query's passes makes its
     // min a mirage. A wide min→max spread in "passes" flags exactly
     // that — the artifact is self-diagnosing (see README).
+    // Locale.ROOT: the f-interpolator uses the JVM default locale — a
+    // comma-decimal locale would emit "0,123" and corrupt the JSON line
     val ps = names.map { n =>
-      "\"" + n + "\":" + samples(n).reverse.map(d => f"$d%.3f")
+      "\"" + n + "\":" + samples(n).reverse
+        .map(d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fj = failures.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }

@@ -68,9 +68,12 @@ object SparkEntry {
     // events table (64 shards), compact to 4 right-sized files, read
     // back — oracle is the original content (count pinned in spec)
     "s9_compact_roundtrip" -> ((s, d) => {
-      val base = "/tmp/graft_compact_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      // mtime-keyed (fragments materialize events) and guarded on the
+      // writer's own _SUCCESS marker, not bare dir existence — a
+      // crashed fragment write self-heals via the overwrite
+      val base = stagingTag(d, "compact", "events.parquet")
       val frag = base + "/frag"
-      if (!new java.io.File(frag).exists())
+      if (!new java.io.File(frag, "_SUCCESS").exists())
         t(s, d)("events").repartition(64).write.mode("overwrite").parquet(frag)
       FileOps.compactSmallFiles(s, frag, base + "/compacted", 4)
         .select("event_id", "user_id", "event_type", "value")
@@ -367,31 +370,14 @@ object SparkEntry {
     * state store holds only open windows once append mode + watermark
     * expiry apply.
     */
-  private def streamWindowedAggQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    // the file source streams a DIRECTORY (new files appear over time);
-    // stage the static table as one file in a scratch dir to model it
-    val srcDir = java.nio.file.Paths.get(
-      "/tmp/graft_stream_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
-    java.nio.file.Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
-    val rawSchema = s.read.parquet(path).schema
+  private def streamWindowedAggQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = stagedEventsStream(s, d, "src")
       val agg = graft.streaming.StreamingSync
         .windowedCounts(stream, "1 hour", "30 minutes", "1 hour")
-      val sink = "stream_win_agg"
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, agg, "stream_win_agg", "complete")
+        .orderBy("window_start", "event_type")
     }
-    s.table("stream_win_agg").orderBy("window_start", "event_type")
-  }
 
   /** Streaming exact dedup driver query: the staged source directory
     * holds the events table PLUS a deterministic duplicate shard (every
@@ -400,12 +386,12 @@ object SparkEntry {
     * output is exactly the original table — which is the oracle.
     */
   private def streamDedupQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
-    val srcDir = Paths.get(
-      "/tmp/graft_stream_dedup_src_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    // mtime-keyed: the dup shard is MATERIALIZED from events — a
+    // regenerated testdata must re-stage, not serve the stale shard
+    val srcDir = Paths.get(stagingTag(d, "stream_dedup_src", "events.parquet"))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("events.parquet")
     if (!Files.exists(link))
@@ -420,22 +406,20 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val deduped = graft.streaming.StreamingSync
         .dedupWithinWatermark(stream, "ts", "3650 days", Seq("event_id"))
-      val sink = "stream_dedup_sink"
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, deduped, "stream_dedup_sink", "append")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
     }
-    s.table("stream_dedup_sink")
-      .select("event_id", "user_id", "event_type", "value")
-      .orderBy("event_id")
   }
 
   /** Stage `df` as one single parquet FILE at `dest` (the streaming
     * file source replays whole files as micro-batches): write to a
-    * temp dir, copy out the single part file, close the dir stream.
+    * temp dir, move the single part file into place ATOMICALLY so a
+    * crash mid-staging can never leave a partial file that a later
+    * run's existence check would trust.
     */
   private def writeSingleFile(df: DataFrame, dest: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_stage1")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val listing = Files.list(tmp)
@@ -444,8 +428,37 @@ object SparkEntry {
       n.startsWith("part-") && n.endsWith(".parquet")
     }.findFirst().get()
     finally listing.close()
-    Files.copy(part, dest)
+    Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     ()
+  }
+
+  /** `SPARK_GRAFT_ONLY` (comma-separated query subset for targeted
+    * iteration), parsed ONCE for Verify and Bench so the contract
+    * cannot drift: unknown names fail fast — a typo must not run an
+    * empty set that looks like a clean pass.
+    */
+  def onlySubset(): Option[Set[String]] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    only
+  }
+
+  /** Key a /tmp staging location to its SOURCE file's mtime: when the
+    * driver regenerates testdata, the key changes and staging rebuilds
+    * from the new data instead of silently serving stale artifacts
+    * (worse than stale content, a cached file with an OLD mtime would
+    * invert the file source's mtime-ordered micro-batching).
+    */
+  private def stagingTag(d: String, tag: String, sourceFile: String): String = {
+    val m = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$d/$sourceFile")).toMillis
+    s"/tmp/graft_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$m"
   }
 
   /** Stateful streaming queries get a small shuffle fan-out for the
@@ -460,6 +473,19 @@ object SparkEntry {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Drain a bounded streaming query into a memory sink and return the
+    * sink table — the shared tail of every streaming driver query
+    * (AvailableNow trigger, run to completion, read the sink back).
+    */
+  private def runToMemorySink(s: SparkSession, df: DataFrame,
+      sink: String, mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(sink).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
   }
 
   /** Stage `events.parquet` as a streamed DIRECTORY (the file source
@@ -491,7 +517,9 @@ object SparkEntry {
     */
   private def mmDecodeMetaQuery(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d)("documents")
-    val dir = "/tmp/graft_png_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    // mtime-keyed: the rendered PNGs materialize doc_ids — regenerated
+    // documents must re-render, not reuse the stale image set
+    val dir = stagingTag(d, "png", "documents.parquet")
     Multimodal.stagePngs(docs, dir)
     val staged = s.read.format("binaryFile").load(dir)
       .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
@@ -526,12 +554,9 @@ object SparkEntry {
     withStreamShuffle(s) {
       val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
       val hits = graft.streaming.StreamingSync.streamIndexLookup(stream, index)
-      val sink = "stream_idx_sink"
-      val q = hits.writeStream.outputMode("append").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, hits, "stream_idx_sink", "append")
+        .orderBy("doc_id", "index_id")
     }
-    s.table("stream_idx_sink").orderBy("doc_id", "index_id")
   }
 
   /** Stream-stream interval self-join driven to completion: clicks ⋈
@@ -539,38 +564,28 @@ object SparkEntry {
     * join state is evictable. AvailableNow + append-mode memory sink =
     * exactly the batch join the oracle states.
     */
-  private def streamJoinQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def streamJoinQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedEventsStream(s, d, "join")
       val joined = graft.streaming.StreamingSync
         .clickPurchaseJoin(stream, maxLagSeconds = 1800L)
-      val sink = "stream_join_sink"
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, joined, "stream_join_sink", "append")
+        .orderBy("click_id", "purchase_id")
     }
-    s.table("stream_join_sink").orderBy("click_id", "purchase_id")
-  }
 
   /** Keyed-state sessionization driven to completion: the
     * mapGroupsWithState state machine (gap 30 min, micro-second session
     * bounds) over the event stream; update-mode memory sink. The oracle
     * is the batch gaps-and-islands restatement.
     */
-  private def streamSessionQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def streamSessionQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedEventsStream(s, d, "sess")
       val sessions = graft.streaming.StreamingSync
         .sessionize(s, stream, gapSeconds = 1800L)
-      val sink = "stream_session_sink"
-      val q = sessions.writeStream.outputMode("update").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, sessions, "stream_session_sink", "update")
+        .orderBy("user_id", "session_start")
     }
-    s.table("stream_session_sink").orderBy("user_id", "session_start")
-  }
 
   /** The production sessionizer ([[graft.streaming.StreamingSync
     * .sessionizeEvicting]]) under the oracle gate. Staged two-file
@@ -597,8 +612,11 @@ object SparkEntry {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
-    val srcDir = Paths.get(
-      s"/tmp/graft_stream_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    // mtime-keyed: the sentinel file is MATERIALIZED and must sort
+    // strictly AFTER the events file in the source's mtime order — a
+    // regenerated testdata (newer than a cached sentinel) would invert
+    // the micro-batch order, so the key forces a fresh staging
+    val srcDir = Paths.get(stagingTag(d, s"stream_$tag", "events.parquet"))
     Files.createDirectories(srcDir)
     val link = srcDir.resolve("a_events.parquet")
     if (!Files.exists(link))
@@ -639,23 +657,17 @@ object SparkEntry {
     * advance) forces for every real click. Oracle = the batch LEFT
     * JOIN restatement.
     */
-  private def streamJoinOuterQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def streamJoinOuterQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedSentinelEventsStream(s, d, "joinouter",
         Seq("click", "purchase"))
       val joined = graft.streaming.StreamingSync
         .clickPurchaseJoin(stream, maxLagSeconds = 1800L,
           watermarkDelay = "2 hours", joinType = "left_outer")
-      val sink = "stream_join_outer_sink"
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, joined, "stream_join_outer_sink", "append")
+        .filter(col("user_id") =!= -1L)
+        .orderBy("click_id", "purchase_id")
     }
-    s.table("stream_join_outer_sink")
-      .filter(col("user_id") =!= -1L)
-      .orderBy("click_id", "purchase_id")
-  }
 
   /** The CDC merge LOOP as a stream, under the oracle gate: the base
     * snapshot arrives as micro-batch 1 (bootstrap merge into empty),
@@ -668,9 +680,12 @@ object SparkEntry {
     */
   private def streamCdcMergeQuery(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tagDir = Paths.get(
-      "/tmp/graft_stream_cdc_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    // mtime-keyed to orders.parquet (base/delta derive from it), and
+    // completion-marked: a crash between the two stageOne calls must
+    // not leave a half-staged dir a later run would trust
+    val tagDir = Paths.get(stagingTag(d, "stream_cdc", "orders.parquet"))
     val srcDir = tagDir.resolve("src")
+    val staged = srcDir.resolve("_STAGED") // file source skips '_'-files
     def deleteTree(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         val walk = Files.walk(p)
@@ -678,7 +693,8 @@ object SparkEntry {
           .forEach(f => Files.delete(f))
         finally walk.close()
       }
-    if (!Files.exists(srcDir)) {
+    if (!Files.exists(staged)) {
+      deleteTree(srcDir)
       Files.createDirectories(srcDir)
       def stageOne(df: DataFrame, name: String, mtime: Long): Unit = {
         val dest = srcDir.resolve(name)
@@ -693,6 +709,7 @@ object SparkEntry {
       val now = System.currentTimeMillis()
       stageOne(base, "a_base.parquet", now - 60000)
       stageOne(delta, "b_delta.parquet", now)
+      Files.createFile(staged)
     }
     // fresh state/checkpoint each run: the replay is the test
     val stateDir = tagDir.resolve("state")
@@ -712,42 +729,30 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
-  private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedSentinelEventsStream(s, d, "sessevict")
       val sessions = graft.streaming.StreamingSync
         .sessionizeEvicting(s, stream, gapSeconds = 1800L,
           watermarkDelay = "2 hours")
-      val sink = "stream_sessevict_sink"
-      val q = sessions.writeStream.outputMode("append").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, sessions, "stream_sessevict_sink", "append")
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "session_start_ms")
     }
-    s.table("stream_sessevict_sink")
-      .filter(col("user_id") =!= -1L)
-      .orderBy("user_id", "session_start_ms")
-  }
 
   /** The NATIVE session_window sessionizer under the same sentinel
     * harness: watermark + append mode close and emit each session
     * window exactly once with engine-managed state eviction.
     */
-  private def streamSessionNativeQuery(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  private def streamSessionNativeQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedSentinelEventsStream(s, d, "sessnative")
       val sessions = graft.streaming.StreamingSync
         .sessionizeNative(stream, "30 minutes", Some("2 hours"))
-      val sink = "stream_sessnative_sink"
-      val q = sessions.writeStream.outputMode("append").format("memory")
-        .queryName(sink).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      runToMemorySink(s, sessions, "stream_sessnative_sink", "append")
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "session_start")
     }
-    s.table("stream_sessnative_sink")
-      .filter(col("user_id") =!= -1L)
-      .orderBy("user_id", "session_start")
-  }
 
   // ---- CDC merge pipelines (base/delta derived deterministically from
   // ---- `orders` so the DuckDB oracle can reconstruct them).

@@ -43,14 +43,17 @@ object Cli {
   def run(args: Seq[String], out: String => Unit): Int = {
     if (args.isEmpty) { out(usage); return 2 }
     val verb = args.head
-    val explicit = parseOpts(args.tail)
-    // `--config FILE` (or GRAFT_CONFIG): the reference's ~/.pgsf
-    // supplies option DEFAULTS (jdbc url, schema, quote_name, job
-    // dir); explicit flags always win
-    val opts = explicit.get("config").orElse(sys.env.get("GRAFT_CONFIG"))
-      .map(p => ConfigFile.load(p).cliDefaults ++ explicit)
-      .getOrElse(explicit)
     try {
+      // flag parsing and config loading INSIDE the handler: a bad
+      // flag or unreadable/malformed --config file must exit with the
+      // clean "error:" line, not an uncaught stack trace
+      val explicit = parseOpts(args.tail)
+      // `--config FILE` (or GRAFT_CONFIG): the reference's ~/.pgsf
+      // supplies option DEFAULTS (jdbc url, schema, quote_name, job
+      // dir); explicit flags always win
+      val opts = explicit.get("config").orElse(sys.env.get("GRAFT_CONFIG"))
+        .map(p => ConfigFile.load(p).cliDefaults ++ explicit)
+        .getOrElse(explicit)
       verb match {
         case "tabledesc" => tabledesc(opts, out)
         case "query" => query(opts, out)

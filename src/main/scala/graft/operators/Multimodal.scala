@@ -101,6 +101,7 @@ object Multimodal {
     val published = new java.io.File(dir)
     if (published.exists()) return
     val tmp = new java.io.File(dir + ".tmp")
+    tmp.mkdirs() // ensure the publish step has a dir even if a partition is empty
     documents
       .select(col("doc_id"))
       .filter(length(col("text").cast("binary")) % 3 === 0)
@@ -126,7 +127,10 @@ object Multimodal {
             new java.io.File(tmp, s"doc_$id.png"))
         }
       }
-    tmp.renameTo(published)
+    // a false renameTo is fine only if a concurrent run already
+    // published; otherwise the staging silently vanished — fail loudly
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"stagePngs: could not publish $tmp -> $published")
     ()
   }
 

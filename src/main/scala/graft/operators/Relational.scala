@@ -418,8 +418,16 @@ object Relational {
     // is exactly the data movement Spark's own runtime-filter rewrite
     // performs (aggregate the build side, ship the sketch to probes);
     // a principled driver pull like the k-means centroids.
+    // size the filter FROM the data (one cheap countDistinct job):
+    // fixed literal params would silently blow past nominal fpp when a
+    // bigger scale factor multiplies the key cardinality. 2× items
+    // headroom at 16 bits per slot ≈ 32 bits per actual key → fpp
+    // ~1e-4, so the 0.02 ceiling can only fail on a real bug.
+    val nKeys = math.max(events
+      .agg(countDistinct(col("user_id")).cast("long").as("n"))
+      .head().getLong(0), 500L)
     val bfBytes = events
-      .agg(bloom_agg(col("user_id"), 100000L, 800000L).as("bf"))
+      .agg(bloom_agg(col("user_id"), 2 * nKeys, 32 * nKeys).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val bfLit = lit(bfBytes)
     val present = events.select("user_id").distinct()
