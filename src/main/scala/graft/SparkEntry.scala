@@ -291,6 +291,14 @@ object SparkEntry {
     // epoch-style upsampling: src0 documents repeat 3x per pass
     "pipe_repeat_upsample" -> ((s, d) => PipelineOps.repeatUpsample(
       t(s, d)("documents"), Map("src0" -> 3, "src2" -> 2))),
+    // per-domain cap: the 50 longest docs per source (integer-ordered
+    // ranks; the preFilter scale path is spec-pinned identical)
+    "pipe_cap_per_source" -> ((s, d) =>
+      PipelineOps.capPerSource(t(s, d)("documents"), 50)),
+    // relative quality gate: keep docs at/above their own source's
+    // p25 token count (binary-fraction q → IEEE-exact threshold)
+    "pipe_quantile_filter" -> ((s, d) =>
+      PipelineOps.qualityQuantileFilter(t(s, d)("documents"), 0.25)),
     // benchmark decontamination: corpus docs sharing >= 5 trigram
     // shingles with the eval slice (doc_id % 37 == 0)
     "pipe_decontaminate" -> ((s, d) => {
@@ -458,8 +466,28 @@ object SparkEntry {
   private def stagingTag(d: String, tag: String, sourceFile: String): String = {
     val m = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$d/$sourceFile")).toMillis
-    s"/tmp/graft_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$m"
+    val prefix = s"graft_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_") + "_m"
+    // GC stale generations while here: a sibling keyed to an older
+    // source mtime can never be read again (its key cannot recur), so
+    // /tmp must not accumulate one staging per testdata regeneration
+    val stale = new java.io.File("/tmp").listFiles()
+    if (stale != null) stale.foreach { f =>
+      val n = f.getName
+      if (n.startsWith(prefix) && n != s"$prefix$m" &&
+          n.drop(prefix.length).forall(_.isDigit))
+        deleteTree(f.toPath)
+    }
+    s"/tmp/$prefix$m"
   }
+
+  /** Recursive delete; no-op when absent. */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
 
   /** Stateful streaming queries get a small shuffle fan-out for the
     * duration of the run: each stateful operator materializes one state
@@ -686,13 +714,6 @@ object SparkEntry {
     val tagDir = Paths.get(stagingTag(d, "stream_cdc", "orders.parquet"))
     val srcDir = tagDir.resolve("src")
     val staged = srcDir.resolve("_STAGED") // file source skips '_'-files
-    def deleteTree(p: java.nio.file.Path): Unit =
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-        finally walk.close()
-      }
     if (!Files.exists(staged)) {
       deleteTree(srcDir)
       Files.createDirectories(srcDir)
@@ -1037,6 +1058,29 @@ object SparkEntry {
         |  array_to_string(list_slice(ws, k * 50 + 1, k * 50 + 50), ' ') AS chunk_text,
         |  len(list_slice(ws, k * 50 + 1, k * 50 + 50)) AS n_chunk_tokens
         |FROM ks ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipe_cap_per_source" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens, rnk FROM r
+        |WHERE rnk <= 50 ORDER BY source, doc_id""".stripMargin,
+    "pipe_quantile_filter" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    quantile_cont(n_tokens, 0.25) OVER (PARTITION BY source) AS thr
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens FROM q
+        |WHERE n_tokens >= thr ORDER BY doc_id""".stripMargin,
     "pipe_pack_budget" ->
       """SELECT doc_id, source,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,

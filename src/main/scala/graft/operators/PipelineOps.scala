@@ -239,4 +239,88 @@ object PipelineOps {
       .select("doc_id", "source", "n_tokens", "batch_id")
       .orderBy("source", "doc_id")
   }
+
+  /** doc_id + source + token count, the shared scoring projection of
+    * the per-source curation operators below (narrow, runs in the
+    * scan stage).
+    */
+  private def tokenScored(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("source"),
+      size(GraftFunctions.word_shingles(col("text"), 1, distinct = false))
+        .cast("long").as("n_tokens"))
+
+  /** Per-source document cap — the per-domain cap of web-corpus
+    * curation (a handful of domains dominate a crawl; capping them
+    * re-balances the mixture). Keeps the `n` longest documents per
+    * source, token count DESC with doc_id ASC tie-break: an
+    * all-integer ordering, so ranks are deterministic across engines
+    * and reruns.
+    *
+    * Default shape is ONE window shuffle partitioned by source — but a
+    * skewed corpus sorts the giant source's whole partition to keep n
+    * rows. `preFilter = true` is the 100 TB path: a FIRST window over
+    * (source, physical-partition-id) — cardinality spread like a
+    * salted join — keeps each input partition's local top-n, and only
+    * that bounded survivor set (≤ n × partitions rows per source)
+    * reaches the exact per-source window. The global top-n per source
+    * is a subset of the union of local top-n's, so the result is
+    * IDENTICAL, not approximate (spec-pinned against the plain twin).
+    */
+  def capPerSource(documents: DataFrame, n: Int,
+      preFilter: Boolean = false): DataFrame = {
+    val scored = tokenScored(documents)
+    val base =
+      if (!preFilter) scored
+      else scored
+        .withColumn("__p", spark_partition_id())
+        .withColumn("__lr", row_number().over(
+          Window.partitionBy(col("source"), col("__p"))
+            .orderBy(col("n_tokens").desc, col("doc_id"))))
+        .filter(col("__lr") <= n).drop("__p", "__lr")
+    base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= n)
+      .select("doc_id", "source", "n_tokens", "rnk")
+      .orderBy("source", "doc_id")
+  }
+
+  /** Per-source quality-quantile gate: keep documents at or above
+    * their OWN source's `q`-quantile of token count — the relative
+    * quality threshold of corpus curation (an absolute cutoff
+    * over-prunes terse sources and under-prunes verbose ones). The
+    * exact per-source quantile rides the SAME window shuffle as the
+    * filter — one shuffle, one scan, no threshold-table join.
+    *
+    * Cross-engine determinism: use a binary-fraction `q` (0.25, 0.5,
+    * 0.75) — the linear interpolation `lo + (hi−lo)·frac` over integer
+    * token counts is then IEEE-exact in any engine, so boundary
+    * documents cannot flip on a last-ulp difference.
+    *
+    * `approx = true` is the bounded-memory variant: per-source
+    * `approx_percentile` (fixed-size sketch, map-side mergeable) in a
+    * tiny aggregate broadcast back to the corpus — at petabyte scale
+    * the window's full sort disappears and the gate becomes one scan +
+    * one broadcast join. The sketch returns an OBSERVED value (rank
+    * error bounded by `accuracy`), not the interpolated quantile —
+    * spec-pinned equal to exact where the quantile is itself observed.
+    */
+  def qualityQuantileFilter(documents: DataFrame, q: Double,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    val scored = tokenScored(documents)
+    val gated =
+      if (approx) {
+        val thr = scored.groupBy("source")
+          .agg(expr(s"approx_percentile(n_tokens, $q, $accuracy)")
+            .cast("double").as("__thr"))
+        scored.join(broadcast(thr), "source")
+      } else
+        scored.withColumn("__thr",
+          expr(s"percentile(n_tokens, $q)")
+            .over(Window.partitionBy(col("source"))))
+    gated.filter(col("n_tokens") >= col("__thr"))
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+  }
 }
