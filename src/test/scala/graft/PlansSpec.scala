@@ -146,4 +146,44 @@ class PlansSpec extends SparkSpec {
     assert(!dataF.contains("event_date"),
       s"partition column leaked into data filters: $dataF")
   }
+
+  test("capPerSource plans ONE hash exchange; preFilter adds only the salted one") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.PipelineOps.capPerSource(docs, 50)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // rank + filter ride a single (source) window exchange; the
+    // presentation orderBy adds only a range exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+    val pre = graft.operators.PipelineOps.capPerSource(docs, 50, preFilter = true)
+    pre.collect()
+    val pp = plan(pre).split("== Initial Plan ==").head
+    // the salted local top-n adds exactly one more hash exchange (on
+    // (source, partition-id)); anything beyond means the skew spread
+    // stopped composing
+    val preEx = "Exchange hashpartitioning".r.findAllIn(pp).size
+    assert(preEx == 2, s"expected 2 hash exchanges, got $preEx:\n${pp.take(3000)}")
+  }
+
+  test("qualityQuantileFilter: threshold rides the window exchange; approx broadcasts") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.PipelineOps.qualityQuantileFilter(docs, 0.25)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // exact: per-source percentile + gate in ONE (source) exchange —
+    // no threshold-table join at all
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"exact path must not join:\n${p.take(3000)}")
+    val ap = graft.operators.PipelineOps.qualityQuantileFilter(docs, 0.25,
+      approx = true)
+    ap.collect()
+    val pa = plan(ap).split("== Initial Plan ==").head
+    // approx: the tiny per-source sketch result broadcasts back — the
+    // corpus side must stay shuffle-free (bounded-memory 100 TB shape)
+    assert(pa.contains("BroadcastHashJoin"), s"no broadcast join:\n${pa.take(3000)}")
+    assert(!pa.contains("SortMergeJoin"),
+      s"threshold join must not sort-merge:\n${pa.take(3000)}")
+  }
 }
