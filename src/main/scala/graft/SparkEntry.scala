@@ -438,7 +438,7 @@ object SparkEntry {
     finally listing.close()
     Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    ()
+    deleteTree(tmp) // _SUCCESS/.crc leftovers must not accumulate in /tmp
   }
 
   /** `SPARK_GRAFT_ONLY` (comma-separated query subset for targeted
@@ -473,8 +473,12 @@ object SparkEntry {
     val stale = new java.io.File("/tmp").listFiles()
     if (stale != null) stale.foreach { f =>
       val n = f.getName
+      // match "<prefix><digits>" and "<prefix><digits>.tmp" (in-flight
+      // render dirs from an older generation), sparing the current gen
+      val suffix = n.drop(prefix.length).stripSuffix(".tmp")
       if (n.startsWith(prefix) && n != s"$prefix$m" &&
-          n.drop(prefix.length).forall(_.isDigit))
+          n != s"$prefix$m.tmp" &&
+          suffix.nonEmpty && suffix.forall(_.isDigit))
         deleteTree(f.toPath)
     }
     s"/tmp/$prefix$m"
@@ -615,19 +619,6 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }
 
-  /** The production sessionizer ([[graft.streaming.StreamingSync
-    * .sessionizeEvicting]]) under the oracle gate. Staged two-file
-    * replay with `maxFilesPerTrigger = 1`: the whole events table is
-    * micro-batch 1 (watermark still at epoch — nothing closes), then a
-    * SENTINEL file (one far-future event from user −1) is micro-batch 2
-    * and pushes the event-time watermark past every real session's
-    * `end + gap`; the trailing no-data batch fires the EventTimeTimeout
-    * for every remaining key, so each real session emits EXACTLY ONCE
-    * through the state-evicting path. The sentinel's own session stays
-    * open (delay > gap ⇒ watermark never reaches it) and is filtered
-    * from the result. Oracle = the batch gaps-and-islands restatement
-    * in milliseconds, real users only.
-    */
   /** Stage the events table as micro-batch 1 plus a far-future
     * SENTINEL event (user −1, year 2100) as micro-batch 2 — with
     * `maxFilesPerTrigger = 1` the sentinel batch pushes the event-time
@@ -750,6 +741,19 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** The production sessionizer ([[graft.streaming.StreamingSync
+    * .sessionizeEvicting]]) under the oracle gate. Staged two-file
+    * replay with `maxFilesPerTrigger = 1`: the whole events table is
+    * micro-batch 1 (watermark still at epoch — nothing closes), then a
+    * SENTINEL file (one far-future event from user −1) is micro-batch 2
+    * and pushes the event-time watermark past every real session's
+    * `end + gap`; the trailing no-data batch fires the EventTimeTimeout
+    * for every remaining key, so each real session emits EXACTLY ONCE
+    * through the state-evicting path. The sentinel's own session stays
+    * open (delay > gap ⇒ watermark never reaches it) and is filtered
+    * from the result. Oracle = the batch gaps-and-islands restatement
+    * in milliseconds, real users only.
+    */
   private def streamSessionEvictQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedSentinelEventsStream(s, d, "sessevict")

@@ -150,7 +150,7 @@ object Cli {
   private def dialectFor(url: String, opts: Map[String, String]): SqlDialect =
     if (url.startsWith("jdbc:derby")) new DerbyDialect
     else new PgDialect(quoteNames =
-      opts.get("quote-name").forall(v => Set("1", "yes", "true", "on")(v.toLowerCase)))
+      opts.get("quote-name").forall(ConfigFile.parseBoolean))
 
   /** `query_bulk.py` + `download.py` + `csv_to_postgres.py`: full
     * extract → truncate-and-load → C4 bootstrap, as one verb. The

@@ -15,6 +15,18 @@ package graft.cli
   */
 object ConfigFile {
 
+  /** configparser's boolean convention, shared by the config file and
+    * the `--quote-name` flag: unrecognized values ERROR (configparser
+    * raises ValueError) — a typo like `ture` must not silently flip
+    * identifier quoting and aim generated DDL at wrong tables.
+    */
+  def parseBoolean(v: String): Boolean = v.trim.toLowerCase match {
+    case "1" | "yes" | "true" | "on" => true
+    case "0" | "no" | "false" | "off" => false
+    case other => throw new IllegalArgumentException(
+      s"not a boolean: '$other' (expected 1/yes/true/on or 0/no/false/off)")
+  }
+
   final case class Config(sections: Map[String, Map[String, String]]) {
     private val defaults = sections.getOrElse("DEFAULT", Map.empty)
 
@@ -24,8 +36,7 @@ object ConfigFile {
 
     /** configparser `getboolean`: 1/yes/true/on vs 0/no/false/off. */
     def getBoolean(section: String, key: String): Option[Boolean] =
-      get(section, key).map(v =>
-        Set("1", "yes", "true", "on")(v.trim.toLowerCase))
+      get(section, key).map(parseBoolean)
 
     /** Destination JDBC URL: an explicit `url` key wins (engine
       * extension — lets tests and non-PG deployments point anywhere);
@@ -37,8 +48,12 @@ object ConfigFile {
         get("postgresql", "db").map { db =>
           val host = get("postgresql", "host").getOrElse("localhost")
           val port = get("postgresql", "port").getOrElse("5432")
-          val params = get("postgresql", "user").map(u => s"user=$u").toSeq ++
-            get("postgresql", "password").map(p => s"password=$p").toSeq
+          // URL-encode credentials: the PG driver splits the query
+          // string on '&'/'=' and URL-decodes values, so a raw
+          // password containing those (or '%') would be mangled
+          def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+          val params = get("postgresql", "user").map(u => s"user=${enc(u)}").toSeq ++
+            get("postgresql", "password").map(p => s"password=${enc(p)}").toSeq
           s"jdbc:postgresql://$host:$port/$db" +
             (if (params.isEmpty) "" else params.mkString("?", "&", ""))
         }

@@ -94,39 +94,41 @@ object Multimodal {
     * [[fakeDecode]]'s modality rule), dimensions derived from doc_id
     * (w = id%64+1, h = id%48+1) so an oracle can predict what a correct
     * decoder must read back. Pixels are a deterministic gradient.
-    * Distributed render (foreachPartition), idempotent per dir: files
+    * DRIVER-LOCAL render (principled collect of doc ids, bounded by
+    * the verification slice's image count): the fixture dir must live
+    * on the driver's filesystem — the path is handed straight to a
+    * `binaryFile` read — and an executor-side foreachPartition on a
+    * non-local master would scatter files into executor-local /tmp
+    * and silently publish an empty dir. Idempotent per dir: files
     * land in `<dir>.tmp` and publish via a single rename.
     */
   def stagePngs(documents: DataFrame, dir: String): Unit = {
     val published = new java.io.File(dir)
     if (published.exists()) return
     val tmp = new java.io.File(dir + ".tmp")
-    tmp.mkdirs() // ensure the publish step has a dir even if a partition is empty
-    documents
+    tmp.mkdirs() // ensure the publish step has a dir even if no doc qualifies
+    val ids = documents
       .select(col("doc_id"))
       .filter(length(col("text").cast("binary")) % 3 === 0)
-      .foreachPartition { (it: Iterator[Row]) =>
-        javax.imageio.ImageIO.setUseCache(false)
-        tmp.mkdirs()
-        it.foreach { r =>
-          val id = r.getLong(0)
-          val w = (id % 64 + 1).toInt
-          val h = (id % 48 + 1).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y, (((id + x * 31 + y * 7) % 256) * 0x010101).toInt)
-              x += 1
-            }
-            y += 1
-          }
-          javax.imageio.ImageIO.write(img, "png",
-            new java.io.File(tmp, s"doc_$id.png"))
+      .collect().map(_.getLong(0))
+    javax.imageio.ImageIO.setUseCache(false)
+    ids.foreach { id =>
+      val w = (id % 64 + 1).toInt
+      val h = (id % 48 + 1).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((id + x * 31 + y * 7) % 256) * 0x010101).toInt)
+          x += 1
         }
+        y += 1
       }
+      javax.imageio.ImageIO.write(img, "png",
+        new java.io.File(tmp, s"doc_$id.png"))
+    }
     // a false renameTo is fine only if a concurrent run already
     // published; otherwise the staging silently vanished — fail loudly
     if (!tmp.renameTo(published) && !published.exists())

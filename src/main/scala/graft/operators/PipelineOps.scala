@@ -70,7 +70,9 @@ object PipelineOps {
     * more than once per pass (the complement of [[stratifiedSample]]'s
     * downsampling). One bounded generate (`sequence` explode) — no
     * shuffle; the epoch index keeps every copy addressable for
-    * downstream shuffling/sharding.
+    * downstream shuffling/sharding. A repeats value < 1 DROPS the
+    * source (the filter guard matters: Spark's `sequence(1, 0)` infers
+    * step -1 and would emit epochs [1, 0] instead of nothing).
     */
   def repeatUpsample(documents: DataFrame, repeats: Map[String, Int],
       defaultRepeats: Int = 1): DataFrame = {
@@ -79,6 +81,7 @@ object PipelineOps {
         when(col("source") === k, lit(v)).otherwise(acc) }
     documents
       .select(col("doc_id"), col("source"), rep.as("n_rep"))
+      .filter(col("n_rep") >= 1)
       .select(col("doc_id"), col("source"),
         explode(expr("sequence(1, n_rep)")).as("epoch"))
       .orderBy("doc_id", "epoch")

@@ -214,6 +214,24 @@ class CliSpec extends SparkSpec {
     assert(ConfigFile.parse("").jdbcUrl.isEmpty)
   }
 
+  test("ConfigFile URL-encodes credentials and rejects non-boolean values") {
+    import graft.cli.ConfigFile
+    // a password with &/=/% must survive the PG driver's query-string
+    // split + URL-decode round trip
+    val c = ConfigFile.parse(
+      "[postgresql]\ndb = d\nuser = s f\npassword = p&ss=100%\n")
+    assert(c.jdbcUrl.contains(
+      "jdbc:postgresql://localhost:5432/d?user=s+f&password=p%26ss%3D100%25"))
+    // configparser getboolean semantics: a typo errors, never silently false
+    assert(ConfigFile.parseBoolean(" On ") === true)
+    assert(ConfigFile.parseBoolean("0") === false)
+    intercept[IllegalArgumentException] { ConfigFile.parseBoolean("ture") }
+    intercept[IllegalArgumentException] {
+      ConfigFile.parse("[postgresql]\nquote_name = ture\n")
+        .getBoolean("postgresql", "quote_name")
+    }
+  }
+
   test("unknown verbs and missing options fail with usage, not stack traces") {
     val (code, out) = runCli("frobnicate")
     assert(code == 2 && out.exists(_.contains("usage:")))

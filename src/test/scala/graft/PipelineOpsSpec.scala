@@ -192,4 +192,15 @@ class PipelineOpsSpec extends SparkSpec {
     // q = 0 keeps everything (threshold = per-source minimum)
     assert(PipelineOps.qualityQuantileFilter(docs, 0.0).count() == 5)
   }
+
+  test("repeatUpsample: repeats < 1 drops the source, never emits [1, 0]") {
+    val r = PipelineOps.repeatUpsample(docs, Map("books" -> 2, "web" -> 0))
+      .as[(Long, String, Int)].collect().toSeq
+    // web gone entirely; each books doc exactly at epochs 1..2
+    assert(r == Seq((3L, "books", 1), (3L, "books", 2), (4L, "books", 1),
+      (4L, "books", 2), (5L, "books", 1), (5L, "books", 2)))
+    // defaultRepeats = 0 drops everything not explicitly listed
+    val d = PipelineOps.repeatUpsample(docs, Map("web" -> 1), defaultRepeats = 0)
+    assert(d.select("source").distinct().as[String].collect().toSeq == Seq("web"))
+  }
 }
