@@ -234,6 +234,7 @@ object SparkEntry {
     // or broken decoder cannot pass. Audio/video stay byte-derived
     // fakes (no JDK codecs for them).
     "mm_decode_meta" -> ((s, d) => mmDecodeMetaQuery(s, d)),
+    "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
     // S4+K4+T2: staged CSV round trip in the reference dialect
     "s4_csv_roundtrip" -> ((s, d) => {
@@ -560,6 +561,23 @@ object SparkEntry {
     val audioVideo = Multimodal.decodeMeta(s, docs)
       .filter(col("media_type") =!= "image")
     images.unionByName(audioVideo).orderBy("doc_id")
+  }
+
+  /** Real-decode audio metadata: audio-typed docs render as real WAVs
+    * once per sf dir (idempotent staging), come back through the
+    * `binaryFile` source, and decode with `javax.sound.sampled` — the
+    * audio twin of [[mmDecodeMetaQuery]]'s image path. The oracle
+    * predicts the header fields from the staging's doc_id arithmetic,
+    * so only a decoder actually reading the RIFF header matches.
+    */
+  private def mmAudioMetaQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d)("documents")
+    val dir = stagingTag(d, "wav", "documents.parquet")
+    Multimodal.stageWavs(docs, dir)
+    val staged = s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+        .cast("long").as("doc_id"), col("content"))
+    Multimodal.decodeAudioMeta(s, staged).orderBy("doc_id")
   }
 
   /** Stateless stream-static join driven to completion: the documents
@@ -1655,6 +1673,17 @@ object SparkEntry {
         |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 1
         |    ELSE CAST(octet_length(encode(text)) % 24 + 1 AS INT) END AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // audio twin: header fields follow stageWavs' doc_id arithmetic
+    // (rate = 8000 + id%3·4000, channels = id%2+1, frames = id%50+10,
+    // pcm_bytes = frames·channels·2)
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+        |  CAST(doc_id % 50 + 10 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 50 + 10) * (doc_id % 2 + 1) * 2 AS BIGINT) AS pcm_bytes
+        |FROM documents WHERE octet_length(encode(text)) % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
     "s4_csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
     "s9_compact_roundtrip" ->

@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * `javax.imageio`, so [[decodeImageMeta]] reads actual pixel
   * dimensions from the container bytes (ingested at scale via Spark's
   * `binaryFile` source — one task streams many files, no shuffle).
-  * AUDIO/VIDEO decode remains a deterministic byte-derived fake
-  * ([[fakeDecode]]) — the JDK has no audio/video codecs and the
-  * container has no external libs — so for those modalities the
-  * Spark-side plumbing (binary schema, batched partition iteration,
-  * output schema, partition-preserving shape) is what's real and
-  * tested, not the codec.
+  * AUDIO decode is REAL too: `javax.sound.sampled` parses WAV/AIFF
+  * natively, so [[decodeAudioMeta]] reads actual sample rate /
+  * channels / frame count from the RIFF header. Only VIDEO decode
+  * remains a deterministic byte-derived fake ([[fakeDecode]]) — the
+  * JDK genuinely has no video codec and the container no external
+  * libs — so for that modality the Spark-side plumbing (binary
+  * schema, batched partition iteration, output schema,
+  * partition-preserving shape) is what's real and tested, not the
+  * codec.
   */
 object Multimodal {
 
@@ -133,6 +136,79 @@ object Multimodal {
     // published; otherwise the staging silently vanished — fail loudly
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"stagePngs: could not publish $tmp -> $published")
+    ()
+  }
+
+  /** Schema of a decoded audio record: header-readable quantities
+    * only (`pcm_bytes` = frames · channels · 2 for 16-bit PCM — the
+    * decode-verifiable decoded size, analogous to
+    * [[decodeImageMeta]]'s w·h·3).
+    */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("pcm_bytes", LongType)))
+
+  /** REAL audio decode over (doc_id, content) binary rows: sample
+    * rate, channel count and frame length read from the WAV RIFF
+    * header with the JDK's `javax.sound.sampled` (no external libs).
+    * Narrow mapPartitions, no shuffle — same 100 TB posture as
+    * [[decodeImageMeta]].
+    */
+  def decodeAudioMeta(spark: SparkSession, audio: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioMetaSchema)
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        require(frames >= 0, s"headerless audio payload for doc ${r.getLong(0)}")
+        Row(r.getLong(0), fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          frames * fmt.getChannels * 2L)
+      }
+    }(enc)
+  }
+
+  /** Deterministic WAV staging for the audio-decode harness: one real
+    * 16-bit PCM wav per audio-typed doc (UTF-8 byte length % 3 == 1,
+    * matching [[fakeDecode]]'s modality rule), header fields derived
+    * from doc_id (rate = 8000 + id%3·4000, channels = id%2+1, frames =
+    * id%50+10) so an oracle can predict what a correct decoder must
+    * read back. DRIVER-LOCAL render for the same reason as
+    * [[stagePngs]]; idempotent per dir, `<dir>.tmp` + rename publish.
+    */
+  def stageWavs(documents: DataFrame, dir: String): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
+    val tmp = new java.io.File(dir + ".tmp")
+    tmp.mkdirs()
+    val ids = documents
+      .select(col("doc_id"))
+      .filter(length(col("text").cast("binary")) % 3 === 1)
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val channels = (id % 2 + 1).toInt
+      val frames = (id % 50 + 10).toInt
+      val pcm = new Array[Byte](frames * channels * 2)
+      var i = 0
+      while (i < pcm.length) {
+        pcm(i) = ((id + i * 31) % 256 - 128).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels,
+        true, false) // signed 16-bit little-endian PCM
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE,
+        new java.io.File(tmp, s"doc_$id.wav"))
+    }
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"stageWavs: could not publish $tmp -> $published")
     ()
   }
 

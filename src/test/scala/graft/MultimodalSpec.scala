@@ -75,4 +75,22 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.stagePngs(docs, dir)
     assert(spark.read.format("binaryFile").load(dir).count() == 1)
   }
+
+  test("stageWavs + binaryFile round trip decodes the staged RIFF header") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav_spec")
+      .resolve("staged").toString
+    Multimodal.stageWavs(docs, dir) // only doc 1 is audio-typed (4 % 3 == 1)
+    val staged = spark.read.format("binaryFile").load(dir)
+      .selectExpr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.wav$', 1) AS LONG) AS doc_id",
+        "content")
+    val out = Multimodal.decodeAudioMeta(spark, staged)
+    assert(out.schema == Multimodal.audioMetaSchema)
+    // staging rule for id 1: rate = 8000 + 1·4000, channels = 1%2+1 = 2,
+    // frames = 1%50+10 = 11, pcm = 11·2·2
+    assert(out.as[(Long, Int, Int, Long, Long)].collect().toSeq ==
+      Seq((1L, 12000, 2, 11L, 44L)))
+    // idempotent: second call is a no-op, not a re-render
+    Multimodal.stageWavs(docs, dir)
+    assert(spark.read.format("binaryFile").load(dir).count() == 1)
+  }
 }
