@@ -224,6 +224,12 @@ object SparkEntry {
       val e = t(s, d)("embeddings")
       SimilarityOps.rangeSearch(e, e.filter(col("vec_id") % 25 === 0), 0.4)
     }),
+    // embedding-quality probe: own label vs majority label of the 5
+    // cosine-nearest neighbors (ties to the smallest label)
+    "sim_knn_label" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.knnLabelAgreement(e, e.filter(col("vec_id") % 25 === 0), 5)
+    }),
     // trained IVF path: 2 Lloyd iterations, deterministic init
     "sim_kmeans" -> ((s, d) =>
       SimilarityOps.kmeansAssign(t(s, d)("embeddings")).orderBy("vec_id")),
@@ -273,6 +279,10 @@ object SparkEntry {
     "w9_session_window" -> ((s, d) => graft.streaming.StreamingSync
       .sessionizeNative(t(s, d)("events"), "30 minutes", None)
       .orderBy("user_id", "session_start")),
+    // ordered funnel: furthest view -> click -> purchase step per user,
+    // each step strictly after the user's earliest prior-step time
+    "w10_funnel" -> ((s, d) => Relational.funnelSteps(
+      t(s, d)("events"), Seq("view", "click", "purchase"))),
     "stream_session_native" -> ((s, d) => streamSessionNativeQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
@@ -1592,6 +1602,39 @@ object SparkEntry {
          |WHERE vec_id <> query_id
          |  AND ${duckCosine("qe", "embedding")} >= 0.4
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    "sim_knn_label" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS own_label
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT query_id, own_label, vec_id, label, ${duckCosine("qe", "embedding")} AS sim
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+         |topk AS (
+         |  SELECT query_id, own_label, label FROM (
+         |    SELECT query_id, own_label, label,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT query_id, own_label, label, count(*) AS cnt
+         |  FROM topk GROUP BY query_id, own_label, label)
+         |SELECT query_id, own_label, label AS knn_label,
+         |  CAST(own_label = label AS INT) AS agree
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+         |  FROM votes)
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "w10_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |u AS (SELECT user_id FROM s1 UNION ALL SELECT user_id FROM s2
+        |  UNION ALL SELECT user_id FROM s3)
+        |SELECT user_id, CAST(count(*) AS INT) AS steps_reached
+        |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
          |scored AS (

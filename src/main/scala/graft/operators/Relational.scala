@@ -250,6 +250,36 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Ordered funnel: how many of `steps` each user completed, where
+    * step i+1 must occur STRICTLY AFTER the user's EARLIEST completion
+    * of step i (the analytics-standard windowFunnel semantics).
+    * Implemented as a left fold of per-step conditional
+    * min-aggregations: a k-step funnel is k co-keyed aggregations plus
+    * k−1 joins, every exchange on user_id so the optimizer reuses one
+    * partitioning — no self-join blow-up and no per-user event-list
+    * materialization, so per-user event cardinality is unbounded at
+    * 100 TB (contrast collect_list-based funnels, which put a whole
+    * user's history in one row).
+    */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val frames = steps.drop(1).scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    // reaching step i implies steps 1..i−1: the per-user frame count
+    // IS the furthest step reached
+    frames.map(_.select(col("user_id")))
+      .reduce(_ unionByName _)
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("int").as("steps_reached"))
+      .orderBy("user_id")
+  }
+
   /** CUBE over two dims (all four grouping sets in one pass — Spark
     * expands grouping sets before the single shuffle).
     */

@@ -46,6 +46,41 @@ object SimilarityOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Embedding-quality eval: does each query vector's own label agree
+    * with the majority label of its k cosine-nearest neighbors? The
+    * standard intrinsic probe for a trained embedding space (kNN
+    * classification accuracy / label propagation). Same plan family as
+    * [[bruteForceTopK]] with the corpus label carried through the
+    * scored row — ONE broadcast join (no corpus shuffle), the
+    * query-keyed ranking window, then a k-row-per-query majority vote;
+    * vote ties break to the smallest label for determinism. At scale
+    * the [[lshTopK]]/[[ivfTopK]] candidate generators replace the
+    * broadcast all-pairs without touching the voting tail.
+    */
+  def knnLabelAgreement(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("own_label")), "qe", "qn")
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding"),
+      col("label")), "embedding", "en")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+    val vote = Window.partitionBy(col("query_id"))
+      .orderBy(col("cnt").desc, col("label"))
+    topk.groupBy(col("query_id"), col("own_label"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(vote))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("own_label"),
+        col("label").as("knn_label"),
+        (col("own_label") === col("label")).cast("int").as("agree"))
+      .orderBy("query_id")
+  }
+
   /** Cosine RANGE search (the ε-ball twin of top-k): every corpus
     * vector with cosine ≥ `minCos` of each query — retrieval when the
     * answer set is "all sufficiently close", not a fixed k (dedup

@@ -27,6 +27,31 @@ class BreadthOpsSpec extends SparkSpec {
       (2L, 5L, 1L)))
   }
 
+  test("funnelSteps counts strictly-ordered steps from the earliest prior step") {
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: click BEFORE the first view -> stuck at step 1
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // user 3: never did step 1 -> absent from the result
+      (3L, "click", ts("2024-01-01 10:00:00")),
+      (3L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 4: click at the SAME instant as view -> strict > fails
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "click", ts("2024-01-01 10:00:00")),
+      // user 5: later re-view doesn't matter, earliest view anchors
+      (5L, "view", ts("2024-01-01 08:00:00")),
+      (5L, "click", ts("2024-01-01 08:30:00")),
+      (5L, "view", ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Relational.funnelSteps(ev, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 3), (2L, 1), (4L, 1), (5L, 2)))
+  }
+
   test("w5Cube emits all four grouping sets") {
     val li = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
       .toDF("l_returnflag", "l_linestatus", "l_quantity")

@@ -121,6 +121,35 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("funnel exchanges are ALL keyed on user_id (no other shuffle key)") {
+    val df = Relational.funnelSteps(Tables(spark, sf0001, "events"),
+      Seq("view", "click", "purchase"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // per-step aggregations + joins + the final count must every one
+    // partition by user_id — any other hash key would mean a funnel
+    // stage re-shuffles the data it already co-located
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("user_id")),
+      s"non-user_id exchange in funnel plan: $keys\n${p.take(3000)}")
+  }
+
+  test("knnLabelAgreement broadcasts the query side; corpus is never hash-shuffled") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.operators.SimilarityOps.knnLabelAgreement(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0), 5)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n${p.take(3000)}")
+    // the only hash exchanges are the query-keyed window/vote stages
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.forall(_.startsWith("query_id")),
+      s"corpus-keyed exchange leaked into knn plan: $keys\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val df = Relational.f1Where(Tables(spark, sf0001, "lineitem"))
     df.collect() // finalize the adaptive plan so codegen spans materialize

@@ -24,6 +24,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 1), (0L, 2L, 2)))
   }
 
+  test("knnLabelAgreement takes the majority label, ties to the smallest") {
+    // query 0, k=3: neighbors 1 (label 0, sim .994), then 2 and 3 at
+    // sim 0 (vec_id tie-break) both label 1 -> majority 1, disagree
+    val k3 = SimilarityOps.knnLabelAgreement(vecs, vecs.filter($"vec_id" === 0), 3)
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(k3 == Seq((0L, 0, 1, 0)))
+    // k=2: one vote each for labels 0 and 1 -> tie -> smallest (0), agree
+    val k2 = SimilarityOps.knnLabelAgreement(vecs, vecs.filter($"vec_id" === 0), 2)
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(k2 == Seq((0L, 0, 0, 1)))
+  }
+
   test("cosineNearDup finds only the tight pairs") {
     val pairs = SimilarityOps.cosineNearDup(vecs, 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
