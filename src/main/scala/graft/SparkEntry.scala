@@ -283,6 +283,14 @@ object SparkEntry {
     // each step strictly after the user's earliest prior-step time
     "w10_funnel" -> ((s, d) => Relational.funnelSteps(
       t(s, d)("events"), Seq("view", "click", "purchase"))),
+    // retention matrix: distinct users per (first-event cohort day,
+    // day offset)
+    "w11_retention" -> ((s, d) =>
+      Relational.cohortRetention(t(s, d)("events"))),
+    // sentence-granularity dedup: drop sentences shared by >= 3 docs,
+    // reassemble the survivors in order
+    "text_boilerplate" -> ((s, d) =>
+      TextOps.removeBoilerplate(t(s, d)("documents"), 3L)),
     "stream_session_native" -> ((s, d) => streamSessionNativeQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
@@ -1635,6 +1643,28 @@ object SparkEntry {
         |  UNION ALL SELECT user_id FROM s3)
         |SELECT user_id, CAST(count(*) AS INT) AS steps_reached
         |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w11_retention" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),
+        |a AS (SELECT DISTINCT c.cohort_day,
+        |    date_diff('day', c.cohort_day, d.day) AS day_offset, d.user_id
+        |  FROM d JOIN c ON d.user_id = c.user_id)
+        |SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM a GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "text_boilerplate" ->
+      """WITH parts AS (
+        |  SELECT doc_id, part, idx FROM (
+        |    SELECT doc_id, string_split(text, '. ') AS ps FROM documents),
+        |    LATERAL (SELECT unnest(ps) AS part,
+        |      generate_subscripts(ps, 1) AS idx) u),
+        |boiler AS (SELECT part FROM parts GROUP BY part
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM parts
+        |  WHERE part NOT IN (SELECT part FROM boiler))
+        |SELECT doc_id, string_agg(part, '. ' ORDER BY idx) AS clean_text
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
          |scored AS (

@@ -280,6 +280,28 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users bucketed by the DAY of their first event
+    * (the cohort), then the distinct-user count per (cohort, day
+    * offset) — the retention matrix every product-analytics stack
+    * computes. Three co-operating aggregations: cohort assignment
+    * (user-keyed), the user-keyed join back (reuses that exchange),
+    * and the distinct+count on (cohort, offset). No per-user event
+    * list is ever materialized, so user history length is unbounded
+    * at 100 TB.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** CUBE over two dims (all four grouping sets in one pass — Spark
     * expands grouping sets before the single shuffle).
     */

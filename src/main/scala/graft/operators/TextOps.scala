@@ -241,4 +241,32 @@ object TextOps {
       .groupBy("fp")
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
       .orderBy("survivor_id")
+
+  /** Sub-document boilerplate removal: sentences (literal ". " splits)
+    * appearing in at least `minDf` DISTINCT documents are dropped from
+    * every document, and each document is reassembled in original
+    * sentence order — the paragraph/sentence-granularity dedup that
+    * strips repeated headers, footers and license blurbs a whole-doc
+    * dedup can't touch. Two shuffles at any corpus scale: the
+    * sentence-keyed document-frequency count and the doc-keyed
+    * rebuild; the boilerplate set itself is tiny (repetition is the
+    * definition), so the anti-join broadcasts. A document made
+    * ENTIRELY of boilerplate disappears — the intended outcome.
+    * Per-doc sentence lists are bounded by document size, so the
+    * rebuild's collect_list is safe at 100 TB.
+    */
+  def removeBoilerplate(documents: DataFrame, minDf: Long): DataFrame = {
+    val parts = documents.select(col("doc_id"),
+      posexplode(split(col("text"), "\\. ")).as(Seq("idx", "part")))
+    val boiler = parts.groupBy("part")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("part")
+    parts.join(boiler, Seq("part"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(idx, part))), x -> x.part), '. ')")
+        .as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

@@ -52,6 +52,24 @@ class BreadthOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 3), (2L, 1), (4L, 1), (5L, 2)))
   }
 
+  test("cohortRetention buckets by first-event day and counts distinct users") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 23:00:00")), // same user+day: distinct collapses
+      (1L, ts("2024-01-02 01:00:00")),
+      (1L, ts("2024-01-04 09:00:00")),
+      (2L, ts("2024-01-01 05:00:00")), // cohort-mate of user 1
+      (2L, ts("2024-01-02 05:00:00")),
+      (3L, ts("2024-01-02 12:00:00"))  // later cohort
+    ).toDF("user_id", "ts")
+    val out = Relational.cohortRetention(ev)
+      .as[(java.sql.Date, Int, Long)].collect().toSeq
+      .map { case (d, o, n) => (d.toString, o, n) }
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 2L), ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+
   test("w5Cube emits all four grouping sets") {
     val li = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
       .toDF("l_returnflag", "l_linestatus", "l_quantity")

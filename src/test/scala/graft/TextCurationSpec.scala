@@ -6,6 +6,25 @@ import graft.operators.TextOps
 class TextCurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("removeBoilerplate drops shared sentences, keeps order, eats all-boiler docs") {
+    val docs = Seq(
+      (1L, "unique one. SHARED FOOTER. tail one"),
+      (2L, "SHARED FOOTER. unique two"),
+      (3L, "unique three. SHARED FOOTER"),
+      (4L, "pair sentence. solo four"),
+      (5L, "pair sentence. solo five"),
+      (6L, "SHARED FOOTER")                    // all boilerplate -> vanishes
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(docs, 3L)
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "unique one. tail one"),            // order preserved around the cut
+      (2L, "unique two"),
+      (3L, "unique three"),
+      (4L, "pair sentence. solo four"),        // df=2 < 3: kept
+      (5L, "pair sentence. solo five")))
+  }
+
   test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
     val docs = Seq(
       (1L, "spark spark spark shuffle the the"),
