@@ -9,9 +9,11 @@ import graft.sync.{IncrementalSync, SyncConfig, SyncResult, SyncStateStore}
   *
   * The PG dialect branch (`ON CONFLICT` merge, `COPY … FORCE_NULL`,
   * DDL, CopyManager reflection) is pinned byte-exact by the TypesSpec
-  * golden strings, but the build sandbox has no PostgreSQL, so it has
-  * never executed against a real server; the residual risk is
-  * driver-level type coercion quirks. Point `PGSF_TEST_URL` at a
+  * golden strings and executed for real against a locally provisioned
+  * server by [[LivePgLocalSpec]] (psql transport); what remains
+  * untested in the sandbox is ONLY the JDBC layer itself — no
+  * postgresql JDBC jar exists there (zero egress), so the residual
+  * risk is driver-level type coercion quirks. Point `PGSF_TEST_URL` at a
   * scratch database (`jdbc:postgresql://host:5432/db?user=u&password=p`
   * — everything under schema `graft_livetest` is dropped and
   * recreated) and these run the golden statements plus one end-to-end
