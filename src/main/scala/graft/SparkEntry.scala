@@ -287,6 +287,10 @@ object SparkEntry {
     // day offset)
     "w11_retention" -> ((s, d) =>
       Relational.cohortRetention(t(s, d)("events"))),
+    // interval-overlap self-join: concurrent same-part shipments from
+    // distinct suppliers, equi-key blocked on l_partkey
+    "j7_interval_overlap" -> ((s, d) =>
+      Relational.j7IntervalOverlap(t(s, d)("lineitem"))),
     // sentence-granularity dedup: drop sentences shared by >= 3 docs,
     // reassemble the survivors in order
     "text_boilerplate" -> ((s, d) =>
@@ -1643,6 +1647,13 @@ object SparkEntry {
         |  UNION ALL SELECT user_id FROM s3)
         |SELECT user_id, CAST(count(*) AS INT) AS steps_reached
         |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "j7_interval_overlap" ->
+      """SELECT a.l_partkey AS l_partkey, count(*) AS n_overlaps
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        |  AND a.l_shipdate <= b.l_shipdate + INTERVAL 7 DAY
+        |  AND b.l_shipdate <= a.l_shipdate + INTERVAL 7 DAY
+        |GROUP BY a.l_partkey ORDER BY l_partkey""".stripMargin,
     "w11_retention" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id),

@@ -369,6 +369,33 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Interval-OVERLAP self-join (interval×interval, vs [[j5RangeJoin]]'s
+    * point-in-interval): pairs of same-part shipments from DIFFERENT
+    * suppliers whose [ship, ship + windowDays] in-flight windows
+    * intersect, counted per part. The equi-key (l_partkey) does the blocking — the quadratic
+    * overlap predicate only ever runs inside one key's bucket, so the
+    * plan is ONE sort-merge self-join keyed on l_partkey with the
+    * overlap + supplier ordering as residual filters, then a
+    * co-partitioned count. At 100 TB the cost is bounded by the
+    * largest single key group, the same guarantee every blocked
+    * interval join (and the LSH band join) relies on; a skewed part
+    * would take the [[saltedJoin]] treatment.
+    */
+  def j7IntervalOverlap(lineitem: DataFrame, windowDays: Int = 7): DataFrame = {
+    val a = lineitem.select(col("l_partkey"), col("l_suppkey").as("supp_a"),
+      col("l_shipdate").as("ship_a"),
+      date_add(col("l_shipdate"), windowDays).as("rcpt_a"))
+    val b = lineitem.select(col("l_partkey"), col("l_suppkey").as("supp_b"),
+      col("l_shipdate").as("ship_b"),
+      date_add(col("l_shipdate"), windowDays).as("rcpt_b"))
+    a.join(b, Seq("l_partkey"))
+      .filter(col("supp_a") < col("supp_b") && // unordered distinct-supplier pairs
+        col("ship_a") <= col("rcpt_b") && col("ship_b") <= col("rcpt_a"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy("l_partkey")
+  }
+
   /** Approximate distinct count per group — HyperLogLog++ sketch, the
     * 100 TB replacement for exact countDistinct when the key set no
     * longer fits a hash table per group: fixed-size sketch, map-side

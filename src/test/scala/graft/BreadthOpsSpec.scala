@@ -70,6 +70,28 @@ class BreadthOpsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("j7IntervalOverlap pairs distinct suppliers with intersecting windows") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val li = Seq(
+      // part 10 (window 7d): s1 jan1 & s2 jan5 overlap; s3 feb1 doesn't
+      (10L, 1L, d("2024-01-01")),
+      (10L, 2L, d("2024-01-05")),
+      (10L, 3L, d("2024-02-01")),
+      // part 20: same supplier twice -> no pair despite overlap
+      (20L, 5L, d("2024-01-01")),
+      (20L, 5L, d("2024-01-02")),
+      // part 30: windows touching exactly at day 7 COUNT (closed intervals)
+      (30L, 1L, d("2024-01-01")),
+      (30L, 2L, d("2024-01-08")),
+      // part 40: 8 days apart -> no overlap
+      (40L, 1L, d("2024-01-01")),
+      (40L, 2L, d("2024-01-09"))
+    ).toDF("l_partkey", "l_suppkey", "l_shipdate")
+    val out = Relational.j7IntervalOverlap(li)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L), (30L, 1L)))
+  }
+
   test("w5Cube emits all four grouping sets") {
     val li = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
       .toDF("l_returnflag", "l_linestatus", "l_quantity")

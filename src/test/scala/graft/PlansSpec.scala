@@ -150,6 +150,20 @@ class PlansSpec extends SparkSpec {
       s"corpus-keyed exchange leaked into knn plan: $keys\n${p.take(3000)}")
   }
 
+  test("j7 interval overlap exchanges are all l_partkey-keyed (blocked join)") {
+    val df = Relational.j7IntervalOverlap(Tables(spark, sf0001, "lineitem"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the equi-key does the blocking: both join inputs and the count
+    // hash on l_partkey only — any other key (or a nested-loop join)
+    // would mean the quadratic predicate escaped its bucket
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("l_partkey")),
+      s"non-partkey exchange in overlap-join plan: $keys\n${p.take(3000)}")
+    assert(!p.contains("NestedLoop"), s"nested-loop leak:\n${p.take(3000)}")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     val df = Relational.f1Where(Tables(spark, sf0001, "lineitem"))
     df.collect() // finalize the adaptive plan so codegen spans materialize
