@@ -296,6 +296,8 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) =>
       TextOps.removeBoilerplate(t(s, d)("documents"), 3L)),
     "stream_session_native" -> ((s, d) => streamSessionNativeQuery(s, d)),
+    // windowed funnel through evicting per-user state (sentinel-closed)
+    "stream_funnel" -> ((s, d) => streamFunnelQuery(s, d)),
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
@@ -803,6 +805,24 @@ object SparkEntry {
       runToMemorySink(s, sessions, "stream_sessevict_sink", "append")
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id", "session_start_ms")
+    }
+
+  /** The streaming windowed funnel under the sentinel harness: the
+    * sentinel batch pushes the watermark past every real user's
+    * anchor + horizon + lateness, so each user's funnel closes, emits
+    * once through the state-evicting path, and the oracle is the
+    * batch windowed-funnel restatement (steps strictly ordered inside
+    * [first view, first view + 3 days]).
+    */
+  private def streamFunnelQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      val stream = stagedSentinelEventsStream(s, d, "funnel")
+      val out = graft.streaming.StreamingSync.funnelEvicting(s, stream,
+        Seq("view", "click", "purchase"), horizonMs = 3L * 24 * 3600 * 1000,
+        watermarkDelay = "2 hours", allowedLatenessMs = 2L * 3600 * 1000)
+      runToMemorySink(s, out, "stream_funnel_sink", "append")
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id")
     }
 
   /** The NATIVE session_window sessionizer under the same sentinel
@@ -1643,6 +1663,24 @@ object SparkEntry {
         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
         |  JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |u AS (SELECT user_id FROM s1 UNION ALL SELECT user_id FROM s2
+        |  UNION ALL SELECT user_id FROM s3)
+        |SELECT user_id, CAST(count(*) AS INT) AS steps_reached
+        |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the batch windowed-funnel restatement of the evicting streaming
+    // funnel: steps strictly ordered inside [first view, +3 days]
+    "stream_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND e.ts <= s1.t + INTERVAL 3 DAY GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND e.ts <= s1.t + INTERVAL 3 DAY GROUP BY e.user_id),
         |u AS (SELECT user_id FROM s1 UNION ALL SELECT user_id FROM s2
         |  UNION ALL SELECT user_id FROM s3)
         |SELECT user_id, CAST(count(*) AS INT) AS steps_reached

@@ -218,6 +218,75 @@ object StreamingSync {
     * interval-merged (adjacent sessions within the gap coalesce), and
     * only sessions provably beyond late-event reach are closed.
     */
+  /** Streaming twin of [[graft.operators.Relational.funnelSteps]] with
+    * WINDOWED-funnel semantics — the production shape: a funnel must
+    * complete within `horizonMs` of the user's FIRST step-1 event or
+    * not at all, and that horizon is precisely what makes the state
+    * evictable. A late-arriving EARLIER step-1 event re-anchors the
+    * window and can re-qualify later events, so the user's
+    * funnel-typed event times are buffered until close
+    * (horizon-bounded, funnel-types only); emit is exactly once —
+    * (user_id, steps_reached) when the watermark passes
+    * anchor + horizon + `allowedLatenessMs` (pass the watermark delay
+    * as the lateness so nothing legal can arrive after close). Users
+    * who never produced a step-1 event evict quietly one horizon past
+    * their last activity and emit nothing, matching the batch
+    * operator's absent rows.
+    */
+  def funnelEvicting(spark: SparkSession, events: DataFrame,
+      steps: Seq[String], horizonMs: Long, watermarkDelay: String,
+      allowedLatenessMs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "funnel needs at least one step")
+
+    val stepIdx = steps.zipWithIndex.toMap
+    val typed = events
+      .withWatermark("ts", watermarkDelay) // BEFORE the type filter: any row advances it
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+
+    // the closed-form replay of Relational.funnelSteps inside one
+    // user's horizon window: earliest step-1 anchors, each later step
+    // strictly after the previous step's earliest qualifying time
+    def stepsReached(buf: List[(Int, Long)]): Int = {
+      val anchor = buf.collect { case (0, t) => t }.min
+      val bound = anchor + horizonMs
+      var cur = anchor
+      var reached = 1
+      var i = 1
+      var advanced = true
+      while (i < steps.size && advanced) {
+        val next = buf.filter(e => e._1 == i && e._2 > cur && e._2 <= bound)
+        if (next.isEmpty) advanced = false
+        else { cur = next.map(_._2).min; reached += 1; i += 1 }
+      }
+      reached
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Int, Long)], (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[List[(Int, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val buf = state.getOption.getOrElse(Nil) ++
+            evs.map(e => (stepIdx(e._2), e._3.getTime))
+          val anchorOpt = buf.collect { case (0, t) => t }.minOption
+          val closeAt = anchorOpt.getOrElse(buf.map(_._2).max) +
+            horizonMs + allowedLatenessMs
+          if (wm > closeAt) {
+            state.remove()
+            anchorOpt.map(_ => (uid, stepsReached(buf))).iterator
+          } else {
+            state.update(buf)
+            state.setTimeoutTimestamp(math.max(closeAt + 1, wm + 1))
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "steps_reached")
+  }
+
   def sessionizeEvicting(spark: SparkSession, events: DataFrame,
       gapSeconds: Long, watermarkDelay: String): DataFrame = {
     import spark.implicits._

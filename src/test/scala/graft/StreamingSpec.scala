@@ -185,6 +185,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelEvicting: late earlier step-1 re-anchors; emit-once; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    // horizon 1h, watermark delay 10 min (also the allowed lateness)
+    val out = StreamingSync.funnelEvicting(spark, events,
+      Seq("view", "click", "purchase"), horizonMs = 3600L * 1000,
+      watermarkDelay = "10 minutes", allowedLatenessMs = 600L * 1000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_evict").start()
+    def stateRows: Long = {
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (ps.isEmpty) -1L else ps.last.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // batch 1: user 1's click lands BEFORE its (late) view; user 2
+      // views only; user 9's purchase has no view at all
+      input.addData(
+        (1L, "click", ts("2024-01-01 10:20:00")),
+        (2L, "view", ts("2024-01-01 10:00:00")),
+        (9L, "purchase", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // batch 2: the LATE view for user 1 re-anchors at 10:11 (just
+      // inside the 10:10 watermark line) — the batch-1 click at 10:20
+      // is now strictly after it and qualifies
+      input.addData((1L, "view", ts("2024-01-01 10:11:00")))
+      q.processAllAvailable()
+      assert(spark.table("funnel_evict").count() == 0, "nothing closed yet")
+      // far-future event pushes the watermark past every anchor+horizon+lateness
+      input.addData((5L, "view", ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      input.addData((5L, "view", ts("2024-01-02 12:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_evict").as[(Long, Int)].collect().sorted.toSeq
+      // user 1: view+qualifying click = 2; user 2: view only = 1;
+      // user 9: no step-1 -> absent
+      assert(got == Seq((1L, 2), (2L, 1)), s"got $got")
+      // only user 5's open funnel (and nothing for closed/stepless users)
+      assert(stateRows == 1L, s"state must hold only open funnels, got $stateRows")
+    } finally q.stop()
+  }
+
   test("sessionization via keyed state: gap splits sessions") {
     val events = Seq(
       (100L, ts("2024-01-01 10:00:00")),
