@@ -150,18 +150,18 @@ class PlansSpec extends SparkSpec {
       s"corpus-keyed exchange leaked into knn plan: $keys\n${p.take(3000)}")
   }
 
-  test("j7 interval overlap exchanges are all l_partkey-keyed (blocked join)") {
+  test("j7 interval overlap is JOIN-FREE: range windows, l_partkey-led exchanges") {
     val df = Relational.j7IntervalOverlap(Tables(spark, sf0001, "lineitem"))
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    // the equi-key does the blocking: both join inputs and the count
-    // hash on l_partkey only — any other key (or a nested-loop join)
-    // would mean the quadratic predicate escaped its bucket
+    // fixed-width overlap reduces to symmetric range windows: the plan
+    // must contain NO join (zero pair materialization) and every hash
+    // exchange must lead with l_partkey
+    assert(!p.contains("Join"), s"pair-materializing join leaked back:\n${p.take(3000)}")
     val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(keys.nonEmpty && keys.forall(_.startsWith("l_partkey")),
-      s"non-partkey exchange in overlap-join plan: $keys\n${p.take(3000)}")
-    assert(!p.contains("NestedLoop"), s"nested-loop leak:\n${p.take(3000)}")
+      s"non-partkey exchange in overlap plan: $keys\n${p.take(3000)}")
   }
 
   test("whole-stage codegen covers the scan->filter->project pipeline") {
