@@ -172,6 +172,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
     "dedup_simhash64" -> ((s, d) => DedupOps.simhash64(t(s, d)("documents"))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(t(s, d)("documents"))),
+    // cluster density of the near-dup graph: exact triangle count
+    "dedup_triangles" -> ((s, d) => graft.operators.GraphOps
+      .triangleCount(DedupOps.simhashPairs(t(s, d)("documents")))),
     // pairs → clusters → survivors: the transitive-closure step that
     // turns LSH candidate pairs into an actual deduped corpus
     "dedup_components" -> ((s, d) => GraphOps.connectedComponents(
@@ -1622,6 +1625,16 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_triangles" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |edges AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT count(*) AS n_triangles
+         |FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+         |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

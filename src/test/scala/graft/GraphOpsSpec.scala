@@ -79,4 +79,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(comps.values.toSet == Set(1L))
     assert(!comps.contains(7L))
   }
+
+  test("triangleCount: K4 has 4 triangles, a path has none, once each") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: all 6 ordered edges -> C(4,3) = 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.triangleCount(k4).as[Long].head() == 4L)
+    // path 1-2-3-4 closes nothing
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.triangleCount(path).as[Long].head() == 0L)
+    // empty edge list -> 0, not null
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.triangleCount(empty).as[Long].head() == 0L)
+  }
 }
