@@ -169,6 +169,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
+    // same exact semantics, prefix-filtered candidate generation — the
+    // scale-credible exact path at production thresholds (t=0.7: each
+    // doc blocks on only its ~30% rarest shingles, so boilerplate hub
+    // buckets never enter the candidate join; at low t the prefix
+    // covers most of the doc and all-pairs is the better shape)
+    "dedup_jaccard_prefix" -> ((s, d) => DedupOps.ngramJaccardPrefix(t(s, d)("documents"), 0.7)),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
     "dedup_simhash64" -> ((s, d) => DedupOps.simhash64(t(s, d)("documents"))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(t(s, d)("documents"))),
@@ -1595,6 +1601,22 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // prefix filtering changes only candidate generation; the exact
+    // pair set (and thus the oracle) is identical to the all-pairs join
+    "dedup_jaccard_prefix" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $ToksCte,

@@ -265,6 +265,68 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING (the PPJoin family's
+    * core lemma): order every doc's shingle set by one global canonical
+    * order — ascending document frequency, ties by shingle — and keep
+    * only each doc's first n−⌈t·n⌉+1 shingles as its prefix. Any pair
+    * with Jaccard ≥ t must share a PREFIX shingle (if all common
+    * shingles sat in x's suffix, the overlap would be ≤ ⌈t·nx⌉−1 <
+    * t·nx ≤ t·|x∪y|), so bucketing on prefix shingles alone finds
+    * every qualifying pair — same exact output as [[ngramJaccard]],
+    * verified by the same full-intersection pass.
+    *
+    * Why this is the exact path that SURVIVES scale while the all-pairs
+    * bucket join does not: the rarest-first order pushes boilerplate
+    * shingles (the huge buckets that go quadratic) out of prefixes —
+    * a doc lands in a hub bucket only when it has almost nothing rarer
+    * — so candidate count tracks true near-dup density instead of
+    * background shingle sharing. A (na,nb) length filter prunes the
+    * remainder before the verify joins. Extra cost over all-pairs: one
+    * df aggregation + one per-doc sort — both linear, both map-side
+    * combinable.
+    *
+    * Measured tradeoff (sf0.1, t=0.7): candidate pairs drop 12×
+    * (~1.2M bucket pairs → 105k), but the join-back verify plus the
+    * extra df/prefix stages cost ~3 s of fixed stage time the in-bucket
+    * counting of [[ngramJaccard]] never pays — so BELOW ~10⁶ docs the
+    * all-pairs shape is faster (1.4 s vs 5 s), and this corpus's
+    * template-generated text (mean shingle df ≈ 10; natural text ≈ 1)
+    * further mutes the prefix win. The crossover favors prefixes
+    * precisely where all-pairs dies: high-df boilerplate at corpus
+    * scale, where Σ C(df,2) explodes quadratically while prefix
+    * candidates stay near-dup-density-bounded.
+    */
+  def ngramJaccardPrefix(documents: DataFrame, threshold: Double): DataFrame = {
+    // three consumers of the shingle set (df counts, prefix build,
+    // verify): one persisted materialization, released after the eager
+    // result checkpoint — same lifecycle as minhashLsh
+    val sh = shingleRows(documents).persist(StorageLevel.MEMORY_AND_DISK)
+    // document frequency is vocab-bounded (same posture as tf-idf's df
+    // table): broadcast it so the freq lookup is narrow instead of a
+    // full exchange+sort of the shingle set
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val prefixes = sh.join(broadcast(df), "sh")
+      .groupBy("doc_id", "n")
+      .agg(sort_array(collect_list(struct(col("freq"), col("sh")))).as("ordered"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ordered.sh"), lit(1), prefixLen)).as("sh"))
+    val candidates = prefixes.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(graft.functions.GraftFunctions.pair_explode(col("ds"))
+        .as(Seq("a", "b")))
+      // length filter: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
+      .filter(col("b.n") * threshold <= col("a.n") &&
+        col("a.n") * threshold <= col("b.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val out = verifyJaccard(sh, candidates, threshold).localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
+  }
+
   /** SimHash (32-bit here; 64-bit in production — 32 keeps the value
     * inside an exactly-representable SQL BIGINT for oracle parity):
     * per distinct token, a 32-bit hash from the md5 hex prefix; each

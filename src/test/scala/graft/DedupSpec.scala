@@ -94,6 +94,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(row.head._3 - 7.0 / 13.0) < 1e-12)
   }
 
+  test("ngramJaccardPrefix matches the all-pairs join, boilerplate included") {
+    // a corpus where EVERY doc shares a boilerplate sentence (a hub
+    // shingle bucket, the all-pairs killer) plus two true near-dup
+    // pairs; prefix filtering must return the identical exact pair set
+    val boiler = "subscribe to our newsletter for updates today"
+    val corpus = Seq(
+      (0L, s"$docA $boiler"), (1L, s"$docB $boiler"),
+      (2L, s"$docC $boiler"),
+      (3L, s"an unrelated essay on distributed join algorithms $boiler"),
+      (4L, s"an unrelated essay on distributed join algorithms rewritten $boiler"),
+      (5L, s"short text $boiler")
+    ).toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccard(corpus, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pref = DedupOps.ngramJaccardPrefix(corpus, 0.3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(exact.nonEmpty) // fixture sanity: the near pairs survive 0.3
+    assert(pref == exact)
+  }
+
   test("identical docs have identical simhash; near docs are close") {
     val two = Seq((0L, docA, "en", "s", 1L), (1L, docA, "en", "s", 1L), (2L, docC, "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
