@@ -175,6 +175,12 @@ object SparkEntry {
     // buckets never enter the candidate join; at low t the prefix
     // covers most of the doc and all-pairs is the better shape)
     "dedup_jaccard_prefix" -> ((s, d) => DedupOps.ngramJaccardPrefix(t(s, d)("documents"), 0.7)),
+    // "same article, minor edits": Levenshtein over leading content,
+    // blocked on (lang, exact 10-char prefix)
+    "dedup_edit_distance" -> ((s, d) => DedupOps.editDistancePairs(t(s, d)("documents"))),
+    // retrieval primitive: BM25 top-10 docs for a fixed query
+    "text_bm25" -> ((s, d) => TextOps.bm25TopDocs(t(s, d)("documents"),
+      Seq("join", "filter", "customer"))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
     "dedup_simhash64" -> ((s, d) => DedupOps.simhash64(t(s, d)("documents"))),
     "dedup_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(t(s, d)("documents"))),
@@ -1493,6 +1499,37 @@ object SparkEntry {
         |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp_full,
         |  md5(array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 3), ' ')) AS fp_head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS BIGINT) AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND substr(a.text,1,10) = substr(b.text,1,10)
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text,1,40), substr(b.text,1,40)) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // literals mirror the Spark side UNFOLDED ((1.2 + 1.0), not 2.2):
+    // both engines then run the identical IEEE op sequence, and the
+    // round(…,6) absorbs ln/accumulation-order last-bit noise
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('join', 'filter', 'customer') GROUP BY 1, 2),
+        |stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+        |  CAST((SELECT count(*) FROM toks) AS DOUBLE) AS total_tokens),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (total_tokens / n_docs)))), 6) AS bm25
+        |  FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+        |  JOIN dfreq USING (term) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, bm25,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+        |FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

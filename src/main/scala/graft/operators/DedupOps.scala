@@ -327,6 +327,35 @@ object DedupOps {
     out
   }
 
+  /** Edit-distance near-dup pairs over each document's LEADING content
+    * (first `headLen` chars — the cheap proxy for "same article, minor
+    * edits": near-dups rarely diverge in their opening). Blocked
+    * equi-join: candidates must agree on (lang, first `blockLen`
+    * chars), so Levenshtein — O(headLen²) per comparison, the budget
+    * item — runs only within blocks that share an exact leading run.
+    *
+    * Scale shape: the block key is a plain equi-join key (one shuffle,
+    * co-partitioned, AQE-splittable if one leading run is boilerplate-
+    * hot); `levenshtein` is Spark's codegen'd built-in. The contract is
+    * explicitly the BLOCKED semantics (a pair that differs inside the
+    * first `blockLen` chars is by definition not a match) — that is
+    * what makes the operator linear-ish at corpus scale instead of an
+    * all-pairs O(n²·headLen²).
+    */
+  def editDistancePairs(documents: DataFrame, headLen: Int = 40,
+      blockLen: Int = 10, maxDist: Int = 10): DataFrame = {
+    val t = documents.select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, headLen).as("head"),
+      substring(col("text"), 1, blockLen).as("blk"))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash (32-bit here; 64-bit in production — 32 keeps the value
     * inside an exactly-representable SQL BIGINT for oracle parity):
     * per distinct token, a 32-bit hash from the md5 hex prefix; each

@@ -176,6 +176,52 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topK)
 
+  /** BM25 document retrieval for a fixed query term set — the ranking
+    * primitive behind retrieval-based decontamination and quality
+    * probes. Lucene-shape scoring: per matched term,
+    * `ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * summed per doc, rounded to 6 decimals (same ulp armor as
+    * [[tfidfTopTerms]]: a last-bit `ln`/accumulation-order difference
+    * can never reorder the ranking).
+    *
+    * Scale shape: tf+dl are computed per-row by the fused kernel (no
+    * (doc,term) shuffle); df is QUERY-sized and broadcast; corpus
+    * stats (N, Σdl — exact integer sums) are a broadcast scalar; the
+    * top-K is `orderBy.limit` = TakeOrdered, per-partition heaps + a
+    * driver merge of topK·parts rows — never a global single-partition
+    * window. One groupBy(doc_id) is the only data-sized shuffle.
+    */
+  def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), size(toksCol).cast("long").as("dl"),
+        explode(graft.functions.GraftFunctions.word_term_freqs(col("text"))).as("tfs"))
+      .select(col("doc_id"), col("dl"),
+        col("tfs.term").as("term"), col("tfs.tf").as("tf"))
+      .filter(col("term").isin(queryTerms: _*))
+    val stats = documents.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(toksCol).cast("long")).cast("double").as("total_tokens"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // every literal is mirrored as the SAME arithmetic in the SQL
+    // oracle (e.g. (k1+1) stays `1.2 + 1.0`, never a pre-folded 2.2):
+    // IEEE ops are deterministic, but literal-vs-computed constants
+    // can differ in the last bit and round-to-even differently
+    val avgdl = col("total_tokens") / col("n_docs")
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id").agg(round(sum(contrib), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "bm25", "rnk")
+  }
+
   /** Per-document top-K terms by smoothed tf-idf
     * (`tf * ln((N+1)/(df+1))`), the keyword-extraction primitive of a
     * corpus pipeline.

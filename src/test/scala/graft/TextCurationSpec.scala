@@ -76,4 +76,38 @@ class TextCurationSpec extends SparkSpec {
     assert(got(2L)._4 == "card <NUM> pin 1234 serial <NUM>")
     assert(got(3L)._4 == "clean text, nothing to mask")
   }
+
+  test("bm25TopDocs: hand-computed score, rank order, topK cut") {
+    // 3 docs, query {x}: doc 1 has tf=2 of 4 tokens, doc 2 tf=1 of 2,
+    // doc 3 no hit. N=3, df=2, avgdl=(4+2+3)/3=3.
+    val docs = Seq(
+      (1L, "x y x z"), (2L, "x w"), (3L, "p q r")).toDF("doc_id", "text")
+    val rows = TextOps.bm25TopDocs(docs, Seq("x"), topK = 2)
+      .as[(Long, Double, Long)].collect().toSeq
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    def score(tf: Long, dl: Long): Double = {
+      val raw = idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (9.0 / 3.0)))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows.map(_._1) == Seq(1L, 2L)) // doc 3 unscored, not ranked
+    assert(rows.map(_._3) == Seq(1L, 2L))
+    assert(rows(0)._2 == score(2L, 4L), s"got ${rows(0)._2}")
+    assert(rows(1)._2 == score(1L, 2L))
+  }
+
+  test("editDistancePairs: blocked candidates only, distance cut honored") {
+    val docs = Seq(
+      // same 10-char block "aaaa bbbb ", small tail edits
+      (1L, "aaaa bbbb cccc dddd", "en"),
+      (2L, "aaaa bbbb cccc ddxd", "en"),
+      // same block but beyond maxDist for maxDist=2
+      (3L, "aaaa bbbb zzzz wwww qqqq", "en"),
+      // identical head, different lang -> different block
+      (4L, "aaaa bbbb cccc dddd", "de")).toDF("doc_id", "text", "lang")
+    val got = graft.operators.DedupOps
+      .editDistancePairs(docs, headLen = 19, blockLen = 10, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L)), s"got $got")
+  }
 }
