@@ -229,4 +229,43 @@ class PlansSpec extends SparkSpec {
     assert(!pa.contains("SortMergeJoin"),
       s"threshold join must not sort-merge:\n${pa.take(3000)}")
   }
+
+  test("triangleCount never materializes a wedge: adjacency joins only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val df = graft.operators.GraphOps.triangleCount(edges)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the edge-iterator shape: exactly two joins (edge×adj on each
+    // endpoint) and the array_intersect kernel — a third join would be
+    // the wedge-closing self-join that goes O(n³) on dup cliques
+    val joins = "Join".r.findAllIn(p).size
+    assert(p.contains("array_intersect"), s"no intersection kernel:\n${p.take(3000)}")
+    assert(joins <= 2, s"expected <=2 joins (edge-iterator), got $joins:\n${p.take(3000)}")
+  }
+
+  test("bm25 top-k is TakeOrdered; df and stats broadcast, one doc shuffle") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.TextOps.bm25TopDocs(docs, Seq("join", "filter"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // global top-k must be the per-partition-heap operator, never a
+    // single-partition global sort/window over the corpus
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), s"df not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), s"corpus side shuffled on term:\n${p.take(3000)}")
+  }
+
+  test("editDistancePairs: levenshtein runs inside one block equi-join") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.DedupOps.editDistancePairs(docs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the block key must be the JOIN key (lang, blk) — levenshtein as a
+    // post-join filter of an unkeyed cross product would be the O(n²)
+    // failure shape
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance join went unblocked:\n${p.take(3000)}")
+    assert(p.contains("levenshtein"), s"no levenshtein in plan:\n${p.take(3000)}")
+  }
 }
