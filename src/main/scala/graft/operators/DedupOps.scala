@@ -301,12 +301,14 @@ object DedupOps {
     // verify): one persisted materialization, released after the eager
     // result checkpoint — same lifecycle as minhashLsh
     val sh = shingleRows(documents).persist(StorageLevel.MEMORY_AND_DISK)
-    // document frequency is vocab-bounded (same posture as tf-idf's df
-    // table): broadcast it so the freq lookup is narrow instead of a
-    // full exchange+sort of the shingle set
+    // the trigram df table is CORPUS-scale (distinct shingles grow
+    // ~linearly with tokens, unlike tf-idf's saturating unigram vocab)
+    // — so it must NOT broadcast; the shuffled equi-join on sh keeps
+    // the freq lookup valid at any corpus size, and measured the same
+    // locally as the broadcast variant
     val df = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val prefixes = sh.join(broadcast(df), "sh")
+    val prefixes = sh.join(df, "sh")
       .groupBy("doc_id", "n")
       .agg(sort_array(collect_list(struct(col("freq"), col("sh")))).as("ordered"))
       .select(col("doc_id"), col("n"),

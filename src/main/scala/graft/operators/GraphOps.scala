@@ -136,10 +136,14 @@ object GraphOps {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
     val adj = e.groupBy(col("a").as("v"))
       .agg(sort_array(collect_set(col("b"))).as("nbrs"))
+    // INNER join on the b endpoint: an edge whose head has no
+    // out-neighbors closes nothing, so dropping it leaves the sum
+    // unchanged — and sidesteps size(null), whose value flips between
+    // null and -1 with spark.sql.ansi.enabled
     e.join(adj.as("na"), col("a") === col("na.v"))
-      .join(adj.as("nb"), col("b") === col("nb.v"), "left")
-      .agg(coalesce(sum(coalesce(
-        size(array_intersect(col("na.nbrs"), col("nb.nbrs"))), lit(0))), lit(0L))
+      .join(adj.as("nb"), col("b") === col("nb.v"))
+      .agg(coalesce(sum(
+        size(array_intersect(col("na.nbrs"), col("nb.nbrs")))), lit(0L))
         .cast("bigint").as("n_triangles"))
   }
 }

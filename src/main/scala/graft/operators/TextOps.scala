@@ -192,14 +192,26 @@ object TextOps {
     * window. One groupBy(doc_id) is the only data-sized shuffle.
     */
   def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      eager: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = documents
+    // tf feeds TWO consumers (the df aggregation's broadcast exchange
+    // and the probe side of the join): persist the query-term-filtered
+    // frame — ≤|queryTerms| rows per doc, no text column — so the
+    // corpus tokenizer kernel runs once, not once per consumer;
+    // released after the eager topK checkpoint (repo-standard
+    // lifecycle). `eager = false` skips persist+checkpoint and returns
+    // the fully lazy plan — the plan-inspection path (PlansSpec pins
+    // the topK/broadcast shapes a checkpoint would truncate away).
+    val tfBase = documents
       .select(col("doc_id"), size(toksCol).cast("long").as("dl"),
         explode(graft.functions.GraftFunctions.word_term_freqs(col("text"))).as("tfs"))
       .select(col("doc_id"), col("dl"),
         col("tfs.term").as("term"), col("tfs.tf").as("tf"))
       .filter(col("term").isin(queryTerms: _*))
+    val tf = if (eager)
+      tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tfBase
     val stats = documents.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(size(toksCol).cast("long")).cast("double").as("total_tokens"))
@@ -213,13 +225,19 @@ object TextOps {
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * (lit(k1) + lit(1.0))) /
         (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(dfreq), "term")
+    val ranked = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .groupBy("doc_id").agg(round(sum(contrib), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "bm25", "rnk")
+    if (!eager) ranked
+    else {
+      val out = ranked.localCheckpoint(true)
+      tf.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Per-document top-K terms by smoothed tf-idf

@@ -246,7 +246,8 @@ class PlansSpec extends SparkSpec {
 
   test("bm25 top-k is TakeOrdered; df and stats broadcast, one doc shuffle") {
     val docs = Tables(spark, sf0001, "documents")
-    val df = graft.operators.TextOps.bm25TopDocs(docs, Seq("join", "filter"))
+    val df = graft.operators.TextOps.bm25TopDocs(docs, Seq("join", "filter"),
+      eager = false)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
     // global top-k must be the per-partition-heap operator, never a
