@@ -187,6 +187,10 @@ object SparkEntry {
     // cluster density of the near-dup graph: exact triangle count
     "dedup_triangles" -> ((s, d) => graft.operators.GraphOps
       .triangleCount(DedupOps.simhashPairs(t(s, d)("documents")))),
+    // per-cluster quality report: nodes/pairs/triangles per component
+    "dedup_clique_density" -> ((s, d) => graft.operators.GraphOps
+      .cliqueDensity(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
     // pairs → clusters → survivors: the transitive-closure step that
     // turns LSH candidate pairs into an actual deduped corpus
     "dedup_components" -> ((s, d) => GraphOps.connectedComponents(
@@ -1694,6 +1698,36 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM edges e1 JOIN edges e2 ON e1.b = e2.a
          |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "dedup_clique_density" ->
+      s"""WITH RECURSIVE $ToksCte,
+         |$SimhashSigCte,
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION SELECT doc_b, doc_a FROM prs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |nodes AS (SELECT component, count(*) AS n_docs FROM comp GROUP BY 1),
+         |pe AS (
+         |  SELECT c.component, count(*) AS n_pairs
+         |  FROM prs p JOIN comp c ON c.doc_id = p.doc_a GROUP BY 1),
+         |tri AS (
+         |  SELECT c.component, count(*) AS n_triangles
+         |  FROM prs e1 JOIN prs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |  JOIN comp c ON c.doc_id = e1.doc_a
+         |  GROUP BY 1)
+         |SELECT component, n_docs, n_pairs,
+         |  COALESCE(n_triangles, 0) AS n_triangles
+         |FROM nodes JOIN pe USING (component) LEFT JOIN tri USING (component)
+         |ORDER BY component""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

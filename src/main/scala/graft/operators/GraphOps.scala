@@ -132,18 +132,57 @@ object GraphOps {
     * intersected linearly, not fanned out quadratically.
     */
   def triangleCount(edges: DataFrame,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    edgeTriangles(edges, aCol, bCol)
+      .agg(coalesce(sum(col("tri")), lit(0L))
+        .cast("bigint").as("n_triangles"))
+
+  /** Per-edge closed-triangle contributions (a, b, tri): the shared
+    * edge-iterator core of [[triangleCount]] and [[cliqueDensity]].
+    * INNER join on the b endpoint: an edge whose head has no
+    * out-neighbors closes nothing, so dropping it leaves every sum
+    * unchanged — and sidesteps size(null), whose value flips between
+    * null and -1 with spark.sql.ansi.enabled.
+    */
+  private def edgeTriangles(edges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
     val adj = e.groupBy(col("a").as("v"))
       .agg(sort_array(collect_set(col("b"))).as("nbrs"))
-    // INNER join on the b endpoint: an edge whose head has no
-    // out-neighbors closes nothing, so dropping it leaves the sum
-    // unchanged — and sidesteps size(null), whose value flips between
-    // null and -1 with spark.sql.ansi.enabled
     e.join(adj.as("na"), col("a") === col("na.v"))
       .join(adj.as("nb"), col("b") === col("nb.v"))
-      .agg(coalesce(sum(
-        size(array_intersect(col("na.nbrs"), col("nb.nbrs")))), lit(0L))
-        .cast("bigint").as("n_triangles"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).cast("long").as("tri"))
+  }
+
+  /** Per-cluster dedup quality report: for every connected component of
+    * the near-dup pair graph, its node count, pair count, and exact
+    * triangle count — the integers behind "is this cluster a true dup
+    * clique (n_pairs ≈ C(n,3)-dense) or a chain of borderline matches
+    * bridged by one bad pair". All counts exact BIGINTs, so the oracle
+    * comparison is bit-stable.
+    *
+    * Scale shape: [[connectedComponents]] is the logarithmic pointer-
+    * jumping loop; triangles come from the same edge-iterator core as
+    * [[triangleCount]] (never a wedge row); every labeling join is a
+    * vertex-keyed equi-join. An edge's two endpoints share a component
+    * by definition, so labeling by `doc_a` alone is exact.
+    */
+  def cliqueDensity(pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs) // (doc_id, component)
+    val byA = labels.withColumnRenamed("doc_id", "a")
+    val nodes = labels.groupBy("component")
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val pairCounts = pairs.select(col("doc_a").as("a"))
+      .join(byA, "a")
+      .groupBy("component").agg(count(lit(1)).cast("long").as("n_pairs"))
+    val triCounts = edgeTriangles(pairs, "doc_a", "doc_b")
+      .join(byA, "a")
+      .groupBy("component").agg(sum(col("tri")).cast("long").as("n_triangles"))
+    nodes.join(pairCounts, Seq("component"))
+      .join(triCounts, Seq("component"), "left")
+      .select(col("component"), col("n_docs"), col("n_pairs"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("component")
   }
 }

@@ -93,4 +93,14 @@ class GraphOpsSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(graft.operators.GraphOps.triangleCount(empty).as[Long].head() == 0L)
   }
+
+  test("cliqueDensity: a K3 clique and a 3-chain report distinct shapes") {
+    import spark.implicits._
+    // component 1: triangle {1,2,3}; component 10: chain 10-11-12
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.GraphOps.cliqueDensity(pairs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 1L), (10L, 3L, 2L, 0L)), s"got $got")
+  }
 }
