@@ -178,6 +178,11 @@ object SparkEntry {
     // "same article, minor edits": Levenshtein over leading content,
     // blocked on (lang, exact 10-char prefix)
     "dedup_edit_distance" -> ((s, d) => DedupOps.editDistancePairs(t(s, d)("documents"))),
+    // asymmetric quote/containment dedup: |A∩B|/|A| per direction
+    "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d)("documents"), 0.6)),
+    // sub-document curation signal: fraction of each doc's shingles
+    // first seen in that doc (by doc_id ingestion order)
+    "text_novelty" -> ((s, d) => DedupOps.shingleNovelty(t(s, d)("documents"))),
     // retrieval primitive: BM25 top-10 docs for a fixed query
     "text_bm25" -> ((s, d) => TextOps.bm25TopDocs(t(s, d)("documents"),
       Seq("join", "filter", "customer"))),
@@ -306,6 +311,9 @@ object SparkEntry {
     // day offset)
     "w11_retention" -> ((s, d) =>
       Relational.cohortRetention(t(s, d)("events"))),
+    // first-order Markov transition matrix over per-user sequences
+    "w12_transitions" -> ((s, d) =>
+      Relational.eventTransitions(t(s, d)("events"))),
     // interval-overlap self-join: concurrent same-part shipments from
     // distinct suppliers, equi-key blocked on l_partkey
     "j7_interval_overlap" -> ((s, d) =>
@@ -1659,6 +1667,37 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |sc AS (
+         |  SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b),
+         |dirs AS (
+         |  SELECT doc_a AS doc_contained, doc_b AS doc_container,
+         |    CAST(i AS DOUBLE) / na AS containment FROM sc
+         |  UNION ALL
+         |  SELECT doc_b, doc_a, CAST(i AS DOUBLE) / nb FROM sc)
+         |SELECT doc_contained, doc_container, containment
+         |FROM dirs WHERE containment >= 0.6
+         |ORDER BY doc_contained, doc_container""".stripMargin,
+    "text_novelty" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |fo AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  count(*) FILTER (f.first_doc = s.doc_id) AS n_novel,
+         |  CAST(count(*) FILTER (f.first_doc = s.doc_id) AS DOUBLE)
+         |    / count(*) AS novelty
+         |FROM sh s JOIN fo f USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $ToksCte,
          |$SimhashSigCte
@@ -1808,6 +1847,15 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM a GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "w12_transitions" ->
+      """SELECT src_type, dst_type, count(*) AS n FROM (
+        |  SELECT event_type AS src_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |  FROM events)
+        |WHERE dst_type IS NOT NULL
+        |GROUP BY src_type, dst_type
+        |ORDER BY src_type, dst_type""".stripMargin,
     "text_boilerplate" ->
       """WITH parts AS (
         |  SELECT doc_id, part, idx FROM (

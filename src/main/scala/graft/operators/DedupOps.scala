@@ -458,4 +458,70 @@ object DedupOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("xr")).cast("long").as("hamming"))
   }
+
+  /** Exact shingle-CONTAINMENT pairs: |sh(A) ∩ sh(B)| / |sh(A)| ≥ t,
+    * emitted as (doc_contained, doc_container, containment). The
+    * asymmetric twin of [[ngramJaccard]] — it catches "doc A is quoted
+    * inside doc B" duplication that symmetric Jaccard dilutes to
+    * nothing when the container is much longer, which is exactly the
+    * quote/aggregator-page shape a pretraining dedup pass must see.
+    * Deliberately NO length-ratio filter: a tiny doc contained in a
+    * huge one is the interesting case.
+    *
+    * Same two-shuffle bucket shape as [[ngramJaccard]]: group shingles,
+    * expand in-bucket pairs lazily (PairExplode), count intersections
+    * once per unordered pair, then test BOTH directions locally — the
+    * direction split is a narrow explode over the counted pair row, so
+    * asymmetry costs nothing extra. Scale path mirrors the prefix
+    * lemma one-sided: containment(A→B) ≥ t means A's rarest-first
+    * prefix of ⌊(1−t)·na⌋+1 shingles must hit sh(B), so the
+    * [[ngramJaccardPrefix]] blocking carries over with prefixes built
+    * only on the contained side (documented, not needed at this SF).
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double): DataFrame =
+    shingleRows(documents).groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(graft.functions.GraftFunctions.pair_explode(col("ds"))
+        .as(Seq("a", "b")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .select(explode(array(
+        struct(col("doc_a").as("doc_contained"),
+          col("doc_b").as("doc_container"),
+          (col("i").cast("double") / col("na")).as("containment")),
+        struct(col("doc_b").as("doc_contained"),
+          col("doc_a").as("doc_container"),
+          (col("i").cast("double") / col("nb")).as("containment"))))
+        .as("r"))
+      .select(col("r.doc_contained"), col("r.doc_container"),
+        col("r.containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_contained", "doc_container")
+
+  /** Per-document shingle NOVELTY: the fraction of a doc's distinct
+    * shingles whose FIRST owner (minimum doc_id over all docs carrying
+    * the shingle) is the doc itself — a sub-document-granularity
+    * curation signal: low novelty means the doc is stitched from text
+    * the corpus already has even when no single pair clears a dedup
+    * threshold. doc_id order stands in for ingestion order.
+    *
+    * Two shuffles at any corpus size: one groupBy on the shingle
+    * (computing min owner AND the in-bucket doc list in the same
+    * aggregation — no join back to the shingle table), one on doc_id
+    * for the per-doc tally. Shingle-frequency skew (boilerplate) sits
+    * in the first aggregation, which is map-side combinable.
+    */
+  def shingleNovelty(documents: DataFrame): DataFrame =
+    shingleRows(documents).groupBy("sh")
+      .agg(min(col("doc_id")).as("first_doc"),
+        collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .select(col("first_doc"), explode(col("ds")).as("d"))
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(max(col("d.n")).cast("long").as("n_shingles"),
+        count(when(col("first_doc") === col("d.doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
 }

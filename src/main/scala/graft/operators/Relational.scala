@@ -302,6 +302,26 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** First-order Markov transition counts over per-user event
+    * sequences: for each user's time-ordered stream, every adjacent
+    * (event_type → next event_type) step, counted corpus-wide — the
+    * behavioral-model input (and bot-detection signal: machine traffic
+    * shows near-deterministic transition rows). One window exchange on
+    * user_id (lead) plus the (src, dst) count aggregation — no
+    * per-user history list, so sequence length is unbounded at 100 TB.
+    * Ordering is total (ts, event_id tie-break), so the counts are
+    * deterministic.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src_type", "dst_type")
+  }
+
   /** CUBE over two dims (all four grouping sets in one pass — Spark
     * expands grouping sets before the single shuffle).
     */

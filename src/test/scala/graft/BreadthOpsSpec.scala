@@ -70,6 +70,24 @@ class BreadthOpsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("eventTransitions counts adjacent per-user steps with event_id tiebreak") {
+    val ev = Seq(
+      // user 1: view -> click -> purchase
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 3L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: same-instant pair -> event_id orders it view->view
+      (2L, 4L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 5L, "view", ts("2024-01-01 09:00:00")),
+      // user 3: single event -> no transition
+      (3L, 6L, "click", ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Relational.eventTransitions(ev)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("click", "purchase", 1L), ("view", "click", 1L),
+      ("view", "view", 1L)))
+  }
+
   test("j7IntervalOverlap pairs distinct suppliers with intersecting windows") {
     val d = (s: String) => java.sql.Date.valueOf(s)
     val li = Seq(

@@ -114,6 +114,32 @@ class DedupSpec extends SparkSpec {
     assert(pref == exact)
   }
 
+  test("containmentPairs flags the quoted doc in the direction jaccard misses") {
+    val a = "alpha beta gamma delta epsilon" // 3 trigrams
+    val corpus = Seq(
+      (0L, a),                                            // contained
+      (1L, s"$a zeta eta theta iota kappa"),              // container: 8 trigrams
+      (2L, "totally different words about something else entirely here")
+    ).toDF("doc_id", "text")
+    // jaccard(0,1) = 3/8 = 0.375 — a symmetric pass at 0.6 sees nothing
+    assert(DedupOps.ngramJaccard(corpus, 0.6).count() == 0)
+    val got = DedupOps.containmentPairs(corpus, 0.6)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1.0)), s"got $got")
+  }
+
+  test("shingleNovelty scores first-owner fraction by doc_id order") {
+    val corpus = Seq(
+      (0L, "a b c d"),   // trigrams {a b c, b c d}: both first here
+      (1L, "a b c d e"), // {a b c, b c d, c d e}: only the last is new
+      (2L, "x1 y2 z3")   // disjoint singleton
+    ).toDF("doc_id", "text")
+    val got = DedupOps.shingleNovelty(corpus)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L, 1.0), (1L, 3L, 1L, 1.0 / 3.0),
+      (2L, 1L, 1L, 1.0)), s"got $got")
+  }
+
   test("identical docs have identical simhash; near docs are close") {
     val two = Seq((0L, docA, "en", "s", 1L), (1L, docA, "en", "s", 1L), (2L, docC, "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

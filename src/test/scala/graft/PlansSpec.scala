@@ -257,6 +257,43 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side shuffled on term:\n${p.take(3000)}")
   }
 
+  test("containmentPairs is JOIN-FREE: bucket pairs + a narrow direction split") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.DedupOps.containmentPairs(docs, 0.6)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // entry repartition + shingle bucket + pair count = 3 hash
+    // exchanges; the per-direction split is a local Generate over the
+    // counted pair row — a sizes-table join (or a distinct) here would
+    // re-shuffle the pair set
+    assert(!p.contains("Join"), s"containment must not join:\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 3, s"expected 3 hash exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("shingleNovelty: first-owner and doc tally share one bucket pass") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.DedupOps.shingleNovelty(docs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // min(doc_id) and the in-bucket doc list come from the SAME shingle
+    // aggregation — a join back to the shingle table would add a 4th
+    // exchange and a sort-merge join
+    assert(!p.contains("Join"), s"novelty must not join:\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 3, s"expected 3 hash exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("eventTransitions: one user_id window exchange + one pair count") {
+    val ev = Tables(spark, sf0001, "events")
+    val df = graft.operators.Relational.eventTransitions(ev)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"transitions must not join:\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
   test("editDistancePairs: levenshtein runs inside one block equi-join") {
     val docs = Tables(spark, sf0001, "documents")
     val df = graft.operators.DedupOps.editDistancePairs(docs)
