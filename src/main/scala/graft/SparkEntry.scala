@@ -164,6 +164,8 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d)("documents"))),
     // token-distribution Shannon entropy (vocabulary diversity signal)
     "text_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d)("documents"))),
+    // perplexity proxy: occurrence share outside the top-20 corpus vocab
+    "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
     "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
       t(s, d)("documents"), Map("en" -> 0.5, "de" -> 0.9))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
@@ -1688,6 +1690,20 @@ object SparkEntry {
          |SELECT doc_contained, doc_container, containment
          |FROM dirs WHERE containment >= 0.6
          |ORDER BY doc_contained, doc_container""".stripMargin,
+    "text_oov" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+         |vocab AS (SELECT term FROM (
+         |  SELECT term, count(*) AS freq FROM tok GROUP BY term
+         |  ORDER BY freq DESC, term LIMIT 20)),
+         |agg AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens,
+         |    count(*) FILTER (v.term IS NULL) AS n_oov
+         |  FROM tok t LEFT JOIN vocab v USING (term)
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, n_oov,
+         |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "text_novelty" ->
       s"""WITH $ToksCte,
          |$ShinglesCte,

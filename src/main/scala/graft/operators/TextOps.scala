@@ -272,6 +272,38 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
   }
 
+  /** Out-of-vocabulary ratio: the fraction of each doc's token
+    * OCCURRENCES falling outside the corpus's top-`vocabSize`
+    * vocabulary (by corpus frequency, ties by token — a total order,
+    * so the boundary is deterministic). The cheap perplexity proxy
+    * every curation stack runs before it can afford a model score:
+    * high OOV flags gibberish, OCR noise, and wrong-corpus text.
+    *
+    * Scale shape: per-doc tf comes from the fused one-pass kernel (no
+    * (doc, term) shuffle); the corpus vocab aggregation shuffles only
+    * the SATURATING unigram vocabulary (not the corpus), its top-k is
+    * a TakeOrdered, and the k-bounded vocab broadcasts back — the doc
+    * side never hash-shuffles on term, so the whole operator is one
+    * vocab-sized exchange plus the per-doc tally at any corpus size.
+    */
+  def oovRatio(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .word_term_freqs(col("text"))).as("tfs"))
+      .select(col("doc_id"), col("tfs.term").as("term"), col("tfs.tf").as("tf"))
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0)))
+          .cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing: mask emails then long digit runs (an email's
     * digits are gone by the time the number pass runs, so the two
     * regexes compose without overlap). Narrow codegen'd per-row

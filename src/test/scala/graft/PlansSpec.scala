@@ -294,6 +294,17 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("oovRatio: vocab is TakeOrdered + broadcast; docs never shuffle on term") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.TextOps.oovRatio(docs, 20)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-k not TakeOrdered:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"doc side hash-shuffled on term:\n${p.take(3000)}")
+  }
+
   test("editDistancePairs: levenshtein runs inside one block equi-join") {
     val docs = Tables(spark, sf0001, "documents")
     val df = graft.operators.DedupOps.editDistancePairs(docs)

@@ -63,6 +63,19 @@ class TextCurationSpec extends SparkSpec {
     assert(rows == Seq((1L, 5L, 4L, 0.8), (2L, 5L, 1L, 0.2)), s"got $rows")
   }
 
+  test("oovRatio: occurrences outside the frequency-ranked vocab, ties by token") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b c d"),
+      (3L, "d d")).toDF("doc_id", "text")
+    // corpus freqs: a=4, b=3, d=3, c=2 — top-3 by (freq desc, token
+    // asc) = {a, b, d}: the b-vs-d tie at 3 keeps both, c falls out
+    val got = TextOps.oovRatio(docs, 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 6L, 1L, 1.0 / 6.0), (2L, 4L, 1L, 0.25),
+      (3L, 2L, 0L, 0.0)), s"got $got")
+  }
+
   test("piiMask scrubs emails and long digit runs, counts them, keeps short numbers") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
