@@ -155,6 +155,9 @@ object SparkEntry {
     // LLM-data-pipeline extension set (BASELINE.json north star)
     "text_tokens" -> ((s, d) => TextOps.tokenCount(t(s, d)("documents"))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(t(s, d)("documents"))),
+    // linear model-based quality filter (classifier dot-product shape)
+    "text_quality_model" -> ((s, d) =>
+      TextOps.qualityModelScore(t(s, d)("documents"))),
     "text_langid" -> ((s, d) => TextOps.languageId(t(s, d)("documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
     "text_tfidf" -> ((s, d) =>
@@ -197,6 +200,10 @@ object SparkEntry {
     // per-cluster quality report: nodes/pairs/triangles per component
     "dedup_clique_density" -> ((s, d) => graft.operators.GraphOps
       .cliqueDensity(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
+    // hub-document centrality over the near-dup graph (3 power steps)
+    "dedup_pagerank" -> ((s, d) => graft.operators.GraphOps
+      .pageRank(DedupOps.simhashPairs(t(s, d)("documents"))
         .select("doc_a", "doc_b"))),
     // pairs → clusters → survivors: the transitive-closure step that
     // turns LSH candidate pairs into an actual deduped corpus
@@ -330,6 +337,9 @@ object SparkEntry {
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
+    // reproducible training-order shuffle (affine hash → shard + pos)
+    "pipe_shuffle_shards" -> ((s, d) =>
+      PipelineOps.shardShuffle(t(s, d)("documents"))),
     "pipe_chunk_tokens" -> ((s, d) =>
       PipelineOps.chunkTokens(t(s, d)("documents"), 50)
         .withColumn("chunk_id", col("chunk_id").cast("long"))),
@@ -943,6 +953,19 @@ object SparkEntry {
        |  FROM orders WHERE o_orderkey % $everyN = 0
        |)""".stripMargin
 
+  /** One unrolled PageRank power step (mirrors `GraphOps.pageRank`'s
+    * loop body: fixed-point BIGINT ranks in 1e-15 units — floor
+    * divisions and integer sums only, so the reduction is
+    * order-independent and bit-exact across engines by construction).
+    */
+  private def prStep(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT e.v AS u,
+       |    150000000000000 // (SELECT n FROM nv)
+       |      + (85 * CAST(sum(r.r // d.deg) AS BIGINT)) // 100 AS r
+       |  FROM edges e JOIN $prev r ON r.u = e.u JOIN deg d ON d.u = e.u
+       |  GROUP BY e.v)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1140,6 +1163,17 @@ object SparkEntry {
         |  CASE WHEN bucket < 204 THEN 'train'
         |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // affine hash key, shard = key mod 8, pos = within-shard rank —
+    // integer arithmetic only, so the training order is engine-exact
+    "pipe_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
     "pipe_chunk_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
@@ -1495,6 +1529,31 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
         |  CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
         |FROM q ORDER BY doc_id""".stripMargin,
+    // linear classifier dot product over the quality features — same
+    // feature CTE as text_quality, then fixed weights in one IEEE
+    // chain: ((1.5*stop - punct) + 0.02*mean_len), threshold 0.2
+    "text_quality_model" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(text) AS BIGINT) AS n_chars_measured,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+        |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> len(t))) AS BIGINT) AS total_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(n_punct AS DOUBLE) / n_chars_measured AS punct_ratio,
+        |    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
+        |  FROM q)
+        |SELECT doc_id,
+        |  1.5 * stop_ratio - punct_ratio + 0.02 * mean_token_len AS q_score,
+        |  (1.5 * stop_ratio - punct_ratio + 0.02 * mean_token_len >= 0.2
+        |   AND n_tokens >= 5) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val scoreCols = TextOpsOracle.langScoreCols(
         "regexp_extract_all(lower(text), '[a-z0-9]+')")
@@ -1783,6 +1842,27 @@ object SparkEntry {
          |  COALESCE(n_triangles, 0) AS n_triangles
          |FROM nodes JOIN pe USING (component) LEFT JOIN tri USING (component)
          |ORDER BY component""".stripMargin,
+    // 3 unrolled fixed-point power steps (BIGINT ranks in 1e-15
+    // units): floor divisions + integer sums are order-independent,
+    // so the hash compare is exact with no float hand-shake
+    "dedup_pagerank" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |nv AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT u, 1000000000000000 // (SELECT n FROM nv) AS r FROM deg),
+         |${prStep("r0", "r1")},
+         |${prStep("r1", "r2")},
+         |${prStep("r2", "r3")}
+         |SELECT u AS doc_id, r AS pr_rank_e15,
+         |  CAST(r AS DOUBLE) / 1000000000000000.0 AS pr_rank
+         |FROM r3 ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

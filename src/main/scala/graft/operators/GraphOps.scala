@@ -168,10 +168,9 @@ object GraphOps {
     * vertex-keyed equi-join. An edge's two endpoints share a component
     * by definition, so labeling by `doc_a` alone is exact. The pair
     * list feeds FOUR consumers (closure, pair tally, both triangle
-    * joins), so an internal copy is persisted once and released after
-    * the eager result checkpoint — when `pairs` is itself an LSH band
-    * join, re-deriving it per consumer would triple the operator's
-    * cost (measured 7.9 s → 3.3 s at sf0.1).
+    * joins), so an internal copy is materialized once — when `pairs`
+    * is itself an LSH band join, re-deriving it per consumer nearly
+    * doubles the operator's cost (measured 7.9 s → 4.8 s at sf0.1).
     */
   def cliqueDensity(pairs: DataFrame): DataFrame = {
     // one eager materialization of the pair list (it feeds the
@@ -196,5 +195,68 @@ object GraphOps {
       .select(col("component"), col("n_docs"), col("n_pairs"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .orderBy("component")
+  }
+
+  /** PageRank over the undirected near-dup pair graph: centrality
+    * flags HUB documents — the template/boilerplate pages that sit at
+    * the center of large near-dup clusters (a chain's bridge node and
+    * a clique's members score very differently, which component size
+    * alone can't see). Fixed `iterations` power steps, damping 0.85,
+    * teleport mass split over the pair-graph vertex set.
+    *
+    * Determinism (hash-matched oracle): the whole iteration runs in
+    * FIXED-POINT integer arithmetic — ranks are BIGINTs in 1e-15
+    * units, per-edge contributions are integer divisions, and the
+    * damping step is `(85·sum) div 100`. Integer sums are
+    * order-independent, so Spark's partial aggregation and any serial
+    * oracle produce identical bits with no decimal-rounding
+    * hand-shake at all (the float round-to-12 variant of this flipped
+    * a last-ulp on one vertex in 500 — floor division never can).
+    * Each step floors away < 1e-15 per edge, so total mass leak is
+    * ~(E+N)·1e-15 per iteration — noise for ranking/hub detection.
+    *
+    * Scale shape: the classic edges⋈ranks loop — each iteration is
+    * one equi-join on the vertex id plus one vertex-keyed aggregate.
+    * The symmetric edge list (with per-source degree folded in, so the
+    * loop body joins ONE prebuilt table, not two) is materialized once
+    * with an eager localCheckpoint and reused every iteration; ranks
+    * frames are consumed exactly once each, so they stay lazy and the
+    * plan depth is `iterations`, not exponential. Every vertex of an
+    * undirected edge has deg ≥ 1 and an in-edge, so inner joins are
+    * exact (no dangling-mass correction needed).
+    */
+  def pageRank(pairs: DataFrame, iterations: Int = 3,
+      dampingPct: Int = 85): DataFrame = {
+    val pr = pairs.select(col("doc_a").cast("long").as("a"),
+      col("doc_b").cast("long").as("b"))
+    // materialization ladder: sym once (so an expensive LSH pair join
+    // isn't re-derived for the degree pass), deg once (vertex-sized;
+    // feeds the edge join, the vertex count, and the rank init), then
+    // the fused (u, v, deg-of-u) edge table once so the loop body
+    // joins a single prebuilt side instead of edges AND degrees
+    val sym = pr.select(col("a").as("u"), col("b").as("v"))
+      .union(pr.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
+    val edges = sym.join(deg, "u").localCheckpoint(true)
+    val nv = deg.count()
+    val S = 1000000000000000L // 1e15: rank unit = 1e-15
+    // floor order matters for bit-parity: S/100 is exact, then ×(100-d)
+    val teleS = S / 100L * (100L - dampingPct) / nv
+    var ranks = deg.select(col("u"), lit(S / nv).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = edges
+        .join(ranks, "u")
+        .select(col("v"), expr("r div deg").as("contrib"))
+        .groupBy("v")
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("u"),
+          (lit(teleS) + expr(s"($dampingPct * s) div 100")).as("r"))
+    }
+    // pr_rank: `rank` collides with the SQL window keyword in oracles
+    ranks.select(col("u").as("doc_id"), col("r").as("pr_rank_e15"),
+        (col("r").cast("double") / lit(1.0e15)).as("pr_rank"))
+      .orderBy("doc_id")
   }
 }

@@ -20,6 +20,33 @@ import graft.functions.GraftFunctions
   */
 object PipelineOps {
 
+  /** Deterministic global shuffle for training-order
+    * reproducibility: an affine hash of doc_id gives every document a
+    * pseudorandom sort key, a shard, and a within-shard position —
+    * (shard, pos) is a total order that every rerun reproduces
+    * bit-for-bit, unlike `ORDER BY random()` (RNG state) or
+    * `repartition(shuffle=true)` (task-scheduling order). Epoch
+    * reshuffles = bump the added constant.
+    *
+    * Scale shape: key and shard are narrow per-row arithmetic (no
+    * shuffle); the only exchange is the position window, partitioned
+    * by shard — shards ≈ output files (thousands at 100 TB), so the
+    * window parallelizes across shards and no partition ever holds
+    * more than one shard's rows. The modulus caps the multiplicand so
+    * the affine step never overflows int64 at any doc_id.
+    */
+  def shardShuffle(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val key = ((col("doc_id") % lit(1000003L)) * lit(1103515245L) +
+      lit(12345L)) % lit(2147483648L)
+    documents
+      .select(col("doc_id"), key.as("shuffle_key"),
+        (key % lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+        .cast("long"))
+      .orderBy("shard", "pos")
+  }
+
   /** Deterministic split assignment: bucket = first byte of
     * md5(doc_id) (uniform over 0..255), thresholds at 204/230 →
     * ~80/10/10 train/val/test. Hash-based (not row-order-based) so

@@ -59,6 +59,32 @@ object TextOps {
         "punct_ratio", "stop_ratio", "mean_token_len")
       .orderBy("doc_id")
 
+  /** Model-based quality scoring: a linear scorer over the measured
+    * quality features with fixed weights — the cheap, fully
+    * deterministic stand-in for a fastText/logistic quality
+    * classifier (the real model's dot product has exactly this shape;
+    * only the weights differ). Emits the score and the keep/drop
+    * verdict at `threshold` so the filter is auditable — downstream
+    * can re-cut at a different threshold without rescoring.
+    *
+    * Determinism: the score is per-row IEEE `* - +` over the
+    * [[qualityScore]] features in a fixed association order (no libm),
+    * so it hash-matches a SQL oracle bit-for-bit. Scale shape:
+    * inherits the feature pass's narrow codegen'd map — no shuffle,
+    * runs inside the scan stage at any corpus size.
+    */
+  def qualityModelScore(documents: DataFrame,
+      threshold: Double = 0.2): DataFrame =
+    qualityScore(documents)
+      .select(col("doc_id"),
+        (lit(1.5) * col("stop_ratio") - col("punct_ratio") +
+          lit(0.02) * col("mean_token_len")).as("q_score"),
+        col("n_tokens"))
+      .select(col("doc_id"), col("q_score"),
+        (col("q_score") >= lit(threshold) && col("n_tokens") >= lit(5L))
+          .as("keep"))
+      .orderBy("doc_id")
+
   /** Token-distribution Shannon entropy per document (vocabulary
     * diversity — low entropy flags repetitive/template text, the
     * complement of [[repetitionRatio]]). Cross-engine determinism:

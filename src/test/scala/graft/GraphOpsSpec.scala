@@ -30,6 +30,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("pageRank: 3 fixed-point power steps match a hand-run integer mirror") {
+    // path 1-2-3: the center vertex splits its rank, ends highest
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.pageRank(edges)
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, e15, pr) => u -> (e15, pr) }.toMap
+    // mirror: BIGINT ranks in 1e-15 units, floor division throughout
+    val S = 1000000000000000L
+    val nv = 3L
+    val tele = S / 100L * 15L / nv
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    var r = Map(1L -> S / nv, 2L -> S / nv, 3L -> S / nv)
+    for (_ <- 1 to 3) r = r.map { case (u, _) =>
+      u -> (tele + 85L * adj(u).map(v => r(v) / deg(v)).sum / 100L)
+    }
+    assert(got.keySet == r.keySet)
+    // exact integer equality — the whole point of the fixed-point form
+    got.foreach { case (u, (e15, pr)) =>
+      assert(e15 == r(u), s"u=$u got $e15 want ${r(u)}")
+      assert(pr == e15.toDouble / 1.0e15)
+    }
+    assert(got(2L)._1 > got(1L)._1 && got(1L)._1 == got(3L)._1)
+    // floor leak is bounded: total mass within 1e-9 of 1
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("connectedComponents: reliable checkpoint flag gives identical labels") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val edges = Seq(

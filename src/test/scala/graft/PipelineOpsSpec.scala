@@ -193,6 +193,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(PipelineOps.qualityQuantileFilter(docs, 0.0).count() == 5)
   }
 
+  test("shardShuffle: affine key, mod-8 shard, dense in-shard positions, rerun-stable") {
+    val many = (1L to 100L).map(i => (i, s"doc $i", "web"))
+      .toDF("doc_id", "text", "source")
+    def key(id: Long) = ((id % 1000003L) * 1103515245L + 12345L) % 2147483648L
+    val got = PipelineOps.shardShuffle(many)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 100)
+    assert(got.forall { case (id, k, sh, _) => k == key(id) && sh == k % 8 })
+    // positions are a dense 1..n ranking by (key, doc_id) inside each shard
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      assert(sorted.map(_._4).toSeq == (1L to rows.length).toSeq)
+    }
+    // physical layout doesn't change the assignment (the reproducibility claim)
+    val again = PipelineOps.shardShuffle(many.repartition(7))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("repeatUpsample: repeats < 1 drops the source, never emits [1, 0]") {
     val r = PipelineOps.repeatUpsample(docs, Map("books" -> 2, "web" -> 0))
       .as[(Long, String, Int)].collect().toSeq

@@ -76,6 +76,27 @@ class TextCurationSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0)), s"got $got")
   }
 
+  test("qualityModelScore: linear score over the measured features, thresholded keep") {
+    val docs = Seq(
+      (1L, "the cat and the dog of to a and the"), // stop-heavy: keep
+      (2L, "!!! ??? ***"),                         // punct-only: drop
+      (3L, "one two three")                        // too few tokens: drop
+    ).toDF("doc_id", "text")
+    // expected = the exact same IEEE chain applied to the feature rows
+    val want = TextOps.qualityScore(docs)
+      .select("doc_id", "n_tokens", "punct_ratio", "stop_ratio", "mean_token_len")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map { case (id, nt, p, s, m) =>
+        val score = 1.5 * s - p + 0.02 * m
+        (id, score, score >= 0.2 && nt >= 5L)
+      }.toSeq.sortBy(_._1)
+    val got = TextOps.qualityModelScore(docs)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("piiMask scrubs emails and long digit runs, counts them, keeps short numbers") {
     val docs = Seq(
       (1L, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
