@@ -266,6 +266,12 @@ object SparkEntry {
     // trained IVF path: 2 Lloyd iterations, deterministic init
     "sim_kmeans" -> ((s, d) =>
       SimilarityOps.kmeansAssign(t(s, d)("embeddings")).orderBy("vec_id")),
+    // per-label norm profile (embedding-drift check)
+    "sim_norm_stats" -> ((s, d) =>
+      SimilarityOps.normStats(t(s, d)("embeddings"))),
+    // symmetric int8 quantization, exploded for the scalar oracle
+    "sim_quantize_int8" -> ((s, d) =>
+      SimilarityOps.quantizeInt8(t(s, d)("embeddings"))),
     // REAL image decode (javax.imageio) for the image modality: stage
     // deterministic PNGs (dims derived from doc_id), ingest via the
     // binaryFile source, decode actual width/height from the bytes —
@@ -2026,6 +2032,36 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin
     },
     "sim_kmeans" -> KmeansOracle,
+    // norms are bit-exact per row (ordered double accumulation +
+    // correctly-rounded sqrt); the cross-row mean goes fixed-point
+    "sim_norm_stats" ->
+      """WITH nr AS (
+        |  SELECT label, sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm,
+        |  CAST(sum(CAST(floor(nrm * 1000000000000.0) AS BIGINT)) AS BIGINT)
+        |    // count(*) AS mean_norm_e12
+        |FROM nr GROUP BY label ORDER BY label""".stripMargin,
+    // floor(x + 0.5), never round(): floor of a bit-identical double
+    // is engine-independent; round()'s halfway convention is not
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+        |  FROM s),
+        |ex AS (
+        |  SELECT vec_id, scale, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM sc)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * scale + 0.5) AS INTEGER) AS code,
+        |  scale
+        |FROM ex ORDER BY vec_id, pos""".stripMargin,
     // image rows state what a CORRECT png decode must read back (the
     // staging rule: w = id%64+1, h = id%48+1, n_bytes = decoded w·h·3);
     // audio/video rows restate the byte-derived fake

@@ -359,4 +359,60 @@ object SimilarityOps {
     q.unpersist(blocking = false)
     out
   }
+
+  /** Per-label embedding-space profile: vector count and L2-norm
+    * min/max/mean — the drift check run before/after every re-embed
+    * (a collapsed encoder shows up as a norm distribution shift long
+    * before downstream metrics move).
+    *
+    * Determinism: per-row norms are bit-exact cross-engine (ordered
+    * double accumulation in [[graft.functions.VectorDot]], correctly-
+    * rounded sqrt), so min/max compare exactly; the MEAN crosses rows,
+    * so it uses the fixed-point discipline — `floor(norm·1e12)` (floor
+    * of a bit-identical double, never a rounding-convention call) and
+    * an integer sum, making the reduction order-free. Scale shape: one
+    * narrow map + one tiny aggregate keyed by label — no join, no
+    * per-pair work, flat at any corpus size.
+    */
+  def normStats(embeddings: DataFrame): DataFrame =
+    withNorm(embeddings.select(col("label"), col("embedding")),
+      "embedding", "nrm")
+      .select(col("label"), col("nrm"),
+        floor(col("nrm") * lit(1.0e12)).as("nrm_e12"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"),
+        sum(col("nrm_e12")).as("sum_e12"))
+      .select(col("label"), col("n_vecs"), col("min_norm"), col("max_norm"),
+        expr("sum_e12 div n_vecs").as("mean_norm_e12"))
+      .orderBy("label")
+
+  /** Symmetric int8 quantization of the embedding column — the
+    * standard 4× storage/bandwidth cut for ANN serving: per-vector
+    * scale = 127 / max|e_i|, code_i = ⌊e_i·scale + 0.5⌋ ∈ [−127, 127]
+    * (a zero vector gets scale 0 and all-zero codes). Emitted exploded
+    * as (vec_id, pos, code, scale) so the oracle compare is scalar.
+    *
+    * Determinism: `floor(x + 0.5)` instead of `round(x)` — floor of a
+    * bit-identical double is bit-identical everywhere, while round()'s
+    * half-way convention is engine-specific (BigDecimal HALF_UP vs
+    * scaled multiplication — the exact mismatch that broke the float
+    * PageRank). Scale shape: narrow per-row ops only; nothing
+    * shuffles. The array form for storage is the same kernel without
+    * the posexplode.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"),
+      array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        .as("amax"))
+      .withColumn("scale",
+        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("e").cast("double") * col("scale") + lit(0.5))
+          .cast("int").as("code"),
+        col("scale"))
+      .orderBy("vec_id", "pos")
 }

@@ -36,6 +36,34 @@ class SimilaritySpec extends SparkSpec {
     assert(k2 == Seq((0L, 0, 0, 1)))
   }
 
+  test("normStats: per-label count, exact min/max, fixed-point mean") {
+    val got = SimilarityOps.normStats(vecs)
+      .as[(Int, Long, Double, Double, Long)].collect().toSeq
+    val n01 = math.sqrt(0.9f.toDouble * 0.9f.toDouble +
+      0.1f.toDouble * 0.1f.toDouble) // norm of vecs 1 and 3
+    def e12(x: Double) = math.floor(x * 1.0e12).toLong
+    assert(got == Seq(
+      (0, 2L, math.min(1.0, n01), math.max(1.0, n01), (e12(1.0) + e12(n01)) / 2L),
+      (1, 2L, math.min(1.0, n01), math.max(1.0, n01), (e12(1.0) + e12(n01)) / 2L),
+      (2, 1L, 1.0, 1.0, e12(1.0))), s"got $got")
+  }
+
+  test("quantizeInt8: symmetric codes, zero vector gets scale 0") {
+    val qv = Seq(
+      (0L, Array(2.0f, -4.0f, 1.0f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0) // zero vector: scale 0, codes 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.quantizeInt8(qv)
+      .as[(Long, Int, Int, Double)].collect().toSeq
+    val s = 127.0 / 4.0
+    def q(x: Double) = math.floor(x * s + 0.5).toInt
+    assert(got == Seq(
+      (0L, 0, q(2.0), s), (0L, 1, q(-4.0), s), (0L, 2, q(1.0), s),
+      (1L, 0, 0, 0.0), (1L, 1, 0, 0.0), (1L, 2, 0, 0.0)), s"got $got")
+    // the extreme element hits exactly ±127
+    assert(got(1)._3 == -127)
+  }
+
   test("cosineNearDup finds only the tight pairs") {
     val pairs = SimilarityOps.cosineNearDup(vecs, 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
