@@ -346,6 +346,9 @@ object SparkEntry {
     // reproducible training-order shuffle (affine hash → shard + pos)
     "pipe_shuffle_shards" -> ((s, d) =>
       PipelineOps.shardShuffle(t(s, d)("documents"))),
+    // Morton-interleaved (user, time-of-day) layout key + file bucket
+    "pipe_zorder_layout" -> ((s, d) =>
+      PipelineOps.zorderEvents(t(s, d)("events"))),
     "pipe_chunk_tokens" -> ((s, d) =>
       PipelineOps.chunkTokens(t(s, d)("documents"), 50)
         .withColumn("chunk_id", col("chunk_id").cast("long"))),
@@ -1180,6 +1183,19 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
         |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
+    // same unrolled Morton generator as the Spark plan, with DuckDB's
+    // `//` integer division — integer arithmetic only, engine-exact
+    "pipe_zorder_layout" ->
+      s"""WITH d AS (
+         |  SELECT event_id, user_id % 256 AS du,
+         |    ((hour(ts) * 60 + minute(ts)) * 256) // 1440 AS dt
+         |  FROM events),
+         |z AS (
+         |  SELECT event_id, du, dt,
+         |    ${graft.operators.PipelineOps.zvalExprText("du", "dt", 8, "//")} AS zval
+         |  FROM d)
+         |SELECT event_id, du, dt, zval, zval // 1024 AS zfile
+         |FROM z ORDER BY zval, event_id""".stripMargin,
     "pipe_chunk_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

@@ -47,6 +47,43 @@ object PipelineOps {
       .orderBy("shard", "pos")
   }
 
+  /** Unrolled Morton (Z-order) interleave of two `bits`-bit integer
+    * columns as plain integer arithmetic — `(x div 2^i) % 2 · 2^pos`
+    * terms only, so ONE generator emits bit-identical semantics for
+    * both the Spark plan (`intDiv = "div"`) and a DuckDB oracle
+    * (`intDiv = "//"`); no engine-specific bit operators involved.
+    */
+  def zvalExprText(a: String, b: String, bits: Int, intDiv: String): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"(($a $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)}",
+        s"(($b $intDiv ${1L << i}) % 2) * ${1L << (2 * i)}")
+    }.mkString(" + ")
+
+  /** Z-order layout key for the events table: Morton-interleave the
+    * user bucket (user_id mod 256) with the time-of-day bucket
+    * (minute-of-day scaled to 0..255). Sorting by `zval` gives the
+    * multi-dimensional clustering a lakehouse `OPTIMIZE ZORDER BY
+    * (user_id, ts)` produces: a predicate on EITHER dimension touches
+    * only ~√(files) of a z-sorted layout, where a single-column sort
+    * prunes one dimension and scans everything for the other.
+    * `zfile` (zval div 1024 → 64 buckets) is the file assignment a
+    * writer would range-partition on.
+    *
+    * Scale shape: the key is narrow per-row integer arithmetic (no
+    * shuffle); the production write is `repartitionByRange(zval)` +
+    * sortWithinPartitions — one range exchange, the same cost as any
+    * sorted write. Determinism: integer ops only, engine-exact.
+    */
+  def zorderEvents(events: DataFrame, bits: Int = 8): DataFrame =
+    events
+      .select(col("event_id"),
+        (col("user_id") % lit(256L)).as("du"),
+        expr("((hour(ts) * 60 + minute(ts)) * 256) div 1440").as("dt"))
+      .select(col("event_id"), col("du"), col("dt"),
+        expr(zvalExprText("du", "dt", bits, "div")).as("zval"))
+      .withColumn("zfile", expr("zval div 1024"))
+      .orderBy("zval", "event_id")
+
   /** Deterministic split assignment: bucket = first byte of
     * md5(doc_id) (uniform over 0..255), thresholds at 204/230 →
     * ~80/10/10 train/val/test. Hash-based (not row-order-based) so

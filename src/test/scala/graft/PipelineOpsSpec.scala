@@ -212,6 +212,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("zorderEvents: Morton interleave of user and time-of-day buckets") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:29:00") // minute 29 → dt 5
+    val ev = Seq(
+      (1L, ts, 3L),          // du 3 (0b11), dt 5 (0b101)
+      (2L, ts, 259L),        // du 3 again (259 % 256)
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L) // du 0, dt 0
+    ).toDF("event_id", "ts", "user_id")
+    val got = PipelineOps.zorderEvents(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // interleave du bits to odd positions, dt bits to even:
+    // du=3 → 2+8, dt=5 → 1+16 ⇒ zval 27
+    assert(got == Seq(
+      (3L, 0L, 0L, 0L, 0L),
+      (1L, 3L, 5L, 27L, 0L),
+      (2L, 3L, 5L, 27L, 0L)), s"got $got")
+    // both engine spellings of the generator emit the same structure
+    val spark = PipelineOps.zvalExprText("a", "b", 2, "div")
+    val duck = PipelineOps.zvalExprText("a", "b", 2, "//")
+    assert(spark.replace(" div ", " // ") == duck)
+  }
+
   test("repeatUpsample: repeats < 1 drops the source, never emits [1, 0]") {
     val r = PipelineOps.repeatUpsample(docs, Map("books" -> 2, "web" -> 0))
       .as[(Long, String, Int)].collect().toSeq
