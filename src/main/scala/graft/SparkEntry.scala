@@ -272,6 +272,11 @@ object SparkEntry {
     // symmetric int8 quantization, exploded for the scalar oracle
     "sim_quantize_int8" -> ((s, d) =>
       SimilarityOps.quantizeInt8(t(s, d)("embeddings"))),
+    // quantized-domain ANN: cosine top-k over the int8 codes
+    "sim_int8_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.int8TopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+    }),
     // REAL image decode (javax.imageio) for the image modality: stage
     // deterministic PNGs (dims derived from doc_id), ingest via the
     // binaryFile source, decode actual width/height from the bytes —
@@ -2078,6 +2083,31 @@ object SparkEntry {
         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * scale + 0.5) AS INTEGER) AS code,
         |  scale
         |FROM ex ORDER BY vec_id, pos""".stripMargin,
+    // cosine over int8 codes: every dot/norm is exact integer
+    // arithmetic in doubles (≤ 127²·dim ≪ 2^53), so the ranking is
+    // bit-deterministic cross-engine
+    "sim_int8_topk" ->
+      s"""WITH a AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) *
+         |      (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END) + 0.5)) AS ec
+         |  FROM a),
+         |nz AS (
+         |  SELECT vec_id, ec FROM c
+         |  WHERE list_sum(list_transform(range(1, len(ec) + 1), i -> ec[i] * ec[i])) > 0),
+         |q AS (SELECT vec_id AS query_id, ec AS qc FROM nz WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${duckCosine("qc", "ec")} AS sim
+         |  FROM nz CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // image rows state what a CORRECT png decode must read back (the
     // staging rule: w = id%64+1, h = id%48+1, n_bytes = decoded w·h·3);
     // audio/video rows restate the byte-derived fake

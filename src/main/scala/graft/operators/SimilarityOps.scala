@@ -402,6 +402,46 @@ object SimilarityOps {
     * shuffles. The array form for storage is the same kernel without
     * the posexplode.
     */
+  /** Quantized-domain ANN: cosine top-k computed ENTIRELY over the
+    * [[quantizeInt8]] codes — the serving path the quantization
+    * exists for (4× less memory bandwidth per scan; the real win on a
+    * cluster is the working set fitting in cache). Codes are small
+    * integers carried in double arrays, so every dot product and
+    * squared norm is EXACT integer arithmetic (≤ 127²·dim ≪ 2⁵³):
+    * order-free, engine-exact, no float hand-shake — the ranking is
+    * bit-deterministic even though it flows through doubles.
+    * Zero-norm vectors (all-zero codes) are excluded on both sides.
+    *
+    * Plan family: same as [[bruteForceTopK]] — one broadcast join (no
+    * shuffle of the vector table), one query-keyed ranking window.
+    * Recall vs the float ranking is spec-checked on the real
+    * embeddings table.
+    */
+  def int8TopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame, vcol: String, out: String): DataFrame =
+      df.withColumn("amax",
+          array_max(transform(col(vcol), x => abs(x.cast("double")))))
+        .withColumn("qscale",
+          when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+        .withColumn(out, transform(col(vcol), x =>
+          floor(x.cast("double") * col("qscale") + lit(0.5)).cast("double")))
+        .drop(vcol, "amax", "qscale")
+    val q = quant(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")), "qe", "qc")
+      .withColumn("qn", vec_norm(col("qc"))).filter(col("qn") > 0)
+    val e = quant(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "ec")
+      .withColumn("en", vec_norm(col("ec"))).filter(col("en") > 0)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", vec_dot(col("qc"), col("ec")) / (col("qn") * col("en")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), col("embedding"),
       array_max(transform(col("embedding"), x => abs(x.cast("double"))))

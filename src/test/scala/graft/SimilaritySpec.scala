@@ -64,6 +64,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1)._3 == -127)
   }
 
+  test("int8TopK: quantized ranking matches float top-1 on the toy set, high recall on real (sf0.001)") {
+    // toy set: codes preserve the obvious nearest neighbor
+    val out = SimilarityOps.int8TopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.head == ((0L, 1L, 1)), s"got $out")
+    // real embeddings: int8 ADC recall@5 vs float brute force
+    val e = Tables(spark, sf0001, "embeddings")
+    val queries = e.filter($"vec_id" % 10 === 0)
+    val brute = SimilarityOps.bruteForceTopK(e, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q8 = SimilarityOps.int8TopK(e, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect q8).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall $recall too low")
+  }
+
   test("cosineNearDup finds only the tight pairs") {
     val pairs = SimilarityOps.cosineNearDup(vecs, 0.9)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
