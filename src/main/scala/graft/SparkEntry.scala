@@ -354,6 +354,9 @@ object SparkEntry {
     // Morton-interleaved (user, time-of-day) layout key + file bucket
     "pipe_zorder_layout" -> ((s, d) =>
       PipelineOps.zorderEvents(t(s, d)("events"))),
+    // quality-quartile curriculum phases (broadcast thresholds)
+    "pipe_curriculum" -> ((s, d) =>
+      PipelineOps.curriculumPhases(t(s, d)("documents"))),
     "pipe_chunk_tokens" -> ((s, d) =>
       PipelineOps.chunkTokens(t(s, d)("documents"), 50)
         .withColumn("chunk_id", col("chunk_id").cast("long"))),
@@ -1201,6 +1204,39 @@ object SparkEntry {
          |  FROM d)
          |SELECT event_id, du, dt, zval, zval // 1024 AS zfile
          |FROM z ORDER BY zval, event_id""".stripMargin,
+    // fixed-point score domain (floor(score*1e12) BIGINT) so quartile
+    // cuts are engine-exact; same feature CTE as text_quality_model
+    "pipe_curriculum" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(text) AS BIGINT) AS n_chars_measured,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+        |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> len(t))) AS BIGINT) AS total_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(n_punct AS DOUBLE) / n_chars_measured AS punct_ratio,
+        |    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
+        |  FROM q),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(floor((1.5 * stop_ratio - punct_ratio + 0.02 * mean_token_len)
+        |      * 1000000000000.0) AS BIGINT) AS score_e12
+        |  FROM f),
+        |th AS (
+        |  SELECT quantile_cont(score_e12, 0.75) AS q75,
+        |    quantile_cont(score_e12, 0.5) AS q50,
+        |    quantile_cont(score_e12, 0.25) AS q25
+        |  FROM s)
+        |SELECT doc_id, score_e12,
+        |  CASE WHEN score_e12 >= q75 THEN 1 WHEN score_e12 >= q50 THEN 2
+        |       WHEN score_e12 >= q25 THEN 3 ELSE 4 END AS phase
+        |FROM s CROSS JOIN th ORDER BY doc_id""".stripMargin,
     "pipe_chunk_tokens" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

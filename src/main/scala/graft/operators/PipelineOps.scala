@@ -84,6 +84,34 @@ object PipelineOps {
       .withColumn("zfile", expr("zval div 1024"))
       .orderBy("zval", "event_id")
 
+  /** Curriculum assignment: cut the corpus into quality quartiles
+    * (phase 1 = highest [[TextOps.qualityModelScore]] quartile) — the
+    * schedule curriculum-learning training loops consume easy-to-hard.
+    * NOT a global ntile window (single-partition at scale): the three
+    * quartile thresholds come from ONE aggregate, broadcast back, and
+    * the phase is a narrow per-row CASE — one tiny exchange total.
+    *
+    * Determinism: ranks never touch raw doubles — the sort domain is
+    * fixed-point `floor(score·1e12)` BIGINTs, and exact quartiles of
+    * integers at binary-fraction q (.25/.5/.75) interpolate
+    * IEEE-exactly in both engines.
+    */
+  def curriculumPhases(documents: DataFrame): DataFrame = {
+    val scored = TextOps.qualityModelScore(documents)
+      .select(col("doc_id"), floor(col("q_score") * lit(1.0e12)).as("score_e12"))
+    val th = scored.agg(
+      expr("percentile(score_e12, 0.75)").as("q75"),
+      expr("percentile(score_e12, 0.5)").as("q50"),
+      expr("percentile(score_e12, 0.25)").as("q25"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("score_e12"),
+        when(col("score_e12") >= col("q75"), lit(1))
+          .when(col("score_e12") >= col("q50"), lit(2))
+          .when(col("score_e12") >= col("q25"), lit(3))
+          .otherwise(lit(4)).as("phase"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic split assignment: bucket = first byte of
     * md5(doc_id) (uniform over 0..255), thresholds at 204/230 →
     * ~80/10/10 train/val/test. Hash-based (not row-order-based) so

@@ -212,6 +212,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("curriculumPhases: quality quartiles easy-to-hard, fixed-point domain") {
+    val cd = Seq(
+      (1L, "!!!"),          // punct-only → score −1.0 → hardest phase
+      (2L, "zz zz"),        // no stopwords → 0.04
+      (3L, "the cat sat"),  // 0.56
+      (4L, "the the the")   // 1.56 → best phase
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.curriculumPhases(cd)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.map(r => r._1 -> r._3) ==
+      Seq(1L -> 4, 2L -> 3, 3L -> 2, 4L -> 1), s"got $got")
+    // fixed-point floor of an exactly-representable score
+    assert(got.find(_._1 == 1L).get._2 == -1000000000000L)
+  }
+
   test("zorderEvents: Morton interleave of user and time-of-day buckets") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:29:00") // minute 29 → dt 5
     val ev = Seq(
