@@ -305,6 +305,17 @@ class PlansSpec extends SparkSpec {
       s"doc side hash-shuffled on term:\n${p.take(3000)}")
   }
 
+  test("curriculumPhases: quartile thresholds broadcast; no global window") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.PipelineOps.curriculumPhases(docs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Window"),
+      s"global ntile window would single-partition at scale:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"thresholds not broadcast:\n${p.take(3000)}")
+  }
+
   test("editDistancePairs: levenshtein runs inside one block equi-join") {
     val docs = Tables(spark, sf0001, "documents")
     val df = graft.operators.DedupOps.editDistancePairs(docs)
