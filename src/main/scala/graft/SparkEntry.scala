@@ -64,6 +64,12 @@ object SparkEntry {
     "s8_partitioned_roundtrip" -> ((s, d) => FileOps.partitionedRoundTrip(s,
       t(s, d)("events"), "/tmp/graft_layout_" + d.replaceAll("[^a-zA-Z0-9]", "_"),
       "2024-01-08", "2024-01-14")),
+    // two writer generations with different schemas, one merged read:
+    // gen-1 rows surface the added column as NULL (oracle predicts the
+    // merged result straight from the source table)
+    "s10_schema_evolution" -> ((s, d) => FileOps.schemaEvolutionRoundTrip(s,
+      t(s, d)("orders"),
+      "/tmp/graft_evolve_" + d.replaceAll("[^a-zA-Z0-9]", "_"))),
     // small-files compaction round trip: deliberately fragment the
     // events table (64 shards), compact to 4 right-sized files, read
     // back — oracle is the original content (count pinned in spec)
@@ -1429,6 +1435,13 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merged read predicted straight from the source: odd keys are
+    // generation 1 (no status column → NULL), even keys generation 2
+    "s10_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS gen
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "a8_profile" -> Seq("l_orderkey", "l_linenumber", "l_quantity",
       "l_returnflag", "l_shipdate").map { c =>
       s"""SELECT '$c' AS column_name, COUNT($c) AS n_notnull,

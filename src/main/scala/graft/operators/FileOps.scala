@@ -95,6 +95,31 @@ object FileOps {
     spark.read.parquet(outDir)
   }
 
+  /** Schema-evolution round trip — the contract every long-lived lake
+    * dataset relies on: writer generation 1 lands files WITHOUT a
+    * column, generation 2 adds it (gen=N as hive partition dirs, the
+    * usual backfill layout), and one merged read surfaces old rows
+    * with the new column as NULL (`mergeSchema`, DuckDB's
+    * union_by_name). 100 TB note: mergeSchema fans out a footer read
+    * per file at planning time — fine per backfill/audit read, but a
+    * hot path should pin the evolved schema explicitly
+    * (`spark.read.schema(evolved)`) and skip the merge pass; this
+    * operator is the audit read.
+    */
+  def schemaEvolutionRoundTrip(spark: SparkSession, orders: DataFrame,
+      dir: String): DataFrame = {
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(dir + "/gen=1")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(dir + "/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("gen").cast("int").as("gen"))
+      .orderBy("o_orderkey")
+  }
+
   /** Seed an embedded-Derby table for the catalog-scan demo; idempotent. */
   def seedDerbyCatalogDemo(url: String, tableName: String): Unit = {
     val conn = DriverManager.getConnection(url)

@@ -418,20 +418,30 @@ object SimilarityOps {
     * embeddings table.
     */
   def int8TopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // codes ride as array<float>: every int8 code is exact in float32
+    // and vec_dot widens to double before multiplying, so exactness is
+    // untouched while the stored index row is half the double-array
+    // size (the whole point of quantized serving is bytes moved)
     def quant(df: DataFrame, vcol: String, out: String): DataFrame =
       df.withColumn("amax",
           array_max(transform(col(vcol), x => abs(x.cast("double")))))
         .withColumn("qscale",
           when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
         .withColumn(out, transform(col(vcol), x =>
-          floor(x.cast("double") * col("qscale") + lit(0.5)).cast("double")))
+          floor(x.cast("double") * col("qscale") + lit(0.5)).cast("float")))
         .drop(vcol, "amax", "qscale")
+    // materialize codes BEFORE the join — the honest serving model:
+    // the quantized index is computed once and stored, not re-derived
+    // per query batch (and projection collapse can never re-inline
+    // the quantization lambdas into the per-pair join output).
     val q = quant(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe")), "qe", "qc")
       .withColumn("qn", vec_norm(col("qc"))).filter(col("qn") > 0)
+      .localCheckpoint(true)
     val e = quant(embeddings.select(col("vec_id"), col("embedding")),
       "embedding", "ec")
       .withColumn("en", vec_norm(col("ec"))).filter(col("en") > 0)
+      .localCheckpoint(true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("query_id"))

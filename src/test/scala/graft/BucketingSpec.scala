@@ -59,4 +59,20 @@ class BucketingSpec extends SparkSpec {
     assert(compacted.select("event_id").except(src.select("event_id")).isEmpty)
     assert(src.select("event_id").except(compacted.select("event_id")).isEmpty)
   }
+
+  test("schemaEvolutionRoundTrip: gen-1 rows surface the added column as NULL") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve_spec").toString
+    val orders = Tables(spark, sf0001, "orders")
+    val got = graft.operators.FileOps.schemaEvolutionRoundTrip(spark, orders, dir)
+    assert(got.count() == orders.count())
+    // every odd (gen-1) row has NULL status, every even row kept its value
+    assert(got.filter(col("gen") === 1 && col("o_orderstatus").isNotNull).isEmpty)
+    assert(got.filter(col("gen") === 2 && col("o_orderstatus").isNull).isEmpty)
+    // the merged values match the source for the evolved column
+    val evenSrc = orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus")
+    assert(got.filter(col("gen") === 2).select("o_orderkey", "o_orderstatus")
+      .except(evenSrc).isEmpty)
+  }
 }
