@@ -160,6 +160,8 @@ object SparkEntry {
     "c2_zero_delta" -> ((s, d) => zeroDeltaQuery(s, d)),
     // LLM-data-pipeline extension set (BASELINE.json north star)
     "text_tokens" -> ((s, d) => TextOps.tokenCount(t(s, d)("documents"))),
+    // BPE-ish pre-tokenizer piece count + ceil(len/4) subword estimate
+    "text_tokens_bpe" -> ((s, d) => TextOps.bpeTokenCount(t(s, d)("documents"))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(t(s, d)("documents"))),
     // linear model-based quality filter (classifier dot-product shape)
     "text_quality_model" -> ((s, d) =>
@@ -1605,6 +1607,18 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
         |  CASE WHEN n_tokens > 0 THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len
         |FROM q ORDER BY doc_id""".stripMargin,
+    // same regex in RE2: alternation/class-only pattern, leftmost-
+    // first semantics in both engines; '' escapes the quote, and
+    // DuckDB strings pass backslashes through unprocessed
+    "text_tokens_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${graft.operators.TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+         |  CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text,
+         |    '${graft.operators.TextOps.BpePattern.replace("'", "''")}'),
+         |    p -> (len(p) + 3) // 4)), 0) AS BIGINT) AS n_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // linear classifier dot product over the quality features — same
     // feature CTE as text_quality, then fixed weights in one IEEE
     // chain: ((1.5*stop - punct) + 0.02*mean_len), threshold 0.2

@@ -33,6 +33,37 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars_measured"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+    * space-prefixed letter/digit/punctuation runs, then whitespace
+    * runs. Alternation-and-class only (no lookahead), so Java regex
+    * (Spark) and RE2 (DuckDB) match identically — both engines use
+    * leftmost-first alternation semantics.
+    */
+  private[graft] val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** LLM-token estimation — the budget arithmetic every corpus plan
+    * starts from: whitespace token count, GPT-2-style pre-tokenizer
+    * piece count, and a subword estimate charging each piece
+    * ceil(len/4) tokens (the ~4-chars-per-BPE-token rule of thumb).
+    * The per-piece division is integer floor on both engines, so the
+    * estimate is engine-exact; the whole operator is a narrow
+    * codegen'd per-row map (regex + fold), zero shuffle.
+    */
+  def bpeTokenCount(documents: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        .cast("long").as("n_ws"),
+      size(pieces).cast("long").as("n_bpe"),
+      aggregate(pieces, lit(0L), (acc, p) =>
+        // (len+3)/4 is exact in double for any string length, and the
+        // long cast truncates the positive quotient = floor — matches
+        // the oracle's integer (len(p)+3)//4 bit-for-bit
+        acc + ((length(p) + lit(3)) / lit(4)).cast("long")).as("n_est"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length. Each ratio is a single double division — no
     * accumulation-order sensitivity.

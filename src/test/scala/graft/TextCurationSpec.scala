@@ -76,6 +76,19 @@ class TextCurationSpec extends SparkSpec {
       (3L, 2L, 0L, 0.0)), s"got $got")
   }
 
+  test("bpeTokenCount: GPT-2-ish pieces and ceil(len/4) subword estimate") {
+    val docs = Seq(
+      (1L, "we've got 42 cats!"),
+      (2L, "supercalifragilistic"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpeTokenCount(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1 pieces: [we]['ve][ got][ 42][ cats][!] → 6 pieces,
+    // estimates 1+1+1+1+2+1 = 7; \S+ sees 4 whitespace tokens
+    assert(got == Seq((1L, 4L, 6L, 7L), (2L, 1L, 1L, 5L), (3L, 0L, 0L, 0L)),
+      s"got $got")
+  }
+
   test("qualityModelScore: linear score over the measured features, thresholded keep") {
     val docs = Seq(
       (1L, "the cat and the dog of to a and the"), // stop-heavy: keep
