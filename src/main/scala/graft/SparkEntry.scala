@@ -117,6 +117,9 @@ object SparkEntry {
         .orderBy("column_name")
     }),
     "w8_ntile" -> ((s, d) => Relational.w8NtileStats(t(s, d)("orders"))),
+    // 5-row rolling median per event type over fixed-point cents
+    "w13_rolling_median" -> ((s, d) =>
+      Relational.w13RollingMedian(t(s, d)("events"))),
     // JSON properties column → typed field (codegen'd per-row parse)
     "t8_json_extract" -> ((s, d) => Relational.t8JsonExtract(t(s, d)("events"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
@@ -1482,6 +1485,18 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // fixed-point cents domain + exact q=0.5 interpolation over ints
+    // (IEEE-exact both engines); bounded ROWS frame, unique ordering
+    "w13_rolling_median" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, event_type, cents,
+        |  quantile_cont(cents, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |    AS med_cents
+        |FROM c ORDER BY event_type, event_id""".stripMargin,
     "a4_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,

@@ -504,6 +504,29 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Rolling median over a 5-row frame per event type — the
+    * robust-baseline smoother (medians shrug off the spikes that drag
+    * a rolling mean). Exact windowed percentile, not approx: the
+    * frame is tiny, so the per-row sort is O(5).
+    *
+    * Determinism: the value domain is fixed-point cents
+    * (`floor(value·100 + 0.5)` BIGINTs — floor of a bit-identical
+    * double, never round()), the frame is keyed by the unique
+    * event_id order, and exact median interpolation at q=0.5 over
+    * integers is IEEE-exact in both engines. Scale shape: one shuffle
+    * on event_type, then a bounded ROWS frame — no whole-partition
+    * buffering (contrast an unbounded RANGE frame).
+    */
+  def w13RollingMedian(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-4, 0)
+    events
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).as("cents"))
+      .withColumn("med_cents", expr("percentile(cents, 0.5)").over(w))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Driver-verifiable Bloom-filter check (the a6/a7/a9 error-bound
     * trick for Spark's native `bloom_filter_agg`): ONE fixed-size
     * filter of every user_id — the join-pruning primitive at 100 TB

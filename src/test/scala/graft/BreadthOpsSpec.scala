@@ -215,6 +215,25 @@ class BreadthOpsSpec extends SparkSpec {
     assert(m(("view", "2024-01-01 03:00:00")) == 0L)
   }
 
+  test("w13RollingMedian: 5-row frame medians in fixed-point cents") {
+    val ev = Seq(
+      (1L, "click", 1.00), (2L, "click", 3.00), (3L, "click", 2.00),
+      (4L, "click", 100.00), (5L, "click", 4.00), (6L, "click", 5.00),
+      (7L, "view", 10.00)).toDF("event_id", "event_type", "value")
+    val got = Relational.w13RollingMedian(ev)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val m = got.map(r => r._1 -> r._4).toMap
+    assert(m(1L) == 100.0)            // frame [100]
+    assert(m(2L) == 200.0)            // frame [100,300] → interpolated midpoint
+    assert(m(3L) == 200.0)            // [100,300,200] → 200
+    assert(m(4L) == 250.0)            // [100,300,200,10000] → mid(200,300)
+    assert(m(5L) == 300.0)            // [100,300,200,10000,400] → 300
+    assert(m(6L) == 400.0)            // spike exits influence: [300,200,10000,400,500]
+    assert(m(7L) == 1000.0)           // separate partition
+    // spike row 4 never drags the median the way a mean would
+    assert(got.filter(_._2 == "click").map(_._4).max == 400.0)
+  }
+
   test("a8ProfileColumns: one row per column with exact stats, nulls counted") {
     val df = Seq(
       (1L, Some("x"), Some(2.5)),
