@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -502,8 +502,8 @@ object SparkEntry {
         s.read.parquet(path).filter(col("event_id") % 7 === 0), dup)
     val rawSchema = s.read.parquet(path).schema
     withStreamShuffle(s) {
-      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw0 = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      val stream = raw0.withColumn("ts", normalizeEventsTs(raw0))
       val deduped = graft.streaming.StreamingSync
         .dedupWithinWatermark(stream, "ts", "3650 days", Seq("event_id"))
       runToMemorySink(s, deduped, "stream_dedup_sink", "append")
@@ -612,6 +612,28 @@ object SparkEntry {
     s.table(sink)
   }
 
+  /** `ts` normalization shared by every raw `events.parquet` reader
+    * (batch staging AND file-source streams): testdata generations have
+    * shipped `ts` as both TIMESTAMP(NANOS) — read as BIGINT nanos under
+    * `nanosAsLong` — and plain TIMESTAMP(MICROS). Either way the result
+    * is the same micros-precision TimestampType [[Tables]] serves.
+    */
+  private def normalizeEventsTs(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
+
+  /** A far-future (2100-01-01) `ts` literal in whatever physical type
+    * the staged events schema carries (BIGINT nanos or timestamp).
+    */
+  private def farFutureTs(dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => lit(4102444800000000000L)
+      case _ => lit("2100-01-01 00:00:00").cast(dt)
+    }
+
   /** Stage `events.parquet` as a streamed DIRECTORY (the file source
     * watches a directory for new files) and return the micro-batch
     * stream with ts truncated nanos→micros, shared by the streaming
@@ -629,8 +651,8 @@ object SparkEntry {
     if (!Files.exists(link))
       Files.createSymbolicLink(link, Paths.get(path))
     val rawSchema = s.read.parquet(path).schema
-    s.readStream.schema(rawSchema).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw0 = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+    raw0.withColumn("ts", normalizeEventsTs(raw0))
   }
 
   /** Real-decode multimodal metadata: image-typed docs render as real
@@ -754,8 +776,8 @@ object SparkEntry {
       val raw = s.read.parquet(path)
       val one = raw.limit(1)
         .withColumn("user_id", lit(-1L).cast(raw.schema("user_id").dataType))
-        // 2100-01-01 in nanos: decades past any real event
-        .withColumn("ts", lit(4102444800000000000L).cast(raw.schema("ts").dataType))
+        // 2100-01-01 (nanos or native ts): decades past any real event
+        .withColumn("ts", farFutureTs(raw.schema("ts").dataType))
       // multi-watermark queries (stream-stream joins) filter by
       // event_type BEFORE their watermark operators: each filtered
       // branch needs its own far-future row or its watermark never
@@ -771,10 +793,10 @@ object SparkEntry {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     }
     val rawSchema = s.read.parquet(path).schema
-    s.readStream.schema(rawSchema)
+    val raw0 = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1") // events batch, THEN sentinel batch
       .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw0.withColumn("ts", normalizeEventsTs(raw0))
   }
 
   /** Stream-stream LEFT OUTER join under the oracle gate: matched

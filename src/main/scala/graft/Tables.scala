@@ -15,14 +15,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark rejects by
-      // default ([PARQUET_TYPE_ILLEGAL]). Read nanos as long, truncate to
-      // micros (identical to DuckDB's nanos→micros conversion).
+      // events.parquet has shipped with two `ts` encodings across
+      // testdata generations: TIMESTAMP(NANOS) (which Spark rejects by
+      // default, [PARQUET_TYPE_ILLEGAL]) and plain TIMESTAMP(MICROS).
+      // Handle both: read nanos as long and truncate to micros
+      // (identical to DuckDB's nanos→micros conversion); cast a native
+      // timestamp to the same TimestampType the nanos path produces, so
+      // downstream `ts` semantics (UTC session, micros precision) are
+      // identical either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.LongType
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
