@@ -47,6 +47,7 @@ object SparkEntry {
     "w1_running_sum" -> ((s, d) => Relational.w1RunningSum(t(s, d)("events"))),
     "w2_rollup" -> ((s, d) => Relational.w2Rollup(t(s, d)("lineitem"))),
     "w3_topn_per_group" -> ((s, d) => Relational.w3TopNPerGroup(t(s, d)("orders"), 3)),
+    "w3_topn_agg" -> ((s, d) => Relational.w3TopNAgg(t(s, d)("orders"), 3)),
     "set1_symmetric_diff" -> ((s, d) => Relational.set1SymmetricDiff(t(s, d)("orders"))),
     "a5_distinct_count" -> ((s, d) => Relational.a5DistinctCount(t(s, d)("events"))),
     "w6_grouping_sets" -> ((s, d) => Relational.w6GroupingSets(t(s, d)("lineitem"))),
@@ -1391,6 +1392,12 @@ object SparkEntry {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "w3_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "w3_topn_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk

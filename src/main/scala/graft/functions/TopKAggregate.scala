@@ -1,0 +1,132 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k state: ≤ k (score, id) pairs kept in rank order
+  * (score desc, id asc — a deterministic total order, so ties can
+  * never make the result depend on partitioning or merge order).
+  */
+final class TopKState(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n: Int = 0
+
+  /** rank comparator: is (s, i) strictly better than slot `j`? */
+  @inline private def better(s: Double, i: Long, j: Int): Boolean =
+    s > scores(j) || (s == scores(j) && i < ids(j))
+
+  def insert(s: Double, i: Long): Unit = {
+    if (n == k && !better(s, i, n - 1)) return
+    // find insertion point (k is small — linear scan beats branchy
+    // binary search at these sizes and stays trivially correct)
+    var pos = if (n == k) n - 1 else n
+    while (pos > 0 && better(s, i, pos - 1)) pos -= 1
+    var j = math.min(n, k - 1)
+    while (j > pos) {
+      scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
+    }
+    scores(pos) = s; ids(pos) = i
+    if (n < k) n += 1
+  }
+}
+
+/** Exact top-k per group as a native `TypedImperativeAggregate` — the
+  * bounded-memory replacement for the `row_number() OVER (PARTITION BY
+  * … ORDER BY …) <= k` window at corpus scale. The window shape
+  * shuffles and sorts EVERY row on the group key; this aggregate
+  * map-side combines, so at most k (score, id) pairs per group per
+  * input partition ever cross the shuffle, and nothing is sorted but
+  * the k-slot insertion buffers. At 100 TB with a bounded group count
+  * that is the difference between an all-data exchange and a
+  * groups×k-row one.
+  *
+  * Deterministic: rank order is (score desc, id asc) — a total order,
+  * so the result is independent of partitioning and merge order.
+  * Emits `array<struct<score double, id bigint>>` in rank order;
+  * callers `posexplode` it back to rows (pos + 1 = rank).
+  *
+  * Reference surface: none (novel extension); the windowed twin is
+  * `Relational.w3TopNPerGroup`.
+  */
+case class TopKAgg(score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKState] {
+
+  require(k >= 1, "top_k_agg needs k >= 1")
+
+  override def children: Seq[Expression] = score :: id :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k_agg expects (double score, bigint id), got $other")
+    }
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(buf: TopKState, input: InternalRow): TopKState = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = {
+    var j = 0
+    while (j < b.n) { a.insert(b.scores(j), b.ids(j)); j += 1 }
+    a
+  }
+
+  override def eval(buf: TopKState): Any = {
+    val rows = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      rows(j) = InternalRow(buf.scores(j), buf.ids(j))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) { bb.putDouble(buf.scores(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new TopKState(k)
+    var j = 0
+    // stored in rank order, so re-inserting preserves it in O(n·1)
+    // appends (each new pair ranks after the previous)
+    while (j < n) { st.insert(bb.getDouble, bb.getLong); j += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "top_k_agg"
+}

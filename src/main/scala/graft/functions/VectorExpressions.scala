@@ -265,4 +265,13 @@ object GraftFunctions {
     ColumnShim.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ColumnShim.expression(bloom), ColumnShim.expression(value)))
+
+  /** exact bounded top-k per group (score desc, id asc) — the
+    * map-side-combining replacement for a `row_number` window; emits
+    * `array<struct<score,id>>` in rank order (see [[TopKAgg]]).
+    */
+  def top_k_agg(score: Column, id: Column, k: Int): Column =
+    ColumnShim.column(TopKAgg(
+      ColumnShim.expression(score), ColumnShim.expression(id), k)
+      .toAggregateExpression())
 }

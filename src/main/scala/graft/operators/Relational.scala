@@ -228,6 +228,26 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Top-n per group via the bounded [[graft.functions.TopKAgg]]
+    * aggregate — result-identical to [[w3TopNPerGroup]] but with the
+    * 100 TB plan shape: the window twin shuffles and sorts EVERY order
+    * row on o_custkey; this one map-side combines, so at most n
+    * (score, id) pairs per customer per input partition cross the
+    * exchange and no sort ever happens. `posexplode` rebuilds the
+    * ranked rows (pos + 1 = rank) after the aggregate.
+    */
+  def w3TopNAgg(orders: DataFrame, n: Int): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    orders
+      .groupBy("o_custkey")
+      .agg(top_k_agg(col("o_totalprice"), col("o_orderkey"), n).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).as("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   /** Gap-based sessionization: a new session starts when the user's
     * inter-event gap exceeds `gapMinutes`. Two windows over ONE
     * partitioning (user_id) — Catalyst reuses the single sort+shuffle

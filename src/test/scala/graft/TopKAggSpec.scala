@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.top_k_agg
+import graft.operators.Relational
+
+/** Bounded top-k-per-group aggregate: result identity with the
+  * windowed row_number twin, deterministic tie-breaks across
+  * partitionings, bounded output size, and the scale-defining plan
+  * property — a map-side-combining aggregate with NO window/sort of
+  * the input.
+  */
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scored(n: Int, groups: Int) =
+    (0 until n).map { i =>
+      (i.toLong % groups, i.toLong, (i * 37 % 101).toDouble)
+    }.toDF("g", "id", "score")
+
+  test("matches the row_number window result exactly, ties included") {
+    // score has heavy ties (mod 101) — the (score desc, id asc) total
+    // order must produce the identical ranked set either way
+    val df = scored(5000, 23).repartition(11)
+    val viaAgg = df.groupBy("g")
+      .agg(top_k_agg(col("score"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("col.id").as("id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rnk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select("g", "id", "score", "rnk")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty,
+      "aggregate and window top-k must be identical")
+  }
+
+  test("result is independent of input partitioning (merge path)") {
+    val base = scored(3000, 7)
+    val a = base.repartition(1).groupBy("g")
+      .agg(top_k_agg(col("score"), col("id"), 4).as("tk"))
+    val b = base.repartition(17).groupBy("g")
+      .agg(top_k_agg(col("score"), col("id"), 4).as("tk"))
+    assert(a.collect().sortBy(_.getLong(0)).toSeq ==
+      b.collect().sortBy(_.getLong(0)).toSeq,
+      "merge order must not change the ranked result")
+  }
+
+  test("groups smaller than k emit all their rows, in rank order") {
+    val df = Seq((1L, 10L, 3.0), (1L, 11L, 9.0), (2L, 20L, 1.0))
+      .toDF("g", "id", "score")
+    val out = df.groupBy("g")
+      .agg(top_k_agg(col("score"), col("id"), 5).as("tk"))
+      .select(col("g"), col("tk.id").as("ids")).as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(out(1L) == Seq(11L, 10L) && out(2L) == Seq(20L))
+  }
+
+  test("plan: partial aggregation, no window, no sort of the input") {
+    val plan = Relational.w3TopNAgg(
+      scored(100, 5).withColumnRenamed("g", "o_custkey")
+        .withColumnRenamed("id", "o_orderkey")
+        .withColumnRenamed("score", "o_totalprice"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_agg"),
+      s"map-side combine must be present:\n$plan")
+    assert(!plan.contains("Window"), s"no window exchange allowed:\n$plan")
+  }
+}
