@@ -89,6 +89,35 @@ object StreamingSync {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Spark's RocksDB state store provider — the at-scale backend for
+    * every stateful operator here. The default HDFS-backed provider
+    * keeps each partition's entire state map on the executor HEAP
+    * (fine for tests; an OOM at 100 TB where dedup/join state runs to
+    * hundreds of GB per executor); RocksDB spills state to local SSD
+    * with changelog checkpointing, so state size is bounded by disk,
+    * not heap. Provider choice is a pure config swap read at query
+    * start — plans, results, and checkpoints' logical content are
+    * identical (spec-pinned in `RocksDbStateSpec`).
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` (typically: start + drain a streaming query) with the
+    * RocksDB state store provider, restoring the previous provider
+    * after. Queries only read the conf at start, so the scope only
+    * matters for starts inside `body`.
+    */
+  def withRocksDbState[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Stream-stream inner join with event-time bounds — the streaming
     * enrichment primitive (attribute each purchase to the click that
     * preceded it within `maxLagSeconds`). Both sides carry a watermark
