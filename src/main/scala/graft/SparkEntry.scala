@@ -330,6 +330,7 @@ object SparkEntry {
     // state-evicting) under the oracle gate: a sentinel file closes
     // the watermark over every real session — see streamSessionEvictQuery
     "stream_session_evict" -> ((s, d) => streamSessionEvictQuery(s, d)),
+    "stream_topk" -> ((s, d) => streamTopKQuery(s, d)),
     // the NATIVE session_window twin, batch and streaming: built-in
     // beats custom state when the semantics fit (SURVEY §7.3 rule)
     "w9_session_window" -> ((s, d) => graft.streaming.StreamingSync
@@ -897,6 +898,25 @@ object SparkEntry {
         .orderBy("user_id", "session_start_ms")
     }
 
+  /** Streaming windowed heavy hitters under the sentinel harness: the
+    * bounded [[graft.functions.TopKAgg]] aggregate inside tumbling
+    * event-time windows, append mode — each window's ranked set emits
+    * exactly once when the watermark closes it, and window state
+    * (k pairs per (window, type) group, never the window's rows)
+    * evicts. The sentinel's far-future row lands in its own window,
+    * filtered by window_start; the oracle is the batch
+    * time_bucket + ROW_NUMBER restatement.
+    */
+  private def streamTopKQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      val stream = stagedSentinelEventsStream(s, d, "topk")
+      val out = graft.streaming.StreamingSync
+        .windowedTopK(stream, "1 hour", "1 hour", 3)
+      runToMemorySink(s, out, "stream_topk_sink", "append")
+        .filter(col("window_start") < lit("2099-01-01").cast("timestamp"))
+        .orderBy("window_start", "event_type", "rnk")
+    }
+
   /** The streaming windowed funnel under the sentinel harness: the
     * sentinel batch pushes the watermark past every real user's
     * anchor + horizon + lateness, so each user's funnel closes, emits
@@ -1356,6 +1376,15 @@ object SparkEntry {
     // sessionizer's state granularity); the sentinel user the Spark
     // side injects never emits and is filtered there, so the oracle
     // sees real users only
+    "stream_topk" ->
+      """SELECT window_start, event_type, event_id, value, rnk FROM (
+        |  SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS window_start,
+        |    event_type, event_id, value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY time_bucket(INTERVAL 60 MINUTE, ts), event_type
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY window_start, event_type, rnk""".stripMargin,
     "stream_session_evict" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms FROM events),

@@ -76,6 +76,30 @@ object StreamingSync {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming windowed heavy hitters: top-k (by max event value) per
+    * event type per tumbling window, via the bounded
+    * [[graft.functions.TopKAgg]] aggregate UNDER the watermark — the
+    * unbounded twin of `Relational.w3TopNAgg`. State per live window
+    * is k (score, id) pairs per group (not the window's rows), the
+    * partial-aggregate path combines map-side inside each micro-batch,
+    * and window state evicts once the watermark passes window end — so
+    * an unbounded stream holds horizon/window × groups × k pairs, ever.
+    * Append mode: each window's ranked set emits exactly once, closed.
+    */
+  def windowedTopK(events: DataFrame, windowLength: String,
+      watermarkDelay: String, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(top_k_agg(col("value"), col("event_id"), k).as("tk"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        posexplode(col("tk")))
+      .select(col("window_start"), col("event_type"),
+        col("col.id").as("event_id"), col("col.score").as("value"),
+        (col("pos") + 1).as("rnk"))
+  }
+
   /** Streaming exact dedup — the unbounded twin of the batch
     * `TextOps.dedupExact`: re-deliveries arriving within the watermark
     * horizon are dropped, and the dedup state is evicted once the

@@ -56,6 +56,36 @@ class TopKAggSpec extends SparkSpec {
     assert(out(1L) == Seq(11L, 10L) && out(2L) == Seq(20L))
   }
 
+  test("streaming windowedTopK: append emits each closed window once, ranked") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val out = graft.streaming.StreamingSync
+      .windowedTopK(events, "1 hour", "10 minutes", 2)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("topk_stream").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:05:00"), "click", 5.0),
+        (2L, ts("2024-01-01 00:10:00"), "click", 9.0),
+        (3L, ts("2024-01-01 00:15:00"), "click", 9.0), // tie → id asc
+        (4L, ts("2024-01-01 00:20:00"), "view", 1.0))
+      q.processAllAvailable()
+      // watermark passes 01:00 → the 00:00 window closes and emits
+      input.addData((9L, ts("2024-01-01 02:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("topk_stream")
+        .filter(col("window_start") === ts("2024-01-01 00:00:00"))
+        .select("event_type", "event_id", "rnk")
+        .as[(String, Long, Int)].collect().toSet
+      assert(rows == Set(("click", 2L, 1), ("click", 3L, 2), ("view", 4L, 1)),
+        s"closed-window ranked set wrong: $rows")
+    } finally q.stop()
+  }
+
   test("plan: partial aggregation, no window, no sort of the input") {
     val plan = Relational.w3TopNAgg(
       scored(100, 5).withColumnRenamed("g", "o_custkey")
