@@ -179,6 +179,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d)("documents"))),
     // token-distribution Shannon entropy (vocabulary diversity signal)
     "text_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d)("documents"))),
+    "text_normalize" -> ((s, d) => TextOps.normalizeUnicode(t(s, d)("documents"))),
     // perplexity proxy: occurrence share outside the top-20 corpus vocab
     "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
     "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
@@ -1652,6 +1653,11 @@ object SparkEntry {
          |FROM f GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     // per-term contribution is the identical IEEE expression rounded
     // to 12 decimals (absorbs JVM-vs-libm log ulp differences), then
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(substr(text, 1, 60) || 'e' || chr(769)) AS norm,
+        |  length(nfc_normalize(substr(text, 1, 60) || 'e' || chr(769))) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // decimal-summed — associative, hash-stable (see TextOps scaladoc)
     "text_entropy" ->
       s"""WITH $ToksCte,

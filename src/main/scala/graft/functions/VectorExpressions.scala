@@ -266,6 +266,12 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ColumnShim.expression(bloom), ColumnShim.expression(value)))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD), codegen'd with an
+    * ASCII fast path — see [[UnicodeNormalize]].
+    */
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    ColumnShim.column(UnicodeNormalize(ColumnShim.expression(text), form))
+
   /** exact bounded top-k per group (score desc, id asc) — the
     * map-side-combining replacement for a `row_number` window; emits
     * `array<struct<score,id>>` in rank order (see [[TopKAgg]]).

@@ -422,4 +422,22 @@ object TextOps {
         .as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Unicode NFC normalization over the corpus — the cleanup pass
+    * exact dedup depends on (composed vs decomposed text hashes to
+    * different fingerprints; see [[graft.functions.UnicodeNormalize]]).
+    * Pure per-row codegen'd map, zero shuffle at any scale; the ASCII
+    * fast path returns the input buffer untouched for the dominant
+    * case. The driver query appends a decomposed `e`+U+0301 to each
+    * text prefix so the oracle genuinely exercises composition (the
+    * same construction on the DuckDB side feeds `nfc_normalize`).
+    */
+  def normalizeUnicode(documents: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.unicode_normalize
+    val denorm = concat(substring(col("text"), 1, 60), lit("é"))
+    documents
+      .select(col("doc_id"), unicode_normalize(denorm, "NFC").as("norm"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+      .orderBy("doc_id")
+  }
 }
