@@ -12,7 +12,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val only = SparkEntry.onlySubset()
     val queries = only match {
-      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
     // One fatal driver/JVM event (stopped SparkContext, OOM) poisons
