@@ -55,6 +55,7 @@ object SparkEntry {
     "w5_cube" -> ((s, d) => Relational.w5Cube(t(s, d)("lineitem"))),
     "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
     "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
+    "a11_winsorize" -> ((s, d) => Relational.a11Winsorize(t(s, d)("lineitem"))),
     "j5_range_join" -> ((s, d) =>
       Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
     "j6_salted_skew_join" -> ((s, d) =>
@@ -1563,6 +1564,16 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a11_winsorize" ->
+      """WITH th AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.05) AS lo_v,
+        |    quantile_cont(l_quantity, 0.95) AS hi_v
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  greatest(least(l.l_quantity, th.hi_v), th.lo_v) AS qty_w
+        |FROM lineitem l JOIN th USING (l_returnflag)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     "j5_range_join" ->
       """WITH months AS (
         |  SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders)

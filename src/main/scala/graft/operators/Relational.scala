@@ -378,6 +378,31 @@ object Relational {
         expr("percentile(l_quantity, 0.95D)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** Per-group winsorization (outlier clipping at exact p05/p95): the
+    * feature-robustness primitive of a training pipeline — extreme
+    * values are clamped to per-group percentile thresholds instead of
+    * dropped. Plan shape: ONE group-count-sized threshold aggregate
+    * broadcast back onto the facts; the clip itself is a codegen'd
+    * per-row `greatest(least(...))` — the fact table is never
+    * shuffled. Exact `percentile` holds a per-group multiset (same
+    * cost class as [[a4Percentiles]]); at 100 TB swap the threshold
+    * aggregate for `approx_percentile` (profiler precedent) — the
+    * broadcast-clip shape is unchanged. Thresholds interpolate on an
+    * integer-valued column, so Spark's `percentile` and DuckDB's
+    * `quantile_cont` agree bit-exactly (lo + frac with identical IEEE
+    * products; see a4).
+    */
+  def a11Winsorize(lineitem: DataFrame,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val th = lineitem.groupBy("l_returnflag").agg(
+      expr(s"percentile(l_quantity, ${lo}D)").as("lo_v"),
+      expr(s"percentile(l_quantity, ${hi}D)").as("hi_v"))
+    lineitem.join(broadcast(th), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        greatest(least(col("l_quantity"), col("hi_v")), col("lo_v")).as("qty_w"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Range (interval-containment) join: month boundaries falling inside
     * each lineitem's [ship, ship+60d] window. The point set (distinct
     * month starts) is calendar-bounded, so the scalable plan is not a

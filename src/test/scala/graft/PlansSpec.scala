@@ -328,4 +328,15 @@ class PlansSpec extends SparkSpec {
       s"edit-distance join went unblocked:\n${p.take(3000)}")
     assert(p.contains("levenshtein"), s"no levenshtein in plan:\n${p.take(3000)}")
   }
+
+  test("a11Winsorize: thresholds broadcast onto facts; facts never hash-shuffle") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val df = Relational.a11Winsorize(li)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"clip must be a broadcast join of the tiny threshold table:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact table must not shuffle on the group key:\n${p.take(3000)}")
+  }
 }
