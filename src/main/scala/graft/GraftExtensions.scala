@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{CmsQuery, CmsSketch, VectorDot, WordShingles}
+import graft.functions.{CmsQuery, CmsSketch, TopKAgg, UnicodeNormalize, VectorDot, WordShingles}
+import org.apache.spark.sql.types.StringType
 import graft.plans.AsofJoinStrategy
 
 /** Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
@@ -71,6 +72,18 @@ object GraftExtensions {
         CmsQuery(sk, key, intLit(d, "depth"), intLit(w, "width"))
       case other => throw new IllegalArgumentException(
         s"cms_query(sketch, key[, depth, width]) — got ${other.size} arguments")
+    },
+    descriptor("unicode_normalize", classOf[UnicodeNormalize]) {
+      case Seq(text) => UnicodeNormalize(text, "NFC")
+      case Seq(text, Literal(f, StringType)) =>
+        UnicodeNormalize(text, f.toString)
+      case other => throw new IllegalArgumentException(
+        s"unicode_normalize(text[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — got $other")
+    },
+    descriptor("top_k_agg", classOf[TopKAgg]) {
+      case Seq(score, id, k) => TopKAgg(score, id, intLit(k, "k"))
+      case other => throw new IllegalArgumentException(
+        s"top_k_agg(score, id, k) — got ${other.size} arguments")
     })
 
   /** Runtime registration for sessions built without the extensions

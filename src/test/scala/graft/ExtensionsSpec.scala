@@ -42,6 +42,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(est >= 15L, s"cms must not undercount key '0' (exact 15), got $est")
   }
 
+  test("unicode_normalize / top_k_agg work from plain SQL") {
+    GraftExtensions.registerSql(spark)
+    // NB Spark's chr() is ASCII-mod-256 (unlike DuckDB's codepoint
+    // chr), so embed the combining mark directly in the literal
+    val n = spark.sql(
+      "SELECT unicode_normalize('é') AS n," +
+        " unicode_normalize('ﬁn', 'NFKC') AS nk").head()
+    assert(n.getString(0) == "é" && n.getString(1) == "fin")
+    spark.range(10)
+      .selectExpr("id % 2 AS g", "CAST(id AS DOUBLE) AS s", "id AS i")
+      .createOrReplaceTempView("ext_topk")
+    val tk = spark.sql(
+      """SELECT g, transform(top_k_agg(s, i, 2), x -> x.id) AS ids
+        |FROM ext_topk GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tk(0L) == Seq(8L, 6L) && tk(1L) == Seq(9L, 7L), s"got $tk")
+  }
+
   test("SQL vec_dot participates in whole-stage codegen over a real scan") {
     GraftExtensions.registerSql(spark)
     // (an all-literal call constant-folds to a LocalTableScan — also
