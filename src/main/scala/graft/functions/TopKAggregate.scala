@@ -18,9 +18,16 @@ final class TopKState(val k: Int) {
   val ids = new Array[Long](k)
   var n: Int = 0
 
-  /** rank comparator: is (s, i) strictly better than slot `j`? */
-  @inline private def better(s: Double, i: Long, j: Int): Boolean =
-    s > scores(j) || (s == scores(j) && i < ids(j))
+  /** rank comparator: is (s, i) strictly better than slot `j`?
+    * `Double.compare` (not raw `>`) keeps the order TOTAL — NaN ranks
+    * as the largest score like Spark's descending sort, instead of
+    * comparing false against everything and landing wherever the
+    * merge order happened to put it (a partitioning-dependent result).
+    */
+  @inline private def better(s: Double, i: Long, j: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(j))
+    c > 0 || (c == 0 && i < ids(j))
+  }
 
   def insert(s: Double, i: Long): Unit = {
     if (n == k && !better(s, i, n - 1)) return

@@ -46,6 +46,19 @@ class TopKAggSpec extends SparkSpec {
       "merge order must not change the ranked result")
   }
 
+  test("NaN scores rank first (Spark desc-sort semantics) and deterministically") {
+    val base = Seq(
+      (1L, 10L, 1.0), (1L, 11L, Double.NaN), (1L, 12L, 9.0),
+      (1L, 13L, Double.NaN), (1L, 14L, 5.0)).toDF("g", "id", "score")
+    val expect = Seq(11L, 13L, 12L) // NaN first (id asc among NaNs), then 9.0
+    Seq(1, 2, 5).foreach { parts =>
+      val got = base.repartition(parts).groupBy("g")
+        .agg(top_k_agg(col("score"), col("id"), 3).as("tk"))
+        .select(col("tk.id")).as[Seq[Long]].head()
+      assert(got == expect, s"parts=$parts: $got")
+    }
+  }
+
   test("groups smaller than k emit all their rows, in rank order") {
     val df = Seq((1L, 10L, 3.0), (1L, 11L, 9.0), (2L, 20L, 1.0))
       .toDF("g", "id", "score")
