@@ -163,6 +163,7 @@ object SparkEntry {
     "j4_dedup_lastwins" -> ((s, d) => dedupLastWinsQuery(s, d)),
     "c1_incremental_2step" -> ((s, d) => incremental2StepQuery(s, d)),
     "c2_zero_delta" -> ((s, d) => zeroDeltaQuery(s, d)),
+    "c10_drift_check" -> ((s, d) => driftCheckQuery(s, d)),
     // LLM-data-pipeline extension set (BASELINE.json north star)
     "text_tokens" -> ((s, d) => TextOps.tokenCount(t(s, d)("documents"))),
     // BPE-ish pre-tokenizer piece count + ceil(len/4) subword estimate
@@ -1001,6 +1002,30 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** CDC drift check between `orders` and a deterministically-perturbed
+    * "synced" copy: one chunk family gets a content change (+1.0 on
+    * totalprice), one loses rows (delete), one gains rows that the
+    * source never had (orderkey + 10M) — exercising all three drift
+    * statuses. Doubles are decimal-cast inside the hashed string so
+    * both engines render identical text (see MergeOps.chunkDigests).
+    */
+  private def driftCheckQuery(s: SparkSession, d: String): DataFrame = {
+    val src = t(s, d)("orders")
+    val tgt = src
+      // row-level deletes (count drift) + one WHOLE missing chunk (7)
+      .filter(!(col("o_orderkey") % 700 === 5) &&
+        !(expr("o_orderkey div 100") === 7))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 500 === 3, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(src.filter(col("o_orderkey") % 900 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val hashCols = Seq(col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(15,2)").cast("string"))
+    MergeOps.driftCheck(src, tgt, "o_orderkey", hashCols, 100L)
+  }
+
   private def zeroDeltaQuery(s: SparkSession, d: String): DataFrame =
     MergeOps.mergeIfNonEmpty(
         baseSnapshot(s, d),
@@ -1648,6 +1673,41 @@ object SparkEntry {
     "c2_zero_delta" ->
       s"""WITH $BaseCte
          |SELECT * FROM base ORDER BY o_orderkey""".stripMargin,
+    "c10_drift_check" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 500 = 3 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 700 <> 5 AND o_orderkey // 100 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 900 = 7),
+        |sd AS (
+        |  SELECT o_orderkey // 100 AS chunk,
+        |    SUM(CAST(('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || o_orderstatus || '|'
+        |      || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)), 1, 8))
+        |      AS BIGINT)) AS digest_src,
+        |    COUNT(*) AS n_src
+        |  FROM orders GROUP BY 1),
+        |td AS (
+        |  SELECT o_orderkey // 100 AS chunk,
+        |    SUM(CAST(('0x' || substr(md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |      || '|' || o_orderstatus || '|'
+        |      || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)), 1, 8))
+        |      AS BIGINT)) AS digest_tgt,
+        |    COUNT(*) AS n_tgt
+        |  FROM tgt GROUP BY 1)
+        |SELECT chunk, coalesce(n_src, 0) AS n_src, coalesce(n_tgt, 0) AS n_tgt,
+        |  CASE WHEN digest_src IS NULL THEN 'missing_in_source'
+        |       WHEN digest_tgt IS NULL THEN 'missing_in_target'
+        |       ELSE 'content_drift' END AS status
+        |FROM sd FULL OUTER JOIN td USING (chunk)
+        |WHERE digest_src IS NULL OR digest_tgt IS NULL
+        |   OR digest_src <> digest_tgt OR n_src <> n_tgt
+        |ORDER BY chunk""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,

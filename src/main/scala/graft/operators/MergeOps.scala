@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,4 +74,51 @@ object MergeOps {
   def mergeIfNonEmpty(base: DataFrame, delta: DataFrame, pk: String, ts: String,
       isDeleted: Option[String] = None): DataFrame =
     if (delta.isEmpty) base else merge(base, delta, pk, ts, isDeleted)
+
+  /** Per-chunk content digest: rows bucket into PK ranges of
+    * `chunkSize`, each row hashes to an md5-derived 32-bit value, and
+    * the chunk digest is the SUM of row hashes — order-free, so
+    * partial aggregation combines map-side and no sort ever happens.
+    * md5 over a `concat_ws('|', …)` of stringified columns keeps the
+    * digest engine-independent (the repo's cross-engine hash
+    * primitive); doubles must be decimal-cast by the caller so both
+    * engines render identical strings. Output is one tiny row per
+    * chunk regardless of table size.
+    */
+  def chunkDigests(df: DataFrame, keyCol: String, hashCols: Seq[Column],
+      chunkSize: Long): DataFrame =
+    df.select(expr(s"$keyCol div $chunkSize").as("chunk"),
+        conv(substring(md5(concat_ws("|", hashCols: _*)), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("chunk")
+      .agg(sum(col("h")).as("digest"), count(lit(1)).as("n_rows"))
+
+  /** Sync drift check — the CDC validation primitive (reference flow:
+    * continuous SF→PG replication with no built-in consistency proof;
+    * cf. `query_poll_table.py`'s idempotent-merge assumption). Compare
+    * [[chunkDigests]] of source and target and report only the chunks
+    * that disagree, classified as missing on one side vs content
+    * drift. At 100 TB each side is one full scan collapsing to
+    * #chunks rows before the join — the repair step then re-syncs
+    * ONLY the flagged PK ranges instead of the whole table.
+    */
+  def driftCheck(source: DataFrame, target: DataFrame, keyCol: String,
+      hashCols: Seq[Column], chunkSize: Long): DataFrame = {
+    val s = chunkDigests(source, keyCol, hashCols, chunkSize)
+      .withColumnRenamed("digest", "digest_src")
+      .withColumnRenamed("n_rows", "n_src")
+    val t = chunkDigests(target, keyCol, hashCols, chunkSize)
+      .withColumnRenamed("digest", "digest_tgt")
+      .withColumnRenamed("n_rows", "n_tgt")
+    s.join(t, Seq("chunk"), "full_outer")
+      .filter(col("digest_src").isNull || col("digest_tgt").isNull ||
+        col("digest_src") =!= col("digest_tgt") || col("n_src") =!= col("n_tgt"))
+      .select(col("chunk"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"),
+        when(col("digest_src").isNull, lit("missing_in_source"))
+          .when(col("digest_tgt").isNull, lit("missing_in_target"))
+          .otherwise(lit("content_drift")).as("status"))
+      .orderBy("chunk")
+  }
 }

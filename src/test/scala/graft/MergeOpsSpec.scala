@@ -122,4 +122,29 @@ class MergeOpsSpec extends SparkSpec {
     val oneshot = MergeOps.merge(base, d1.unionAll(d2), "pk", "modstamp")
     assert(sortedRows(stepwise) == sortedRows(oneshot))
   }
+
+  test("driftCheck classifies content drift, missing chunks, and clean chunks") {
+    import org.apache.spark.sql.functions.col
+    def rows(seq: Seq[(Long, String)]) = seq.toDF("pk", "payload")
+    // chunks of 10: chunk 0 clean, chunk 1 content-drifted, chunk 2
+    // only in source, chunk 3 only in target, chunk 4 row-count drift
+    val src = rows(Seq(1L -> "a", 2L -> "b", 11L -> "x", 21L -> "s", 41L -> "p", 42L -> "q"))
+    val tgt = rows(Seq(1L -> "a", 2L -> "b", 11L -> "CHANGED", 31L -> "t", 41L -> "p"))
+    val out = MergeOps.driftCheck(src, tgt, "pk", Seq(col("payload")), 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, "content_drift")),
+      2L -> ((1L, 0L, "missing_in_target")),
+      3L -> ((0L, 1L, "missing_in_source")),
+      4L -> ((2L, 1L, "content_drift"))), s"got $out")
+    // chunk 0 (identical on both sides) must NOT be reported
+    assert(!out.contains(0L))
+  }
+
+  test("identical tables produce an empty drift report (idempotent sync proof)") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("pk", "payload")
+    assert(MergeOps.driftCheck(df, df.repartition(7), "pk",
+      Seq(col("payload")), 10L).isEmpty)
+  }
 }
