@@ -306,6 +306,10 @@ object SparkEntry {
       val staging = "/tmp/graft_s4_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       FileOps.csvRoundTrip(s, t(s, d)("part"), staging).orderBy("p_partkey")
     }),
+    "s11_jsonl_roundtrip" -> ((s, d) => {
+      val staging = "/tmp/graft_s11_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      FileOps.jsonlRoundTrip(s, t(s, d)("documents"), staging).orderBy("doc_id")
+    }),
     // S5: JDBC catalog scan (embedded Derby stands in for PG's
     // information_schema; rows-only check — DuckDB cannot reach it)
     "s5_jdbc_catalog" -> ((s, _) => {
@@ -2353,6 +2357,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "s4_csv_roundtrip" ->
       "SELECT * FROM part ORDER BY p_partkey",
+    // round-trip identity: a lossless JSONL write+read must equal the
+    // source table byte for byte (multi-script text included)
+    "s11_jsonl_roundtrip" ->
+      "SELECT * FROM documents ORDER BY doc_id",
     "s9_compact_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -25,6 +25,19 @@ object FileOps {
       .csv(stagingDir)
   }
 
+  /** JSONL round trip — the corpus interchange format of LLM data
+    * pipelines (one JSON object per line; beyond the reference's CSV
+    * dialect). Write is one pass, no shuffle; read pins the schema
+    * explicitly (never inferred — inference would scan the data twice
+    * and type-drift on sparse fields at scale). Unicode survives
+    * verbatim: Spark writes raw UTF-8, not \\u escapes.
+    */
+  def jsonlRoundTrip(spark: SparkSession, df: DataFrame,
+      stagingDir: String): DataFrame = {
+    df.write.mode("overwrite").json(stagingDir)
+    spark.read.schema(df.schema).json(stagingDir)
+  }
+
   /** S5 — catalog scan over a JDBC database (the reference reads
     * `information_schema.columns`, `tabledesc.py:79-94`; embedded Derby
     * exposes the same shape via SYS.SYSCOLUMNS⋈SYSTABLES).
