@@ -310,6 +310,10 @@ object SparkEntry {
       val staging = "/tmp/graft_s11_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       FileOps.jsonlRoundTrip(s, t(s, d)("documents"), staging).orderBy("doc_id")
     }),
+    "s12_orc_roundtrip" -> ((s, d) => {
+      val staging = "/tmp/graft_s12_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      FileOps.orcRoundTrip(s, t(s, d)("supplier"), staging).orderBy("s_suppkey")
+    }),
     // S5: JDBC catalog scan (embedded Derby stands in for PG's
     // information_schema; rows-only check — DuckDB cannot reach it)
     "s5_jdbc_catalog" -> ((s, _) => {
@@ -2361,6 +2365,8 @@ object SparkEntry {
     // source table byte for byte (multi-script text included)
     "s11_jsonl_roundtrip" ->
       "SELECT * FROM documents ORDER BY doc_id",
+    "s12_orc_roundtrip" ->
+      "SELECT * FROM supplier ORDER BY s_suppkey",
     "s9_compact_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

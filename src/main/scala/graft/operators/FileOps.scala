@@ -38,6 +38,17 @@ object FileOps {
     spark.read.schema(df.schema).json(stagingDir)
   }
 
+  /** ORC round trip — the second columnar lake format Spark ships
+    * natively (warehouse interchange beyond parquet). Same
+    * schema-pinned read discipline; ORC carries its own schema, the
+    * pin guards against evolution drift between writer generations.
+    */
+  def orcRoundTrip(spark: SparkSession, df: DataFrame,
+      stagingDir: String): DataFrame = {
+    df.write.mode("overwrite").orc(stagingDir)
+    spark.read.schema(df.schema).orc(stagingDir)
+  }
+
   /** S5 — catalog scan over a JDBC database (the reference reads
     * `information_schema.columns`, `tabledesc.py:79-94`; embedded Derby
     * exposes the same shape via SYS.SYSCOLUMNS⋈SYSTABLES).
