@@ -62,6 +62,7 @@ object Cli {
         case "upload" => upload(opts, out)
         case "abort" => abort(opts, out)
         case "gc" => gc(opts, out)
+        case "explain" => explain(opts, out)
         case other => out(s"unknown verb '$other'\n$usage"); return 2
       }
       0
@@ -72,8 +73,26 @@ object Cli {
   }
 
   private val usage =
-    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|abort|gc> " +
+    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|abort|gc|explain> " +
       "[--config FILE] [--opt value ...]"
+
+  /** `explain --query NAME --sf-dir DIR [--mode formatted]` — print the
+    * physical plan of a registered driver query: the plan-audit loop
+    * ("explain and iterate") as a first-class verb, so a perf review
+    * needs no Scala. `--mode` accepts Spark's explain modes
+    * (simple|extended|codegen|cost|formatted).
+    */
+  private def explain(opts: Map[String, String], out: String => Unit): Unit = {
+    val name = required(opts, "query")
+    val sfDir = required(opts, "sf-dir")
+    val mode = opts.getOrElse("mode", "formatted")
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown query '$name' (${graft.SparkEntry.queries.size} registered)"))
+    val df = fn(spark, sfDir)
+    out(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode)))
+  }
 
   private def parseOpts(args: Seq[String]): Map[String, String] = {
     val it = args.iterator

@@ -238,4 +238,16 @@ class CliSpec extends SparkSpec {
     val (c2, out2) = runCli("query", "--object", "Account")
     assert(c2 == 2 && out2.exists(_.contains("--transport is required")))
   }
+
+  test("explain verb prints a formatted physical plan for a registered query") {
+    val (code, out) = runCli("explain", "--query", "q1_agg",
+      "--sf-dir", "/root/testdata/sf0.001")
+    assert(code == 0, s"explain failed: ${out.mkString("\n").take(500)}")
+    val text = out.mkString("\n")
+    assert(text.contains("Physical Plan") && text.contains("HashAggregate"),
+      s"not a formatted plan:\n${text.take(800)}")
+    val (c2, out2) = runCli("explain", "--query", "nope",
+      "--sf-dir", "/root/testdata/sf0.001")
+    assert(c2 == 2 && out2.exists(_.contains("unknown query")))
+  }
 }
