@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions.{top_k_agg, unicode_normalize}
+import graft.operators.{MergeOps, Relational}
+
+/** Empty-input behavior of the round-5 operators: a library must
+  * degrade to empty results, never throw, when a filter upstream
+  * leaves nothing — the shape every scheduled pipeline hits eventually.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noRows = Seq.empty[(Long, Long, Double)].toDF("g", "id", "score")
+
+  test("TopKAgg over zero rows yields zero groups; over an empty group set none") {
+    assert(noRows.groupBy("g")
+      .agg(top_k_agg(col("score"), col("id"), 3).as("tk")).isEmpty)
+    // global aggregation over zero rows: one row, empty ranked array
+    val row = noRows.agg(top_k_agg(col("score"), col("id"), 3).as("tk"))
+      .select(size(col("tk"))).head()
+    assert(row.getInt(0) == 0)
+  }
+
+  test("driftCheck of two empty tables is an empty report") {
+    val e = Seq.empty[(Long, String)].toDF("pk", "payload")
+    assert(MergeOps.driftCheck(e, e, "pk", Seq(col("payload")), 10L).isEmpty)
+  }
+
+  test("driftCheck against an empty target flags every source chunk missing") {
+    val src = Seq((1L, "a"), (11L, "b")).toDF("pk", "payload")
+    val e = Seq.empty[(Long, String)].toDF("pk", "payload")
+    val statuses = MergeOps.driftCheck(src, e, "pk", Seq(col("payload")), 10L)
+      .select("status").as[String].collect().toSet
+    assert(statuses == Set("missing_in_target"))
+  }
+
+  test("winsorize of an empty table is empty (null thresholds never clip)") {
+    val e = Seq.empty[(Long, Int, String, Double)]
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    assert(Relational.a11Winsorize(e).isEmpty)
+  }
+
+  test("unicode_normalize of empty and whitespace strings is identity") {
+    val out = Seq("", " ", "\t\n").toDF("s")
+      .select(unicode_normalize(col("s"), "NFKC").as("n"))
+      .as[String].collect().toSeq
+    assert(out == Seq("", " ", "\t\n"))
+  }
+}
