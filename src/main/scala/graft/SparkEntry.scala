@@ -56,6 +56,7 @@ object SparkEntry {
     "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
     "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
     "a11_winsorize" -> ((s, d) => Relational.a11Winsorize(t(s, d)("lineitem"))),
+    "w14_trailing_count" -> ((s, d) => Relational.w14TrailingCount(t(s, d)("events"))),
     "j5_range_join" -> ((s, d) =>
       Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
     "j6_salted_skew_join" -> ((s, d) =>
@@ -1597,6 +1598,12 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w14_trailing_count" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_trailing
+        |FROM events ORDER BY event_id""".stripMargin,
     "a11_winsorize" ->
       """WITH th AS (
         |  SELECT l_returnflag,

@@ -378,6 +378,28 @@ object Relational {
         expr("percentile(l_quantity, 0.95D)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** Trailing-interval event count — events per user in the sliding
+    * [ts − window, ts] interval, the burst-detection / rate-limit
+    * primitive of an event pipeline. A RANGE frame over event-time
+    * (not a ROWS frame: bursts are defined by TIME span, and tied
+    * timestamps must count all peers identically on every engine).
+    * Micro-precision epoch keys — second-truncation would disagree
+    * with the oracle's interval compare on sub-second gaps. ONE
+    * exchange on user_id at any scale; the frame scan is linear per
+    * partition (two pointers), never quadratic.
+    */
+  def w14TrailingCount(events: DataFrame,
+      windowSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    events
+      .withColumn("epoch_us", unix_micros(col("ts")))
+      .withColumn("n_trailing", count(lit(1)).over(w).cast("long"))
+      .select("event_id", "user_id", "n_trailing")
+      .orderBy("event_id")
+  }
+
   /** Per-group winsorization (outlier clipping at exact p05/p95): the
     * feature-robustness primitive of a training pipeline — extreme
     * values are clamped to per-group percentile thresholds instead of
