@@ -90,7 +90,24 @@ object Bench {
     val fj = failures.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"failures":$fj,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"failures":$fj,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the line to a file: the driver's stdout tail-capture
+    // truncates long lines (round 5 shipped an unparseable artifact),
+    // so the full record must live somewhere truncation can't reach.
+    // Path = first CLI arg, else $SPARK_GRAFT_BENCH_OUT, else
+    // BENCH_last.json in the working directory.
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH_last.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full JSON written to $outPath")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] WARN could not write $outPath: $e")
+    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -75,7 +75,12 @@ object GraftExtensions {
     },
     descriptor("unicode_normalize", classOf[UnicodeNormalize]) {
       case Seq(text) => UnicodeNormalize(text, "NFC")
-      case Seq(text, Literal(f, StringType)) =>
+      // f != null guards CAST(NULL AS STRING) literals (a null foldable
+      // would NPE in toString); an unknown form name falls through to
+      // the builder's clean IllegalArgumentException below instead of
+      // throwing from inside the case-class constructor mid-analysis
+      case Seq(text, Literal(f, StringType))
+          if f != null && Set("NFC", "NFD", "NFKC", "NFKD")(f.toString) =>
         UnicodeNormalize(text, f.toString)
       case other => throw new IllegalArgumentException(
         s"unicode_normalize(text[, 'NFC'|'NFD'|'NFKC'|'NFKD']) — got $other")

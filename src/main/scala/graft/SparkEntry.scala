@@ -1700,18 +1700,22 @@ object SparkEntry {
         |sd AS (
         |  SELECT o_orderkey // 100 AS chunk,
         |    SUM(CAST(('0x' || substr(md5(
-        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-        |      || '|' || o_orderstatus || '|'
-        |      || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)), 1, 8))
+        |      coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|'
+        |      || coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|'
+        |      || coalesce(o_orderstatus, chr(1)) || '|'
+        |      || coalesce(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+        |           chr(1))), 1, 8))
         |      AS BIGINT)) AS digest_src,
         |    COUNT(*) AS n_src
         |  FROM orders GROUP BY 1),
         |td AS (
         |  SELECT o_orderkey // 100 AS chunk,
         |    SUM(CAST(('0x' || substr(md5(
-        |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-        |      || '|' || o_orderstatus || '|'
-        |      || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)), 1, 8))
+        |      coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|'
+        |      || coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|'
+        |      || coalesce(o_orderstatus, chr(1)) || '|'
+        |      || coalesce(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+        |           chr(1))), 1, 8))
         |      AS BIGINT)) AS digest_tgt,
         |    COUNT(*) AS n_tgt
         |  FROM tgt GROUP BY 1)

@@ -82,16 +82,27 @@ object MergeOps {
     * md5 over a `concat_ws('|', …)` of stringified columns keeps the
     * digest engine-independent (the repo's cross-engine hash
     * primitive); doubles must be decimal-cast by the caller so both
-    * engines render identical strings. Output is one tiny row per
-    * chunk regardless of table size.
+    * engines render identical strings.
+    *
+    * NULL discipline: `concat_ws` SKIPS nulls on Spark — ('a', NULL,
+    * 'b') would collide with ('a', 'b', NULL), and a null-PROPAGATING
+    * oracle (`'||'` concatenation → NULL md5 dropped from the SUM)
+    * would diverge silently. Every hash column is therefore coalesced
+    * to a `\u0001` sentinel after stringification; a cross-engine
+    * oracle must mirror it as `coalesce(CAST(c AS VARCHAR), chr(1))`.
+    * Like the decimal-cast caveat, values containing a raw `\u0001`
+    * byte are out of contract. Output is one tiny row per chunk
+    * regardless of table size.
     */
   def chunkDigests(df: DataFrame, keyCol: String, hashCols: Seq[Column],
-      chunkSize: Long): DataFrame =
+      chunkSize: Long): DataFrame = {
+    val cols = hashCols.map(c => coalesce(c.cast("string"), lit("\u0001")))
     df.select(expr(s"$keyCol div $chunkSize").as("chunk"),
-        conv(substring(md5(concat_ws("|", hashCols: _*)), 1, 8), 16, 10)
+        conv(substring(md5(concat_ws("|", cols: _*)), 1, 8), 16, 10)
           .cast("long").as("h"))
       .groupBy("chunk")
       .agg(sum(col("h")).as("digest"), count(lit(1)).as("n_rows"))
+  }
 
   /** Sync drift check — the CDC validation primitive (reference flow:
     * continuous SF→PG replication with no built-in consistency proof;

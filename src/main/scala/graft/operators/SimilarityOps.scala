@@ -23,10 +23,35 @@ object SimilarityOps {
   private def withNorm(df: DataFrame, vecCol: String, normName: String): DataFrame =
     df.withColumn(normName, vec_norm(col(vecCol)))
 
+  /** Final per-query ranking of scored (query_id, vec_id, sim) pairs
+    * via the bounded [[graft.functions.TopKAgg]] aggregate — the
+    * 100 TB serving shape. The `row_number()` window this replaces
+    * shuffled and sorted EVERY scored pair on query_id (an N×Q
+    * exchange on the brute-force path); the aggregate map-side
+    * combines, so at most k (sim, vec_id) pairs per query per input
+    * partition cross the exchange and nothing is sorted but the k-slot
+    * insertion buffers. Rank order is identical to the window twin:
+    * sim desc, vec_id asc (TopKAgg's total order, NaN ranked largest
+    * exactly like Spark's descending sort); `posexplode` rebuilds the
+    * ranked rows (pos + 1 = rank).
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+      keepSim: Boolean = true): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val ranked = scored
+      .groupBy("query_id")
+      .agg(top_k_agg(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).as("rnk"), col("col.score").as("sim"))
+    (if (keepSim) ranked else ranked.drop("sim")).orderBy("query_id", "rnk")
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * every vector, rank per query. One broadcast join (no shuffle of
-    * the big side) + one window shuffle over query_id — at 1000
-    * executors the vector table stays partition-local.
+    * the big side) + the bounded [[rankTopK]] aggregate — at 1000
+    * executors the vector table stays partition-local and only
+    * queries×k pairs per partition ever cross an exchange.
     */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = withNorm(
@@ -36,39 +61,38 @@ object SimilarityOps {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim",
         vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        col("sim"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 
   /** Embedding-quality eval: does each query vector's own label agree
     * with the majority label of its k cosine-nearest neighbors? The
     * standard intrinsic probe for a trained embedding space (kNN
     * classification accuracy / label propagation). Same plan family as
-    * [[bruteForceTopK]] with the corpus label carried through the
-    * scored row — ONE broadcast join (no corpus shuffle), the
-    * query-keyed ranking window, then a k-row-per-query majority vote;
+    * [[bruteForceTopK]] — ONE broadcast join (no corpus shuffle), the
+    * bounded top-k aggregate, a broadcast label join-back, then a
+    * k-row-per-query majority vote;
     * vote ties break to the smallest label for determinism. At scale
     * the [[lshTopK]]/[[ivfTopK]] candidate generators replace the
     * broadcast all-pairs without touching the voting tail.
     */
   def knnLabelAgreement(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
     val q = withNorm(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("label").as("own_label")), "qe", "qn")
     val e = withNorm(embeddings.select(col("vec_id"), col("embedding"),
       col("label")), "embedding", "en")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    val topk = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    // bounded top-k per query (no N×Q window exchange — see
+    // [[rankTopK]]); neighbor labels rejoin via a broadcast of the
+    // queries×k neighbor list, so the corpus never shuffles at all
+    val neigh = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim",
         vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy("query_id", "own_label")
+      .agg(top_k_agg(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), col("own_label"),
+        explode(col("tk.id")).as("vec_id"))
+    val topk = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(neigh), "vec_id")
     val vote = Window.partitionBy(col("query_id"))
       .orderBy(col("cnt").desc, col("label"))
     topk.groupBy(col("query_id"), col("own_label"), col("label"))
@@ -162,13 +186,7 @@ object SimilarityOps {
         .withColumn("sim",
           vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
     }
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: partition the vector space into cells
@@ -214,13 +232,7 @@ object SimilarityOps {
     val scored = assign.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("sim"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 
   /** Embedding near-duplicate pairs via multi-table LSH: candidates
@@ -442,14 +454,9 @@ object SimilarityOps {
       "embedding", "ec")
       .withColumn("en", vec_norm(col("ec"))).filter(col("en") > 0)
       .localCheckpoint(true)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", vec_dot(col("qc"), col("ec")) / (col("qn") * col("en")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k, keepSim = false)
   }
 
   def quantizeInt8(embeddings: DataFrame): DataFrame =

@@ -60,6 +60,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(tk(0L) == Seq(8L, 6L) && tk(1L) == Seq(9L, 7L), s"got $tk")
   }
 
+  test("unicode_normalize SQL builder rejects NULL/bad form literals cleanly") {
+    GraftExtensions.registerSql(spark)
+    // a NULL form literal must surface as the builder's usage error,
+    // not an NPE from toString during analysis
+    for (bad <- Seq("CAST(NULL AS STRING)", "'NFZ'")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT unicode_normalize('x', $bad)").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalArgumentException] ||
+          c.getMessage != null && c.getMessage.contains("unicode_normalize")),
+        s"expected clean builder error for $bad, got $e")
+      assert(!causes(e).exists(_.isInstanceOf[NullPointerException]),
+        s"NPE leaked for $bad")
+    }
+  }
+
   test("SQL vec_dot participates in whole-stage codegen over a real scan") {
     GraftExtensions.registerSql(spark)
     // (an all-literal call constant-folds to a LocalTableScan — also

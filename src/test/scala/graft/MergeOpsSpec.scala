@@ -147,4 +147,23 @@ class MergeOpsSpec extends SparkSpec {
     assert(MergeOps.driftCheck(df, df.repartition(7), "pk",
       Seq(col("payload")), 10L).isEmpty)
   }
+
+  test("NULL hash columns digest via the sentinel: ('a',NULL,'b') != ('a','b',NULL)") {
+    import org.apache.spark.sql.functions.col
+    // concat_ws alone would SKIP the null and hash both rows to the
+    // same string; the sentinel coalesce keeps column positions distinct
+    val a = Seq((1L, Some("a"), None: Option[String], Some("b")))
+      .toDF("pk", "c1", "c2", "c3")
+    val b = Seq((1L, Some("a"), Some("b"), None: Option[String]))
+      .toDF("pk", "c1", "c2", "c3")
+    val cols = Seq(col("c1"), col("c2"), col("c3"))
+    val da = MergeOps.chunkDigests(a, "pk", cols, 10L).collect()(0).getLong(1)
+    val db = MergeOps.chunkDigests(b, "pk", cols, 10L).collect()(0).getLong(1)
+    assert(da != db, "null-position shift must change the digest")
+    // and an all-null row still digests (no NULL md5 dropped from SUM)
+    val n = Seq((1L, None: Option[String], None: Option[String], None: Option[String]))
+      .toDF("pk", "c1", "c2", "c3")
+    val dn = MergeOps.chunkDigests(n, "pk", cols, 10L).collect()(0)
+    assert(!dn.isNullAt(1) && dn.getLong(2) == 1L)
+  }
 }

@@ -353,4 +353,23 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"fact table must not shuffle on the group key:\n${p.take(3000)}")
   }
+
+  test("ANN serving rankers use bounded TopKAgg: partial agg, no Window") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)
+    val S = graft.operators.SimilarityOps
+    for ((nm, df) <- Seq(
+        "brute" -> S.bruteForceTopK(e, q, 5),
+        "int8" -> S.int8TopK(e, q, 5),
+        "lsh" -> S.lshTopK(e, q, 5))) {
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(p.contains("partial_top_k_agg"),
+        s"$nm: map-side top-k combine missing:\n${p.take(3000)}")
+      // the N×Q row_number() exchange+sort must never reappear on the
+      // serving path — ranking state is ≤ k pairs per query per partition
+      assert(!p.contains("Window"),
+        s"$nm: window exchange leaked back into the ranker:\n${p.take(3000)}")
+    }
+  }
 }

