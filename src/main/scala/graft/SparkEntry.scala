@@ -301,7 +301,9 @@ object SparkEntry {
     // fakes (no JDK codecs for them).
     "mm_decode_meta" -> ((s, d) => mmDecodeMetaQuery(s, d)),
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
-    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, t(s, d)("documents"))),
+    // real ISO-BMFF metadata parse over staged MP4 containers
+    "mm_video_meta" -> ((s, d) => stagedVideoMeta(s, d).orderBy("doc_id")),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(stagedVideoMeta(s, d))),
     // S4+K4+T2: staged CSV round trip in the reference dialect
     "s4_csv_roundtrip" -> ((s, d) => {
       val staging = "/tmp/graft_s4_" + d.replaceAll("[^a-zA-Z0-9]", "_")
@@ -669,25 +671,59 @@ object SparkEntry {
     raw0.withColumn("ts", normalizeEventsTs(raw0))
   }
 
-  /** Real-decode multimodal metadata: image-typed docs render as real
-    * PNGs once per sf dir (idempotent staging), come back through the
-    * `binaryFile` source, and decode with `javax.imageio`; audio/video
-    * rows keep the deterministic byte-derived fake. Union of both
-    * modal paths, one row per doc.
+  /** Real-decode multimodal metadata for ALL THREE modalities, one
+    * row per doc in the unified [[Multimodal.mediaMetaSchema]]:
+    * image-typed docs render as real PNGs and decode with
+    * `javax.imageio`; audio-typed docs render as real WAVs and decode
+    * with `javax.sound.sampled`; video-typed docs render as real
+    * ISO-BMFF MP4 containers and parse with the box walker. Every
+    * staging is idempotent per sf dir; every decode comes back
+    * through the `binaryFile` source. `n_bytes` is the
+    * decode-verifiable size per modality (image w·h·3, audio PCM
+    * frames·ch·2, video w·h·3·frames); width/height report 0 for
+    * audio (not applicable, kept non-null for the unified schema).
     */
   private def mmDecodeMetaQuery(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d)("documents")
-    // mtime-keyed: the rendered PNGs materialize doc_ids — regenerated
-    // documents must re-render, not reuse the stale image set
-    val dir = stagingTag(d, "png", "documents.parquet")
-    Multimodal.stagePngs(docs, dir)
+    // mtime-keyed: the rendered files materialize doc_ids — regenerated
+    // documents must re-render, not reuse a stale staging
+    val pngDir = stagingTag(d, "png", "documents.parquet")
+    Multimodal.stagePngs(docs, pngDir)
+    def staged(dir: String, ext: String): DataFrame =
+      s.read.format("binaryFile").load(dir)
+        .select(regexp_extract(col("path"), s"doc_(\\d+)\\.$ext$$", 1)
+          .cast("long").as("doc_id"), col("content"))
+    val images = Multimodal.decodeImageMeta(s, staged(pngDir, "png"))
+    val wavDir = stagingTag(d, "wav", "documents.parquet")
+    Multimodal.stageWavs(docs, wavDir)
+    val audio = Multimodal.decodeAudioMeta(s, staged(wavDir, "wav"))
+      .select(col("doc_id"), col("pcm_bytes").as("n_bytes"),
+        lit("audio").as("media_type"), lit(0).as("width"),
+        lit(0).as("height"), col("n_frames").cast("int").as("n_frames"))
+    val video = stagedVideoMeta(s, d)
+      .select(col("doc_id"),
+        (col("width").cast("long") * col("height") * 3L * col("n_frames"))
+          .as("n_bytes"),
+        lit("video").as("media_type"), col("width"), col("height"),
+        col("n_frames"))
+    images.unionByName(audio).unionByName(video).orderBy("doc_id")
+  }
+
+  /** Shared video staging + decode: video-typed docs render as real
+    * MP4 containers once per sf dir, come back through `binaryFile`,
+    * and parse with [[Multimodal.decodeVideoMeta]]'s ISO-BMFF box
+    * walker. The oracle predicts every field from the staging rule's
+    * doc_id arithmetic, so only a parser actually walking
+    * moov/trak/tkhd + mdhd + stts matches.
+    */
+  private def stagedVideoMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d)("documents")
+    val dir = stagingTag(d, "mp4", "documents.parquet")
+    Multimodal.stageMp4s(docs, dir)
     val staged = s.read.format("binaryFile").load(dir)
-      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
         .cast("long").as("doc_id"), col("content"))
-    val images = Multimodal.decodeImageMeta(s, staged)
-    val audioVideo = Multimodal.decodeMeta(s, docs)
-      .filter(col("media_type") =!= "image")
-    images.unionByName(audioVideo).orderBy("doc_id")
+    Multimodal.decodeVideoMeta(s, staged)
   }
 
   /** Real-decode audio metadata: audio-typed docs render as real WAVs
@@ -2343,22 +2379,39 @@ object SparkEntry {
     // image rows state what a CORRECT png decode must read back (the
     // staging rule: w = id%64+1, h = id%48+1, n_bytes = decoded w·h·3);
     // audio/video rows restate the byte-derived fake
+    // every field predicted from the per-modality staging rule's
+    // doc_id arithmetic — only REAL decoders of the staged containers
+    // (png dims, RIFF header, ISO-BMFF boxes) can match
     "mm_decode_meta" ->
-      """SELECT doc_id,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0
-        |    THEN CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) * 3 AS BIGINT)
-        |    ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
-        |  CASE CAST(octet_length(encode(text)) % 3 AS INT)
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) % 3 AS mod3 FROM documents)
+        |SELECT doc_id,
+        |  CASE mod3
+        |    WHEN 0 THEN CAST((doc_id % 64 + 1) * (doc_id % 48 + 1) * 3 AS BIGINT)
+        |    WHEN 1 THEN CAST((doc_id % 50 + 10) * (doc_id % 2 + 1) * 2 AS BIGINT)
+        |    ELSE CAST((doc_id % 128 + 16) * (doc_id % 96 + 16) * 3
+        |              * (doc_id % 24 + 1) AS BIGINT) END AS n_bytes,
+        |  CASE CAST(mod3 AS INT)
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0
-        |    THEN CAST(doc_id % 64 + 1 AS INT)
-        |    ELSE CAST(octet_length(encode(text)) % 640 AS INT) END AS width,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0
-        |    THEN CAST(doc_id % 48 + 1 AS INT)
-        |    ELSE CAST(octet_length(encode(text)) % 480 AS INT) END AS height,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 1
-        |    ELSE CAST(octet_length(encode(text)) % 24 + 1 AS INT) END AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CASE mod3 WHEN 0 THEN CAST(doc_id % 64 + 1 AS INT)
+        |    WHEN 1 THEN 0 ELSE CAST(doc_id % 128 + 16 AS INT) END AS width,
+        |  CASE mod3 WHEN 0 THEN CAST(doc_id % 48 + 1 AS INT)
+        |    WHEN 1 THEN 0 ELSE CAST(doc_id % 96 + 16 AS INT) END AS height,
+        |  CASE mod3 WHEN 0 THEN 1
+        |    WHEN 1 THEN CAST(doc_id % 50 + 10 AS INT)
+        |    ELSE CAST(doc_id % 24 + 1 AS INT) END AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // ISO-BMFF staging rule: w = id%128+16 (tkhd 16.16), h = id%96+16,
+    // frames = id%24+1 (summed over a SPLIT stts table), timescale
+    // 12800, duration = frames·512
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 128 + 16 AS INT) AS width,
+        |  CAST(doc_id % 96 + 16 AS INT) AS height,
+        |  CAST(doc_id % 24 + 1 AS INT) AS n_frames,
+        |  12800 AS timescale,
+        |  CAST((doc_id % 24 + 1) * 512 AS BIGINT) AS duration
+        |FROM documents WHERE octet_length(encode(text)) % 3 = 2
+        |ORDER BY doc_id""".stripMargin,
     // audio twin: header fields follow stageWavs' doc_id arithmetic
     // (rate = 8000 + id%3·4000, channels = id%2+1, frames = id%50+10,
     // pcm_bytes = frames·channels·2)
@@ -2390,9 +2443,11 @@ object SparkEntry {
         "ORDER BY ordinal_position"),
     "k2_bulk_load" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    // n_frames comes from the REAL stts parse of the staged MP4s,
+    // predicted here from the staging rule (id%24+1)
     "mm_frame_sample" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames
+        |  SELECT doc_id, CAST(doc_id % 24 + 1 AS INT) AS n_frames
         |  FROM documents WHERE octet_length(encode(text)) % 3 = 2)
         |SELECT doc_id, CAST(f AS INT) AS frame_idx,
         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_fp

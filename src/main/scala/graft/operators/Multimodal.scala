@@ -10,19 +10,21 @@ import org.apache.spark.sql.types._
   * (`mapPartitions`) — the ONE place imperative code is warranted,
   * because codec libraries are record-at-a-time.
   *
-  * IMAGE decode is REAL: the JDK ships PNG/JPEG codecs in
-  * `javax.imageio`, so [[decodeImageMeta]] reads actual pixel
-  * dimensions from the container bytes (ingested at scale via Spark's
-  * `binaryFile` source — one task streams many files, no shuffle).
-  * AUDIO decode is REAL too: `javax.sound.sampled` parses WAV/AIFF
-  * natively, so [[decodeAudioMeta]] reads actual sample rate /
-  * channels / frame count from the RIFF header. Only VIDEO decode
-  * remains a deterministic byte-derived fake ([[fakeDecode]]) — the
-  * JDK genuinely has no video codec and the container no external
-  * libs — so for that modality the Spark-side plumbing (binary
-  * schema, batched partition iteration, output schema,
-  * partition-preserving shape) is what's real and tested, not the
-  * codec.
+  * ALL three modalities decode for REAL from container bytes:
+  * - IMAGE: the JDK ships PNG/JPEG codecs in `javax.imageio`, so
+  *   [[decodeImageMeta]] reads actual pixel dimensions (ingested at
+  *   scale via Spark's `binaryFile` source — one task streams many
+  *   files, no shuffle).
+  * - AUDIO: `javax.sound.sampled` parses WAV/AIFF natively, so
+  *   [[decodeAudioMeta]] reads actual sample rate / channels / frame
+  *   count from the RIFF header.
+  * - VIDEO: the JDK has no video CODEC, but container METADATA needs
+  *   none — [[decodeVideoMeta]] walks the ISO-BMFF (MP4) box tree in
+  *   plain byte arithmetic: `moov/trak/tkhd` for the 16.16-fixed
+  *   width/height, `moov/trak/mdia/mdhd` for timescale/duration, and
+  *   `.../minf/stbl/stts` entry-sum for the frame count. True pixel
+  *   decode would require an external codec and stays out of scope;
+  *   everything header-readable is read for real.
   */
 object Multimodal {
 
@@ -34,39 +36,6 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
-
-  /** Pretend-decode: derives metadata from raw bytes only. Stands in
-    * for an image/audio codec; deterministic for oracle parity.
-    */
-  private[operators] def fakeDecode(id: Long, bytes: Array[Byte]): Row = {
-    val n = bytes.length.toLong
-    val mediaType = (n % 3) match {
-      case 0 => "image"
-      case 1 => "audio"
-      case _ => "video"
-    }
-    Row(id, n, mediaType, (n % 640).toInt, (n % 480).toInt, (n % 24 + 1).toInt)
-  }
-
-  /** Binary ingestion: text payload → binary column (stand-in for
-    * reading image bytes), then per-partition batched "decode" to typed
-    * metadata. Narrow map over partitions — no shuffle; at 100 TB the
-    * partition count follows the input splits and each task streams
-    * its records through the codec without materializing the partition.
-    */
-  def decodeMeta(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val bin = documents.select(col("doc_id"),
-      col("text").cast("binary").as("payload"))
-    val enc = Encoders.row(mediaMetaSchema)
-    // no presentation orderBy here: composed pipelines (frameSample)
-    // must not inherit a global sort mid-stream — callers that need
-    // order sort their final output
-    bin.mapPartitions { rows =>
-      rows.map { r =>
-        fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1))
-      }
-    }(enc)
-  }
 
   /** REAL image decode over (doc_id, content) binary rows: actual
     * width/height read from the container bytes with `javax.imageio`
@@ -93,8 +62,8 @@ object Multimodal {
   }
 
   /** Deterministic PNG staging for the image-decode harness: one REAL
-    * png per image-typed doc (UTF-8 byte length % 3 == 0, matching
-    * [[fakeDecode]]'s modality rule), dimensions derived from doc_id
+    * png per image-typed doc (UTF-8 byte length % 3 == 0, the
+    * modality rule), dimensions derived from doc_id
     * (w = id%64+1, h = id%48+1) so an oracle can predict what a correct
     * decoder must read back. Pixels are a deterministic gradient.
     * DRIVER-LOCAL render (principled collect of doc ids, bounded by
@@ -174,7 +143,7 @@ object Multimodal {
 
   /** Deterministic WAV staging for the audio-decode harness: one real
     * 16-bit PCM wav per audio-typed doc (UTF-8 byte length % 3 == 1,
-    * matching [[fakeDecode]]'s modality rule), header fields derived
+    * the modality rule), header fields derived
     * from doc_id (rate = 8000 + id%3·4000, channels = id%2+1, frames =
     * id%50+10) so an oracle can predict what a correct decoder must
     * read back. DRIVER-LOCAL render for the same reason as
@@ -212,19 +181,224 @@ object Multimodal {
     ()
   }
 
-  /** Frame-sample plumbing: one row per sampled "frame" (generator
-    * shape of a video pipeline) — flatMap expansion with bounded
-    * fan-out, no shuffle.
+  /** Schema of a decoded video record: ISO-BMFF header-readable
+    * quantities only — tkhd pixel dimensions, stts-summed frame
+    * count, mdhd timescale/duration. (`duration` is in media
+    * timescale units; seconds = duration / timescale.)
     */
-  def frameSample(spark: SparkSession, documents: DataFrame,
-      everyNth: Int = 7): DataFrame = {
-    val meta = decodeMeta(spark, documents)
-    meta.filter(col("media_type") === "video")
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("timescale", IntegerType),
+    StructField("duration", LongType)))
+
+  /** Parse ISO-BMFF (MP4) container metadata — pure byte arithmetic,
+    * no codec (ISO/IEC 14496-12 box structure): width/height from
+    * `moov/trak/tkhd` (16.16 fixed point), timescale/duration from
+    * `mdia/mdhd`, frame count as the SUM of `stbl/stts` entry sample
+    * counts. Handles 64-bit `largesize` headers and version-1
+    * tkhd/mdhd (64-bit times). Returns (width, height, nFrames,
+    * timescale, duration).
+    */
+  private[graft] def parseMp4Meta(bytes: Array[Byte]): (Int, Int, Int, Int, Long) = {
+    def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def be32(o: Int): Long = (be16(o).toLong << 16) | be16(o + 2)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    // first box named `name` in [start, end); returns payload bounds
+    def find(name: String, start: Int, end: Int): (Int, Int) = {
+      var off = start
+      while (off + 8 <= end) {
+        val size0 = be32(off)
+        val tp = new String(bytes, off + 4, 4, "US-ASCII")
+        val (hdr, size) =
+          if (size0 == 1L) (16, be64(off + 8))        // largesize
+          else if (size0 == 0L) (8, (end - off).toLong) // to end of file
+          else (8, size0)
+        if (size < hdr || off + size > end)
+          sys.error(s"corrupt '$tp' box: size $size at offset $off")
+        if (tp == name) return (off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+      sys.error(s"no '$name' box in [$start, $end)")
+    }
+    val (moovS, moovE) = find("moov", 0, bytes.length)
+    val (trakS, trakE) = find("trak", moovS, moovE)
+    val (tkS, _) = find("tkhd", trakS, trakE)
+    val whOff = tkS + (if ((bytes(tkS) & 0xff) == 1) 88 else 76)
+    val width = (be32(whOff) >> 16).toInt
+    val height = (be32(whOff + 4) >> 16).toInt
+    val (mdiaS, mdiaE) = find("mdia", trakS, trakE)
+    val (mdS, _) = find("mdhd", mdiaS, mdiaE)
+    val (timescale, duration) =
+      if ((bytes(mdS) & 0xff) == 1) (be32(mdS + 20).toInt, be64(mdS + 24))
+      else (be32(mdS + 12).toInt, be32(mdS + 16))
+    val (minfS, minfE) = find("minf", mdiaS, mdiaE)
+    val (stblS, stblE) = find("stbl", minfS, minfE)
+    val (stS, _) = find("stts", stblS, stblE)
+    val entries = be32(stS + 4).toInt
+    var frames = 0L
+    var i = 0
+    while (i < entries) { frames += be32(stS + 8 + i * 8); i += 1 }
+    (width, height, frames.toInt, timescale, duration)
+  }
+
+  /** REAL video container-metadata decode over (doc_id, content)
+    * binary rows via [[parseMp4Meta]]. Narrow mapPartitions, no
+    * shuffle — same 100 TB posture as [[decodeImageMeta]].
+    */
+  def decodeVideoMeta(spark: SparkSession, videos: DataFrame): DataFrame = {
+    val enc = Encoders.row(videoMetaSchema)
+    videos.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f, ts, dur) = parseMp4Meta(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), w, h, f, ts, dur)
+      }
+    }(enc)
+  }
+
+  /** Build one minimal-but-valid ISO-BMFF container for doc `id`:
+    * ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(vmhd,
+    * stbl(stsd[mp4v], stts, stsc, stsz, stco))))) + mdat. Staging
+    * rule (what a correct parser must read back): w = id%128+16,
+    * h = id%96+16, frames = id%24+1, timescale 12800, 512 ticks per
+    * frame (25 fps). The stts table is split into TWO runs whenever
+    * frames > 1, so a parser must sum entries, not echo the first
+    * count.
+    */
+  private[graft] def buildMp4(id: Long): Array[Byte] = {
+    val w = (id % 128 + 16).toInt
+    val h = (id % 96 + 16).toInt
+    val frames = (id % 24 + 1).toInt
+    val timescale = 12800
+    val delta = 512
+    def bytes(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n); f(bb)
+      require(bb.remaining() == 0, s"box payload underfilled ($n)")
+      bb.array()
+    }
+    def box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val n = 8 + parts.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(n)
+      bb.putInt(n).put(tp.getBytes("US-ASCII"))
+      parts.foreach(bb.put); bb.array()
+    }
+    def matrix(b: java.nio.ByteBuffer): Unit = { // unity transform
+      b.putInt(0x00010000).putInt(0).putInt(0)
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000); ()
+    }
+    val movieDur = frames.toLong * delta * 1000 / timescale // ms-scale mvhd
+    val ftyp = box("ftyp", bytes(12) { b =>
+      b.put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")); () })
+    val mvhd = box("mvhd", bytes(100) { b =>
+      b.putInt(0)                    // version 0 + flags
+      b.putInt(0).putInt(0)          // creation, modification (epoch 0: deterministic)
+      b.putInt(1000).putInt(movieDur.toInt)
+      b.putInt(0x00010000)           // rate 1.0
+      b.putShort(0x0100.toShort).putShort(0) // volume, reserved
+      b.putInt(0).putInt(0)          // reserved
+      matrix(b)
+      (0 until 6).foreach(_ => b.putInt(0)) // pre_defined
+      b.putInt(2); () })             // next_track_ID
+    val tkhd = box("tkhd", bytes(84) { b =>
+      b.putInt(0x00000007)           // v0; enabled | in_movie | in_preview
+      b.putInt(0).putInt(0).putInt(1).putInt(0) // times, track_ID, reserved
+      b.putInt(movieDur.toInt).putLong(0L)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      matrix(b)
+      b.putInt(w << 16).putInt(h << 16); () }) // 16.16 fixed
+    val mdhd = box("mdhd", bytes(24) { b =>
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(timescale).putInt(frames * delta)
+      b.putShort(0x55C4.toShort).putShort(0); () }) // language 'und'
+    val hdlr = box("hdlr", bytes(25) { b =>
+      b.putInt(0).putInt(0).put("vide".getBytes("US-ASCII"))
+      b.putInt(0).putInt(0).putInt(0).put(0.toByte); () })
+    val vmhd = box("vmhd", bytes(12) { b =>
+      b.putInt(1).putShort(0).putShort(0).putShort(0).putShort(0); () })
+    val stsd = box("stsd",
+      bytes(8) { b => b.putInt(0).putInt(1); () },
+      bytes(86) { b =>                       // minimal mp4v VisualSampleEntry
+        b.putInt(86).put("mp4v".getBytes("US-ASCII"))
+        b.putInt(0).putShort(0)              // reserved[6]
+        b.putShort(1)                        // data_reference_index
+        b.putShort(0).putShort(0)            // pre_defined, reserved
+        b.putInt(0).putInt(0).putInt(0)      // pre_defined[3]
+        b.putShort(w.toShort).putShort(h.toShort)
+        b.putInt(0x00480000).putInt(0x00480000) // 72 dpi
+        b.putInt(0).putShort(1)              // reserved, frame_count
+        b.put(new Array[Byte](32))           // compressorname
+        b.putShort(24).putShort(0xFFFF.toShort); () })
+    val stts =
+      if (frames > 1) box("stts", bytes(24) { b =>
+        b.putInt(0).putInt(2)
+        b.putInt(frames - 1).putInt(delta).putInt(1).putInt(delta); () })
+      else box("stts", bytes(16) { b =>
+        b.putInt(0).putInt(1).putInt(1).putInt(delta); () })
+    val stsc = box("stsc", bytes(20) { b =>
+      b.putInt(0).putInt(1).putInt(1).putInt(frames).putInt(1); () })
+    val stsz = box("stsz", bytes(12) { b =>
+      b.putInt(0).putInt(1).putInt(frames); () }) // every sample 1 byte
+    // one deterministic pseudo-payload byte per frame
+    val mdatPayload = Array.tabulate[Byte](frames)(i => ((id + i * 31) % 256 - 128).toByte)
+    // stco stores the ABSOLUTE file offset of the single chunk; every
+    // box size above is now known, stco itself is fixed 20 bytes
+    val stblInner = stsd.length + stts.length + stsc.length + stsz.length + 20
+    val mdiaInner = mdhd.length + hdlr.length + (8 + vmhd.length + 8 + stblInner)
+    val moovSize = 8 + mvhd.length + (8 + tkhd.length + 8 + mdiaInner)
+    val chunkOffset = ftyp.length + moovSize + 8
+    val stco = box("stco", bytes(12) { b =>
+      b.putInt(0).putInt(1).putInt(chunkOffset); () })
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", vmhd, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val mdat = box("mdat", mdatPayload)
+    require(moov.length == moovSize, s"moov size drift: ${moov.length} vs $moovSize")
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Deterministic MP4 staging for the video-metadata harness: one
+    * real ISO-BMFF container per video-typed doc (UTF-8 byte length
+    * % 3 == 2, the modality rule), header fields derived from doc_id
+    * ([[buildMp4]]'s staging rule) so an oracle can predict what a
+    * correct box parser must read back. DRIVER-LOCAL render for the
+    * same reason as [[stagePngs]]; idempotent per dir, `<dir>.tmp` +
+    * rename publish.
+    */
+  def stageMp4s(documents: DataFrame, dir: String): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
+    val tmp = new java.io.File(dir + ".tmp")
+    tmp.mkdirs()
+    val ids = documents
+      .select(col("doc_id"))
+      .filter(length(col("text").cast("binary")) % 3 === 2)
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      java.nio.file.Files.write(
+        new java.io.File(tmp, s"doc_$id.mp4").toPath, buildMp4(id))
+    }
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"stageMp4s: could not publish $tmp -> $published")
+    ()
+  }
+
+  /** Frame-sample plumbing: one row per sampled "frame" (generator
+    * shape of a video pipeline) from decoded video metadata
+    * ([[decodeVideoMeta]] output or anything with doc_id + n_frames)
+    * — flatMap expansion with bounded fan-out, no shuffle.
+    */
+  def frameSample(videoMeta: DataFrame, everyNth: Int = 7): DataFrame =
+    videoMeta
       .select(col("doc_id"), col("n_frames"),
         explode(expr(s"sequence(0, n_frames - 1, $everyNth)")).as("frame_idx"))
       .withColumn("frame_fp",
         md5(concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))
       .select("doc_id", "frame_idx", "frame_fp")
       .orderBy("doc_id", "frame_idx")
-  }
 }

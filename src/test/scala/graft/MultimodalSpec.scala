@@ -2,8 +2,9 @@ package graft
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: binary column schema, deterministic stub
-  * decode, frame-sample fan-out shape.
+/** Multimodal plumbing: binary column schema, real per-modality
+  * container decode (PNG / WAV / ISO-BMFF), frame-sample fan-out
+  * shape.
   */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -14,28 +15,96 @@ class MultimodalSpec extends SparkSpec {
     (2L, "abcdefgh", "en", "s", 8L)      // 8 bytes  -> video
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("decodeMeta output schema and deterministic values") {
-    val out = Multimodal.decodeMeta(spark, docs)
-    assert(out.schema == Multimodal.mediaMetaSchema)
-    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-      r.getInt(3), r.getInt(4), r.getInt(5))).toSeq
-    assert(rows == Seq(
-      (0L, 3L, "image", 3, 3, 4),
-      (1L, 4L, "audio", 4, 4, 5),
-      (2L, 8L, "video", 8, 8, 9)))
-  }
-
-  test("decodeMeta is stable across runs (no RNG, no wall clock)") {
-    val a = Multimodal.decodeMeta(spark, docs).collect().toSeq
-    val b = Multimodal.decodeMeta(spark, docs).collect().toSeq
-    assert(a == b)
-  }
-
-  test("frameSample expands only video rows with stride") {
-    val out = Multimodal.frameSample(spark, docs, everyNth = 4)
+  test("frameSample expands video metadata rows with stride") {
+    val meta = Seq((2L, 9), (5L, 3)).toDF("doc_id", "n_frames")
+    val out = Multimodal.frameSample(meta, everyNth = 4)
       .select("doc_id", "frame_idx").as[(Long, Int)].collect().toSeq
-    // only doc 2 is video; n_frames = 8 % 24 + 1 = 9 -> frames 0,4,8
-    assert(out == Seq((2L, 0), (2L, 4), (2L, 8)))
+    assert(out == Seq((2L, 0), (2L, 4), (2L, 8), (5L, 0)))
+  }
+
+  test("parseMp4Meta walks the real box tree (round trip of buildMp4)") {
+    // id 20: w = 20%128+16 = 36, h = 20%96+16 = 36, frames = 20%24+1 = 21
+    // (frames > 1 -> SPLIT stts: the parser must sum both runs)
+    val (w, h, f, ts, dur) = Multimodal.parseMp4Meta(Multimodal.buildMp4(20L))
+    assert((w, h, f, ts, dur) == (36, 36, 21, 12800, 21L * 512))
+    // id 23: frames = 23%24+1 = 24; id 47: frames = 47%24+1 = 24, w 63+16
+    val (w2, _, f2, _, _) = Multimodal.parseMp4Meta(Multimodal.buildMp4(47L))
+    assert(w2 == 47 % 128 + 16 && f2 == 24)
+  }
+
+  test("parseMp4Meta handles version-1 boxes and 64-bit largesize headers") {
+    // hand-assemble a container the WRITER never produces: moov with a
+    // largesize header, v1 tkhd (64-bit times), v1 mdhd — pinning the
+    // parser's spec coverage, not a writer round trip
+    def be(bb: java.nio.ByteBuffer): Array[Byte] = bb.array()
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(8 + 96)
+      b.putInt(8 + 96).put("tkhd".getBytes("US-ASCII"))
+      b.putInt(0x01000007)                  // VERSION 1 + flags
+      b.putLong(0L).putLong(0L)             // 64-bit creation/modification
+      b.putInt(1).putInt(0)                 // track_ID, reserved
+      b.putLong(100L)                       // 64-bit duration
+      b.putLong(0L)                         // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      (0 until 9).foreach(_ => b.putInt(0)) // matrix (content irrelevant)
+      b.putInt(320 << 16).putInt(240 << 16)
+      be(b)
+    }
+    val mdhd = {
+      val b = java.nio.ByteBuffer.allocate(8 + 36)
+      b.putInt(8 + 36).put("mdhd".getBytes("US-ASCII"))
+      b.putInt(0x01000000)                  // VERSION 1
+      b.putLong(0L).putLong(0L)
+      b.putInt(90000)                       // timescale
+      b.putLong(4500L)                      // 64-bit duration
+      b.putShort(0x55C4.toShort).putShort(0)
+      be(b)
+    }
+    val stts = {
+      val b = java.nio.ByteBuffer.allocate(8 + 24)
+      b.putInt(8 + 24).put("stts".getBytes("US-ASCII"))
+      b.putInt(0).putInt(2).putInt(40).putInt(100).putInt(5).putInt(100)
+      be(b)
+    }
+    def container(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val n = 8 + parts.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(n)
+      b.putInt(n).put(tp.getBytes("US-ASCII")); parts.foreach(b.put); be(b)
+    }
+    val stbl = container("stbl", stts)
+    val minf = container("minf", stbl)
+    val mdia = container("mdia", mdhd, minf)
+    val trak = container("trak", tkhd, mdia)
+    // moov with a 64-bit largesize header (size field == 1)
+    val inner = Array(trak).map(_.length).sum
+    val moovB = java.nio.ByteBuffer.allocate(16 + inner)
+    moovB.putInt(1).put("moov".getBytes("US-ASCII")).putLong(16L + inner).put(trak)
+    val bytes = be(moovB)
+    val (w, h, f, ts, dur) = Multimodal.parseMp4Meta(bytes)
+    assert((w, h, f, ts, dur) == (320, 240, 45, 90000, 4500L))
+  }
+
+  test("parseMp4Meta fails loudly on a missing moov (not a silent zero)") {
+    val junk = Array.fill[Byte](32)(7)
+    val e = intercept[Exception] { Multimodal.parseMp4Meta(junk) }
+    assert(e.getMessage != null)
+  }
+
+  test("stageMp4s + binaryFile round trip parses the staged boxes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mp4_spec")
+      .resolve("staged").toString
+    Multimodal.stageMp4s(docs, dir) // only doc 2 is video-typed (8 % 3 == 2)
+    val staged = spark.read.format("binaryFile").load(dir)
+      .selectExpr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.mp4$', 1) AS LONG) AS doc_id",
+        "content")
+    val out = Multimodal.decodeVideoMeta(spark, staged)
+    assert(out.schema == Multimodal.videoMetaSchema)
+    // staging rule for id 2: w = 18, h = 18, frames = 3, ts 12800
+    assert(out.as[(Long, Int, Int, Int, Int, Long)].collect().toSeq ==
+      Seq((2L, 18, 18, 3, 12800, 3L * 512)))
+    // idempotent: second call is a no-op, not a re-render
+    Multimodal.stageMp4s(docs, dir)
+    assert(spark.read.format("binaryFile").load(dir).count() == 1)
   }
 
   test("decodeImageMeta reads REAL dimensions from png bytes (javax.imageio)") {
