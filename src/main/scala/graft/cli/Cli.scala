@@ -26,7 +26,8 @@ import graft.types.{SfField, SfSchema}
   *                         --dest tbl --pk Id --ts-col SystemModstamp
   *                         [--deleted-col IsDeleted]
   * graft.cli.Cli upload    --transport t --object Contact --csv FILE
-  *                         [--operation update]
+  *                         [--operation insert|update|upsert|delete|hardDelete]
+  *                         [--external-id Field]   (upsert only)
   * }}}
   *
   * Transports are resolved by registry name (SfTransports /
@@ -273,7 +274,8 @@ object Cli {
     val df = spark.read.option("header", "true").csv(csv)
     val (jobId, results) = BulkUpload.uploadWithResults(df,
       required(opts, "object"), required(opts, "transport"),
-      opts.getOrElse("operation", "update"))
+      opts.getOrElse("operation", "update"),
+      externalIdField = opts.get("external-id"))
     val failed = results.filter(!col("success")).collect()
     out(s"job $jobId: ${results.count()} records, ${failed.length} failed")
     failed.foreach(r => out(s"FAILED ${r.getAs[String]("id")}: " +

@@ -81,9 +81,37 @@ object BulkUpload {
     }
   }
 
+  /** The reverse-path job types the reference's vendored client can
+    * create (`salesforce_bulk.py:157-208`: create_insert_job /
+    * create_upsert_job(external_id_name) / create_update_job /
+    * create_delete_job + hardDelete). pgsf itself only ever uses
+    * `update`; a real reverse-ETL user hits `upsert` almost
+    * immediately, so the engine speaks all of them.
+    */
+  val Operations: Set[String] =
+    Set("insert", "update", "upsert", "delete", "hardDelete")
+
+  /** Upsert needs the external-id field; nothing else may carry one
+    * (`salesforce_bulk.py:174-183` — external_id_name is the upsert
+    * job's required extra; the job XML of other operations has no
+    * externalIdFieldName element).
+    */
+  private[reverse] def validateOperation(operation: String,
+      externalIdField: Option[String]): Unit = {
+    require(Operations(operation),
+      s"unsupported bulk operation '$operation' (one of ${Operations.toSeq.sorted.mkString("/")})")
+    if (operation == "upsert")
+      require(externalIdField.exists(_.nonEmpty),
+        "upsert requires externalIdField (the Salesforce external-id field name)")
+    else
+      require(externalIdField.isEmpty,
+        s"externalIdField is only valid for upsert, not '$operation'")
+  }
+
   /** Upload-side wire seam (`salesforce_bulk` job/batch lifecycle). */
   trait UploadTransport extends Serializable {
-    def createJob(objectName: String, operation: String): String
+    def createJob(objectName: String, operation: String,
+        externalIdField: Option[String] = None): String
     def postBatch(jobId: String, chunkCsv: String): String
     /** Poll until the batch completes (`wait_for_batch`, 600 s/10 s,
       * retrying connection errors — `upload_table.py:89-96`).
@@ -104,9 +132,11 @@ object BulkUpload {
   def upload(df: DataFrame, objectName: String, transportName: String,
       operation: String = "update",
       maxBytes: Int = DefaultMaxBytes,
-      maxRecords: Int = DefaultMaxRecords): String = {
+      maxRecords: Int = DefaultMaxRecords,
+      externalIdField: Option[String] = None): String = {
+    validateOperation(operation, externalIdField)
     val transport = UploadTransports.get(transportName)
-    val jobId = transport.createJob(objectName, operation)
+    val jobId = transport.createJob(objectName, operation, externalIdField)
     val hdr = header(df.schema)
     df.foreachPartition { rows: Iterator[Row] =>
       val t = UploadTransports.get(transportName)
@@ -141,10 +171,12 @@ object BulkUpload {
   def uploadWithResults(df: DataFrame, objectName: String,
       transportName: String, operation: String = "update",
       maxBytes: Int = DefaultMaxBytes,
-      maxRecords: Int = DefaultMaxRecords): (String, DataFrame) = {
+      maxRecords: Int = DefaultMaxRecords,
+      externalIdField: Option[String] = None): (String, DataFrame) = {
+    validateOperation(operation, externalIdField)
     val spark = df.sparkSession
     val transport = UploadTransports.get(transportName)
-    val jobId = transport.createJob(objectName, operation)
+    val jobId = transport.createJob(objectName, operation, externalIdField)
     val hdr = header(df.schema)
     import spark.implicits._
     val acc = spark.sparkContext.collectionAccumulator[
@@ -201,8 +233,13 @@ final class MockUploadTransport(failEvery: Int = 0)
   val batches = TrieMap.empty[String, String]   // batchId -> chunk csv
   @volatile var closedJobs: List[String] = Nil
 
-  override def createJob(objectName: String, operation: String): String =
+  @volatile var lastExternalIdField: Option[String] = None
+
+  override def createJob(objectName: String, operation: String,
+      externalIdField: Option[String] = None): String = {
+    lastExternalIdField = externalIdField
     s"job-$objectName-$operation-${jobCounter.incrementAndGet()}"
+  }
   override def postBatch(jobId: String, chunkCsv: String): String = {
     val id = s"$jobId/batch-${batchCounter.incrementAndGet()}"
     batches.put(id, chunkCsv)

@@ -447,8 +447,10 @@ final class HttpSfTransport(
 
   // ---- UploadTransport (reverse ETL, K5) ------------------------------
 
-  override def createJob(objectName: String, operation: String): String = {
-    val resp = bulkPost("/job", jobDoc(objectName, operation), "application/xml")
+  override def createJob(objectName: String, operation: String,
+      externalIdField: Option[String] = None): String = {
+    val resp = bulkPost("/job",
+      jobDoc(objectName, operation, externalIdField), "application/xml")
     childMap(parseXml(resp.body()).getDocumentElement)("id")
   }
 

@@ -139,7 +139,8 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
             seen.put("pkChunkHeader",
               ex.getRequestHeaders.getFirst("Sforce-Enable-PKChunking"))
             seen.put("sessionHeader", ex.getRequestHeaders.getFirst("X-SFDC-Session"))
-            if (body.contains("<operation>insert</operation>"))
+            if (Seq("insert", "upsert", "delete", "hardDelete")
+                .exists(op => body.contains(s"<operation>$op</operation>")))
               respond(ex, jobXml("750UP"), contentType = "application/xml")
             else if (seen.get("rejectChunking").contains(true) &&
               ex.getRequestHeaders.getFirst("Sforce-Enable-PKChunking") != null)
@@ -354,6 +355,39 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
       results(1).error.startsWith("REQUIRED_FIELD_MISSING"))
     tr.closeJob(jobId)
     assert(seen("uploadCloseDoc").toString.contains("<state>Closed</state>"))
+  }
+
+  test("reverse-path job types: upsert/delete/hardDelete job XML") {
+    val tr = transport()
+    // upsert: externalIdFieldName rides between object and contentType
+    // (salesforce_bulk.py:252-274 field order)
+    tr.createJob("Contact", "upsert", Some("Ext_Id__c"))
+    val up = seen("jobDoc").toString
+    assert(up.contains("<operation>upsert</operation>"))
+    assert(up.contains("<externalIdFieldName>Ext_Id__c</externalIdFieldName>"))
+    assert(up.indexOf("<object>") < up.indexOf("<externalIdFieldName>") &&
+      up.indexOf("<externalIdFieldName>") < up.indexOf("<contentType>"),
+      s"field order must be operation, object, externalIdFieldName, contentType: $up")
+    // delete/hardDelete/update: plain operation, NO external-id element
+    for (op <- Seq("delete", "hardDelete", "update")) {
+      tr.createJob("Contact", op)
+      val doc = seen("jobDoc").toString
+      assert(doc.contains(s"<operation>$op</operation>"), doc)
+      assert(!doc.contains("externalIdFieldName"), doc)
+    }
+  }
+
+  test("uploadWithResults speaks upsert end-to-end; per-record results flow") {
+    import spark.implicits._
+    uploadBatchPolls.set(0)
+    UploadTransports.register("http-upsert", transport())
+    val df = Seq(("e1", "a"), ("e2", "b")).toDF("Ext_Id__c", "Name").coalesce(1)
+    val (jobId, results) = BulkUpload.uploadWithResults(df, "Contact",
+      "http-upsert", operation = "upsert", externalIdField = Some("Ext_Id__c"))
+    assert(jobId == "750UP")
+    assert(seen("jobDoc").toString
+      .contains("<externalIdFieldName>Ext_Id__c</externalIdFieldName>"))
+    assert(results.count() == 2)
   }
 
   test("uploadWithResults surfaces failed records as a queryable DataFrame") {

@@ -62,4 +62,29 @@ class ReverseUploadSpec extends SparkSpec {
     // every chunk within the record bound (+header)
     assert(chunks.forall(_.linesIterator.size <= 41))
   }
+
+  test("operation validation: upsert needs the external id, others reject it") {
+    val t = new MockUploadTransport
+    MockUploadTransport.register("up2", t)
+    val df = Seq(("e1", "a")).toDF("Ext_Id__c", "Name")
+    // upsert without an external-id field is the reference client's
+    // error (create_upsert_job requires external_id_name)
+    intercept[IllegalArgumentException] {
+      BulkUpload.upload(df, "Contact", "up2", operation = "upsert")
+    }
+    intercept[IllegalArgumentException] {
+      BulkUpload.upload(df, "Contact", "up2", operation = "update",
+        externalIdField = Some("Ext_Id__c"))
+    }
+    intercept[IllegalArgumentException] {
+      BulkUpload.upload(df, "Contact", "up2", operation = "merge")
+    }
+    // the happy paths thread the field (or its absence) to the job doc
+    val job = BulkUpload.upload(df, "Contact", "up2", operation = "upsert",
+      externalIdField = Some("Ext_Id__c"))
+    assert(job.contains("-upsert-") && t.lastExternalIdField == Some("Ext_Id__c"))
+    val del = BulkUpload.upload(df.select("Ext_Id__c"), "Contact", "up2",
+      operation = "delete")
+    assert(del.contains("-delete-") && t.lastExternalIdField.isEmpty)
+  }
 }
