@@ -132,27 +132,57 @@ object GraphOps {
     * intersected linearly, not fanned out quadratically.
     */
   def triangleCount(edges: DataFrame,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
-    edgeTriangles(edges, aCol, bCol)
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      adjSlices: Int = 1): DataFrame =
+    edgeTriangles(edges, aCol, bCol, adjSlices)
       .agg(coalesce(sum(col("tri")), lit(0L))
         .cast("bigint").as("n_triangles"))
 
-  /** Per-edge closed-triangle contributions (a, b, tri): the shared
-    * edge-iterator core of [[triangleCount]] and [[cliqueDensity]].
+  /** Per-edge closed-triangle contributions (a, b, tri) — possibly
+    * MULTIPLE rows per edge when `adjSlices > 1`; both consumers sum,
+    * so the contract is additive. Shared edge-iterator core of
+    * [[triangleCount]] and [[cliqueDensity]].
     * INNER join on the b endpoint: an edge whose head has no
     * out-neighbors closes nothing, so dropping it leaves every sum
     * unchanged — and sidesteps size(null), whose value flips between
     * null and -1 with spark.sql.ansi.enabled.
+    *
+    * `adjSlices` is the HOT-VERTEX (adjacency-skew) guard: with one
+    * array per vertex, a hub linked to everything (a quote page, a
+    * boilerplate template) concentrates its whole neighbor set in ONE
+    * aggregation-buffer row and re-intersects that giant array on
+    * every incident edge inside one task. Slicing partitions every
+    * adjacency list by neighbor residue (`nbr mod s`), and since the
+    * SAME partitioning applies to both endpoints,
+    * |adj(x) ∩ adj(y)| = Σ_i |adj_i(x) ∩ adj_i(y)| — exact, while the
+    * largest array (and the largest single intersection) shrinks to
+    * ~maxDegree/s and a hub's work spreads over s independent rows
+    * across the cluster. Cost: edges replicate once per co-populated
+    * slice, so keep s = 1 until degrees demand otherwise (the
+    * near-dup graphs the oracles measure are degree-bounded by
+    * construction; a 100 TB corpus with template hubs is not).
     */
   private def edgeTriangles(edges: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
+      aCol: String, bCol: String, adjSlices: Int = 1): DataFrame = {
+    require(adjSlices >= 1, s"adjSlices must be >= 1, got $adjSlices")
     val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val adj = e.groupBy(col("a").as("v"))
-      .agg(sort_array(collect_set(col("b"))).as("nbrs"))
-    e.join(adj.as("na"), col("a") === col("na.v"))
-      .join(adj.as("nb"), col("b") === col("nb.v"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).cast("long").as("tri"))
+    if (adjSlices == 1) {
+      val adj = e.groupBy(col("a").as("v"))
+        .agg(sort_array(collect_set(col("b"))).as("nbrs"))
+      e.join(adj.as("na"), col("a") === col("na.v"))
+        .join(adj.as("nb"), col("b") === col("nb.v"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).cast("long").as("tri"))
+    } else {
+      val adj = e.groupBy(col("a").as("v"),
+          pmod(col("b"), lit(adjSlices)).as("sl"))
+        .agg(sort_array(collect_set(col("b"))).as("nbrs"))
+      e.join(adj.as("na"), col("a") === col("na.v"))
+        .join(adj.as("nb"),
+          col("b") === col("nb.v") && col("na.sl") === col("nb.sl"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).cast("long").as("tri"))
+    }
   }
 
   /** Per-cluster dedup quality report: for every connected component of
@@ -172,7 +202,7 @@ object GraphOps {
     * is itself an LSH band join, re-deriving it per consumer nearly
     * doubles the operator's cost (measured 7.9 s → 4.8 s at sf0.1).
     */
-  def cliqueDensity(pairs: DataFrame): DataFrame = {
+  def cliqueDensity(pairs: DataFrame, adjSlices: Int = 1): DataFrame = {
     // one eager materialization of the pair list (it feeds the
     // closure, the pair tally, and both triangle joins); checkpoint
     // rather than persist so downstream planning stays AQE-managed —
@@ -187,7 +217,7 @@ object GraphOps {
     val pairCounts = p.select(col("doc_a").as("a"))
       .join(byA, "a")
       .groupBy("component").agg(count(lit(1)).cast("long").as("n_pairs"))
-    val triCounts = edgeTriangles(p, "doc_a", "doc_b")
+    val triCounts = edgeTriangles(p, "doc_a", "doc_b", adjSlices)
       .join(byA, "a")
       .groupBy("component").agg(sum(col("tri")).cast("long").as("n_triangles"))
     nodes.join(pairCounts, Seq("component"))

@@ -130,4 +130,29 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 3L, 3L, 1L), (10L, 3L, 2L, 0L)), s"got $got")
   }
+
+  test("sliced adjacency (hot-vertex guard) is exact on a planted hub graph") {
+    import spark.implicits._
+    val G = graft.operators.GraphOps
+    // hub 0 linked to every vertex 1..200 (degree-200 star), plus a
+    // ladder of closing edges (i, i+1) for even i — each closes the
+    // triangle {0, i, i+1} — plus one detached K4 block at 1000..1003.
+    // Ordered convention a < b throughout.
+    val star = (1L to 200L).map(i => (0L, i))
+    val rungs = (1L until 200L by 2).map(i => (i, i + 1))   // 100 triangles
+    val k4 = for (i <- 1000L to 1003L; j <- (i + 1) to 1003L) yield (i, j)
+    val edges = (star ++ rungs ++ k4).toDF("doc_a", "doc_b")
+    val expected = 100L + 4L
+    // unsliced baseline, then several slice widths — all must agree
+    // (slicing partitions each adjacency list by neighbor residue, and
+    // the same partitioning on both endpoints keeps the sum exact)
+    assert(G.triangleCount(edges).as[Long].head() == expected)
+    for (s <- Seq(2, 8, 64))
+      assert(G.triangleCount(edges, adjSlices = s).as[Long].head() == expected,
+        s"slices=$s drifted")
+    // cliqueDensity through the sliced core: identical per-component rows
+    val base = G.cliqueDensity(edges).collect().map(_.toSeq).toSeq
+    val sliced = G.cliqueDensity(edges, adjSlices = 8).collect().map(_.toSeq).toSeq
+    assert(base == sliced, s"sliced clique report drifted:\n$base\nvs\n$sliced")
+  }
 }
