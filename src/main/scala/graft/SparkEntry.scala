@@ -185,6 +185,13 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextOps.normalizeUnicode(t(s, d)("documents"))),
     // perplexity proxy: occurrence share outside the top-20 corpus vocab
     "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
+    // Unicode script mix by explicit BMP codepoint ranges
+    "text_script" -> ((s, d) => TextOps.scriptMix(t(s, d)("documents"))),
+    // data-mixture weights: per-lang sample fractions for a 20k-token
+    // budget at 50/20/10% en/de/zh (fr/es deliberately unlisted -> 0)
+    "pipe_mixture" -> ((s, d) => PipelineOps.mixtureWeights(
+      t(s, d)("documents"), 20000L,
+      Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.1))),
     "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
       t(s, d)("documents"), Map("en" -> 0.5, "de" -> 0.9))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
@@ -226,6 +233,16 @@ object SparkEntry {
     "dedup_components" -> ((s, d) => GraphOps.connectedComponents(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")),
+    // survivor policy twin: keep the LONGEST doc per near-dup cluster
+    // (ties to lowest id) instead of the lowest-id convention
+    "dedup_survivors_rank" -> ((s, d) => GraphOps.dedupSurvivorsBy(
+      t(s, d)("documents"),
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"),
+      "n_chars").orderBy("doc_id")),
+    // SemDeDup: k-means clusters gate the pair predicate; exact cosine
+    // verify within clusters only
+    "dedup_semantic" -> ((s, d) =>
+      SimilarityOps.semanticNearDup(t(s, d)("embeddings"), 0.463)),
     "dedup_survivors" -> ((s, d) => GraphOps.dedupSurvivors(t(s, d)("documents"),
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")),
@@ -1952,6 +1969,39 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // longest-doc survivor policy over the same component labeling
+    "dedup_survivors_rank" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |best AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, ROW_NUMBER() OVER (PARTITION BY c.component
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+         |UNION ALL SELECT doc_id FROM best
+         |ORDER BY doc_id""".stripMargin,
+    // SemDeDup: the k-means assignment CTE gates the pair join; exact
+    // cosine verify within clusters (cross-cluster pairs missed by
+    // construction on BOTH engines)
+    "dedup_semantic" ->
+      s"""WITH $KmeansCtes,
+         |km AS (SELECT vec_id, cluster FROM a2)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM km a JOIN km b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= 0.463
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "dedup_survivors" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -2058,6 +2108,37 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, n_oov,
          |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_ratio
          |FROM agg ORDER BY doc_id""".stripMargin,
+    // script counts by the same explicit BMP ranges via the
+    // length-difference trick; the 'g' flag makes regexp_replace
+    // global like Spark's
+    "text_script" -> {
+      def cnt(cls: String, as: String) =
+        s"CAST(len(text) - len(regexp_replace(text, '$cls', '', 'g')) AS BIGINT) AS $as"
+      s"""WITH c AS (SELECT doc_id, len(text) AS n_total,
+         |  ${cnt("[A-Za-z]", "n_latin")},
+         |  ${cnt("[\\x{0400}-\\x{04FF}]", "n_cyrillic")},
+         |  ${cnt("[\\x{0370}-\\x{03FF}]", "n_greek")},
+         |  ${cnt("[\\x{4E00}-\\x{9FFF}]", "n_cjk")},
+         |  ${cnt("[0-9]", "n_digit")},
+         |  ${cnt("[ \\t\\n\\r]", "n_space")}
+         |FROM documents)
+         |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit, n_space,
+         |  CAST(n_total AS BIGINT) AS n_total,
+         |  CAST(n_total - n_latin - n_cyrillic - n_greek - n_cjk - n_digit
+         |    - n_space AS BIGINT) AS n_other
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+    // mixture weights: exact BIGINT token sums, one double division
+    "pipe_mixture" ->
+      """WITH tk AS (SELECT lang, CAST(SUM(len(text) // 4) AS BIGINT) AS est_tokens
+        |  FROM documents GROUP BY lang),
+        |sh(lang, share) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+        |  ('zh', CAST(0.1 AS DOUBLE)))
+        |SELECT t.lang, est_tokens,
+        |  coalesce(share, 0.0) AS target_share,
+        |  least(1.0, 20000.0 * coalesce(share, 0.0) / est_tokens) AS weight
+        |FROM tk t LEFT JOIN sh USING (lang) ORDER BY lang""".stripMargin,
     "text_novelty" ->
       s"""WITH $ToksCte,
          |$ShinglesCte,
@@ -2652,7 +2733,16 @@ object SparkEntry {
     * lowest-id init, 6-decimal quantization, DECIMAL-exact mean
     * accumulation, argmax of 2·dot−|c|² with lowest-cid tiebreak).
     */
-  private val KmeansOracle: String = {
+  private val KmeansOracle: String =
+    s"""WITH $KmeansCtes
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM a2 ORDER BY vec_id""".stripMargin
+
+  /** The k-means CTE chain (deterministic init, 2 Lloyd iterations);
+    * final assignment lands in `a2` — shared by the sim_kmeans oracle
+    * and the SemDeDup candidate generator.
+    */
+  private lazy val KmeansCtes: String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
     def assign(name: String, cents: String) =
@@ -2671,7 +2761,7 @@ object SparkEntry {
          |  GROUP BY cluster, i),
          |$cName AS (SELECT cluster AS cid, list(m ORDER BY i) AS ce
          |  FROM $mName GROUP BY cluster)""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS e
        |  FROM embeddings),
@@ -2682,9 +2772,7 @@ object SparkEntry {
        |${update("m1", "c1", "a0")},
        |${assign("a1", "c1")},
        |${update("m2", "c2", "a1")},
-       |${assign("a2", "c2")}
-       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
-       |FROM a2 ORDER BY vec_id""".stripMargin
+       |${assign("a2", "c2")}""".stripMargin
   }
 
   /** DuckDB-side cosine over two FLOAT[] columns — same element-wise

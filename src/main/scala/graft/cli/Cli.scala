@@ -28,6 +28,7 @@ import graft.types.{SfField, SfSchema}
   * graft.cli.Cli upload    --transport t --object Contact --csv FILE
   *                         [--operation insert|update|upsert|delete|hardDelete]
   *                         [--external-id Field]   (upsert only)
+  * graft.cli.Cli search    --transport t (--sosl "FIND {x}" | --term x)
   * }}}
   *
   * Transports are resolved by registry name (SfTransports /
@@ -61,6 +62,7 @@ object Cli {
         case "bulkload" => bulkload(opts, out)
         case "sync" => sync(opts, out)
         case "upload" => upload(opts, out)
+        case "search" => search(opts, out)
         case "abort" => abort(opts, out)
         case "gc" => gc(opts, out)
         case "explain" => explain(opts, out)
@@ -74,8 +76,28 @@ object Cli {
   }
 
   private val usage =
-    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|abort|gc|explain> " +
+    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|search|abort|gc|explain> " +
       "[--config FILE] [--opt value ...]"
+
+  /** `search --transport t (--sosl "FIND {…}" | --term word)` — SOSL
+    * full-text search across objects (`simple_salesforce/api.py:
+    * 296-328`); one line per hit, led by the source object type.
+    */
+  private def search(opts: Map[String, String], out: String => Unit): Unit = {
+    val t = graft.sources.salesforce.SfTransports.get(required(opts, "transport"))
+    val hits = (opts.get("sosl"), opts.get("term")) match {
+      case (Some(sosl), _) => t.search(sosl)
+      case (None, Some(term)) => t.quickSearch(term)
+      case _ => throw new IllegalArgumentException("need --sosl or --term")
+    }
+    out(s"${hits.size} records")
+    hits.foreach { r =>
+      val tp = r.getOrElse("_sobject_type", "?")
+      val rest = (r - "_sobject_type").toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(" ")
+      out(s"$tp $rest")
+    }
+  }
 
   /** `explain --query NAME --sf-dir DIR [--mode formatted]` — print the
     * physical plan of a registered driver query: the plan-audit loop

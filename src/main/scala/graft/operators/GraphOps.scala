@@ -114,6 +114,34 @@ object GraphOps {
     documents.join(losers, Seq("doc_id"), "left_anti").select("doc_id")
   }
 
+  /** Quality-ranked survivor selection: where [[dedupSurvivors]] keeps
+    * each near-dup cluster's LOWEST-id doc (the reference-free
+    * convention), this keeps its BEST doc by `rankCol` (highest value,
+    * ties to the lowest doc_id) — the production policy when versions
+    * of a page differ in completeness: keep the longest / highest-
+    * quality copy, drop the fragments. Unclustered docs all survive.
+    *
+    * `rankCol` must be integral (exact argmax — a float score can
+    * flip survivors on a last-ulp and break determinism; floor a
+    * float score to fixed point first). Scale shape: the component
+    * labeling is the pointer-jumping loop, then ONE vertex-keyed join
+    * + a components-sized argmax aggregate; the corpus itself is only
+    * touched by the final anti-join.
+    */
+  def dedupSurvivorsBy(documents: DataFrame, pairs: DataFrame,
+      rankCol: String): DataFrame = {
+    val labels = connectedComponents(pairs) // (doc_id, component)
+    val best = labels
+      .join(documents.select(col("doc_id"),
+        col(rankCol).cast("long").as("__rank")), "doc_id")
+      .groupBy("component")
+      .agg(max(struct(col("__rank").as("r"), (-col("doc_id")).as("nid")))
+        .as("w"))
+      .select((-col("w.nid")).as("doc_id"))
+    documents.join(labels, Seq("doc_id"), "left_anti").select("doc_id")
+      .unionByName(best)
+  }
+
   /** Triangle count over an ORDERED edge list (a < b) — the cluster-
     * density complement of [[connectedComponents]] (a component of n
     * nodes with ~C(n,3) triangles is a true dup clique; one with few

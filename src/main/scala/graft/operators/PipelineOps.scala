@@ -418,4 +418,33 @@ object PipelineOps {
       .select("doc_id", "source", "n_tokens")
       .orderBy("doc_id")
   }
+
+  /** Data-mixture weights: per-language sampling fractions to hit a
+    * target distribution under a global token budget — the step that
+    * turns "we want 60% en / 30% de" into per-shard sample rates a
+    * pipeline can apply ([[stratifiedSample]]'s rates come from
+    * here). Observed tokens use the len/4 BPE-ish proxy summed as
+    * exact BIGINTs; weight = min(1, budget·share / observed) — a
+    * single double division of exact integers, bit-identical on any
+    * IEEE engine. Languages absent from `shares` weight 0 (dropped
+    * from the mix), languages whose corpus can't fill their target
+    * cap at 1 (can't sample above 1 without upsampling — that is
+    * [[repeatUpsample]]'s job). One tiny lang-keyed aggregate + a
+    * broadcast share map: the corpus never shuffles.
+    */
+  def mixtureWeights(documents: DataFrame, budgetTokens: Long,
+      shares: Map[String, Double]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val shareDf = shares.toSeq.toDF("lang", "share")
+    documents.groupBy("lang")
+      .agg(sum(expr("length(text) div 4")).as("est_tokens"))
+      .join(broadcast(shareDf), Seq("lang"), "left")
+      .select(col("lang"), col("est_tokens"),
+        coalesce(col("share"), lit(0.0)).as("target_share"),
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * coalesce(col("share"), lit(0.0))
+            / col("est_tokens")).as("weight"))
+      .orderBy("lang")
+  }
 }

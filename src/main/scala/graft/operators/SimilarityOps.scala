@@ -294,6 +294,34 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    * candidate generator ([[kmeansAssign]] — the trained counterpart
+    * of the LSH bucket), exact cosine verify WITHIN clusters only.
+    * The cluster equi-join is the 100 TB shape of semantic dedup: the
+    * pair predicate never escapes a cluster, so the quadratic term is
+    * bounded by the largest cluster, not the corpus (Abbas et al.'s
+    * SemDeDup recipe — cluster with k-means, prune within clusters).
+    * Pairs split across cluster boundaries are missed by
+    * construction; [[cosineNearDup]] is the exact twin.
+    */
+  def semanticNearDup(embeddings: DataFrame, threshold: Double,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val assign = kmeansAssign(embeddings, k, iters) // (vec_id, cluster)
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+        "embedding", "nrm")
+      .join(assign, "vec_id")
+    val a = e.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * (all-pairs via broadcast of the deduplicated right side) at test
     * scale; at 100 TB this swaps to bucketed candidates from

@@ -440,4 +440,33 @@ object TextOps {
       .withColumn("n_chars_norm", length(col("norm")).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Per-doc Unicode SCRIPT mix — the language-ID complement that
+    * n-gram models can't give (a Cyrillic doc matched to an English
+    * profile is a data bug, not a low-confidence call), and the
+    * standard multi-script routing signal in corpus triage. Counts by
+    * EXPLICIT BMP codepoint ranges via the length-difference trick
+    * (`len(text) − len(replace(class, ''))`) so both engines run
+    * identical arithmetic — no dependence on locale-sensitive regex
+    * classes (`\\s` differs between Java and RE2; named script classes
+    * differ more). Six disjoint classes + the remainder; narrow
+    * per-row codegen'd kernels, zero shuffle at any scale.
+    */
+  def scriptMix(documents: DataFrame): DataFrame = {
+    def cnt(cls: String): org.apache.spark.sql.Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), cls, ""))).cast("long")
+    documents.select(col("doc_id"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),
+        cnt("[\\u0370-\\u03FF]").as("n_greek"),
+        cnt("[\\u4E00-\\u9FFF]").as("n_cjk"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[ \\t\\n\\r]").as("n_space"),
+        length(col("text")).cast("long").as("n_total"))
+      .withColumn("n_other",
+        col("n_total") - col("n_latin") - col("n_cyrillic") - col("n_greek")
+          - col("n_cjk") - col("n_digit") - col("n_space"))
+      .orderBy("doc_id")
+  }
 }

@@ -308,6 +308,20 @@ final class HttpSfTransport(
     else if (n.isNumber) n.doubleValue()
     else n.asText()
 
+  /** SOSL: GET search/?q=<SOSL> → {"searchRecords":[…]}; each
+    * record's `attributes.type` lands as `_sobject_type` (the search
+    * result set spans objects, unlike SOQL)
+    * (`simple_salesforce/api.py:296-315`).
+    */
+  override def search(sosl: String): Seq[Map[String, Any]] =
+    restGetJson(restBase + "search/?q=" + URLEncoder.encode(sosl, "UTF-8"))
+      .path("searchRecords").elements().asScala.map { rec =>
+        rec.properties().asScala
+          .filter(_.getKey != "attributes")
+          .map(e => e.getKey -> jsonValue(e.getValue)).toMap +
+          ("_sobject_type" -> rec.path("attributes").path("type").asText())
+      }.toSeq
+
   // ---- S7: Get Updated / Get Deleted ----------------------------------
 
   private val IsoTz = java.time.format.DateTimeFormatter

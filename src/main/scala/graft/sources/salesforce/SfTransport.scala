@@ -51,6 +51,20 @@ trait SfTransport extends Serializable {
     */
   def deletedIds(objectName: String, start: java.sql.Timestamp,
       end: java.sql.Timestamp): Seq[(String, java.sql.Timestamp)]
+
+  /** SOSL full-text search: the fully-formatted SOSL string (e.g.
+    * `FIND {Waldo} IN ALL FIELDS RETURNING Contact(Id, Name)`) →
+    * matching records across objects, each carrying its source object
+    * under `_sobject_type` (the `attributes.type` of the response).
+    * GET search/?q=… (`simple_salesforce/api.py:296-315`).
+    */
+  def search(sosl: String): Seq[Map[String, Any]]
+
+  /** [[search]] with the term wrapped as `FIND {term}`
+    * (`api.py:317-328` quick_search).
+    */
+  def quickSearch(term: String): Seq[Map[String, Any]] =
+    search(s"FIND {$term}")
 }
 
 final case class SfFieldMeta(name: String, sfType: String, length: Int = 0,
@@ -210,4 +224,26 @@ final class MockSfTransport(
       .filter(inRange(_, start, end))
       .map(r => r("Id").toString ->
         r("SystemModstamp").asInstanceOf[java.sql.Timestamp])
+
+  /** Mock SOSL: `FIND {term}` scans every object's string fields for a
+    * case-insensitive substring match; a `RETURNING Object(…)` clause
+    * (if present) restricts the object list — enough semantics to
+    * exercise callers without a server.
+    */
+  override def search(sosl: String): Seq[Map[String, Any]] = {
+    val Term = """FIND \{([^}]*)\}.*""".r
+    val term = sosl.trim match {
+      case Term(t) => t.toLowerCase
+      case _ => throw new IllegalArgumentException(s"malformed SOSL: $sosl")
+    }
+    val returning =
+      """RETURNING\s+(\w+)""".r.findAllMatchIn(sosl).map(_.group(1)).toSet
+    data.toSeq.sortBy(_._1).flatMap { case (obj, rs) =>
+      if (returning.nonEmpty && !returning(obj)) Nil
+      else rs.filter(_.values.exists {
+        case s: String => s.toLowerCase.contains(term)
+        case _ => false
+      }).map(_ + ("_sobject_type" -> obj))
+    }
+  }
 }

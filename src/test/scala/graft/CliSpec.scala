@@ -145,6 +145,22 @@ class CliSpec extends SparkSpec {
     assert(out.exists(_.startsWith("FAILED")))
   }
 
+  test("search verb: SOSL hits across objects, --term quick wrapping") {
+    register("cli-s", v1)
+    val (code, out) = runCli("search", "--transport", "cli-s",
+      "--term", "acct-7")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.head == "1 records", out.mkString("\n"))
+    assert(out(1).startsWith("Account") && out(1).contains("Name=acct-7"))
+    // RETURNING restriction: no object match -> zero hits
+    val (_, out2) = runCli("search", "--transport", "cli-s",
+      "--sosl", "FIND {acct-7} RETURNING Contact(Id)")
+    assert(out2.head == "0 records", out2.mkString("\n"))
+    // missing both --sosl and --term is a usage error, not a stack trace
+    val (code3, out3) = runCli("search", "--transport", "cli-s")
+    assert(code3 == 2 && out3.head.startsWith("error:"), out3.mkString("\n"))
+  }
+
   test("abort cancels the table's sync and parks it in error state") {
     val (code, out) = runCli("abort", "--jdbc", jdbc, "--dest", "clidest")
     assert(code == 0, out.mkString("\n"))

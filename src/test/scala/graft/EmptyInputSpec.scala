@@ -47,4 +47,19 @@ class EmptyInputSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(out == Seq("", " ", "\t\n"))
   }
+
+  test("round-6 operators on empty inputs: no rows, no nulls, no throws") {
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    // no pairs -> everyone survives under the rank policy too
+    val docs = Seq((1L, "aa", "en", "s", 2L), (2L, "bbb", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.GraphOps.dedupSurvivorsBy(docs, noPairs, "n_chars")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(graft.operators.GraphOps.dedupSurvivorsBy(noDocs, noPairs, "n_chars").isEmpty)
+    assert(graft.operators.TextOps.scriptMix(noDocs).isEmpty)
+    assert(graft.operators.PipelineOps.mixtureWeights(noDocs, 1000L,
+      Map("en" -> 0.5)).isEmpty)
+  }
 }

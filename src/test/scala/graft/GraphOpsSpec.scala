@@ -131,6 +131,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 3L, 1L), (10L, 3L, 2L, 0L)), s"got $got")
   }
 
+  test("dedupSurvivorsBy keeps the highest-ranked doc per cluster, lowest id on tie") {
+    import spark.implicits._
+    // cluster {1,2,3}: 2 is longest -> survives; {10,11}: tie -> 10;
+    // 50 unclustered -> survives
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (50L, 1L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = graft.operators.GraphOps.dedupSurvivorsBy(docs, pairs, "n_chars")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(2L, 10L, 50L), s"got $out")
+  }
+
   test("sliced adjacency (hot-vertex guard) is exact on a planted hub graph") {
     import spark.implicits._
     val G = graft.operators.GraphOps

@@ -118,6 +118,12 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
             else respond(ex, Page1)
           case ("GET", "/services/data/v52.0/query/01gRR-2000") =>
             respond(ex, Page2)
+          case ("GET", "/services/data/v52.0/search/") =>
+            seen.put("searchSosl", q)
+            respond(ex,
+              """{"searchRecords":[
+                |{"attributes":{"type":"Contact","url":"/x/003A"},"Id":"003A","Name":"Waldo W"},
+                |{"attributes":{"type":"Account","url":"/x/001B"},"Id":"001B","Name":"Waldo Inc"}]}""".stripMargin)
           case ("GET", "/services/data/v52.0/sobjects/Contact/updated/") =>
             seen.put("updatedRange", ex.getRequestURI.getRawQuery)
             respond(ex,
@@ -333,6 +339,18 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
       assert(tr.count("Contact", None, includeDeleted = false) == 7L)
       assert(calls >= 2) // first connection dropped, retry succeeded
     } finally flaky.close()
+  }
+
+  test("SOSL search: q encoding, cross-object records, _sobject_type") {
+    val tr = transport()
+    val hits = tr.search("FIND {Waldo} IN ALL FIELDS RETURNING Contact(Id, Name)")
+    assert(seen("searchSosl").toString ==
+      "FIND {Waldo} IN ALL FIELDS RETURNING Contact(Id, Name)")
+    assert(hits.map(h => (h("_sobject_type"), h("Id"), h("Name"))) == Seq(
+      ("Contact", "003A", "Waldo W"), ("Account", "001B", "Waldo Inc")))
+    // quick_search wraps the bare term (api.py:317-328)
+    tr.quickSearch("Waldo")
+    assert(seen("searchSosl").toString == "FIND {Waldo}")
   }
 
   // ---- upload path ----------------------------------------------------

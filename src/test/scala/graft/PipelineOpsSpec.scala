@@ -258,4 +258,21 @@ class PipelineOpsSpec extends SparkSpec {
     val d = PipelineOps.repeatUpsample(docs, Map("web" -> 1), defaultRepeats = 0)
     assert(d.select("source").distinct().as[String].collect().toSeq == Seq("web"))
   }
+
+  test("mixtureWeights: budget shares cap at 1, unlisted langs weight 0") {
+    // en: 100 tokens obs (400 chars), de: 25 (100 chars), fr: 10 (40)
+    val docs = Seq(
+      (1L, "x" * 400, "en", "s", 400L),
+      (2L, "y" * 100, "de", "s", 100L),
+      (3L, "z" * 40, "fr", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.mixtureWeights(docs, budgetTokens = 100L,
+        Map("en" -> 0.5, "de" -> 0.5))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // en: target 50 of 100 observed -> 0.5; de: target 50 of 25 -> capped 1
+    assert(out("en") == ((100L, 0.5, 0.5)), out)
+    assert(out("de") == ((25L, 0.5, 1.0)), out)
+    assert(out("fr") == ((10L, 0.0, 0.0)), out)
+  }
 }

@@ -181,4 +181,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got(23L) == got(24L))
     assert(got(1L) != got(23L))
   }
+
+  test("semanticNearDup: within-cluster subset of the exact pairs (sf0.01)") {
+    val e = Tables(spark, sf001, "embeddings")
+    val exact = SimilarityOps.cosineNearDup(e, 0.463)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val sem = SimilarityOps.semanticNearDup(e, 0.463)
+      .as[(Long, Long)].collect().toSet
+    // cluster gating can only MISS pairs, never invent them
+    assert(sem.subsetOf(exact), s"invented pairs: ${sem -- exact}")
+    // and on a corpus with same-cluster dups it finds at least one
+    assert(sem.nonEmpty, "no within-cluster pair found at sf0.01")
+  }
 }

@@ -157,4 +157,17 @@ class TextCurationSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 1L)), s"got $got")
   }
+
+  test("scriptMix counts disjoint BMP ranges; remainder is n_other") {
+    val docs = Seq(
+      (1L, "abc АБВ 中文 αβ 42!", "xx", "s", 0L),
+      (2L, "", "xx", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.TextOps.scriptMix(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // "abc АБВ 中文 αβ 42!": 3 latin, 3 cyrillic, 2 greek, 2 cjk,
+    // 2 digits, 4 spaces, 17 total, 1 other ('!')
+    assert(out(1L) == Seq(3L, 3L, 2L, 2L, 2L, 4L, 17L, 1L), out(1L))
+    assert(out(2L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), out(2L))
+  }
 }
