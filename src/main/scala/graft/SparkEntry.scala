@@ -159,6 +159,25 @@ object SparkEntry {
         .select("click_id", "user_id", "purchase_id", "purchase_ts")
         .orderBy("click_id")
     }),
+    // nearest direction of the custom as-of operator: |Δt|-minimizing
+    // match, ties to at-or-before — same single-pass merge exec
+    "asof_join_nearest" -> ((s, d) => {
+      val ev = t(s, d)("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .agg(max("event_id").as("purchase_id"))
+      graft.plans.AsofJoin.asof(clicks, purchases,
+          Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+          nearest = true)
+        .select("click_id", "user_id", "purchase_id", "purchase_ts")
+        .orderBy("click_id")
+    }),
+    // mergeable bottom-k distinct sketch: daily sketches merged per
+    // type must EQUAL the direct global bottom-k (mergeability proof)
+    "a12_kmv_rollup" -> ((s, d) => Relational.a12KmvRollup(t(s, d)("events"))),
     "j1_merge_upsert" -> ((s, d) => mergeQuery(s, d)),
     "j2_anti_delete" -> ((s, d) => antiDeleteQuery(s, d)),
     "j4_dedup_lastwins" -> ((s, d) => dedupLastWinsQuery(s, d)),
@@ -1704,6 +1723,41 @@ object SparkEntry {
         |  JOIN p ON p.user_id = c.user_id AND p.purchase_ts >= c.ts)
         |SELECT click_id, user_id, purchase_id, purchase_ts FROM j WHERE rn = 1
         |ORDER BY click_id""".stripMargin,
+    // nearest restated with abs-distance ranking, direction tiebreak
+    // to the at-or-before side (epoch_us keeps the Δ integral)
+    "asof_join_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id, p.purchase_id, p.purchase_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |      ORDER BY abs(epoch_us(p.purchase_ts) - epoch_us(c.ts)),
+        |        CASE WHEN p.purchase_ts <= c.ts THEN 0 ELSE 1 END) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  JOIN p ON p.user_id = c.user_id)
+        |SELECT click_id, user_id, purchase_id, purchase_ts FROM j WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+    // direct global bottom-8: equals the Spark side's merged daily
+    // sketches — the oracle never sees the daily partitioning, which
+    // is exactly the mergeability property under test
+    "a12_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |b AS (SELECT * FROM r WHERE rnk <= 8)
+        |SELECT event_type, CAST(rnk AS INT) AS rnk, h,
+        |  CASE WHEN nd < 8 THEN nd
+        |    ELSE CAST(floor(7 * 4503599627370496.0 /
+        |      MAX(h) OVER (PARTITION BY event_type)) AS BIGINT)
+        |  END AS est_distinct
+        |FROM b ORDER BY event_type, rnk""".stripMargin,
     "j1_merge_upsert" -> J1MergeOracle,
     // the streamed two-batch replay lands on the SAME final snapshot
     "stream_cdc_merge" -> J1MergeOracle,

@@ -527,6 +527,59 @@ object Relational {
           lit(5 * rsd) * col("exact_users") + lit(1.0)).as("within_bound"))
       .orderBy("event_type")
 
+  /** KMV (bottom-k / k-minimum-values) distinct sketch with a MERGE
+    * step — the re-aggregatable form of distinct counting that HLL
+    * dashboards run on at 100 TB: per-(group, day) sketches are tiny
+    * (k hashes), stored once, and any time-range rollup is a merge of
+    * stored sketches instead of a re-scan of raw data. Mergeability is
+    * what this query PROVES cross-engine: the Spark side builds DAILY
+    * bottom-k sketches (the bounded [[graft.functions.TopKAgg]] on
+    * negated hashes — map-side combining, ≤k values per group per
+    * partition cross the shuffle) and merges them per group; the
+    * oracle computes the bottom-k DIRECTLY over the raw rows. The two
+    * agree EXACTLY because min-k(∪ partitions) = min-k(whole) for any
+    * partitioning — hash equality is the mergeability proof, no
+    * tolerance needed.
+    *
+    * Hashes are the repo's cross-engine md5 primitive truncated to 52
+    * bits (exact in a double, so TopKAgg's double score loses
+    * nothing). Estimate: (k−1)·2⁵² / h_k (the classic KMV estimator),
+    * or the exact distinct count when a group has fewer than k
+    * distinct hashes (the sketch saw everything). The estimate is one
+    * IEEE division of exact integers, floored — bit-identical on any
+    * engine.
+    */
+  def a12KmvRollup(events: DataFrame, k: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    // distinct per (group, day) FIRST: KMV sketches summarize SETS —
+    // a hot user's repeat events must not occupy k slots with one hash
+    // (min-k of per-day min-k equals global min-k only over sets)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"), h.as("h"))
+      .distinct()
+      .groupBy("event_type", "day")
+      .agg(top_k_agg(-col("h").cast("double"), col("h"), k).as("sk"))
+    // merge: union of the daily sketches' members, re-sketch per group
+    // (distinct first — the same user on two days is one hash)
+    val merged = daily
+      .select(col("event_type"), explode(col("sk.id")).as("h"))
+      .distinct()
+      .groupBy("event_type")
+      .agg(top_k_agg(-col("h").cast("double"), col("h"), k).as("sk"))
+    val twoP52 = 4503599627370496.0 // 2^52
+    merged
+      .withColumn("est_distinct",
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(floor(lit((k - 1) * twoP52)
+            / element_at(col("sk"), k).getField("id")).cast("long")))
+      .select(col("event_type"), posexplode(col("sk")), col("est_distinct"))
+      .select(col("event_type"), (col("pos") + 1).as("rnk"),
+        col("col.id").as("h"), col("est_distinct"))
+      .orderBy("event_type", "rnk")
+  }
+
   /** Time-series densification (gap fill): hourly event counts per
     * type with missing hours restated as explicit zeros — the spine
     * every downstream window/forecast join needs. The raw scan reduces

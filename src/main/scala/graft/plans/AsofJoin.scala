@@ -37,7 +37,8 @@ final case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    leftOuter: Boolean, forward: Boolean = false) extends BinaryNode {
+    leftOuter: Boolean, forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -54,8 +55,9 @@ final case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, outer, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, fwd) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, outer, fwd, nr) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer, fwd,
+        nr) :: Nil
     case _ => Nil
   }
 }
@@ -69,7 +71,8 @@ final case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    leftOuter: Boolean, forward: Boolean = false) extends BinaryExecNode {
+    leftOuter: Boolean, forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -102,6 +105,7 @@ final case class AsofJoinExec(
     val rTsExpr = rightTs
     val outer = leftOuter
     val fwd = forward
+    val nr = nearest
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -172,6 +176,63 @@ final case class AsofJoinExec(
           matched
         }
 
+        /** NEAREST direction: the forward sweep, but every consumed
+          * same-key strictly-before row is remembered as the backward
+          * candidate (right is ts-sorted, so the last one consumed is
+          * the closest from below). The winner is whichever side is
+          * closer; ties and the equal-ts case resolve to the
+          * at-or-before convention (an equal-ts row IS the forward
+          * head with distance 0, so it wins outright).
+          */
+        private def advanceRightNearest(lKey: UnsafeRow, lTsVal: Any): InternalRow = {
+          var done = false
+          var matched: InternalRow = null
+          while (!done && rHead != null) {
+            val rk = rKeyProj(rHead)
+            var consume = false
+            if (rk.anyNull) consume = true
+            else {
+              val c = keyOrd.compare(rk, lKey)
+              if (c < 0) consume = true
+              else if (c == 0) {
+                val rTsVal = rTsBound.eval(rHead)
+                if (rTsVal == null) consume = true
+                else if (tsOrd.lt(rTsVal, lTsVal)) {
+                  candRow = rHead.copy()
+                  candKey = rk.copy()
+                  consume = true
+                } else { matched = rHead; done = true }
+              } else done = true
+            }
+            if (consume) rHead = if (rIter.hasNext) rIter.next() else null
+          }
+          matched
+        }
+
+        /** Is the forward candidate STRICTLY closer than the backward
+          * one? Exact integer arithmetic for timestamp/date/integral
+          * internal values (a timestamp-micros difference fits a Long
+          * whenever both rows are real data); IEEE compare for
+          * fractional types.
+          */
+        private def closerForward(lTs: Any, backTs: Any, fwdTs: Any): Boolean =
+          (lTs, backTs, fwdTs) match {
+            case (l: Long, b: Long, f: Long) => (f - l) < (l - b)
+            case (l: Int, b: Int, f: Int) => (f.toLong - l) < (l.toLong - b)
+            case (l: Short, b: Short, f: Short) => (f.toLong - l) < (l.toLong - b)
+            case (l: Byte, b: Byte, f: Byte) => (f.toLong - l) < (l.toLong - b)
+            case (l: Double, b: Double, f: Double) => (f - l) < (l - b)
+            case (l: Float, b: Float, f: Float) =>
+              (f.toDouble - l) < (l.toDouble - b)
+            case (l: org.apache.spark.sql.types.Decimal,
+                b: org.apache.spark.sql.types.Decimal,
+                f: org.apache.spark.sql.types.Decimal) =>
+              f.toJavaBigDecimal.subtract(l.toJavaBigDecimal)
+                .compareTo(l.toJavaBigDecimal.subtract(b.toJavaBigDecimal)) < 0
+            case other => throw new UnsupportedOperationException(
+              s"as-of nearest: unsupported ts internal type ${other.getClass}")
+          }
+
         private def computeNext(): InternalRow = {
           while (lIter.hasNext) {
             val lRow = lIter.next()
@@ -179,7 +240,18 @@ final case class AsofJoinExec(
             val lTsVal = if (lKey.anyNull) null else lTsBound.eval(lRow)
             var matched: InternalRow = null
             if (lTsVal != null) {
-              if (fwd) matched = advanceRightForward(lKey, lTsVal)
+              if (nr) {
+                val fwdMatch = advanceRightNearest(lKey, lTsVal)
+                val backMatch =
+                  if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
+                    candRow else null
+                matched =
+                  if (backMatch == null) fwdMatch
+                  else if (fwdMatch == null) backMatch
+                  else if (closerForward(lTsVal, rTsBound.eval(backMatch),
+                    rTsBound.eval(fwdMatch))) fwdMatch
+                  else backMatch
+              } else if (fwd) matched = advanceRightForward(lKey, lTsVal)
               else {
                 advanceRight(lKey, lTsVal)
                 if (candKey != null && keyOrd.compare(candKey, lKey) == 0)
@@ -234,11 +306,20 @@ object AsofJoin {
     * variant; the attribution shape "first purchase after the click").
     * Same single-pass merge, same O(1) memory — the forward candidate
     * is the right head itself, shared by consecutive left rows.
+    *
+    * `nearest = true`: the right row minimizing |leftTs − rightTs|,
+    * ties to the at-or-before side (sensor/feature alignment when
+    * direction doesn't matter — pandas `merge_asof
+    * direction='nearest'`). Still ONE single-pass merge: the sweep
+    * tracks the closest-from-below candidate while stopping on the
+    * first at-or-after row, then picks the closer of the two.
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      leftOuter: Boolean = false, forward: Boolean = false): DataFrame = {
+      leftOuter: Boolean = false, forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
+    require(!(forward && nearest), "pick ONE of forward/nearest")
     register(left.sparkSession)
     val lPlan = left.queryExecution.analyzed
     // self-join safety: if the right plan shares attribute ids with the
@@ -273,6 +354,6 @@ object AsofJoin {
     require(lt.dataType == rt.dataType,
       s"as-of timestamp types differ: ${lt.dataType} vs ${rt.dataType}")
     DatasetShim.ofRows(left.sparkSession,
-      AsofJoinPlan(lPlan, rPlan, lk, rk, lt, rt, leftOuter, forward))
+      AsofJoinPlan(lPlan, rPlan, lk, rk, lt, rt, leftOuter, forward, nearest))
   }
 }

@@ -155,4 +155,53 @@ class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         |WHERE rn = 1""".stripMargin).as[(Long, Long)].collect().toSet
     assert(got == expect)
   }
+
+  test("nearest as-of: closer side wins, ties and equal ts go at-or-before") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // left at t=100: right at 90 (d=10) vs 105 (d=5) -> forward wins
+    // left at t=200: right at 195 (d=5) vs 205 (d=5) -> tie -> backward
+    // left at t=300: right at 300 -> equal ts, d=0 -> that row
+    // left at t=400: only earlier rights -> backward
+    // key 2, t=50: only later right -> forward
+    // key 3: no right at all -> dropped (inner), kept null (outer)
+    val l = Seq((1L, ts(100), 1L), (1L, ts(200), 2L), (1L, ts(300), 3L),
+      (1L, ts(400), 4L), (2L, ts(50), 5L), (3L, ts(10), 6L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, ts(90), 90L), (1L, ts(105), 105L), (1L, ts(195), 195L),
+      (1L, ts(205), 205L), (1L, ts(300), 300L), (2L, ts(70), 70L))
+      .toDF("k", "t", "rid")
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "t", nearest = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 105L, 2L -> 195L, 3L -> 300L, 4L -> 300L,
+      5L -> 70L), s"got $got")
+    val outer = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "t",
+        leftOuter = true, nearest = true)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(outer(6L).isEmpty && outer.size == 6)
+  }
+
+  test("nearest as-of matches the abs-distance window composition on random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(400)(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t", "lid")
+    val r = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, new Timestamp(rnd.nextInt(100000) * 1000L), i.toLong))
+      .toDF("k", "t", "rid")
+      .groupBy("k", "t").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
+    val got = AsofJoin.asof(l, r, Seq("k"), Seq("k"), "t", "t", nearest = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    l.createOrReplaceTempView("near_l"); r.createOrReplaceTempView("near_r")
+    val expect = spark.sql(
+      """SELECT lid, rid FROM (
+        |  SELECT l.lid, r.rid,
+        |    ROW_NUMBER() OVER (PARTITION BY l.lid
+        |      ORDER BY abs(unix_micros(r.t) - unix_micros(l.t)),
+        |        CASE WHEN r.t <= l.t THEN 0 ELSE 1 END) AS rn
+        |  FROM near_l l JOIN near_r r ON l.k = r.k)
+        |WHERE rn = 1""".stripMargin).as[(Long, Long)].collect().toSet
+    assert(got == expect)
+  }
 }
