@@ -35,6 +35,15 @@ final class TopKState(val k: Int) {
     // binary search at these sizes and stays trivially correct)
     var pos = if (n == k) n - 1 else n
     while (pos > 0 && better(s, i, pos - 1)) pos -= 1
+    // SET semantics: an exact (score, id) duplicate is the same
+    // logical row seen again (id is a key in every caller) — skip it.
+    // The order is total and strict, so a duplicate can only sit
+    // immediately above the insertion point. This is what makes the
+    // aggregate a KMV distinct sketch (min-k over a SET) and merge
+    // idempotent, with no behavior change for unique-id rankings.
+    if (pos > 0 &&
+      java.lang.Double.compare(scores(pos - 1), s) == 0 && ids(pos - 1) == i)
+      return
     var j = math.min(n, k - 1)
     while (j > pos) {
       scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1

@@ -553,19 +553,18 @@ object Relational {
     import graft.functions.GraftFunctions.top_k_agg
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
       .cast("long")
-    // distinct per (group, day) FIRST: KMV sketches summarize SETS —
-    // a hot user's repeat events must not occupy k slots with one hash
-    // (min-k of per-day min-k equals global min-k only over sets)
+    // NO distinct pass anywhere: TopKAgg's state is a SET (exact
+    // (score, id) duplicates are skipped on insert), so a hot user's
+    // repeat events collapse in-state map-side — the only exchanges
+    // at any scale are sketch-sized, never data-sized
     val daily = events
       .select(col("event_type"), to_date(col("ts")).as("day"), h.as("h"))
-      .distinct()
       .groupBy("event_type", "day")
       .agg(top_k_agg(-col("h").cast("double"), col("h"), k).as("sk"))
     // merge: union of the daily sketches' members, re-sketch per group
-    // (distinct first — the same user on two days is one hash)
+    // (set-state dedups the same user appearing on two days)
     val merged = daily
       .select(col("event_type"), explode(col("sk.id")).as("h"))
-      .distinct()
       .groupBy("event_type")
       .agg(top_k_agg(-col("h").cast("double"), col("h"), k).as("sk"))
     val twoP52 = 4503599627370496.0 // 2^52

@@ -99,6 +99,21 @@ class TopKAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact (score, id) duplicates collapse: state is a set (KMV semantics)") {
+    import spark.implicits._
+    // 3 distinct pairs, each seen 4 times across partitions; k = 4
+    // must hold the 3 DISTINCT pairs + the next-best, never a dup
+    val df = (1 to 4).flatMap(_ => Seq((0L, 10L, 5.0), (0L, 11L, 4.0),
+        (0L, 12L, 3.0))).toDF("g", "id", "score")
+      .unionAll(Seq((0L, 13L, 2.0)).toDF("g", "id", "score"))
+      .repartition(5)
+    val got = df.groupBy("g")
+      .agg(top_k_agg(col("score"), col("id"), 4).as("tk"))
+      .selectExpr("transform(tk, x -> x.id) AS ids")
+      .as[Seq[Long]].head()
+    assert(got == Seq(10L, 11L, 12L, 13L), s"got $got")
+  }
+
   test("plan: partial aggregation, no window, no sort of the input") {
     val plan = Relational.w3TopNAgg(
       scored(100, 5).withColumnRenamed("g", "o_custkey")
