@@ -206,6 +206,9 @@ object SparkEntry {
     "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
     // Unicode script mix by explicit BMP codepoint ranges
     "text_script" -> ((s, d) => TextOps.scriptMix(t(s, d)("documents"))),
+    // sliding-window chunking: 40-token chunks, stride 20 (50% overlap)
+    "pipe_chunk_overlap" -> ((s, d) =>
+      PipelineOps.chunkSliding(t(s, d)("documents"), 40, 20)),
     // data-mixture weights: per-lang sample fractions for a 20k-token
     // budget at 50/20/10% en/de/zh (fr/es deliberately unlisted -> 0)
     "pipe_mixture" -> ((s, d) => PipelineOps.mixtureWeights(
@@ -367,6 +370,9 @@ object SparkEntry {
     // events table → watermarked sliding-window aggregation →
     // Trigger.AvailableNow → memory sink; oracle is the batch-SQL
     // restatement of the same sliding windows
+    // fixed-size set-sketch state: streaming KMV distinct (complete
+    // mode, no watermark needed — the sketch never grows)
+    "stream_kmv" -> ((s, d) => streamKmvQuery(s, d)),
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
     "stream_join" -> ((s, d) => streamJoinQuery(s, d)),
@@ -522,6 +528,30 @@ object SparkEntry {
     * state store holds only open windows once append mode + watermark
     * expiry apply.
     */
+  /** Streaming KMV driver query: AvailableNow replay of the events
+    * table into the fixed-size set sketch; the final state gets the
+    * same rank/estimate restatement as batch `a12_kmv_rollup` — and
+    * shares its partitioning-agnostic oracle (micro-batch boundaries
+    * are just another partitioning min-k is exact under).
+    */
+  private def streamKmvQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      val stream = stagedEventsStream(s, d, "src")
+      val sk = graft.streaming.StreamingSync.kmvDistinct(stream, 8)
+      val res = runToMemorySink(s, sk, "stream_kmv", "complete")
+      val k = 8
+      val twoP52 = 4503599627370496.0 // 2^52
+      res
+        .withColumn("est_distinct",
+          when(size(col("sk")) < k, size(col("sk")).cast("long"))
+            .otherwise(floor(lit((k - 1) * twoP52)
+              / element_at(col("sk"), k).getField("id")).cast("long")))
+        .select(col("event_type"), posexplode(col("sk")), col("est_distinct"))
+        .select(col("event_type"), (col("pos") + 1).as("rnk"),
+          col("col.id").as("h"), col("est_distinct"))
+        .orderBy("event_type", "rnk")
+    }
+
   private def streamWindowedAggQuery(s: SparkSession, d: String): DataFrame =
     withStreamShuffle(s) {
       val stream = stagedEventsStream(s, d, "src")
@@ -1741,23 +1771,23 @@ object SparkEntry {
     // direct global bottom-8: equals the Spark side's merged daily
     // sketches — the oracle never sees the daily partitioning, which
     // is exactly the mergeability property under test
-    "a12_kmv_rollup" ->
-      """WITH h AS (
-        |  SELECT DISTINCT event_type,
-        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
-        |  FROM events),
-        |r AS (
-        |  SELECT event_type, h,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
-        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
-        |  FROM h),
-        |b AS (SELECT * FROM r WHERE rnk <= 8)
-        |SELECT event_type, CAST(rnk AS INT) AS rnk, h,
-        |  CASE WHEN nd < 8 THEN nd
-        |    ELSE CAST(floor(7 * 4503599627370496.0 /
-        |      MAX(h) OVER (PARTITION BY event_type)) AS BIGINT)
-        |  END AS est_distinct
-        |FROM b ORDER BY event_type, rnk""".stripMargin,
+    "a12_kmv_rollup" -> KmvOracle,
+    // the STREAMING sketch shares the oracle verbatim: micro-batch
+    // boundaries are just another partitioning min-k is exact under
+    "stream_kmv" -> KmvOracle,
+    // sliding chunker: same regex tokens, same clamped slices
+    "pipe_chunk_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks) - 40, 0) + 1, 20)) AS start
+        |  FROM tk)
+        |SELECT doc_id, CAST(start / 20 AS INT) AS chunk_id,
+        |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text,
+        |  CAST(len(toks[start + 1 : start + 40]) AS BIGINT) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "j1_merge_upsert" -> J1MergeOracle,
     // the streamed two-batch replay lands on the SAME final snapshot
     "stream_cdc_merge" -> J1MergeOracle,
@@ -2787,6 +2817,28 @@ object SparkEntry {
     * lowest-id init, 6-decimal quantization, DECIMAL-exact mean
     * accumulation, argmax of 2·dot−|c|² with lowest-cid tiebreak).
     */
+  /** Direct global bottom-8 KMV — shared by the batch rollup (merged
+    * daily sketches) and the streaming sketch (merged micro-batches):
+    * both must equal it exactly.
+    */
+  private lazy val KmvOracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, h,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM h),
+      |b AS (SELECT * FROM r WHERE rnk <= 8)
+      |SELECT event_type, CAST(rnk AS INT) AS rnk, h,
+      |  CASE WHEN nd < 8 THEN nd
+      |    ELSE CAST(floor(7 * 4503599627370496.0 /
+      |      MAX(h) OVER (PARTITION BY event_type)) AS BIGINT)
+      |  END AS est_distinct
+      |FROM b ORDER BY event_type, rnk""".stripMargin
+
   private val KmeansOracle: String =
     s"""WITH $KmeansCtes
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster

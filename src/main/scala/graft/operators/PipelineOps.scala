@@ -242,6 +242,31 @@ object PipelineOps {
       .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
       .orderBy("doc_id", "chunk_id")
 
+  /** Sliding-window chunking with OVERLAP — the RAG/pretraining
+    * chunker where adjacent chunks share `size − stride` boundary
+    * tokens so no span of context is ever split without a witness
+    * ([[chunkTokens]] is the non-overlapping special case in spirit;
+    * this one tokenizes with the engine-portable `[a-z0-9]+` regex so
+    * the oracle is exact). Start offsets are a `sequence(0, max(n −
+    * size, 0), stride)` explode — bounded fan-out (≤ n/stride rows per
+    * doc), narrow, no shuffle; the final short chunk is the clamped
+    * tail slice.
+    */
+  def chunkSliding(documents: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= size, "need 1 <= stride <= size")
+    documents
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, greatest(size(toks) - $size, 0), $stride)"))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"array_join(slice(toks, start + 1, $size), ' ')").as("chunk_text"),
+        expr(s"size(slice(toks, start + 1, $size))").cast("long")
+          .as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** The flagship composition: corpus cleaning = quality gates +
     * language-ID + exact-dedup survivorship in ONE pipeline. Rather
     * than joining the standalone operators (four scans + three join

@@ -100,6 +100,26 @@ object StreamingSync {
         (col("pos") + 1).as("rnk"))
   }
 
+  /** Streaming KMV distinct sketch per group — the unbounded twin of
+    * `Relational.a12KmvRollup`: every micro-batch folds its rows into
+    * the ≤k-hash SET state that [[graft.functions.TopKAgg]]'s
+    * aggregation buffer keeps in the state store (complete mode).
+    * State per group is k hashes — FIXED no matter how long the
+    * stream runs (no watermark needed; the sketch never grows) — and
+    * the final sketch equals the batch bottom-k over everything seen:
+    * micro-batch boundaries are just another partitioning, and min-k
+    * is merge-exact under any partitioning. The same property the
+    * batch query proves by day, proved here by arrival order.
+    */
+  def kmvDistinct(events: DataFrame, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    events.select(col("event_type"), h.as("h"))
+      .groupBy("event_type")
+      .agg(top_k_agg(-col("h").cast("double"), col("h"), k).as("sk"))
+  }
+
   /** Streaming exact dedup — the unbounded twin of the batch
     * `TextOps.dedupExact`: re-deliveries arriving within the watermark
     * horizon are dropped, and the dedup state is evicted once the

@@ -259,6 +259,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d.select("source").distinct().as[String].collect().toSeq == Seq("web"))
   }
 
+  test("chunkSliding: 50% overlap, clamped tail, short docs emit one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "s", 0L),
+      (2L, "only three words", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.chunkSliding(docs, size = 4, stride = 2)
+      .as[(Long, Int, String, Long)].collect().toSeq
+    // doc 1: 10 tokens, starts 0,2,4,6 -> 4 chunks; adjacent chunks
+    // share 2 boundary tokens; final chunk full (start 6 + 4 = 10)
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq(0, 1, 2, 3))
+    assert(d1.head._3 == "w1 w2 w3 w4" && d1(1)._3 == "w3 w4 w5 w6")
+    assert(d1.last._3 == "w7 w8 w9 w10" && d1.forall(_._4 == 4L))
+    // doc 2: 3 tokens < size -> one clamped chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2 == Seq((2L, 0, "only three words", 3L)), s"got $d2")
+  }
+
   test("mixtureWeights: budget shares cap at 1, unlisted langs weight 0") {
     // en: 100 tokens obs (400 chars), de: 25 (100 chars), fr: 10 (40)
     val docs = Seq(
