@@ -206,6 +206,9 @@ object SparkEntry {
     "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
     // Unicode script mix by explicit BMP codepoint ranges
     "text_script" -> ((s, d) => TextOps.scriptMix(t(s, d)("documents"))),
+    // tokenizer artifact: top-50 vocab -> (pos, token_id) encoding
+    "text_vocab_encode" -> ((s, d) =>
+      TextOps.vocabEncode(t(s, d)("documents"), 50)),
     // sliding-window chunking: 40-token chunks, stride 20 (50% overlap)
     "pipe_chunk_overlap" -> ((s, d) =>
       PipelineOps.chunkSliding(t(s, d)("documents"), 40, 20)),
@@ -1775,6 +1778,22 @@ object SparkEntry {
     // the STREAMING sketch shares the oracle verbatim: micro-batch
     // boundaries are just another partitioning min-k is exact under
     "stream_kmv" -> KmvOracle,
+    // vocab ids 1..V by (freq desc, term); OOV encodes as 0
+    "text_vocab_encode" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    generate_subscripts(toks, 1) - 1 AS pos
+        |  FROM tk),
+        |v AS (
+        |  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS INT)
+        |    AS token_id
+        |  FROM t GROUP BY term ORDER BY count(*) DESC, term LIMIT 50)
+        |SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  coalesce(v.token_id, 0) AS token_id
+        |FROM t LEFT JOIN v USING (term) ORDER BY doc_id, pos""".stripMargin,
     // sliding chunker: same regex tokens, same clamped slices
     "pipe_chunk_overlap" ->
       """WITH tk AS (

@@ -441,6 +441,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build + token-id encoding — the tokenizer-artifact
+    * step of a training pipeline: the top-`vocabSize` corpus terms by
+    * frequency (ties to the lexicographically smaller term) become ids
+    * 1..V, and every document re-emits as (pos, token_id) with OOV →
+    * 0. Scale shape: the vocab is ONE map-side-combined term count +
+    * a bounded TakeOrdered (vocabSize rows), then broadcast onto the
+    * exploded corpus — documents never shuffle, the vocab never
+    * exceeds broadcast size by construction (same pattern as
+    * [[oovRatio]]'s vocab).
+    */
+  def vocabEncode(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val vocab = toks.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(vocabSize)
+      .withColumn("token_id", row_number().over(w))
+      .select("term", "token_id")
+    toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** Per-doc Unicode SCRIPT mix — the language-ID complement that
     * n-gram models can't give (a Cyrillic doc matched to an English
     * profile is a data bug, not a low-confidence call), and the

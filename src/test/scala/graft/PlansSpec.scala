@@ -354,6 +354,42 @@ class PlansSpec extends SparkSpec {
       s"fact table must not shuffle on the group key:\n${p.take(3000)}")
   }
 
+  test("mixtureWeights: one lang-keyed exchange, share map broadcasts") {
+    val df = graft.operators.PipelineOps.mixtureWeights(
+      Tables(spark, sf0001, "documents"), 20000L, Map("en" -> 0.5))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_sum"), s"token sum must combine map-side:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"share map must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the share join")
+  }
+
+  test("KMV rollup: set-state sketches only — no Window, no distinct exchange") {
+    val df = Relational.a12KmvRollup(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_top_k_agg"), s"map-side sketch combine missing:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no ranking window allowed:\n${p.take(3000)}")
+    // every exchange is keyed by the sketch GROUP (event_type [, day]),
+    // never by the raw hash — the data-scale distinct was replaced by
+    // the set-state insert, so no (.., h) exchange may remain
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(!_.contains(" h#")),
+      s"raw-hash exchange leaked back (distinct?): $keys\n${p.take(3000)}")
+  }
+
+  test("vocabEncode: vocab is TakeOrdered + broadcast; corpus never shuffles") {
+    val df = graft.operators.TextOps.vocabEncode(
+      Tables(spark, sf0001, "documents"), 50)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("TakeOrdered"), s"vocab cut must be bounded:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"exploded corpus must not shuffle on term:\n${p.take(3000)}")
+  }
+
   test("ANN serving rankers use bounded TopKAgg: partial agg, no Window") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)
