@@ -209,6 +209,9 @@ object SparkEntry {
     // tokenizer artifact: top-50 vocab -> (pos, token_id) encoding
     "text_vocab_encode" -> ((s, d) =>
       TextOps.vocabEncode(t(s, d)("documents"), 50)),
+    // real BPE merge learning: 3 steps of pair-count -> argmax -> merge
+    "text_bpe_train" -> ((s, d) =>
+      TextOps.bpeTrainMerges(t(s, d)("documents"), 3)),
     // sliding-window chunking: 40-token chunks, stride 20 (50% overlap)
     "pipe_chunk_overlap" -> ((s, d) =>
       PipelineOps.chunkSliding(t(s, d)("documents"), 40, 20)),
@@ -1778,6 +1781,43 @@ object SparkEntry {
     // the STREAMING sketch shares the oracle verbatim: micro-batch
     // boundaries are just another partitioning min-k is exact under
     "stream_kmv" -> KmvOracle,
+    // BPE training unrolled: per step one pair-count CTE, one argmax
+    // CTE, one merge rewrite via the shared leftmost-non-overlapping
+    // replace(' l r ', ' lr ') on sentinel-spaced symbol strings
+    "text_bpe_train" -> {
+      def pair(pn: String, sn: String) =
+        s"""$pn AS (
+           |  SELECT t[i] AS l, t[i + 1] AS r, SUM(freq) AS pf FROM (
+           |    SELECT t, freq, unnest(range(1, len(t))) AS i FROM (
+           |      SELECT string_split(trim(s), ' ') AS t, freq FROM $sn))
+           |  GROUP BY 1, 2)""".stripMargin
+      def best(bn: String, pn: String) =
+        s"$bn AS (SELECT l, r, pf FROM $pn ORDER BY pf DESC, l, r LIMIT 1)"
+      def merge(sn: String, prev: String, bn: String) =
+        s"""$sn AS (
+           |  SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS s, freq FROM $prev, $bn b)""".stripMargin
+      s"""WITH w AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+         |    FROM documents) GROUP BY w),
+         |s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, freq FROM w),
+         |${pair("p1", "s0")},
+         |${best("b1", "p1")},
+         |${merge("s1", "s0", "b1")},
+         |${pair("p2", "s1")},
+         |${best("b2", "p2")},
+         |${merge("s2", "s1", "b2")},
+         |${pair("p3", "s2")},
+         |${best("b3", "p3")}
+         |SELECT CAST(step AS INT) AS step, l AS merge_left, r AS merge_right,
+         |  CAST(pf AS BIGINT) AS pair_freq
+         |FROM (
+         |  SELECT 1 AS step, * FROM b1
+         |  UNION ALL SELECT 2, * FROM b2
+         |  UNION ALL SELECT 3, * FROM b3)
+         |ORDER BY step""".stripMargin
+    },
     // vocab ids 1..V by (freq desc, term); OOV encodes as 0
     "text_vocab_encode" ->
       """WITH tk AS (

@@ -441,6 +441,67 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer TRAINING (byte-pair-encoding merge learning) — not
+    * the [[bpeTokenCount]] heuristic but the real loop: words become
+    * space-separated symbol sequences, and each step (a) counts
+    * adjacent symbol pairs weighted by word frequency (overlapping
+    * occurrences counted, the standard), (b) picks the most frequent
+    * pair (ties to the lexicographically smaller pair), (c) merges its
+    * leftmost non-overlapping occurrences corpus-wide. Output is the
+    * learned MERGE TABLE (step, left, right, pair_freq) — the
+    * tokenizer artifact itself.
+    *
+    * Spark shape: the word-frequency table (the classic BPE input) is
+    * built once and persisted; each step is ONE map-side-combined pair
+    * count + a bounded TakeOrdered(1) argmax (a principled 1-row
+    * driver collect — the merge table lives on the driver in every
+    * real BPE trainer) + a narrow `replace` rewrite of the symbol
+    * strings. Shuffle per step is the pair-count aggregate only;
+    * corpus-scale data never sorts. Cross-engine exactness: symbols
+    * ride in sentinel-spaced strings (` a b c `), so pair merge is the
+    * engines' shared leftmost-non-overlapping `replace(' l r ', ' lr ')`
+    * — no fold semantics to hand-match.
+    */
+  def bpeTrainMerges(documents: DataFrame, steps: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val bestRows = cur
+        .select(col("freq"), expr("split(trim(s), ' ')").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS l, t[i] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (bestRows.isEmpty) exhausted = true // every word fully merged
+      else {
+        val best = bestRows(0)
+        val (l, r, pf) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((step, l, r, pf))
+        cur = cur.select(
+          expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"), col("freq"))
+        step += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_freq")
+      .orderBy("step")
+  }
+
   /** Vocabulary build + token-id encoding — the tokenizer-artifact
     * step of a training pipeline: the top-`vocabSize` corpus terms by
     * frequency (ties to the lexicographically smaller term) become ids

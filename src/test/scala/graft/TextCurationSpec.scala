@@ -158,6 +158,19 @@ class TextCurationSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L)), s"got $got")
   }
 
+  test("bpeTrainMerges: hand-computed merge table, early stop when fully merged") {
+    // words: "aab" x3, "ab" x2 -> symbols ' a a b ' f3, ' a b ' f2
+    // step 1: pairs (a,a)=3, (a,b)=5 -> merge (a,b) [(a,b) occurs in
+    //   both words: 3 + 2 = 5]
+    // step 2: ' a ab ' f3, ' ab ' f2 -> pairs (a,ab)=3 -> merge
+    // step 3: ' aab ' f3, ' ab ' f2 -> no pairs -> early stop
+    val docs = Seq((1L, "aab aab ab", "en", "s", 0L), (2L, "aab ab", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextOps.bpeTrainMerges(docs, 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 5L), (2, "a", "ab", 3L)), s"got $got")
+  }
+
   test("scriptMix counts disjoint BMP ranges; remainder is n_other") {
     val docs = Seq(
       (1L, "abc АБВ 中文 αβ 42!", "xx", "s", 0L),
