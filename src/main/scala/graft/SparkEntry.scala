@@ -123,6 +123,8 @@ object SparkEntry {
     // 5-row rolling median per event type over fixed-point cents
     "w13_rolling_median" -> ((s, d) =>
       Relational.w13RollingMedian(t(s, d)("events"))),
+    // robust (median/MAD) per-type outlier score, 1e-6 fixed point
+    "w15_robust_z" -> ((s, d) => Relational.w15RobustZ(t(s, d)("events"))),
     // JSON properties column → typed field (codegen'd per-row parse)
     "t8_json_extract" -> ((s, d) => Relational.t8JsonExtract(t(s, d)("events"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
@@ -1706,6 +1708,23 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // identical fixed-point + op-chain on both sides; quantile_cont
+    // is Spark percentile's interpolation twin (a4 precedent)
+    "w15_robust_z" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(vi, 0.5) AS med
+        |      FROM b GROUP BY event_type),
+        |s AS (SELECT b.event_type, any_value(m.med) AS med,
+        |        quantile_cont(abs(b.vi - m.med), 0.5) AS mad
+        |      FROM b JOIN m USING (event_type) GROUP BY b.event_type)
+        |SELECT b.event_id, b.vi,
+        |  CASE WHEN s.mad = 0 THEN 0
+        |    ELSE CAST(floor((b.vi - s.med) / s.mad * 1000000.0) AS BIGINT)
+        |  END AS z_e6
+        |FROM b JOIN s USING (event_type) ORDER BY event_id""".stripMargin,
     "w14_trailing_count" ->
       """SELECT event_id, user_id,
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts

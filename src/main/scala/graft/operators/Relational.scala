@@ -579,6 +579,42 @@ object Relational {
       .orderBy("event_type", "rnk")
   }
 
+  /** Robust per-group z-score (median/MAD) — the production outlier
+    * signal: unlike mean/σ it is immune to the very outliers it hunts
+    * (one huge value drags a mean-based z toward itself and masks
+    * neighbors; the median doesn't move). Cross-engine exactness:
+    * values fix-point to integers up front (`floor(v·1e3 + 0.5)` —
+    * floor, never round()), median and MAD are exact percentiles of
+    * integers (always x.0/x.5 — exactly representable), and the score
+    * is the fixed op chain (vi − med) / mad · 1e6, floored — identical
+    * IEEE steps on both engines. MAD = 0 groups score 0 (no spurious
+    * ±Inf).
+    *
+    * Scale shape: two percentile aggregates per group (tiny outputs)
+    * broadcast back onto the facts — the event table itself never
+    * hash-shuffles. Exact percentile buffers a group's values by
+    * nature; at 100 TB swap `percentile` for `approx_percentile`
+    * exactly as [[a11Winsorize]]'s approx mode does — same plan, KLL
+    * memory.
+    */
+  def w15RobustZ(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"),
+      floor(col("value") * 1000.0 + lit(0.5)).cast("long").as("vi"))
+    val med = base.groupBy("event_type")
+      .agg(expr("percentile(vi, 0.5D)").as("med"))
+    val stats = base.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("vi") - col("med")).as("ad"))
+      .groupBy("event_type")
+      .agg(first("med").as("med"), expr("percentile(ad, 0.5D)").as("mad"))
+    base.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("vi"),
+        when(col("mad") === 0.0, lit(0L))
+          .otherwise(floor((col("vi") - col("med")) / col("mad") * lit(1000000.0))
+            .cast("long")).as("z_e6"))
+      .orderBy("event_id")
+  }
+
   /** Time-series densification (gap fill): hourly event counts per
     * type with missing hours restated as explicit zeros — the spine
     * every downstream window/forecast join needs. The raw scan reduces
