@@ -335,6 +335,15 @@ object SparkEntry {
     // symmetric int8 quantization, exploded for the scalar oracle
     "sim_quantize_int8" -> ((s, d) =>
       SimilarityOps.quantizeInt8(t(s, d)("embeddings"))),
+    // product-quantization index build: 4 subspaces, 8-centroid
+    // codebooks, exact L2 argmin per (vector, subspace)
+    "sim_pq_encode" -> ((s, d) =>
+      SimilarityOps.pqEncode(t(s, d)("embeddings"))),
+    // PQ serving: ADC lookup over the codes, fixed-point sums
+    "sim_pq_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.pqTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+    }),
     // quantized-domain ANN: cosine top-k over the int8 codes
     "sim_int8_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
@@ -2594,6 +2603,37 @@ object SparkEntry {
         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * scale + 0.5) AS INTEGER) AS code,
         |  scale
         |FROM ex ORDER BY vec_id, pos""".stripMargin,
+    // PQ assignment restated: same slices, same 2·dot − |c|² argmax
+    // (score DESC, cid tiebreak), dots with the vec_dot cast shape
+    "sim_pq_encode" ->
+      s"""WITH $PqCtes
+         |SELECT vec_id, CAST(j AS INT) AS subspace, CAST(cid AS INT) AS code
+         |FROM codes ORDER BY vec_id, subspace""".stripMargin,
+    // ADC serving restated: per-query distance tables, code lookup,
+    // 1e-9 fixed-point subspace sums (order-free on both engines)
+    "sim_pq_topk" ->
+      s"""WITH $PqCtes,
+         |q1 AS (
+         |  SELECT vec_id AS query_id, embedding, len(embedding) // 4 AS sd,
+         |    unnest(range(0, 4)) AS j
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |qsub AS (SELECT query_id, j,
+         |  embedding[j * sd + 1 : (j + 1) * sd] AS sub FROM q1),
+         |adc AS (
+         |  SELECT q.query_id, q.j, c.cid,
+         |    CAST(floor((2 * ${PqDot("q.sub", "c.ce")} - ${PqDot("c.ce", "c.ce")})
+         |      * 1000000000.0) AS BIGINT) AS se9
+         |  FROM qsub q JOIN cent c ON q.j = c.j),
+         |sc AS (
+         |  SELECT a.query_id, k.vec_id, SUM(a.se9) AS sim
+         |  FROM codes k JOIN adc a
+         |    ON k.j = a.j AND k.cid = a.cid AND k.vec_id <> a.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // cosine over int8 codes: every dot/norm is exact integer
     // arithmetic in doubles (≤ 127²·dim ≪ 2^53), so the ranking is
     // bit-deterministic cross-engine
@@ -2895,6 +2935,43 @@ object SparkEntry {
     * lowest-id init, 6-decimal quantization, DECIMAL-exact mean
     * accumulation, argmax of 2·dot−|c|² with lowest-cid tiebreak).
     */
+  /** The vec_dot cast shape as a DuckDB list fold (per-element DOUBLE
+    * cast, sequential accumulation — bit-exact vs the codegen'd
+    * kernel).
+    */
+  private def PqDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** PQ CTE chain: 4-subspace slices, 8-row sampled codebooks, exact
+    * 2·dot − |c|² argmin assignment — `codes` holds (vec_id, j, cid),
+    * `cent` holds (cid, j, ce). Shared by the encode oracle and the
+    * ADC serving oracle.
+    */
+  private lazy val PqCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding, len(embedding) // 4 AS sd FROM embeddings),
+       |s1 AS (SELECT vec_id, embedding, sd, unnest(range(0, 4)) AS j FROM e),
+       |sub AS (SELECT vec_id, j,
+       |  embedding[j * sd + 1 : (j + 1) * sd] AS sub FROM s1),
+       |cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding,
+       |    len(embedding) // 4 AS sd
+       |  FROM (SELECT * FROM embeddings WHERE vec_id % 23 = 0
+       |        ORDER BY vec_id LIMIT 8)),
+       |c1 AS (SELECT cid, embedding, sd, unnest(range(0, 4)) AS j FROM cb),
+       |cent AS (SELECT cid, j,
+       |  embedding[j * sd + 1 : (j + 1) * sd] AS ce FROM c1),
+       |pqa AS (
+       |  SELECT s.vec_id, s.j, c.cid,
+       |    2 * ${PqDot("s.sub", "c.ce")} - ${PqDot("c.ce", "c.ce")} AS score
+       |  FROM sub s JOIN cent c ON s.j = c.j),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id, j ORDER BY score DESC, cid) AS rn
+       |    FROM pqa) WHERE rn = 1)""".stripMargin
+
   /** Direct global bottom-8 KMV — shared by the batch rollup (merged
     * daily sketches) and the streaming sketch (merged micro-batches):
     * both must equal it exactly.

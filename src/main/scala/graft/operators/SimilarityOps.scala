@@ -341,6 +341,91 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Product-quantization ENCODE — the index-build step of PQ-ANN
+    * (the compression behind every billion-vector serving index): the
+    * vector splits into `m` subvectors and each is assigned to its
+    * nearest per-subspace codebook centroid by exact L2 argmin
+    * (argmax of 2·dot − |c|², the [[ivfTopK]] identity), so a
+    * 64-float embedding becomes m small codes (m=4, k=8 here; real
+    * deployments run m=8..64, k=256 — same plan). Codebooks are
+    * deterministic samples ([[ivfTopK]]'s untrained convention;
+    * [[kmeansAssign]] is the per-subspace training loop that would
+    * refine them). Scale shape: codebooks broadcast (m·k·subDim
+    * values), assignment is one narrow pass + a map-side-combining
+    * max(struct) argmax per (vector, subspace) — no N×C shuffle, and
+    * the output is the stored index.
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      centroidStep: Int = 23): DataFrame = {
+    def subsOf(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, $m - 1), j -> slice(embedding, " +
+          s"j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
+        .as(Seq("subspace", "sub")))
+    val w = Window.orderBy("vec_id")
+    val cents = subsOf(
+      embeddings.filter(col("vec_id") % centroidStep === 0)
+        .orderBy("vec_id").limit(k)
+        .withColumn("cid", row_number().over(w) - 1), "cid")
+      .select(col("cid"), col("subspace"), col("sub").as("ce"))
+      .withColumn("cn2", vec_dot(col("ce"), col("ce")))
+    subsOf(embeddings, "vec_id")
+      .join(broadcast(cents), "subspace")
+      .withColumn("score",
+        vec_dot(col("sub"), col("ce")) * 2.0d - col("cn2"))
+      .groupBy("vec_id", "subspace")
+      .agg(max(struct(col("score").as("s"), (-col("cid")).as("nj"))).as("w"))
+      .select(col("vec_id"), col("subspace"), (-col("w.nj")).as("code"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** PQ-ADC top-k — the SERVING path the [[pqEncode]] index exists
+    * for (asymmetric distance computation): each query precomputes a
+    * tiny per-subspace distance table against the codebooks (Q·m·k
+    * entries — broadcast), every stored code row looks its
+    * contribution up with an equi-join, and the per-(query, vector)
+    * score is the sum over subspaces — the scan touches only the
+    * m-code index rows, never the raw vectors (the bandwidth win that
+    * makes PQ the billion-vector standard). Ranking reuses the
+    * bounded [[rankTopK]] aggregate.
+    *
+    * Determinism: per-entry ADC scores are bit-exact (codegen'd
+    * [[graft.functions.VectorDot]] + fixed op chain), and the
+    * cross-subspace sum runs in 1e-9 fixed point (`floor(score·1e9)`
+    * BIGINTs) so the reduction is order-free — a raw double sum would
+    * vary with partition merge order exactly at rank boundaries.
+    * Approximation (quantization error) is inherent to PQ; the oracle
+    * computes the same quantized scores.
+    */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, kNeighbors: Int,
+      m: Int = 4, k: Int = 8, centroidStep: Int = 23): DataFrame = {
+    def subsOf(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, $m - 1), j -> slice(embedding, " +
+          s"j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
+        .as(Seq("subspace", "sub")))
+    val w = Window.orderBy("vec_id")
+    val cents = subsOf(
+      embeddings.filter(col("vec_id") % centroidStep === 0)
+        .orderBy("vec_id").limit(k)
+        .withColumn("cid", row_number().over(w) - 1), "cid")
+      .select(col("cid"), col("subspace"), col("sub").as("ce"))
+      .withColumn("cn2", vec_dot(col("ce"), col("ce")))
+    val codes = pqEncode(embeddings, m, k, centroidStep)
+    val adc = subsOf(queries.select(col("vec_id").as("query_id"),
+        col("embedding")), "query_id")
+      .join(broadcast(cents), "subspace")
+      .select(col("query_id"), col("subspace"), col("cid").as("code"),
+        floor((vec_dot(col("sub"), col("ce")) * 2.0d - col("cn2"))
+          * lit(1.0e9)).as("se9"))
+    val scored = codes
+      .join(broadcast(adc), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("se9")).cast("double").as("sim"))
+    rankTopK(scored, kNeighbors, keepSim = false)
+  }
+
   /** Trained k-means (Lloyd's) cluster assignment — the real training
     * loop behind a production IVF index (ivfTopK's deterministic-sample
     * centroids are the untrained stand-in). Each iteration is the

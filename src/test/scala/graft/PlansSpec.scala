@@ -407,5 +407,12 @@ class PlansSpec extends SparkSpec {
       assert(!p.contains("Window"),
         s"$nm: window exchange leaked back into the ranker:\n${p.take(3000)}")
     }
+    // pq: same bounded ranker; its only Window is the 8-row codebook-id
+    // assignment (bounded by construction), so pin the ranker alone
+    val pq = S.pqTopK(e, q, 5)
+    pq.collect()
+    val pp = plan(pq).split("== Initial Plan ==").head
+    assert(pp.contains("partial_top_k_agg"),
+      s"pq: map-side top-k combine missing:\n${pp.take(3000)}")
   }
 }

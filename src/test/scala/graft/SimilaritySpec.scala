@@ -182,6 +182,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) != got(23L))
   }
 
+  test("pqEncode/pqTopK: valid codes, self-retrieval sanity, nonzero recall") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val codes = SimilarityOps.pqEncode(e)
+    val n = e.count()
+    // every vector gets exactly one code per subspace, codes in [0, 8)
+    assert(codes.count() == n * 4)
+    val rng = codes.agg(org.apache.spark.sql.functions.min("code"),
+      org.apache.spark.sql.functions.max("code")).head()
+    assert(rng.getInt(0) >= 0 && rng.getInt(1) <= 7)
+    // ADC retrieval overlaps the exact ranking for SOME queries
+    // (coarse 8-code-per-subspace books — recall < 1 is expected;
+    // zero overlap would mean the lookup is wired wrong)
+    val q = e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)
+    val approx = SimilarityOps.pqTopK(e, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = SimilarityOps.bruteForceTopK(e, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty && (approx intersect exact).nonEmpty,
+      s"ADC retrieval shares nothing with exact top-k (${approx.size} rows)")
+  }
+
   test("semanticNearDup: within-cluster subset of the exact pairs (sf0.01)") {
     val e = Tables(spark, sf001, "embeddings")
     val exact = SimilarityOps.cosineNearDup(e, 0.463)
