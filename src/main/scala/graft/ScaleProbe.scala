@@ -57,6 +57,14 @@ object ScaleProbe {
     require(mult <= VowelPerms.size,
       s"at most ${VowelPerms.size} copies supported (one vowel perm each)")
     val tmp = new java.io.File(dir + ".tmp")
+    // a probe killed mid-stage leaves a partial tmp dir that would make
+    // every later write.parquet fail with 'path already exists' — sweep
+    // it before re-staging (the publish rename is what makes it durable)
+    if (tmp.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val events = Tables(spark, src, "events")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -94,8 +102,12 @@ object ScaleProbe {
       case Some(only) => DefaultQueries.filter(only)
       case None => DefaultQueries
     }
+    // mtime-keyed like the other stagings: regenerated testdata must
+    // re-stage, never reuse a stale scaled corpus
+    val srcM = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$src/events.parquet")).toMillis
     val dir = s"/tmp/graft_scale${mult}_" +
-      src.replaceAll("[^a-zA-Z0-9]", "_")
+      src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
     System.err.println(s"[scale] staging ${mult}x of $src -> $dir")
     stage(spark, src, dir, mult)
 

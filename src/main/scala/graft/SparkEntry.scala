@@ -1862,16 +1862,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(pos AS INT) AS pos,
         |  coalesce(v.token_id, 0) AS token_id
         |FROM t LEFT JOIN v USING (term) ORDER BY doc_id, pos""".stripMargin,
-    // sliding chunker: same regex tokens, same clamped slices
+    // sliding chunker: same regex tokens, same stride grid + appended
+    // tail start, same slices; chunk_id = position in the sorted
+    // distinct start list
     "pipe_chunk_overlap" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
         |  FROM documents),
+        |ss AS (
+        |  SELECT doc_id, toks,
+        |    list_sort(list_distinct(list_append(
+        |      range(0, greatest(len(toks) - 40, 0) + 1, 20),
+        |      greatest(len(toks) - 40, 0)))) AS starts
+        |  FROM tk),
         |st AS (
         |  SELECT doc_id, toks,
-        |    unnest(range(0, greatest(len(toks) - 40, 0) + 1, 20)) AS start
-        |  FROM tk)
-        |SELECT doc_id, CAST(start / 20 AS INT) AS chunk_id,
+        |    unnest(starts) AS start,
+        |    generate_subscripts(starts, 1) - 1 AS chunk_id
+        |  FROM ss)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
         |  array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text,
         |  CAST(len(toks[start + 1 : start + 40]) AS BIGINT) AS n_chunk_tokens
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,

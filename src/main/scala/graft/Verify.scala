@@ -44,6 +44,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // registry size marker (separate file — the driver parses
+    // oracle_sql.json as a flat map, so its shape must not change):
+    // lets check.py tell a FULL dump from a SPARK_GRAFT_ONLY subset
+    // without trusting its own environment
+    Files.writeString(Paths.get(s"$outDir/registry_size.txt"),
+      SparkEntry.queries.size.toString)
     spark.stop()
   }
 }

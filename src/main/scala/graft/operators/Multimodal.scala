@@ -206,8 +206,9 @@ object Multimodal {
     def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
     def be32(o: Int): Long = (be16(o).toLong << 16) | be16(o + 2)
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
-    // first box named `name` in [start, end); returns payload bounds
-    def find(name: String, start: Int, end: Int): (Int, Int) = {
+    // payload bounds of every box named `name` in [start, end)
+    def findAll(name: String, start: Int, end: Int): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
       var off = start
       while (off + 8 <= end) {
         val size0 = be32(off)
@@ -218,13 +219,30 @@ object Multimodal {
           else (8, size0)
         if (size < hdr || off + size > end)
           sys.error(s"corrupt '$tp' box: size $size at offset $off")
-        if (tp == name) return (off + hdr, off + size.toInt)
+        if (tp == name) out += ((off + hdr, off + size.toInt))
         off += size.toInt
       }
-      sys.error(s"no '$name' box in [$start, $end)")
+      out.result()
     }
+    def find(name: String, start: Int, end: Int): (Int, Int) =
+      findAll(name, start, end).headOption
+        .getOrElse(sys.error(s"no '$name' box in [$start, $end)"))
     val (moovS, moovE) = find("moov", 0, bytes.length)
-    val (trakS, trakE) = find("trak", moovS, moovE)
+    // select the VIDEO track: real muxers commonly order traks
+    // audio-first, so "first trak" would read an audio tkhd (0×0
+    // dims) and sum audio sample counts — pick the first trak whose
+    // mdia/hdlr handler_type is 'vide', falling back to the first
+    // trak for handler-less minimal containers
+    val traks = findAll("trak", moovS, moovE)
+    if (traks.isEmpty) sys.error(s"no 'trak' box in [$moovS, $moovE)")
+    def handlerOf(ts: Int, te: Int): String =
+      try {
+        val (mdS, mdE) = find("mdia", ts, te)
+        val (hS, _) = find("hdlr", mdS, mdE)
+        new String(bytes, hS + 8, 4, "US-ASCII") // ver/flags 4 + pre_defined 4
+      } catch { case _: RuntimeException => "" }
+    val (trakS, trakE) = traks.find(t => handlerOf(t._1, t._2) == "vide")
+      .getOrElse(traks.head)
     val (tkS, _) = find("tkhd", trakS, trakE)
     val whOff = tkS + (if ((bytes(tkS) & 0xff) == 1) 88 else 76)
     val width = (be32(whOff) >> 16).toInt

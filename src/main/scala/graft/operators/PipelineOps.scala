@@ -248,9 +248,13 @@ object PipelineOps {
     * ([[chunkTokens]] is the non-overlapping special case in spirit;
     * this one tokenizes with the engine-portable `[a-z0-9]+` regex so
     * the oracle is exact). Start offsets are a `sequence(0, max(n −
-    * size, 0), stride)` explode — bounded fan-out (≤ n/stride rows per
-    * doc), narrow, no shuffle; the final short chunk is the clamped
-    * tail slice.
+    * size, 0), stride)` explode — bounded fan-out (≤ n/stride + 1
+    * rows per doc), narrow, no shuffle — PLUS the tail start `n −
+    * size` whenever the stride grid does not land on it: without it,
+    * up to stride−1 trailing tokens would appear in NO chunk, which
+    * breaks the full-coverage contract (the extra tail chunk is
+    * full-width and overlaps its predecessor by more than usual —
+    * the standard tail treatment).
     */
   def chunkSliding(documents: DataFrame, size: Int, stride: Int): DataFrame = {
     require(stride >= 1 && stride <= size, "need 1 <= stride <= size")
@@ -258,7 +262,10 @@ object PipelineOps {
       .select(col("doc_id"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
       .select(col("doc_id"), col("toks"),
-        posexplode(expr(s"sequence(0, greatest(size(toks) - $size, 0), $stride)"))
+        posexplode(expr(
+          s"array_sort(array_distinct(concat(" +
+            s"sequence(0, greatest(size(toks) - $size, 0), $stride), " +
+            s"array(greatest(size(toks) - $size, 0)))))"))
           .as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id"),
         expr(s"array_join(slice(toks, start + 1, $size), ' ')").as("chunk_text"),

@@ -356,28 +356,42 @@ object SimilarityOps {
     * the output is the stored index.
     */
   def pqEncode(embeddings: DataFrame, m: Int = 4, k: Int = 8,
-      centroidStep: Int = 23): DataFrame = {
-    def subsOf(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, $m - 1), j -> slice(embedding, " +
-          s"j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
-        .as(Seq("subspace", "sub")))
+      centroidStep: Int = 23): DataFrame =
+    pqCodes(embeddings, pqCodebook(embeddings, m, k, centroidStep), m)
+      .orderBy("vec_id", "subspace")
+
+  /** One (id, subspace, subvector) row per vector per subspace. */
+  private def pqSubs(df: DataFrame, idCol: String, m: Int): DataFrame =
+    df.select(col(idCol), posexplode(expr(
+      s"transform(sequence(0, $m - 1), j -> slice(embedding, " +
+        s"j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
+      .as(Seq("subspace", "sub")))
+
+  /** Per-subspace codebooks (cid, subspace, ce, cn2) from the
+    * deterministic sample — shared by the encode and ADC paths so the
+    * serving side can never drift from the stored index's books.
+    */
+  private def pqCodebook(embeddings: DataFrame, m: Int, k: Int,
+      centroidStep: Int): DataFrame = {
     val w = Window.orderBy("vec_id")
-    val cents = subsOf(
+    pqSubs(
       embeddings.filter(col("vec_id") % centroidStep === 0)
         .orderBy("vec_id").limit(k)
-        .withColumn("cid", row_number().over(w) - 1), "cid")
+        .withColumn("cid", row_number().over(w) - 1), "cid", m)
       .select(col("cid"), col("subspace"), col("sub").as("ce"))
       .withColumn("cn2", vec_dot(col("ce"), col("ce")))
-    subsOf(embeddings, "vec_id")
+  }
+
+  /** Unsorted encode core (the stored index rows). */
+  private def pqCodes(embeddings: DataFrame, cents: DataFrame,
+      m: Int): DataFrame =
+    pqSubs(embeddings, "vec_id", m)
       .join(broadcast(cents), "subspace")
       .withColumn("score",
         vec_dot(col("sub"), col("ce")) * 2.0d - col("cn2"))
       .groupBy("vec_id", "subspace")
       .agg(max(struct(col("score").as("s"), (-col("cid")).as("nj"))).as("w"))
       .select(col("vec_id"), col("subspace"), (-col("w.nj")).as("code"))
-      .orderBy("vec_id", "subspace")
-  }
 
   /** PQ-ADC top-k — the SERVING path the [[pqEncode]] index exists
     * for (asymmetric distance computation): each query precomputes a
@@ -399,21 +413,10 @@ object SimilarityOps {
     */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, kNeighbors: Int,
       m: Int = 4, k: Int = 8, centroidStep: Int = 23): DataFrame = {
-    def subsOf(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, $m - 1), j -> slice(embedding, " +
-          s"j * (size(embedding) div $m) + 1, size(embedding) div $m))"))
-        .as(Seq("subspace", "sub")))
-    val w = Window.orderBy("vec_id")
-    val cents = subsOf(
-      embeddings.filter(col("vec_id") % centroidStep === 0)
-        .orderBy("vec_id").limit(k)
-        .withColumn("cid", row_number().over(w) - 1), "cid")
-      .select(col("cid"), col("subspace"), col("sub").as("ce"))
-      .withColumn("cn2", vec_dot(col("ce"), col("ce")))
-    val codes = pqEncode(embeddings, m, k, centroidStep)
-    val adc = subsOf(queries.select(col("vec_id").as("query_id"),
-        col("embedding")), "query_id")
+    val cents = pqCodebook(embeddings, m, k, centroidStep)
+    val codes = pqCodes(embeddings, cents, m) // unsorted index rows
+    val adc = pqSubs(queries.select(col("vec_id").as("query_id"),
+        col("embedding")), "query_id", m)
       .join(broadcast(cents), "subspace")
       .select(col("query_id"), col("subspace"), col("cid").as("code"),
         floor((vec_dot(col("sub"), col("ce")) * 2.0d - col("cn2"))

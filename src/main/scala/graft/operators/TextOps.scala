@@ -447,9 +447,18 @@ object TextOps {
     * adjacent symbol pairs weighted by word frequency (overlapping
     * occurrences counted, the standard), (b) picks the most frequent
     * pair (ties to the lexicographically smaller pair), (c) merges its
-    * leftmost non-overlapping occurrences corpus-wide. Output is the
-    * learned MERGE TABLE (step, left, right, pair_freq) — the
-    * tokenizer artifact itself.
+    * occurrences corpus-wide under the engines' shared string-replace
+    * semantics. Output is the learned MERGE TABLE (step, left, right,
+    * pair_freq) — the tokenizer artifact itself.
+    *
+    * Merge-placement caveat: replacing `' l r '` consumes the shared
+    * boundary space, so inside a RUN of one symbol (`aaaa` → ` a a a
+    * a `) merges land via a skip-one scan rather than the reference
+    * implementation's strict left-to-right pairing — same merge count
+    * for even runs, shifted placement inside odd ones. Pair counts
+    * (what the argmax ranks) are unaffected, the behavior is
+    * deterministic and engine-identical, and run-free text (the
+    * overwhelming mass) merges exactly as reference BPE does.
     *
     * Spark shape: the word-frequency table (the classic BPE input) is
     * built once and persisted; each step is ONE map-side-combined pair
@@ -459,8 +468,8 @@ object TextOps {
     * strings. Shuffle per step is the pair-count aggregate only;
     * corpus-scale data never sorts. Cross-engine exactness: symbols
     * ride in sentinel-spaced strings (` a b c `), so pair merge is the
-    * engines' shared leftmost-non-overlapping `replace(' l r ', ' lr ')`
-    * — no fold semantics to hand-match.
+    * engines' shared `replace(' l r ', ' lr ')` — no fold semantics to
+    * hand-match (see the merge-placement caveat above).
     */
   def bpeTrainMerges(documents: DataFrame, steps: Int): DataFrame = {
     val spark = documents.sparkSession

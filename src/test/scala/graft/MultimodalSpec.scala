@@ -84,6 +84,43 @@ class MultimodalSpec extends SparkSpec {
     assert((w, h, f, ts, dur) == (320, 240, 45, 90000, 4500L))
   }
 
+  test("parseMp4Meta selects the 'vide' trak when audio comes first") {
+    // real muxers commonly order traks audio-first; the parser must
+    // pick the trak whose hdlr is 'vide', not trak #1
+    def be(bb: java.nio.ByteBuffer): Array[Byte] = bb.array()
+    def box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val n = 8 + parts.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(n)
+      b.putInt(n).put(tp.getBytes("US-ASCII")); parts.foreach(b.put); be(b)
+    }
+    def hdlr(tp: String): Array[Byte] = box("hdlr", be {
+      val b = java.nio.ByteBuffer.allocate(25)
+      b.putInt(0).putInt(0).put(tp.getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).put(0.toByte); b })
+    def tkhd(w: Int, h: Int): Array[Byte] = box("tkhd", be {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(7).putInt(0).putInt(0).putInt(1).putInt(0).putInt(0).putLong(0L)
+      b.putShort(0).putShort(0).putShort(0).putShort(0)
+      (0 until 9).foreach(_ => b.putInt(0))
+      b.putInt(w << 16).putInt(h << 16); b })
+    def mdhd(ts: Int, dur: Int): Array[Byte] = box("mdhd", be {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+        .putShort(0x55C4.toShort).putShort(0); b })
+    def stts(count: Int, delta: Int): Array[Byte] = box("stts", be {
+      val b = java.nio.ByteBuffer.allocate(16)
+      b.putInt(0).putInt(1).putInt(count).putInt(delta); b })
+    def trak(handler: String, w: Int, h: Int, ts: Int, frames: Int,
+        delta: Int): Array[Byte] =
+      box("trak", tkhd(w, h), box("mdia", mdhd(ts, frames * delta),
+        hdlr(handler), box("minf", box("stbl", stts(frames, delta)))))
+    val audioFirst = box("moov",
+      trak("soun", 0, 0, 44100, 44100, 1),   // audio: 0x0, huge sample count
+      trak("vide", 320, 240, 12800, 48, 512))
+    val (w, h, f, ts, dur) = Multimodal.parseMp4Meta(audioFirst)
+    assert((w, h, f, ts, dur) == (320, 240, 48, 12800, 48L * 512))
+  }
+
   test("parseMp4Meta fails loudly on a missing moov (not a silent zero)") {
     val junk = Array.fill[Byte](32)(7)
     val e = intercept[Exception] { Multimodal.parseMp4Meta(junk) }

@@ -259,15 +259,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d.select("source").distinct().as[String].collect().toSeq == Seq("web"))
   }
 
-  test("chunkSliding: 50% overlap, clamped tail, short docs emit one chunk") {
+  test("chunkSliding: 50% overlap, off-grid tail covered, short docs one chunk") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "s", 0L),
-      (2L, "only three words", "en", "s", 0L))
+      (2L, "only three words", "en", "s", 0L),
+      (3L, (1 to 11).map(i => s"v$i").mkString(" "), "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = PipelineOps.chunkSliding(docs, size = 4, stride = 2)
       .as[(Long, Int, String, Long)].collect().toSeq
-    // doc 1: 10 tokens, starts 0,2,4,6 -> 4 chunks; adjacent chunks
-    // share 2 boundary tokens; final chunk full (start 6 + 4 = 10)
+    // doc 1: 10 tokens, grid 0,2,4,6 (tail 6 on-grid) -> 4 chunks;
+    // adjacent chunks share 2 boundary tokens; final chunk full
     val d1 = out.filter(_._1 == 1L)
     assert(d1.map(_._2) == Seq(0, 1, 2, 3))
     assert(d1.head._3 == "w1 w2 w3 w4" && d1(1)._3 == "w3 w4 w5 w6")
@@ -275,6 +276,11 @@ class PipelineOpsSpec extends SparkSpec {
     // doc 2: 3 tokens < size -> one clamped chunk
     val d2 = out.filter(_._1 == 2L)
     assert(d2 == Seq((2L, 0, "only three words", 3L)), s"got $d2")
+    // doc 3: 11 tokens, grid 0,2,4,6 + OFF-GRID tail 7 -> 5 chunks and
+    // token v11 IS covered (the tail-coverage contract)
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(_._2) == Seq(0, 1, 2, 3, 4), s"got $d3")
+    assert(d3.last._3 == "v8 v9 v10 v11" && d3.forall(_._4 == 4L), s"got $d3")
   }
 
   test("mixtureWeights: budget shares cap at 1, unlisted langs weight 0") {

@@ -64,21 +64,26 @@ def main(sf_dir, out_dir):
             failed.append(name)
         else:
             print(f"OK   {name} ({len(wrows)} rows)")
-    # README count drift guard: on a FULL run (no SPARK_GRAFT_ONLY
-    # subset upstream — detected by the oracle set size matching the
-    # registry), the README's "N queries / N/N" lines must match the
-    # live registry size, so the doc can never lag the contract again.
+    # README count drift guard: only on a FULL dump — detected by the
+    # registry_size.txt marker Verify writes (the oracle set size
+    # equals the registry size only when no SPARK_GRAFT_ONLY subset
+    # narrowed the dump; checking our own env would be wrong, since
+    # the subset is applied to the sbt command, not to this process).
     import os, re
     readme = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "README.md")
-    if not os.environ.get("SPARK_GRAFT_ONLY") and os.path.exists(readme):
+    size_file = f"{out_dir}/registry_size.txt"
+    full_run = (os.path.exists(size_file) and
+                int(open(size_file).read().strip()) == len(oracle))
+    if full_run and os.path.exists(readme):
         text = open(readme).read()
         n = len(oracle)
-        drift = [m for m in re.findall(r"(\d+) queries|expect (\d+)/", text)
-                 for v in m if v and int(v) != n]
+        drift = sorted({int(v)
+                        for m in re.findall(r"(\d+) queries|expect (\d+)/", text)
+                        for v in m if v and int(v) != n})
         if drift:
             print(f"FAIL README: query-count drift — registry has {n}, "
-                  f"README says {sorted(set(drift))}")
+                  f"README says {drift}")
             failed.append("README.count")
     with open(f"{out_dir}/oracle_times.json", "w") as f:
         json.dump({"sf_dir": sf_dir, "unit": "sec",
