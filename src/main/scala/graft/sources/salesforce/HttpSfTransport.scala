@@ -322,6 +322,72 @@ final class HttpSfTransport(
           ("_sobject_type" -> rec.path("attributes").path("type").asText())
       }.toSeq
 
+  // ---- Per-record CRUD (simple_salesforce SFType, api.py:591-713) -----
+
+  private def sobjectUrl(objectName: String, tail: String = ""): String =
+    restBase + s"sobjects/$objectName/" +
+      (if (tail.isEmpty) "" else URLEncoder.encode(tail, "UTF-8")
+        .replace("%2F", "/"))
+
+  private def jsonBody(data: Map[String, Any]): String = {
+    val node = mapper.createObjectNode()
+    data.foreach {
+      case (k, null) => node.putNull(k)
+      case (k, v: Boolean) => node.put(k, v)
+      case (k, v: Int) => node.put(k, v)
+      case (k, v: Long) => node.put(k, v)
+      case (k, v: Double) => node.put(k, v)
+      case (k, v) => node.put(k, v.toString)
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  private def restSend(method: String, url: String, body: Option[String],
+      idempotent: Boolean): HttpResponse[Array[Byte]] = {
+    val b = HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Authorization", "Bearer " + sessionId)
+      .header("Content-Type", "application/json")
+      .method(method, body.map(s => HttpRequest.BodyPublishers.ofString(s, UTF_8))
+        .getOrElse(HttpRequest.BodyPublishers.noBody()))
+    send(b, idempotent)
+  }
+
+  private def nodeToMap(n: JsonNode): Map[String, Any] =
+    n.properties().asScala.filter(_.getKey != "attributes")
+      .map(e => e.getKey -> jsonValue(e.getValue)).toMap
+
+  override def recordGet(objectName: String, recordId: String): Map[String, Any] =
+    nodeToMap(restGetJson(sobjectUrl(objectName, recordId)))
+
+  override def recordGetByExternalId(objectName: String, externalIdField: String,
+      value: String): Map[String, Any] =
+    nodeToMap(restGetJson(sobjectUrl(objectName, s"$externalIdField/$value")))
+
+  /** POST returns `{"id": "...", "success": true}` (`api.py:629-645`);
+    * non-idempotent — never auto-retried (a duplicate create is data
+    * corruption, same rule as bulk job POSTs).
+    */
+  override def recordCreate(objectName: String, data: Map[String, Any]): String = {
+    val resp = restSend("POST", sobjectUrl(objectName),
+      Some(jsonBody(data)), idempotent = false)
+    mapper.readTree(new String(resp.body(), UTF_8)).path("id").asText()
+  }
+
+  /** PATCH is idempotent by semantics (same final state on replay). */
+  override def recordUpdate(objectName: String, recordId: String,
+      data: Map[String, Any]): Int =
+    restSend("PATCH", sobjectUrl(objectName, recordId),
+      Some(jsonBody(data)), idempotent = true).statusCode()
+
+  override def recordUpsertByExternalId(objectName: String, externalIdField: String,
+      value: String, data: Map[String, Any]): Int =
+    restSend("PATCH", sobjectUrl(objectName, s"$externalIdField/$value"),
+      Some(jsonBody(data)), idempotent = true).statusCode()
+
+  override def recordDelete(objectName: String, recordId: String): Int =
+    restSend("DELETE", sobjectUrl(objectName, recordId), None,
+      idempotent = true).statusCode()
+
   // ---- S7: Get Updated / Get Deleted ----------------------------------
 
   private val IsoTz = java.time.format.DateTimeFormatter

@@ -65,6 +65,36 @@ trait SfTransport extends Serializable {
     */
   def quickSearch(term: String): Seq[Map[String, Any]] =
     search(s"FIND {$term}")
+
+  // ---- Per-record CRUD (simple_salesforce SFType, api.py:591-713):
+  // GET/POST/PATCH/DELETE on sobjects/{name}[/{id}]. The row-at-a-time
+  // complement of the bulk surface — admin fixes, trigger testing,
+  // low-volume reverse writes.
+
+  /** GET sobjects/{name}/{id} → the record's fields (`api.py:591-604`). */
+  def recordGet(objectName: String, recordId: String): Map[String, Any]
+
+  /** GET sobjects/{name}/{externalIdField}/{value} (`api.py:606-628`). */
+  def recordGetByExternalId(objectName: String, externalIdField: String,
+      value: String): Map[String, Any]
+
+  /** POST sobjects/{name}/ → the new record id (`api.py:629-645`). */
+  def recordCreate(objectName: String, data: Map[String, Any]): String
+
+  /** PATCH sobjects/{name}/{id} → HTTP status (204 on success,
+    * `api.py:672-694`).
+    */
+  def recordUpdate(objectName: String, recordId: String,
+      data: Map[String, Any]): Int
+
+  /** PATCH sobjects/{name}/{externalIdField}/{value} — create-or-update
+    * keyed by the external id (`api.py:646-671` upsert).
+    */
+  def recordUpsertByExternalId(objectName: String, externalIdField: String,
+      value: String, data: Map[String, Any]): Int
+
+  /** DELETE sobjects/{name}/{id} → HTTP status (`api.py:695-713`). */
+  def recordDelete(objectName: String, recordId: String): Int
 }
 
 final case class SfFieldMeta(name: String, sfType: String, length: Int = 0,
@@ -246,4 +276,55 @@ final class MockSfTransport(
       }).map(_ + ("_sobject_type" -> obj))
     }
   }
+
+  // ---- mock per-record CRUD: an overlay store on top of the seeded
+  // rows (seed data stays immutable; CRUD effects are observable and
+  // resettable per test via the overlay)
+  private val overlay = TrieMap.empty[(String, String), Map[String, Any]]
+  private val tombstones = TrieMap.empty[(String, String), Unit]
+  private val createCounter = new java.util.concurrent.atomic.AtomicInteger
+
+  private def lookup(objectName: String, recordId: String): Option[Map[String, Any]] =
+    if (tombstones.contains((objectName, recordId))) None
+    else overlay.get((objectName, recordId))
+      .orElse(rows(objectName).find(_.get("Id").contains(recordId)))
+
+  override def recordGet(objectName: String, recordId: String): Map[String, Any] =
+    lookup(objectName, recordId).getOrElse(throw new IllegalArgumentException(
+      s"NOT_FOUND: $objectName/$recordId"))
+
+  override def recordGetByExternalId(objectName: String, externalIdField: String,
+      value: String): Map[String, Any] =
+    (overlay.collect { case ((o, _), r) if o == objectName => r } ++
+      rows(objectName))
+      .find(_.get(externalIdField).contains(value))
+      .getOrElse(throw new IllegalArgumentException(
+        s"NOT_FOUND: $objectName/$externalIdField/$value"))
+
+  override def recordCreate(objectName: String, data: Map[String, Any]): String = {
+    val id = f"003MOCK${createCounter.incrementAndGet()}%06d"
+    overlay.put((objectName, id), data + ("Id" -> id))
+    id
+  }
+
+  override def recordUpdate(objectName: String, recordId: String,
+      data: Map[String, Any]): Int = lookup(objectName, recordId) match {
+    case Some(r) => overlay.put((objectName, recordId), r ++ data); 204
+    case None => 404
+  }
+
+  override def recordUpsertByExternalId(objectName: String, externalIdField: String,
+      value: String, data: Map[String, Any]): Int =
+    (overlay.collect { case ((o, id), r) if o == objectName => (id, r) } ++
+      rows(objectName).flatMap(r => r.get("Id").map(i => (i.toString, r))))
+      .find(_._2.get(externalIdField).contains(value)) match {
+      case Some((id, r)) =>
+        overlay.put((objectName, id), r ++ data + (externalIdField -> value)); 204
+      case None =>
+        recordCreate(objectName, data + (externalIdField -> value)); 201
+    }
+
+  override def recordDelete(objectName: String, recordId: String): Int =
+    if (lookup(objectName, recordId).isEmpty) 404
+    else { tombstones.put((objectName, recordId), ()); 204 }
 }

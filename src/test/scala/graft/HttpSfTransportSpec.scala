@@ -124,6 +124,26 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
               """{"searchRecords":[
                 |{"attributes":{"type":"Contact","url":"/x/003A"},"Id":"003A","Name":"Waldo W"},
                 |{"attributes":{"type":"Account","url":"/x/001B"},"Id":"001B","Name":"Waldo Inc"}]}""".stripMargin)
+          // ---- per-record CRUD (SFType surface)
+          case ("GET", "/services/data/v52.0/sobjects/Contact/003REC") =>
+            respond(ex,
+              """{"attributes":{"type":"Contact","url":"/x"},
+                |"Id":"003REC","Name":"Rec","NumEmployees":7}""".stripMargin)
+          case ("GET", "/services/data/v52.0/sobjects/Contact/Ext__c/abc") =>
+            respond(ex,
+              """{"attributes":{"type":"Contact"},"Id":"003EXT","Ext__c":"abc"}""")
+          case ("POST", "/services/data/v52.0/sobjects/Contact/") =>
+            seen.put("recordCreateBody", readBody(ex))
+            respond(ex, """{"id":"003NEW","success":true,"errors":[]}""", 201)
+          case ("PATCH", "/services/data/v52.0/sobjects/Contact/003REC") =>
+            seen.put("recordUpdateBody", readBody(ex))
+            ex.sendResponseHeaders(204, -1); ex.close()
+          case ("PATCH", "/services/data/v52.0/sobjects/Contact/Ext__c/abc") =>
+            seen.put("recordUpsertBody", readBody(ex))
+            ex.sendResponseHeaders(204, -1); ex.close()
+          case ("DELETE", "/services/data/v52.0/sobjects/Contact/003REC") =>
+            seen.put("recordDeleted", true)
+            ex.sendResponseHeaders(204, -1); ex.close()
           case ("GET", "/services/data/v52.0/sobjects/Contact/updated/") =>
             seen.put("updatedRange", ex.getRequestURI.getRawQuery)
             respond(ex,
@@ -351,6 +371,24 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
     // quick_search wraps the bare term (api.py:317-328)
     tr.quickSearch("Waldo")
     assert(seen("searchSosl").toString == "FIND {Waldo}")
+  }
+
+  test("per-record CRUD: get/create/update/upsert/delete over the wire") {
+    val tr = transport()
+    val rec = tr.recordGet("Contact", "003REC")
+    assert(rec("Id") == "003REC" && rec("NumEmployees") == 7L &&
+      !rec.contains("attributes"))
+    assert(tr.recordGetByExternalId("Contact", "Ext__c", "abc")("Id") == "003EXT")
+    val id = tr.recordCreate("Contact", Map("Name" -> "n1", "NumEmployees" -> 3))
+    assert(id == "003NEW")
+    assert(seen("recordCreateBody").toString.contains("\"NumEmployees\":3"))
+    assert(tr.recordUpdate("Contact", "003REC", Map("Name" -> "n2")) == 204)
+    assert(seen("recordUpdateBody").toString.contains("\"Name\":\"n2\""))
+    assert(tr.recordUpsertByExternalId("Contact", "Ext__c", "abc",
+      Map("Name" -> "n3")) == 204)
+    assert(seen("recordUpsertBody").toString.contains("\"Name\":\"n3\""))
+    assert(tr.recordDelete("Contact", "003REC") == 204)
+    assert(seen.get("recordDeleted").contains(true))
   }
 
   // ---- upload path ----------------------------------------------------

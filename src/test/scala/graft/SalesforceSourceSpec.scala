@@ -125,4 +125,26 @@ class SalesforceSourceSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("NumEmployees > 50"))
   }
+
+  test("mock per-record CRUD: overlay semantics, tombstones, upsert-by-ext-id") {
+    val t = freshTransport("t_crud")
+    val id1 = rows.head("Id").toString
+    assert(t.recordGet("Contact", id1)("Name") == "contact-1")
+    // update overlays the seed row without mutating it for scans
+    assert(t.recordUpdate("Contact", id1, Map("Name" -> "renamed")) == 204)
+    assert(t.recordGet("Contact", id1)("Name") == "renamed")
+    // create + get + delete + 404 afterwards
+    val nid = t.recordCreate("Contact", Map("Name" -> "brand-new"))
+    assert(t.recordGet("Contact", nid)("Name") == "brand-new")
+    assert(t.recordDelete("Contact", nid) == 204)
+    intercept[IllegalArgumentException] { t.recordGet("Contact", nid) }
+    assert(t.recordUpdate("Contact", nid, Map("Name" -> "x")) == 404)
+    // upsert by external id: miss -> 201 create, hit -> 204 update
+    assert(t.recordUpsertByExternalId("Contact", "Ext__c", "k1",
+      Map("Name" -> "u1")) == 201)
+    assert(t.recordGetByExternalId("Contact", "Ext__c", "k1")("Name") == "u1")
+    assert(t.recordUpsertByExternalId("Contact", "Ext__c", "k1",
+      Map("Name" -> "u2")) == 204)
+    assert(t.recordGetByExternalId("Contact", "Ext__c", "k1")("Name") == "u2")
+  }
 }
