@@ -73,6 +73,16 @@ object SparkEntry {
     "s10_schema_evolution" -> ((s, d) => FileOps.schemaEvolutionRoundTrip(s,
       t(s, d)("orders"),
       "/tmp/graft_evolve_" + d.replaceAll("[^a-zA-Z0-9]", "_"))),
+    // schema drift report over the evolution staging (gen=1 vs gen=2)
+    "s13_schema_diff" -> ((s, d) => {
+      val dir = "/tmp/graft_evolve_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      // (re)stage the two generations (the writes inside run eagerly;
+      // the returned merged read stays lazy and unused), then diff
+      // footers only
+      FileOps.schemaEvolutionRoundTrip(s, t(s, d)("orders"), dir)
+      FileOps.schemaDiff(s, s"$dir/gen=1", s"$dir/gen=2")
+        .orderBy("column_name")
+    }),
     // small-files compaction round trip: deliberately fragment the
     // events table (64 shards), compact to 4 right-sized files, read
     // back — oracle is the original content (count pinned in spec)
@@ -1655,6 +1665,15 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merged read predicted straight from the source: odd keys are
     // generation 1 (no status column → NULL), even keys generation 2
+    // constant report predicted from the staging construction (same
+    // pattern as the s5 VALUES oracle): gen=2 adds o_orderstatus
+    "s13_schema_diff" ->
+      ("SELECT * FROM (VALUES " +
+        "('o_custkey', 'bigint', 'bigint', 'unchanged'), " +
+        "('o_orderkey', 'bigint', 'bigint', 'unchanged'), " +
+        "('o_orderstatus', CAST(NULL AS VARCHAR), 'string', 'added'), " +
+        "('o_totalprice', 'double', 'double', 'unchanged')) " +
+        "AS t(column_name, old_type, new_type, status) ORDER BY column_name"),
     "s10_schema_evolution" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus END AS o_orderstatus,

@@ -144,6 +144,34 @@ object FileOps {
       .orderBy("o_orderkey")
   }
 
+  /** Schema DRIFT REPORT between two parquet snapshots — the
+    * pre-flight audit before a blind `mergeSchema` read or a CDC
+    * target ALTER: one row per column of either schema with its
+    * status (added / removed / type_changed / unchanged) and both
+    * type strings. The compare is driver-side by design — parquet
+    * schemas are KB-scale FOOTER metadata (no data scan; Spark reads
+    * one footer per distinct schema at planning time) — and the
+    * result is emitted as a DataFrame so the report composes
+    * (filter status != 'unchanged', join to an allowlist, alert).
+    */
+  def schemaDiff(spark: SparkSession, oldDir: String,
+      newDir: String): DataFrame = {
+    import spark.implicits._
+    def types(dir: String): Map[String, String] =
+      spark.read.parquet(dir).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val (o, n) = (types(oldDir), types(newDir))
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (o.get(c), n.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "type_changed"
+        case _ => "unchanged"
+      }
+      (c, o.get(c).orNull, n.get(c).orNull, status)
+    }.toDF("column_name", "old_type", "new_type", "status")
+  }
+
   /** Seed an embedded-Derby table for the catalog-scan demo; idempotent. */
   def seedDerbyCatalogDemo(url: String, tableName: String): Unit = {
     val conn = DriverManager.getConnection(url)

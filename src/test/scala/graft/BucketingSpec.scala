@@ -75,4 +75,21 @@ class BucketingSpec extends SparkSpec {
     assert(got.filter(col("gen") === 2).select("o_orderkey", "o_orderstatus")
       .except(evenSrc).isEmpty)
   }
+
+  test("schemaDiff reports removed and type_changed, not just added") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdiff").toString
+    Seq((1L, "a", 1.5)).toDF("id", "dropped", "widened")
+      .write.mode("overwrite").parquet(s"$dir/old")
+    Seq((1L, "x", "now-a-string")).toDF("id", "added_col", "widened")
+      .selectExpr("id", "added_col", "widened")
+      .write.mode("overwrite").parquet(s"$dir/new")
+    val got = graft.operators.FileOps.schemaDiff(spark, s"$dir/old", s"$dir/new")
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> ((Option(r._2), Option(r._3), r._4))).toMap
+    assert(got("id") == ((Some("bigint"), Some("bigint"), "unchanged")))
+    assert(got("dropped") == ((Some("string"), None, "removed")))
+    assert(got("added_col") == ((None, Some("string"), "added")))
+    assert(got("widened") == ((Some("double"), Some("string"), "type_changed")))
+  }
 }
