@@ -61,6 +61,12 @@ object SparkEntry {
       Relational.j5RangeJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
     "j6_salted_skew_join" -> ((s, d) =>
       Relational.j6SaltedSkewJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    // bloom-filter runtime semi-join reduction: sketch-broadcast
+    // pre-filter ahead of the exact semi join (plan pinned in PlansSpec)
+    "j8_bloom_semijoin" -> ((s, d) =>
+      Relational.j8BloomSemiJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    // bounded-window EWMA, integer 2^j weights → exact decimal numerator
+    "w16_ewma" -> ((s, d) => Relational.w16Ewma(t(s, d)("events"))),
     "w7_gap_fill" -> ((s, d) => Relational.w7GapFill(t(s, d)("events"))),
     // hive-partitioned write + partition-pruned read-back (plan pinned
     // in PlansSpec)
@@ -2356,6 +2362,13 @@ object SparkEntry {
       s"""WITH $ToksCte,
          |$Simhash64SigCte
          |SELECT doc_id, simhash_hi, simhash_lo FROM sig ORDER BY doc_id""".stripMargin,
+    "j8_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "w16_ewma" -> EwmaOracleSql,
     "j6_salted_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey % 500 END AS k,
@@ -2801,6 +2814,33 @@ object SparkEntry {
       |  MAX(t) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
       |FROM g GROUP BY user_id, grp
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** DuckDB twin of [[Relational.w16Ewma]] (k = 8, alpha = 1/2): the
+    * frame's integer 2^j weights expressed as explicit lag terms —
+    * decimal × bit-shifted-integer products, an exact decimal sum, and
+    * one trailing double division, mirroring the Spark side op-for-op.
+    */
+  private val EwmaOracleSql: String = {
+    val k = 8
+    val lags = (0 until k)
+      .map(j => s"lag(vc, $j) OVER w AS lag$j").mkString(",\n    ")
+    val terms = (0 until k).map(j =>
+      s"(CASE WHEN $j < m THEN lag$j * CAST(1 << (m-1-$j) AS BIGINT) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END)").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS vc
+       |  FROM events
+       |), r AS (
+       |  SELECT user_id, event_id,
+       |    CAST(LEAST(ROW_NUMBER() OVER w, $k) AS INT) AS m,
+       |    $lags
+       |  FROM v
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT user_id, event_id,
+       |  CAST(($terms) AS DOUBLE) / (power(2, m) - 1) AS ewma
+       |FROM r ORDER BY user_id, event_id""".stripMargin
+  }
 
   /** DuckDB-side tokenizer CTE (mirrors TextOps.toksCol). */
   private val ToksCte =

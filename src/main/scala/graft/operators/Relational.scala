@@ -920,4 +920,76 @@ object Relational {
       .select("user_id", "event_id", "running_value")
       .orderBy("user_id", "event_id")
   }
+
+  /** Bloom-filter runtime semi-join reduction — the explicit form of
+    * the runtime-filter pattern for the regime where the build side is
+    * too big to broadcast as ROWS but tiny as a SKETCH: aggregate the
+    * filtered build keys into ONE `bloom_filter_agg` blob (a few
+    * hundred KB for millions of keys), broadcast it, and pre-filter
+    * the probe side with a codegen'd `might_contain` BEFORE any
+    * exchange, so only ~selectivity × probe rows ever shuffle into the
+    * exact semi join that removes the bloom's false positives. At
+    * 100 TB the probe-side exchange is the dominant cost of a semi
+    * join; the bloom turns it from |probe| rows into |matching| rows
+    * for two cheap passes. Results are EXACT (the trailing semi join
+    * is authoritative; the bloom only prunes — no false negatives by
+    * construction). Spark's own AQE injects this shape for some plans
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`); this operator is
+    * the deterministic, always-on version.
+    */
+  def j8BloomSemiJoin(lineitem: DataFrame, orders: DataFrame,
+      priceCutoff: Double = 400000.0): DataFrame = {
+    import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+    val keys = orders
+      .filter(col("o_totalprice") > lit(priceCutoff))
+      .select(col("o_orderkey"))
+    // ONE fixed-size sketch pulled to the driver and re-injected as a
+    // literal (`might_contain` requires a constant filter) — the same
+    // data movement Spark's own runtime-filter rewrite performs:
+    // aggregate the build side, ship the sketch to the probe scan.
+    // expectedNumItems sized for sf1-class key counts; false-positive
+    // rate only affects pruning efficiency, never correctness.
+    val bfBytes = keys
+      .agg(bloom_agg(col("o_orderkey"), 1000000L, 8000000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pruned = lineitem
+      .filter(bloom_might_contain(lit(bfBytes), col("l_orderkey")))
+    pruned
+      .join(keys, pruned("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bounded-window EWMA (exponentially weighted moving average over
+    * the last `k` rows, alpha = 0.5) per user — the smoothing /
+    * anomaly-baseline primitive of an event pipeline. Determinism is
+    * engineered, not hoped for: with alpha = 1/2 the frame weights are
+    * the INTEGERS 2^0..2^(m−1) (newest highest), so the numerator is
+    * an exact DECIMAL sum of value × 2^j (order-free), the denominator
+    * is the integer 2^m − 1, and the single trailing double division
+    * is one IEEE op both engines perform identically — no float
+    * accumulation anywhere. Plan shape: ONE exchange on user_id, a
+    * linear ROWS-frame scan; same cost class as [[w1RunningSum]] at
+    * any scale.
+    */
+  def w16Ewma(events: DataFrame, k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val vals = collect_list(col("value").cast(DecimalType(18, 2))).over(w)
+    events
+      .withColumn("vs", vals)
+      .withColumn("m", size(col("vs")))
+      // Horner fold over the REVERSED frame (newest first): acc' =
+      // 2·acc + x gives the newest value weight 2^(m−1), the oldest
+      // weight 2^0 — all-integer weights, exact decimal accumulation
+      .withColumn("num",
+        expr("aggregate(reverse(vs), CAST(0 AS DECIMAL(28,2)), " +
+          "(acc, x) -> CAST(acc + acc + x AS DECIMAL(28,2)))"))
+      .withColumn("ewma",
+        col("num").cast("double") / (pow(lit(2.0), col("m")) - lit(1.0)))
+      .select("user_id", "event_id", "ewma")
+      .orderBy("user_id", "event_id")
+  }
 }

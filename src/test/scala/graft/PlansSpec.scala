@@ -415,4 +415,29 @@ class PlansSpec extends SparkSpec {
     assert(pp.contains("partial_top_k_agg"),
       s"pq: map-side top-k combine missing:\n${pp.take(3000)}")
   }
+
+  test("j8 bloom semi-join: sketch prunes the probe scan BEFORE the join") {
+    val df = Relational.j8BloomSemiJoin(
+      Tables(spark, sf0001, "lineitem"), Tables(spark, sf0001, "orders"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the constant-sketch probe must sit in a Filter on the lineitem
+    // side (pre-exchange row reduction), and the exact join must be
+    // semi (no probe-side row ever survives twice)
+    assert(p.contains("might_contain"),
+      s"bloom pre-filter missing from probe side:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"),
+      s"exact semi join missing:\n${p.take(3000)}")
+  }
+
+  test("w16 EWMA: single user_id exchange, no join, bounded frame") {
+    val df = Relational.w16Ewma(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"EWMA must be join-free:\n${p.take(3000)}")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("user_id")),
+      s"non-user_id exchange in EWMA plan: $keys\n${p.take(3000)}")
+  }
 }
