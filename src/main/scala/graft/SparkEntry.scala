@@ -241,6 +241,10 @@ object SparkEntry {
     "pipe_sample_stratified" -> ((s, d) => PipelineOps.stratifiedSample(
       t(s, d)("documents"), Map("en" -> 0.5, "de" -> 0.9))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(t(s, d)("documents"))),
+    // span-level first-occurrence dedup + document reassembly
+    "dedup_span_exact" -> ((s, d) => TextOps.spanDedup(t(s, d)("documents"))),
+    // corpus unigram-LM mean logprob (the perplexity-filter primitive)
+    "text_unigram_lm" -> ((s, d) => TextOps.unigramLogProb(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
@@ -2161,6 +2165,37 @@ object SparkEntry {
       """SELECT md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin,
+    "dedup_span_exact" ->
+      s"""WITH $ToksCte, px AS (
+         |  SELECT doc_id, ws,
+         |    CAST(unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS INT) AS pos
+         |  FROM toks
+         |), sp AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(list_slice(ws, pos*10 + 1, pos*10 + 10), ' ') AS span
+         |  FROM px
+         |), k AS (
+         |  SELECT doc_id, pos, span,
+         |    ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |  FROM sp
+         |), keep AS (SELECT doc_id, pos, span FROM k WHERE rn = 1),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |        string_agg(span, ' ' ORDER BY pos) AS kept_text FROM keep GROUP BY doc_id)
+         |SELECT tot.doc_id AS doc_id, tot.n_spans, COALESCE(agg.n_kept, 0) AS n_kept,
+         |       COALESCE(agg.kept_text, '') AS kept_text
+         |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+         |ORDER BY 1""".stripMargin,
+    "text_unigram_lm" ->
+      s"""WITH $ToksCte, tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |tf AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+         |st AS (SELECT SUM(c) AS n_total, COUNT(*) AS v FROM tf)
+         |SELECT doc_id, COUNT(*) AS n_toks,
+         |  CAST(SUM(CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE)), 12)
+         |           AS DECIMAL(24,14))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+         |FROM tk JOIN tf USING (tok) CROSS JOIN st
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $MinhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,

@@ -566,4 +566,83 @@ object TextOps {
           - col("n_cjk") - col("n_digit") - col("n_space"))
       .orderBy("doc_id")
   }
+
+  /** Span-level EXACT dedup with document reassembly — the
+    * sub-document twin of [[dedupExact]], and the complement of
+    * [[removeBoilerplate]]: instead of dropping spans REPEATED across
+    * many documents, it keeps exactly the FIRST global occurrence of
+    * every span (ordered by (doc_id, pos)) and rewrites each document
+    * from its surviving spans — the C4/RefinedWeb-style repeated-
+    * passage scrub that whole-document fingerprints can't touch.
+    * Spans are fixed `spanTokens`-token windows of the engine-wide
+    * tokenizer, so span identity is a pure function of normalized
+    * content. Plan shape at 100 TB: one span-keyed exchange for the
+    * first-owner aggregate (`min(struct(doc_id,pos))` — map-side
+    * combining, one winner row per distinct span), one join back on
+    * the span key, one doc-keyed rebuild whose per-doc state is
+    * bounded by document length. Production variant would key the
+    * exchange by a 128-bit span hash instead of the span text to
+    * thin the shuffle payload; the semantics here use the text
+    * itself so the oracle equivalence is collision-free by
+    * construction.
+    */
+  def spanDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    val k = spanTokens
+    val spanRows = documents
+      .withColumn("ws", toksCol)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+             |  CASE WHEN size(ws) = 0 THEN array()
+             |       ELSE sequence(0, CAST(ceil(size(ws)/$k.0) AS INT) - 1) END,
+             |  i -> array_join(slice(ws, i*$k + 1, $k), ' '))""".stripMargin
+            .replace("\n", " "))).as(Seq("pos", "span")))
+    val firstOwner = spanRows
+      .groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("o"))
+    val kept = spanRows.join(firstOwner, "span")
+      .filter(col("o.doc_id") === col("doc_id") && col("o.pos") === col("pos"))
+    val totals = spanRows.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, span))), x -> x.span), ' ')")
+          .as("kept_text"))
+    totals.join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus unigram language model (add-one smoothing) scoring every
+    * document by mean token log-probability — the perplexity-filter
+    * primitive of corpus curation (docs far below the corpus-typical
+    * logprob are gibberish/outliers; far above are degenerate common-
+    * token runs). The model IS the corpus term-frequency table:
+    * p(tok) = (tf + 1) / (N + V). Vocabulary is bounded in any real
+    * corpus, so the tf table BROADCASTS onto the token stream — the
+    * only data-scale exchange is the per-doc score aggregate. Cross-
+    * engine determinism mirrors [[tokenEntropy]]: the probability
+    * ratio is one IEEE division, per-token log contributions round to
+    * 12 decimals and accumulate as exact decimals (order-free), and
+    * the final mean is a single double division.
+    */
+  def unigramLogProb(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(toksCol).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val stats = tf.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v"))
+    toks
+      .join(broadcast(tf), "tok")
+      .crossJoin(broadcast(stats)) // single-row corpus constants
+      .withColumn("contrib",
+        round(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v")).cast("double")), 12)
+          .cast(DecimalType(24, 14)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("contrib")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
 }

@@ -62,4 +62,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.PipelineOps.mixtureWeights(noDocs, 1000L,
       Map("en" -> 0.5)).isEmpty)
   }
+
+  test("spanDedup and unigramLogProb degrade cleanly on empty/blank docs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextOps.spanDedup(noDocs).isEmpty)
+    assert(graft.operators.TextOps.unigramLogProb(noDocs).isEmpty)
+    // a blank doc tokenizes to zero spans/tokens: it contributes no
+    // span rows (and so no output row) rather than throwing on the
+    // empty sequence() edge
+    val blank = Seq((1L, "a b c d e f g h i j k l"), (2L, "   ")).toDF("doc_id", "text")
+    val sd = graft.operators.TextOps.spanDedup(blank)
+      .select("doc_id", "n_spans", "n_kept").as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> (a, b) }.toMap
+    assert(sd == Map(1L -> (2L, 2L)))
+    assert(graft.operators.TextOps.unigramLogProb(blank)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
 }

@@ -430,6 +430,28 @@ class PlansSpec extends SparkSpec {
       s"exact semi join missing:\n${p.take(3000)}")
   }
 
+  test("spanDedup: agg-based first owner (no Window); span/doc exchanges only") {
+    val df = graft.operators.TextOps.spanDedup(Tables(spark, sf0001, "documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // first-occurrence must come from the map-side-combining
+    // min(struct) aggregate, not a rank window over all span rows
+    assert(p.contains("partial_min"),
+      s"first-owner agg must combine map-side:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"rank window leaked into span dedup:\n${p.take(3000)}")
+  }
+
+  test("unigramLogProb: tf table broadcasts; token stream never sort-merge joins") {
+    val df = graft.operators.TextOps.unigramLogProb(Tables(spark, sf0001, "documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"tf model must broadcast onto tokens:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle on term:\n${p.take(3000)}")
+  }
+
   test("w16 EWMA: single user_id exchange, no join, bounded frame") {
     val df = Relational.w16Ewma(Tables(spark, sf0001, "events"))
     df.collect()
