@@ -245,6 +245,9 @@ object SparkEntry {
     "dedup_span_exact" -> ((s, d) => TextOps.spanDedup(t(s, d)("documents"))),
     // corpus unigram-LM mean logprob (the perplexity-filter primitive)
     "text_unigram_lm" -> ((s, d) => TextOps.unigramLogProb(t(s, d)("documents"))),
+    // two-pass Misra-Gries heavy hitters: bounded-memory candidates,
+    // exact recount (oracle = plain GROUP BY ... HAVING)
+    "a13_heavy_hitters" -> ((s, d) => TextOps.heavyHitterTokens(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
@@ -2186,6 +2189,14 @@ object SparkEntry {
          |       COALESCE(agg.kept_text, '') AS kept_text
          |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
          |ORDER BY 1""".stripMargin,
+    "a13_heavy_hitters" ->
+      s"""WITH $ToksCte, tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |tot AS (SELECT COUNT(*) AS n_total FROM tk)
+         |SELECT tok, COUNT(*) AS cnt
+         |FROM tk CROSS JOIN tot
+         |GROUP BY tok, n_total
+         |HAVING COUNT(*) * 50 > n_total
+         |ORDER BY cnt DESC, tok""".stripMargin,
     "text_unigram_lm" ->
       s"""WITH $ToksCte, tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
          |tf AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),

@@ -280,4 +280,11 @@ object GraftFunctions {
     ColumnShim.column(TopKAgg(
       ColumnShim.expression(score), ColumnShim.expression(id), k)
       .toAggregateExpression())
+
+  /** ≤k Misra–Gries heavy-hitter candidates (superset of every item
+    * with frequency > n/(k+1)) — see [[MGCandidates]].
+    */
+  def mg_candidates(item: Column, k: Int): Column =
+    ColumnShim.column(MGCandidates(ColumnShim.expression(item), k)
+      .toAggregateExpression())
 }

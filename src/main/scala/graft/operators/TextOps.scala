@@ -628,6 +628,36 @@ object TextOps {
     * 12 decimals and accumulate as exact decimals (order-free), and
     * the final mean is a single double division.
     */
+  /** Exact corpus heavy hitters in bounded memory — the two-pass
+    * Misra–Gries pipeline: pass 1 folds the token stream into ONE ≤k-
+    * counter sketch ([[graft.functions.MGCandidates]], map-side
+    * combining — O(k) state per partition, a k-item array crosses the
+    * exchange) whose candidate set provably contains every token with
+    * frequency > n/(k+1); pass 2 recounts ONLY candidate rows exactly
+    * (the candidate list broadcasts, so the recount exchange carries
+    * just candidate-token rows) and filters on the true threshold
+    * n/frac. Exact output, sketch-bounded memory: the 100 TB
+    * replacement for a full-vocabulary groupBy when only the heavy
+    * tail matters. Requires frac < k+1 so the sketch guarantee covers
+    * the report threshold.
+    */
+  def heavyHitterTokens(documents: DataFrame, k: Int = 64,
+      frac: Long = 50): DataFrame = {
+    require(frac < k + 1, s"report threshold n/$frac below the n/${k + 1} " +
+      "retention guarantee — raise k or lower frac")
+    import graft.functions.GraftFunctions.mg_candidates
+    val toks = documents.select(explode(toksCol).as("tok"))
+    val cands = toks.agg(mg_candidates(col("tok"), k).as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total)) // single-row corpus constant
+      .filter(col("cnt") * frac > col("n_total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), explode(toksCol).as("tok"))
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))

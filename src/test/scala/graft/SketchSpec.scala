@@ -51,4 +51,42 @@ class SketchSpec extends SparkSpec {
     assert(few.grouped(64).map(_.sum).toSeq == Seq.fill(4)(200L))
     assert(many.grouped(64).map(_.sum).toSeq == Seq.fill(4)(200L))
   }
+
+  test("MG candidates retain every item above n/(k+1) under hostile partitioning") {
+    import graft.functions.GraftFunctions.mg_candidates
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 planted heavy items (freq 400 each) drowned in 2000 distinct
+    // singletons + 600 mid-weight decoys, shuffled deterministically
+    // and split over many partitions so merge-order paths all execute
+    val items =
+      (1 to 3).flatMap(h => Seq.fill(400)(s"heavy_$h")) ++
+      (1 to 2000).map(i => s"one_$i") ++
+      (1 to 60).flatMap(i => Seq.fill(10)(s"mid_$i"))
+    val shuffled = new scala.util.Random(7).shuffle(items)
+    val df = shuffled.toDF("item").repartition(16)
+    // n = 3800, k = 20: retention threshold n/21 ≈ 181 < 400, so all
+    // three planted heavies are guaranteed candidates
+    assert(items.size == 3800)
+    val cands = df.agg(mg_candidates(col("item"), 20).as("c"))
+      .select(explode(col("c")).as("item")).as[String].collect().toSet
+    assert((1 to 3).forall(h => cands.contains(s"heavy_$h")),
+      s"lost a guaranteed heavy hitter: $cands")
+    assert(cands.size <= 20, s"state exceeded k: ${cands.size}")
+  }
+
+  test("MG state serialization round-trips and empty input yields no candidates") {
+    val st = new graft.functions.MGState(4)
+    Seq("a", "a", "b", "c", "d", "e").foreach(st.insert)
+    val agg = graft.functions.MGCandidates(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.counts == st.counts)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("item")
+      .agg(graft.functions.GraftFunctions.mg_candidates(col("item"), 8).as("c"))
+      .select(size(col("c"))).head().getInt(0)
+    assert(empty == 0)
+  }
 }
