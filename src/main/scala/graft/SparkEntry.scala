@@ -65,6 +65,11 @@ object SparkEntry {
     // pre-filter ahead of the exact semi join (plan pinned in PlansSpec)
     "j8_bloom_semijoin" -> ((s, d) =>
       Relational.j8BloomSemiJoin(t(s, d)("lineitem"), t(s, d)("orders"))),
+    // co-located bucketed join: both facts bucketed+sorted on the key,
+    // the join plans zero exchanges (pinned in BucketingSpec/PlansSpec)
+    "j10_bucketed_join" -> ((s, d) => FileOps.bucketedJoin(s,
+      t(s, d)("lineitem"), t(s, d)("orders"),
+      stagingTag(d, "bucketjoin", "lineitem.parquet"))),
     // bounded-window EWMA, integer 2^j weights → exact decimal numerator
     "w16_ewma" -> ((s, d) => Relational.w16Ewma(t(s, d)("events"))),
     "w7_gap_fill" -> ((s, d) => Relational.w7GapFill(t(s, d)("events"))),
@@ -2408,6 +2413,11 @@ object SparkEntry {
       s"""WITH $ToksCte,
          |$Simhash64SigCte
          |SELECT doc_id, simhash_hi, simhash_lo FROM sig ORDER BY doc_id""".stripMargin,
+    "j10_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "j8_bloom_semijoin" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -430,6 +430,25 @@ class PlansSpec extends SparkSpec {
       s"exact semi join missing:\n${p.take(3000)}")
   }
 
+  test("j10 bucketed join: the JOIN consumes buckets — at most the rollup exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketplan").toString
+    try {
+      val df = graft.operators.FileOps.bucketedJoin(spark,
+        Tables(spark, sf0001, "lineitem"), Tables(spark, sf0001, "orders"), dir)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n${p.take(3000)}")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n${p.take(3000)}")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"join shuffled despite bucketing ($exchanges exchanges):\n${p.take(3000)}")
+    } finally {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      spark.sql(s"DROP TABLE IF EXISTS b_li_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS b_ord_$tag")
+    }
+  }
+
   test("spanDedup: agg-based first owner (no Window); span/doc exchanges only") {
     val df = graft.operators.TextOps.spanDedup(Tables(spark, sf0001, "documents"))
     df.collect()
