@@ -42,7 +42,10 @@ object ScaleProbe {
     "dedup_components", "dedup_survivors", "dedup_triangles",
     "dedup_clique_density", "dedup_pagerank", "sim_neardup_lsh",
     "sim_lsh_topk", "sim_ivf_topk", "sim_quantize_int8",
-    "text_tfidf", "text_tokens", "w1_running_sum", "w4_sessionize")
+    "text_tfidf", "text_tokens", "w1_running_sum", "w4_sessionize",
+    // round-6 additions: span-keyed first-owner dedup, the MG sketch
+    // two-pass, and the broadcast-model LM scorer
+    "dedup_span_exact", "a13_heavy_hitters", "text_unigram_lm")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
