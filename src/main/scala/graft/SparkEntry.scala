@@ -72,6 +72,12 @@ object SparkEntry {
       stagingTag(d, "bucketjoin", "lineitem.parquet"))),
     // bounded-window EWMA, integer 2^j weights → exact decimal numerator
     "w16_ewma" -> ((s, d) => Relational.w16Ewma(t(s, d)("events"))),
+    // adjacent view→click→purchase triple within 24 h (sequence pattern)
+    "w17_pattern_match" -> ((s, d) => Relational.w17PatternMatch(t(s, d)("events"))),
+    // fixed-width 20-bin histogram over the broadcast [min,max] range
+    "a14_histogram" -> ((s, d) => Relational.a14Histogram(t(s, d)("events"))),
+    // order-free Pearson correlation from exact decimal sufficient stats
+    "a15_corr" -> ((s, d) => Relational.a15Corr(t(s, d)("lineitem"))),
     "w7_gap_fill" -> ((s, d) => Relational.w7GapFill(t(s, d)("events"))),
     // hive-partitioned write + partition-pruned read-back (plan pinned
     // in PlansSpec)
@@ -2425,6 +2431,24 @@ object SparkEntry {
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "w16_ewma" -> EwmaOracleSql,
+    "w17_pattern_match" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2,
+        |    lead(ts, 2) OVER w AS t2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, COUNT(*) AS n_matches FROM r
+        |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+        |  AND epoch_us(t2) - epoch_us(ts) <= 86400000000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a14_histogram" ->
+      """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+        |SELECT LEAST(CAST(floor((value - lo) * 20.0 / (hi - lo)) AS BIGINT), 19) AS bin,
+        |       COUNT(*) AS n
+        |FROM events CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a15_corr" -> CorrOracleSql,
     "j6_salted_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey % 500 END AS k,
@@ -2896,6 +2920,35 @@ object SparkEntry {
        |SELECT user_id, event_id,
        |  CAST(($terms) AS DOUBLE) / (power(2, m) - 1) AS ewma
        |FROM r ORDER BY user_id, event_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[Relational.a15Corr]]: the same five exact
+    * decimal sufficient statistics combined in the SAME double
+    * expression tree — generated so the IEEE op order cannot drift
+    * from the Spark side.
+    */
+  private val CorrOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val sums = (
+      cols.map(c => s"SUM(CAST($c AS DECIMAL(12,2))) AS s_$c") ++
+      cols.map(c =>
+        s"SUM(CAST($c AS DECIMAL(12,2)) * CAST($c AS DECIMAL(12,2))) AS ss_$c") ++
+      pairs.map { case (a, b) =>
+        s"SUM(CAST($a AS DECIMAL(12,2)) * CAST($b AS DECIMAL(12,2))) AS sp_${a}_$b" })
+      .mkString(", ")
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    def corr(a: String, b: String) =
+      s"(${dd("n")} * ${dd(s"sp_${a}_$b")} - ${dd(s"s_$a")} * ${dd(s"s_$b")}) / " +
+        s"sqrt((${dd("n")} * ${dd(s"ss_$a")} - ${dd(s"s_$a")} * ${dd(s"s_$a")}) * " +
+        s"(${dd("n")} * ${dd(s"ss_$b")} - ${dd(s"s_$b")} * ${dd(s"s_$b")}))"
+    val branches = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, ${corr(a, b)} AS corr_v FROM s"
+    }.mkString(" UNION ALL ")
+    s"WITH s AS (SELECT COUNT(*) AS n, $sums FROM lineitem) " +
+      s"SELECT col_a, col_b, corr_v FROM ($branches) ORDER BY col_a, col_b"
   }
 
   /** DuckDB-side tokenizer CTE (mirrors TextOps.toksCol). */

@@ -921,6 +921,92 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Time-bounded sequence-pattern match (MATCH_RECOGNIZE analogue for
+    * the fixed-pattern case): occurrences of the ADJACENT event triple
+    * view → click → purchase completing within `windowSeconds` per
+    * user. Two lead() taps over one user-time window — the same single
+    * user_id exchange every sequence operator in this engine shares
+    * (funnel, transitions, sessionize), linear per partition at any
+    * scale. Adjacency + a hard time bound is what the unordered funnel
+    * can't express: the funnel admits interleaved noise, this pattern
+    * rejects it.
+    */
+  def w17PatternMatch(events: DataFrame,
+      windowSeconds: Long = 86400L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .withColumn("t2", lead(col("ts"), 2).over(w))
+      .filter(col("event_type") === "view" && col("e1") === "click" &&
+        col("e2") === "purchase" &&
+        unix_micros(col("t2")) - unix_micros(col("ts")) <=
+          windowSeconds * 1000000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("user_id")
+  }
+
+  /** Fixed-width histogram (profiling primitive): `bins` equal-width
+    * buckets spanning [min, max], max clamped into the last bin. The
+    * range aggregate is ONE broadcast row; binning is a codegen'd
+    * per-row map and the only data-scale exchange carries ≤ bins
+    * rows after map-side combine. Bin arithmetic is a fixed IEEE
+    * expression tree ((v − lo) · bins / (hi − lo), floor, clamp) that
+    * DuckDB mirrors token-for-token, so bucket edges cannot drift
+    * cross-engine.
+    */
+  def a14Histogram(events: DataFrame, bins: Int = 20): DataFrame = {
+    val range = events.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    events
+      .crossJoin(broadcast(range)) // single-row range: a broadcast constant
+      .select(least(
+        floor((col("value") - col("lo")) * lit(bins.toDouble) /
+          (col("hi") - col("lo"))),
+        lit((bins - 1).toLong)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
+  /** Exact-sum Pearson correlation for the numeric profile pairs —
+    * the feature-redundancy screen of a stats profiler. Spark's
+    * `corr()` accumulates doubles in partition order (results change
+    * with partitioning); this computes the five sufficient statistics
+    * as EXACT decimal sums (order-free, map-side combining, one
+    * single-row aggregate) and combines them in one fixed double
+    * expression — (n·Σxy − ΣxΣy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    * — identical IEEE tree on both engines. One pass, no shuffle of
+    * data rows at any scale.
+    */
+  def a15Corr(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def d2(c: String) = col(c).cast(DecimalType(12, 2))
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val sums = lineitem.agg(
+      count(lit(1)).as("n"),
+      cols.map(c => sum(d2(c)).as(s"s_$c")) ++
+        cols.map(c => sum(d2(c) * d2(c)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) => sum(d2(a) * d2(b)).as(s"sp_${a}_$b") }: _*)
+    def corrCol(a: String, b: String): Column = {
+      val n = col("n").cast("double")
+      def dd(name: String) = col(name).cast("double")
+      (n * dd(s"sp_${a}_$b") - dd(s"s_$a") * dd(s"s_$b")) /
+        sqrt((n * dd(s"ss_$a") - dd(s"s_$a") * dd(s"s_$a")) *
+          (n * dd(s"ss_$b") - dd(s"s_$b") * dd(s"s_$b")))
+    }
+    val exprs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        corrCol(a, b).as("corr_v"))
+    }
+    sums.select(explode(array(exprs: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.corr_v").as("corr_v"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Bloom-filter runtime semi-join reduction — the explicit form of
     * the runtime-filter pattern for the regime where the build side is
     * too big to broadcast as ROWS but tiny as a SKETCH: aggregate the

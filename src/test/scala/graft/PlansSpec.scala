@@ -471,6 +471,37 @@ class PlansSpec extends SparkSpec {
       s"token stream must not shuffle on term:\n${p.take(3000)}")
   }
 
+  test("w17 pattern match: lead taps share ONE user_id window exchange") {
+    val df = Relational.w17PatternMatch(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("user_id")),
+      s"non-user_id exchange in pattern plan: $keys\n${p.take(3000)}")
+  }
+
+  test("a14 histogram: range broadcasts; facts combine map-side, never sort") {
+    val df = Relational.a14Histogram(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"bin counts must combine map-side:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"range must broadcast, not shuffle-join:\n${p.take(3000)}")
+  }
+
+  test("a15 corr: ONE single-row sufficient-stats aggregate, no data exchange keyed on rows") {
+    val df = Relational.a15Corr(Tables(spark, sf0001, "lineitem"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // a global aggregate plans a SinglePartition exchange only — any
+    // hashpartitioning exchange would mean data rows are shuffling
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-scale exchange in corr plan:\n${p.take(3000)}")
+    assert(!p.contains("corr("), s"nondeterministic corr() leaked in:\n${p.take(3000)}")
+  }
+
   test("w16 EWMA: single user_id exchange, no join, bounded frame") {
     val df = Relational.w16Ewma(Tables(spark, sf0001, "events"))
     df.collect()
