@@ -336,6 +336,12 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
         .select("query_id", "neighbor_id", "rnk")
     }),
+    // recall@k quality gate: approximate rankers vs the exact ranker,
+    // invariant booleans vs a constant-true oracle (a6/a7/a9 trick)
+    "sim_recall_check" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.annRecallCheck(e, e.filter(col("vec_id") % 25 === 0), 5)
+    }),
     "sim_lsh_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
       SimilarityOps.lshTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
@@ -2632,6 +2638,8 @@ object SparkEntry {
         |  WHERE part NOT IN (SELECT part FROM boiler))
         |SELECT doc_id, string_agg(part, '. ' ORDER BY idx) AS clean_text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim_recall_check" ->
+      "SELECT 5 AS k, true AS lsh_recall_ok, true AS ivf_recall_ok",
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
          |scored AS (

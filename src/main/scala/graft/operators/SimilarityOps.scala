@@ -588,4 +588,49 @@ object SimilarityOps {
           .cast("int").as("code"),
         col("scale"))
       .orderBy("vec_id", "pos")
+
+  /** Mean recall@k of an approximate ANN ranker against its exact
+    * brute-force twin over the same query set — the quality gate every
+    * production ANN deployment runs before flipping serving to the
+    * approximate path. Per query: |approx ∩ exact| / |exact| (the
+    * exact list is ground truth; a query the approx path returns
+    * NOTHING for — empty LSH bucket — scores 0, via the left join).
+    * Cost shape: the two rankers' own plans plus one candidate-scale
+    * semi join and two k-bounded aggregates — nothing here outweighs
+    * the rankers themselves at any scale.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select((coalesce(col("n_hit"), lit(0L)).cast("double") /
+        col("n_exact").cast("double")).as("recall"))
+      .agg(avg(col("recall")).as("mean_recall"))
+  }
+
+  /** Driver-verifiable recall gate (a6/a7/a9-style invariant
+    * booleans) at RECALL-TUNED configs — the serving-default configs
+    * trade recall for candidate volume, so the gate runs the dial the
+    * other way. Measured recall@5 on the driver corpus (RecallProbe,
+    * sf0.01 / sf0.1): LSH 4 planes × 8 tables 0.58 / 0.61 (vs 0.07 /
+    * 0.04 at the 8×1 serving default); IVF nProbe=12 0.85 / 0.45 (vs
+    * 0.48 / 0.23 at nProbe=4). Floors sit at roughly HALF the worst
+    * measured value — far above broken-pipeline recall (~0) yet out of
+    * reach of benign data regeneration.
+    */
+  def annRecallCheck(embeddings: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val exact = bruteForceTopK(embeddings, queries, k)
+    val lshOk = annRecall(exact,
+      lshTopK(embeddings, queries, k, numPlanes = 4, numTables = 8))
+      .select((col("mean_recall") >= 0.30).as("lsh_recall_ok"))
+    val ivfOk = annRecall(exact,
+      ivfTopK(embeddings, queries, k, nProbe = 12))
+      .select((col("mean_recall") >= 0.22).as("ivf_recall_ok"))
+    lshOk.crossJoin(ivfOk).select(lit(k).as("k"),
+      col("lsh_recall_ok"), col("ivf_recall_ok"))
+  }
 }
