@@ -78,6 +78,10 @@ object SparkEntry {
     "a14_histogram" -> ((s, d) => Relational.a14Histogram(t(s, d)("events"))),
     // order-free Pearson correlation from exact decimal sufficient stats
     "a15_corr" -> ((s, d) => Relational.a15Corr(t(s, d)("lineitem"))),
+    // pointwise mutual information (type × hour), exact-count cells
+    "a16_pmi" -> ((s, d) => Relational.a16Pmi(t(s, d)("events"))),
+    // streaming per-event anomaly flags vs each user's running baseline
+    "stream_anomaly" -> ((s, d) => streamAnomalyQuery(s, d)),
     "w7_gap_fill" -> ((s, d) => Relational.w7GapFill(t(s, d)("events"))),
     // hive-partitioned write + partition-pruned read-back (plan pinned
     // in PlansSpec)
@@ -1104,6 +1108,23 @@ object SparkEntry {
       runToMemorySink(s, out, "stream_funnel_sink", "append")
         .filter(col("user_id") =!= -1L)
         .orderBy("user_id")
+    }
+
+  /** Streaming anomaly flags under the sentinel harness: the real
+    * events arrive in micro-batch 1 (the fold sorts them in
+    * (ts, event_id) order per user), the sentinel batch advances the
+    * watermark; emit is immediate per event (enrichment, not a
+    * windowed aggregate), so the oracle is the batch running-window
+    * restatement of the same all-integer 3σ test.
+    */
+  private def streamAnomalyQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      val stream = stagedSentinelEventsStream(s, d, "anomaly")
+      val out = graft.streaming.StreamingSync
+        .anomalyFlags(s, stream, watermarkDelay = "2 hours")
+      runToMemorySink(s, out, "stream_anomaly_sink", "append")
+        .filter(col("user_id") =!= -1L)
+        .orderBy("user_id", "event_id")
     }
 
   /** The NATIVE session_window sessionizer under the same sentinel
@@ -2455,6 +2476,32 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM events CROSS JOIN mm GROUP BY 1 ORDER BY 1""".stripMargin,
     "a15_corr" -> CorrOracleSql,
+    "a16_pmi" ->
+      """WITH b AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod FROM events),
+        |cxy AS (SELECT event_type, hod, COUNT(*) AS n_xy FROM b GROUP BY 1,2),
+        |cx AS (SELECT event_type, COUNT(*) AS n_x FROM b GROUP BY 1),
+        |cy AS (SELECT hod, COUNT(*) AS n_y FROM b GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_tot FROM b)
+        |SELECT cxy.event_type, cxy.hod, n_xy,
+        |  round(ln(CAST(n_xy * n_tot AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 12) AS pmi
+        |FROM cxy JOIN cx USING (event_type) JOIN cy USING (hod) CROSS JOIN tot
+        |ORDER BY event_type, hod""".stripMargin,
+    "stream_anomaly" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT user_id, event_id, vc,
+        |    COUNT(*) OVER wprev AS n_prev,
+        |    COALESCE(SUM(vc) OVER wprev, 0) AS s_prev,
+        |    COALESCE(SUM(vc * vc) OVER wprev, 0) AS ss_prev
+        |  FROM c
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id,
+        |  CASE WHEN n_prev >= 5 AND
+        |    (vc * n_prev - s_prev) * (vc * n_prev - s_prev)
+        |      > 9 * (n_prev * ss_prev - s_prev * s_prev)
+        |  THEN true ELSE false END AS is_anomaly
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
     "j6_salted_skew_join" ->
       """WITH f AS (
         |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey % 500 END AS k,

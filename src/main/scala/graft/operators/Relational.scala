@@ -1007,6 +1007,32 @@ object Relational {
       .orderBy("col_a", "col_b")
   }
 
+  /** Pointwise mutual information between event type and hour-of-day
+    * — the feature-dependence screen of an event profiler (is a
+    * feature pair informative or independent?). All probabilities
+    * come from EXACT counts; the only float is one division and one
+    * ln per (type, hour) CELL (bounded cardinality, not data-scale),
+    * rounded to 12 decimals under the [[graft.operators.TextOps]]
+    * entropy discipline. The marginals broadcast; the single
+    * data-scale exchange is the (type, hour) count — map-side
+    * combined, ≤ |types|·24 rows.
+    */
+  def a16Pmi(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), hour(col("ts")).as("hod"))
+    val cxy = base.groupBy("event_type", "hod").agg(count(lit(1)).as("n_xy"))
+    val cx = base.groupBy("event_type").agg(count(lit(1)).as("n_x"))
+    val cy = base.groupBy("hod").agg(count(lit(1)).as("n_y"))
+    val tot = base.agg(count(lit(1)).as("n_tot"))
+    cxy
+      .join(broadcast(cx), "event_type")
+      .join(broadcast(cy), "hod")
+      .crossJoin(broadcast(tot)) // single-row corpus constant
+      .select(col("event_type"), col("hod"), col("n_xy"),
+        round(log((col("n_xy") * col("n_tot")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")), 12).as("pmi"))
+      .orderBy("event_type", "hod")
+  }
+
   /** Bloom-filter runtime semi-join reduction — the explicit form of
     * the runtime-filter pattern for the regime where the build side is
     * too big to broadcast as ROWS but tiny as a SKETCH: aggregate the

@@ -405,4 +405,64 @@ object StreamingSync {
       }
       .toDF("user_id", "session_start_ms", "session_end_ms", "n_events")
   }
+
+  /** Streaming per-event anomaly flags against each user's RUNNING
+    * baseline — the online outlier screen of an event pipeline. State
+    * per user is three integers (n, Σ, Σ² of value-cents); an event is
+    * anomalous when it sits more than 3σ from the mean of its user's
+    * STRICTLY EARLIER events (n ≥ `minPrev` — cold users never flag).
+    * The 3σ test is evaluated in ALL-INTEGER form,
+    * (v·n − Σ)² > 9·(n·Σ² − Σ²), so flags are bit-deterministic and a
+    * batch SQL restatement over running window sums is an exact
+    * oracle. Cents come from floor(value·100 + 0.5) — one IEEE tree
+    * both engines share.
+    *
+    * Scale/state posture: O(1) state per user (vs the windowed-buffer
+    * alternatives), emit is immediate (per-event enrichment, not a
+    * windowed aggregate, so nothing waits on the watermark), and idle
+    * users evict one `idleEvictDelay` past their last activity via
+    * event-time timeout — a returning evicted user restarts a cold
+    * baseline, the documented trade for bounded state on an unbounded
+    * key space. Within-batch group order is not guaranteed by the
+    * engine, so each batch's events are folded in (ts, event_id)
+    * order; cross-batch order is the file source's mtime order.
+    */
+  def anomalyFlags(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String, minPrev: Int = 5,
+      idleEvictDelayMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[(Long, Long, Long)]) =>
+          if (!evs.hasNext && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            var (n, s, ss) = state.getOption.getOrElse((0L, 0L, 0L))
+            var lastTs = 0L
+            val out = evs.toSeq.sortBy(e => (e._3.getTime, e._2)).map { e =>
+              val v = e._4
+              val d = v * n - s
+              val flag = n >= minPrev && d * d > 9L * (n * ss - s * s)
+              n += 1; s += v; ss += v * v
+              lastTs = math.max(lastTs, e._3.getTime)
+              (uid, e._2, flag)
+            }
+            state.update((n, s, ss))
+            state.setTimeoutTimestamp(math.max(lastTs + idleEvictDelayMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+      .toDF("user_id", "event_id", "is_anomaly")
+  }
 }

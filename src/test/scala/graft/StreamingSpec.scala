@@ -227,6 +227,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyFlags: running 3-sigma flags, immediate emit, idle eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
+    val flags = StreamingSync.anomalyFlags(spark, events,
+      watermarkDelay = "10 minutes", minPrev = 3,
+      idleEvictDelayMs = 3600L * 1000)
+    val q = flags.writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_sink").start()
+    def stateRows: Long = {
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      if (ps.isEmpty) -1L else ps.last.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // user 1: stable baseline of 10.00s, then one wild outlier; the
+      // first three events can't flag (n_prev < 3)
+      input.addData(
+        (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+        (1L, 2L, ts("2024-01-01 10:01:00"), 10.0),
+        (1L, 3L, ts("2024-01-01 10:02:00"), 10.2),
+        (1L, 4L, ts("2024-01-01 10:03:00"), 10.1),
+        (1L, 5L, ts("2024-01-01 10:04:00"), 500.0))
+      q.processAllAvailable()
+      val got = spark.table("anomaly_sink")
+        .select("event_id", "is_anomaly").as[(Long, Boolean)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq(1L -> false, 2L -> false, 3L -> false,
+        4L -> false, 5L -> true),
+        s"immediate per-event flags expected, got $got")
+      // cross-batch: the outlier is now IN the baseline, a merely-high
+      // follow-up must compare against the polluted running stats
+      input.addData((1L, 6L, ts("2024-01-01 10:05:00"), 11.0))
+      q.processAllAvailable()
+      assert(spark.table("anomaly_sink")
+        .filter($"event_id" === 6L).select("is_anomaly").as[Boolean].head()
+        == false)
+      // idle eviction: a far-future row from another user pushes the
+      // watermark past user 1's last activity + idle horizon
+      input.addData((2L, 7L, ts("2024-01-02 12:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((2L, 8L, ts("2024-01-02 12:01:00"), 1.0))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"idle user 1 must be evicted, only user 2 remains, got $stateRows")
+    } finally q.stop()
+  }
+
   test("sessionization via keyed state: gap splits sessions") {
     val events = Seq(
       (100L, ts("2024-01-01 10:00:00")),
