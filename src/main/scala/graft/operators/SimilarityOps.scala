@@ -545,31 +545,50 @@ object SimilarityOps {
     * Recall vs the float ranking is spec-checked on the real
     * embeddings table.
     */
-  def int8TopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  private def quantCols(df: DataFrame, vcol: String, out: String): DataFrame =
+    df.withColumn("amax",
+        array_max(transform(col(vcol), x => abs(x.cast("double")))))
+      .withColumn("qscale",
+        when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
+      .withColumn(out, transform(col(vcol), x =>
+        floor(x.cast("double") * col("qscale") + lit(0.5)).cast("float")))
+      .drop(vcol, "amax", "qscale")
+
+  /** `indexDir = Some(path)`: the quantized corpus index is built ONCE
+    * and PERSISTED as parquet (guarded by the writer's own _SUCCESS
+    * marker), then every serve loads codes+norms from storage — the
+    * production quantized-ANN lifecycle (the 4× bandwidth cut applies
+    * to a STORED index scanned per query batch, not to a derivation
+    * recomputed per query). `None` keeps the self-contained form
+    * (eager local materialization before the join, so projection
+    * collapse can never re-inline the quantization lambdas into the
+    * per-pair join output).
+    */
+  def int8TopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      indexDir: Option[String] = None): DataFrame = {
     // codes ride as array<float>: every int8 code is exact in float32
     // and vec_dot widens to double before multiplying, so exactness is
     // untouched while the stored index row is half the double-array
     // size (the whole point of quantized serving is bytes moved)
-    def quant(df: DataFrame, vcol: String, out: String): DataFrame =
-      df.withColumn("amax",
-          array_max(transform(col(vcol), x => abs(x.cast("double")))))
-        .withColumn("qscale",
-          when(col("amax") > 0, lit(127.0) / col("amax")).otherwise(lit(0.0)))
-        .withColumn(out, transform(col(vcol), x =>
-          floor(x.cast("double") * col("qscale") + lit(0.5)).cast("float")))
-        .drop(vcol, "amax", "qscale")
-    // materialize codes BEFORE the join — the honest serving model:
-    // the quantized index is computed once and stored, not re-derived
-    // per query batch (and projection collapse can never re-inline
-    // the quantization lambdas into the per-pair join output).
-    val q = quant(queries.select(col("vec_id").as("query_id"),
+    val q = quantCols(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qe")), "qe", "qc")
       .withColumn("qn", vec_norm(col("qc"))).filter(col("qn") > 0)
       .localCheckpoint(true)
-    val e = quant(embeddings.select(col("vec_id"), col("embedding")),
-      "embedding", "ec")
-      .withColumn("en", vec_norm(col("ec"))).filter(col("en") > 0)
-      .localCheckpoint(true)
+    val e = indexDir match {
+      case Some(dir) =>
+        val spark = embeddings.sparkSession
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          quantCols(embeddings.select(col("vec_id"), col("embedding")),
+            "embedding", "ec")
+            .withColumn("en", vec_norm(col("ec"))).filter(col("en") > 0)
+            .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case None =>
+        quantCols(embeddings.select(col("vec_id"), col("embedding")),
+          "embedding", "ec")
+          .withColumn("en", vec_norm(col("ec"))).filter(col("en") > 0)
+          .localCheckpoint(true)
+    }
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim", vec_dot(col("qc"), col("ec")) / (col("qn") * col("en")))
     rankTopK(scored, k, keepSim = false)
