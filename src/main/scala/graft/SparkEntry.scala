@@ -351,6 +351,13 @@ object SparkEntry {
       SimilarityOps.lshTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
         .select("query_id", "neighbor_id", "rnk")
     }),
+    // multiprobe LSH: +numPlanes Hamming-1 probes per query, same
+    // single-table index — the zero-extra-storage recall amplifier
+    "sim_multiprobe_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.multiprobeTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
     "sim_ivf_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
       SimilarityOps.ivfTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
@@ -2703,6 +2710,23 @@ object SparkEntry {
     "sim_lsh_topk" ->
       s"""WITH $LshSigCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id % 25 = 0),
+         |cand AS (
+         |  SELECT q.query_id, s.vec_id, q.qe, s.embedding
+         |  FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id),
+         |scored AS (SELECT query_id, vec_id, ${duckCosine("qe", "embedding")} AS sim FROM cand)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_multiprobe_topk" ->
+      s"""WITH $LshSigCte,
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id % 25 = 0),
+         |q AS (
+         |  SELECT query_id, qe,
+         |    unnest(list_prepend(bucket, list_transform(range(0, 8), j ->
+         |      xor(bucket, 1::BIGINT << CAST(j AS INT))))) AS bucket
+         |  FROM qb),
          |cand AS (
          |  SELECT q.query_id, s.vec_id, q.qe, s.embedding
          |  FROM sig s JOIN q ON s.bucket = q.bucket AND s.vec_id <> q.query_id),

@@ -25,6 +25,9 @@ object RecallProbe {
           SimilarityOps.ivfTopK(e, q, 5, 23, npb)).head.getDouble(0)
         println(f"RECALL $d ivf nprobe=$npb r=$r%.3f")
       }
+      val mp = SimilarityOps.annRecall(exact,
+        SimilarityOps.multiprobeTopK(e, q, 5)).head.getDouble(0)
+      println(f"RECALL $d multiprobe planes=8 r=$mp%.3f")
     }
     spark.stop()
   }
