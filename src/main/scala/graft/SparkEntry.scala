@@ -263,6 +263,10 @@ object SparkEntry {
     // two-pass Misra-Gries heavy hitters: bounded-memory candidates,
     // exact recount (oracle = plain GROUP BY ... HAVING)
     "a13_heavy_hitters" -> ((s, d) => TextOps.heavyHitterTokens(t(s, d)("documents"))),
+    // feature-hashing sparse doc vectors (no vocab pass, fixed width)
+    "text_hashed_features" -> ((s, d) => TextOps.hashedFeatures(t(s, d)("documents"))),
+    // SCD Type-2 effective-dated status history per user
+    "c11_scd2" -> ((s, d) => MergeOps.scd2History(t(s, d)("events"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
@@ -2237,6 +2241,29 @@ object SparkEntry {
          |       COALESCE(agg.kept_text, '') AS kept_text
          |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
          |ORDER BY 1""".stripMargin,
+    "text_hashed_features" ->
+      s"""WITH $ToksCte, tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1) * power(16, 8 - i)))
+         |      AS BIGINT) % 32 AS bucket
+         |  FROM tk)
+         |SELECT doc_id, bucket, COUNT(*) AS cnt
+         |FROM h GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin,
+    "c11_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM events),
+        |f AS (SELECT user_id, event_type, ts, event_id FROM ch
+        |      WHERE prev_t IS NULL OR event_type <> prev_t)
+        |SELECT user_id, event_type AS status, ts AS valid_from,
+        |  lead(ts, 1) OVER w AS valid_to,
+        |  (lead(ts, 1) OVER w IS NULL) AS is_current
+        |FROM f
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
     "a13_heavy_hitters" ->
       s"""WITH $ToksCte, tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
          |tot AS (SELECT COUNT(*) AS n_total FROM tk)

@@ -132,4 +132,27 @@ object MergeOps {
           .otherwise(lit("content_drift")).as("status"))
       .orderBy("chunk")
   }
+
+  /** SCD Type-2 history build — the warehouse-dimension complement of
+    * the CDC merge: collapse each key's attribute stream into
+    * effective-dated rows (`valid_from`, `valid_to`, `is_current`),
+    * keeping a row only where the tracked attribute CHANGED from its
+    * predecessor. Two window passes over ONE (key, time) partitioning
+    * — Catalyst reuses the single exchange+sort for the change filter
+    * (lag) and the range stitch (lead) — so the whole dimension build
+    * is one shuffle at any scale. Ordering ties break on the event id
+    * (total order), and the open row is exactly the one with no
+    * successor.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_t", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_t").isNull || col("event_type") =!= col("prev_t"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
 }

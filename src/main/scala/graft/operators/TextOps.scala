@@ -658,6 +658,25 @@ object TextOps {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Hashing-trick (feature-hashing) document vectors — the
+    * fixed-width featurizer in front of any linear quality/topic
+    * model at corpus scale: token → bucket h(tok) mod dim, per-doc
+    * bucket counts, emitted sparse as (doc_id, bucket, cnt). No
+    * vocabulary pass, no vocab broadcast, fixed dimensionality by
+    * construction — the properties that let featurization run as one
+    * map + one (doc, bucket)-keyed combine-heavy exchange at 100 TB.
+    * The bucket hash is the engine-wide cross-engine one (first 8
+    * md5 hex digits), so the oracle reproduces buckets exactly.
+    */
+  def hashedFeatures(documents: DataFrame, dim: Int = 32): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim)
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), explode(toksCol).as("tok"))
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))
