@@ -509,6 +509,9 @@ object SparkEntry {
     // flagship composition: quality gates + language-ID + exact-dedup
     // survivorship fused into a single-shuffle clean
     "pipe_clean_corpus" -> ((s, d) => PipelineOps.cleanCorpus(t(s, d)("documents"))),
+    // one-query corpus release card: volume, dup mass, median length,
+    // language shares as (metric, value) rows
+    "pipe_dataset_card" -> ((s, d) => PipelineOps.datasetCard(t(s, d)("documents"))),
     // deterministic source-mixture interleave: src0 at 2x, src1 at 4x
     // the base rate — the data-mixing order of a training stream
     "pipe_interleave" -> ((s, d) => PipelineOps.interleaveBySource(
@@ -1341,6 +1344,28 @@ object SparkEntry {
     // composed clean: same signal definitions as text_quality /
     // text_langid / dedup_exact, dedup survivor chosen among ALL docs,
     // then the quality + language gates
+    "pipe_dataset_card" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_toks,
+        |    md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+        |  FROM documents),
+        |base AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |         CAST(SUM(n_toks) AS DOUBLE) AS n_tokens,
+        |         CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) AS dup_docs,
+        |         CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50_chars
+        |  FROM t)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+        |  UNION ALL SELECT 'dup_docs', dup_docs FROM base
+        |  UNION ALL SELECT 'p50_chars', p50_chars FROM base
+        |  UNION ALL
+        |  SELECT 'share_' || lang,
+        |    CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM t) AS DOUBLE)
+        |  FROM t GROUP BY lang)
+        |ORDER BY metric""".stripMargin,
     "pipe_clean_corpus" -> {
       val scoreCols = TextOpsOracle.langScoreCols("ws")
       val caseChain = TextOpsOracle.langCaseChain

@@ -479,4 +479,39 @@ object PipelineOps {
             / col("est_tokens")).as("weight"))
       .orderBy("lang")
   }
+
+  /** Dataset card — the one-query corpus summary a release ships
+    * with: document/token volume, exact-dup mass, median length, and
+    * per-language shares, as (metric, value) rows. Composition of
+    * aggregates the engine already serves individually; everything
+    * reduces in two passes (one doc-level scan feeding a global
+    * aggregate + one bounded lang rollup) with only sketch-size rows
+    * crossing exchanges. At 100 TB the exact `percentile` and
+    * `countDistinct` swap for their sketch twins (a7/a6 precedent);
+    * the card's shape is unchanged.
+    */
+  def datasetCard(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").as("n_toks"),
+      md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+        .as("fp"))
+    val base = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("n_toks")).cast("double").as("n_tokens"),
+      (count(lit(1)) - countDistinct(col("fp"))).cast("double").as("dup_docs"),
+      expr("percentile(n_chars, 0.5D)").cast("double").as("p50_chars"))
+    val baseRows = base.select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value")),
+        struct(lit("dup_docs").as("metric"), col("dup_docs").as("value")),
+        struct(lit("p50_chars").as("metric"), col("p50_chars").as("value"))))
+        .as("r"))
+      .select(col("r.metric").as("metric"), col("r.value").as("value"))
+    val langRows = toks.groupBy("lang").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n"))))
+      .select(concat(lit("share_"), col("lang")).as("metric"),
+        (col("c").cast("double") / col("n").cast("double")).as("value"))
+    baseRows.unionByName(langRows).orderBy("metric")
+  }
 }
