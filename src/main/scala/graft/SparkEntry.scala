@@ -3075,9 +3075,9 @@ object SparkEntry {
       .mkString(", ")
     def dd(x: String) = s"CAST($x AS DOUBLE)"
     def corr(a: String, b: String) =
-      s"(${dd("n")} * ${dd(s"sp_${a}_$b")} - ${dd(s"s_$a")} * ${dd(s"s_$b")}) / " +
+      s"round((${dd("n")} * ${dd(s"sp_${a}_$b")} - ${dd(s"s_$a")} * ${dd(s"s_$b")}) / " +
         s"sqrt((${dd("n")} * ${dd(s"ss_$a")} - ${dd(s"s_$a")} * ${dd(s"s_$a")}) * " +
-        s"(${dd("n")} * ${dd(s"ss_$b")} - ${dd(s"s_$b")} * ${dd(s"s_$b")}))"
+        s"(${dd("n")} * ${dd(s"ss_$b")} - ${dd(s"s_$b")} * ${dd(s"s_$b")})), 12)"
     val branches = pairs.map { case (a, b) =>
       s"SELECT '$a' AS col_a, '$b' AS col_b, ${corr(a, b)} AS corr_v FROM s"
     }.mkString(" UNION ALL ")

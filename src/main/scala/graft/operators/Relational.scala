@@ -993,9 +993,14 @@ object Relational {
     def corrCol(a: String, b: String): Column = {
       val n = col("n").cast("double")
       def dd(name: String) = col(name).cast("double")
-      (n * dd(s"sp_${a}_$b") - dd(s"s_$a") * dd(s"s_$b")) /
+      // round(·,12): the sums are exact decimals, but the decimal →
+      // double CAST itself is correctly rounded on the JVM and
+      // double-rounded (int128 → double, then /10^scale) in DuckDB —
+      // a last-ulp divergence the 12-dp round absorbs (entropy/
+      // unigram-LM discipline)
+      round((n * dd(s"sp_${a}_$b") - dd(s"s_$a") * dd(s"s_$b")) /
         sqrt((n * dd(s"ss_$a") - dd(s"s_$a") * dd(s"s_$a")) *
-          (n * dd(s"ss_$b") - dd(s"s_$b") * dd(s"s_$b")))
+          (n * dd(s"ss_$b") - dd(s"s_$b") * dd(s"s_$b"))), 12)
     }
     val exprs = pairs.map { case (a, b) =>
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
