@@ -260,6 +260,13 @@ object SparkEntry {
     "dedup_span_exact" -> ((s, d) => TextOps.spanDedup(t(s, d)("documents"))),
     // corpus unigram-LM mean logprob (the perplexity-filter primitive)
     "text_unigram_lm" -> ((s, d) => TextOps.unigramLogProb(t(s, d)("documents"))),
+    // interpolated bigram LM (0.7 MLE bigram + 0.3 smoothed unigram)
+    "text_bigram_lm" -> ((s, d) => TextOps.bigramLogProb(t(s, d)("documents"))),
+    // per-type OLS trend: slope/intercept from exact decimal sums
+    "a17_linear_fit" -> ((s, d) => Relational.a17LinearFit(t(s, d)("events"))),
+    // plain text-file source round trip (tab-keyed line records)
+    "s14_textfile_roundtrip" -> ((s, d) => FileOps.textRoundTrip(s,
+      t(s, d)("documents"), stagingTag(d, "textrt", "documents.parquet"))),
     // two-pass Misra-Gries heavy hitters: bounded-memory candidates,
     // exact recount (oracle = plain GROUP BY ... HAVING)
     "a13_heavy_hitters" -> ((s, d) => TextOps.heavyHitterTokens(t(s, d)("documents"))),
@@ -2297,6 +2304,28 @@ object SparkEntry {
          |GROUP BY tok, n_total
          |HAVING COUNT(*) * 50 > n_total
          |ORDER BY cnt DESC, tok""".stripMargin,
+    "text_bigram_lm" ->
+      s"""WITH $ToksCte, px AS (
+         |  SELECT doc_id, ws, CAST(unnest(range(0, len(ws))) AS INT) AS pos FROM toks
+         |), pairs AS (
+         |  SELECT doc_id, ws[pos] AS wprev, ws[pos+1] AS w FROM px WHERE pos >= 1
+         |), c2 AS (SELECT wprev, w, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+         |tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |c1 AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY tok),
+         |st AS (SELECT SUM(c1) AS n_total, COUNT(*) AS v FROM c1)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CAST(round(ln(0.7 * (CAST(c2.c2 AS DOUBLE) / CAST(cp.c1 AS DOUBLE)) +
+         |        0.3 * (CAST(cw.c1 + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE))), 12)
+         |      AS DECIMAL(24,14))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob2
+         |FROM pairs
+         |JOIN c2 USING (wprev, w)
+         |JOIN c1 cw ON cw.tok = pairs.w
+         |JOIN c1 cp ON cp.tok = pairs.wprev
+         |CROSS JOIN st
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "a17_linear_fit" -> LinearFitOracleSql,
+    "s14_textfile_roundtrip" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "text_unigram_lm" ->
       s"""WITH $ToksCte, tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
          |tf AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
@@ -3083,6 +3112,33 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
     s"WITH s AS (SELECT COUNT(*) AS n, $sums FROM lineitem) " +
       s"SELECT col_a, col_b, corr_v FROM ($branches) ORDER BY col_a, col_b"
+  }
+
+  /** DuckDB twin of [[Relational.a17LinearFit]]: identical sufficient
+    * sums and the identical rounded double combine — the slope
+    * expression is spliced (not recomputed) into the intercept so the
+    * ROUNDED slope feeds it on both engines.
+    */
+  private val LinearFitOracleSql: String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val slope =
+      s"round((${dd("n")} * ${dd("sty")} - ${dd("st")} * ${dd("sy")}) / " +
+        s"(${dd("n")} * ${dd("stt")} - ${dd("st")} * ${dd("st")}), 12)"
+    s"""WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+       |b AS (SELECT event_type,
+       |        CAST(epoch_us(ts) - t0 AS DECIMAL(18,0)) AS t,
+       |        CAST(value AS DECIMAL(18,2)) AS y
+       |      FROM events CROSS JOIN t0),
+       |s AS (SELECT event_type, COUNT(*) AS n, SUM(t) AS st,
+       |             -- widen one operand: DECIMAL(18)x(18) runs in
+       |             -- int64 in DuckDB and overflows on us-scale t^2;
+       |             -- (19)x(18) takes the exact int128 path
+       |             SUM(CAST(t AS DECIMAL(19,0)) * t) AS stt,
+       |             SUM(y) AS sy, SUM(CAST(t AS DECIMAL(19,0)) * y) AS sty
+       |      FROM b GROUP BY event_type)
+       |SELECT event_type, n, $slope AS slope,
+       |  round((${dd("sy")} - $slope * ${dd("st")}) / ${dd("n")}, 12) AS intercept
+       |FROM s ORDER BY event_type""".stripMargin
   }
 
   /** DuckDB-side tokenizer CTE (mirrors TextOps.toksCol). */

@@ -49,6 +49,29 @@ object FileOps {
     spark.read.schema(df.schema).orc(stagingDir)
   }
 
+  /** Plain text-file round trip (`spark.read/write.text`) — the last
+    * of the line-oriented interchange formats (CSV, JSONL, text): one
+    * record per line, key recovered from a tab-prefixed id since a
+    * bare text file carries no schema and no ordering guarantee.
+    * Write is one narrow pass; read splits on the FIRST tab only, so
+    * any later tabs stay in the payload. Corpus texts are single-line
+    * by this pipeline's normalization contract (newlines are
+    * boilerplate-stripped upstream); ids make the round trip
+    * order-independent at any partition count.
+    */
+  def textRoundTrip(spark: SparkSession, documents: DataFrame,
+      stagingDir: String): DataFrame = {
+    documents
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text"))
+        .as("value"))
+      .write.mode("overwrite").text(stagingDir)
+    spark.read.text(stagingDir)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(col("kv").getItem(0).cast("long").as("doc_id"),
+        col("kv").getItem(1).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Bucket-pruned co-located join — the pay-the-shuffle-ONCE strategy
     * for repeated big-fact joins at 100 TB: both sides are written
     * bucketed+sorted on the join key (8 buckets here; thousands at

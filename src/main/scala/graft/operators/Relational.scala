@@ -1012,6 +1012,43 @@ object Relational {
       .orderBy("col_a", "col_b")
   }
 
+  /** Per-group ordinary-least-squares fit (value vs time) — the
+    * trend-detection primitive of a metrics profiler: slope and
+    * intercept per event type from the five exact decimal sufficient
+    * statistics (n, Σt, Σt², Σy, Σty), combined in one fixed double
+    * tree rounded to 12 decimals (the a15 discipline — the decimal →
+    * double cast itself differs across engines in the last ulp).
+    * Time enters as MICROSECONDS relative to the global minimum (one
+    * broadcast row) — exact integers on both engines (DuckDB's
+    * `epoch()` is fractional, `epoch_us` is not), with Σt² still
+    * comfortably inside decimal-38 exactness at any horizon; the
+    * intercept means "level at window start". One pass, map-side
+    * combining, a groups-sized exchange.
+    */
+  def a17LinearFit(events: DataFrame): DataFrame = {
+    val t0 = events.agg(min(unix_micros(col("ts"))).as("t0"))
+    val base = events.crossJoin(broadcast(t0)) // single-row origin
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - col("t0")).cast(DecimalType(18, 0)).as("t"),
+        col("value").cast(DecimalType(18, 2)).as("y"))
+    val sums = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("st"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("y")).as("sy"),
+      sum(col("t") * col("y")).as("sty"))
+    def dd(c: String) = col(c).cast("double")
+    val slope = round(
+      (dd("n") * dd("sty") - dd("st") * dd("sy")) /
+        (dd("n") * dd("stt") - dd("st") * dd("st")), 12)
+    sums
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        round((dd("sy") - col("slope") * dd("st")) / dd("n"), 12))
+      .select("event_type", "n", "slope", "intercept")
+      .orderBy("event_type")
+  }
+
   /** Pointwise mutual information between event type and hour-of-day
     * — the feature-dependence screen of an event profiler (is a
     * feature pair informative or independent?). All probabilities

@@ -615,6 +615,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM language model score — the next step up the
+    * n-gram ladder from [[unigramLogProb]] and the standard cheap
+    * perplexity proxy (KenLM-style filtering without the ARPA file):
+    * each in-document bigram (w_prev, w) contributes
+    * ln(0.7·p₂ + 0.3·p₁) with p₂ = c(w_prev,w)/c(w_prev) (MLE bigram)
+    * and p₁ = (c(w)+1)/(N+V) (smoothed unigram backoff); a document
+    * scores the mean over its bigrams (single-token docs drop out —
+    * they have no bigram evidence). Bigrams come from one array zip
+    * (no window, no self-join); both model tables are vocabulary-
+    * bounded and BROADCAST, so the only data-scale exchange is the
+    * per-doc score aggregate. Determinism: fixed IEEE tree for the
+    * interpolation, round-12 log contributions, exact decimal sums.
+    */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val pairs = documents
+      .withColumn("ws", toksCol)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) < 2 THEN array()
+          |ELSE transform(sequence(1, size(ws) - 1),
+          |  i -> struct(ws[i-1] AS wprev, ws[i] AS w)) END""".stripMargin
+          .replace("\n", " "))).as("pr"))
+      .select(col("doc_id"), col("pr.wprev").as("wprev"), col("pr.w").as("w"))
+    val c2 = pairs.groupBy("wprev", "w").agg(count(lit(1)).as("c2"))
+    val c1 = documents.select(explode(toksCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val stats = c1.agg(sum(col("c1")).as("n_total"), count(lit(1)).as("v"))
+    pairs
+      .join(broadcast(c2), Seq("wprev", "w"))
+      .join(broadcast(c1.withColumnRenamed("tok", "w")
+        .withColumnRenamed("c1", "c1_w")), Seq("w"))
+      .join(broadcast(c1.withColumnRenamed("tok", "wprev")
+        .withColumnRenamed("c1", "c1_prev")), Seq("wprev"))
+      .crossJoin(broadcast(stats)) // single-row corpus constants
+      .withColumn("contrib",
+        round(log(lit(0.7) * (col("c2").cast("double") / col("c1_prev").cast("double")) +
+          lit(0.3) * ((col("c1_w") + 1).cast("double") /
+            (col("n_total") + col("v")).cast("double"))), 12)
+          .cast(DecimalType(24, 14)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("contrib")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logprob2"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus unigram language model (add-one smoothing) scoring every
     * document by mean token log-probability — the perplexity-filter
     * primitive of corpus curation (docs far below the corpus-typical

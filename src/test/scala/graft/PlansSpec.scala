@@ -397,7 +397,8 @@ class PlansSpec extends SparkSpec {
     for ((nm, df) <- Seq(
         "brute" -> S.bruteForceTopK(e, q, 5),
         "int8" -> S.int8TopK(e, q, 5),
-        "lsh" -> S.lshTopK(e, q, 5))) {
+        "lsh" -> S.lshTopK(e, q, 5),
+        "multiprobe" -> S.multiprobeTopK(e, q, 5))) {
       df.collect()
       val p = plan(df).split("== Initial Plan ==").head
       assert(p.contains("partial_top_k_agg"),
