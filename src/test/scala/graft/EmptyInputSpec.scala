@@ -63,6 +63,27 @@ class EmptyInputSpec extends SparkSpec {
       Map("en" -> 0.5)).isEmpty)
   }
 
+  test("round-6 batch operators degrade to empty on empty inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEvents = Seq
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.operators.TextOps.bigramLogProb(noDocs).isEmpty)
+    assert(graft.operators.TextOps.hashedFeatures(noDocs).isEmpty)
+    assert(graft.operators.TextOps.heavyHitterTokens(noDocs).isEmpty)
+    assert(graft.operators.MergeOps.scd2History(noEvents).isEmpty)
+    assert(graft.operators.Relational.w16Ewma(noEvents).isEmpty)
+    assert(graft.operators.Relational.w17PatternMatch(noEvents).isEmpty)
+    assert(graft.operators.Relational.a14Histogram(noEvents).isEmpty)
+    assert(graft.operators.Relational.a16Pmi(noEvents).isEmpty)
+    assert(graft.operators.Relational.a17LinearFit(noEvents).isEmpty)
+    // single-token docs carry no bigram evidence: row drops, no NaN
+    val one = Seq((1L, "hello"), (2L, "a b")).toDF("doc_id", "text")
+    assert(graft.operators.TextOps.bigramLogProb(one)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("spanDedup and unigramLogProb degrade cleanly on empty/blank docs") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
