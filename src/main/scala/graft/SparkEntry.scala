@@ -274,6 +274,26 @@ object SparkEntry {
     "text_hashed_features" -> ((s, d) => TextOps.hashedFeatures(t(s, d)("documents"))),
     // SCD Type-2 effective-dated status history per user
     "c11_scd2" -> ((s, d) => MergeOps.scd2History(t(s, d)("events"))),
+    // lag-1 autocorrelation per event type (exact sufficient stats)
+    "a18_autocorr" -> ((s, d) => Relational.a18Autocorr(t(s, d)("events"))),
+    // last-touch attribution: purchase ← last prior click within 7 d
+    "w18_attribution" -> ((s, d) => Relational.w18Attribution(t(s, d)("events"))),
+    // incremental MV maintenance: parquet-stored snapshot of the base's
+    // partial aggregates + mid-day delta, merged WITHOUT rescanning the
+    // base; oracle is the full recompute the merge must equal
+    "c12_mv_maintain" -> ((s, d) => {
+      val mvDir = stagingTag(d, "mv", "events.parquet")
+      val ev = t(s, d)("events")
+      val cut = "2024-01-25 00:10:00"
+      MergeOps.mvPartials(ev.filter(col("ts") < lit(cut)))
+        .write.mode("overwrite").parquet(mvDir)
+      MergeOps.mvMergeDelta(s.read.parquet(mvDir),
+        MergeOps.mvPartials(ev.filter(col("ts") >= lit(cut))))
+    }),
+    // exact-k deterministic per-language sample: bottom-k by md5
+    // priority through the bounded TopKAgg (no corpus-wide sort)
+    "pipe_sample_bottomk" -> ((s, d) =>
+      PipelineOps.bottomKSample(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
@@ -2324,6 +2344,56 @@ object SparkEntry {
          |CROSS JOIN st
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "a17_linear_fit" -> LinearFitOracleSql,
+    "a18_autocorr" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS y,
+        |    lag(CAST(value AS DECIMAL(18,2)), 1)
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS yl
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(y) AS sy, SUM(yl) AS syl, SUM(y*y) AS syy,
+        |    SUM(yl*yl) AS syll, SUM(y*yl) AS syp
+        |  FROM p WHERE yl IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((CAST(n AS DOUBLE)*CAST(syp AS DOUBLE)
+        |       - CAST(sy AS DOUBLE)*CAST(syl AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+        |         * (CAST(n AS DOUBLE)*CAST(syll AS DOUBLE)
+        |          - CAST(syl AS DOUBLE)*CAST(syl AS DOUBLE))), 12)
+        |    AS autocorr_1
+        |FROM s ORDER BY event_type""".stripMargin,
+    "w18_attribution" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts, last_touch_ts,
+        |  (last_touch_ts IS NOT NULL
+        |   AND last_touch_ts >= ts - INTERVAL 7 DAY) AS attributed
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "c12_mv_maintain" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipe_sample_bottomk" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, priority,
+        |    row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id)
+        |      AS rnk
+        |  FROM h)
+        |SELECT lang, rnk, doc_id, priority FROM r WHERE rnk <= 40
+        |ORDER BY lang, rnk""".stripMargin,
     "s14_textfile_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "text_unigram_lm" ->

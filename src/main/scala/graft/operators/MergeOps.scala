@@ -155,4 +155,41 @@ object MergeOps {
         col("valid_to").isNull.as("is_current"))
       .orderBy("user_id", "valid_from")
   }
+
+  /** Partial-aggregate snapshot for incremental materialized-view
+    * maintenance: (event_type, day) → exact count + exact decimal sum.
+    * Counts and decimal sums are COMMUTATIVE MONOID state — two
+    * snapshots over disjoint row sets merge by addition into the
+    * snapshot of the union, which is what lets a 100 TB rollup stay
+    * fresh by aggregating ONLY each day's delta and merging, never
+    * rescanning the base. (Avg/extrema derive from the same state;
+    * non-distributive aggregates need sketch state — see the HLL/KLL
+    * aggregates in [[graft.functions]].)
+    */
+  def mvPartials(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sval"))
+
+  /** Merge a delta's partials into a stored MV snapshot: full-outer on
+    * the group key, fields add (absent side = identity 0). One shuffle
+    * on the MV key — whose cardinality is the GROUP count, not the row
+    * count, so at 100 TB this touches megabytes while the naive
+    * refresh rescans the base. Correctness does not depend on the
+    * delta cut falling on a group boundary: a day split mid-stream
+    * across base and delta merges to the exact full-recompute row.
+    */
+  def mvMergeDelta(snapshot: DataFrame, delta: DataFrame): DataFrame = {
+    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val d = delta
+      .withColumnRenamed("cnt", "d_cnt").withColumnRenamed("sval", "d_sval")
+    snapshot.join(d, Seq("event_type", "day"), "full_outer")
+      .select(col("event_type"), col("day"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+          .as("cnt"),
+        (coalesce(col("sval"), zero) + coalesce(col("d_sval"), zero))
+          .cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+  }
 }

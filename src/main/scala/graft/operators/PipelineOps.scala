@@ -514,4 +514,31 @@ object PipelineOps {
         (col("c").cast("double") / col("n").cast("double")).as("value"))
     baseRows.unionByName(langRows).orderBy("metric")
   }
+
+  /** Deterministic exact-k uniform sample per stratum — "give me
+    * exactly 40 docs per language, reproducibly" — via BOTTOM-k by
+    * md5 priority through the bounded [[graft.functions.TopKAgg]]
+    * aggregate. The hash priority makes the draw uniform AND stable
+    * across engines/reruns (same property as [[splitAssign]]); the
+    * aggregate makes it scale: the usual row_number window shuffles
+    * and sorts the whole corpus per stratum, while this map-side
+    * combines to ≤ k (priority, id) pairs per stratum per partition —
+    * at 100 TB the exchange carries strata×k rows, not the corpus.
+    * TopKAgg ranks score DESC, so the negated priority yields
+    * ascending-hash order; ties are impossible below 2³² draws per
+    * stratum (and break on id, matching the oracle's ORDER BY).
+    */
+  def bottomKSample(documents: DataFrame, k: Int = 40): DataFrame = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    documents
+      .withColumn("neg_u", -u.cast("double")) // < 2^32: exact in double
+      .groupBy("lang")
+      .agg(GraftFunctions.top_k_agg(col("neg_u"), col("doc_id"), k).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).as("rnk"),
+        col("col.id").as("doc_id"),
+        (-col("col.score")).cast("long").as("priority"))
+      .orderBy("lang", "rnk")
+  }
 }

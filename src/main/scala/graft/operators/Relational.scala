@@ -1146,4 +1146,67 @@ object Relational {
       .select("user_id", "event_id", "ewma")
       .orderBy("user_id", "event_id")
   }
+
+  /** Lag-1 autocorrelation of `value` per event type — the
+    * seasonality/burstiness screen of a time-series profiler (a near-1
+    * autocorrelation means a metric trends; near 0 means white noise).
+    * Built on the [[a15Corr]] sufficient-statistic discipline: the lag
+    * pairs come from ONE window pass (per-type sort), the six
+    * statistics (n, Σy, Σy₋₁, Σy², Σy₋₁², Σy·y₋₁) are EXACT decimal
+    * sums (order-free, partial-agg safe), and the only floats are one
+    * fixed double expression per GROUP rounded to 12 dp. The window
+    * and the groupBy share the event_type hash partitioning, so
+    * Catalyst plans one exchange for the whole operator at any scale.
+    */
+  def a18Autocorr(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val y = col("value").cast(DecimalType(18, 2))
+    val pairs = events
+      .withColumn("y", y)
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .filter(col("yl").isNotNull)
+    val sums = pairs.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("yl")).as("syl"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("yl") * col("yl")).as("syll"),
+      sum(col("y") * col("yl")).as("syp"))
+    def dd(c: String) = col(c).cast("double")
+    val n = col("n").cast("double")
+    sums
+      .withColumn("autocorr_1", round(
+        (n * dd("syp") - dd("sy") * dd("syl")) /
+          sqrt((n * dd("syy") - dd("sy") * dd("sy")) *
+            (n * dd("syll") - dd("syl") * dd("syl"))), 12))
+      .select("event_type", "n", "autocorr_1")
+      .orderBy("event_type")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent PRIOR click within a 7-day lookback — the conversion
+    * join of a marketing/event pipeline, expressed as a single
+    * conditional-max running window instead of a self-join (the naive
+    * purchase×click join is quadratic in per-user activity; the window
+    * is one per-user sort). ROWS … 1 PRECEDING keeps the purchase row
+    * itself out of its own frame; ties at identical timestamps break
+    * on event_id (total order). One exchange on user_id at any scale;
+    * the boolean null-handling (no prior click → false, not null) is
+    * pinned on both engines by the `IS NOT NULL AND …` conjunction.
+    */
+  def w18Attribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_touch_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_touch_ts"),
+        (col("last_touch_ts").isNotNull &&
+          col("last_touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"))
+          .as("attributed"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -270,4 +270,76 @@ class BreadthOpsSpec extends SparkSpec {
       if (c == "m") { assert(nn == 900L && nulls == 100L) }
     }
   }
+
+  test("a18Autocorr: alternating series -> -1, trending series -> +1") {
+    // per-type lag pairs: 'alt' flips between 1 and 3 (perfect negative
+    // lag-1 correlation), 'up' climbs linearly (perfect positive)
+    val ev = (1L to 8L).flatMap { i =>
+      Seq((2 * i, ts(f"2024-01-01 10:00:${i}%02d"), "alt",
+            if (i % 2 == 0) 1.0 else 3.0),
+          (2 * i + 1, ts(f"2024-01-01 10:00:${i}%02d"), "up", i.toDouble))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = Relational.a18Autocorr(ev)
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, r) => k -> ((n, math.rint(r * 1e9) / 1e9)) }.toMap
+    assert(out("alt") == ((7L, -1.0)) && out("up") == ((7L, 1.0)))
+  }
+
+  test("w18Attribution credits the last prior click inside 7 days only") {
+    val ev = Seq(
+      // user 1: click then purchase 1 min later -> attributed
+      (1L, 1L, "click", ts("2024-01-10 10:00:00")),
+      (2L, 1L, "purchase", ts("2024-01-10 10:01:00")),
+      // user 2: click 8 days before purchase -> stale, NOT attributed
+      (3L, 2L, "click", ts("2024-01-01 10:00:00")),
+      (4L, 2L, "purchase", ts("2024-01-09 10:00:01")),
+      // user 3: no click at all -> attributed=false, null touch
+      (5L, 3L, "purchase", ts("2024-01-10 10:00:00")),
+      // user 4: click AFTER the purchase must not count
+      (6L, 4L, "purchase", ts("2024-01-10 10:00:00")),
+      (7L, 4L, "click", ts("2024-01-10 10:00:01"))
+    ).map { case (e, u, t0, t1) => (e, u, t0, t1, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Relational.w18Attribution(ev)
+      .select("event_id", "attributed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(2L -> true, 4L -> false, 5L -> false, 6L -> false))
+  }
+
+  test("mvMergeDelta over a mid-group split equals the full recompute") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "a", 1.25),
+      (2L, ts("2024-01-01 11:00:00"), "a", 2.50), // same day, after cut
+      (3L, ts("2024-01-01 12:00:00"), "b", 4.00), // delta-only group
+      (4L, ts("2024-01-02 09:00:00"), "a", 8.00)  // base-only group
+    ).toDF("event_id", "ts", "event_type", "value")
+    val cut = "2024-01-01 10:00:00"
+    val merged = graft.operators.MergeOps.mvMergeDelta(
+      graft.operators.MergeOps.mvPartials(ev.filter(col("ts") < cut)),
+      graft.operators.MergeOps.mvPartials(ev.filter(col("ts") >= cut)))
+      .select(col("event_type"), col("day").cast("string"), col("cnt"),
+        col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(merged == Set(
+      ("a", "2024-01-01", 2L, 3.75), ("b", "2024-01-01", 1L, 4.0),
+      ("a", "2024-01-02", 1L, 8.0)))
+  }
+
+  test("bottomKSample: exact k per stratum, rank = ascending md5 priority") {
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = graft.operators.PipelineOps.bottomKSample(docs, 5)
+      .as[(String, Int, Long, Long)].collect()
+    assert(out.length == 10 &&
+      out.count(_._1 == "en") == 5 && out.count(_._1 == "de") == 5)
+    for (g <- out.groupBy(_._1).values) {
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.sameElements(byRank.sorted),
+        "priority must ascend with rank")
+    }
+    // sample is a subset of the stratum and deterministic across runs
+    val again = graft.operators.PipelineOps.bottomKSample(docs, 5)
+      .as[(String, Int, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
