@@ -332,6 +332,10 @@ object SparkEntry {
     "dedup_components" -> ((s, d) => GraphOps.connectedComponents(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")),
+    // bounded k-core peel: mutually-dense near-dup clusters (template
+    // farms) survive; hubs with one-off matches peel away
+    "dedup_kcore" -> ((s, d) => GraphOps.kCore(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
     // survivor policy twin: keep the LONGEST doc per near-dup cluster
     // (ties to lowest id) instead of the lowest-id convention
     "dedup_survivors_rank" -> ((s, d) => GraphOps.dedupSurvivorsBy(
@@ -441,6 +445,17 @@ object SparkEntry {
     // or broken decoder cannot pass. Audio/video stay byte-derived
     // fakes (no JDK codecs for them).
     "mm_decode_meta" -> ((s, d) => mmDecodeMetaQuery(s, d)),
+    // real decode → nearest-neighbor thumbnail → pixel digest; the
+    // oracle predicts the digest from the staged gradient formula
+    "mm_image_resize" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.resizeImages(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+        .orderBy("doc_id")
+    }),
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     // real ISO-BMFF metadata parse over staged MP4 containers
     "mm_video_meta" -> ((s, d) => stagedVideoMeta(s, d).orderBy("doc_id")),
@@ -2419,6 +2434,22 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // three explicit peel rounds — the SQL image of kCore's bounded loop
+    "dedup_kcore" ->
+      s"""WITH $MinhashPairsCtes,
+         |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |v1 AS (SELECT u FROM e0 GROUP BY u HAVING COUNT(*) >= 2),
+         |e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e
+         |  JOIN v1 a ON e.u = a.u JOIN v1 b ON e.v = b.u),
+         |v2 AS (SELECT u FROM e1 GROUP BY u HAVING COUNT(*) >= 2),
+         |e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e
+         |  JOIN v2 a ON e.u = a.u JOIN v2 b ON e.v = b.u),
+         |v3 AS (SELECT u FROM e2 GROUP BY u HAVING COUNT(*) >= 2),
+         |e3 AS (SELECT e.u, e.v FROM e2 e
+         |  JOIN v3 a ON e.u = a.u JOIN v3 b ON e.v = b.u)
+         |SELECT u AS doc_id, COUNT(*) AS deg
+         |FROM e3 GROUP BY u ORDER BY doc_id""".stripMargin,
     // longest-doc survivor policy over the same component labeling
     "dedup_survivors_rank" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
@@ -3019,6 +3050,20 @@ object SparkEntry {
     // every field predicted from the per-modality staging rule's
     // doc_id arithmetic — only REAL decoders of the staged containers
     // (png dims, RIFF header, ISO-BMFF boxes) can match
+    // integer NN resample of the staged gradient ((id + 31x + 7y) % 256):
+    // the oracle computes the thumbnail digest the real decoder must hit
+    "mm_image_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i.i, j.j
+        |  FROM m, (SELECT unnest(range(0,16)) AS i) i,
+        |          (SELECT unnest(range(0,12)) AS j) j)
+        |SELECT doc_id, w AS width, h AS height, 16 AS out_w, 12 AS out_h,
+        |  CAST(SUM((doc_id + ((i*w)//16)*31 + ((j*h)//12)*7) % 256) AS BIGINT)
+        |    AS checksum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) % 3 AS mod3 FROM documents)
         |SELECT doc_id,

@@ -317,4 +317,40 @@ object GraphOps {
         (col("r").cast("double") / lit(1.0e15)).as("pr_rank"))
       .orderBy("doc_id")
   }
+
+  /** Bounded k-core peel over the near-dup graph: `rounds` iterations
+    * of "drop vertices with degree < k, induce the surviving
+    * subgraph", emitting the survivors with their induced degree. A
+    * vertex in a k-core is in a cluster where EVERY member has ≥ k
+    * near-dup partners — the template/boilerplate-farm signal that
+    * plain pair counts miss (a hub with many one-off matches peels
+    * away; a mutually-dense clique survives).
+    *
+    * The peel count is FIXED, not run-to-convergence, so the result is
+    * a deterministic, oracle-expressible function of the edge set
+    * (each round is one nested subquery on the DuckDB side; peeling is
+    * monotone, so `rounds` peels under-approximate the true core and
+    * converge as rounds grow). Scale posture: each round is one
+    * vertex-keyed degree aggregate plus two key-partitioned semi
+    * joins — O(E) per round, rounds bounded — and `localCheckpoint`
+    * truncates the iterative lineage exactly as [[pageRank]] does.
+    */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .union(pairs.select(col("doc_b").cast("long"), col("doc_a").cast("long")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      edges = edges
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("doc_id"), col("deg"))
+      .orderBy("doc_id")
+  }
 }

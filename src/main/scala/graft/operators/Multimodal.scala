@@ -108,6 +108,57 @@ object Multimodal {
     ()
   }
 
+  /** Schema of a resized-image record: source dims, target dims, and
+    * a digest of the RESIZED pixels (proof the resample actually ran
+    * over decoded data, not just the header).
+    */
+  val imageResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("out_w", IntegerType),
+    StructField("out_h", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** REAL thumbnail pipeline over (doc_id, content) binary rows:
+    * `javax.imageio` decode, then a nearest-neighbor resample to a
+    * fixed (outW × outH) target, then a pixel-sum digest of the
+    * thumbnail's low byte. Nearest-neighbor (source pixel
+    * ⌊i·w/outW⌋, ⌊j·h/outH⌋) is chosen over Graphics2D interpolation
+    * deliberately: NN is pure integer arithmetic, so the digest is
+    * engine- and platform-exact and an oracle can predict it —
+    * interpolated filters round differently across JVMs/toolkits.
+    * Narrow mapPartitions over binaryFile splits, no shuffle; the
+    * per-task cost is decode + outW·outH samples per image, the
+    * batch-inference preprocessing shape at 100 TB.
+    */
+  def resizeImages(spark: SparkSession, images: DataFrame,
+      outW: Int = 16, outH: Int = 12): DataFrame = {
+    val enc = Encoders.row(imageResizeSchema)
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var j = 0
+        while (j < outH) {
+          val y = j * h / outH
+          var i = 0
+          while (i < outW) {
+            sum += (img.getRGB(i * w / outW, y) & 0xff)
+            i += 1
+          }
+          j += 1
+        }
+        Row(r.getLong(0), w, h, outW, outH, sum)
+      }
+    }(enc)
+  }
+
   /** Schema of a decoded audio record: header-readable quantities
     * only (`pcm_bytes` = frames · channels · 2 for 16-bit PCM — the
     * decode-verifiable decoded size, analogous to

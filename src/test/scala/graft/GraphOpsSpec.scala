@@ -167,4 +167,28 @@ class GraphOpsSpec extends SparkSpec {
     val sliced = G.cliqueDensity(edges, adjSlices = 8).collect().map(_.toSeq).toSeq
     assert(base == sliced, s"sliced clique report drifted:\n$base\nvs\n$sliced")
   }
+
+  test("kCore: triangle survives the 2-core peel, pendant tail cascades off") {
+    // triangle 1-2-3 with tail 3-4-5: vertex 5 (deg 1) peels in round 1,
+    // which drops 4 to deg 1 so it peels in round 2 — the cascade that
+    // distinguishes k-core from a single degree filter. Hub 10 with
+    // three one-off leaves: leaves peel, then the hub.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.kCore(pairs, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore rounds under-approximate monotonically: more rounds, fewer survivors") {
+    // a 6-node path: every interior vertex has deg 2 but each peel
+    // exposes the next — round r keeps interior vertices of the
+    // (r-shortened) path, so survivor sets shrink as rounds grow
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val s1 = GraphOps.kCore(path, k = 2, rounds = 1).count()
+    val s2 = GraphOps.kCore(path, k = 2, rounds = 2).count()
+    val s3 = GraphOps.kCore(path, k = 2, rounds = 3).count()
+    assert(s1 == 4 && s2 == 2 && s3 == 0)
+  }
 }

@@ -165,6 +165,26 @@ class MultimodalSpec extends SparkSpec {
       (11L, 3L, "image", 1, 1, 1)))
   }
 
+  test("resizeImages: NN thumbnail digest matches an independent pixel walk") {
+    // 5x3 image with distinct per-pixel gray values; the expected digest
+    // is computed here by a straight reference loop over the SAME source
+    // pixels, so the test pins the sampling arithmetic (floor(i*w/outW))
+    // rather than trusting the operator's own math
+    val w = 5; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 40 + y * 7) % 256) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bin = Seq((7L, bos.toByteArray)).toDF("doc_id", "content")
+    val expected = (for (j <- 0 until 12; i <- 0 until 16)
+      yield ((i * w / 16) * 40 + (j * h / 12) * 7) % 256).map(_.toLong).sum
+    val out = Multimodal.resizeImages(spark, bin)
+      .as[(Long, Int, Int, Int, Int, Long)].collect().toSeq
+    assert(out == Seq((7L, 5, 3, 16, 12, expected)))
+  }
+
   test("stagePngs + binaryFile round trip decodes the staged dims") {
     val dir = java.nio.file.Files.createTempDirectory("graft_png_spec")
       .resolve("staged").toString
