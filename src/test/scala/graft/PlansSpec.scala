@@ -513,4 +513,56 @@ class PlansSpec extends SparkSpec {
     assert(keys.nonEmpty && keys.forall(_.startsWith("user_id")),
       s"non-user_id exchange in EWMA plan: $keys\n${p.take(3000)}")
   }
+
+  test("bottomKSample: bounded TopKAgg sampler — partial agg, no Window, no sort of the corpus") {
+    val df = graft.operators.PipelineOps.bottomKSample(
+      Tables(spark, sf0001, "documents"), 40)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_top_k_agg"),
+      s"sampler must map-side combine to <=k pairs per stratum:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"row_number window leaked into the sampler:\n${p.take(3000)}")
+  }
+
+  test("a18 autocorr: lag window and stats agg share ONE event_type exchange") {
+    val df = Relational.a18Autocorr(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected 1 shared event_type exchange, got $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"autocorr must be join-free:\n${p.take(3000)}")
+  }
+
+  test("w18 attribution: join-free, single user_id exchange, filter after window only") {
+    val df = Relational.w18Attribution(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"),
+      s"attribution must be a window, not a purchase x click self-join:\n${p.take(3000)}")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("user_id")),
+      s"non-user_id exchange in attribution plan: $keys\n${p.take(3000)}")
+  }
+
+  test("mvMergeDelta: exchanges keyed on the MV group key only — group-scale, not row-scale") {
+    val ev = Tables(spark, sf0001, "events")
+    val cut = org.apache.spark.sql.functions.lit("2024-01-25 00:10:00")
+    val M = graft.operators.MergeOps
+    val df = M.mvMergeDelta(
+      M.mvPartials(ev.filter(org.apache.spark.sql.functions.col("ts") < cut)),
+      M.mvPartials(ev.filter(org.apache.spark.sql.functions.col("ts") >= cut)))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("event_type")),
+      s"merge must shuffle on the MV key, got: $keys\n${p.take(3000)}")
+    // partial aggregation: raw event rows combine map-side before the
+    // group-key exchange, so the exchange carries group-scale rows
+    assert(p.contains("partial_count"),
+      s"MV partials must combine map-side:\n${p.take(3000)}")
+  }
 }
