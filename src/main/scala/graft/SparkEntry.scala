@@ -498,6 +498,9 @@ object SparkEntry {
     "stream_join_outer" -> ((s, d) => streamJoinOuterQuery(s, d)),
     // the reference's CDC loop itself as a two-batch stream replay
     "stream_cdc_merge" -> ((s, d) => streamCdcMergeQuery(s, d)),
+    // streaming MV maintenance: 3 chronological micro-batches merge
+    // into a group-scale snapshot; oracle = full batch recompute
+    "stream_mv_maintain" -> ((s, d) => streamMvMaintainQuery(s, d)),
     "stream_session" -> ((s, d) => streamSessionQuery(s, d)),
     // the PRODUCTION sessionizer (EventTimeTimeout, emit-once,
     // state-evicting) under the oracle gate: a sentinel file closes
@@ -1106,6 +1109,56 @@ object SparkEntry {
     }
     graft.streaming.StreamingSync.currentState(s, stateDir.toString).get
       .orderBy("o_orderkey")
+  }
+
+  /** Streaming MV maintenance under the oracle gate: the events table
+    * replayed as three chronological micro-batches (the middle cut
+    * falls inside a day, so a group is PROVABLY split across batches),
+    * each batch merged into the versioned group-scale snapshot; the
+    * oracle is the full batch recompute the final snapshot must equal
+    * bit-for-bit (decimal addition is associative — any slicing
+    * converges).
+    */
+  private def streamMvMaintainQuery(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tagDir = Paths.get(stagingTag(d, "stream_mv", "events.parquet"))
+    val srcDir = tagDir.resolve("src")
+    val staged = srcDir.resolve("_STAGED") // file source skips '_'-files
+    if (!Files.exists(staged)) {
+      deleteTree(srcDir)
+      Files.createDirectories(srcDir)
+      val ev = t(s, d)("events")
+      val now = System.currentTimeMillis()
+      // mid-day cuts: day 2024-01-11 (and -21) straddles two batches
+      val slices = Seq(
+        ev.filter(col("ts") < "2024-01-11 12:00:00"),
+        ev.filter(col("ts") >= "2024-01-11 12:00:00" &&
+          col("ts") < "2024-01-21 12:00:00"),
+        ev.filter(col("ts") >= "2024-01-21 12:00:00"))
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val dest = srcDir.resolve(s"${('a' + i).toChar}_slice.parquet")
+        writeSingleFile(df, dest)
+        // ascending mtimes pin the micro-batch replay order
+        Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime
+          .fromMillis(now - (slices.size - i) * 60000L))
+      }
+      Files.createFile(staged)
+    }
+    // fresh state/checkpoint each run: the replay is the test
+    val stateDir = tagDir.resolve("state")
+    val ckpt = tagDir.resolve("ckpt")
+    deleteTree(stateDir); deleteTree(ckpt)
+    val schema = s.read.parquet(srcDir.resolve("a_slice.parquet").toString).schema
+    withStreamShuffle(s) {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = graft.streaming.StreamingSync.mvMaintainStream(
+        stream, stateDir.toString, Some(ckpt.toString))
+      try q.processAllAvailable() finally q.stop()
+    }
+    MergeOps.mvFinalize(
+      graft.streaming.StreamingSync.currentState(s, stateDir.toString).get)
   }
 
   /** The production sessionizer ([[graft.streaming.StreamingSync
@@ -2038,6 +2091,12 @@ object SparkEntry {
     "j1_merge_upsert" -> J1MergeOracle,
     // the streamed two-batch replay lands on the SAME final snapshot
     "stream_cdc_merge" -> J1MergeOracle,
+    // identical to c12_mv_maintain: the streaming merge must land on
+    // the exact batch recompute regardless of batch slicing
+    "stream_mv_maintain" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_join_outer" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

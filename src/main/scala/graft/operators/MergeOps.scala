@@ -172,24 +172,41 @@ object MergeOps {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .as("sval"))
 
-  /** Merge a delta's partials into a stored MV snapshot: full-outer on
-    * the group key, fields add (absent side = identity 0). One shuffle
-    * on the MV key — whose cardinality is the GROUP count, not the row
-    * count, so at 100 TB this touches megabytes while the naive
-    * refresh rescans the base. Correctness does not depend on the
-    * delta cut falling on a group boundary: a day split mid-stream
-    * across base and delta merges to the exact full-recompute row.
+  /** Combine two partial-aggregate snapshots into one, STAYING in
+    * partials shape (exact decimal `sval`, pinned to DECIMAL(28,2) so
+    * every merged generation round-trips parquet with one schema):
+    * full-outer on the group key, fields add (absent side = identity
+    * 0). One shuffle on the MV key — whose cardinality is the GROUP
+    * count, not the row count, so at 100 TB this touches megabytes
+    * while the naive refresh rescans the base. Correctness does not
+    * depend on the delta cut falling on a group boundary: a day split
+    * mid-stream across base and delta merges to the exact
+    * full-recompute row.
     */
-  def mvMergeDelta(snapshot: DataFrame, delta: DataFrame): DataFrame = {
-    val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+  def mvCombine(snapshot: DataFrame, delta: DataFrame): DataFrame = {
+    val acc = org.apache.spark.sql.types.DecimalType(28, 2)
+    val zero = lit(0).cast(acc)
     val d = delta
       .withColumnRenamed("cnt", "d_cnt").withColumnRenamed("sval", "d_sval")
     snapshot.join(d, Seq("event_type", "day"), "full_outer")
       .select(col("event_type"), col("day"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .as("cnt"),
-        (coalesce(col("sval"), zero) + coalesce(col("d_sval"), zero))
-          .cast("double").as("sum_value"))
-      .orderBy("event_type", "day")
+        (coalesce(col("sval").cast(acc), zero) +
+          coalesce(col("d_sval").cast(acc), zero)).cast(acc).as("sval"))
   }
+
+  /** Serve a partials snapshot: exact decimal accumulator → the
+    * consumer-facing double, ordered on the MV key.
+    */
+  def mvFinalize(partials: DataFrame): DataFrame =
+    partials.select(col("event_type"), col("day"), col("cnt"),
+        col("sval").cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+
+  /** One-shot batch form: merge a delta's partials into a snapshot and
+    * serve the result (see [[mvCombine]]/[[mvFinalize]]).
+    */
+  def mvMergeDelta(snapshot: DataFrame, delta: DataFrame): DataFrame =
+    mvFinalize(mvCombine(snapshot, delta))
 }

@@ -61,6 +61,37 @@ object StreamingSync {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming materialized-view maintenance — the unbounded twin of
+    * [[MergeOps.mvMergeDelta]]: each micro-batch aggregates to its
+    * (event_type, day) partials (map-side combined inside the batch)
+    * and merges into the versioned snapshot, so the stored state is
+    * GROUP-scale at every instant and no batch ever rescans history.
+    * The snapshot stays in EXACT-decimal partials shape across
+    * versions (finalize on read via [[MergeOps.mvFinalize]]); decimal
+    * addition is associative, so any batch slicing converges to the
+    * batch recompute bit-for-bit. Exactly-once by the same idempotent
+    * version-dir + pointer-swap protocol as [[mergeStream]]: a
+    * replayed batch overwrites its own version and re-points.
+    */
+  def mvMaintainStream(delta: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer = delta.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val partials = MergeOps.mvPartials(batch)
+        val merged = currentState(spark, stateDir) match {
+          case None => MergeOps.mvCombine(partials.filter(lit(false)), partials)
+          case Some(snap) => MergeOps.mvCombine(snap, partials)
+        }
+        merged.write.mode("overwrite").parquet(versionDir(stateDir, batchId))
+        java.nio.file.Files.write(pointerFile(stateDir).toPath,
+          batchId.toString.getBytes("UTF-8"))
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
   /** Event-time windowed aggregation with a real Spark watermark — the
     * beyond-parity streaming surface (reference has none): sliding
     * counts + exact-decimal value sums per event type.

@@ -43,6 +43,39 @@ class StreamingSpec extends SparkSpec {
     assert(state == Seq((2L, "b2", 25.0), (3L, "c", 30.0)))
   }
 
+  test("mvMaintainStream: per-batch partials converge to the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft_mv_state").toString
+    val ckpt = Files.createTempDirectory("graft_mv_ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingSync.mvMaintainStream(events, stateDir, Some(ckpt))
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 09:00:00"), "a", 1.25),
+        (2L, ts("2024-01-02 09:00:00"), "b", 2.00))
+      q.processAllAvailable()
+      // second batch splits day 2024-01-01/'a' across batches AND
+      // introduces a new group — both must merge, not overwrite
+      input.addData(
+        (3L, ts("2024-01-01 23:00:00"), "a", 0.75),
+        (4L, ts("2024-01-03 09:00:00"), "a", 4.00))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.operators.MergeOps.mvFinalize(
+      StreamingSync.currentState(spark, stateDir).get)
+      .select(col("event_type"), col("day").cast("string"), col("cnt"),
+        col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "2024-01-01", 2L, 2.0), ("b", "2024-01-02", 1L, 2.0),
+      ("a", "2024-01-03", 1L, 4.0)))
+    // the snapshot stays in exact-decimal partials shape across versions
+    val snap = StreamingSync.currentState(spark, stateDir).get
+    assert(snap.schema("sval").dataType ==
+      org.apache.spark.sql.types.DecimalType(28, 2))
+  }
+
   test("windowed counts with watermark over the events table shape") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
