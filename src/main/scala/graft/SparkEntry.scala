@@ -294,6 +294,26 @@ object SparkEntry {
     // priority through the bounded TopKAgg (no corpus-wide sort)
     "pipe_sample_bottomk" -> ((s, d) =>
       PipelineOps.bottomKSample(t(s, d)("documents"))),
+    // unpivot/melt wide measures to long rows (inverse of p4_pivot)
+    "p5_unpivot" -> ((s, d) => Relational.p5Unpivot(t(s, d)("lineitem"))),
+    // percent_rank + cume_dist from integer rank/peer components
+    "w19_percent_rank" -> ((s, d) => Relational.w19PercentRank(t(s, d)("events"))),
+    // gaps-and-islands: maximal consecutive-active-day runs per user
+    "w20_islands" -> ((s, d) => Relational.w20Islands(t(s, d)("events"))),
+    // deterministic per-user modal event type (lexicographic ties)
+    "a19_mode" -> ((s, d) => Relational.a19Mode(t(s, d)("events"))),
+    // chi-square contingency cells (lang × source): observed/expected/contrib
+    "a20_chisq" -> ((s, d) => Relational.a20Chisq(t(s, d)("documents"))),
+    // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(
+      t(s, d)("customer"), t(s, d)("orders"), t(s, d)("lineitem"))),
+    // type-token ratio lexical-diversity screen
+    "text_ttr" -> ((s, d) => TextOps.typeTokenRatio(t(s, d)("documents"))),
+    // Flesch-style readability profile (terminator runs / vowel groups)
+    "text_readability" -> ((s, d) => TextOps.readability(t(s, d)("documents"))),
+    // power-of-two length-bucket census (integer bit-length, no float log)
+    "pipe_length_buckets" -> ((s, d) =>
+      PipelineOps.lengthBuckets(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
@@ -2468,6 +2488,98 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, rnk, doc_id, priority FROM r WHERE rnk <= 40
         |ORDER BY lang, rnk""".stripMargin,
+    "p5_unpivot" ->
+      """WITH longf AS (
+        |  SELECT l_returnflag, 'discount' AS measure, l_discount AS mval FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'quantity', l_quantity FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure,
+        |  CAST(SUM(CAST(mval AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |  COUNT(*) AS n_rows
+        |FROM longf GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w19_percent_rank" ->
+      """WITH r AS (
+        |  SELECT event_id, event_type,
+        |    CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY value
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peers_le,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  CASE WHEN n = 1 THEN 0.0
+        |    ELSE round(CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 12) END AS pct_rank,
+        |  round(CAST(peers_le AS DOUBLE) / CAST(n AS DOUBLE), 12) AS cume
+        |FROM r ORDER BY event_id""".stripMargin,
+    "w20_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |  FROM days)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |  COUNT(*) AS n_days
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin,
+    "a19_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, n,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "a20_chisq" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS observed FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, SUM(observed) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT source, SUM(observed) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT SUM(observed) AS n FROM cells)
+        |SELECT lang, source, observed,
+        |  round(CAST(r AS DOUBLE) * c / n, 6) AS expected,
+        |  round((CAST(observed AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+        |      * (CAST(observed AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+        |      / (CAST(r AS DOUBLE) * c / n), 6) AS contrib
+        |FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+        |ORDER BY lang, source""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "text_ttr" ->
+      s"""WITH $ToksCte
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+         |  CASE WHEN len(ws) = 0 THEN 0.0
+         |    ELSE round(CAST(len(list_distinct(ws)) AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE), 6) END AS ttr
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sents,
+        |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS n_vgroups
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_vgroups,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+        |    - 84.6 * CAST(n_vgroups AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "pipe_length_buckets" ->
+      s"""WITH $ToksCte,
+         |n AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM toks),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (CAST(1 AS BIGINT) << (length(bin(n_tokens)) - 1)) END AS bucket
+         |  FROM n)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "s14_textfile_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "text_unigram_lm" ->

@@ -541,4 +541,29 @@ object PipelineOps {
         (-col("col.score")).cast("long").as("priority"))
       .orderBy("lang", "rnk")
   }
+
+  /** Power-of-two length-bucketed corpus histogram — the batch-shape
+    * planner of a training pipeline (padding waste is minimized by
+    * batching sequences of similar length, and the bucket census
+    * decides the batch sizes per bucket). The bucket is the largest
+    * power of two ≤ token count, computed in INTEGER space as
+    * `1 << (len(bin(n)) − 1)` — the binary-string length IS
+    * floor(log2)+1, identical on both engines, with none of the
+    * float-log edge cases (`floor(log2(8))` via doubles can land on 2
+    * depending on the libm). Zero-token docs pool in bucket 0. Narrow
+    * per-row map + ONE low-cardinality shuffle (≤ ~40 buckets ever,
+    * since bucket count is logarithmic in max doc length).
+    */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val nTok = size(TextOps.toksCol).cast("long")
+    documents
+      .select(col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("bucket", when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(expr(
+          "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens)) - 1)")
+          .cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("bucket")
+  }
 }

@@ -1209,4 +1209,147 @@ object Relational {
           .as("attributed"))
       .orderBy("user_id", "event_id")
   }
+
+  /** P5 — unpivot/melt: wide measure columns to long (measure, mval)
+    * rows, the inverse of [[p4Pivot]] and the normalizer every
+    * metrics pipeline needs before a generic per-measure aggregate.
+    * `stack` is a generator expanded inline in the scan stage — the
+    * melt itself adds NO shuffle; the one exchange is the downstream
+    * group-agg on the (low-cardinality) flag × measure key. Exact
+    * decimal sums for oracle parity.
+    */
+  def p5Unpivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), expr(
+        "stack(4, 'discount', l_discount, 'extendedprice', l_extendedprice, " +
+          "'quantity', l_quantity, 'tax', l_tax) AS (measure, mval)"))
+      .groupBy("l_returnflag", "measure")
+      .agg(dsum(col("mval")).as("sum_val"), count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "measure")
+
+  /** Percentile rank + cumulative distribution of each event's value
+    * within its type — the relative-standing primitive (fraud scores,
+    * leaderboards, feature normalization). Derived from INTEGER rank /
+    * peer-count components rather than the engines' float built-ins so
+    * the doubles are the same two IEEE divisions on both sides:
+    * pct_rank = (rank−1)/(n−1), cume = peers_le/n. The rank window,
+    * the peer-count RANGE frame, and the group count all share ONE
+    * event_type hash partitioning — Catalyst plans a single exchange.
+    * Ties (equal values) get identical ranks/peer counts on any
+    * engine, so the output is deterministic without a tiebreaker.
+    */
+  def w19PercentRank(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("value"))
+    val peers = ordered.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("rnk", rank().over(ordered).cast("long"))
+      .withColumn("peers_le", count(lit(1)).over(peers).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType).cast("long"))
+      .select(col("event_id"), col("event_type"),
+        when(col("n") === 1L, lit(0.0)).otherwise(
+          round((col("rnk") - 1L).cast("double") / (col("n") - 1L).cast("double"), 12))
+          .as("pct_rank"),
+        round(col("peers_le").cast("double") / col("n").cast("double"), 12)
+          .as("cume"))
+      .orderBy("event_id")
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active calendar
+    * days per user — the streak/churn primitive of an activity
+    * pipeline. Classic dense-rank trick: within a user, day minus
+    * row_number(day) is constant exactly on a consecutive run, so a
+    * quadratic self-join collapses to one per-user sort + one
+    * group-agg, and both share the user_id partitioning (a single
+    * exchange after the distinct). Day count per user is bounded by
+    * the calendar, so the window partitions cannot skew.
+    */
+  def w20Islands(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(min("day").as("island_start"), max("day").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "island_start", "island_end", "n_days")
+      .orderBy("user_id", "island_start")
+  }
+
+  /** Deterministic per-group mode: each user's most frequent event
+    * type, ties broken lexicographically — the categorical-summary
+    * primitive (built-in `mode()` is tie-nondeterministic on both
+    * engines, so it can never sit under a hash-compare gate). Two
+    * bounded steps: a (user, type) count agg, then a row_number window
+    * whose partitions hold at most |type vocabulary| rows — the window
+    * sort is O(|types| log |types|) per user regardless of event
+    * volume, so the shape survives any scale-up of the fact table.
+    */
+  def a19Mode(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("n").as("n_mode"))
+      .orderBy("user_id")
+  }
+
+  /** Chi-square contingency report over two categorical dims (lang ×
+    * source): observed count, independence-expected count, and the
+    * per-cell (o−e)²/e contribution — the drift / category-association
+    * screen of a corpus profiler. All four inputs (cell, row-total,
+    * column-total, grand-total counts) are exact integers from ONE
+    * cell-level aggregate reused three ways; the expected value and
+    * contribution are fixed per-ROW double expressions (multiply
+    * before divide, squared via self-multiply — mirrored verbatim in
+    * the oracle SQL so the IEEE ops are identical), rounded to 6 dp.
+    * No order-sensitive float accumulation anywhere: the float work
+    * happens after all summation. Row/col/total sides are broadcast
+    * (cardinality = vocabulary of each dim), so the cell table never
+    * shuffles again after its one group-agg.
+    */
+  def a20Chisq(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy("lang").agg(sum("observed").as("r"))
+    val colT = cells.groupBy("source").agg(sum("observed").as("c"))
+    val tot = cells.agg(sum("observed").as("n"))
+    val e = col("r").cast("double") * col("c") / col("n")
+    val diff = col("observed").cast("double") - e
+    cells
+      .join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("observed"),
+        round(e, 6).as("expected"),
+        round(diff * diff / e, 6).as("contrib"))
+      .orderBy("lang", "source")
+  }
+
+  /** TPC-H Q18-shaped "large volume orders": orders whose total line
+    * quantity exceeds a threshold, joined back to customer — the
+    * having-on-aggregate + multi-join reporting shape. The line agg
+    * shuffles once on l_orderkey and the orders join reuses that key
+    * (same-key exchange reuse); the filter drops almost every group
+    * BEFORE the join, so the joined side is tiny at any scale; the
+    * customer lookup broadcasts under AQE. Exact decimal quantity sum.
+    */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, minQty: Double = 250.0): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
 }

@@ -739,4 +739,57 @@ object TextOps {
           count(lit(1)).cast("double")).as("avg_logprob"))
       .orderBy("doc_id")
   }
+
+  /** Type-token ratio (lexical diversity) per document — the
+    * vocabulary-richness screen of a corpus quality pipeline (spam and
+    * template text repeat a tiny vocabulary; TTR near 1 flags keyword
+    * stuffing, TTR near 0 flags repetition). One narrow codegen'd
+    * per-row pass over the engine-wide tokenizer — distinctness is
+    * computed inside the row's own token array, zero shuffle, no
+    * corpus state. The ratio is a single double division (no
+    * accumulation order), rounded to 6 dp on both engines.
+    */
+  def typeTokenRatio(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(toksCol).cast("long").as("n_tokens"),
+        size(array_distinct(toksCol)).cast("long").as("n_types"))
+      .withColumn("ttr", when(col("n_tokens") === 0L, lit(0.0))
+        .otherwise(round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6)))
+      .orderBy("doc_id")
+
+  /** Readability profile per document: word / sentence / vowel-group
+    * counts and a Flesch-reading-ease-style score — the
+    * audience-difficulty signal of a corpus curator (too-hard and
+    * too-trivial documents are both downweighted in training mixes).
+    * Sentences are terminator runs `[.!?]+`, syllables approximated as
+    * vowel-group runs `[aeiouy]+` — both alternation-free character
+    * classes, so Java regex and the oracle's RE2 agree. Counts are
+    * floored at 1 so fragments without terminators stay defined. The
+    * score is one fixed per-row double expression (left-associated
+    * exactly as in the oracle SQL: 206.835 − 1.015·w/s − 84.6·v/w),
+    * rounded to 6 dp. Narrow per-row map, zero shuffle.
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val nWords = greatest(
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"),
+      lit(1L))
+    val nSents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val nVowel = greatest(
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long"),
+      lit(1L))
+    documents
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+        nVowel.as("n_vgroups"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sents").cast("double")
+          - lit(84.6) * col("n_vgroups").cast("double") / col("n_words").cast("double"),
+        6))
+      .orderBy("doc_id")
+  }
 }

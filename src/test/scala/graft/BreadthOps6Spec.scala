@@ -1,0 +1,154 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{PipelineOps, Relational, TextOps}
+
+/** Constructed-data semantics for the round-6 analytics breadth
+  * operators (unpivot, percent-rank, islands, mode, chi-square, Q18,
+  * TTR, readability, length buckets); the DuckDB oracles cover them
+  * at data scale, these pin the edge cases.
+  */
+class BreadthOps6Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("p5Unpivot melts 4 measures and sums exactly per flag") {
+    val li = Seq(
+      ("A", 1.0, 10.0, 0.1, 0.02),
+      ("A", 2.0, 20.0, 0.2, 0.04),
+      ("B", 5.0, 50.0, 0.5, 0.08)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val out = Relational.p5Unpivot(li)
+      .as[(String, String, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", "discount", 0.3, 2L), ("A", "extendedprice", 30.0, 2L),
+      ("A", "quantity", 3.0, 2L), ("A", "tax", 0.06, 2L),
+      ("B", "discount", 0.5, 1L), ("B", "extendedprice", 50.0, 1L),
+      ("B", "quantity", 5.0, 1L), ("B", "tax", 0.08, 1L)))
+  }
+
+  test("w19PercentRank: ties share rank/peer counts; singleton group is 0.0") {
+    val ev = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 20.0), (4L, "a", 30.0),
+      (5L, "b", 7.0) // singleton: pct_rank pinned to 0.0, cume 1.0
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.w19PercentRank(ev)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    // group a (n=4): ranks 1,2,2,4; peers_le 1,3,3,4
+    assert(out == Seq(
+      (1L, "a", 0.0, 0.25),
+      (2L, "a", 0.333333333333, 0.75), // (rank-1)/(n-1) rounded to 12 dp
+      (3L, "a", 0.333333333333, 0.75),
+      (4L, "a", 1.0, 1.0),
+      (5L, "b", 0.0, 1.0)))
+  }
+
+  test("w20Islands groups maximal consecutive-day runs, collapsing same-day events") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-02 01:00:00")), (1L, ts("2024-01-03 12:00:00")),
+      (1L, ts("2024-01-05 00:00:00")), // gap -> own island
+      (2L, ts("2024-01-10 10:00:00")), (2L, ts("2024-01-11 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Relational.w20Islands(ev)
+      .as[(Long, java.sql.Date, java.sql.Date, Long)].collect().toSeq
+      .map { case (u, s, e, n) => (u, s.toString, e.toString, n) }
+    assert(out == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-10", "2024-01-11", 2L)))
+  }
+
+  test("a19Mode breaks count ties lexicographically") {
+    val ev = Seq(
+      (1L, "view"), (1L, "view"), (1L, "click"),      // clear winner: view
+      (2L, "view"), (2L, "click"), (2L, "click"), (2L, "view") // tie -> click
+    ).toDF("user_id", "event_type")
+    val out = Relational.a19Mode(ev).as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "view", 2L), (2L, "click", 2L)))
+  }
+
+  test("a20Chisq: independent 2x2 has zero contribution, skewed cell does not") {
+    // perfectly independent: every cell = row*col/N exactly
+    val docs = Seq(
+      ("en", "web"), ("en", "web"), ("en", "book"),
+      ("fr", "web"), ("fr", "web"), ("fr", "book")
+    ).toDF("lang", "source")
+    val out = Relational.a20Chisq(docs)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("en", "book", 1L, 1.0, 0.0), ("en", "web", 2L, 2.0, 0.0),
+      ("fr", "book", 1L, 1.0, 0.0), ("fr", "web", 2L, 2.0, 0.0)))
+    // fully dependent 2x2 (only observed cells appear — groupBy emits no
+    // zero cells): e = 1*1/2 = 0.5, contrib = (1-0.5)^2/0.5 = 0.5
+    val dep = Seq(("en", "web"), ("fr", "book")).toDF("lang", "source")
+    val dout = Relational.a20Chisq(dep)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(dout == Seq(
+      ("en", "web", 1L, 0.5, 0.5),
+      ("fr", "book", 1L, 0.5, 0.5)))
+  }
+
+  test("q18LargeOrders keeps only orders past the quantity threshold") {
+    val li = Seq(
+      (100L, 200.0), (100L, 120.0), // order 100: 320 > 250
+      (101L, 100.0),                // order 101: under
+      (102L, 251.0)                 // order 102: over
+    ).toDF("l_orderkey", "l_quantity")
+    val ord = Seq(
+      (100L, 1L, "1995-01-01", 1000.0),
+      (101L, 1L, "1995-02-01", 500.0),
+      (102L, 2L, "1995-03-01", 700.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, "alice"), (2L, "bob")).toDF("c_custkey", "c_name")
+    val out = Relational.q18LargeOrders(cust, ord, li)
+      .select("c_name", "o_orderkey", "total_qty")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("alice", 100L, 320.0), ("bob", 102L, 251.0)))
+  }
+
+  test("typeTokenRatio: repetition lowers TTR; empty text pins 0") {
+    val docs = Seq(
+      (1L, "the the the the"),   // 4 tokens, 1 type
+      (2L, "all words differ"),  // 3/3
+      (3L, "")                   // 0 tokens -> ttr 0.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.typeTokenRatio(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 1L, 0.25), (2L, 3L, 3L, 1.0), (3L, 0L, 0L, 0.0)))
+  }
+
+  test("readability counts terminator runs and vowel groups, floors at 1") {
+    val docs = Seq(
+      (1L, "Go now. Stop!! Why?"), // 4 words, 3 terminator runs
+      (2L, "xyz")                  // no vowels/terminators -> floors = 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.readability(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val r1 = out.head
+    assert(r1._1 == 1L && r1._2 == 4L && r1._3 == 3L)
+    // "Go now. Stop!! Why?" vowel groups: o, o, o, - stop has 'o'; why has 'y'
+    assert(r1._4 == 4L)
+    val expected1 = BigDecimal(206.835 - 1.015 * 4.0 / 3.0 - 84.6 * 4.0 / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r1._5 - expected1) < 1e-9)
+    val r2 = out(1)
+    assert(r2._2 == 1L && r2._3 == 1L && r2._4 == 1L)
+  }
+
+  test("lengthBuckets assigns the largest power of two <= token count") {
+    val docs = Seq(
+      (1L, ""),            // 0 tokens -> bucket 0
+      (2L, "a"),           // 1 -> 1
+      (3L, "a b"),         // 2 -> 2
+      (4L, "a b c"),       // 3 -> 2
+      (5L, "a b c d"),     // 4 -> 4
+      (6L, "a b c d e f g") // 7 -> 4
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.lengthBuckets(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 2L, 5L), (4L, 2L, 11L)))
+  }
+}
