@@ -307,6 +307,16 @@ object SparkEntry {
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(
       t(s, d)("customer"), t(s, d)("orders"), t(s, d)("lineitem"))),
+    // TPC-H Q7-shaped cross-nation shipping volume rollup
+    "q7_nation_volume" -> ((s, d) => Relational.q7NationVolume(
+      t(s, d)("nation"), t(s, d)("supplier"), t(s, d)("customer"),
+      t(s, d)("orders"), t(s, d)("lineitem"))),
+    // TPC-H Q10-shaped returned-item customer revenue ranking
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(
+      t(s, d)("customer"), t(s, d)("orders"), t(s, d)("lineitem"))),
+    // TPC-H Q17-shaped decorrelated per-part-threshold filter
+    "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(
+      t(s, d)("part"), t(s, d)("lineitem"))),
     // type-token ratio lexical-diversity screen
     "text_ttr" -> ((s, d) => TextOps.typeTokenRatio(t(s, d)("documents"))),
     // Flesch-style readability profile (terminator runs / vowel groups)
@@ -2551,6 +2561,42 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH avgq AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN avgq USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "text_ttr" ->
       s"""WITH $ToksCte
          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,

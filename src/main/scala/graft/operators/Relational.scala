@@ -1352,4 +1352,86 @@ object Relational {
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(20)
   }
+
+  /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
+    * DISTINCT supplier/customer nation pairs by ship year — the
+    * star-join + multi-dim rollup reporting shape. Broadcast hints
+    * ONLY where boundedness is structural: the nation table (a
+    * constant ~25 rows at every SF). The supplier and customer joins
+    * carry no hint — at bench scale AQE broadcasts them on its own,
+    * and at 100 TB (where both are billions of rows) they degrade to
+    * the correct keyed shuffle joins instead of a doomed broadcast.
+    * The final rollup key (nation², year) is low-cardinality, so the
+    * group agg collapses map-side. Exact decimal revenue.
+    */
+  def q7NationVolume(nation: DataFrame, supplier: DataFrame,
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    lineitem
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** TPC-H Q10-shaped returned-item revenue ranking: customers ranked
+    * by revenue they returned — the churn-risk report. One orderkey
+    * join (fact-to-fact), one customer lookup (hint-free: AQE
+    * broadcasts it at bench scale, shuffles it at 100 TB where the
+    * customer table is billions of rows), one customer-keyed agg; the
+    * returnflag filter lands in the parquet scan so only returned
+    * lines are ever read up. Top 20 via TakeOrdered (no global sort
+    * materializes).
+    */
+  def q10ReturnedItems(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lines whose quantity is
+    * under 20% of their part's average — the decorrelated
+    * per-group-threshold filter (the naive form is a correlated
+    * subquery per line; the scale form is ONE per-part aggregate
+    * joined back onto the fact). avg is derived from exact decimal
+    * sum / count so the threshold double is engine-identical; the
+    * result is a single exact-decimal total. No broadcast hint on
+    * purpose: at 100 TB the part side is billions of keys, so the
+    * right plan is a partkey-partitioned join where the agg side
+    * REUSES the fact's own exchange (same scan, same key — Catalyst
+    * plans a ReusedExchange); at bench scale AQE converts it to a
+    * broadcast on its own.
+    */
+  def q17SmallQuantity(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val avgQty = lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_qty"))
+    lineitem
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
 }
