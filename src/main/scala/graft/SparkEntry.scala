@@ -366,6 +366,10 @@ object SparkEntry {
     // farms) survive; hubs with one-off matches peel away
     "dedup_kcore" -> ((s, d) => GraphOps.kCore(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
+    // deterministic 3-round label propagation: communities inside the
+    // near-dup graph (frequency vote, ties to smallest label)
+    "dedup_lpa" -> ((s, d) => GraphOps.labelPropagation(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
     // survivor policy twin: keep the LONGEST doc per near-dup cluster
     // (ties to lowest id) instead of the lowest-id convention
     "dedup_survivors_rank" -> ((s, d) => GraphOps.dedupSurvivorsBy(
@@ -405,6 +409,15 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
         .select("query_id", "neighbor_id", "rnk")
     }),
+    // max-inner-product serving scorer (dot, no norms), bounded top-k
+    "sim_mips_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.mipsTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+    // exact integer-grid feature covariance (upper triangle, d² cells)
+    "sim_covariance" -> ((s, d) =>
+      SimilarityOps.covarianceMatrix(t(s, d)("embeddings"))),
     // recall@k quality gate: approximate rankers vs the exact ranker,
     // invariant booleans vs a constant-true oracle (a6/a7/a9 trick)
     "sim_recall_check" -> ((s, d) => {
@@ -2651,6 +2664,29 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    // three explicit vote rounds — the SQL image of labelPropagation's
+    // bounded loop (most-frequent neighbor label, ties to smallest)
+    "dedup_lpa" ->
+      s"""WITH $MinhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS label FROM e),
+         |v1 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l0 l ON l.u = e.v GROUP BY 1, 2),
+         |l1 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l1 l ON l.u = e.v GROUP BY 1, 2),
+         |l2 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v2) WHERE rn = 1),
+         |v3 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l2 l ON l.u = e.v GROUP BY 1, 2),
+         |l3 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v3) WHERE rn = 1)
+         |SELECT u AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin,
     // three explicit peel rounds — the SQL image of kCore's bounded loop
     "dedup_kcore" ->
       s"""WITH $MinhashPairsCtes,
@@ -3106,6 +3142,36 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_mips_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT query_id, vec_id,
+         |    list_sum(list_transform(range(1, len(qe) + 1),
+         |      i -> CAST(qe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS sim
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_covariance" ->
+      """WITH ds AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id,
+        |  CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim, unnest(q) AS x
+        |  FROM ds),
+        |cells AS (
+        |  SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS spq, COUNT(*) AS n
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2),
+        |dims AS (SELECT dim, SUM(x) AS s FROM ex GROUP BY 1)
+        |SELECT i, j,
+        |  round(CAST(n * spq - di.s * dj.s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0, 9) AS cov
+        |FROM cells JOIN dims di ON di.dim = i JOIN dims dj ON dj.dim = j
+        |ORDER BY i, j""".stripMargin,
     "sim_lsh_topk" ->
       s"""WITH $LshSigCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id % 25 = 0),

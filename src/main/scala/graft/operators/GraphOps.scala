@@ -353,4 +353,37 @@ object GraphOps {
       .select(col("u").as("doc_id"), col("deg"))
       .orderBy("doc_id")
   }
+
+  /** Synchronous label propagation (community detection) on the
+    * near-dup graph, a FIXED number of rounds — unlike
+    * [[connectedComponents]] (pure reachability), LPA finds densely
+    * linked communities inside a component, splitting template farms
+    * that are only bridged by a stray pair. Fully deterministic twin
+    * of the usually-randomized algorithm: init label(v) = v; each
+    * round every vertex adopts the most frequent label among its
+    * NEIGHBORS, ties to the smallest label (the argmax is a bounded
+    * `max(struct(n, −label))` aggregate — no window, no sort). Each
+    * round is two keyed shuffles (vote join + vote count) with
+    * map-side combine, and lineage truncates per round — the same
+    * 100 TB posture as the other iterative graph ops. Rounds are a
+    * constant, so total cost is rounds × O(|E|).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val Array(a, b) = edges.columns.take(2)
+    val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("u").as("v"), col("label").as("vl")), "v")
+        .groupBy("u", "vl").agg(count(lit(1)).as("n"))
+        .groupBy("u")
+        .agg(max(struct(col("n").as("n"), (-col("vl")).as("negl"))).as("best"))
+        .select(col("u"), (-col("best.negl")).as("label"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    labels.select(col("u").as("doc_id"), col("label")).orderBy("doc_id")
+  }
 }

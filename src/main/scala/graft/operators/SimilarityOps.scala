@@ -685,4 +685,67 @@ object SimilarityOps {
     lshOk.crossJoin(ivfOk).select(lit(k).as("k"),
       col("lsh_recall_ok"), col("ivf_recall_ok"))
   }
+
+  /** Max-inner-product top-k (MIPS) — the serving scorer when the
+    * embedding model is trained with unnormalized dot scores (two-tower
+    * retrieval, recommendation). Identical plan family to
+    * [[bruteForceTopK]] minus the norm arithmetic: ONE broadcast of the
+    * query set (the corpus is never shuffled), the codegen'd
+    * [[graft.functions.VectorDot]] kernel per pair, and the bounded
+    * [[rankTopK]] aggregate — ≤ k pairs per query per partition cross
+    * the exchange. The LSH/IVF candidate generators slot in front
+    * unchanged when the corpus outgrows the brute sweep.
+    */
+  def mipsTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", vec_dot(col("qe"), col("embedding")))
+    rankTopK(scored, k)
+  }
+
+  /** Exact feature-covariance matrix of the embedding space (upper
+    * triangle, d(d+1)/2 cells) — the whitening / PCA / drift-detection
+    * precursor of an embedding pipeline. Cross-engine exactness:
+    * values are first quantized to an integer grid (`floor(x·10⁶)` —
+    * the double multiply and floor are IEEE-identical everywhere, and
+    * grid products of |x| ≤ ~10³ stay within long range), so every
+    * accumulation is integer/decimal (order-free, partial-agg safe);
+    * the only float work is ONE fixed per-cell expression at the end,
+    * rounded to 9 dp. Plan shape for 100 TB: the per-row pair
+    * expansion (d(d+1)/2 product terms) feeds a map-side partial
+    * aggregate, so only cells × partitions rows cross the single
+    * exchange — the d²·N multiply work is the irreducible FLOP count
+    * of covariance itself, and state never exceeds d² cells. Per-dim
+    * sums are a d-row side aggregate broadcast back onto the cells.
+    */
+  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = embeddings.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+      .as("q"))
+    val pairs = expr(
+      """flatten(transform(q, (xi, i) ->
+        |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
+        |    named_struct('i', i, 'j', i + j, 'p', xi * xj))))""".stripMargin)
+    val cells = base
+      .select(explode(pairs).as("c"))
+      .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
+        col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast(DecimalType(38, 0))).as("spq"),
+        count(lit(1)).as("n"))
+    val dims = base
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"))
+    cells
+      .join(broadcast(dims.select(col("dim").as("i"), col("s").as("si"))), "i")
+      .join(broadcast(dims.select(col("dim").as("j"), col("s").as("sj"))), "j")
+      .select(col("i"), col("j"),
+        round((col("n") * col("spq") - col("si") * col("sj")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")) /
+          lit(1000000000000.0), 9).as("cov"))
+      .orderBy("i", "j")
+  }
 }

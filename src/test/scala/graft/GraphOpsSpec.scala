@@ -191,4 +191,34 @@ class GraphOpsSpec extends SparkSpec {
     val s3 = GraphOps.kCore(path, k = 2, rounds = 3).count()
     assert(s1 == 4 && s2 == 2 && s3 == 0)
   }
+
+  test("labelPropagation splits bridged communities that CC merges") {
+    // two triangles {1,2,3} and {7,8,9} joined by the single bridge
+    // 3-7: one connected component, but the frequency vote keeps each
+    // triangle on its own (min-id) label — the bridge endpoints hear 2
+    // triangle votes vs 1 bridge vote
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L),
+      (3L, 7L)).toDF("doc_a", "doc_b")
+    val cc = GraphOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1, "CC should see ONE component")
+    val lpa = GraphOps.labelPropagation(pairs, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa(1L) == lpa(2L) && lpa(2L) == lpa(3L))
+    assert(lpa(7L) == lpa(8L) && lpa(8L) == lpa(9L))
+    assert(lpa(1L) != lpa(7L), s"bridge merged the communities: $lpa")
+  }
+
+  test("labelPropagation tie votes resolve to the smallest label") {
+    // star: center 5 with leaves 1 and 9 — each leaf label gets one
+    // vote at the center, tie resolves to the smaller (1)
+    val pairs = Seq((5L, 1L), (5L, 9L)).toDF("doc_a", "doc_b")
+    val lpa = GraphOps.labelPropagation(pairs, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(lpa(5L) == 1L, s"tie should break to smallest label: $lpa")
+    // leaves adopt the center's initial label
+    assert(lpa(1L) == 5L && lpa(9L) == 5L)
+  }
 }

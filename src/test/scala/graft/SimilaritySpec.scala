@@ -214,4 +214,40 @@ class SimilaritySpec extends SparkSpec {
     // and on a corpus with same-cluster dups it finds at least one
     assert(sem.nonEmpty, "no within-cluster pair found at sf0.01")
   }
+
+  test("mipsTopK ranks by raw dot product, not cosine") {
+    // v20 points the same way as the query but is LONGER than the
+    // better-aligned unit v10: MIPS must prefer v20, cosine prefers v10
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f)),   // cosine 1.0, dot 1.0
+      (20L, Array(3.0f, 1.0f))    // cosine ~0.95, dot 3.0
+    ).toDF("vec_id", "embedding")
+    val q = vs.filter(col("vec_id") === 1L)
+    val mips = SimilarityOps.mipsTopK(vs, q, 2)
+      .select("neighbor_id", "rnk").as[(Long, Long)].collect().toSeq
+    assert(mips == Seq((20L, 1L), (10L, 2L)))
+    val cos = SimilarityOps.bruteForceTopK(vs, q, 2)
+      .select("neighbor_id", "rnk").as[(Long, Long)].collect().toSeq
+    assert(cos == Seq((10L, 1L), (20L, 2L)))
+  }
+
+  test("covarianceMatrix matches hand-computed population covariance") {
+    // 2-dim, 3 vectors: x = (0, 1, 2), y = (0, 2, 4) -> var(x)=2/3,
+    // cov(x,y)=4/3, var(y)=8/3 (population, n divisor)
+    val vs = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f)),
+      (3L, Array(2.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.covarianceMatrix(vs)
+      .as[(Long, Long, Double)].collect().toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1) == Seq(0L, 0L, 1L) && got.map(_._2) == Seq(0L, 1L, 1L))
+    val eps = 1e-9
+    assert(math.abs(got(0)._3 - r9(2.0 / 3.0)) < eps)
+    assert(math.abs(got(1)._3 - r9(4.0 / 3.0)) < eps)
+    assert(math.abs(got(2)._3 - r9(8.0 / 3.0)) < eps)
+  }
 }
