@@ -304,6 +304,10 @@ object SparkEntry {
     "a19_mode" -> ((s, d) => Relational.a19Mode(t(s, d)("events"))),
     // chi-square contingency cells (lang × source): observed/expected/contrib
     "a20_chisq" -> ((s, d) => Relational.a20Chisq(t(s, d)("documents"))),
+    // Gini concentration of value per type (rank-sum, exact decimals)
+    "a21_gini" -> ((s, d) => Relational.a21Gini(t(s, d)("events"))),
+    // code-vs-prose routing signal (indent + symbol density)
+    "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(
       t(s, d)("customer"), t(s, d)("orders"), t(s, d)("lineitem"))),
@@ -494,6 +498,18 @@ object SparkEntry {
       val pngDir = stagingTag(d, "png", "documents.parquet")
       Multimodal.stagePngs(t(s, d)("documents"), pngDir)
       Multimodal.resizeImages(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+        .orderBy("doc_id")
+    }),
+    // full-raster pixel stats over the real decode — the oracle
+    // predicts the exact per-image sum from the gradient formula, so
+    // header-only or sampled decoders cannot pass
+    "mm_pixel_stats" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.pixelStats(s,
         s.read.format("binaryFile").load(pngDir)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
@@ -3347,6 +3363,54 @@ object SparkEntry {
         |  CAST(SUM((doc_id + ((i*w)//16)*31 + ((j*h)//12)*7) % 256) AS BIGINT)
         |    AS checksum
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    "mm_pixel_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i.i, j.j
+        |  FROM m, (SELECT unnest(range(0,64)) AS i) i,
+        |          (SELECT unnest(range(0,48)) AS j) j
+        |  WHERE i.i < w AND j.j < h)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(SUM((doc_id + i*31 + j*7) % 256) AS BIGINT) AS px_sum,
+        |  CAST(MIN((doc_id + i*31 + j*7) % 256) AS INT) AS px_min,
+        |  CAST(MAX((doc_id + i*31 + j*7) % 256) AS INT) AS px_max
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    "a21_gini" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS i
+        |  FROM events),
+        |a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x*i) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE), 9)
+        |    AS gini
+        |FROM a ORDER BY event_type""".stripMargin,
+    "text_code_detect" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(l, '^(\t|  )'))) AS BIGINT) AS n_indent,
+        |    CAST(length(regexp_replace(text, '[^{}()\[\];=<>]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(length(text) AS BIGINT) AS n_chars_m
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_lines,
+        |  CASE WHEN n_lines = 0 THEN 0.0
+        |    ELSE round(CAST(n_indent AS DOUBLE) / CAST(n_lines AS DOUBLE), 6)
+        |    END AS indent_ratio,
+        |  CASE WHEN n_chars_m = 0 THEN 0.0
+        |    ELSE round(CAST(n_sym AS DOUBLE) / CAST(n_chars_m AS DOUBLE), 6)
+        |    END AS symbol_ratio
+        |  FROM m)
+        |SELECT doc_id, n_lines, indent_ratio, symbol_ratio,
+        |  (indent_ratio >= 0.2 AND n_lines >= 3) OR symbol_ratio >= 0.05
+        |    AS is_code
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) % 3 AS mod3 FROM documents)
         |SELECT doc_id,

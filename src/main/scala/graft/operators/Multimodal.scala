@@ -159,6 +159,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a per-image pixel-statistics record (full-resolution
+    * channel stats over the REAL decoded raster).
+    */
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("px_sum", LongType),
+    StructField("px_min", IntegerType),
+    StructField("px_max", IntegerType)))
+
+  /** Per-image pixel statistics over the REAL decoded raster —
+    * sum/min/max of the low channel byte across EVERY pixel, the
+    * brightness/degenerate-image screen of a vision-data pipeline
+    * (all-black / all-white / constant images are filtered before
+    * training). Unlike [[decodeImageMeta]] (header-verifiable) and
+    * like [[resizeImages]], this proves the decoder touched the full
+    * raster: the oracle predicts the exact sum from the staged
+    * gradient formula, so a header-only or sampled implementation
+    * cannot pass. Narrow mapPartitions over binaryFile splits, no
+    * shuffle; cost is one w·h sweep per image.
+    */
+  def pixelStats(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(pixelStatsSchema)
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var mn = 255
+        var mx = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y) & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, sum, mn, mx)
+      }
+    }(enc)
+  }
+
   /** Schema of a decoded audio record: header-readable quantities
     * only (`pcm_bytes` = frames · channels · 2 for 16-bit PCM — the
     * decode-verifiable decoded size, analogous to

@@ -1353,6 +1353,31 @@ object Relational {
       .limit(20)
   }
 
+  /** Gini coefficient of `value` per event type — the
+    * concentration/inequality profile of a metric (is revenue spread
+    * across events or carried by a few whales?). Rank-sum form
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted values;
+    * ranks are integers from ONE per-type window sort (ties broken on
+    * event_id — tied equal values make any tie order sum identically,
+    * so the statistic is order-free), all sums are exact decimals, and
+    * the only float is the final fixed division rounded to 9 dp. The
+    * window and the group agg share a single event_type exchange.
+    */
+  def a21Gini(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("x", col("value").cast(DecimalType(18, 2)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("i")).as("six"))
+      .select(col("event_type"), col("n"),
+        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 9).as("gini"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
     * DISTINCT supplier/customer nation pairs by ship year — the
     * star-join + multi-dim rollup reporting shape. Broadcast hints

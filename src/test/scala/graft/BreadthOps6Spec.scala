@@ -109,6 +109,32 @@ class BreadthOps6Spec extends SparkSpec {
     assert(out == Seq(("alice", 100L, 320.0), ("bob", 102L, 251.0)))
   }
 
+  test("a21Gini: equal values give 0, a single whale concentrates") {
+    val ev = Seq(
+      (1L, "flat", 5.0), (2L, "flat", 5.0), (3L, "flat", 5.0), (4L, "flat", 5.0),
+      (5L, "whale", 0.0), (6L, "whale", 0.0), (7L, "whale", 0.0), (8L, "whale", 10.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.a21Gini(ev)
+      .as[(String, Long, Double)].collect().toSeq
+      .map { case (t, n, g) => t -> (n, g) }.toMap
+    assert(out("flat") == (4L, 0.0))
+    // ranks 1..4 on (0,0,0,10): six = 40, sx = 10 -> (80-50)/40 = 0.75
+    assert(out("whale") == (4L, 0.75))
+  }
+
+  test("codeDetect separates indented/symbol-heavy text from prose") {
+    val code = "def f(x):\n  y = (x + 1)\n  z = [y]\n  return z;"
+    val prose = "The quick brown fox jumps over the lazy dog. " * 3
+    val docs = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val out = TextOps.codeDetect(docs)
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._5, s"code sample must flag is_code: ${byId(1L)}")
+    assert(!byId(2L)._5, s"prose must not flag is_code: ${byId(2L)}")
+    // 3 of the 4 code lines start with two spaces
+    assert(byId(1L)._2 == 4L && byId(1L)._3 == 0.75)
+  }
+
   test("typeTokenRatio: repetition lowers TTR; empty text pins 0") {
     val docs = Seq(
       (1L, "the the the the"),   // 4 tokens, 1 type

@@ -100,4 +100,26 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.TextOps.unigramLogProb(blank)
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("breadth-wave operators degrade to empty on empty inputs") {
+    import spark.implicits._
+    val R = graft.operators.Relational
+    val noEvents = Seq
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(R.w19PercentRank(noEvents).isEmpty)
+    assert(R.w20Islands(noEvents).isEmpty)
+    assert(R.a19Mode(noEvents).isEmpty)
+    assert(R.a20Chisq(noDocs).isEmpty)
+    assert(graft.operators.TextOps.typeTokenRatio(noDocs).isEmpty)
+    assert(graft.operators.TextOps.readability(noDocs).isEmpty)
+    assert(graft.operators.PipelineOps.lengthBuckets(noDocs).isEmpty)
+    assert(graft.operators.SimilarityOps.covarianceMatrix(noVecs).isEmpty)
+    assert(graft.operators.SimilarityOps.mipsTopK(noVecs, noVecs, 3).isEmpty)
+    assert(graft.operators.GraphOps.labelPropagation(noPairs).isEmpty)
+  }
 }

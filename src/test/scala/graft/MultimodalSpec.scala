@@ -219,4 +219,20 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.stageWavs(docs, dir)
     assert(spark.read.format("binaryFile").load(dir).count() == 1)
   }
+
+  test("pixelStats sweeps the FULL raster of a hand-built PNG") {
+    // 2x2 image with distinct per-pixel low bytes 10/20/30/40: sum,
+    // min, max only come out right if every pixel is visited
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 10 * 0x010101); img.setRGB(1, 0, 20 * 0x010101)
+    img.setRGB(0, 1, 30 * 0x010101); img.setRGB(1, 1, 40 * 0x010101)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val in = Seq((7L, buf.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.pixelStats(spark, in)
+    assert(out.schema == Multimodal.pixelStatsSchema)
+    assert(out.as[(Long, Int, Int, Long, Int, Int)].collect().toSeq ==
+      Seq((7L, 2, 2, 100L, 10, 40)))
+  }
 }

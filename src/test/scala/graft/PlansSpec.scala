@@ -565,4 +565,80 @@ class PlansSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       s"MV partials must combine map-side:\n${p.take(3000)}")
   }
+
+  test("p5 unpivot: generator melts inline — join-free, one group exchange") {
+    val df = Relational.p5Unpivot(Tables(spark, sf0001, "lineitem"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"melt must not join:\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"melt + agg must share ONE exchange, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("w19 percent-rank: all three windows share ONE event_type exchange") {
+    val df = Relational.w19PercentRank(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"must be join-free:\n${p.take(3000)}")
+    val keys = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.size == 1 && keys.head.startsWith("event_type"),
+      s"expected one shared event_type exchange, got: $keys\n${p.take(3000)}")
+  }
+
+  test("a20 chi-square: margins broadcast back — no sort-merge join of cells") {
+    val df = Relational.a20Chisq(Tables(spark, sf0001, "documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      s"margins must broadcast, not shuffle-join:\n${p.take(3000)}")
+    assert(p.contains("partial_count"),
+      s"cell counts must combine map-side:\n${p.take(3000)}")
+  }
+
+  test("q10 returned items: the returnflag filter reaches the parquet scan") {
+    val p = plan(Relational.q10ReturnedItems(
+      Tables(spark, sf0001, "customer"), Tables(spark, sf0001, "orders"),
+      Tables(spark, sf0001, "lineitem")))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed to the scan:\n${p.take(3000)}")
+  }
+
+  test("MIPS ranker uses bounded TopKAgg: partial agg, no Window, corpus-side broadcast") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val df = graft.operators.SimilarityOps.mipsTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0), 5)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_top_k_agg"),
+      s"MIPS must rank through the bounded aggregate:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"row_number window leaked into MIPS ranking:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set must broadcast (corpus never shuffles):\n${p.take(3000)}")
+  }
+
+  test("covariance: pair terms combine map-side; margins broadcast; no Window") {
+    val df = graft.operators.SimilarityOps.covarianceMatrix(
+      Tables(spark, sf0001, "embeddings"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      s"per-dim sums must broadcast onto cells:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no window belongs here:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"),
+      s"cell sums must combine map-side (only cells x partitions rows may cross):\n${p.take(3000)}")
+  }
+
+  test("length buckets: join-free, single bucket-key exchange") {
+    val df = graft.operators.PipelineOps.lengthBuckets(
+      Tables(spark, sf0001, "documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"must be join-free:\n${p.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"bucket census must shuffle once, got $exchanges:\n${p.take(3000)}")
+  }
 }
