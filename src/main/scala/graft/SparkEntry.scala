@@ -306,6 +306,12 @@ object SparkEntry {
     "a20_chisq" -> ((s, d) => Relational.a20Chisq(t(s, d)("documents"))),
     // Gini concentration of value per type (rank-sum, exact decimals)
     "a21_gini" -> ((s, d) => Relational.a21Gini(t(s, d)("events"))),
+    // per-group min-max [0,1] scaling (broadcast thresholds, no fact shuffle)
+    "w21_minmax_scale" -> ((s, d) => Relational.w21MinMaxScale(t(s, d)("events"))),
+    // Benford first-digit screen (decimal-string digits, never float log)
+    "a22_benford" -> ((s, d) => Relational.a22Benford(t(s, d)("orders"))),
+    // per-day Shannon entropy of the event-type mix (decimal term sums)
+    "a23_type_entropy" -> ((s, d) => Relational.a23TypeEntropy(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -3389,6 +3395,35 @@ object SparkEntry {
         |  round(CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE), 9)
         |    AS gini
         |FROM a ORDER BY event_type""".stripMargin,
+    "w21_minmax_scale" ->
+      """WITH s AS (
+        |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN vmax = vmin THEN 0.5
+        |    ELSE round((value - vmin) / (vmax - vmin), 9) END AS scaled
+        |FROM events e JOIN s USING (event_type) ORDER BY event_id""".stripMargin,
+    "a22_benford" ->
+      """WITH c AS (
+        |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |      AS digit,
+        |    COUNT(*) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS observed_p,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    "a23_type_entropy" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1)
+        |SELECT cells.day, MAX(n) AS n,
+        |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |    AS DECIMAL(24,14))) AS DOUBLE) AS entropy
+        |FROM cells JOIN d USING (day) GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_code_detect" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -1378,6 +1378,77 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Per-group min-max feature scaling — the [0,1] normalization
+    * primitive of a feature pipeline, in the same decorrelated shape
+    * as [[a11Winsorize]]: ONE group-count-sized (min,max) aggregate
+    * broadcast back onto the facts, the scale itself a codegen'd
+    * per-row expression — the fact table never shuffles. Degenerate
+    * groups (max = min) pin to 0.5 on both engines instead of NaN.
+    * All float work is per-row IEEE (no accumulation), rounded 9 dp.
+    */
+  def w21MinMaxScale(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("mt"))
+      .agg(min("value").as("vmin"), max("value").as("vmax"))
+    events
+      .join(broadcast(stats), col("event_type") === col("mt"))
+      .select(col("event_id"), col("event_type"),
+        when(col("vmax") === col("vmin"), lit(0.5))
+          .otherwise(round((col("value") - col("vmin")) /
+            (col("vmax") - col("vmin")), 9)).as("scaled"))
+      .orderBy("event_id")
+  }
+
+  /** Benford first-digit screen over order totals — the synthetic-data
+    * / fraud detector (organically grown amounts follow
+    * P(d) = log10(1 + 1/d); fabricated ones usually don't). The
+    * leading digit comes from the DECIMAL rendering of the amount
+    * (substring of the exact fixed-point string — never from float
+    * log10/pow, whose libm edge cases differ across engines), so the
+    * digit assignment is engine-exact. One 9-group aggregate + a
+    * single-row total broadcast; the reference probabilities are fixed
+    * per-row doubles rounded 6 dp.
+    */
+  def a22Benford(orders: DataFrame): DataFrame = {
+    val digit = substring(
+      col("o_totalprice").cast(DecimalType(18, 2)).cast("string"), 1, 1)
+    val counts = orders
+      .filter(col("o_totalprice") >= 1.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("tot"))
+    counts
+      .crossJoin(broadcast(total)) // single-row grand total
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .as("observed_p"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford_p"))
+      .orderBy("digit")
+  }
+
+  /** Shannon entropy of the event-type mix per day — the
+    * distribution-drift monitor (a collapsing entropy means one event
+    * type is swallowing the stream). Exact-count cells; each
+    * −p·ln p term is a fixed per-ROW double rounded to 12 dp and cast
+    * to decimal BEFORE summation (the [[graft.operators.TextOps]]
+    * unigram-LM discipline), so the per-day sum is order-free and
+    * partial-agg safe. Cells are day × |type vocabulary| — the
+    * day-total join side is bounded and broadcast.
+    */
+  def a23TypeEntropy(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val days = cells.groupBy("day").agg(sum("c").as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    cells
+      .join(broadcast(days), "day")
+      .withColumn("term",
+        round(-p * log(p), 12).cast(DecimalType(24, 14)))
+      .groupBy("day")
+      .agg(max(col("n")).as("n"), sum(col("term")).cast("double").as("entropy"))
+      .orderBy("day")
+  }
+
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
     * DISTINCT supplier/customer nation pairs by ship year — the
     * star-join + multi-dim rollup reporting shape. Broadcast hints

@@ -122,6 +122,46 @@ class BreadthOps6Spec extends SparkSpec {
     assert(out("whale") == (4L, 0.75))
   }
 
+  test("w21MinMaxScale pins [0,1] per group; degenerate group pins 0.5") {
+    val ev = Seq(
+      (1L, "a", 0.0), (2L, "a", 10.0), (3L, "a", 5.0),
+      (4L, "b", 7.0), (5L, "b", 7.0) // max = min -> 0.5, not NaN
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.w21MinMaxScale(ev)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 0.0), (2L, "a", 1.0), (3L, "a", 0.5),
+      (4L, "b", 0.5), (5L, "b", 0.5)))
+  }
+
+  test("a22Benford reads digits from the decimal rendering, drops sub-1 amounts") {
+    val ord = Seq(
+      (1L, 1.50), (2L, 19.99), (3L, 150.0), // digit 1 x3
+      (4L, 2.00),                           // digit 2
+      (5L, 0.50)                            // < 1: excluded
+    ).toDF("o_orderkey", "o_totalprice")
+    val out = Relational.a22Benford(ord)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(("1", 3L), ("2", 1L)))
+    assert(out.head._3 == 0.75 && out(1)._3 == 0.25)
+    // P(1) = log10(2), P(2) = log10(1.5), both rounded to 6 dp
+    assert(out.head._4 == 0.30103 && out(1)._4 == 0.176091)
+  }
+
+  test("a23TypeEntropy: uniform day = ln 2, single-type day = 0") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:00:00"), "click"),
+      (3L, ts("2024-01-02 10:00:00"), "view"),
+      (4L, ts("2024-01-02 11:00:00"), "view")
+    ).toDF("event_id", "ts", "event_type")
+    val out = Relational.a23TypeEntropy(ev)
+      .as[(java.sql.Date, Long, Double)].collect().toSeq
+      .map { case (d, n, h) => (d.toString, n, h) }
+    assert(out.map(r => (r._1, r._2)) == Seq(("2024-01-01", 2L), ("2024-01-02", 2L)))
+    assert(math.abs(out.head._3 - math.log(2.0)) < 1e-11)
+    assert(out(1)._3 == 0.0)
+  }
+
   test("codeDetect separates indented/symbol-heavy text from prose") {
     val code = "def f(x):\n  y = (x + 1)\n  z = [y]\n  return z;"
     val prose = "The quick brown fox jumps over the lazy dog. " * 3
