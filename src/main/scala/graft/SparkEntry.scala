@@ -312,6 +312,8 @@ object SparkEntry {
     "a22_benford" -> ((s, d) => Relational.a22Benford(t(s, d)("orders"))),
     // per-day Shannon entropy of the event-type mix (decimal term sums)
     "a23_type_entropy" -> ((s, d) => Relational.a23TypeEntropy(t(s, d)("events"))),
+    // two-sample KS distribution-shift statistic (click vs view)
+    "a24_ks_test" -> ((s, d) => Relational.a24KsTest(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -3424,6 +3426,25 @@ object SparkEntry {
         |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
         |    AS DECIMAL(24,14))) AS DOUBLE) AS entropy
         |FROM cells JOIN d USING (day) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a24_ks_test" ->
+      """WITH cells AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+        |  FROM cells),
+        |cum AS (
+        |  SELECT
+        |    CAST(SUM(ca) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM cells)
+        |SELECT n_a, n_b,
+        |  MAX(round(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 12)) AS d_stat
+        |FROM cum CROSS JOIN t GROUP BY 1, 2""".stripMargin,
     "text_code_detect" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -1449,6 +1449,42 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two event types — the nonparametric
+    * did-the-distribution-shift test of a metrics/drift pipeline
+    * (mean-based monitors miss shape changes; KS does not).
+    * D = max |F₁(v) − F₂(v)| evaluated at every DISTINCT value: the
+    * per-value counts aggregate first (one keyed shuffle with map-side
+    * combine — sample-scale rows never reach the window), then ONE
+    * ordered window over the distinct-value table builds both
+    * cumulative counts, and the max-abs-diff collapses to a single
+    * row. The window is a global order over DISTINCT values only —
+    * bounded by value cardinality (fixed-precision metrics), not by
+    * row count, which is what makes the shape survive 100 TB; the
+    * per-row fractions are two integer divisions (order-free max).
+    */
+  def a24KsTest(events: DataFrame, typeA: String = "click",
+      typeB: String = "view"): DataFrame = {
+    val cells = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy("value")
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot)) // single-row totals
+      .groupBy("n_a", "n_b")
+      .agg(max(round(abs(
+        col("cuma").cast("double") / col("n_a").cast("double") -
+          col("cumb").cast("double") / col("n_b").cast("double")), 12))
+        .as("d_stat"))
+  }
+
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
     * DISTINCT supplier/customer nation pairs by ship year — the
     * star-join + multi-dim rollup reporting shape. Broadcast hints

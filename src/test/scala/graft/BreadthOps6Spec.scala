@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import graft.operators.{PipelineOps, Relational, TextOps}
 
 /** Constructed-data semantics for the round-6 analytics breadth
@@ -160,6 +161,22 @@ class BreadthOps6Spec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)) == Seq(("2024-01-01", 2L), ("2024-01-02", 2L)))
     assert(math.abs(out.head._3 - math.log(2.0)) < 1e-11)
     assert(out(1)._3 == 0.0)
+  }
+
+  test("a24KsTest: shifted sample yields D = 1/3; identical samples yield 0") {
+    val ev = Seq(
+      (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0),
+      (4L, "view", 2.0), (5L, "view", 3.0), (6L, "view", 4.0),
+      (7L, "purchase", 99.0) // other types are out of the comparison
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.a24KsTest(ev)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((3L, 3L, 0.333333333333)))
+    val same = Relational.a24KsTest(
+      ev.filter($"event_type" === "click")
+        .union(ev.filter($"event_type" === "click")
+          .withColumn("event_type", lit("view"))))
+    assert(same.as[(Long, Long, Double)].collect().toSeq == Seq((3L, 3L, 0.0)))
   }
 
   test("codeDetect separates indented/symbol-heavy text from prose") {
