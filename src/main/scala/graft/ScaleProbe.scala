@@ -45,7 +45,11 @@ object ScaleProbe {
     "text_tfidf", "text_tokens", "w1_running_sum", "w4_sessionize",
     // round-6 additions: span-keyed first-owner dedup, the MG sketch
     // two-pass, and the broadcast-model LM scorer
-    "dedup_span_exact", "a13_heavy_hitters", "text_unigram_lm")
+    "dedup_span_exact", "a13_heavy_hitters", "text_unigram_lm",
+    // breadth-wave additions: bounded-round community vote, the d²-cell
+    // covariance aggregate, the shared-exchange rank windows, and the
+    // distinct-value CDF comparison
+    "dedup_lpa", "sim_covariance", "w19_percent_rank", "a24_ks_test")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",

@@ -314,6 +314,10 @@ object SparkEntry {
     "a23_type_entropy" -> ((s, d) => Relational.a23TypeEntropy(t(s, d)("events"))),
     // two-sample KS distribution-shift statistic (click vs view)
     "a24_ks_test" -> ((s, d) => Relational.a24KsTest(t(s, d)("events"))),
+    // Welch's t over every type pair from exact decimal sufficient stats
+    "a25_welch_t" -> ((s, d) => Relational.a25WelchT(t(s, d)("events"))),
+    // Cramér's V effect size summarizing the chi-square cell report
+    "a26_cramers_v" -> ((s, d) => Relational.a26CramersV(t(s, d)("documents"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -3445,6 +3449,51 @@ object SparkEntry {
         |  MAX(round(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
         |    - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 12)) AS d_stat
         |FROM cum CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+    "a25_welch_t" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+        |  FROM events GROUP BY 1 HAVING COUNT(*) > 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round((CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / sqrt(
+        |      ((CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)
+        |          / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0))
+        |        / CAST(a.n AS DOUBLE)
+        |      + ((CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)
+        |          / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0))
+        |        / CAST(b.n AS DOUBLE)), 9) AS t_stat
+        |FROM s a JOIN s b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+    "a26_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS observed FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, SUM(observed) AS rsum FROM cells GROUP BY 1),
+        |ct AS (SELECT source, SUM(observed) AS csum FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+        |grid AS (
+        |  SELECT rt.lang, ct.source, rsum, csum, n,
+        |    COALESCE(observed, CAST(0 AS BIGINT)) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source
+        |  CROSS JOIN tot),
+        |cc AS (SELECT lang, source, n,
+        |    round((CAST(o AS DOUBLE) - CAST(rsum AS DOUBLE) * csum / n)
+        |        * (CAST(o AS DOUBLE) - CAST(rsum AS DOUBLE) * csum / n)
+        |        / (CAST(rsum AS DOUBLE) * csum / n), 6) AS contrib
+        |  FROM grid)
+        |SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS c,
+        |  MAX(n) AS n,
+        |  CAST(SUM(CAST(contrib AS DECIMAL(24,14))) AS DOUBLE) AS chi2,
+        |  round(sqrt(CAST(SUM(CAST(contrib AS DECIMAL(24,14))) AS DOUBLE)
+        |    / (CAST(MAX(n) AS DOUBLE)
+        |       * CAST(LEAST(COUNT(DISTINCT lang), COUNT(DISTINCT source)) - 1
+        |           AS DOUBLE))), 9) AS v
+        |FROM cc""".stripMargin,
     "text_code_detect" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -1485,6 +1485,80 @@ object Relational {
         .as("d_stat"))
   }
 
+  /** Welch's t statistic between the value distributions of every
+    * event-type pair — the unequal-variance mean-comparison screen
+    * that complements [[a24KsTest]] (KS sees shape, t sees location).
+    * The [[a15Corr]] sufficient-statistic discipline: ONE tiny
+    * per-type aggregate of exact decimals (n, Σx, Σx²), a broadcast
+    * self-join of the |types|² pair grid, then a fixed per-PAIR double
+    * expression (means, variances, t) rounded to 9 dp — no
+    * order-sensitive float accumulation anywhere, and the fact table
+    * shuffles exactly once (the group agg). Sample variance (n−1);
+    * singleton groups drop (t undefined).
+    */
+  def a25WelchT(events: DataFrame): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val stats = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .filter(col("n") > 1)
+    def side(tag: String) = stats.select(
+      col("event_type").as(s"type_$tag"), col("n").as(s"n_$tag"),
+      col("sx").as(s"sx_$tag"), col("sxx").as(s"sxx_$tag"))
+    def mean(tag: String) =
+      col(s"sx_$tag").cast("double") / col(s"n_$tag").cast("double")
+    // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1)
+    def variance(tag: String) =
+      (col(s"sxx_$tag").cast("double") -
+        col(s"sx_$tag").cast("double") * col(s"sx_$tag").cast("double") /
+          col(s"n_$tag").cast("double")) /
+        (col(s"n_$tag").cast("double") - lit(1.0))
+    side("a")
+      .join(broadcast(side("b")), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        round((mean("a") - mean("b")) /
+          sqrt(variance("a") / col("n_a").cast("double") +
+            variance("b") / col("n_b").cast("double")), 9).as("t_stat"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Cramér's V effect size for the lang × source association — the
+    * single-number summary of [[a20Chisq]]'s cell report (how strongly
+    * are the two dims associated, normalized to [0,1]). Unlike the
+    * cell REPORT (observed cells only), the χ² total here runs over
+    * the FULL R×C grid — absent combinations contribute (0−e)²/e,
+    * without which a perfectly dependent table would undercount — so
+    * the margins cross-join first and the observed counts left-join
+    * in with a zero default. Per-cell contributions are fixed per-row
+    * doubles rounded 6 dp cast to decimal BEFORE summation
+    * (order-free); V = sqrt(χ² / (n·min(R−1, C−1))) is one fixed
+    * double expression on the single result row. The grid is
+    * |langs|×|sources| — vocabulary-bounded, broadcast-sized.
+    */
+  def a26CramersV(documents: DataFrame): DataFrame = {
+    val cells = documents.groupBy("lang", "source")
+      .agg(count(lit(1)).as("observed"))
+    val rowT = cells.groupBy("lang").agg(sum("observed").as("rsum"))
+    val colT = cells.groupBy("source").agg(sum("observed").as("csum"))
+    val tot = cells.agg(sum("observed").as("n"))
+    val e = col("rsum").cast("double") * col("csum") / col("n")
+    val diff = col("o").cast("double") - e
+    rowT.crossJoin(colT)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("observed"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        round(diff * diff / e, 6).cast(DecimalType(24, 14)))
+      .agg(
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"),
+        max(col("n")).as("n"),
+        sum(col("contrib")).cast("double").as("chi2"))
+      .select(col("r"), col("c"), col("n"), col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 9).as("v"))
+  }
+
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
     * DISTINCT supplier/customer nation pairs by ship year — the
     * star-join + multi-dim rollup reporting shape. Broadcast hints

@@ -179,6 +179,36 @@ class BreadthOps6Spec extends SparkSpec {
     assert(same.as[(Long, Long, Double)].collect().toSeq == Seq((3L, 3L, 0.0)))
   }
 
+  test("a25WelchT matches the hand formula; singleton groups drop") {
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 4.0), (5L, "b", 5.0), (6L, "b", 6.0),
+      (7L, "solo", 9.0) // n = 1: variance undefined, excluded
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.a25WelchT(ev)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(("a", "b")))
+    // means 2 vs 5, var 1 each: t = -3 / sqrt(2/3)
+    val expected = BigDecimal(-3.0 / math.sqrt(2.0 / 3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head._5 - expected) < 1e-9, s"t=${out.head._5}")
+  }
+
+  test("a26CramersV: perfect dependence is 1, zero cells included in chi2") {
+    // 2x2 with only the diagonal observed: without the (0 - e)^2/e
+    // zero-cell terms chi2 would be n/2 and V would come out 1/sqrt(2)
+    val dep = Seq(("en", "web"), ("fr", "book")).toDF("lang", "source")
+    val out = Relational.a26CramersV(dep)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(out == ((2L, 2L, 2L, 2.0, 1.0)))
+    // independent 2x2: chi2 = 0, V = 0
+    val ind = Seq(("en", "web"), ("en", "book"), ("fr", "web"), ("fr", "book"))
+      .toDF("lang", "source")
+    val iout = Relational.a26CramersV(ind)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(iout == ((2L, 2L, 4L, 0.0, 0.0)))
+  }
+
   test("codeDetect separates indented/symbol-heavy text from prose") {
     val code = "def f(x):\n  y = (x + 1)\n  z = [y]\n  return z;"
     val prose = "The quick brown fox jumps over the lazy dog. " * 3
