@@ -528,6 +528,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
+    // full-stream PCM sample stats over the real audio decode
+    "mm_audio_stats" -> ((s, d) => mmAudioStatsQuery(s, d)),
     // real ISO-BMFF metadata parse over staged MP4 containers
     "mm_video_meta" -> ((s, d) => stagedVideoMeta(s, d).orderBy("doc_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(stagedVideoMeta(s, d))),
@@ -562,6 +564,10 @@ object SparkEntry {
     // mode, no watermark needed — the sketch never grows)
     "stream_kmv" -> ((s, d) => streamKmvQuery(s, d)),
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
+    // streaming drift monitor: tumbling-day type counts in the stream
+    // (bounded windowed state), entropy finalized group-scale over the
+    // sink — oracle is the batch restatement over the same day windows
+    "stream_entropy" -> ((s, d) => streamEntropyQuery(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
     "stream_join" -> ((s, d) => streamJoinQuery(s, d)),
     // left-outer stream-stream join: null-padded rows flush when the
@@ -753,6 +759,24 @@ object SparkEntry {
         .windowedCounts(stream, "1 hour", "30 minutes", "1 hour")
       runToMemorySink(s, agg, "stream_win_agg", "complete")
         .orderBy("window_start", "event_type")
+    }
+
+  /** Streaming drift monitor: the stream runs ONLY the stateful part
+    * (tumbling 24 h window × type counts — watermarked, bounded
+    * state); the entropy finalization is a narrow group-scale batch
+    * pass over the memory sink via [[Relational.entropyOverCells]] —
+    * the split that holds at 100 TB stream volume (per-window cell
+    * counts are vocabulary-bounded).
+    */
+  private def streamEntropyQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      val stream = stagedEventsStream(s, d, "src")
+      val agg = graft.streaming.StreamingSync
+        .windowedCounts(stream, "24 hours", "24 hours", "1 hour")
+      val sink = runToMemorySink(s, agg, "stream_entropy", "complete")
+      operators.Relational.entropyOverCells(
+        sink.select(col("window_start"), col("event_type"), col("n_events")),
+        groupCol = "window_start", countCol = "n_events")
     }
 
   /** Streaming exact dedup driver query: the staged source directory
@@ -1001,6 +1025,19 @@ object SparkEntry {
       .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
         .cast("long").as("doc_id"), col("content"))
     Multimodal.decodeAudioMeta(s, staged).orderBy("doc_id")
+  }
+
+  /** Full-stream PCM sample stats over the staged WAVs (the audio twin
+    * of `mm_pixel_stats` — proves the decoder streamed real samples).
+    */
+  private def mmAudioStatsQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d)("documents")
+    val dir = stagingTag(d, "wav", "documents.parquet")
+    Multimodal.stageWavs(docs, dir)
+    val staged = s.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+        .cast("long").as("doc_id"), col("content"))
+    Multimodal.audioStats(s, staged).orderBy("doc_id")
   }
 
   /** Stateless stream-static join driven to completion: the documents
@@ -1765,6 +1802,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events, (VALUES (0), (1)) t(k)
         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // batch restatement of the tumbling-day streaming entropy monitor:
+    // day windows are UTC-midnight aligned on both engines
+    "stream_entropy" ->
+      """WITH cells AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start,
+        |    event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT window_start, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.window_start, MAX(n) AS n,
+        |  CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |    AS DECIMAL(24,14))) AS DOUBLE) AS entropy
+        |FROM cells JOIN d USING (window_start) GROUP BY 1 ORDER BY 1""".stripMargin,
     // the staged stream re-delivers every 7th event; dedup collapses
     // the input back to exactly the original table
     "stream_dedup" ->
@@ -3389,6 +3440,21 @@ object SparkEntry {
         |  CAST(MIN((doc_id + i*31 + j*7) % 256) AS INT) AS px_min,
         |  CAST(MAX((doc_id + i*31 + j*7) % 256) AS INT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // PCM byte formula from stageWavs: byte i = (id + 31i) % 256 - 128;
+    // 16-bit LE sample j = hi(2j+1)*256 + unsigned lo(2j)
+    "mm_audio_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)
+        |      AS ns
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id, ns,
+        |    ((doc_id + (2*j+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*j*31) % 256 - 128 + 256) % 256 AS v
+        |  FROM m, unnest(range(0, ns)) t(j))
+        |SELECT doc_id, ns AS n_samples, CAST(SUM(v) AS BIGINT) AS s_sum,
+        |  CAST(MIN(v) AS INT) AS s_min, CAST(MAX(v) AS INT) AS s_max
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "a21_gini" ->
       """WITH r AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,

@@ -211,6 +211,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a per-clip PCM sample-statistics record (full-stream
+    * 16-bit sample stats over the REAL decoded audio).
+    */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("s_sum", LongType),
+    StructField("s_min", IntegerType),
+    StructField("s_max", IntegerType)))
+
+  /** Per-clip PCM sample statistics over the REAL decoded audio
+    * stream — sum/min/max of every signed 16-bit little-endian
+    * sample, the loudness/degenerate-clip screen of an audio pipeline
+    * (silence and clipping are both filtered before training). The
+    * audio twin of [[pixelStats]]: the oracle predicts the exact
+    * sample sum from the staged PCM byte formula, so a header-only
+    * decode cannot pass — this proves `javax.sound.sampled` streamed
+    * the actual sample data. Narrow mapPartitions, no shuffle.
+    */
+  def audioStats(spark: SparkSession, audio: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioStatsSchema)
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val data = ais.readAllBytes()
+        ais.close()
+        var sum = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i + 1 < data.length) {
+          val v = ((data(i + 1).toInt << 8) | (data(i) & 0xff))
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 2
+        }
+        Row(r.getLong(0), data.length / 2L, sum, mn, mx)
+      }
+    }(enc)
+  }
+
   /** Schema of a decoded audio record: header-readable quantities
     * only (`pcm_bytes` = frames · channels · 2 for 16-bit PCM — the
     * decode-verifiable decoded size, analogous to

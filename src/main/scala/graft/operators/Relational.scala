@@ -1434,19 +1434,35 @@ object Relational {
     * partial-agg safe. Cells are day × |type vocabulary| — the
     * day-total join side is bounded and broadcast.
     */
-  def a23TypeEntropy(events: DataFrame): DataFrame = {
-    val cells = events
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-    val days = cells.groupBy("day").agg(sum("c").as("n"))
-    val p = col("c").cast("double") / col("n").cast("double")
+  def a23TypeEntropy(events: DataFrame): DataFrame =
+    entropyOverCells(
+      events.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c")),
+      groupCol = "day", countCol = "c")
+
+  /** Entropy finalization over pre-aggregated (group, category, count)
+    * cells — shared by [[a23TypeEntropy]] and the streaming windowed
+    * twin (the streaming side keeps only the stateful count
+    * aggregation in the stream; this narrow group-scale finalizer
+    * runs over the sink). Per-cell −p·ln p terms are fixed doubles
+    * rounded 12 dp cast to decimal before the order-free sum; the
+    * group-total side is group-scale and broadcast.
+    */
+  def entropyOverCells(cells: DataFrame, groupCol: String,
+      countCol: String): DataFrame = {
+    // fresh-alias the totals' key: both join inputs derive from `cells`,
+    // and a shared attribute id across a self-join fails to resolve when
+    // the input is a streaming memory-sink view
+    val totals = cells.groupBy(col(groupCol).as("__g"))
+      .agg(sum(countCol).as("n"))
+    val p = col(countCol).cast("double") / col("n").cast("double")
     cells
-      .join(broadcast(days), "day")
+      .join(broadcast(totals), col(groupCol) === col("__g"))
       .withColumn("term",
         round(-p * log(p), 12).cast(DecimalType(24, 14)))
-      .groupBy("day")
+      .groupBy(groupCol)
       .agg(max(col("n")).as("n"), sum(col("term")).cast("double").as("entropy"))
-      .orderBy("day")
+      .orderBy(groupCol)
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the value

@@ -220,6 +220,27 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.read.format("binaryFile").load(dir).count() == 1)
   }
 
+  test("audioStats streams every 16-bit sample of a hand-built WAV") {
+    // 3 mono samples 100, -200, 300: sum/min/max need the full stream
+    val samples = Array[Short](100, -200, 300)
+    val pcm = new Array[Byte](6)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 3),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val in = Seq((3L, buf.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.audioStats(spark, in)
+    assert(out.schema == Multimodal.audioStatsSchema)
+    assert(out.as[(Long, Long, Long, Int, Int)].collect().toSeq ==
+      Seq((3L, 3L, 200L, -200, 300)))
+  }
+
   test("pixelStats sweeps the FULL raster of a hand-built PNG") {
     // 2x2 image with distinct per-pixel low bytes 10/20/30/40: sum,
     // min, max only come out right if every pixel is visited
