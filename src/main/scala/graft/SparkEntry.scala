@@ -341,6 +341,18 @@ object SparkEntry {
     "pipe_length_buckets" -> ((s, d) =>
       PipelineOps.lengthBuckets(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
+    // banding recall census: every exact pair >= t the banded candidate
+    // generation missed, counted against the all-pairs exact ground
+    // truth — the quantified honesty check behind "LSH finds the dups"
+    "dedup_lsh_recall" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val lsh = DedupOps.minhashLsh(docs).select("doc_a", "doc_b")
+      val exact = DedupOps.ngramJaccard(docs, 0.5).select("doc_a", "doc_b")
+      val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
     // scale-credible exact path at production thresholds (t=0.7: each
@@ -2733,6 +2745,23 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $MinhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""WITH $MinhashPairsCtes,
+         |ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |epairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM ex
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+         |SELECT (SELECT COUNT(*) FROM epairs) AS n_exact,
+         |  (SELECT COUNT(*) FROM pairs) AS n_lsh,
+         |  (SELECT COUNT(*) FROM epairs e
+         |   LEFT JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+         |   WHERE p.doc_a IS NULL) AS n_missed""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
