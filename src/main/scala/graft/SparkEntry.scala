@@ -390,6 +390,21 @@ object SparkEntry {
     "dedup_components" -> ((s, d) => GraphOps.connectedComponents(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))
       .orderBy("doc_id")),
+    // end-to-end dedup run report: corpus → banded pairs → clusters →
+    // survivor census, the one-row summary a pipeline operator reads
+    "pipe_dedup_report" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val pairs = DedupOps.minhashLsh(docs).select("doc_a", "doc_b")
+      val comps = GraphOps.connectedComponents(pairs)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(comps.agg(countDistinct("component").as("n_clusters"),
+          count(lit(1)).as("n_paired")))
+        .withColumn("n_survivors",
+          col("n_docs") - (col("n_paired") - col("n_clusters")))
+        .withColumn("pct_kept",
+          round(col("n_survivors").cast("double") / col("n_docs"), 6))
+    }),
     // bounded k-core peel: mutually-dense near-dup clusters (template
     // farms) survive; hubs with one-off matches peel away
     "dedup_kcore" -> ((s, d) => GraphOps.kCore(
@@ -2772,6 +2787,25 @@ object SparkEntry {
          |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
          |SELECT u AS doc_id, least(u, min(v)) AS component
          |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "pipe_dedup_report" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |np AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+         |cl AS (SELECT COUNT(DISTINCT component) AS n_clusters,
+         |  COUNT(*) AS n_paired FROM comp)
+         |SELECT n_docs, n_pairs, n_clusters, n_paired,
+         |  n_docs - (n_paired - n_clusters) AS n_survivors,
+         |  round(CAST(n_docs - (n_paired - n_clusters) AS DOUBLE) / n_docs, 6)
+         |    AS pct_kept
+         |FROM nd CROSS JOIN np CROSS JOIN cl""".stripMargin,
     // three explicit vote rounds — the SQL image of labelPropagation's
     // bounded loop (most-frequent neighbor label, ties to smallest)
     "dedup_lpa" ->
