@@ -49,7 +49,14 @@ object ScaleProbe {
     // breadth-wave additions: bounded-round community vote, the d²-cell
     // covariance aggregate, the shared-exchange rank windows, and the
     // distinct-value CDF comparison
-    "dedup_lpa", "sim_covariance", "w19_percent_rank", "a24_ks_test")
+    "dedup_lpa", "sim_covariance", "w19_percent_rank", "a24_ks_test",
+    // round-7 rework set: the bounded-broadcast bigram LM, the
+    // min-owner novelty (skew guard), the pair-repartitioned
+    // containment counter, and the sample-stratum recall census
+    // (the census variant that is ALLOWED at scale — the full
+    // all-pairs census stays out by design)
+    "text_bigram_lm", "text_novelty", "dedup_containment",
+    "dedup_lsh_recall_sampled")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",

@@ -353,6 +353,21 @@ object SparkEntry {
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(missed.agg(count(lit(1)).as("n_missed")))
     }),
+    // the census that itself survives 100×: exact ground truth only
+    // for pairs touching a deterministic 10% doc sample (probe-side
+    // shingle join — cost scales with the sample), vs the LSH pairs
+    // restricted to the same stratum; unbiased recall estimate
+    "dedup_lsh_recall_sampled" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val lsh = DedupOps.minhashLsh(docs).select("doc_a", "doc_b")
+        .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      val exact = DedupOps.ngramJaccardSampled(docs, 0.5, 10)
+        .select("doc_a", "doc_b")
+      val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact_s"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh_s")))
+        .crossJoin(missed.agg(count(lit(1)).as("n_missed_s")))
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(t(s, d)("documents"), 0.3)),
     // same exact semantics, prefix-filtered candidate generation — the
     // scale-credible exact path at production thresholds (t=0.7: each
@@ -2459,12 +2474,13 @@ object SparkEntry {
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |  ORDER BY df DESC, term LIMIT 2097152),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
         |scored AS (
-        |  SELECT doc_id, term, tf, df,
-        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |  SELECT doc_id, term, tf, COALESCE(df, 1) AS df,
+        |    round(tf * ln((n_docs + 1.0) / (COALESCE(df, 1) + 1.0)), 6) AS tfidf
+        |  FROM tf LEFT JOIN dfreq USING (term) CROSS JOIN n)
         |SELECT doc_id, term, tf, df, tfidf, rnk FROM (
         |  SELECT doc_id, term, tf, df, tfidf,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
@@ -2552,16 +2568,19 @@ object SparkEntry {
          |  SELECT doc_id, ws, CAST(unnest(range(0, len(ws))) AS INT) AS pos FROM toks
          |), pairs AS (
          |  SELECT doc_id, ws[pos] AS wprev, ws[pos+1] AS w FROM px WHERE pos >= 1
-         |), c2 AS (SELECT wprev, w, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+         |), c2 AS (SELECT wprev, w, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2
+         |  ORDER BY c2 DESC, wprev, w LIMIT 2097152),
          |tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
          |c1 AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY tok),
          |st AS (SELECT SUM(c1) AS n_total, COUNT(*) AS v FROM c1)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
-         |  CAST(SUM(CAST(round(ln(0.7 * (CAST(c2.c2 AS DOUBLE) / CAST(cp.c1 AS DOUBLE)) +
+         |  CAST(SUM(CAST(round(ln(
+         |      CASE WHEN c2.c2 IS NULL THEN 0.0
+         |        ELSE 0.7 * (CAST(c2.c2 AS DOUBLE) / CAST(cp.c1 AS DOUBLE)) END +
          |        0.3 * (CAST(cw.c1 + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE))), 12)
          |      AS DECIMAL(24,14))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob2
          |FROM pairs
-         |JOIN c2 USING (wprev, w)
+         |LEFT JOIN c2 USING (wprev, w)
          |JOIN c1 cw ON cw.tok = pairs.w
          |JOIN c1 cp ON cp.tok = pairs.wprev
          |CROSS JOIN st
@@ -2705,16 +2724,22 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q17_small_quantity" ->
-      """WITH avgq AS (
+      """WITH pk AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#4' AND p_size <= 15),
+        |li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem SEMI JOIN pk ON l_partkey = p_partkey),
+        |avgq AS (
         |  SELECT l_partkey,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |      / CAST(COUNT(*) AS DOUBLE) AS avg_qty
-        |  FROM lineitem GROUP BY 1)
+        |  FROM li GROUP BY 1)
         |SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
         |    AS avg_yearly,
         |  COUNT(*) AS n_lines
-        |FROM lineitem JOIN avgq USING (l_partkey)
+        |FROM li JOIN avgq USING (l_partkey)
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "text_ttr" ->
       s"""WITH $ToksCte
@@ -2727,7 +2752,7 @@ object SparkEntry {
     "text_readability" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1) AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS BIGINT), 1) AS n_words,
         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sents,
         |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS n_vgroups
         |  FROM documents)
@@ -2777,6 +2802,29 @@ object SparkEntry {
          |  (SELECT COUNT(*) FROM epairs e
          |   LEFT JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
          |   WHERE p.doc_a IS NULL) AS n_missed""".stripMargin,
+    "dedup_lsh_recall_sampled" ->
+      s"""WITH $MinhashPairsCtes,
+         |exs AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id <> a.doc_id
+         |    AND (b.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+         |  GROUP BY 1, 2),
+         |eps AS (
+         |  SELECT doc_a, doc_b
+         |  FROM exs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+         |lshs AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE doc_a % 10 = 0 OR doc_b % 10 = 0)
+         |SELECT (SELECT COUNT(*) FROM eps) AS n_exact_s,
+         |  (SELECT COUNT(*) FROM lshs) AS n_lsh_s,
+         |  (SELECT COUNT(*) FROM eps e
+         |   LEFT JOIN lshs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+         |   WHERE p.doc_a IS NULL) AS n_missed_s""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -3527,8 +3575,9 @@ object SparkEntry {
         |a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x*i) AS six
         |  FROM r GROUP BY 1)
         |SELECT event_type, n,
-        |  round(CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE), 9)
-        |    AS gini
+        |  CASE WHEN sx = 0 THEN 0.0
+        |    ELSE round(CAST(2*six - (n+1)*sx AS DOUBLE)
+        |      / CAST(n*sx AS DOUBLE), 9) END AS gini
         |FROM a ORDER BY event_type""".stripMargin,
     "w21_minmax_scale" ->
       """WITH s AS (
@@ -3577,7 +3626,8 @@ object SparkEntry {
         |SELECT n_a, n_b,
         |  MAX(round(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE)
         |    - CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)), 12)) AS d_stat
-        |FROM cum CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+        |FROM cum CROSS JOIN t
+        |WHERE n_a > 0 AND n_b > 0 GROUP BY 1, 2""".stripMargin,
     "a25_welch_t" ->
       """WITH s AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -232,6 +232,13 @@ object GraftFunctions {
       ColumnShim.expression(sortedArr), ColumnShim.expression(lo),
       ColumnShim.expression(hi)))
 
+  /** whole-matrix covariance grid aggregate over an embedding column —
+    * one narrow pass, exact 128-bit integer state, emits the upper
+    * triangle as array<struct<i,j,cov>> (see [[CovGrid]]).
+    */
+  def cov_grid(v: Column): Column =
+    ColumnShim.column(CovGrid(ColumnShim.expression(v)).toAggregateExpression())
+
   /** count-min sketch aggregate over a string column — fixed
     * depth×width counter matrix as array<bigint> (see [[CmsSketch]]).
     */

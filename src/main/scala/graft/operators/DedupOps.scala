@@ -265,6 +265,46 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact n-gram Jaccard pairs TOUCHING a deterministic doc sample
+    * (doc_id ≡ 0 mod `mod`) — the census primitive that lets the LSH
+    * recall check itself survive scale: the full census's ground truth
+    * is an all-pairs shared-shingle join (cost tracks Σ C(df, 2) over
+    * every shingle), while this one joins only the SAMPLE's shingle
+    * rows against the corpus, so candidate work drops by the sample
+    * factor and the estimate is unbiased over sample-touching pairs.
+    * Pair orientation is canonicalized (least/greatest); when BOTH
+    * ends are sampled, only the lower id acts as the probe side, so
+    * no pair is double-counted. Same exact Jaccard semantics as
+    * [[ngramJaccard]].
+    */
+  def ngramJaccardSampled(documents: DataFrame, threshold: Double,
+      mod: Int): DataFrame = {
+    val rows = shingleRows(documents)
+    val probe = rows.filter(col("doc_id") % mod === 0)
+      .select(col("sh"), col("doc_id").as("sid"), col("n").as("sn"))
+    probe
+      .join(rows.select(col("sh"), col("doc_id").as("oid"),
+        col("n").as("on")), Seq("sh"))
+      .filter(col("oid") =!= col("sid") &&
+        // both-sampled pairs appear under each probe doc: keep only
+        // the lower-id probe's copy
+        (col("oid") % mod =!= 0 || col("sid") < col("oid")))
+      .select(
+        when(col("sid") < col("oid"),
+          struct(col("sid").as("d"), col("sn").as("n")))
+          .otherwise(struct(col("oid").as("d"), col("on").as("n"))).as("a"),
+        when(col("sid") < col("oid"),
+          struct(col("oid").as("d"), col("on").as("n")))
+          .otherwise(struct(col("sid").as("d"), col("sn").as("n"))).as("b"))
+      .groupBy(col("a.d").as("doc_a"), col("b.d").as("doc_b"))
+      .agg(count(lit(1)).as("i"), max(col("a.n")).as("na"),
+        max(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard via PREFIX FILTERING (the PPJoin family's
     * core lemma): order every doc's shingle set by one global canonical
     * order — ascending document frequency, ties by shingle — and keep
@@ -472,21 +512,41 @@ object DedupOps {
     * expand in-bucket pairs lazily (PairExplode), count intersections
     * once per unordered pair, then test BOTH directions locally — the
     * direction split is a narrow explode over the counted pair row, so
-    * asymmetry costs nothing extra. Scale path mirrors the prefix
-    * lemma one-sided: containment(A→B) ≥ t means A's rarest-first
-    * prefix of ⌊(1−t)·na⌋+1 shingles must hit sh(B), so the
-    * [[ngramJaccardPrefix]] blocking carries over with prefixes built
-    * only on the contained side (documented, not needed at this SF).
+    * asymmetry costs nothing extra. Constant-factor discipline on the
+    * pair stream (the measured cost center): buckets collect UNSORTED
+    * (orientation is a per-pair least/greatest instead of a per-bucket
+    * sort), the intersection count groups on the two doc ids alone
+    * (the lengths ride along as max — they are functionally dependent
+    * on the ids), and the direction explode runs only on pairs that
+    * already pass the one-sided bound i ≥ t·min(na, nb). Scale path
+    * mirrors the prefix lemma one-sided: containment(A→B) ≥ t means
+    * A's rarest-first prefix of ⌊(1−t)·na⌋+1 shingles must hit sh(B),
+    * so the [[ngramJaccardPrefix]] blocking carries over with prefixes
+    * built only on the contained side (documented, not needed at this
+    * SF).
     */
   def containmentPairs(documents: DataFrame, threshold: Double): DataFrame =
     shingleRows(documents).groupBy("sh")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(graft.functions.GraftFunctions.pair_explode(col("ds"))
-        .as(Seq("a", "b")))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("i"))
+        .as(Seq("x", "y")))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      // explicit repartition BEFORE the aggregate: a pair recurs once
+      // per shared shingle, but those recurrences live in different
+      // shingle partitions (~1/P co-located), so map-side partial
+      // aggregation compresses ~nothing and just hashes the stream
+      // twice; shuffling raw pairs and aggregating once is strictly
+      // less work at every scale
+      .repartition(col("a.doc_id"), col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"), max(col("a.n")).as("na"),
+        max(col("b.n")).as("nb"))
+      // one-sided prefilter: max(i/na, i/nb) = i/min(na, nb) — only
+      // qualifying pairs reach the 2-way direction explode
+      .filter((col("i").cast("double") / least(col("na"), col("nb")))
+        >= threshold)
       .select(explode(array(
         struct(col("doc_a").as("doc_contained"),
           col("doc_b").as("doc_container"),
@@ -507,21 +567,30 @@ object DedupOps {
     * the corpus already has even when no single pair clears a dedup
     * threshold. doc_id order stands in for ingestion order.
     *
-    * Two shuffles at any corpus size: one groupBy on the shingle
-    * (computing min owner AND the in-bucket doc list in the same
-    * aggregation — no join back to the shingle table), one on doc_id
-    * for the per-doc tally. Shingle-frequency skew (boilerplate) sits
-    * in the first aggregation, which is map-side combinable.
+    * Skew posture: a boilerplate shingle shared by millions of docs
+    * must NOT accumulate per-group state proportional to its owners
+    * (the hot-vertex failure mode the graph core guards with
+    * adjSlices) — so there is no collect_list anywhere, and no join
+    * back onto the shingle stream either: because each doc's shingles
+    * are DISTINCT, n_novel(doc) is just the number of rows in the
+    * min-owner-per-shingle table whose owner is the doc. The plan is
+    * two scalar map-side-combinable aggregates — per-doc shingle
+    * count (exchange-free: shingleRows is already doc_id-partitioned)
+    * and min-owner-per-shingle (O(1) state however hot the shingle)
+    * re-aggregated by owner — closed by one doc-scale join. Data-
+    * scale work touches the shingle stream exactly once per side;
+    * everything after the min-owner agg is distinct-shingle-scale.
     */
-  def shingleNovelty(documents: DataFrame): DataFrame =
-    shingleRows(documents).groupBy("sh")
-      .agg(min(col("doc_id")).as("first_doc"),
-        collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .select(col("first_doc"), explode(col("ds")).as("d"))
-      .groupBy(col("d.doc_id").as("doc_id"))
-      .agg(max(col("d.n")).cast("long").as("n_shingles"),
-        count(when(col("first_doc") === col("d.doc_id"), 1)).as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  def shingleNovelty(documents: DataFrame): DataFrame = {
+    val rows = shingleRows(documents)
+    val perDoc = rows.groupBy("doc_id").agg(max(col("n")).cast("long").as("n_shingles"))
+    val novel = rows.groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles")).as("novelty"))
       .orderBy("doc_id")
+  }
 }

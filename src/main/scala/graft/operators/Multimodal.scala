@@ -238,6 +238,12 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
         val data = ais.readAllBytes()
         ais.close()
+        // fail loudly on a truncated/header-only clip (the pixelStats
+        // discipline): silently emitting sentinel stats for an empty
+        // PCM stream would let a broken decode pass as "quiet audio"
+        require(data.length >= 2,
+          s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
+            "no complete 16-bit sample (truncated or header-only WAV)")
         var sum = 0L
         var mn = Int.MaxValue
         var mx = Int.MinValue

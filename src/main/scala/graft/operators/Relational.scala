@@ -1360,8 +1360,11 @@ object Relational {
     * ranks are integers from ONE per-type window sort (ties broken on
     * event_id — tied equal values make any tie order sum identically,
     * so the statistic is order-free), all sums are exact decimals, and
-    * the only float is the final fixed division rounded to 9 dp. The
-    * window and the group agg share a single event_type exchange.
+    * the only float is the final fixed division rounded to 9 dp. A
+    * type whose values sum to exactly 0 has an undefined ratio — it is
+    * pinned to 0.0 (identically in the oracle) rather than leaking an
+    * engine-dependent NaN/Infinity. The window and the group agg
+    * share a single event_type exchange.
     */
   def a21Gini(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
@@ -1373,8 +1376,9 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("i")).as("six"))
       .select(col("event_type"), col("n"),
-        round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
-          (col("n") * col("sx")).cast("double"), 9).as("gini"))
+        when(col("sx") === lit(0), lit(0.0)).otherwise(
+          round((lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double"), 9)).as("gini"))
       .orderBy("event_type")
   }
 
@@ -1478,6 +1482,9 @@ object Relational {
     * bounded by value cardinality (fixed-precision metrics), not by
     * row count, which is what makes the shape survive 100 TB; the
     * per-row fractions are two integer divisions (order-free max).
+    * Degenerate inputs (one of the two samples empty → division by
+    * zero, D undefined) emit NO row rather than an engine-dependent
+    * Infinity — the guard is identical in the oracle.
     */
   def a24KsTest(events: DataFrame, typeA: String = "click",
       typeB: String = "view"): DataFrame = {
@@ -1494,6 +1501,7 @@ object Relational {
       .withColumn("cuma", sum(col("ca")).over(w))
       .withColumn("cumb", sum(col("cb")).over(w))
       .crossJoin(broadcast(tot)) // single-row totals
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .groupBy("n_a", "n_b")
       .agg(max(round(abs(
         col("cuma").cast("double") / col("n_a").cast("double") -
@@ -1632,24 +1640,32 @@ object Relational {
       .limit(20)
   }
 
-  /** TPC-H Q17-shaped small-quantity revenue: lines whose quantity is
-    * under 20% of their part's average — the decorrelated
+  /** TPC-H Q17-shaped small-quantity revenue: restrict to one brand's
+    * small parts (the selective part-dimension predicate that makes
+    * real Q17 cheap — ~a few percent of parts), then keep lines whose
+    * quantity is under 20% of their part's average — the decorrelated
     * per-group-threshold filter (the naive form is a correlated
     * subquery per line; the scale form is ONE per-part aggregate
-    * joined back onto the fact). avg is derived from exact decimal
-    * sum / count so the threshold double is engine-identical; the
-    * result is a single exact-decimal total. No broadcast hint on
-    * purpose: at 100 TB the part side is billions of keys, so the
-    * right plan is a partkey-partitioned join where the agg side
-    * REUSES the fact's own exchange (same scan, same key — Catalyst
-    * plans a ReusedExchange); at bench scale AQE converts it to a
-    * broadcast on its own.
+    * joined back onto the fact). The filtered part-key set SEMI-JOINS
+    * onto the fact FIRST, so both the average and the probe compute
+    * over the reduced fact only — a broadcastable dim-key prune at
+    * any scale. avg is derived from exact decimal sum / count so the
+    * threshold double is engine-identical; the result is a single
+    * exact-decimal total. No broadcast hint on the avg-probe join on
+    * purpose: the right plan is a partkey-partitioned join where the
+    * agg side shares the pruned fact; at bench scale AQE converts it
+    * to a broadcast on its own.
     */
   def q17SmallQuantity(part: DataFrame, lineitem: DataFrame): DataFrame = {
-    val avgQty = lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+    val keys = part
+      .filter(col("p_brand") === "Brand#4" && col("p_size") <= 15)
+      .select(col("p_partkey"))
+    val li = lineitem
+      .join(keys, col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
       .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") /
         count(lit(1)).cast("double")).as("avg_qty"))
-    lineitem
+    li
       .join(avgQty, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))

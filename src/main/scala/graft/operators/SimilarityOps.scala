@@ -109,7 +109,7 @@ object SimilarityOps {
     * vector with cosine ≥ `minCos` of each query — retrieval when the
     * answer set is "all sufficiently close", not a fixed k (dedup
     * sweeps, label propagation). Same plan shape as brute-force top-k
-    * minus the ranking window: ONE broadcast join, per-row codegen'd
+    * minus the ranking aggregate: ONE broadcast join, per-row codegen'd
     * dot, no shuffle of the corpus at all — at 100 TB the filter rides
     * inside the scan stage. The LSH-bucketed variant (bucket-join
     * instead of broadcast-all) is the recall-trading scale path, as
@@ -574,9 +574,10 @@ object SimilarityOps {
     * Zero-norm vectors (all-zero codes) are excluded on both sides.
     *
     * Plan family: same as [[bruteForceTopK]] — one broadcast join (no
-    * shuffle of the vector table), one query-keyed ranking window.
-    * Recall vs the float ranking is spec-checked on the real
-    * embeddings table.
+    * shuffle of the vector table) into the bounded [[rankTopK]]
+    * aggregate (per-query top-k heaps, map-side combined; no Window
+    * anywhere). Recall vs the float ranking is spec-checked on the
+    * real embeddings table.
     */
   private def quantCols(df: DataFrame, vcol: String, out: String): DataFrame =
     df.withColumn("amax",
@@ -706,46 +707,25 @@ object SimilarityOps {
 
   /** Exact feature-covariance matrix of the embedding space (upper
     * triangle, d(d+1)/2 cells) — the whitening / PCA / drift-detection
-    * precursor of an embedding pipeline. Cross-engine exactness:
-    * values are first quantized to an integer grid (`floor(x·10⁶)` —
-    * the double multiply and floor are IEEE-identical everywhere, and
-    * grid products of |x| ≤ ~10³ stay within long range), so every
-    * accumulation is integer/decimal (order-free, partial-agg safe);
-    * the only float work is ONE fixed per-cell expression at the end,
-    * rounded to 9 dp. Plan shape for 100 TB: the per-row pair
-    * expansion (d(d+1)/2 product terms) feeds a map-side partial
-    * aggregate, so only cells × partitions rows cross the single
-    * exchange — the d²·N multiply work is the irreducible FLOP count
-    * of covariance itself, and state never exceeds d² cells. Per-dim
-    * sums are a d-row side aggregate broadcast back onto the cells.
+    * precursor of an embedding pipeline. ONE narrow pass: the native
+    * [[graft.functions.CovGrid]] aggregate holds the full d² sum grid
+    * (plus per-dim sums and the count) as fixed-size mergeable state,
+    * so only one grid per partition crosses the single exchange and
+    * the d²·N multiply work — the irreducible FLOP count of
+    * covariance — happens map-side with zero row expansion. (The
+    * previous formulation exploded d(d+1)/2 rows per vector into a
+    * partial aggregate: same arithmetic, but a d²-wide generator
+    * stream per row — pure constant-factor overhead this accumulator
+    * deletes.) Exactness contract lives in the aggregate: floor(x·10⁶)
+    * integer grid, 128-bit exact sums, one fixed per-cell float
+    * finalization rounded to 9 dp. The explode below expands the
+    * single result row into d(d+1)/2 cells — output-scale, not
+    * data-scale.
     */
-  def covarianceMatrix(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val base = embeddings.select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
-      .as("q"))
-    val pairs = expr(
-      """flatten(transform(q, (xi, i) ->
-        |  transform(slice(q, i + 1, size(q) - i), (xj, j) ->
-        |    named_struct('i', i, 'j', i + j, 'p', xi * xj))))""".stripMargin)
-    val cells = base
-      .select(explode(pairs).as("c"))
-      .select(col("c.i").cast("long").as("i"), col("c.j").cast("long").as("j"),
-        col("c.p").as("p"))
-      .groupBy("i", "j")
-      .agg(sum(col("p").cast(DecimalType(38, 0))).as("spq"),
-        count(lit(1)).as("n"))
-    val dims = base
-      .select(posexplode(col("q")).as(Seq("dim", "x")))
-      .groupBy(col("dim").cast("long").as("dim"))
-      .agg(sum(col("x").cast(DecimalType(38, 0))).as("s"))
-    cells
-      .join(broadcast(dims.select(col("dim").as("i"), col("s").as("si"))), "i")
-      .join(broadcast(dims.select(col("dim").as("j"), col("s").as("sj"))), "j")
-      .select(col("i"), col("j"),
-        round((col("n") * col("spq") - col("si") * col("sj")).cast("double") /
-          (col("n").cast("double") * col("n").cast("double")) /
-          lit(1000000000000.0), 9).as("cov"))
+  def covarianceMatrix(embeddings: DataFrame): DataFrame =
+    embeddings
+      .agg(graft.functions.GraftFunctions.cov_grid(col("embedding")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.cov").as("cov"))
       .orderBy("i", "j")
-  }
 }

@@ -316,11 +316,21 @@ object TextOps {
       .select(col("doc_id"), explode(graft.functions.GraftFunctions
         .word_term_freqs(col("text"))).as("tfs"))
       .select(col("doc_id"), col("tfs.term").as("term"), col("tfs.tf").as("tf"))
-    // tf rows are distinct (doc, term), so df = row count per term
+    // tf rows are distinct (doc, term), so df = row count per term.
+    // The broadcast table is BOUNDED to the top-2²¹ terms by df (the
+    // oovRatio / bigram-model vocab discipline — a saturating real
+    // vocabulary fits; OCR noise and hapax junk do not get to grow
+    // the broadcast without bound): a term outside the table is
+    // rare-tail by construction, and its df defaults to the hapax
+    // value 1. At tested scales every term is inside the bound, so
+    // the limit is structural (visible in the plan, mirrored in the
+    // oracle) without changing scores.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(1 << 21)
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), Seq("term"), "left_outer")
       .crossJoin(broadcast(nDocs))
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0d) / (col("df") + 1.0d)), 6))
       .withColumn("rnk", row_number().over(
@@ -623,10 +633,26 @@ object TextOps {
     * and p₁ = (c(w)+1)/(N+V) (smoothed unigram backoff); a document
     * scores the mean over its bigrams (single-token docs drop out —
     * they have no bigram evidence). Bigrams come from one array zip
-    * (no window, no self-join); both model tables are vocabulary-
-    * bounded and BROADCAST, so the only data-scale exchange is the
-    * per-doc score aggregate. Determinism: fixed IEEE tree for the
-    * interpolation, round-12 log contributions, exact decimal sums.
+    * (no window, no self-join).
+    *
+    * Scale shape: bigram TYPES are not vocabulary-bounded — distinct
+    * (w_prev, w) pairs grow toward O(V²) with corpus size (hundreds
+    * of millions at 100 TB), far past broadcast limits — so the model
+    * is BOUNDED the way every real KenLM-style filter bounds its ARPA
+    * file: the TOP-[[BigramModelK]] bigram types by count
+    * (deterministic tie-break on the pair itself) carry the full
+    * interpolated score, and everything below the cut backs off to
+    * the smoothed unigram term alone, ln(0.3·p₁). The broadcast is
+    * then CORRECT at any corpus size (≤K model rows plus the
+    * genuinely vocabulary-bounded unigram table — the [[oovRatio]]
+    * bounded-vocab pattern) and the probe needs no instance-scale
+    * shuffle at all — per-instance scoring is two broadcast hash
+    * lookups and one ln inside whole-stage codegen, and the only
+    * instance-scale exchange in the query is the map-side-combined
+    * per-doc score rollup. The model build's (w_prev, w) aggregation
+    * is itself map-side combinable with a well-spread 2-part key.
+    * Determinism: fixed IEEE trees for both the interpolated and the
+    * backoff contribution, round-12 logs, exact decimal sums.
     */
   def bigramLogProb(documents: DataFrame): DataFrame = {
     val pairs = documents
@@ -637,19 +663,33 @@ object TextOps {
           |  i -> struct(ws[i-1] AS wprev, ws[i] AS w)) END""".stripMargin
           .replace("\n", " "))).as("pr"))
       .select(col("doc_id"), col("pr.wprev").as("wprev"), col("pr.w").as("w"))
-    val c2 = pairs.groupBy("wprev", "w").agg(count(lit(1)).as("c2"))
+    // the explicit isnotnull keeps every consumer's c1 subtree
+    // canonically identical (join planning adds the filter to some
+    // branches), so the token explode+shuffle is built once and
+    // stage-reused by the broadcasts AND the stats rollup
     val c1 = documents.select(explode(toksCol).as("tok"))
+      .filter(col("tok").isNotNull)
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val stats = c1.agg(sum(col("c1")).as("n_total"), count(lit(1)).as("v"))
-    pairs
-      .join(broadcast(c2), Seq("wprev", "w"))
-      .join(broadcast(c1.withColumnRenamed("tok", "w")
-        .withColumnRenamed("c1", "c1_w")), Seq("w"))
+    val c2top = pairs.groupBy("wprev", "w").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("wprev"), col("w")).limit(BigramModelK)
+    val model = c2top
       .join(broadcast(c1.withColumnRenamed("tok", "wprev")
         .withColumnRenamed("c1", "c1_prev")), Seq("wprev"))
+      .select(col("wprev"), col("w"),
+        (lit(0.7) * (col("c2").cast("double") / col("c1_prev").cast("double")))
+          .as("p2_term"))
+    pairs
+      // every joined table is bounded (≤K model rows, vocab-sized c1,
+      // single-row stats), so the probe stream NEVER shuffles: the
+      // only instance-scale exchange left is the per-doc partial-
+      // aggregated score rollup
+      .join(broadcast(model), Seq("wprev", "w"), "left_outer")
+      .join(broadcast(c1.withColumnRenamed("tok", "w")
+        .withColumnRenamed("c1", "c1_w")), Seq("w"))
       .crossJoin(broadcast(stats)) // single-row corpus constants
       .withColumn("contrib",
-        round(log(lit(0.7) * (col("c2").cast("double") / col("c1_prev").cast("double")) +
+        round(log(coalesce(col("p2_term"), lit(0.0)) +
           lit(0.3) * ((col("c1_w") + 1).cast("double") /
             (col("n_total") + col("v")).cast("double"))), 12)
           .cast(DecimalType(24, 14)))
@@ -659,6 +699,17 @@ object TextOps {
           count(lit(1)).cast("double")).as("avg_logprob2"))
       .orderBy("doc_id")
   }
+
+  /** Bigram-model bound for [[bigramLogProb]]: top-K bigram types kept
+    * with the full interpolated probability; below the cut, unigram
+    * backoff. 2²¹ rows ≈ tens of MB broadcast — executor-safe at any
+    * corpus size — while at the tested scales every observed bigram
+    * type fits inside K, so the bound is exercised structurally (the
+    * limit is in the plan and mirrored in the oracle) without
+    * changing small-corpus scores.
+    */
+  val BigramModelK: Int = 1 << 21
+
 
   /** Corpus unigram language model (add-one smoothing) scoring every
     * document by mean token log-probability — the perplexity-filter
@@ -799,7 +850,11 @@ object TextOps {
     * too-trivial documents are both downweighted in training mixes).
     * Sentences are terminator runs `[.!?]+`, syllables approximated as
     * vowel-group runs `[aeiouy]+` — both alternation-free character
-    * classes, so Java regex and the oracle's RE2 agree. Counts are
+    * classes, so Java regex and the oracle's RE2 agree. Words are runs
+    * of `[^ \t\n\f\r]+` — an EXPLICIT ASCII negated class spelled
+    * identically in the oracle SQL, because `\S` is engine-defined
+    * (Java and RE2 disagree on vertical tab and Unicode spaces, so
+    * exotic whitespace would silently diverge n_words). Counts are
     * floored at 1 so fragments without terminators stay defined. The
     * score is one fixed per-row double expression (left-associated
     * exactly as in the oracle SQL: 206.835 − 1.015·w/s − 84.6·v/w),
@@ -807,7 +862,8 @@ object TextOps {
     */
   def readability(documents: DataFrame): DataFrame = {
     val nWords = greatest(
-      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long"),
+      size(regexp_extract_all(col("text"), lit("[^ \\t\\n\\f\\r]+"), lit(0)))
+        .cast("long"),
       lit(1L))
     val nSents = greatest(
       size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),

@@ -140,6 +140,42 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 1L, 1.0)), s"got $got")
   }
 
+  test("shingleNovelty survives a boilerplate shingle shared by every doc") {
+    // the skew scenario the min-owner formulation exists for: ONE
+    // shingle carried by the whole corpus (a footer/license line).
+    // Every doc shares "common footer line"; each also has one private
+    // trigram. Correctness: the boilerplate shingle is novel only for
+    // doc 0; each private shingle is novel for its owner.
+    val n = 500
+    val corpus = (0 until n).map { i =>
+      (i.toLong, s"u$i v$i w$i common footer line")
+    }.toDF("doc_id", "text")
+    val got = DedupOps.shingleNovelty(corpus)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (d, ns, nn, nv) => d -> ((ns, nn, nv)) }.toMap
+    // trigrams of "u v w common footer line": u-v-w, v-w-common,
+    // w-common-footer, common-footer-line (4 distinct; first 3 private)
+    assert(got(0L) == (4L, 4L, 1.0), s"doc 0 owns everything: ${got(0L)}")
+    (1 until n).foreach { i =>
+      assert(got(i.toLong) == (4L, 3L, 0.75), s"doc $i: ${got(i.toLong)}")
+    }
+  }
+
+  test("ngramJaccardSampled equals the full census restricted to the sample") {
+    // 40 docs: pairs (2k, 2k+1) are near-dups; sample = doc_id % 10 == 0
+    val corpus = (0 until 40).map { i =>
+      val base = s"p${i / 2} q${i / 2} r${i / 2} s${i / 2} t${i / 2}"
+      (i.toLong, if (i % 2 == 0) base else s"$base extra")
+    }.toDF("doc_id", "text")
+    val full = DedupOps.ngramJaccard(corpus, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).toSet
+    val sampled = DedupOps.ngramJaccardSampled(corpus, 0.5, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sampled == full, s"sampled=$sampled full=$full")
+    assert(sampled.nonEmpty, "sample stratum must contain planted pairs")
+  }
+
   test("identical docs have identical simhash; near docs are close") {
     val two = Seq((0L, docA, "en", "s", 1L), (1L, docA, "en", "s", 1L), (2L, docC, "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

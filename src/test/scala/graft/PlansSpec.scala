@@ -262,25 +262,65 @@ class PlansSpec extends SparkSpec {
     val df = graft.operators.DedupOps.containmentPairs(docs, 0.6)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    // entry repartition + shingle bucket + pair count = 3 hash
-    // exchanges; the per-direction split is a local Generate over the
-    // counted pair row — a sizes-table join (or a distinct) here would
-    // re-shuffle the pair set
+    // entry repartition + shingle bucket + raw-pair repartition = 3
+    // hash exchanges; the pair repartition replaces a map-side partial
+    // aggregate that compresses ~nothing (a pair recurs once per
+    // shared shingle, spread across shingle partitions), and the
+    // per-direction split is a local Generate over the counted pair
+    // row — a sizes-table join (or a distinct) here would re-shuffle
+    // the pair set
     assert(!p.contains("Join"), s"containment must not join:\n${p.take(3000)}")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 3, s"expected 3 hash exchanges, got $exchanges:\n${p.take(3000)}")
   }
 
-  test("shingleNovelty: first-owner and doc tally share one bucket pass") {
+  test("shingleNovelty: scalar min-owner agg, no per-shingle arrays") {
     val docs = Tables(spark, sf0001, "documents")
     val df = graft.operators.DedupOps.shingleNovelty(docs)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    // min(doc_id) and the in-bucket doc list come from the SAME shingle
-    // aggregation — a join back to the shingle table would add a 4th
-    // exchange and a sort-merge join
-    assert(!p.contains("Join"), s"novelty must not join:\n${p.take(3000)}")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // the r6 hot-key exposure: collect_list per shingle builds one
+    // giant array for a boilerplate shingle shared by millions of
+    // docs. The fix is O(1)-state aggregates only — min owner per
+    // shingle re-aggregated by owner — closed by a doc-scale join
+    assert(!p.contains("collect_list"),
+      s"per-shingle arrays reintroduce the hot-key exposure:\n${p.take(3000)}")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"novelty needs only codegen'd scalar aggregates:\n${p.take(3000)}")
+    assert(p.contains("min(doc_id"),
+      s"expected the min-owner aggregate:\n${p.take(3000)}")
+    // entry repartition (stage-reused by both sides) + shingle agg +
+    // owner tally = 3 hash exchanges, counted as DISTINCT plan ids (a
+    // ReusedExchange re-prints its target — a reused stage is the
+    // opposite of an extra shuffle). The join-back is doc-scale
+    val exchanges = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(exchanges == 3, s"expected 3 hash exchanges, got $exchanges:\n${p.take(3000)}")
+  }
+
+  test("bigramLogProb: bounded top-K model broadcast, shuffle-free probe") {
+    val docs = Tables(spark, sf0001, "documents")
+    val df = graft.operators.TextOps.bigramLogProb(docs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the r6 scale-killer was broadcasting the UNBOUNDED bigram table;
+    // the fix is the documented bound: top-BigramModelK bigrams by
+    // count (visible in the plan as the TakeOrdered limit) + unigram
+    // backoff via left-outer join. The probe side must carry no
+    // shuffle and no window — instance-scale work is the scan, two
+    // broadcast lookups, and the map-side-combined per-doc rollup
+    assert(p.contains(
+      s"TakeOrderedAndProject(limit=${graft.operators.TextOps.BigramModelK}"),
+      s"model bound missing from the plan:\n${p.take(3000)}")
+    assert(p.contains("LeftOuter"),
+      s"unigram backoff needs the left-outer model join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"probe must stay broadcast-only and window-free:\n${p.take(3000)}")
+    // c2 build + c1 build + per-doc rollup = 3 hash exchanges.
+    // Count DISTINCT plan ids: a ReusedExchange re-prints its target
+    // (same id), so raw substring counts over-/under-count with AQE
+    val exchanges = "Exchange hashpartitioning[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet.size
     assert(exchanges == 3, s"expected 3 hash exchanges, got $exchanges:\n${p.take(3000)}")
   }
 
@@ -619,16 +659,26 @@ class PlansSpec extends SparkSpec {
       s"query set must broadcast (corpus never shuffles):\n${p.take(3000)}")
   }
 
-  test("covariance: pair terms combine map-side; margins broadcast; no Window") {
+  test("covariance: one narrow cov_grid pass, no row expansion, no keyed shuffle") {
     val df = graft.operators.SimilarityOps.covarianceMatrix(
       Tables(spark, sf0001, "embeddings"))
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    assert(!p.contains("SortMergeJoin"),
-      s"per-dim sums must broadcast onto cells:\n${p.take(3000)}")
-    assert(!p.contains("Window"), s"no window belongs here:\n${p.take(3000)}")
-    assert(p.contains("partial_sum"),
-      s"cell sums must combine map-side (only cells x partitions rows may cross):\n${p.take(3000)}")
+    // the native grid accumulator replaces the d²-rows-per-vector
+    // posexplode: the partial grid combines map-side, one grid per
+    // partition crosses a SinglePartition exchange, and the only
+    // Generate is the output-scale cell expansion AFTER the aggregate
+    assert(p.contains("partial_cov_grid"),
+      s"grid must combine map-side:\n${p.take(3000)}")
+    assert(!p.contains("posexplode"),
+      s"no per-vector pair expansion belongs here:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"margins live inside the grid state now:\n${p.take(3000)}")
+    val keyed = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(keyed == 0,
+      s"only the SinglePartition merge may shuffle, got $keyed keyed exchanges:\n${p.take(3000)}")
+    assert(p.indexOf("Generate explode") < p.indexOf("partial_cov_grid"),
+      s"the cell explode must sit ABOVE the aggregate (output-scale):\n${p.take(3000)}")
   }
 
   test("length buckets: join-free, single bucket-key exchange") {

@@ -250,4 +250,31 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1)._3 - r9(4.0 / 3.0)) < eps)
     assert(math.abs(got(2)._3 - r9(8.0 / 3.0)) < eps)
   }
+
+  test("cov_grid 128-bit state survives sums a plain long cannot hold") {
+    // |x| = 3000 quantizes to 3·10⁹; each squared product is 9·10¹⁸ ≈
+    // Long.MaxValue, so TWO rows already overflow a 64-bit
+    // accumulator — the carry-propagated (hi, lo) pairs must not.
+    // Population variance of a constant column is exactly 0, and any
+    // silent wraparound would destroy that.
+    val n = 8
+    val vs = (1 to n).map(i => (i.toLong, Array(3000.0f, -3000.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.covarianceMatrix(vs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0L, 0.0), (0L, 1L, 0.0), (1L, 1L, 0.0)),
+      s"overflow corrupted the constant-column covariance: $got")
+  }
+
+  test("cov_grid fails loudly on ragged embedding dims") {
+    val vs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.covarianceMatrix(vs).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert((e.getMessage + root(e).getMessage).contains("ragged"),
+      s"expected the ragged-dims guard, got: ${e.getMessage}")
+  }
 }
