@@ -110,8 +110,14 @@ object BulkUpload {
 
   /** Upload-side wire seam (`salesforce_bulk` job/batch lifecycle). */
   trait UploadTransport extends Serializable {
+    /** `contentType` mirrors `create_job_doc(contentType='CSV')`
+      * (`salesforce_bulk.py:252-274`): the job's declared batch
+      * payload/result format — CSV (engine default, what pgsf itself
+      * speaks), JSON or XML.
+      */
     def createJob(objectName: String, operation: String,
-        externalIdField: Option[String] = None): String
+        externalIdField: Option[String] = None,
+        contentType: String = "CSV"): String
     def postBatch(jobId: String, chunkCsv: String): String
     /** Poll until the batch completes (`wait_for_batch`, 600 s/10 s,
       * retrying connection errors — `upload_table.py:89-96`).
@@ -234,10 +240,13 @@ final class MockUploadTransport(failEvery: Int = 0)
   @volatile var closedJobs: List[String] = Nil
 
   @volatile var lastExternalIdField: Option[String] = None
+  @volatile var lastContentType: String = "CSV"
 
   override def createJob(objectName: String, operation: String,
-      externalIdField: Option[String] = None): String = {
+      externalIdField: Option[String] = None,
+      contentType: String = "CSV"): String = {
     lastExternalIdField = externalIdField
+    lastContentType = contentType
     s"job-$objectName-$operation-${jobCounter.incrementAndGet()}"
   }
   override def postBatch(jobId: String, chunkCsv: String): String = {

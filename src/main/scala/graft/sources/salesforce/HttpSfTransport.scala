@@ -35,10 +35,14 @@ final case class ApiUsage(used: Long, total: Long) {
   *  - Batch polling with retry-on-connection-error and the 600 s/10 s
   *    wait semantics (`download.py:50-80`, `upload_table.py:89-96`,
   *    `salesforce_bulk.py:505-511`).
-  *  - Streamed CSV batch results with NUL bytes stripped
-  *    (`salesforce_bulk.py:461-496`) and per-record
-  *    `UploadResult(id, success, created, error)` parsing for upload
-  *    batches (`salesforce_bulk.py:498-546`).
+  *  - Streamed batch results with NUL bytes stripped
+  *    (`salesforce_bulk.py:461-496`), decoded by RESPONSE
+  *    Content-Type (CSV via [[CsvWire]], JSON via [[JsonWire]] —
+  *    `get_query_batch_result_ids`' dispatch, `:440-459`), and
+  *    per-record `UploadResult(id, success, created, error)` parsing
+  *    for upload batches in all three result formats
+  *    (`salesforce_bulk.py:498-546` CSV/JSON/XML branches); job docs
+  *    carry the `contentType` keyword (`:252-274`).
   *
   * Partition tokens returned by [[pkChunks]] are `(jobId, batchId)` —
   * the server does the chunk split, so one Spark partition maps to one
@@ -155,19 +159,27 @@ final class HttpSfTransport(
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  private val JobContentTypes = Set("CSV", "JSON", "XML")
+
   /** `create_job_doc` field order: operation, object,
     * [externalIdFieldName], [concurrencyMode], contentType
-    * (`salesforce_bulk.py:252-274`).
+    * (`salesforce_bulk.py:252-274`); `contentType` parameterized like
+    * the reference's keyword (CSV default — the format pgsf itself
+    * speaks — with JSON/XML accepted).
     */
   private def jobDoc(objectName: String, operation: String,
-      externalIdField: Option[String] = None): String =
+      externalIdField: Option[String] = None,
+      contentType: String = "CSV"): String = {
+    require(JobContentTypes(contentType),
+      s"unsupported bulk contentType '$contentType' (one of CSV/JSON/XML)")
     s"""<?xml version="1.0" encoding="UTF-8"?>""" +
       s"""<jobInfo xmlns="$JobNs">""" +
       s"<operation>$operation</operation>" +
       s"<object>${xmlEscape(objectName)}</object>" +
       externalIdField.map(f =>
         s"<externalIdFieldName>${xmlEscape(f)}</externalIdFieldName>").getOrElse("") +
-      "<contentType>CSV</contentType></jobInfo>"
+      s"<contentType>$contentType</contentType></jobInfo>"
+  }
 
   private def stateDoc(state: String): String =
     s"""<?xml version="1.0" encoding="UTF-8"?>""" +
@@ -301,12 +313,7 @@ final class HttpSfTransport(
         .map(e => e.getKey -> jsonValue(e.getValue)).toMap
     }
 
-  private def jsonValue(n: JsonNode): Any =
-    if (n == null || n.isNull) null
-    else if (n.isBoolean) n.booleanValue()
-    else if (n.isIntegralNumber) n.longValue()
-    else if (n.isNumber) n.doubleValue()
-    else n.asText()
+  private def jsonValue(n: JsonNode): Any = JsonWire.scalar(n)
 
   /** SOSL: GET search/?q=<SOSL> → {"searchRecords":[…]}; each
     * record's `attributes.type` lands as `_sobject_type` (the search
@@ -422,37 +429,52 @@ final class HttpSfTransport(
   // ---- Bulk path: batch download --------------------------------------
 
   /** One server-side batch → rows: poll the batch to Completed, list
-    * its result ids, stream each result's CSV with NUL bytes stripped
+    * its result ids, stream each result body with NUL bytes stripped
     * (`salesforce_bulk.py:440-496`). Result bodies are consumed as a
-    * STREAM (ofInputStream → incremental NUL-strip → CsvWire over a
-    * Reader), never materialized whole: a result file can approach
+    * STREAM (ofInputStream → incremental NUL-strip → wire decoder over
+    * a Reader), never materialized whole: a result file can approach
     * 1 GB, and one byte[] + String copy of it would OOM the executor.
+    *
+    * The result-id listing and each result body dispatch on the
+    * RESPONSE Content-Type the way `get_query_batch_result_ids`
+    * (`salesforce_bulk.py:440-459`) does: JSON jobs answer with a JSON
+    * id array and JSON record arrays; CSV jobs with the XML result
+    * list and CSV bodies.
     */
   private def bulkBatchRows(jobId: String, batchId: String): Iterator[Map[String, Any]] = {
     waitBatch(jobId, batchId)
-    val resultIds = elements(
-      parseXml(bulkGet(s"/job/$jobId/batch/$batchId/result").body()), "result")
-      .map(_.getTextContent)
+    val listResp = bulkGet(s"/job/$jobId/batch/$batchId/result")
+    val resultIds: Seq[String] =
+      if (responseContentType(listResp).contains("json"))
+        mapper.readTree(new String(listResp.body(), UTF_8))
+          .elements().asScala.map(_.asText()).toSeq
+      else elements(parseXml(listResp.body()), "result").map(_.getTextContent)
     resultIds.iterator.flatMap { rid =>
-      val in = bulkGetStream(s"/job/$jobId/batch/$batchId/result/$rid")
-      // CsvWire closes the stream at EOF, but a partially-consumed
-      // iterator (LIMIT pushdown, task abort) is simply abandoned — the
-      // PartitionReader's close() cannot reach it. Register the close
-      // with the task, so the socket is released when the task ends
-      // however it ends (close() is idempotent; outside a task — unit
-      // specs — the EOF close is the only path, as before).
+      val (in, ctype) = bulkGetStream(s"/job/$jobId/batch/$batchId/result/$rid")
+      // the wire decoder closes the stream at EOF, but a partially-
+      // consumed iterator (LIMIT pushdown, task abort) is simply
+      // abandoned — the PartitionReader's close() cannot reach it.
+      // Register the close with the task, so the socket is released
+      // when the task ends however it ends (close() is idempotent;
+      // outside a task — unit specs — the EOF close is the only path).
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => in.close()))
-      CsvWire.parse(nulStripReader(in))
+      if (ctype.contains("json")) JsonWire.parse(mapper, nulStripReader(in))
+      else CsvWire.parse(nulStripReader(in))
     }
   }
+
+  private def responseContentType(resp: HttpResponse[_]): String =
+    resp.headers().firstValue("Content-Type").orElse("").toLowerCase
 
   /** Streaming GET for (idempotent) result downloads: retries
     * establishing the connection like [[send]]; a drop MID-stream
     * surfaces to the reader — the task rereads the partition on retry,
-    * which the scan path tolerates (at-least-once reads).
+    * which the scan path tolerates (at-least-once reads). Returns the
+    * stream plus the response Content-Type (lowercased) so the caller
+    * can pick the wire decoder.
     */
-  private def bulkGetStream(path: String): java.io.InputStream = {
+  private def bulkGetStream(path: String): (java.io.InputStream, String) = {
     var attempt = 0
     while (true) {
       try {
@@ -463,7 +485,7 @@ final class HttpSfTransport(
             finally resp.body().close()
           throw new SfApiError(resp.statusCode(), msg)
         }
-        return resp.body()
+        return (resp.body(), responseContentType(resp))
       } catch {
         case _: java.io.IOException if attempt < maxRetries =>
           attempt += 1
@@ -528,9 +550,11 @@ final class HttpSfTransport(
   // ---- UploadTransport (reverse ETL, K5) ------------------------------
 
   override def createJob(objectName: String, operation: String,
-      externalIdField: Option[String] = None): String = {
+      externalIdField: Option[String] = None,
+      contentType: String = "CSV"): String = {
     val resp = bulkPost("/job",
-      jobDoc(objectName, operation, externalIdField), "application/xml")
+      jobDoc(objectName, operation, externalIdField, contentType),
+      "application/xml")
     childMap(parseXml(resp.body()).getDocumentElement)("id")
   }
 
@@ -542,20 +566,58 @@ final class HttpSfTransport(
   override def closeJob(jobId: String): Unit =
     bulkPost(s"/job/$jobId", stateDoc("Closed"), "application/xml")
 
-  /** Per-record upload outcome: the CSV `"Id","Success","Created",
-    * "Error"` body of GET job/batch/result (`salesforce_bulk.py:
-    * 498-546` CSV branch).
+  /** Per-record upload outcome of GET job/batch/result, dispatched on
+    * the RESPONSE Content-Type exactly like `get_batch_results`
+    * (`salesforce_bulk.py:498-546`): the CSV `"Id","Success",
+    * "Created","Error"` rows, the JSON `[{id, success, created,
+    * errors:[...]}]` array, or the jobNS XML `<result>` elements. The
+    * reference keeps JSON/XML error LISTS; this engine's
+    * [[UploadResult.error]] is a single string, so structured errors
+    * flatten to "statusCode:message" entries joined with "; " (the
+    * job-abort decision downstream only tests emptiness).
     */
   override def batchResults(jobId: String, batchId: String): Seq[UploadResult] = {
-    val raw = bulkGet(s"/job/$jobId/batch/$batchId/result").body()
-    val csv = new String(raw, UTF_8).replace("\u0000", "")
-    CsvWire.parse(csv).map { row =>
-      UploadResult(
-        id = row.getOrElse("Id", "").toString,
-        success = row.getOrElse("Success", "false").toString.equalsIgnoreCase("true"),
-        created = row.getOrElse("Created", "false").toString.equalsIgnoreCase("true"),
-        error = row.getOrElse("Error", "").toString)
-    }.toSeq
+    val resp = bulkGet(s"/job/$jobId/batch/$batchId/result")
+    val ctype = responseContentType(resp)
+    if (ctype.contains("json")) {
+      def flag(n: JsonNode): Boolean =
+        if (n.isBoolean) n.booleanValue() else n.asText("").equalsIgnoreCase("true")
+      mapper.readTree(new String(resp.body(), UTF_8).replace("\u0000", ""))
+        .elements().asScala.map { r =>
+          UploadResult(
+            id = r.path("id").asText(""),
+            success = flag(r.path("success")),
+            created = flag(r.path("created")),
+            error = r.path("errors").elements().asScala.map(e =>
+              (e.path("statusCode").asText("") + ":" +
+                e.path("message").asText("")).stripPrefix(":"))
+              .mkString("; "))
+        }.toSeq
+    } else if (ctype.contains("xml")) {
+      elements(parseXml(resp.body()), "result").map { el =>
+        val m = childMap(el)
+        val errs = el.getElementsByTagNameNS("*", "errors")
+        val error = (0 until errs.getLength).map { i =>
+          val em = childMap(errs.item(i).asInstanceOf[org.w3c.dom.Element])
+          (em.getOrElse("statusCode", "") + ":" + em.getOrElse("message", ""))
+            .stripPrefix(":")
+        }.mkString("; ")
+        UploadResult(
+          id = m.getOrElse("id", ""),
+          success = m.getOrElse("success", "false").equalsIgnoreCase("true"),
+          created = m.getOrElse("created", "false").equalsIgnoreCase("true"),
+          error = error)
+      }
+    } else {
+      val csv = new String(resp.body(), UTF_8).replace("\u0000", "")
+      CsvWire.parse(csv).map { row =>
+        UploadResult(
+          id = row.getOrElse("Id", "").toString,
+          success = row.getOrElse("Success", "false").toString.equalsIgnoreCase("true"),
+          created = row.getOrElse("Created", "false").toString.equalsIgnoreCase("true"),
+          error = row.getOrElse("Error", "").toString)
+      }.toSeq
+    }
   }
 }
 
@@ -622,4 +684,48 @@ private[graft] object CsvWire {
         fields.result()
       }
     }
+}
+
+/** Streaming decoder for bulk JSON result bodies — the JSON twin of
+  * [[CsvWire]]: the body is one top-level array of record objects
+  * (`salesforce_bulk.py:512-517` JSON branch consumes the same shape
+  * via `json.load`); records decode one at a time off the Jackson
+  * parser, so nothing requires the whole body in memory. `attributes`
+  * envelopes are dropped exactly like the REST page decoder; scalars
+  * keep native types (SfRowReader converts against the Spark schema
+  * either way). The parser closes at the end of the array.
+  */
+private[graft] object JsonWire {
+
+  def scalar(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isBoolean) n.booleanValue()
+    else if (n.isIntegralNumber) n.longValue()
+    else if (n.isNumber) n.doubleValue()
+    else n.asText()
+
+  def parse(mapper: ObjectMapper, reader: java.io.Reader): Iterator[Map[String, Any]] = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(reader)
+    val first = p.nextToken()
+    if (first == null) { p.close(); return Iterator.empty }
+    require(first == JsonToken.START_ARRAY,
+      s"bulk JSON result must be a top-level array, got $first")
+    new Iterator[Map[String, Any]] {
+      private var tok = p.nextToken()
+      override def hasNext: Boolean = {
+        val more = tok == JsonToken.START_OBJECT
+        if (!more && !p.isClosed) p.close()
+        more
+      }
+      override def next(): Map[String, Any] = {
+        if (!hasNext) throw new NoSuchElementException
+        val node = p.readValueAsTree[JsonNode]()
+        tok = p.nextToken()
+        node.properties().asScala
+          .filter(_.getKey != "attributes")
+          .map(e => e.getKey -> scalar(e.getValue)).toMap
+      }
+    }
+  }
 }

@@ -211,6 +211,32 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
             respond(ex, CsvB, contentType = "text/csv")
           case ("GET", "/services/async/52.0/job/750UP/batch/753B/result") =>
             respond(ex, UploadResultCsv, contentType = "text/csv")
+          // ---- JSON-content-type job fixtures (content-type dispatch)
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751J") =>
+            respond(ex, batchXml("751J", "Completed"), contentType = "application/xml")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751J/result") =>
+            respond(ex, """["752J1"]""", contentType = "application/json")
+          case ("GET", "/services/async/52.0/job/750JOB/batch/751J/result/752J1") =>
+            respond(ex,
+              """[{"attributes":{"type":"Contact"},"Id":"005J","Name":"json row","NumEmployees":9},
+                |{"Id":"005K","Name":null,"NumEmployees":null}]""".stripMargin,
+              contentType = "application/json")
+          case ("GET", "/services/async/52.0/job/750UP/batch/753J/result") =>
+            respond(ex,
+              """[{"id":"003J","success":true,"created":true,"errors":[]},
+                |{"id":null,"success":false,"created":false,
+                |"errors":[{"statusCode":"DUPLICATE_VALUE","message":"dup found","fields":["Name"]}]}]"""
+                .stripMargin,
+              contentType = "application/json")
+          case ("GET", "/services/async/52.0/job/750UP/batch/753X/result") =>
+            respond(ex,
+              s"""<?xml version="1.0" encoding="UTF-8"?><results xmlns="$JobNs">
+                 |<result><id>003Y</id><success>true</success><created>false</created></result>
+                 |<result><id/><success>false</success><created>false</created>
+                 |<errors><fields>Email</fields><message>bad email</message>
+                 |<statusCode>INVALID_EMAIL_ADDRESS</statusCode></errors></result>
+                 |</results>""".stripMargin,
+              contentType = "application/xml")
           case (m, p) =>
             respond(ex, s"""{"error":"no fixture for $m $p"}""", 404)
         }
@@ -411,6 +437,45 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
       results(1).error.startsWith("REQUIRED_FIELD_MISSING"))
     tr.closeJob(jobId)
     assert(seen("uploadCloseDoc").toString.contains("<state>Closed</state>"))
+  }
+
+  test("JSON job: result-id listing and record bodies decode by response type") {
+    // salesforce_bulk.py:440-459 — a JSON job answers the result-id
+    // listing with a JSON array and each result body with a JSON
+    // record array; the decoder must dispatch on the RESPONSE
+    // Content-Type, keep native scalar types, drop the attributes
+    // envelope, and carry explicit nulls through
+    val rows = transport().query("Contact", Seq("Id", "Name", "NumEmployees"),
+      None, None, includeDeleted = false, Some(("750JOB", "751J"))).toSeq
+    assert(rows.map(_("Id")) == Seq("005J", "005K"))
+    assert(rows.head("NumEmployees") == 9L)
+    assert(!rows.head.contains("attributes"))
+    assert(rows(1)("Name") == null && rows(1)("NumEmployees") == null)
+  }
+
+  test("upload outcomes parse from JSON and XML result bodies") {
+    // salesforce_bulk.py:498-546 — get_batch_results' three branches;
+    // structured error lists flatten to "statusCode:message"
+    val tr = transport()
+    val json = tr.batchResults("750UP", "753J")
+    assert(json == Seq(
+      graft.reverse.UploadResult("003J", true, true, ""),
+      graft.reverse.UploadResult("", false, false,
+        "DUPLICATE_VALUE:dup found")))
+    val xml = tr.batchResults("750UP", "753X")
+    assert(xml == Seq(
+      graft.reverse.UploadResult("003Y", true, false, ""),
+      graft.reverse.UploadResult("", false, false,
+        "INVALID_EMAIL_ADDRESS:bad email")))
+  }
+
+  test("createJob passes the contentType keyword into the job doc") {
+    transport().createJob("Contact", "insert", None, "JSON")
+    assert(seen("jobDoc").toString.contains("<contentType>JSON</contentType>"))
+    val e = intercept[IllegalArgumentException] {
+      transport().createJob("Contact", "insert", None, "YAML")
+    }
+    assert(e.getMessage.contains("contentType"))
   }
 
   test("reverse-path job types: upsert/delete/hardDelete job XML") {
