@@ -318,6 +318,12 @@ object SparkEntry {
     "a25_welch_t" -> ((s, d) => Relational.a25WelchT(t(s, d)("events"))),
     // Cramér's V effect size summarizing the chi-square cell report
     "a26_cramers_v" -> ((s, d) => Relational.a26CramersV(t(s, d)("documents"))),
+    // rank-based two-sample drift test (heavy-tail-robust twin of
+    // Welch t), tie-corrected via doubled integer ranks
+    "a27_mann_whitney" -> ((s, d) => Relational.a27MannWhitney(t(s, d)("events"))),
+    // the production retrain-trigger drift gate: binned PSI with
+    // add-one smoothing over observed bins
+    "a28_psi" -> ((s, d) => Relational.a28Psi(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -3673,6 +3679,49 @@ object SparkEntry {
         |       * CAST(LEAST(COUNT(DISTINCT lang), COUNT(DISTINCT source)) - 1
         |           AS DOUBLE))), 9) AS v
         |FROM cc""".stripMargin,
+    "a27_mann_whitney" ->
+      """WITH cells AS (
+        |  SELECT value,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |r AS (
+        |  SELECT ca, cb,
+        |    COALESCE(CAST(SUM(ca + cb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      CAST(0 AS BIGINT)) AS cbefore
+        |  FROM cells),
+        |s AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca * (2 * cbefore + ca + cb + 1)) AS BIGINT) AS r2
+        |  FROM r)
+        |SELECT n_a, n_b,
+        |  CAST(r2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |  CAST(n_a * n_b AS DOUBLE)
+        |    - CAST(r2 - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_b,
+        |  round((CAST(r2 - n_a * (n_a + 1) AS DOUBLE) / 2.0)
+        |    / CAST(n_a * n_b AS DOUBLE), 9) AS auc
+        |FROM s WHERE n_a > 0 AND n_b > 0""".stripMargin,
+    "a28_psi" ->
+      """WITH binned AS (
+        |  SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins FROM binned),
+        |terms AS (
+        |  SELECT n_a, n_b, n_bins,
+        |    round((CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE)
+        |         - CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(n_a + n_bins AS DOUBLE))
+        |          / (CAST(cb + 1 AS DOUBLE) / CAST(n_b + n_bins AS DOUBLE))), 12)
+        |      AS term
+        |  FROM binned CROSS JOIN tot)
+        |SELECT n_bins, n_a, n_b,
+        |  CAST(SUM(CAST(term AS DECIMAL(24,14))) AS DOUBLE) AS psi
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
     "text_code_detect" ->
       """WITH m AS (
         |  SELECT doc_id,

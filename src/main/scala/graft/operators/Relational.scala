@@ -1583,6 +1583,84 @@ object Relational {
             least(col("r") - 1, col("c") - 1).cast("double"))), 9).as("v"))
   }
 
+  /** Mann–Whitney U between the value distributions of two event
+    * types — the rank-based two-sample test that completes the drift
+    * battery ([[a24KsTest]] sees shape, [[a25WelchT]] sees location
+    * under normal-ish tails; U is the robust location test when tails
+    * are heavy). Tie-correct by construction: values aggregate to
+    * per-distinct-value counts first (one keyed shuffle with map-side
+    * combine — sample-scale rows never reach the window), a tie block
+    * of m pooled values starting after C predecessors carries DOUBLED
+    * average rank 2C + m + 1 (an integer — no fractional rank ever
+    * materializes), and R₂ = Σ ca·(2C+m+1) accumulates exactly, so
+    * U_a = (R₂ − n_a(n_a+1))/2 is one exact halving. The window is a
+    * global order over DISTINCT values only — bounded by value
+    * cardinality, the same 100 TB posture as the KS test. AUC
+    * (common-language effect size) = U_a/(n_a·n_b), rounded to 9 dp.
+    * Degenerate one-sided inputs emit no row (the KS guard).
+    */
+  def a27MannWhitney(events: DataFrame, typeA: String = "click",
+      typeB: String = "view"): DataFrame = {
+    val cells = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy("value")
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cbefore",
+        coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      .withColumn("r2a",
+        col("ca") * (lit(2) * col("cbefore") + col("ca") + col("cb") + 1))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("r2a")).as("r2"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("n_a"), col("n_b"),
+        ((col("r2") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0d)
+          .as("u_a"))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        ((col("n_a") * col("n_b")).cast("double") - col("u_a")).as("u_b"),
+        round(col("u_a") / (col("n_a") * col("n_b")).cast("double"), 9)
+          .as("auc"))
+  }
+
+  /** Population Stability Index between two event types' value
+    * distributions — THE production drift gate of ML monitoring
+    * (retrain triggers fire on PSI thresholds like 0.1/0.25). Values
+    * land in fixed-width bins (`floor(value/width)` — one IEEE divide
+    * + floor, engine-identical), each observed bin gets add-one
+    * smoothing over the observed-bin count so empty-on-one-side bins
+    * stay finite, and PSI = Σ (p_a − p_b)·ln(p_a/p_b) accumulates as
+    * round-12 decimal terms (order-free). Scale shape: one bin-keyed
+    * aggregate with map-side combine (bin cardinality is
+    * range/width-bounded, not row-bounded), single-row totals
+    * broadcast back — flat at any corpus size.
+    */
+  def a28Psi(events: DataFrame, typeA: String = "click",
+      typeB: String = "view", binWidth: Double = 10.0): DataFrame = {
+    val binned = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(
+        sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+    val tot = binned.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_bins"))
+    val pa = (col("ca") + 1).cast("double") /
+      (col("n_a") + col("n_bins")).cast("double")
+    val pb = (col("cb") + 1).cast("double") /
+      (col("n_b") + col("n_bins")).cast("double")
+    binned
+      .crossJoin(broadcast(tot)) // single-row totals
+      .withColumn("term",
+        round((pa - pb) * log(pa / pb), 12).cast(DecimalType(24, 14)))
+      .groupBy("n_a", "n_b", "n_bins")
+      .agg(sum(col("term")).cast("double").as("psi"))
+      .select(col("n_bins"), col("n_a"), col("n_b"), col("psi"))
+  }
+
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
     * DISTINCT supplier/customer nation pairs by ship year — the
     * star-join + multi-dim rollup reporting shape. Broadcast hints

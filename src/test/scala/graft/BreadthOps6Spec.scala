@@ -194,6 +194,36 @@ class BreadthOps6Spec extends SparkSpec {
     assert(math.abs(out.head._5 - expected) < 1e-9, s"t=${out.head._5}")
   }
 
+  test("a27MannWhitney: tie-corrected U via doubled integer ranks") {
+    val ev = Seq(
+      (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0),
+      (4L, "view", 2.0), (5L, "view", 3.0), (6L, "view", 4.0),
+      (7L, "purchase", 99.0) // other types are out of the comparison
+    ).toDF("event_id", "event_type", "value")
+    // pooled average ranks: 1 -> 1; {2,2} -> 2.5; {3,3} -> 4.5; 4 -> 6
+    // R_a = 1 + 2.5 + 4.5 = 8 -> U_a = 8 - 6 = 2, U_b = 9 - 2 = 7
+    val out = Relational.a27MannWhitney(ev)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((3L, 3L, 2.0, 7.0, 0.222222222)))
+    // one-sided input emits no row (division-by-zero guard)
+    assert(Relational.a27MannWhitney(
+      ev.filter($"event_type" === "click")).isEmpty)
+  }
+
+  test("a28Psi: symmetric two-bin shift, add-one smoothing over observed bins") {
+    val ev = Seq(
+      (1L, "click", 5.0), (2L, "click", 5.0), (3L, "click", 15.0),
+      (4L, "view", 5.0), (5L, "view", 15.0), (6L, "view", 15.0)
+    ).toDF("event_id", "event_type", "value")
+    // bins 0/1; smoothed p: (0.6 vs 0.4) and (0.4 vs 0.6) ->
+    // psi = 2 * 0.2 * ln(1.5)
+    val out = Relational.a28Psi(ev)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((2L, 3L, 3L)))
+    assert(math.abs(out.head._4 - 0.4 * math.log(1.5)) < 1e-11,
+      s"psi=${out.head._4}")
+  }
+
   test("a26CramersV: perfect dependence is 1, zero cells included in chi2") {
     // 2x2 with only the diagonal observed: without the (0 - e)^2/e
     // zero-cell terms chi2 would be n/2 and V would come out 1/sqrt(2)
