@@ -122,4 +122,18 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.SimilarityOps.mipsTopK(noVecs, noVecs, 3).isEmpty)
     assert(graft.operators.GraphOps.labelPropagation(noPairs).isEmpty)
   }
+
+  test("round-7 operators degrade to empty on empty inputs") {
+    import spark.implicits._
+    val R = graft.operators.Relational
+    val noEvents = Seq
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(R.a27MannWhitney(noEvents).isEmpty) // guard drops the 0/0 row
+    assert(R.a28Psi(noEvents).isEmpty)
+    assert(graft.operators.DedupOps
+      .ngramJaccardSampled(noDocs, 0.5, 10).isEmpty)
+  }
 }
