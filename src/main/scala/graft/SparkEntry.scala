@@ -3398,7 +3398,9 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "sim_ivf_topk" ->
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 23 = 0),
+      s"""WITH nn AS (SELECT GREATEST(1, COUNT(*) // 64) AS step FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings, nn
+         |      WHERE vec_id % step = 0),
          |assign AS (
          |  SELECT vec_id, cent_id, embedding FROM (
          |    SELECT e.vec_id, c.cent_id, e.embedding,

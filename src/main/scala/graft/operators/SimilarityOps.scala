@@ -226,20 +226,32 @@ object SimilarityOps {
     * around centroid vectors, assign every vector to its nearest
     * centroid (the "inverted list"), then search only the `nProbe`
     * cells nearest each query. Centroids here are deterministic samples
-    * (every `centroidStep`-th vector) rather than trained k-means means
-    * — same index structure, reproducible across engines.
+    * (every `max(1, N div nList)`-th vec_id — the sampling step derives
+    * from the table count, so the list count stays ≈`nList` at ANY
+    * corpus size) rather than trained k-means means — same index
+    * structure, reproducible across engines. A fixed sampling STEP
+    * would make the centroid count O(N) and the assignment pass
+    * N×C = O(N²/step) — the classic accidental-quadratic of untrained
+    * IVF, caught by the 10× scale probe (assignment cost grew 100×).
+    * Fixed nList is also what a trained FAISS-style index does: you
+    * pick the list count at build time and re-train to grow it.
     *
     * Scale posture: the centroid set stays broadcast-sized (a trained
     * 64k×64-float codebook is ~16 MB), so assignment is a narrow
     * broadcast pass over the vectors with a map-side `max(struct)`
     * argmax — no N×C shuffle; the only wide op is the final per-query
     * rerank, bounded by nProbe cells' candidates. The assignment is
-    * computed once and would be persisted as the index at 100 TB.
+    * computed once and would be persisted as the index at 100 TB. The
+    * one-row COUNT the step derives from rides in as a broadcast
+    * cross-join (single scalar, computed once per plan).
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-      centroidStep: Int = 23, nProbe: Int = 4): DataFrame = {
+      nList: Int = 64, nProbe: Int = 4): DataFrame = {
+    val n = embeddings.agg(count(lit(1)).as("ivf_n"))
     val cents = withNorm(
-      embeddings.filter(col("vec_id") % centroidStep === 0)
+      embeddings.crossJoin(broadcast(n))
+        .filter(col("vec_id") %
+          greatest(lit(1L), (col("ivf_n") / lit(nList)).cast("long")) === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce")),
       "ce", "cn")
     val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
@@ -680,8 +692,12 @@ object SimilarityOps {
     val lshOk = annRecall(exact,
       lshTopK(embeddings, queries, k, numPlanes = 4, numTables = 8))
       .select((col("mean_recall") >= 0.30).as("lsh_recall_ok"))
+    // nList = 24 keeps the gate's cell geometry at test scale close to
+    // the configuration the 0.22 threshold was calibrated on (~22
+    // cells at sf0.01); the production default (64) would shrink cells
+    // ~3× under the same nProbe and gate a different operating point
     val ivfOk = annRecall(exact,
-      ivfTopK(embeddings, queries, k, nProbe = 12))
+      ivfTopK(embeddings, queries, k, nList = 24, nProbe = 12))
       .select((col("mean_recall") >= 0.22).as("ivf_recall_ok"))
     lshOk.crossJoin(ivfOk).select(lit(k).as("k"),
       col("lsh_recall_ok"), col("ivf_recall_ok"))

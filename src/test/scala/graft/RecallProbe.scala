@@ -22,7 +22,7 @@ object RecallProbe {
       }
       for (npb <- Seq(8, 12)) {
         val r = SimilarityOps.annRecall(exact,
-          SimilarityOps.ivfTopK(e, q, 5, 23, npb)).head.getDouble(0)
+          SimilarityOps.ivfTopK(e, q, 5, 64, npb)).head.getDouble(0)
         println(f"RECALL $d ivf nprobe=$npb r=$r%.3f")
       }
       val mp = SimilarityOps.annRecall(exact,

@@ -97,10 +97,11 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
-  // 100 vectors in 5 tight clusters (cluster = id mod 5, deterministic
-  // jitter); centroidStep = 21 samples ids 0,21,42,63,84 — one seed per
-  // cluster — so the IVF cells align with the planted structure.
-  private def clusteredVecs: DataFrame = (0 until 100).map { i =>
+  // 105 vectors in 5 tight clusters (cluster = id mod 5, deterministic
+  // jitter); nList = 5 derives step = 105 div 5 = 21, sampling ids
+  // 0,21,42,63,84 — one seed per cluster — so the IVF cells align with
+  // the planted structure.
+  private def clusteredVecs: DataFrame = (0 until 105).map { i =>
     val a = Array.fill(8)(0.05f)
     a(i % 5) = 1.0f
     (0 until 8).foreach(d => a(d) += ((i * 31 + d * 7) % 10) / 100.0f)
@@ -112,7 +113,7 @@ class SimilaritySpec extends SparkSpec {
     val brute = SimilarityOps.bruteForceTopK(clusteredVecs, queries, 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = SimilarityOps.ivfTopK(clusteredVecs, queries, 5,
-        centroidStep = 21, nProbe = 1)
+        nList = 5, nProbe = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"IVF recall $recall too low on clustered data")
@@ -123,7 +124,8 @@ class SimilaritySpec extends SparkSpec {
     val queries = e.filter($"vec_id" % 20 === 0)
     val brute = SimilarityOps.bruteForceTopK(e, queries, 3)
       .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
-    val ivf = SimilarityOps.ivfTopK(e, queries, 3, centroidStep = 11, nProbe = 1000)
+    // nList = 45 at sf0.001's 500 vectors derives step = 500 div 45 = 11
+    val ivf = SimilarityOps.ivfTopK(e, queries, 3, nList = 45, nProbe = 1000)
       .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect().toSet
     assert(ivf == brute)
   }
