@@ -384,6 +384,7 @@ object SparkEntry {
     // "same article, minor edits": Levenshtein over leading content,
     // blocked on (lang, exact 10-char prefix)
     "dedup_edit_distance" -> ((s, d) => DedupOps.editDistancePairs(t(s, d)("documents"))),
+    "er_jaro_pairs" -> ((s, d) => DedupOps.jaroWinklerPairs(t(s, d)("documents"))),
     // asymmetric quote/containment dedup: |A∩B|/|A| per direction
     "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d)("documents"), 0.6)),
     // sub-document curation signal: fraction of each doc's shingles
@@ -2451,6 +2452,15 @@ object SparkEntry {
         |  ON a.lang = b.lang AND substr(a.text,1,10) = substr(b.text,1,10)
         |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(substr(a.text,1,40), substr(b.text,1,40)) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "er_jaro_pairs" ->
+      """WITH h AS (SELECT doc_id, lang, substr(text,1,32) AS head,
+        |             substr(text,1,4) AS blk FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+        |FROM h a JOIN h b
+        |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92
         |ORDER BY doc_a, doc_b""".stripMargin,
     // literals mirror the Spark side UNFOLDED ((1.2 + 1.0), not 2.2):
     // both engines then run the identical IEEE op sequence, and the

@@ -239,6 +239,14 @@ object GraftFunctions {
   def cov_grid(v: Column): Column =
     ColumnShim.column(CovGrid(ColumnShim.expression(v)).toAggregateExpression())
 
+  /** Jaro-Winkler similarity between two string columns — the ER
+    * verifier kernel, byte-exact with the oracle engine's function
+    * (see [[JaroWinkler]]).
+    */
+  def jaro_winkler(a: Column, b: Column): Column =
+    ColumnShim.column(JaroWinkler(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** count-min sketch aggregate over a string column — fixed
     * depth×width counter matrix as array<bigint> (see [[CmsSketch]]).
     */

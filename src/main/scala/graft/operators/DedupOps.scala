@@ -398,6 +398,36 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Jaro-Winkler near-dup pairs over document heads — the second leg
+    * of the ER verifier battery next to [[editDistancePairs]]:
+    * Levenshtein prices every edit equally, Jaro-Winkler discounts
+    * transpositions and rewards the shared opening that near-identical
+    * records almost always keep — so the two catch different edit
+    * shapes (swapped tokens vs inserted runs). Same blocked-equi-join
+    * scale contract as the edit-distance leg: candidates must agree on
+    * (lang, first `blockLen` chars), the O(headLen²)-ish scoring runs
+    * only within blocks, the block key is one co-partitioned shuffle
+    * (AQE-splittable when a leading run is boilerplate-hot), and the
+    * scorer is the codegen'd [[graft.functions.JaroWinkler]] kernel —
+    * a UDF here would drop the whole self-join out of codegen. Scores
+    * round to 6 dp on both engines (the kernel is semantics-identical
+    * to the oracle's, rounding just removes double-formatting drift).
+    */
+  def jaroWinklerPairs(documents: DataFrame, headLen: Int = 32,
+      blockLen: Int = 4, threshold: Double = 0.92): DataFrame = {
+    val t = documents.select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, headLen).as("head"),
+      substring(col("text"), 1, blockLen).as("blk"))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(graft.functions.GraftFunctions.jaro_winkler(
+          col("a.head"), col("b.head")), 6).as("jw"))
+      .filter(col("jw") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash (32-bit here; 64-bit in production — 32 keeps the value
     * inside an exactly-representable SQL BIGINT for oracle parity):
     * per distinct token, a 32-bit hash from the md5 hex prefix; each
