@@ -343,6 +343,8 @@ object SparkEntry {
     "text_ttr" -> ((s, d) => TextOps.typeTokenRatio(t(s, d)("documents"))),
     // Flesch-style readability profile (terminator runs / vowel groups)
     "text_readability" -> ((s, d) => TextOps.readability(t(s, d)("documents"))),
+    "text_inverted_index" -> ((s, d) => TextOps.invertedIndex(t(s, d)("documents"))),
+    "text_sentence_stats" -> ((s, d) => TextOps.sentenceStats(t(s, d)("documents"))),
     // power-of-two length-bucket census (integer bit-length, no float log)
     "pipe_length_buckets" -> ((s, d) =>
       PipelineOps.lengthBuckets(t(s, d)("documents"))),
@@ -2775,6 +2777,34 @@ object SparkEntry {
         |SELECT doc_id, n_words, n_sents, n_vgroups,
         |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
         |    - 84.6 * CAST(n_vgroups AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT term, doc_id, tf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM tf)
+        |SELECT r.term, a.df, r.rnk, r.doc_id, r.tf
+        |FROM ranked r JOIN agg a USING (term)
+        |WHERE a.df >= 2 AND r.rnk <= 8
+        |ORDER BY term, rnk""".stripMargin,
+    "text_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(text, '[.!?]+'), s -> trim(s)),
+        |    s -> len(s) > 0) AS ss
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sent,
+        |    list_transform(ss, s -> CAST(len(s) AS BIGINT)) AS lens FROM s)
+        |SELECT doc_id, n_sent,
+        |  CASE WHEN n_sent = 0 THEN 0.0
+        |    ELSE round(CAST(list_sum(lens) AS DOUBLE) / CAST(n_sent AS DOUBLE), 6)
+        |  END AS avg_sent_chars,
+        |  CAST(COALESCE(list_max(lens), 0) AS BIGINT) AS max_sent_chars
         |FROM m ORDER BY doc_id""".stripMargin,
     "pipe_length_buckets" ->
       s"""WITH $ToksCte,

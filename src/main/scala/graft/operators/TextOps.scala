@@ -882,4 +882,64 @@ object TextOps {
         6))
       .orderBy("doc_id")
   }
+
+  /** Bounded inverted-index build — the retrieval-index counterpart of
+    * [[tfidfTopTerms]]: per term, the document frequency and the top-`p`
+    * postings by (tf desc, doc_id asc). The per-term posting list is
+    * intentionally BOUNDED (impact-ordered index pruning — keep only
+    * the highest-impact postings per term): an unbounded
+    * `collect_list` per term is exactly the hot-key trap a stopword
+    * term springs at corpus scale (one term ↦ every document). Plan
+    * shape: the fused [[graft.functions.WordTermFreqs]] kernel emits
+    * (doc, term, tf) with no token-explode shuffle, then ONE term-keyed
+    * aggregate computes df and the bounded top-p heap in the same pass
+    * ([[graft.functions.TopKAgg]] — map-side combined, ≤ p pairs per
+    * term per partition cross the exchange; its (score desc, id asc)
+    * order IS the (tf desc, doc_id asc) postings contract). Hapax
+    * terms (df < `minDf`) are dropped — they double index size for no
+    * retrieval value and are serviced by the rare-tail scan path.
+    */
+  def invertedIndex(documents: DataFrame, p: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions.{top_k_agg, word_term_freqs}
+    val tf = documents
+      .select(col("doc_id"), explode(word_term_freqs(col("text"))).as("tfs"))
+      .select(col("tfs.term").as("term"), col("doc_id"),
+        col("tfs.tf").as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        top_k_agg(col("tf").cast("double"), col("doc_id"), p).as("tk"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), posexplode(col("tk")))
+      .select(col("term"), col("df"), (col("pos") + 1).as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("tf"))
+      .orderBy("term", "rnk")
+  }
+
+  /** Per-document sentence segmentation stats — the structural-quality
+    * signal (wall-of-text vs normal prose vs telegraphic fragments)
+    * quality filters combine with [[qualityScore]]'s character ratios.
+    * Sentences are maximal runs between ASCII terminator groups
+    * ([.!?]+ — spelled identically in both engines, same discipline as
+    * [[readability]]), trimmed, empties dropped. Everything is per-row
+    * array arithmetic inside codegen — zero shuffles, scan-linear at
+    * any corpus size. Zero-sentence docs pin avg to 0.0 on both
+    * engines (the Gini/KS degenerate-case discipline).
+    */
+  def sentenceStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), expr(
+        "filter(transform(split(text, '[.!?]+'), s -> trim(s)), s -> length(s) > 0)")
+        .as("ss"))
+      .select(col("doc_id"),
+        size(col("ss")).cast("long").as("n_sent"),
+        expr("aggregate(ss, 0L, (acc, s) -> acc + length(s))").as("tot"),
+        expr("aggregate(ss, 0L, (acc, s) -> greatest(acc, length(s)))")
+          .as("max_sent_chars"))
+      .select(col("doc_id"), col("n_sent"),
+        when(col("n_sent") === 0, lit(0.0)).otherwise(
+          round(col("tot").cast("double") / col("n_sent").cast("double"), 6))
+          .as("avg_sent_chars"),
+        col("max_sent_chars"))
+      .orderBy("doc_id")
 }

@@ -135,5 +135,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(R.a28Psi(noEvents).isEmpty)
     assert(graft.operators.DedupOps
       .ngramJaccardSampled(noDocs, 0.5, 10).isEmpty)
+    assert(graft.operators.DedupOps.jaroWinklerPairs(noDocs).isEmpty)
+    assert(graft.operators.TextOps.invertedIndex(noDocs).isEmpty)
+    assert(graft.operators.TextOps.sentenceStats(noDocs).isEmpty)
   }
 }

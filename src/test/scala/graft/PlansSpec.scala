@@ -691,4 +691,27 @@ class PlansSpec extends SparkSpec {
     assert(exchanges == 1,
       s"bucket census must shuffle once, got $exchanges:\n${p.take(3000)}")
   }
+
+  test("invertedIndex: bounded heap aggregate, no Window, df fused in the same pass") {
+    val df = graft.operators.TextOps.invertedIndex(
+      Tables(spark, sf0001, "documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_top_k_agg"),
+      s"postings must combine map-side (bounded heap):\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"no per-term ranking window allowed — a stopword term would sort " +
+        s"its whole posting universe:\n${p.take(3000)}")
+    assert(!p.contains("collect_list"),
+      s"no unbounded per-term array state allowed:\n${p.take(3000)}")
+    // the fused word_term_freqs kernel already emits per-doc tf, so
+    // the whole index build is ONE term-keyed exchange: df and the
+    // bounded heap come out of the same aggregate, and no (term,
+    // doc_id) pre-aggregation shuffle may exist
+    val exchanges = "Exchange hashpartitioning\\(([a-z_#0-9L, ]+)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.size == 1 && exchanges.head.startsWith("term#"),
+      s"expected exactly the one term-keyed index exchange, " +
+        s"got $exchanges:\n${p.take(3000)}")
+  }
 }

@@ -183,4 +183,37 @@ class TextCurationSpec extends SparkSpec {
     assert(out(1L) == Seq(3L, 3L, 2L, 2L, 2L, 4L, 17L, 1L), out(1L))
     assert(out(2L) == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), out(2L))
   }
+
+  test("invertedIndex: bounded postings, (tf desc, doc asc) order, hapax dropped") {
+    // "hot" appears in 4 docs (a stopword-ish term), "rare" in 1 (hapax)
+    val docs = Seq(
+      (1L, "hot hot hot alpha", "en", "s", 0L),
+      (2L, "hot alpha alpha", "en", "s", 0L),
+      (3L, "hot rare", "en", "s", 0L),
+      (4L, "hot", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = graft.operators.TextOps.invertedIndex(docs, p = 3, minDf = 2)
+      .as[(String, Long, Int, Long, Long)].collect().toSeq
+    // hot: df=4, postings capped at p=3: (doc1 tf3), (doc2 tf1 < doc3
+    // tf1 by id), never doc4; alpha: df=2; rare: dropped
+    assert(idx == Seq(
+      ("alpha", 2L, 1, 2L, 2L), ("alpha", 2L, 2, 1L, 1L),
+      ("hot", 4L, 1, 1L, 3L), ("hot", 4L, 2, 2L, 1L),
+      ("hot", 4L, 3, 3L, 1L)), idx)
+  }
+
+  test("sentenceStats: terminator runs, trimming, zero-sentence pin") {
+    val docs = Seq(
+      (1L, "One two. Three!! Four five six?", "en", "s", 0L),
+      (2L, "...", "en", "s", 0L), // only terminators: zero sentences
+      (3L, "no terminator at all", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextOps.sentenceStats(docs)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // doc1: "One two"(7), "Three"(5), "Four five six"(13) -> avg 25/3
+    assert(got == Seq(
+      (1L, 3L, 8.333333, 13L),
+      (2L, 0L, 0.0, 0L),
+      (3L, 1L, 20.0, 20L)), got)
+  }
 }
