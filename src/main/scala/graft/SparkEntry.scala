@@ -339,6 +339,18 @@ object SparkEntry {
     // TPC-H Q17-shaped decorrelated per-part-threshold filter
     "q17_small_quantity" -> ((s, d) => Relational.q17SmallQuantity(
       t(s, d)("part"), t(s, d)("lineitem"))),
+    // TPC-H Q4-shaped semi-join priority census (late-line EXISTS)
+    "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(
+      t(s, d)("orders"), t(s, d)("lineitem"))),
+    // TPC-H Q13-shaped outer-join order-count histogram
+    "q13_order_histogram" -> ((s, d) => Relational.q13OrderHistogram(
+      t(s, d)("customer"), t(s, d)("orders"))),
+    // TPC-H Q21-shaped sole-late-supplier census (semi + anti self-joins)
+    "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(
+      t(s, d)("supplier"), t(s, d)("orders"), t(s, d)("lineitem"))),
+    // TPC-H Q22-shaped never-ordered wealthy-customer census (anti join)
+    "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(
+      t(s, d)("customer"), t(s, d)("orders"))),
     // type-token ratio lexical-diversity screen
     "text_ttr" -> ((s, d) => TextOps.typeTokenRatio(t(s, d)("documents"))),
     // Flesch-style readability profile (terminator runs / vowel groups)
@@ -2759,6 +2771,52 @@ object SparkEntry {
         |  COUNT(*) AS n_lines
         |FROM li JOIN avgq USING (l_partkey)
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_order_histogram" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.sk = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late l3
+        |    WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH cust AS (
+        |  SELECT * FROM customer WHERE c_nationkey <= 10),
+        |avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT c_nationkey,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_ttr" ->
       s"""WITH $ToksCte
          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,

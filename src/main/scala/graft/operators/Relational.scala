@@ -1750,4 +1750,115 @@ object Relational {
         .cast("double") / lit(7.0)).as("avg_yearly"),
         count(lit(1)).as("n_lines"))
   }
+
+  /** TPC-H Q4's shape — priority census of orders with at least one
+    * qualifying line — adapted to this schema: the original lateness
+    * predicate (l_commitdate < l_receiptdate) uses columns the
+    * testdata does not carry, so "late" is l_shipdate more than 60
+    * days after o_orderdate (a cross-table predicate, which makes the
+    * EXISTS strictly harder than a pushable filter). Shape contract:
+    * the lineitem probe is a LEFT SEMI join — each order contributes
+    * once no matter how many late lines it has, and the semi join
+    * short-circuits per key instead of materializing the multiplicity
+    * an inner-join+distinct would. At 100 TB both sides partition on
+    * the orderkey; nothing is broadcast because nothing is small.
+    */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q13's shape — the distribution of per-customer order counts
+    * (how many customers placed 0, 1, 2, … orders) — with the
+    * o_comment exclusion replaced by an o_orderpriority one (the
+    * testdata carries no comment column). Shape contract: customer
+    * LEFT OUTER JOIN the filtered orders (zero-order customers MUST
+    * survive — this is the query the outer join exists for), then two
+    * cascaded aggregations: per-customer count (customer-keyed
+    * exchange), then the count-of-counts histogram (group-scale).
+    * The second agg's input is one row per customer, so the histogram
+    * stage is already bounded; the orders filter is pushed to the scan.
+    */
+  def q13OrderHistogram(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q21's shape — suppliers who were the SOLE late supplier on
+    * a multi-supplier order — with lateness adapted to this schema
+    * (l_shipdate > o_orderdate + 90 days; no commit/receipt dates).
+    * The classic exists/not-exists pair compiles to one LEFT SEMI and
+    * one LEFT ANTI self-join of lineitem: the semi keeps late lines
+    * whose order has SOME other supplier's line, the anti drops those
+    * where another supplier was ALSO late. All three legs key on the
+    * orderkey — one partitioning family, so at scale they co-locate
+    * as sort-merge joins over shared exchanges; at bench scale AQE
+    * instead broadcast-builds both probe sides and reorders the
+    * filtering semi/anti ahead of the orders join (both sound: the
+    * probes only remove rows). Supplier is the broadcast-sized dim
+    * joined last, AFTER the per-supplier census — group-scale rows,
+    * not line-scale.
+    */
+  def q21WaitingSupplier(supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    val late = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val anyOther = lineitem
+      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val otherLate = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    late
+      .join(anyOther, col("ok2") === col("ok") && col("sk2") =!= col("sk"),
+        "left_semi")
+      .join(otherLate, col("ok3") === col("ok") && col("sk3") =!= col("sk"),
+        "left_anti")
+      .groupBy("sk")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22's shape — well-funded customers with no high-value
+    * order — adapted twice to this schema/data: the phone-country-code
+    * predicate becomes a nationkey subset (no phone column), and
+    * "never ordered" becomes "no order above 400 000" (this testdata
+    * gives virtually every customer SOME order, which would leave the
+    * classic anti join empty at every scale — the high-value variant
+    * keeps the identical plan shape against a selective probe). Shape
+    * contract: the positive-balance average is ONE scalar aggregate
+    * broadcast back as a cross join (single row — the repo-wide
+    * sketch-broadcast pattern); the existence test is a LEFT ANTI join
+    * against orders filtered AND projected to its custkey column only
+    * (predicate + column pruning reach the scan); the final census
+    * groups by nation — group-scale output. Exact decimal sums; the
+    * avg threshold double is engine-identical.
+    */
+  def q22IdleCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_nationkey") <= 10)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_bal"))
+    cust
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders.filter(col("o_totalprice") > 400000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -692,6 +692,39 @@ class PlansSpec extends SparkSpec {
       s"bucket census must shuffle once, got $exchanges:\n${p.take(3000)}")
   }
 
+  test("q4/q21/q22: exists compiles to semi, not-exists to anti, scans pruned") {
+    val q4 = Relational.q4OrderPriority(
+      Tables(spark, sf0001, "orders"), Tables(spark, sf0001, "lineitem"))
+    q4.collect()
+    val p4 = plan(q4).split("== Initial Plan ==").head
+    assert(p4.contains("LeftSemi"), s"Q4 EXISTS must be a semi join:\n${p4.take(2000)}")
+    // the semi probe reads exactly the join key + the two predicate
+    // columns — an EXISTS must never widen the probe scan
+    assert(p4.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+      s"Q4 probe scan must prune to (orderkey, shipdate):\n${p4.take(3000)}")
+
+    val q21 = Relational.q21WaitingSupplier(
+      Tables(spark, sf0001, "supplier"), Tables(spark, sf0001, "orders"),
+      Tables(spark, sf0001, "lineitem"))
+    q21.collect()
+    val p21 = plan(q21).split("== Initial Plan ==").head
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"Q21 needs the semi+anti self-join pair:\n${p21.take(2000)}")
+    assert(!p21.contains("CartesianProduct"),
+      s"the <> predicates must ride the orderkey equi-joins, never a " +
+        s"cartesian:\n${p21.take(2000)}")
+
+    val q22 = Relational.q22IdleCustomers(
+      Tables(spark, sf0001, "customer"), Tables(spark, sf0001, "orders"))
+    q22.collect()
+    val p22 = plan(q22).split("== Initial Plan ==").head
+    assert(p22.contains("LeftAnti"), s"Q22 NOT EXISTS must be an anti join:\n${p22.take(2000)}")
+    assert(p22.contains("GreaterThan(o_totalprice,400000"),
+      s"the high-value predicate must reach the orders scan:\n${p22.take(3000)}")
+    assert(p22.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double"),
+      s"the anti probe must prune to (custkey, totalprice):\n${p22.take(3000)}")
+  }
+
   test("invertedIndex: bounded heap aggregate, no Window, df fused in the same pass") {
     val df = graft.operators.TextOps.invertedIndex(
       Tables(spark, sf0001, "documents"))
