@@ -590,6 +590,16 @@ object SparkEntry {
             .cast("long").as("doc_id"), col("content")))
         .orderBy("doc_id")
     }),
+    // perceptual dHash fingerprints over the real PNG decode
+    "mm_dhash" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.imageDHash(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+        .orderBy("doc_id")
+    }),
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     // full-stream PCM sample stats over the real audio decode
     "mm_audio_stats" -> ((s, d) => mmAudioStatsQuery(s, d)),
@@ -3657,6 +3667,26 @@ object SparkEntry {
         |  CAST(MIN((doc_id + i*31 + j*7) % 256) AS INT) AS px_min,
         |  CAST(MAX((doc_id + i*31 + j*7) % 256) AS INT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // gray formula from stagePngs: (id + 31·sx + 7·sy) % 256 at the
+    // 9×8 NN sample grid sx = x·w//9, sy = y·h//8; per-row bytes
+    // compose MSB-first into the 16-hex dhash (bit63 stays unsigned)
+    "mm_dhash" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |bits AS (
+        |  SELECT doc_id, w, h, y.y, x.x,
+        |    (doc_id + ((x.x * w) // 9) * 31 + ((y.y * h) // 8) * 7) % 256 AS g1,
+        |    (doc_id + (((x.x + 1) * w) // 9) * 31 + ((y.y * h) // 8) * 7) % 256 AS g2
+        |  FROM m, (SELECT unnest(range(0,8)) AS x) x,
+        |          (SELECT unnest(range(0,8)) AS y) y),
+        |rows_ AS (
+        |  SELECT doc_id, w, h, y,
+        |    CAST(SUM(CASE WHEN g2 > g1 THEN 1 << x ELSE 0 END) AS INT) AS rb
+        |  FROM bits GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, w AS width, h AS height,
+        |  string_agg(printf('%02x', rb), '' ORDER BY y DESC) AS dhash
+        |FROM rows_ GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     // PCM byte formula from stageWavs: byte i = (id + 31i) % 256 - 128;
     // 16-bit LE sample j = hi(2j+1)*256 + unsigned lo(2j)
     "mm_audio_stats" ->

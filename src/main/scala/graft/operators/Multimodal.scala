@@ -211,6 +211,56 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a per-image perceptual-hash record. */
+  val imageDHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash", StringType)))
+
+  /** Per-image difference hash (dHash) over the REAL decoded raster —
+    * THE standard perceptual fingerprint for image near-dup detection
+    * (re-encoded / slightly-cropped copies keep their gradient signs
+    * while byte-level hashes shatter). A 9×8 nearest-neighbor sample
+    * grid ([[resizeImages]]'s ⌊i·w/9⌋ mapping — pure integer
+    * arithmetic, so the oracle can predict every sampled gray value
+    * from the staged gradient formula), bit (y·8+x) set iff the right
+    * neighbor is strictly brighter; emitted as a 16-hex-char string
+    * (MSB-first), which sidesteps signed-BIGINT overflow on bit 63 in
+    * the oracle engine and reads as a fingerprint. Downstream, 64-bit
+    * Hamming banding (the [[DedupOps.simhash]] pigeonhole machinery)
+    * turns the hash column into bounded near-dup candidate joins at
+    * corpus scale. Narrow mapPartitions, no shuffle; cost is decode +
+    * 72 samples per image.
+    */
+  def imageDHash(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(imageDHashSchema)
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val g1 = img.getRGB(x * w / 9, sy) & 0xff
+            val g2 = img.getRGB((x + 1) * w / 9, sy) & 0xff
+            if (g2 > g1) hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, f"$hash%016x")
+      }
+    }(enc)
+  }
+
   /** Schema of a per-clip PCM sample-statistics record (full-stream
     * 16-bit sample stats over the REAL decoded audio).
     */

@@ -185,6 +185,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((7L, 5, 3, 16, 12, expected)))
   }
 
+  test("imageDHash: bit set iff the right NN sample is brighter, hex MSB-first") {
+    // 18x8 image: gray rises with x in row 0 (all 8 row-0 bits set),
+    // falls with x in row 1 (none set), constant elsewhere (strict >
+    // never fires). h = 8 makes sy = y exactly.
+    val w = 18; val h = 8
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = if (y == 0) x * 10 else if (y == 1) 200 - x * 10 else 37
+      img.setRGB(x, y, g * 0x010101)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bin = Seq((9L, bos.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.imageDHash(spark, bin)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // row 0 bits 0..7 -> low byte 0xff, printed LAST (MSB-first)
+    assert(out == Seq((9L, 18, 8, "00000000000000ff")), out)
+  }
+
   test("stagePngs + binaryFile round trip decodes the staged dims") {
     val dir = java.nio.file.Files.createTempDirectory("graft_png_spec")
       .resolve("staged").toString
