@@ -497,6 +497,10 @@ object SparkEntry {
     // exact integer-grid feature covariance (upper triangle, d² cells)
     "sim_covariance" -> ((s, d) =>
       SimilarityOps.covarianceMatrix(t(s, d)("embeddings"))),
+    // top principal component: distributed CovGrid + driver power
+    // iteration in order-free fixed-point (oracle unrolls the loop)
+    "sim_pca_power" -> ((s, d) =>
+      SimilarityOps.pcaTopComponent(t(s, d)("embeddings"))),
     // recall@k quality gate: approximate rankers vs the exact ranker,
     // invariant booleans vs a constant-true oracle (a6/a7/a9 trick)
     "sim_recall_check" -> ((s, d) => {
@@ -3459,23 +3463,8 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "sim_covariance" ->
-      """WITH ds AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |ex AS (SELECT vec_id,
-        |  CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim, unnest(q) AS x
-        |  FROM ds),
-        |cells AS (
-        |  SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS spq, COUNT(*) AS n
-        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
-        |  GROUP BY 1, 2),
-        |dims AS (SELECT dim, SUM(x) AS s FROM ex GROUP BY 1)
-        |SELECT i, j,
-        |  round(CAST(n * spq - di.s * dj.s AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0, 9) AS cov
-        |FROM cells JOIN dims di ON di.dim = i JOIN dims dj ON dj.dim = j
-        |ORDER BY i, j""".stripMargin,
+      s"WITH $CovCellsCtes\nSELECT i, j, cov FROM ccells ORDER BY i, j",
+    "sim_pca_power" -> pcaPowerOracle,
     "sim_lsh_topk" ->
       s"""WITH $LshSigCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig WHERE vec_id % 25 = 0),
@@ -4071,6 +4060,58 @@ object SparkEntry {
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
       |)""".stripMargin
+
+  /** Exact integer-grid covariance cells (i, j, cov) — shared by the
+    * sim_covariance oracle and the power-iteration oracle built on it.
+    */
+  private val CovCellsCtes =
+    """ds AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |ex AS (SELECT vec_id,
+      |  CAST(generate_subscripts(q, 1) - 1 AS BIGINT) AS dim, unnest(q) AS x
+      |  FROM ds),
+      |cells AS (
+      |  SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS spq, COUNT(*) AS n
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |  GROUP BY 1, 2),
+      |dims AS (SELECT dim, SUM(x) AS s FROM ex GROUP BY 1),
+      |ccells AS (
+      |  SELECT i, j,
+      |    round(CAST(n * spq - di.s * dj.s AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0, 9) AS cov
+      |  FROM cells JOIN dims di ON di.dim = i JOIN dims dj ON dj.dim = j)""".stripMargin
+
+  /** Unrolled fixed-point power iteration over the covariance grid —
+    * the SQL twin of `SimilarityOps.pcaTopComponent`: same half-up
+    * floor quantization, 128-bit integer matvec sums (order-free),
+    * max-abs renormalization with sign routed through magnitude-only
+    * integer division (floor-vs-truncate can never disagree).
+    */
+  private val pcaPowerOracle: String = {
+    val steps = (1 to 8).map { k =>
+      s"""t$k AS (
+         |  SELECT a.i AS dim, SUM(a.v * v.val) AS t
+         |  FROM amat a JOIN v${k - 1} v ON a.j = v.dim GROUP BY 1),
+         |m$k AS (SELECT MAX(ABS(t)) AS m FROM t$k),
+         |v$k AS (
+         |  SELECT dim, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+         |    WHEN t < 0 THEN -((CAST(-t AS HUGEINT) * 1000000) // m)
+         |    ELSE (CAST(t AS HUGEINT) * 1000000) // m END AS val
+         |  FROM t$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${CovCellsCtes.replace("ccells AS (", "ccells AS MATERIALIZED (")},
+       |amat AS MATERIALIZED (
+       |  SELECT i, j, CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT) AS v FROM ccells
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, CAST(floor(cov * 1000000.0 + 0.5) AS BIGINT) AS v
+       |  FROM ccells WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS val FROM ccells),
+       |$steps
+       |SELECT dim, CAST(val AS DOUBLE) / 1000000.0 AS loading
+       |FROM v8 ORDER BY dim""".stripMargin
+  }
 
   /** DuckDB-side random-hyperplane LSH bucket (mirrors
     * SimilarityOps.hyperplaneSignature: `numPlanes` planes starting at

@@ -744,4 +744,67 @@ object SimilarityOps {
       .select(explode(col("cells")).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.cov").as("cov"))
       .orderBy("i", "j")
+
+  /** Top principal component of the embedding space — the
+    * whitening / drift-direction primitive that sits on top of
+    * [[covarianceMatrix]]: fixed-count power iteration on the d×d
+    * covariance grid. The heavy lifting (the d²·N covariance pass) is
+    * the distributed CovGrid aggregate; the iteration itself runs on
+    * the DRIVER over the collected d² grid — output-scale state, the
+    * k-means-centroid / BPE-argmax precedent, and exactly where MLlib
+    * does its eigen-solve after `computeCovariance`.
+    *
+    * Cross-engine exactness (the oracle unrolls the same loop in SQL):
+    * every step is INTEGER arithmetic — the grid quantizes to
+    * `floor(cov·10⁶ + 0.5)` (explicit half-up floor: `round()` halves
+    * differ between engines on negatives), the matvec accumulates
+    * BIGINT products into 128-bit sums (order-free, unlike a float
+    * SUM whose addition order an engine never promises), and each
+    * iterate renormalizes by the MAX-ABS component (an integer max +
+    * integer division on magnitudes — L∞ instead of L2 precisely
+    * because sqrt of a 128-bit sum would re-introduce
+    * engine-specific float conversion). Signs route through
+    * `-((-t·10⁶) // m)` on both sides so floor-vs-truncate division
+    * semantics can never disagree. Covariance is PSD, so the dominant
+    * eigenvalue is ≥ 0 and the iterate cannot alternate; 8 fixed
+    * iterations on both engines (determinism does not depend on
+    * convergence). The final loading is val/10⁶ — an exact double.
+    */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cells = covarianceMatrix(embeddings).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    if (cells.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("dim", "loading")
+    val d = cells.iterator.map(_._2).max + 1
+    val a = Array.ofDim[Long](d, d)
+    cells.foreach { case (i, j, c) =>
+      val q = math.floor(c * 1000000.0 + 0.5).toLong
+      a(i)(j) = q
+      a(j)(i) = q
+    }
+    val scale = BigInt(1000000)
+    var v = Array.fill(d)(scale)
+    var k = 0
+    while (k < iters) {
+      val t = Array.tabulate(d) { i =>
+        var s = BigInt(0)
+        var j = 0
+        while (j < d) { s += BigInt(a(i)(j)) * v(j); j += 1 }
+        s
+      }
+      val m = t.iterator.map(_.abs).max
+      v = t.map { x =>
+        if (m.signum == 0) BigInt(0)
+        else if (x.signum < 0) -((-x * scale) / m)
+        else (x * scale) / m
+      }
+      k += 1
+    }
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, x.toDouble / 1000000.0) }
+      .toSeq.toDF("dim", "loading")
+      .orderBy("dim")
+  }
 }

@@ -138,5 +138,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.DedupOps.jaroWinklerPairs(noDocs).isEmpty)
     assert(graft.operators.TextOps.invertedIndex(noDocs).isEmpty)
     assert(graft.operators.TextOps.sentenceStats(noDocs).isEmpty)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.SimilarityOps.pcaTopComponent(noVecs).isEmpty)
   }
 }

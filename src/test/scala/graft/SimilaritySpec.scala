@@ -234,6 +234,20 @@ class SimilaritySpec extends SparkSpec {
     assert(cos == Seq((10L, 1L), (20L, 2L)))
   }
 
+  test("pcaTopComponent recovers the exact direction of rank-1 data") {
+    // points on the (3,4) line, zero mean -> cov = var(t)·[[9,12],[12,16]]
+    // (rank 1), so (0.75, 1.0) is an exact fixed point of the max-abs-
+    // normalized iteration: A·(0.75,1) = var·(18.75, 25) ∝ (0.75, 1);
+    // every quantity stays on the 1e-6 integer grid, so equality is exact
+    val e = Seq(
+      (1L, Array(3f, 4f)), (2L, Array(-3f, -4f)),
+      (3L, Array(6f, 8f)), (4L, Array(-6f, -8f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.pcaTopComponent(e)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 0.75), (1L, 1.0)), got)
+  }
+
   test("covarianceMatrix matches hand-computed population covariance") {
     // 2-dim, 3 vectors: x = (0, 1, 2), y = (0, 2, 4) -> var(x)=2/3,
     // cov(x,y)=4/3, var(y)=8/3 (population, n divisor)
