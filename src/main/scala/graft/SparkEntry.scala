@@ -324,6 +324,8 @@ object SparkEntry {
     // the production retrain-trigger drift gate: binned PSI with
     // add-one smoothing over observed bins
     "a28_psi" -> ((s, d) => Relational.a28Psi(t(s, d)("events"))),
+    // Spearman rank correlation (exact doubled tie-average ranks)
+    "a29_spearman" -> ((s, d) => Relational.a29Spearman(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -413,6 +415,10 @@ object SparkEntry {
     // cluster density of the near-dup graph: exact triangle count
     "dedup_triangles" -> ((s, d) => graft.operators.GraphOps
       .triangleCount(DedupOps.simhashPairs(t(s, d)("documents")))),
+    // hub-pairing tendency of the near-dup graph (boilerplate alarm)
+    "dedup_assortativity" -> ((s, d) => graft.operators.GraphOps
+      .assortativity(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
     // per-cluster quality report: nodes/pairs/triangles per component
     "dedup_clique_density" -> ((s, d) => graft.operators.GraphOps
       .cliqueDensity(DedupOps.simhashPairs(t(s, d)("documents"))
@@ -3286,6 +3292,36 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM edges e1 JOIN edges e2 ON e1.b = e2.a
          |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "dedup_assortativity" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         |stats AS (
+         |  SELECT COUNT(*) AS m,
+         |    SUM(CAST(da.d AS HUGEINT)) AS sx, SUM(CAST(db.d AS HUGEINT)) AS sy,
+         |    SUM(CAST(da.d AS HUGEINT) * da.d) AS ssx,
+         |    SUM(CAST(db.d AS HUGEINT) * db.d) AS ssy,
+         |    SUM(CAST(da.d AS HUGEINT) * db.d) AS sp
+         |  FROM sym JOIN deg da ON sym.u = da.u JOIN deg db ON sym.v = db.u)
+         |SELECT m AS n_directed_edges,
+         |  CASE WHEN m = 0 OR (CAST(m AS DOUBLE) * CAST(ssx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * (CAST(m AS DOUBLE) * CAST(ssy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0.0
+         |    ELSE round((CAST(m AS DOUBLE) * CAST(sp AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |      / sqrt((CAST(m AS DOUBLE) * CAST(ssx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |        * (CAST(m AS DOUBLE) * CAST(ssy AS DOUBLE)
+         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
+         |  END AS assortativity
+         |FROM stats""".stripMargin,
     "dedup_clique_density" ->
       s"""WITH RECURSIVE $ToksCte,
          |$SimhashSigCte,
@@ -3841,6 +3877,42 @@ object SparkEntry {
         |SELECT n_bins, n_a, n_b,
         |  CAST(SUM(CAST(term AS DECIMAL(24,14))) AS DOUBLE) AS psi
         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+    // doubled tie-average ranks (min+max of consecutive row_numbers in
+    // a tie group = 2·avg rank) keep every rank an exact integer;
+    // HUGEINT sums mirror the Spark side's DECIMAL(38,0) exactness
+    "a29_spearman" ->
+      """WITH r AS (
+        |  SELECT event_type, value, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rxr,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ryr
+        |  FROM events),
+        |r2 AS (
+        |  SELECT event_type,
+        |    MIN(rxr) OVER (PARTITION BY event_type, value)
+        |      + MAX(rxr) OVER (PARTITION BY event_type, value) AS rx2,
+        |    MIN(ryr) OVER (PARTITION BY event_type, ts)
+        |      + MAX(ryr) OVER (PARTITION BY event_type, ts) AS ry2
+        |  FROM r),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(rx2 AS HUGEINT)) AS sx, SUM(CAST(ry2 AS HUGEINT)) AS sy,
+        |    SUM(CAST(rx2 AS HUGEINT) * rx2) AS ssx,
+        |    SUM(CAST(ry2 AS HUGEINT) * ry2) AS ssy,
+        |    SUM(CAST(rx2 AS HUGEINT) * ry2) AS sp
+        |  FROM r2 GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0 THEN 0.0
+        |    ELSE round((CAST(n AS DOUBLE) * CAST(sp AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(ssx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(ssy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
+        |  END AS spearman
+        |FROM s ORDER BY event_type""".stripMargin,
     "text_code_detect" ->
       """WITH m AS (
         |  SELECT doc_id,

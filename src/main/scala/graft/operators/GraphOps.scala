@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -385,5 +385,44 @@ object GraphOps {
     }
     sym.unpersist()
     labels.select(col("u").as("doc_id"), col("label")).orderBy("doc_id")
+  }
+
+  /** Degree assortativity of the undirected pair graph — the Pearson
+    * correlation of endpoint degrees over every DIRECTED edge (each
+    * undirected edge counted once per direction, the standard Newman
+    * convention). Positive: hubs pair with hubs — near-dup graphs
+    * built from boilerplate skew this way, and a high coefficient is
+    * an early warning that a few templates are stitching the corpus
+    * into one giant quasi-clique (the failure mode [[cliqueDensity]]
+    * diagnoses after the fact). Plan: one degree aggregate (node-
+    * keyed), two broadcast-or-keyed joins to tag each edge's endpoint
+    * degrees, then a SINGLE scalar sufficient-statistic aggregate —
+    * exact DECIMAL(38,0) sums of integer degrees (order-free), one
+    * double formula rounded to 12 dp, zero-variance graphs (all
+    * degrees equal, e.g. perfect matchings or cycles) pinned to 0.0.
+    */
+  def assortativity(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val Array(a, b) = pairs.columns.take(2)
+    val sym = pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .union(pairs.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val sums = sym
+      .join(deg.select(col("u"), col("d").as("da")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("db")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(d38(col("da"))).as("sx"), sum(d38(col("db"))).as("sy"),
+        sum(d38(col("da")) * d38(col("da"))).as("ssx"),
+        sum(d38(col("db")) * d38(col("db"))).as("ssy"),
+        sum(d38(col("da")) * d38(col("db"))).as("sp"))
+    def dd(name: String) = col(name).cast("double")
+    val m = col("m").cast("double")
+    val den = (m * dd("ssx") - dd("sx") * dd("sx")) *
+      (m * dd("ssy") - dd("sy") * dd("sy"))
+    sums.select(col("m").as("n_directed_edges"),
+      when(col("m") === 0 || den <= 0, lit(0.0)).otherwise(
+        round((m * dd("sp") - dd("sx") * dd("sy")) / sqrt(den), 12))
+        .as("assortativity"))
   }
 }

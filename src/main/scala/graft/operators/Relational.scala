@@ -1661,6 +1661,50 @@ object Relational {
       .select(col("n_bins"), col("n_a"), col("n_b"), col("psi"))
   }
 
+  /** Spearman rank correlation between `value` and event TIME within
+    * each event type — the monotone-trend detector ([[a15Corr]]'s
+    * Pearson sees only linear trends; a feature drifting
+    * exponentially over time has Spearman ≈ 1 and a much weaker
+    * Pearson). Tie handling is the textbook AVERAGE rank, computed
+    * exactly in integers: within a tie group, row_number ranks are
+    * consecutive, so min+max over the group is EXACTLY twice the
+    * average rank — correlation is scale-invariant, so the doubled
+    * integer ranks feed Pearson directly and no fractional rank (or
+    * engine-specific decimal AVG type) ever exists. Sums accumulate
+    * in DECIMAL(38,0) (exact at any n); one double formula rounded to
+    * 12 dp at the end; zero-variance sides (all-tied value or ts) pin
+    * to 0.0 on both engines (the Gini/KS degenerate-case discipline).
+    * Plan: two rank windows + two tie windows, all partitioned by
+    * event_type — ONE exchange family — then a group-scale aggregate.
+    */
+  def a29Spearman(events: DataFrame): DataFrame = {
+    val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val tx = Window.partitionBy("event_type", "value")
+    val ty = Window.partitionBy("event_type", "ts")
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val ranked = events
+      .withColumn("rxr", row_number().over(wx).cast("long"))
+      .withColumn("ryr", row_number().over(wy).cast("long"))
+      .withColumn("rx2", min(col("rxr")).over(tx) + max(col("rxr")).over(tx))
+      .withColumn("ry2", min(col("ryr")).over(ty) + max(col("ryr")).over(ty))
+    val sums = ranked.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("rx2"))).as("sx"), sum(d38(col("ry2"))).as("sy"),
+      sum(d38(col("rx2")) * d38(col("rx2"))).as("ssx"),
+      sum(d38(col("ry2")) * d38(col("ry2"))).as("ssy"),
+      sum(d38(col("rx2")) * d38(col("ry2"))).as("sp"))
+    def dd(name: String) = col(name).cast("double")
+    val n = col("n").cast("double")
+    val den = (n * dd("ssx") - dd("sx") * dd("sx")) *
+      (n * dd("ssy") - dd("sy") * dd("sy"))
+    sums.select(col("event_type"), col("n"),
+      when(den <= 0, lit(0.0)).otherwise(
+        round((n * dd("sp") - dd("sx") * dd("sy")) / sqrt(den), 12))
+        .as("spearman"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
     * DISTINCT supplier/customer nation pairs by ship year — the
     * star-join + multi-dim rollup reporting shape. Broadcast hints

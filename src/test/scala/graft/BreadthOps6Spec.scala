@@ -210,6 +210,21 @@ class BreadthOps6Spec extends SparkSpec {
       ev.filter($"event_type" === "click")).isEmpty)
   }
 
+  test("a29Spearman: monotone trends hit ±1 exactly; all-tied side pins 0") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // value rises with time (nonlinearly — Spearman only sees order)
+      (1L, ts(1), "up", 1.0), (2L, ts(2), "up", 10.0), (3L, ts(3), "up", 1000.0),
+      // value falls with time
+      (4L, ts(1), "down", 9.0), (5L, ts(2), "down", 5.0), (6L, ts(3), "down", 1.0),
+      // all values tied: zero variance -> pinned 0.0
+      (7L, ts(1), "flat", 2.0), (8L, ts(2), "flat", 2.0), (9L, ts(3), "flat", 2.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = Relational.a29Spearman(ev)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("down", 3L, -1.0), ("flat", 3L, 0.0), ("up", 3L, 1.0)), out)
+  }
+
   test("a28Psi: symmetric two-bin shift, add-one smoothing over observed bins") {
     val ev = Seq(
       (1L, "click", 5.0), (2L, "click", 5.0), (3L, "click", 15.0),

@@ -221,4 +221,18 @@ class GraphOpsSpec extends SparkSpec {
     // leaves adopt the center's initial label
     assert(lpa(1L) == 5L && lpa(9L) == 5L)
   }
+
+  test("assortativity: star is exactly -1, clique pins 0 (zero variance)") {
+    // star K1,3: every directed edge pairs degree 3 with degree 1 (or
+    // 1 with 3) — perfect disassortativity, r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val rs = GraphOps.assortativity(star)
+      .as[(Long, Double)].collect().head
+    assert(rs == ((6L, -1.0)), rs)
+    // triangle K3: all degrees equal -> zero variance -> pinned 0.0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val rt = GraphOps.assortativity(tri)
+      .as[(Long, Double)].collect().head
+    assert(rt == ((6L, 0.0)), rt)
+  }
 }
