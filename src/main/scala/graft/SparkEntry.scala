@@ -743,6 +743,9 @@ object SparkEntry {
     // stream-static join: arriving docs looked up against the static
     // fingerprint index (stateless streaming, broadcast static side)
     "stream_index_lookup" -> ((s, d) => streamIndexLookupQuery(s, d)),
+    // ingest-time fuzzy-ER gate: streamed docs blocked + Jaro-Winkler-
+    // verified against the static corpus index (batch pair oracle)
+    "stream_er_pairs" -> ((s, d) => streamErPairsQuery(s, d)),
     // the full dataset build in one declarative pipeline: clean →
     // decontaminate → split → pack (eval slice = doc_id % 37 == 0)
     "pipe_build_corpus" -> ((s, d) => {
@@ -1149,6 +1152,31 @@ object SparkEntry {
       val hits = graft.streaming.StreamingSync.streamIndexLookup(stream, index)
       runToMemorySink(s, hits, "stream_idx_sink", "append")
         .orderBy("doc_id", "index_id")
+    }
+  }
+
+  /** Stateless streaming ER gate driven to completion: the documents
+    * table replayed as a stream, each arriving doc blocked and
+    * Jaro-Winkler-verified against the STATIC corpus index. The
+    * `index_id < doc_id` guard makes the full replay emit exactly the
+    * batch jaroWinklerPairs set, so the batch oracle gates it.
+    */
+  private def streamErPairsQuery(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = s"$d/documents.parquet"
+    val srcDir = Paths.get(
+      "/tmp/graft_stream_erpairs_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(srcDir)
+    val link = srcDir.resolve("documents.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(path))
+    val rawSchema = s.read.parquet(path).schema
+    withStreamShuffle(s) {
+      val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
+      val pairs = graft.streaming.StreamingSync
+        .streamErPairs(stream, t(s, d)("documents"))
+      runToMemorySink(s, pairs, "stream_er_sink", "append")
+        .orderBy("doc_a", "doc_b")
     }
   }
 
@@ -2487,15 +2515,9 @@ object SparkEntry {
         |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(substr(a.text,1,40), substr(b.text,1,40)) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "er_jaro_pairs" ->
-      """WITH h AS (SELECT doc_id, lang, substr(text,1,32) AS head,
-        |             substr(text,1,4) AS blk FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
-        |FROM h a JOIN h b
-        |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "er_jaro_pairs" -> ErJaroPairsOracle,
+    // the full stream replay emits exactly the batch pair set
+    "stream_er_pairs" -> ErJaroPairsOracle,
     // literals mirror the Spark side UNFOLDED ((1.2 + 1.0), not 2.2):
     // both engines then run the identical IEEE op sequence, and the
     // round(…,6) absorbs ln/accumulation-order last-bit noise
@@ -4132,6 +4154,19 @@ object SparkEntry {
     """toks AS (
       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
       |)""".stripMargin
+
+  /** Blocked Jaro-Winkler ER pairs — one oracle for the batch operator
+    * and its streaming replay twin (same pair set by construction).
+    */
+  private val ErJaroPairsOracle =
+    """WITH h AS (SELECT doc_id, lang, substr(text,1,32) AS head,
+      |             substr(text,1,4) AS blk FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+      |FROM h a JOIN h b
+      |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact integer-grid covariance cells (i, j, cov) — shared by the
     * sim_covariance oracle and the power-iteration oracle built on it.

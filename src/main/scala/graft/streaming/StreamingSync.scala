@@ -287,6 +287,38 @@ object StreamingSync {
       .join(broadcast(index), "fp")
       .select(col("doc_id"), col("index_id"))
 
+  /** Streaming twin of [[graft.operators.DedupOps.jaroWinklerPairs]]:
+    * each ARRIVING document is blocked on (lang, head prefix) against
+    * the static corpus index and fuzzy-verified with the codegen'd
+    * Jaro-Winkler kernel — the ingest-time ER gate ("is this new
+    * record a near-copy of something we already hold?") that the
+    * batch operator restates over a finished corpus. Stateless
+    * stream-static broadcast join, so no watermark state at all; the
+    * `index_id < doc_id` guard makes each pair emit exactly once when
+    * the full corpus is replayed, which is what lets the BATCH pair
+    * oracle gate the streaming run verbatim. At 100 TB the broadcast
+    * index swaps for a keyed join against the parquet-persisted block
+    * index — same plan family as the incremental-LSH path.
+    */
+  def streamErPairs(streamDocs: DataFrame, corpus: DataFrame,
+      headLen: Int = 32, blockLen: Int = 4,
+      threshold: Double = 0.92): DataFrame = {
+    val idx = corpus.select(col("doc_id").as("index_id"), col("lang"),
+      substring(col("text"), 1, headLen).as("ihead"),
+      substring(col("text"), 1, blockLen).as("blk"))
+    streamDocs
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, headLen).as("head"),
+        substring(col("text"), 1, blockLen).as("blk"))
+      .join(broadcast(idx), Seq("lang", "blk"))
+      .filter(col("index_id") < col("doc_id"))
+      .withColumn("jw", round(graft.functions.GraftFunctions
+        .jaro_winkler(col("head"), col("ihead")), 6))
+      .filter(col("jw") >= threshold)
+      .select(col("index_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("jw"))
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` aggregation —
     * the built-in twin of [[sessionizeEvicting]] (prefer built-ins
     * where they express the semantics; the custom-state variant exists
