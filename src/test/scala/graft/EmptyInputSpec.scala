@@ -140,5 +140,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.operators.TextOps.sentenceStats(noDocs).isEmpty)
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(graft.operators.SimilarityOps.pcaTopComponent(noVecs).isEmpty)
+    val noTsEvents = Seq
+      .empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("event_id", "ts", "event_type", "value")
+    assert(R.a29Spearman(noTsEvents).isEmpty)
+    // scalar census: an empty graph is a defined (0, 0.0) row, the
+    // driftCheck-of-empties convention for whole-input reports
+    val noPairs2 = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val asr = graft.operators.GraphOps.assortativity(noPairs2).collect()
+    assert(asr.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((0L, 0.0)))
   }
 }
