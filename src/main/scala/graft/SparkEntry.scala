@@ -362,6 +362,12 @@ object SparkEntry {
     // power-of-two length-bucket census (integer bit-length, no float log)
     "pipe_length_buckets" -> ((s, d) =>
       PipelineOps.lengthBuckets(t(s, d)("documents"))),
+    // Efraimidis-Spirakis deterministic weighted sample (global TopKAgg)
+    "pipe_weighted_sample" -> ((s, d) =>
+      PipelineOps.weightedSample(t(s, d)("documents"))),
+    // temperature-scaled (share^0.3) multilingual mixture weights
+    "pipe_mix_temperature" -> ((s, d) =>
+      PipelineOps.temperatureMixture(t(s, d)("documents"))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLsh(t(s, d)("documents"))),
     // banding recall census: every exact pair >= t the banded candidate
     // generation missed, counted against the all-pairs exact ground
@@ -2916,6 +2922,39 @@ object SparkEntry {
          |SELECT bucket, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipe_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |           * power(16, 8 - i))) AS BIGINT) AS h32
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id,
+        |    round(ln((CAST(h32 AS DOUBLE) + 1.0) / 4294967296.0)
+        |      / greatest(CAST(n_chars AS DOUBLE), 1.0), 12) AS es_key
+        |  FROM h)
+        |SELECT doc_id, rnk, es_key FROM (
+        |  SELECT doc_id, es_key,
+        |    ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rnk FROM k)
+        |WHERE rnk <= 200 ORDER BY rnk""".stripMargin,
+    "pipe_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(SUM(length(text) // 4) AS BIGINT) AS est_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS total_tokens FROM c),
+        |pa AS (
+        |  SELECT lang, est_tokens, total_tokens,
+        |    round(pow(CAST(est_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE),
+        |      0.3), 12) AS pa
+        |  FROM c, tot),
+        |z AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(24,14))) AS DOUBLE) AS z FROM pa)
+        |SELECT lang, est_tokens,
+        |  round(CAST(est_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 12)
+        |    AS p_raw,
+        |  round(pa / z, 12) AS p_temp
+        |FROM pa, z ORDER BY lang""".stripMargin,
     "s14_textfile_roundtrip" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "text_unigram_lm" ->

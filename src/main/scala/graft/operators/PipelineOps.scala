@@ -566,4 +566,63 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
       .orderBy("bucket")
   }
+
+  /** Deterministic WEIGHTED sample — Efraimidis–Spirakis A-ES: every
+    * doc draws a reproducible uniform u ∈ (0,1] from the md5 of its
+    * id (the repo-wide seedless-determinism idiom) and the k docs
+    * with the largest u^(1/w) win, which is exactly weighted sampling
+    * without replacement. Computed in the log domain (ln u / w — same
+    * argmax, no tiny-power underflow) and rounded to 12 dp before
+    * ranking, the repo's ulp barrier for libm functions (ln is not
+    * required to be correctly rounded and may differ in the last bit
+    * across engines). Weight = chars (length-proportional inclusion —
+    * the token-budget-fair sampling a corpus subset wants); swap the
+    * weight column for quality scores for quality-weighted draws.
+    * Plan: narrow per-row keying, then ONE global bounded
+    * [[graft.functions.TopKAgg]] heap (single group, map-side
+    * combined, ≤ k rows per partition cross the exchange) — no global
+    * sort of the corpus, the 100 TB shape of top-k sampling.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 200): DataFrame = {
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h32 + 1.0d) / lit(4294967296.0d)
+    val w = greatest(col("n_chars").cast("double"), lit(1.0d))
+    documents
+      .select(col("doc_id"), round(log(u) / w, 12).as("es_key"))
+      .agg(GraftFunctions.top_k_agg(col("es_key"), col("doc_id"), k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col.id").as("doc_id"), (col("pos") + 1).as("rnk"),
+        col("col.score").as("es_key"))
+      .orderBy("rnk")
+  }
+
+  /** Temperature-scaled mixture weights — the multilingual sampling
+    * formula (share^α renormalized, α < 1 upsamples the tail): the
+    * standard answer to "English is 60% of the corpus but must not be
+    * 60% of training". Two group-scale aggregates (per-lang token
+    * sums, then the normalizer) stitched with single-row broadcasts.
+    * Engine parity: `pow` is a libm call with no correct-rounding
+    * guarantee, so each share^α rounds to 12 dp FIRST and the
+    * normalizer sums those rounded terms in exact DECIMAL(24,14) (the
+    * a28 PSI discipline) — the division then sees identical inputs on
+    * both engines.
+    */
+  def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = documents.groupBy("lang")
+      .agg(sum(expr("length(text) div 4")).as("est_tokens"))
+    val tot = counts.agg(sum(col("est_tokens")).as("total_tokens"))
+    val withPa = counts.crossJoin(broadcast(tot)) // single-row total
+      .withColumn("pa", round(pow(
+        col("est_tokens").cast("double") / col("total_tokens").cast("double"),
+        lit(alpha)), 12))
+    val z = withPa.agg(sum(col("pa").cast(DecimalType(24, 14))).as("z"))
+    withPa.crossJoin(broadcast(z)) // single-row normalizer
+      .select(col("lang"), col("est_tokens"),
+        round(col("est_tokens").cast("double") /
+          col("total_tokens").cast("double"), 12).as("p_raw"),
+        round(col("pa") / col("z").cast("double"), 12).as("p_temp"))
+      .orderBy("lang")
+  }
 }

@@ -299,4 +299,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("de") == ((25L, 0.5, 1.0)), out)
     assert(out("fr") == ((10L, 0.0, 0.0)), out)
   }
+
+  test("weightedSample: rank order equals an independent A-ES reference walk") {
+    val ds = (1L to 20L).map(i => (i, "t", "en", "s", i * 37 % 100 + 1))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // reference: same md5-derived uniform and log-domain key, computed
+    // with java.security directly (not the operator's expression tree)
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+      val k = math.log(u) / math.max(w.toDouble, 1.0)
+      java.math.BigDecimal.valueOf(k)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val expect = (1L to 20L).map(i => (i, key(i, i * 37 % 100 + 1)))
+      .sortBy { case (id, k) => (-k, id) }.take(5).map(_._1)
+    val got = PipelineOps.weightedSample(ds, k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("temperatureMixture: alpha < 1 upsamples the minority language") {
+    val ds = Seq.tabulate(10)(i =>
+      (i.toLong, "x" * (if (i < 8) 400 else 100), if (i < 8) "en" else "fr",
+        "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.temperatureMixture(ds)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // est tokens = chars div 4 per doc: en 8·100 = 800, fr 2·25 = 50
+    assert(out("en")._2 == 800L && out("fr")._2 == 50L)
+    val pe = math.pow(800.0 / 850.0, 0.3); val pf = math.pow(50.0 / 850.0, 0.3)
+    assert(math.abs(out("fr")._4 - pf / (pe + pf)) < 1e-9, out("fr"))
+    // the whole point: the tail's training share rises above its raw share
+    assert(out("fr")._4 > out("fr")._3 && out("en")._4 < out("en")._3)
+    // shares sum to ~1
+    assert(math.abs(out("en")._4 + out("fr")._4 - 1.0) < 1e-9)
+  }
 }
