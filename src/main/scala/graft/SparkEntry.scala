@@ -616,6 +616,15 @@ object SparkEntry {
             .cast("long").as("doc_id"), col("content")))
         .orderBy("doc_id")
     }),
+    // perceptual near-dup image pairs (banded Hamming over dHash)
+    "mm_dhash_neardup" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.imageNearDup(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     // full-stream PCM sample stats over the real audio decode
     "mm_audio_stats" -> ((s, d) => mmAudioStatsQuery(s, d)),
@@ -3773,6 +3782,30 @@ object SparkEntry {
         |SELECT doc_id, w AS width, h AS height,
         |  string_agg(printf('%02x', rb), '' ORDER BY y DESC) AS dhash
         |FROM rows_ GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // exact all-pairs twin of the banded join: per-row dhash bytes
+    // xor'd and popcounted — banding is pigeonhole-exact at <= 3, so
+    // the pair sets are identical by construction
+    "mm_dhash_neardup" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |bits AS (
+        |  SELECT doc_id, y.y, x.x,
+        |    (doc_id + ((x.x * w) // 9) * 31 + ((y.y * h) // 8) * 7) % 256 AS g1,
+        |    (doc_id + (((x.x + 1) * w) // 9) * 31 + ((y.y * h) // 8) * 7) % 256 AS g2
+        |  FROM m, (SELECT unnest(range(0,8)) AS x) x,
+        |          (SELECT unnest(range(0,8)) AS y) y),
+        |rows_ AS (
+        |  SELECT doc_id, y,
+        |    CAST(SUM(CASE WHEN g2 > g1 THEN 1 << x ELSE 0 END) AS INT) AS rb
+        |  FROM bits GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(SUM(bit_count(xor(a.rb, b.rb))) AS BIGINT) AS hamming
+        |  FROM rows_ a JOIN rows_ b ON a.y = b.y AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // PCM byte formula from stageWavs: byte i = (id + 31i) % 256 - 128;
     // 16-bit LE sample j = hi(2j+1)*256 + unsigned lo(2j)
     "mm_audio_stats" ->

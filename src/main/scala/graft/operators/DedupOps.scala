@@ -529,6 +529,40 @@ object DedupOps {
         bit_count(col("xr")).cast("long").as("hamming"))
   }
 
+  /** Generic banded Hamming-pair join over ANY 64-bit signature
+    * column (doc_id, h) — the [[simhashPairs]] machinery lifted out
+    * for other fingerprint families (perceptual image dHash, audio
+    * chroma hashes): 4 bands of 16 bits as LSH keys, EXACT for
+    * Hamming ≤ 3 by pigeonhole (≤ 3 differing bits touch ≤ 3 bands,
+    * so one band always matches cleanly). Each pair emits exactly
+    * once — from its FIRST matching band, decided locally from the
+    * signature XOR — so there is no post-join distinct shuffle; the
+    * verify and the first-band predicate run inside the join's
+    * codegen stage. Result is pair-set-sized and unsorted (callers
+    * order the slice they keep).
+    */
+  def bandedHamming64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16 banding is pigeonhole-exact only for Hamming <= 3")
+    val bands = sig.select(col("doc_id"), col("h"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("band_key", expr("shiftright(h, band * 16) & 65535"))
+    val firstMatchingBand = expr(
+      """CASE WHEN (xr & 65535) = 0 THEN 0
+        |     WHEN (shiftright(xr, 16) & 65535) = 0 THEN 1
+        |     WHEN (shiftright(xr, 32) & 65535) = 0 THEN 2
+        |     ELSE 3 END""".stripMargin)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("xr", col("x.h").bitwiseXOR(col("y.h")))
+      .filter(bit_count(col("xr")) <= maxHamming &&
+        col("x.band") === firstMatchingBand)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("xr")).cast("long").as("hamming"))
+  }
+
   /** Exact shingle-CONTAINMENT pairs: |sh(A) ∩ sh(B)| / |sh(A)| ≥ t,
     * emitted as (doc_contained, doc_container, containment). The
     * asymmetric twin of [[ngramJaccard]] — it catches "doc A is quoted

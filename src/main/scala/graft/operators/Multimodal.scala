@@ -261,6 +261,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual near-duplicate image pairs: [[imageDHash]] fingerprints
+    * joined through the generic 4×16-bit banded Hamming machinery
+    * ([[DedupOps.bandedHamming64]] — pigeonhole-EXACT for distance
+    * ≤ 3, one bounded equi-join, no all-pairs stage). This is the
+    * image twin of SimHash text dedup: re-encoded or slightly-altered
+    * copies keep their gradient-sign structure, and — as the staged
+    * corpus itself shows — degenerate constant images (1-pixel-wide
+    * renders, blank thumbnails) all collapse to hash 0 and surface as
+    * an exact-dup clique a vision pipeline must catch before
+    * training. The hex fingerprint splits into two 32-bit halves for
+    * the long rebuild (a single 64-bit hex parse would overflow the
+    * signed cast).
+    */
+  def imageNearDup(spark: SparkSession, images: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = imageDHash(spark, images).select(col("doc_id"),
+      shiftleft(conv(substring(col("dhash"), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(col("dhash"), 9, 8), 16, 10).cast("long"))
+        .as("h"))
+    DedupOps.bandedHamming64(sig, maxHamming).orderBy("doc_a", "doc_b")
+  }
+
   /** Schema of a per-clip PCM sample-statistics record (full-stream
     * 16-bit sample stats over the REAL decoded audio).
     */

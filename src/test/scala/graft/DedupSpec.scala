@@ -224,4 +224,22 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
     assert(out == Map(0L -> "de", 1L -> "en", 2L -> "und"))
   }
+
+  test("bandedHamming64: pigeonhole-exact at <=3, single emission, bit-63 safe") {
+    val base = 0x8000000000000001L // bit 63 set: sign handling must not leak
+    val sig = Seq(
+      (1L, base),
+      (2L, base ^ 0x7L),                // distance 3 (all in band 0)
+      (3L, base ^ 0x0001000100010000L), // distance 3, spread over 3 bands
+      (4L, base ^ 0x0001000100010001L), // distance 4: excluded
+      (5L, base)                        // distance 0 (exact dup)
+    ).toDF("doc_id", "h")
+    val pairs = graft.operators.DedupOps.bandedHamming64(sig)
+      .as[(Long, Long, Long)].collect().toSet
+    // qualifying pairs: (1,2)=3, (1,3)=3, (1,5)=0, (2,5)=3, (3,4)=1,
+    // (3,5)=3; excluded: (1,4)=(4,5)=4, (2,3)=6, (2,4)=5 — and each
+    // emitted pair appears exactly ONCE despite multi-band collisions
+    assert(pairs == Set((1L, 2L, 3L), (1L, 3L, 3L), (1L, 5L, 0L),
+      (2L, 5L, 3L), (3L, 4L, 1L), (3L, 5L, 3L)), pairs)
+  }
 }
