@@ -625,6 +625,17 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
     }),
+    // perceptual audio fingerprints over the real PCM decode
+    "mm_audio_hash" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val dir = stagingTag(d, "wav", "documents.parquet")
+      Multimodal.stageWavs(docs, dir)
+      Multimodal.audioDHash(s,
+        s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"), col("content")))
+        .orderBy("doc_id")
+    }),
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     // full-stream PCM sample stats over the real audio decode
     "mm_audio_stats" -> ((s, d) => mmAudioStatsQuery(s, d)),
@@ -3806,6 +3817,32 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM pairs
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // the 65-point NN resample grid over the staged PCM formula: the
+    // oracle reconstructs every sampled amplitude, so the fingerprint
+    // proves the decoder streamed real sample data
+    "mm_audio_hash" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)
+        |      AS ns
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |pts AS (
+        |  SELECT doc_id, ns, y.y, x.x, (y.y * 8 + x.x) AS i FROM m,
+        |    (SELECT unnest(range(0,8)) AS x) x,
+        |    (SELECT unnest(range(0,8)) AS y) y),
+        |sv AS (
+        |  SELECT doc_id, y, x,
+        |    ((doc_id + (2*((i*ns)//65)+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*((i*ns)//65)*31) % 256 - 128 + 256) % 256 AS s1,
+        |    ((doc_id + (2*(((i+1)*ns)//65)+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*(((i+1)*ns)//65)*31) % 256 - 128 + 256) % 256 AS s2
+        |  FROM pts),
+        |rows_ AS (
+        |  SELECT doc_id, y,
+        |    CAST(SUM(CASE WHEN s2 > s1 THEN 1 << x ELSE 0 END) AS INT) AS rb
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT doc_id, ns AS n_samples,
+        |  string_agg(printf('%02x', rb), '' ORDER BY y DESC) AS ahash
+        |FROM rows_ JOIN m USING (doc_id) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // PCM byte formula from stageWavs: byte i = (id + 31i) % 256 - 128;
     // 16-bit LE sample j = hi(2j+1)*256 + unsigned lo(2j)
     "mm_audio_stats" ->

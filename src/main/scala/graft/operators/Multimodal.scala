@@ -332,6 +332,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a per-clip audio fingerprint record. */
+  val audioDHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("ahash", StringType)))
+
+  /** Per-clip audio difference hash over the REAL decoded PCM stream —
+    * the audio leg of the perceptual-fingerprint family ([[imageDHash]]
+    * for images, SimHash for text): 65 nearest-neighbor sample points
+    * (`⌊i·n/65⌋`, the [[resizeImages]] integer mapping — a clip
+    * resampled or padded keeps its coarse amplitude CONTOUR), bit i
+    * set iff the next sampled amplitude is strictly louder. Emitted as
+    * the same 16-hex MSB-first string as the image hash so
+    * [[DedupOps.bandedHamming64]] consumes either family unchanged.
+    * The oracle predicts every sampled amplitude from the staged PCM
+    * formula, so a header-only decode cannot pass. Narrow
+    * mapPartitions, no shuffle; cost is decode + 65 signed-16-bit
+    * reads per clip.
+    */
+  def audioDHash(spark: SparkSession, audio: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioDHashSchema)
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val data = ais.readAllBytes()
+        ais.close()
+        require(data.length >= 2,
+          s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
+            "no complete 16-bit sample (truncated or header-only WAV)")
+        val n = data.length / 2
+        def s(j: Int): Int = (data(2 * j + 1).toInt << 8) | (data(2 * j) & 0xff)
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (s((i + 1) * n / 65) > s(i * n / 65)) hash |= 1L << i
+          i += 1
+        }
+        Row(r.getLong(0), n.toLong, f"$hash%016x")
+      }
+    }(enc)
+  }
+
   /** Schema of a decoded audio record: header-readable quantities
     * only (`pcm_bytes` = frames · channels · 2 for 16-bit PCM — the
     * decode-verifiable decoded size, analogous to

@@ -205,6 +205,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((9L, 18, 8, "00000000000000ff")), out)
   }
 
+  test("audioDHash: contour bits follow the sampled amplitudes, hex MSB-first") {
+    // 65 mono samples so the NN grid is the identity (⌊i·65/65⌋ = i):
+    // strictly rising first 9 samples -> bits 0..7 set, then strictly
+    // falling -> no further bits. Amplitudes stay positive (hi byte 0).
+    val n = 65
+    val pcm = new Array[Byte](n * 2)
+    for (j <- 0 until n) {
+      val v = if (j <= 8) j * 10 else math.max(0, 80 - (j - 8) * 5)
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = 0
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bin = Seq((3L, bos.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.audioDHash(spark, bin)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((3L, 65L, "00000000000000ff")), out)
+  }
+
   test("stagePngs + binaryFile round trip decodes the staged dims") {
     val dir = java.nio.file.Files.createTempDirectory("graft_png_spec")
       .resolve("staged").toString
