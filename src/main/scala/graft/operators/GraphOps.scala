@@ -408,21 +408,15 @@ object GraphOps {
       .union(pairs.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
     def d38(c: Column) = c.cast(DecimalType(38, 0))
-    val sums = sym
+    sym
       .join(deg.select(col("u"), col("d").as("da")), "u")
       .join(deg.select(col("u").as("v"), col("d").as("db")), "v")
-      .agg(count(lit(1)).as("m"),
+      .agg(count(lit(1)).as("n"),
         sum(d38(col("da"))).as("sx"), sum(d38(col("db"))).as("sy"),
         sum(d38(col("da")) * d38(col("da"))).as("ssx"),
         sum(d38(col("db")) * d38(col("db"))).as("ssy"),
         sum(d38(col("da")) * d38(col("db"))).as("sp"))
-    def dd(name: String) = col(name).cast("double")
-    val m = col("m").cast("double")
-    val den = (m * dd("ssx") - dd("sx") * dd("sx")) *
-      (m * dd("ssy") - dd("sy") * dd("sy"))
-    sums.select(col("m").as("n_directed_edges"),
-      when(col("m") === 0 || den <= 0, lit(0.0)).otherwise(
-        round((m * dd("sp") - dd("sx") * dd("sy")) / sqrt(den), 12))
-        .as("assortativity"))
+      .select(col("n").as("n_directed_edges"),
+        Relational.pearsonFromSums.as("assortativity"))
   }
 }

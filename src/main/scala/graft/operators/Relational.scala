@@ -1612,17 +1612,25 @@ object Relational {
     cells
       .withColumn("cbefore",
         coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+      // DECIMAL(38,0): the doubled rank product reaches ~n² per cell —
+      // a plain long wraps silently near 1e10 events while the oracle's
+      // 128-bit sum does not (the a29Spearman/assortativity discipline)
       .withColumn("r2a",
-        col("ca") * (lit(2) * col("cbefore") + col("ca") + col("cb") + 1))
+        col("ca").cast(DecimalType(38, 0)) *
+          (lit(2) * col("cbefore") + col("ca") + col("cb") + 1)
+            .cast(DecimalType(38, 0)))
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(col("r2a")).as("r2"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col("n_a"), col("n_b"),
-        ((col("r2") - col("n_a") * (col("n_a") + 1)).cast("double") / 2.0d)
+        ((col("r2") - col("n_a").cast(DecimalType(38, 0)) *
+          (col("n_a") + 1).cast(DecimalType(38, 0))).cast("double") / 2.0d)
           .as("u_a"))
       .select(col("n_a"), col("n_b"), col("u_a"),
-        ((col("n_a") * col("n_b")).cast("double") - col("u_a")).as("u_b"),
-        round(col("u_a") / (col("n_a") * col("n_b")).cast("double"), 9)
+        (col("n_a").cast("double") * col("n_b").cast("double") - col("u_a"))
+          .as("u_b"),
+        round(col("u_a") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9)
           .as("auc"))
   }
 
@@ -1688,21 +1696,33 @@ object Relational {
       .withColumn("ryr", row_number().over(wy).cast("long"))
       .withColumn("rx2", min(col("rxr")).over(tx) + max(col("rxr")).over(tx))
       .withColumn("ry2", min(col("ryr")).over(ty) + max(col("ryr")).over(ty))
-    val sums = ranked.groupBy("event_type").agg(
-      count(lit(1)).as("n"),
-      sum(d38(col("rx2"))).as("sx"), sum(d38(col("ry2"))).as("sy"),
-      sum(d38(col("rx2")) * d38(col("rx2"))).as("ssx"),
-      sum(d38(col("ry2")) * d38(col("ry2"))).as("ssy"),
-      sum(d38(col("rx2")) * d38(col("ry2"))).as("sp"))
+    ranked.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(d38(col("rx2"))).as("sx"), sum(d38(col("ry2"))).as("sy"),
+        sum(d38(col("rx2")) * d38(col("rx2"))).as("ssx"),
+        sum(d38(col("ry2")) * d38(col("ry2"))).as("ssy"),
+        sum(d38(col("rx2")) * d38(col("ry2"))).as("sp"))
+      .select(col("event_type"), col("n"),
+        pearsonFromSums.as("spearman"))
+      .orderBy("event_type")
+  }
+
+  /** Pearson correlation from the standard sufficient-statistic
+    * columns (n, sx, sy, ssx, ssy, sp — exact integer/decimal sums):
+    * one fixed double formula rounded to 12 dp, zero-variance inputs
+    * pinned to 0.0. Shared by [[a29Spearman]] and
+    * [[GraphOps.assortativity]] so the degenerate-case pin and the
+    * ulp-barrier width can never drift between them.
+    */
+  private[operators] def pearsonFromSums: Column = {
     def dd(name: String) = col(name).cast("double")
     val n = col("n").cast("double")
     val den = (n * dd("ssx") - dd("sx") * dd("sx")) *
       (n * dd("ssy") - dd("sy") * dd("sy"))
-    sums.select(col("event_type"), col("n"),
-      when(den <= 0, lit(0.0)).otherwise(
-        round((n * dd("sp") - dd("sx") * dd("sy")) / sqrt(den), 12))
-        .as("spearman"))
-      .orderBy("event_type")
+    // isNull: a zero-row scalar aggregate (empty graph census) sums to
+    // NULL — that degenerate input pins to 0.0 like zero variance does
+    when(den.isNull || den <= 0, lit(0.0)).otherwise(
+      round((n * dd("sp") - dd("sx") * dd("sy")) / sqrt(den), 12))
   }
 
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between

@@ -715,7 +715,17 @@ private[graft] object JsonWire {
       private var tok = p.nextToken()
       override def hasNext: Boolean = {
         val more = tok == JsonToken.START_OBJECT
-        if (!more && !p.isClosed) p.close()
+        if (!more) {
+          // anything but the array's close is a malformed result —
+          // treating it as end-of-stream would silently truncate the
+          // download (a stray null/scalar mid-array drops every
+          // record after it); fail as loudly as the top-level require
+          if (tok != JsonToken.END_ARRAY)
+            throw new IllegalStateException(
+              s"bulk JSON result: expected a record object or end of " +
+                s"array, got $tok — refusing to truncate the download")
+          if (!p.isClosed) p.close()
+        }
         more
       }
       override def next(): Map[String, Any] = {

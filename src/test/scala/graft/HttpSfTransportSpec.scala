@@ -529,4 +529,17 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
     val rows = CsvWire.parseRows("a,b\r\n\"x,1\",\"he said \"\"hi\"\"\"\r\n,\n").toSeq
     assert(rows == Seq(Seq("a", "b"), Seq("x,1", "he said \"hi\""), Seq("", "")))
   }
+
+  test("JsonWire fails loudly on a malformed mid-array element instead of truncating") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val it = graft.sources.salesforce.JsonWire.parse(mapper,
+      new java.io.StringReader("""[{"Id":"1"}, null, {"Id":"2"}]"""))
+    assert(it.next() == Map("Id" -> "1"))
+    val ex = intercept[IllegalStateException](it.hasNext)
+    assert(ex.getMessage.contains("refusing to truncate"))
+    // the clean end-of-array path still terminates quietly
+    val ok = graft.sources.salesforce.JsonWire.parse(mapper,
+      new java.io.StringReader("""[{"Id":"3"}]"""))
+    assert(ok.toSeq == Seq(Map("Id" -> "3")))
+  }
 }

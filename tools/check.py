@@ -23,8 +23,21 @@ import duckdb
 CAP = float(os.environ.get("GRAFT_ORACLE_CAP", "60"))
 
 def run_capped(con, sql):
-    """Run sql; return (df, seconds) or (None, None) if the cap hit."""
-    timer = threading.Timer(CAP, con.interrupt)
+    """Run sql; return (df, seconds) or (None, None) if the cap hit.
+
+    The watchdog can fire in the window AFTER fetchdf() returns but
+    before cancel() — the interrupt then has no running query to land
+    on and would abort the NEXT statement on this connection instead.
+    When the timer fired but the query still completed, a sacrificial
+    SELECT drains any pending interrupt before the caller reuses the
+    connection."""
+    fired = threading.Event()
+
+    def _interrupt():
+        fired.set()
+        con.interrupt()
+
+    timer = threading.Timer(CAP, _interrupt)
     timer.start()
     t0 = time.monotonic()
     try:
@@ -34,6 +47,11 @@ def run_capped(con, sql):
         return None, None
     finally:
         timer.cancel()
+        if fired.is_set():
+            try:
+                con.execute("select 1").fetchall()
+            except duckdb.InterruptException:
+                pass
 
 def norm(v):
     if isinstance(v, float):
