@@ -1703,7 +1703,7 @@ object Relational {
         sum(d38(col("ry2")) * d38(col("ry2"))).as("ssy"),
         sum(d38(col("rx2")) * d38(col("ry2"))).as("sp"))
       .select(col("event_type"), col("n"),
-        pearsonFromSums.as("spearman"))
+        pearsonFromSums().as("spearman"))
       .orderBy("event_type")
   }
 
@@ -1712,17 +1712,21 @@ object Relational {
     * one fixed double formula rounded to 12 dp, zero-variance inputs
     * pinned to 0.0. Shared by [[a29Spearman]] and
     * [[GraphOps.assortativity]] so the degenerate-case pin and the
-    * ulp-barrier width can never drift between them.
+    * ulp-barrier width can never drift between them. `sy`/`ssy`
+    * default to the like-named columns; a symmetric caller (the
+    * degree-moment assortativity, where the two marginals coincide
+    * exactly) passes its x-side sums for both.
     */
-  private[operators] def pearsonFromSums: Column = {
+  private[operators] def pearsonFromSums(
+      sy: Column = col("sy"), ssy: Column = col("ssy")): Column = {
     def dd(name: String) = col(name).cast("double")
     val n = col("n").cast("double")
     val den = (n * dd("ssx") - dd("sx") * dd("sx")) *
-      (n * dd("ssy") - dd("sy") * dd("sy"))
+      (n * ssy.cast("double") - sy.cast("double") * sy.cast("double"))
     // isNull: a zero-row scalar aggregate (empty graph census) sums to
     // NULL — that degenerate input pins to 0.0 like zero variance does
     when(den.isNull || den <= 0, lit(0.0)).otherwise(
-      round((n * dd("sp") - dd("sx") * dd("sy")) / sqrt(den), 12))
+      round((n * dd("sp") - dd("sx") * sy.cast("double")) / sqrt(den), 12))
   }
 
   /** TPC-H Q7-shaped cross-nation volume: revenue shipped between
