@@ -1879,21 +1879,36 @@ object Relational {
     */
   def q21WaitingSupplier(supplier: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
-    val late = lineitem
+    // Q21's EXISTS / NOT EXISTS pair is a per-order census in
+    // disguise: supplier s waits on order o iff s shipped a late line
+    // of o, o has >= 2 distinct suppliers, and s is o's ONLY late
+    // supplier (numwait then counts s's late LINES of o, per the
+    // reference's l1-row semantics). So instead of re-deriving the
+    // late fact three times (probe + semi + anti — three data-scale
+    // joins), flag lateness on the single lineitem-orders join and
+    // fold twice: (orderkey, suppkey) -> late-line count, then
+    // orderkey -> (supplier count, late-supplier count, the unique
+    // late supplier via min over a one-element set, late-line total).
+    // One data-scale shuffle; everything after the first fold is
+    // order-x-supplier scale. Both EXISTS probes fall out of the
+    // counts: nsupp >= 2 is the l2 probe (all of an F-order's lines
+    // sit in the join), nlate_supp = 1 is the NOT EXISTS.
+    val flagged = lineitem
       .join(orders.filter(col("o_orderstatus") === "F"),
-        col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-    val anyOther = lineitem
-      .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-    val otherLate = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
-    late
-      .join(anyOther, col("ok2") === col("ok") && col("sk2") =!= col("sk"),
-        "left_semi")
-      .join(otherLate, col("ok3") === col("ok") && col("sk3") =!= col("sk"),
-        "left_anti")
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          1L).otherwise(0L).as("late"))
+    flagged.groupBy("ok", "sk")
+      .agg(sum(col("late")).as("late_lines"))
+      .groupBy("ok")
+      .agg(count(lit(1)).as("nsupp"),
+        sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("nlate_supp"),
+        min(when(col("late_lines") > 0, col("sk"))).as("sk"),
+        sum(col("late_lines")).as("n_late_lines"))
+      .filter(col("nlate_supp") === 1 && col("nsupp") >= 2)
       .groupBy("sk")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_lines")).as("numwait"))
       .join(broadcast(supplier), col("sk") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
