@@ -350,6 +350,20 @@ object SparkEntry {
     // TPC-H Q21-shaped sole-late-supplier census (semi + anti self-joins)
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(
       t(s, d)("supplier"), t(s, d)("orders"), t(s, d)("lineitem"))),
+    // promo revenue share per ship month (conditional/total sum pair)
+    "q14_promo_revenue" -> ((s, d) => Relational.q14PromoRevenue(
+      t(s, d)("part"), t(s, d)("lineitem"))),
+    // interval's top supplier(s) by revenue (scalar-max broadcast, ties kept)
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(
+      t(s, d)("supplier"), t(s, d)("lineitem"))),
+    // disjunctive brand/size/quantity pricing predicate
+    "q19_discounted_revenue" -> ((s, d) => Relational.q19DiscountedRevenue(
+      t(s, d)("part"), t(s, d)("lineitem"))),
+    // one nation's market share in one region for one product type
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(
+      t(s, d)("region"), t(s, d)("nation"), t(s, d)("supplier"),
+      t(s, d)("customer"), t(s, d)("part"), t(s, d)("orders"),
+      t(s, d)("lineitem"))),
     // TPC-H Q22-shaped never-ordered wealthy-customer census (anti join)
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(
       t(s, d)("customer"), t(s, d)("orders"))),
@@ -2854,6 +2868,70 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY 1)
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(month(l_shipdate) AS INT) AS ship_month,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q8_market_share" ->
+      """WITH mkt_cust AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |promo_parts AS (
+        |  SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(SUM(CASE WHEN n_name = 'NATION_7'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev
+        |FROM lineitem
+        |SEMI JOIN promo_parts ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |SEMI JOIN mkt_cust ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_waiting_supplier" ->
       """WITH late AS (
         |  SELECT l_orderkey AS ok, l_suppkey AS sk

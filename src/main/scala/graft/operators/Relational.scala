@@ -1944,4 +1944,129 @@ object Relational {
         dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q14's shape — promo revenue share per ship month: ONE scan
+    * of the fact, part joined only for its type flag (a broadcastable
+    * dimension at any scale — part is ~1/5000th of lineitem), and the
+    * conditional/total revenue pair folded in the SAME grouped
+    * aggregate, so the share needs no self-join or second pass. Both
+    * sums are exact DECIMAL; the percentage divides the two exact
+    * sums as doubles — engine-identical without a rounding barrier.
+    */
+  def q14PromoRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"),
+        month(col("l_shipdate")).as("ship_month"))
+      .agg(sum(when(col("p_type") === "PROMO", revenue)
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .as("promo_rev"),
+        sum(revenue).as("total_rev"))
+      .select(col("ship_year"), col("ship_month"),
+        (lit(100.0) * col("promo_rev").cast("double") /
+          col("total_rev").cast("double")).as("promo_share"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("ship_year", "ship_month")
+  }
+
+  /** TPC-H Q15's shape — the top supplier(s) by shipped revenue inside
+    * one interval: per-supplier exact-decimal revenue (one fact
+    * shuffle on the supplier key), then the scalar max broadcast back
+    * as a single-row cross join (the repo-wide sketch-broadcast
+    * pattern) instead of Q15's self-joined view — no global window, no
+    * second fact pass, and ties surface every argmax row like the
+    * reference view does.
+    */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE) -
+          col("l_discount").cast(DecimalType(18, 2)))).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev
+      .crossJoin(broadcast(top)) // single row
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19's shape — disjunctive brand/size/quantity pricing: the
+    * classic OR-of-conjunctions predicate that tests whether the
+    * planner keeps a multi-clause filter next to the scan instead of
+    * materializing three branch plans. Adapted to this schema's
+    * columns (no shipmode/shipinstruct): three (brand, size-range,
+    * quantity-range) clauses over the broadcast part dimension.
+    * Single exact-decimal scalar result.
+    */
+  def q19DiscountedRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"),
+        col("p_size"))), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(java.math.BigDecimal.ONE) -
+          col("l_discount").cast(DecimalType(18, 2)))).cast("double")
+        .as("revenue"), count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8's shape — one nation's market share inside one region's
+    * market for one product type, per order year: the deepest join
+    * tree in the battery (fact + 4 dimensions), every dimension side
+    * broadcast (each is orders-of-magnitude under the fact at any
+    * scale), and the share folded as a conditional/total sum pair in
+    * ONE grouped aggregate over the single fact pass — the same
+    * no-self-join discipline as [[q14PromoRevenue]]. Exact DECIMAL
+    * sums; share divides the exact sums as doubles.
+    */
+  def q8MarketShare(region: DataFrame, nation: DataFrame,
+      supplier: DataFrame, customer: DataFrame, part: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      targetNation: String = "NATION_7",
+      marketRegion: String = "ASIA",
+      productType: String = "PROMO"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === marketRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val marketCust = customer
+      .join(broadcast(regionNations),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === productType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(sum(when(col("supp_nation") === targetNation, revenue)
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .as("nation_rev"),
+        sum(revenue).as("total_rev"))
+      .select(col("order_year"),
+        (col("nation_rev").cast("double") / col("total_rev").cast("double"))
+          .as("mkt_share"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("order_year")
+  }
 }

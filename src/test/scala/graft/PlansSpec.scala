@@ -708,11 +708,18 @@ class PlansSpec extends SparkSpec {
       Tables(spark, sf0001, "lineitem"))
     q21.collect()
     val p21 = plan(q21).split("== Initial Plan ==").head
-    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
-      s"Q21 needs the semi+anti self-join pair:\n${p21.take(2000)}")
-    assert(!p21.contains("CartesianProduct"),
-      s"the <> predicates must ride the orderkey equi-joins, never a " +
-        s"cartesian:\n${p21.take(2000)}")
+    // per-order census form: the EXISTS/NOT-EXISTS pair folds into
+    // supplier/late-supplier counts over ONE lineitem-orders join —
+    // no semi/anti joins, no re-derived late fact, map-side partials
+    assert(!p21.contains("LeftSemi") && !p21.contains("LeftAnti"),
+      s"Q21 census form must not re-derive the late fact as " +
+        s"semi/anti self-joins:\n${p21.take(2000)}")
+    assert(p21.contains("partial_"),
+      s"Q21 folds must partially aggregate map-side:\n${p21.take(2000)}")
+    val liScans21 = "l_orderkey:bigint,l_suppkey:bigint".r
+      .findAllIn(p21).size
+    assert(liScans21 == 1,
+      s"Q21 must scan lineitem exactly once, saw $liScans21:\n${p21.take(3000)}")
 
     val q22 = Relational.q22IdleCustomers(
       Tables(spark, sf0001, "customer"), Tables(spark, sf0001, "orders"))
@@ -723,6 +730,39 @@ class PlansSpec extends SparkSpec {
       s"the high-value predicate must reach the orders scan:\n${p22.take(3000)}")
     assert(p22.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double"),
       s"the anti probe must prune to (custkey, totalprice):\n${p22.take(3000)}")
+  }
+
+  test("q14/q8: share pairs fold in ONE fact pass, dims broadcast") {
+    val q14 = Relational.q14PromoRevenue(
+      Tables(spark, sf0001, "part"), Tables(spark, sf0001, "lineitem"))
+    q14.collect()
+    val p14 = plan(q14).split("== Initial Plan ==").head
+    assert(p14.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n${p14.take(2000)}")
+    assert(!p14.contains("SortMergeJoin"),
+      s"Q14 must never shuffle the fact for its dim join:\n${p14.take(2000)}")
+    // conditional + total revenue fold in the SAME grouped aggregate:
+    // exactly one exchange (the month rollup), no self-join
+    val ex14 = "Exchange (hash|range)partitioning".r.findAllIn(p14).size
+    assert(ex14 <= 2,
+      s"Q14 is one rollup + output sort, saw $ex14 shuffles:\n${p14.take(3000)}")
+
+    val q8 = Relational.q8MarketShare(
+      Tables(spark, sf0001, "region"), Tables(spark, sf0001, "nation"),
+      Tables(spark, sf0001, "supplier"), Tables(spark, sf0001, "customer"),
+      Tables(spark, sf0001, "part"), Tables(spark, sf0001, "orders"),
+      Tables(spark, sf0001, "lineitem"))
+    q8.collect()
+    val p8 = plan(q8).split("== Initial Plan ==").head
+    assert(p8.contains("BroadcastHashJoin"),
+      s"Q8 dimensions must broadcast:\n${p8.take(2000)}")
+    assert(!p8.contains("CartesianProduct"))
+    // the only shuffle join permitted is fact-x-fact on the orderkey;
+    // every dimension (part semi, market-cust semi, supplier-nation)
+    // rides a broadcast
+    val smj8 = "SortMergeJoin".r.findAllIn(p8).size
+    assert(smj8 <= 1,
+      s"only the orderkey fact join may sort-merge, saw $smj8:\n${p8.take(3000)}")
   }
 
   test("invertedIndex: bounded heap aggregate, no Window, df fused in the same pass") {
