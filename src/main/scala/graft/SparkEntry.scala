@@ -439,6 +439,10 @@ object SparkEntry {
     "dedup_assortativity" -> ((s, d) => graft.operators.GraphOps
       .assortativity(DedupOps.simhashPairs(t(s, d)("documents"))
         .select("doc_a", "doc_b"))),
+    // HyperBall-style 2-hop ball sizes (bottom-k KMV registers)
+    "dedup_ball2_kmv" -> ((s, d) => graft.operators.GraphOps
+      .kmvBall(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
     // per-cluster quality report: nodes/pairs/triangles per component
     "dedup_clique_density" -> ((s, d) => graft.operators.GraphOps
       .cliqueDensity(DedupOps.simhashPairs(t(s, d)("documents"))
@@ -3481,6 +3485,31 @@ object SparkEntry {
          |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12)
          |  END AS assortativity
          |FROM stats""".stripMargin,
+    // exact ball materialization + bottom-8 per vertex: the bottom-k
+    // union morphism makes the engine's register iteration equal this
+    // bit-for-bit (quadratic membership is oracle-only)
+    "dedup_ball2_kmv" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |prs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs),
+         |b1 AS (SELECT u, v FROM sym UNION SELECT DISTINCT u, u FROM sym),
+         |b2 AS (SELECT b1.u, s.v FROM b1 JOIN sym s ON b1.v = s.u
+         |  UNION SELECT u, v FROM b1),
+         |hh AS (SELECT DISTINCT u,
+         |  CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13)) AS BIGINT) AS h
+         |  FROM b2),
+         |r AS (SELECT u, h,
+         |  ROW_NUMBER() OVER (PARTITION BY u ORDER BY h) AS rnk,
+         |  COUNT(*) OVER (PARTITION BY u) AS nd FROM hh)
+         |SELECT u AS doc_id,
+         |  CASE WHEN MAX(nd) < 8 THEN MAX(nd)
+         |    ELSE CAST(floor(7 * 4503599627370496.0 / MAX(h)) AS BIGINT)
+         |  END AS ball_est
+         |FROM r WHERE rnk <= 8 GROUP BY u ORDER BY u""".stripMargin,
     "dedup_clique_density" ->
       s"""WITH RECURSIVE $ToksCte,
          |$SimhashSigCte,

@@ -450,4 +450,67 @@ object GraphOps {
         Relational.pearsonFromSums(
           sy = col("sx"), ssy = col("ssx")).as("assortativity"))
   }
+
+  /** HyperBall-style neighborhood function over the near-dup graph
+    * (Boldi & Vigna's HyperBall, with bottom-k KMV registers instead
+    * of HLL): per vertex, an estimate of |ball≤r(v)| — how much of the
+    * corpus sits within r near-dup hops. Big 2-hop balls around a doc
+    * flag template neighborhoods that pairwise thresholds undercount;
+    * the per-vertex curve is the raw material for effective-diameter
+    * and spid-style corpus diagnostics.
+    *
+    * Determinism (hash-matched oracle): bottom-k is a SEMILATTICE
+    * MORPHISM — the k smallest hashes of a union equal the k smallest
+    * over the members' bottom-k sets — so r rounds of "merge my
+    * neighbors' registers into mine" yield EXACTLY the bottom-k of the
+    * true ball, and an oracle that materializes the exact ball
+    * membership and takes the k smallest per vertex reproduces the
+    * estimate bit-for-bit (md5-prefix hashes, the [[Relational
+    * .a12KmvRollup]] recipe). No approximation drift to hand-shake —
+    * the estimator, not the register state, carries the error.
+    *
+    * Scale shape: this is THE point of HyperBall — per-vertex state is
+    * k longs regardless of ball size, each round is one edge⋈state
+    * equi-join plus a vertex-keyed bounded TopKAgg (map-side
+    * combining), and rounds are fixed. The exact alternative
+    * materializes ball MEMBERSHIP — Σ|ball(v)| rows, quadratic in a
+    * dense component (fine for a sf0.01 oracle, dead at 100 TB).
+    * Edge list and round states are eagerly materialized (the
+    * pageRank ladder): each state feeds the next round's join and
+    * union, and the final state feeds the estimator.
+    */
+  def kmvBall(pairs: DataFrame, rounds: Int = 2, k: Int = 8): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    require(rounds >= 1 && k >= 2, s"need rounds>=1, k>=2; got $rounds, $k")
+    val Array(a, b) = pairs.columns.take(2)
+    val p = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+      .localCheckpoint(true)
+    val sym = p.select(col("x").as("u"), col("y").as("v"))
+      .union(p.select(col("y").as("u"), col("x").as("v")))
+    def h(c: Column) =
+      conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
+    // r = 0: every vertex's register holds its own hash (set-state
+    // collapses the duplicate group rows map-side)
+    var state = sym.groupBy("u")
+      .agg(top_k_agg(-h(col("u")).cast("double"), h(col("u")), k).as("sk"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbr = sym.join(state.withColumnRenamed("u", "v")
+          .withColumnRenamed("sk", "nsk"), "v")
+        .select(col("u"), explode(col("nsk.id")).as("hid"))
+      state = state.select(col("u"), explode(col("sk.id")).as("hid"))
+        .union(nbr)
+        .groupBy("u")
+        .agg(top_k_agg(-col("hid").cast("double"), col("hid"), k).as("sk"))
+        .localCheckpoint(true)
+    }
+    val twoP52 = 4503599627370496.0 // 2^52, the md5-prefix hash range
+    state
+      .select(col("u").as("doc_id"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(floor(lit((k - 1) * twoP52)
+            / element_at(col("sk"), k).getField("id")).cast("long"))
+          .as("ball_est"))
+      .orderBy("doc_id")
+  }
 }

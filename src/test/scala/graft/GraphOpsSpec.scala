@@ -235,4 +235,26 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().head
     assert(rt == ((6L, 0.0)), rt)
   }
+
+  test("kmvBall: small balls are exact counts; radius grows them along a path") {
+    // path 1-2-3-4-5-6: with k=8 every 2-hop ball is under k, so the
+    // estimator returns the EXACT ball size — ends see 3, center 5
+    val path = (1L until 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val b2 = GraphOps.kmvBall(path, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(b2 == Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 5L,
+      5L -> 4L, 6L -> 3L), b2)
+    // radius 1 shrinks each ball to self + direct neighbors
+    val b1 = GraphOps.kmvBall(path, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 2L), b1)
+    // saturated register: a star center reaches everything in 1 hop;
+    // with 20 members > k=8 the bottom-k estimator kicks in and must
+    // land within its ~1/sqrt(k-1) band of the true 21
+    val star = (1L to 20L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val est = GraphOps.kmvBall(star, rounds = 1)
+      .as[(Long, Long)].collect().toMap.apply(0L)
+    assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
+  }
 }
