@@ -690,6 +690,9 @@ object SparkEntry {
     // fixed-size set-sketch state: streaming KMV distinct (complete
     // mode, no watermark needed — the sketch never grows)
     "stream_kmv" -> ((s, d) => streamKmvQuery(s, d)),
+    // streaming GK quantile sketch (complete mode, fixed-size state);
+    // verified by the batch rank gate
+    "stream_quantile" -> ((s, d) => streamQuantileQuery(s, d)),
     "stream_windowed_agg" -> ((s, d) => streamWindowedAggQuery(s, d)),
     // streaming drift monitor: tumbling-day type counts in the stream
     // (bounded windowed state), entropy finalized group-scale over the
@@ -889,6 +892,34 @@ object SparkEntry {
         .windowedCounts(stream, "1 hour", "30 minutes", "1 hour")
       runToMemorySink(s, agg, "stream_win_agg", "complete")
         .orderBy("window_start", "event_type")
+    }
+
+  /** Streaming quantile monitor: the per-group GK summary accumulates
+    * across micro-batches in the state store; verification is the
+    * [[Relational.a7ApproxQuantilesCheck]] rank gate re-aimed at the
+    * stream's final sketch — the approx values are re-ranked against
+    * the batch table and must sit within ±1/accuracy of their target
+    * quantiles (constant-true oracle), which holds because the GK
+    * error bound survives the micro-batch merge tree.
+    */
+  private def streamQuantileQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      val accuracy = 1000
+      val stream = stagedEventsStream(s, d, "src")
+      val agg = graft.streaming.StreamingSync.approxQuantiles(stream, accuracy)
+      val sink = runToMemorySink(s, agg, "stream_quantile", "complete")
+      val eps = 1.0 / accuracy
+      def okFor(q: Double, v: String) =
+        (sum(when(col("value") <= col(v), 1L).otherwise(0L)) >=
+          (lit(q - eps) * count(lit(1)) - 1.0)) &&
+        (sum(when(col("value") < col(v), 1L).otherwise(0L)) <=
+          (lit(q + eps) * count(lit(1)) + 1.0))
+      t(s, d)("events").select("event_type", "value")
+        .join(broadcast(sink), "event_type")
+        .groupBy("event_type")
+        .agg(okFor(0.5, "p50_approx").as("p50_ok"),
+          okFor(0.95, "p95_approx").as("p95_ok"))
+        .orderBy("event_type")
     }
 
   /** Streaming drift monitor: the stream runs ONLY the stateful part
@@ -2290,6 +2321,9 @@ object SparkEntry {
     // the STREAMING sketch shares the oracle verbatim: micro-batch
     // boundaries are just another partitioning min-k is exact under
     "stream_kmv" -> KmvOracle,
+    "stream_quantile" ->
+      """SELECT DISTINCT event_type, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events ORDER BY event_type""".stripMargin,
     // BPE training unrolled: per step one pair-count CTE, one argmax
     // CTE, one merge rewrite via the shared leftmost-non-overlapping
     // replace(' l r ', ' lr ') on sentinel-spaced symbol strings

@@ -151,6 +151,25 @@ object StreamingSync {
       .agg(top_k_agg(-col("h").cast("double"), col("h"), k).as("sk"))
   }
 
+  /** Streaming quantile sketch per group — the unbounded twin of
+    * `Relational.a7ApproxQuantiles`: each micro-batch folds its rows
+    * into the per-group Greenwald-Khanna summary that
+    * `approx_percentile` keeps in the state store (complete mode).
+    * State per group is the ε-bounded summary — O(1/ε · log εN)
+    * tuples, ~KBs at accuracy 1000 — regardless of stream length, and
+    * the rank-error guarantee survives partial merges, so the
+    * batch-side rank gate that verifies the batch query verifies this
+    * one identically: micro-batch boundaries are just another
+    * partitioning of the same merge tree.
+    */
+  def approxQuantiles(events: DataFrame, accuracy: Int): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array(0.5D, 0.95D), $accuracy)")
+        .as("q"))
+      .select(col("event_type"),
+        col("q")(0).as("p50_approx"), col("q")(1).as("p95_approx"))
+
   /** Streaming exact dedup — the unbounded twin of the batch
     * `TextOps.dedupExact`: re-deliveries arriving within the watermark
     * horizon are dropped, and the dedup state is evicted once the
