@@ -612,6 +612,17 @@ object SparkEntry {
             .cast("long").as("doc_id"), col("content")))
         .orderBy("doc_id")
     }),
+    // lossy-codec path: real baseline-JPEG decode, full-raster
+    // tolerance gate against the flat-block gradient + exact dims
+    "mm_jpeg_decode" -> ((s, d) => {
+      val jpgDir = stagingTag(d, "jpg", "documents.parquet")
+      Multimodal.stageJpegs(t(s, d)("documents"), jpgDir)
+      Multimodal.decodeJpegCheck(s,
+        s.read.format("binaryFile").load(jpgDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.jpg$", 1)
+            .cast("long").as("doc_id"), col("content")))
+        .orderBy("doc_id")
+    }),
     // full-raster pixel stats over the real decode — the oracle
     // predicts the exact per-image sum from the gradient formula, so
     // header-only or sampled decoders cannot pass
@@ -4207,6 +4218,14 @@ object SparkEntry {
         |  (indent_ratio >= 0.2 AND n_lines >= 3) OR symbol_ratio >= 0.05
         |    AS is_code
         |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 56 + 8 AS INT) AS width,
+        |  CAST(doc_id % 40 + 8 AS INT) AS height,
+        |  TRUE AS decode_ok
+        |FROM documents
+        |WHERE octet_length(encode(text)) % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, octet_length(encode(text)) % 3 AS mod3 FROM documents)
         |SELECT doc_id,

@@ -159,6 +159,100 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic JPEG staging: one REAL baseline JPEG per image-typed
+    * doc (same modality rule as [[stagePngs]]), dims w = id%56+8,
+    * h = id%40+8. The luminance pattern is CONSTANT PER 8×8 DCT BLOCK
+    * (gray value ((id·17 + ⌊x/8⌋·31 + ⌊y/8⌋·7) mod 256)) — a flat
+    * block carries only its DC coefficient, so lossy quantization
+    * perturbs each pixel by at most a few counts and a full-raster
+    * decode can be verified against the formula within a tight
+    * tolerance, which no header-only reader can fake. Driver-local
+    * render + tmp/rename publish, same rationale as [[stagePngs]].
+    */
+  def stageJpegs(documents: DataFrame, dir: String): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
+    val tmp = new java.io.File(dir + ".tmp")
+    tmp.mkdirs()
+    val ids = documents
+      .select(col("doc_id"))
+      .filter(length(col("text").cast("binary")) % 3 === 0)
+      .collect().map(_.getLong(0))
+    javax.imageio.ImageIO.setUseCache(false)
+    ids.foreach { id =>
+      val w = (id % 56 + 8).toInt
+      val h = (id % 40 + 8).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 17 + (x / 8) * 31 + (y / 8) * 7) % 256).toInt
+          img.setRGB(x, y, v * 0x010101)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg",
+        new java.io.File(tmp, s"doc_$id.jpg"))
+    }
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"stageJpegs: could not publish $tmp -> $published")
+    ()
+  }
+
+  /** Schema of a JPEG decode-verification record: exact container
+    * dims plus a full-raster tolerance gate against the staged
+    * block-gradient.
+    */
+  val jpegCheckSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("decode_ok", BooleanType)))
+
+  /** REAL lossy-codec decode verification: decode the staged JPEG,
+    * then sweep EVERY pixel comparing the luminance against the
+    * [[stageJpegs]] block-gradient formula — `decode_ok` iff the max
+    * absolute deviation stays within `tol`. Dims are exact (oracle
+    * predicts them from doc_id); pixels can't hash-match across
+    * codecs for a lossy format, but a flat-block source bounds DCT
+    * quantization error to a few counts, so the gate proves the full
+    * raster was actually decoded (garbage, header-only, or sampled
+    * decodes blow the bound) while staying implementation-agnostic.
+    * Narrow mapPartitions over binaryFile splits, no shuffle.
+    */
+  def decodeJpegCheck(spark: SparkSession, images: DataFrame,
+      tol: Int = 12): DataFrame = {
+    val enc = Encoders.row(jpegCheckSchema)
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable jpeg payload for doc $id")
+        val w = img.getWidth
+        val h = img.getHeight
+        var maxDiff = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val want = ((id * 17 + (x / 8) * 31 + (y / 8) * 7) % 256).toInt
+            val got = img.getRGB(x, y) & 0xff
+            val d = math.abs(got - want)
+            if (d > maxDiff) maxDiff = d
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, w, h, maxDiff <= tol)
+      }
+    }(enc)
+  }
+
   /** Schema of a per-image pixel-statistics record (full-resolution
     * channel stats over the REAL decoded raster).
     */

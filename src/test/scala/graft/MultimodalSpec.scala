@@ -165,6 +165,42 @@ class MultimodalSpec extends SparkSpec {
       (11L, 3L, "image", 1, 1, 1)))
   }
 
+  test("decodeJpegCheck: staged block-gradient passes the gate; garbage raster fails") {
+    // real staged jpeg for one id: encode exactly as stageJpegs does
+    def jpegFor(id: Long): Array[Byte] = {
+      val w = (id % 56 + 8).toInt
+      val h = (id % 40 + 8).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id * 17 + (x / 8) * 31 + (y / 8) * 7) % 256).toInt
+        img.setRGB(x, y, v * 0x010101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // an all-mid-gray jpeg of the RIGHT dims: dims match, raster wrong
+    def flatGray(id: Long): Array[Byte] = {
+      val w = (id % 56 + 8).toInt
+      val h = (id % 40 + 8).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val bin = Seq((9L, jpegFor(9L)), (42L, jpegFor(42L)), (7L, flatGray(7L)))
+      .toDF("doc_id", "content")
+    val out = Multimodal.decodeJpegCheck(spark, bin)
+      .as[(Long, Int, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (7L, (7 % 56 + 8), (7 % 40 + 8), false), // right dims, wrong pixels
+      (9L, (9 % 56 + 8).toInt, (9 % 40 + 8).toInt, true),
+      (42L, (42 % 56 + 8).toInt, (42 % 40 + 8).toInt, true)), out)
+  }
+
   test("resizeImages: NN thumbnail digest matches an independent pixel walk") {
     // 5x3 image with distinct per-pixel gray values; the expected digest
     // is computed here by a straight reference loop over the SAME source
