@@ -234,6 +234,8 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextOps.repetitionRatio(t(s, d)("documents"))),
     // token-distribution Shannon entropy (vocabulary diversity signal)
     "text_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d)("documents"))),
+    // Zipf rank-frequency OLS fit over the bounded top-256 terms
+    "text_zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d)("documents"))),
     "text_normalize" -> ((s, d) => TextOps.normalizeUnicode(t(s, d)("documents"))),
     // perplexity proxy: occurrence share outside the top-20 corpus vocab
     "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
@@ -2514,6 +2516,31 @@ object SparkEntry {
         |  length(nfc_normalize(substr(text, 1, 60) || 'e' || chr(769))) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     // decimal-summed — associative, hash-stable (see TextOps scaladoc)
+    "text_zipf_slope" ->
+      s"""WITH $ToksCte,
+         |t AS (SELECT unnest(ws) AS tok FROM toks),
+         |tf AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+         |rk AS (SELECT c,
+         |  ROW_NUMBER() OVER (ORDER BY c DESC,
+         |    CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS rnk
+         |  FROM tf),
+         |xy AS (SELECT CAST(round(ln(rnk), 9) AS DECIMAL(18,9)) AS x,
+         |              CAST(round(ln(c), 9) AS DECIMAL(18,9)) AS y
+         |       FROM rk WHERE rnk <= 256),
+         |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |  SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM xy)
+         |SELECT n AS n_terms,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope,
+         |  round((CAST(sy AS DOUBLE)
+         |      - round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept
+         |FROM s WHERE n >= 3""".stripMargin,
     "text_entropy" ->
       s"""WITH $ToksCte,
          |t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),

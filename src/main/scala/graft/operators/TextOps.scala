@@ -942,4 +942,53 @@ object TextOps {
           .as("avg_sent_chars"),
         col("max_sent_chars"))
       .orderBy("doc_id")
+
+  /** Zipf rank-frequency fit — the OLS slope/intercept of
+    * log(frequency) on log(rank) over the corpus's top-K terms. A
+    * natural corpus sits near slope ≈ −1; template-generated or
+    * crawler-junk text bends the curve, so the slope is a one-number
+    * corpus-health screen (and the fit residual base for stopword /
+    * boilerplate cutoffs).
+    *
+    * Scale shape: term frequencies are one vocabulary-scale map-side-
+    * combined aggregate; the rank list is a BOUNDED TopKAgg (k terms
+    * of fixed state, no global window, ties broken (freq desc, term
+    * asc) exactly like a row_number would); everything after is
+    * K-scale. Determinism: both log factors are rounded to 9 dp and
+    * accumulated as exact DECIMAL(18,9) products, so the sufficient
+    * statistics are bit-identical across engines; the closing
+    * slope/intercept arithmetic runs in doubles off those exact sums
+    * (the pearsonFromSums discipline), intercept computed from the
+    * ROUNDED slope so the two emitted numbers round-trip exactly.
+    */
+  def zipfSlope(documents: DataFrame, topK: Int = 256): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val tf = documents.select(explode(toksCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    // ties at the K boundary break on the term's md5-prefix hash (the
+    // KMV recipe — TopKAgg ids are longs), mirrored in the oracle's
+    // row_number order. Tied terms share ln(c) and occupy the same
+    // rank SET however they permute, so only boundary selection
+    // depends on the tie key; a (count, hash) double collision would
+    // collapse two terms into one heap entry — ~V²/2⁵² odds, noted.
+    val hid = conv(substring(md5(col("tok")), 1, 13), 16, 10).cast("long")
+    val ranked = tf
+      .agg(top_k_agg(col("c").cast("double"), hid, topK).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").cast("long").as("c"))
+    def d9(c: Column) = round(c, 9).cast(DecimalType(18, 9))
+    val sums = ranked
+      .select(d9(log(col("rnk"))).as("x"), d9(log(col("c"))).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 3)
+    def dd(name: String) = col(name).cast("double")
+    val nD = col("n").cast("double")
+    val slope = round((nD * dd("sxy") - dd("sx") * dd("sy")) /
+      (nD * dd("sxx") - dd("sx") * dd("sx")), 9)
+    sums.select(col("n").as("n_terms"), slope.as("slope"),
+      round((dd("sy") - slope * dd("sx")) / nD, 9).as("intercept"))
+  }
 }
