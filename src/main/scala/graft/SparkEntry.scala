@@ -283,6 +283,18 @@ object SparkEntry {
     // incremental MV maintenance: parquet-stored snapshot of the base's
     // partial aggregates + mid-day delta, merged WITHOUT rescanning the
     // base; oracle is the full recompute the merge must equal
+    // snapshot reconciliation census: one pk-keyed full outer join
+    "c13_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d)("orders")
+      val v2 = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      operators.MergeOps.snapshotDiff(o, v2, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
     "c12_mv_maintain" -> ((s, d) => {
       val mvDir = stagingTag(d, "mv", "events.parquet")
       val ev = t(s, d)("events")
@@ -310,6 +322,9 @@ object SparkEntry {
     "a21_gini" -> ((s, d) => Relational.a21Gini(t(s, d)("events"))),
     // per-group min-max [0,1] scaling (broadcast thresholds, no fact shuffle)
     "w21_minmax_scale" -> ((s, d) => Relational.w21MinMaxScale(t(s, d)("events"))),
+    // running distinct-user growth curve (no distinct-over-window)
+    "w22_cumulative_distinct" -> ((s, d) =>
+      Relational.w22CumulativeDistinct(t(s, d)("events"))),
     // Benford first-digit screen (decimal-string digits, never float log)
     "a22_benford" -> ((s, d) => Relational.a22Benford(t(s, d)("orders"))),
     // per-day Shannon entropy of the event-type mix (decimal term sums)
@@ -535,6 +550,23 @@ object SparkEntry {
       SimilarityOps.pcaTopComponent(t(s, d)("embeddings"))),
     // recall@k quality gate: approximate rankers vs the exact ranker,
     // invariant booleans vs a constant-true oracle (a6/a7/a9 trick)
+    // two-stage PQ serving gate: exact rerank of the ADC shortlist
+    // must clear the calibrated floor AND beat raw PQ (measured
+    // recall@5, PqProbe sf0.01/sf0.1: pq 0.090/0.028, rerank x8
+    // 0.360/0.130; floor at ~half the worst rerank value)
+    "sim_pq_rerank" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      val q = e.filter(col("vec_id") % 25 === 0)
+      val exact = SimilarityOps.bruteForceTopK(e, q, 5)
+      val pqR = SimilarityOps.annRecall(exact, SimilarityOps.pqTopK(e, q, 5))
+        .select(col("mean_recall").as("pq_recall"))
+      val rrR = SimilarityOps.annRecall(exact,
+        SimilarityOps.pqRerankTopK(e, q, 5, shortlistFactor = 8))
+        .select(col("mean_recall").as("rr_recall"))
+      pqR.crossJoin(rrR).select(lit(5).as("k"),
+        (col("rr_recall") >= 0.06).as("rerank_recall_ok"),
+        (col("rr_recall") >= col("pq_recall")).as("rerank_beats_pq"))
+    }),
     "sim_recall_check" -> ((s, d) => {
       val e = t(s, d)("embeddings")
       SimilarityOps.annRecallCheck(e, e.filter(col("vec_id") % 25 === 0), 5)
@@ -2807,6 +2839,24 @@ object SparkEntry {
         |   AND last_touch_ts >= ts - INTERVAL 7 DAY) AS attributed
         |FROM t WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
+    "c13_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |d AS (
+        |  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |    WHEN b.o_orderkey IS NULL THEN 'removed'
+        |    WHEN a.o_totalprice <> b.o_totalprice
+        |      OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+        |    ELSE 'unchanged' END AS change_type
+        |  FROM orders a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        |SELECT change_type, COUNT(*) AS n FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c12_mv_maintain" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -3734,6 +3784,8 @@ object SparkEntry {
         |  WHERE part NOT IN (SELECT part FROM boiler))
         |SELECT doc_id, string_agg(part, '. ' ORDER BY idx) AS clean_text
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim_pq_rerank" ->
+      "SELECT 5 AS k, true AS rerank_recall_ok, true AS rerank_beats_pq",
     "sim_recall_check" ->
       "SELECT 5 AS k, true AS lsh_recall_ok, true AS ivf_recall_ok",
     "sim_topk_brute" ->
@@ -4050,6 +4102,16 @@ object SparkEntry {
         |    ELSE round(CAST(2*six - (n+1)*sx AS DOUBLE)
         |      / CAST(n*sx AS DOUBLE), 9) END AS gini
         |FROM a ORDER BY event_type""".stripMargin,
+    "w22_cumulative_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT day, COUNT(*) AS n_new FROM fd GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM pd ORDER BY day""".stripMargin,
     "w21_minmax_scale" ->
       """WITH s AS (
         |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax

@@ -209,4 +209,30 @@ object MergeOps {
     */
   def mvMergeDelta(snapshot: DataFrame, delta: DataFrame): DataFrame =
     mvFinalize(mvCombine(snapshot, delta))
+
+  /** Snapshot reconciliation census — classify every primary key
+    * across two table versions as added / removed / changed /
+    * unchanged (the audit step between two sync runs, and the
+    * validation pass after a backfill). ONE pk-keyed full outer join
+    * — both sides shuffle once on the key and the census is a
+    * group-4 rollup, so the plan is two scans + one exchange at any
+    * scale; no per-column diffing fan-out (the compare columns fold
+    * into a single struct inequality).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, pk: String,
+      compareCols: Seq[String]): DataFrame = {
+    val left = v1.select(col(pk).as("pk1"),
+      struct(compareCols.map(col): _*).as("c1"))
+    val right = v2.select(col(pk).as("pk2"),
+      struct(compareCols.map(col): _*).as("c2"))
+    left
+      .join(right, col("pk1") === col("pk2"), "full_outer")
+      .select(when(col("pk1").isNull, "added")
+        .when(col("pk2").isNull, "removed")
+        .when(col("c1") =!= col("c2"), "changed")
+        .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
 }

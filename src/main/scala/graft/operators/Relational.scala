@@ -1390,6 +1390,28 @@ object Relational {
     * groups (max = min) pin to 0.5 on both engines instead of NaN.
     * All float work is per-row IEEE (no accumulation), rounded 9 dp.
     */
+  /** Running DISTINCT-user census per day — the growth curve every
+    * engagement dashboard wants, computed WITHOUT a distinct-over-
+    * window (which would re-scan an ever-growing set per row): each
+    * user contributes exactly once at their FIRST day (one user-keyed
+    * min aggregate), days roll up to new-user counts (calendar-scale),
+    * and the cumulative sum runs over that calendar-bounded frame —
+    * the only unpartitioned window touches ~days rows, never users.
+    */
+  def w22CumulativeDistinct(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstDay.groupBy("day")
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .select(col("day"), col("n_new"),
+        sum(col("n_new")).over(w).as("cum_users"))
+      .orderBy("day")
+  }
+
   def w21MinMaxScale(events: DataFrame): DataFrame = {
     val stats = events.groupBy(col("event_type").as("mt"))
       .agg(min("value").as("vmin"), max("value").as("vmax"))

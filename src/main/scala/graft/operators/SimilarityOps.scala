@@ -457,7 +457,16 @@ object SimilarityOps {
     * computes the same quantized scores.
     */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, kNeighbors: Int,
-      m: Int = 4, k: Int = 8, centroidStep: Int = 23): DataFrame = {
+      m: Int = 4, k: Int = 8, centroidStep: Int = 23): DataFrame =
+    rankTopK(pqAdcScores(embeddings, queries, m, k, centroidStep),
+      kNeighbors, keepSim = false)
+
+  /** Shared ADC scoring core of [[pqTopK]] and [[pqRerankTopK]]:
+    * (query_id, vec_id, sim) where sim is the integer-floored
+    * asymmetric-distance surrogate summed over subspaces.
+    */
+  private def pqAdcScores(embeddings: DataFrame, queries: DataFrame,
+      m: Int, k: Int, centroidStep: Int): DataFrame = {
     val cents = pqCodebook(embeddings, m, k, centroidStep)
     val codes = pqCodes(embeddings, cents, m) // unsorted index rows
     val adc = pqSubs(queries.select(col("vec_id").as("query_id"),
@@ -466,12 +475,42 @@ object SimilarityOps {
       .select(col("query_id"), col("subspace"), col("cid").as("code"),
         floor((vec_dot(col("sub"), col("ce")) * 2.0d - col("cn2"))
           * lit(1.0e9)).as("se9"))
-    val scored = codes
+    codes
       .join(broadcast(adc), Seq("subspace", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("se9")).cast("double").as("sim"))
-    rankTopK(scored, kNeighbors, keepSim = false)
+  }
+
+  /** Two-stage PQ serving: ADC shortlist (top s·k per query via the
+    * bounded TopKAgg), then an EXACT-cosine rerank of only the
+    * shortlisted candidates — the standard IVF-PQ + rerank layout
+    * every vector store ships, where the quantizer buys candidate
+    * reduction and the rerank buys back ranking quality. The exact
+    * pass touches ≤ s·k rows per query (one vec_id-keyed join against
+    * the corpus — AQE broadcasts the shortlist when it's small), so
+    * the heavy dot-product work stays proportional to the shortlist,
+    * never the corpus.
+    */
+  def pqRerankTopK(embeddings: DataFrame, queries: DataFrame,
+      kNeighbors: Int, shortlistFactor: Int = 4, m: Int = 4, k: Int = 8,
+      centroidStep: Int = 23): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val shortlist = pqAdcScores(embeddings, queries, m, k, centroidStep)
+      .groupBy("query_id")
+      .agg(top_k_agg(col("sim"), col("vec_id"),
+        kNeighbors * shortlistFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("vec_id"))
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe")), "qe", "qn")
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "en")
+    val exact = shortlist
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("sim",
+        vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+    rankTopK(exact, kNeighbors, keepSim = false)
   }
 
   /** Trained k-means (Lloyd's) cluster assignment — the real training
