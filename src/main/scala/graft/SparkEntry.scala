@@ -343,6 +343,8 @@ object SparkEntry {
     "a28_psi" -> ((s, d) => Relational.a28Psi(t(s, d)("events"))),
     // Spearman rank correlation (exact doubled tie-average ranks)
     "a29_spearman" -> ((s, d) => Relational.a29Spearman(t(s, d)("events"))),
+    // robust trend: median time-ordered step (linear Theil-Sen flavor)
+    "a30_robust_trend" -> ((s, d) => Relational.a30RobustTrend(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -467,6 +469,10 @@ object SparkEntry {
     // hub-document centrality over the near-dup graph (3 power steps)
     "dedup_pagerank" -> ((s, d) => graft.operators.GraphOps
       .pageRank(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
+    // personalized PageRank from the curated seed set (doc_id%50==0)
+    "dedup_ppr" -> ((s, d) => graft.operators.GraphOps
+      .personalizedPageRank(DedupOps.simhashPairs(t(s, d)("documents"))
         .select("doc_a", "doc_b"))),
     // pairs → clusters → survivors: the transitive-closure step that
     // turns LSH candidate pairs into an actual deduped corpus
@@ -1696,6 +1702,16 @@ object SparkEntry {
     * divisions and integer sums only, so the reduction is
     * order-independent and bit-exact across engines by construction).
     */
+  private def pprStep(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT COALESCE(c.u, t.u) AS u,
+       |    COALESCE(t.tele, 0) + (85 * COALESCE(c.s, 0)) // 100 AS r
+       |  FROM (
+       |    SELECT e.v AS u, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+       |    FROM edges e JOIN $prev r ON r.u = e.u JOIN deg d ON d.u = e.u
+       |    GROUP BY e.v) c
+       |  FULL OUTER JOIN tele t ON c.u = t.u)""".stripMargin
+
   private def prStep(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT e.v AS u,
@@ -3683,6 +3699,27 @@ object SparkEntry {
          |SELECT u AS doc_id, r AS pr_rank_e15,
          |  CAST(r AS DOUBLE) / 1000000000000000.0 AS pr_rank
          |FROM r3 ORDER BY doc_id""".stripMargin,
+    "dedup_ppr" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+         |ns AS (SELECT count(*) AS n FROM deg WHERE u % 50 = 0),
+         |tele AS (SELECT u, 150000000000000 // (SELECT n FROM ns) AS tele
+         |  FROM deg WHERE u % 50 = 0),
+         |r0 AS (SELECT u, 1000000000000000 // (SELECT n FROM ns) AS r
+         |  FROM deg WHERE u % 50 = 0),
+         |${pprStep("r0", "r1")},
+         |${pprStep("r1", "r2")},
+         |${pprStep("r2", "r3")}
+         |SELECT u AS doc_id, r AS ppr_e15,
+         |  CAST(r AS DOUBLE) / 1000000000000000.0 AS ppr
+         |FROM r3 ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -4252,6 +4289,18 @@ object SparkEntry {
     // doubled tie-average ranks (min+max of consecutive row_numbers in
     // a tie group = 2·avg rank) keep every rank an exact integer;
     // HUGEINT sums mirror the Spark side's DECIMAL(38,0) exactness
+    "a30_robust_trend" ->
+      """WITH c AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, cents - LAG(cents) OVER (
+        |    PARTITION BY event_type ORDER BY ts, event_id) AS d
+        |  FROM c)
+        |SELECT event_type, COUNT(d) AS n_steps,
+        |  CAST(median(d) AS DOUBLE) AS med_step_cents
+        |FROM d WHERE d IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "a29_spearman" ->
       """WITH r AS (
         |  SELECT event_type, value, ts,

@@ -327,6 +327,62 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** PERSONALIZED PageRank — teleport mass restricted to a SEED set
+    * (here: doc_id ≡ 0 mod `seedMod`, standing in for a curated
+    * "known-good docs" list): ranks measure proximity to the seeds
+    * through the near-dup graph, the expand-a-curated-corpus /
+    * find-more-like-these primitive of a data-curation pipeline
+    * (random-walk-with-restart similarity). Same BIGINT 1e-15
+    * fixed-point discipline as [[pageRank]] — integer sums are
+    * order-free, so partial aggregation matches a serial oracle
+    * bit-for-bit. Differences from the global walk: rank mass starts
+    * ON the seeds and teleports back ONLY to them, and a vertex
+    * beyond `iterations` hops of every seed receives nothing and is
+    * OMITTED (identically in the oracle) rather than padded — the
+    * frontier itself is the answer. Per round: one edge⋈ranks
+    * equi-join + vertex-keyed sum, then a vertex-scale full-outer
+    * join against the (checkpointed) teleport vector, so untouched
+    * seeds keep their restart mass. Scale shape identical to
+    * [[pageRank]]: materialize-once edge ladder, lazy rank frames,
+    * plan depth = iterations.
+    */
+  def personalizedPageRank(pairs: DataFrame, iterations: Int = 3,
+      dampingPct: Int = 85, seedMod: Int = 50): DataFrame = {
+    val pr = pairs.select(col("doc_a").cast("long").as("a"),
+      col("doc_b").cast("long").as("b"))
+    val sym = pr.select(col("a").as("u"), col("b").as("v"))
+      .union(pr.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
+      .localCheckpoint(true)
+    val edges = sym.join(deg, "u").localCheckpoint(true)
+    val seeds = deg.select(col("u")).filter(col("u") % seedMod === 0)
+    val nSeeds = seeds.count()
+    require(nSeeds > 0,
+      s"personalizedPageRank: no graph vertex has doc_id % $seedMod == 0")
+    val S = 1000000000000000L // 1e15: rank unit = 1e-15
+    val teleS = S / 100L * (100L - dampingPct) / nSeeds
+    val tele = seeds.select(col("u"), lit(teleS).as("tele"))
+      .localCheckpoint(true) // consumed every round
+    var ranks = seeds.select(col("u"), lit(S / nSeeds).as("r"))
+    for (_ <- 1 to iterations) {
+      ranks = edges
+        .join(ranks, "u")
+        .select(col("v"), expr("r div deg").as("contrib"))
+        .groupBy("v")
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("v").as("u"), col("s"))
+        .join(tele, Seq("u"), "full_outer")
+        .select(col("u"),
+          (coalesce(col("tele"), lit(0L)) +
+            expr(s"($dampingPct * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+    }
+    ranks.select(col("u").as("doc_id"), col("r").as("ppr_e15"),
+        (col("r").cast("double") / lit(1.0e15)).as("ppr"))
+      .orderBy("doc_id")
+  }
+
   /** Bounded k-core peel over the near-dup graph: `rounds` iterations
     * of "drop vertices with degree < k, induce the surviving
     * subgraph", emitting the survivors with their induced degree. A

@@ -1707,6 +1707,31 @@ object Relational {
     * Plan: two rank windows + two tie windows, all partitioned by
     * event_type — ONE exchange family — then a group-scale aggregate.
     */
+  /** Robust per-type trend — the MEDIAN time-ordered step (a
+    * Theil-Sen-flavored estimator restricted to consecutive pairs, so
+    * cost stays linear instead of the classic all-pairs quadratic):
+    * outlier spikes move a mean step arbitrarily but shift the median
+    * step by at most one rank. Values are half-up integer cents (the
+    * w13 discipline) so the exact percentile interpolates identically
+    * across engines; per-group aggregation state is bounded by the
+    * DISTINCT step values (a counts map, the a24 reliance), never the
+    * row count; the lag window and the closing aggregate share one
+    * event_type exchange.
+    */
+  def a30RobustTrend(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("d", col("cents") - col("prev"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_steps"),
+        expr("percentile(d, 0.5)").as("med_step_cents"))
+      .orderBy("event_type")
+  }
+
   def a29Spearman(events: DataFrame): DataFrame = {
     val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -236,6 +236,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(rt == ((6L, 0.0)), rt)
   }
 
+  test("personalizedPageRank: mass starts on seeds, frontier omits unreached") {
+    // path 0-1-2, seed = vertex 0 (0 % 50 == 0). One iteration:
+    // contributions: 0 pushes S/deg(0)=S to 1 (damped 85%); teleport
+    // returns 0.15·S to the seed; vertex 2 is 2 hops out -> OMITTED
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val r1 = GraphOps.personalizedPageRank(path, iterations = 1)
+      .select("doc_id", "ppr_e15").as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 150000000000000L, 1L -> 850000000000000L), r1)
+    // second iteration reaches vertex 2: 1 splits its rank over its
+    // two neighbors (deg 2), each damped side gets 85%·(r1(1)/2)
+    val r2 = GraphOps.personalizedPageRank(path, iterations = 2)
+      .select("doc_id", "ppr_e15").as[(Long, Long)].collect().toMap
+    val half = 850000000000000L / 2
+    assert(r2(2L) == 85L * half / 100L, r2)
+    assert(r2(0L) == 150000000000000L + 85L * half / 100L, r2)
+    assert(r2.keySet == Set(0L, 1L, 2L), r2)
+  }
+
   test("kmvBall: small balls are exact counts; radius grows them along a path") {
     // path 1-2-3-4-5-6: with k=8 every 2-hop ball is under k, so the
     // estimator returns the EXACT ball size — ends see 3, center 5
