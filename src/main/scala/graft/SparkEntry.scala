@@ -708,6 +708,16 @@ object SparkEntry {
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     // full-stream PCM sample stats over the real audio decode
     "mm_audio_stats" -> ((s, d) => mmAudioStatsQuery(s, d)),
+    // NN resample of channel-0 PCM to a fixed 64-point grid + digest
+    "mm_audio_resample" -> ((s, d) => {
+      val dir = stagingTag(d, "wav", "documents.parquet")
+      Multimodal.stageWavs(t(s, d)("documents"), dir)
+      Multimodal.resampleAudio(s,
+        s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"), col("content")))
+        .orderBy("doc_id")
+    }),
     // real ISO-BMFF metadata parse over staged MP4 containers
     "mm_video_meta" -> ((s, d) => stagedVideoMeta(s, d).orderBy("doc_id")),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(stagedVideoMeta(s, d))),
@@ -4113,6 +4123,19 @@ object SparkEntry {
         |FROM rows_ JOIN m USING (doc_id) GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // PCM byte formula from stageWavs: byte i = (id + 31i) % 256 - 128;
     // 16-bit LE sample j = hi(2j+1)*256 + unsigned lo(2j)
+    "mm_audio_resample" ->
+      """WITH a AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) AS f,
+        |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id, f,
+        |    ((doc_id + (((j*f)//64)*ch*2 + 1)*31) % 256 - 128) * 256
+        |      + (doc_id + ((j*f)//64)*ch*2*31 + 128) % 256 AS v
+        |  FROM a, unnest(range(0, 64)) t(j))
+        |SELECT doc_id, f AS n_frames, CAST(64 AS INT) AS out_n,
+        |  CAST(SUM(v) AS BIGINT) AS rs_sum
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "mm_audio_stats" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)

@@ -426,6 +426,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a resampled-audio record: source frame count, target
+    * point count, and a digest of the RESAMPLED channel-0 amplitudes
+    * (proof the resample ran over decoded PCM, not just the header).
+    */
+  val audioResampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", LongType),
+    StructField("out_n", IntegerType),
+    StructField("rs_sum", LongType)))
+
+  /** REAL audio resample over the decoded PCM stream — the audio leg
+    * of [[resizeImages]]: nearest-neighbor down/up-sample of channel 0
+    * to a fixed `outN` points (source frame ⌊j·f/outN⌋ — pure integer
+    * arithmetic, so the digest is engine- and platform-exact), summed
+    * into one signed digest. The fixed-length, fixed-rate clip grid is
+    * the batch-inference preprocessing shape for audio models; the
+    * oracle predicts every sampled amplitude from the staged PCM
+    * formula, so a header-only decode cannot pass. Narrow
+    * mapPartitions over binaryFile splits, no shuffle.
+    */
+  def resampleAudio(spark: SparkSession, audio: DataFrame,
+      outN: Int = 64): DataFrame = {
+    val enc = Encoders.row(audioResampleSchema)
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val frameSize = ais.getFormat.getChannels * 2 // 16-bit PCM
+        val data = ais.readAllBytes()
+        ais.close()
+        val f = data.length / frameSize
+        require(f > 0, s"doc ${r.getLong(0)}: no complete PCM frame")
+        var sum = 0L
+        var j = 0
+        while (j < outN) {
+          val off = (j * f / outN) * frameSize
+          sum += ((data(off + 1).toInt << 8) | (data(off) & 0xff))
+          j += 1
+        }
+        Row(r.getLong(0), f.toLong, outN, sum)
+      }
+    }(enc)
+  }
+
   /** Schema of a per-clip audio fingerprint record. */
   val audioDHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

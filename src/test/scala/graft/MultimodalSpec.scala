@@ -320,6 +320,46 @@ class MultimodalSpec extends SparkSpec {
       Seq((3L, 3L, 200L, -200, 300)))
   }
 
+  test("resampleAudio picks the nearest-neighbor source frame per grid point") {
+    // 4 stereo frames, channel-0 samples 10, 20, 30, 40; resample to
+    // outN=8 → source frame ⌊j·4/8⌋ = 0,0,1,1,2,2,3,3 → sum = 200
+    val ch0 = Array[Short](10, 20, 30, 40)
+    val pcm = new Array[Byte](16)
+    ch0.zipWithIndex.foreach { case (v, j) =>
+      pcm(4 * j) = (v & 0xff).toByte
+      pcm(4 * j + 1) = ((v >> 8) & 0xff).toByte
+      // channel 1 = 999 everywhere: must NOT leak into the digest
+      pcm(4 * j + 2) = (999 & 0xff).toByte
+      pcm(4 * j + 3) = ((999 >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 4),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val in = Seq((5L, buf.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.resampleAudio(spark, in, outN = 8)
+    assert(out.schema == Multimodal.audioResampleSchema)
+    assert(out.as[(Long, Long, Int, Long)].collect().toSeq ==
+      Seq((5L, 4L, 8, 200L)))
+  }
+
+  test("resampleAudio fails loudly on a header-only WAV") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.empty[Byte]), fmt, 0),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val in = Seq((6L, buf.toByteArray)).toDF("doc_id", "content")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.resampleAudio(spark, in).collect()
+    }
+    assert(ex.getMessage.contains("no complete PCM frame")
+      || Option(ex.getCause).exists(_.getMessage.contains("no complete PCM frame")))
+  }
+
   test("pixelStats sweeps the FULL raster of a hand-built PNG") {
     // 2x2 image with distinct per-pixel low bytes 10/20/30/40: sum,
     // min, max only come out right if every pixel is visited
