@@ -378,6 +378,12 @@ object SparkEntry {
     // disjunctive brand/size/quantity pricing predicate
     "q19_discounted_revenue" -> ((s, d) => Relational.q19DiscountedRevenue(
       t(s, d)("part"), t(s, d)("lineitem"))),
+    // scan-only forecast revenue (full predicate pushed to the scan)
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(
+      t(s, d)("lineitem"))),
+    // ship-latency band x order-priority conditional-count census
+    "q12_ship_latency" -> ((s, d) => Relational.q12ShipLatencyPriority(
+      t(s, d)("orders"), t(s, d)("lineitem"))),
     // one nation's market share in one region for one product type
     "q8_market_share" -> ((s, d) => Relational.q8MarketShare(
       t(s, d)("region"), t(s, d)("nation"), t(s, d)("supplier"),
@@ -3047,6 +3053,30 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(4,2))
+        |    BETWEEN CAST('0.04' AS DECIMAL(4,2))
+        |    AND CAST('0.06' AS DECIMAL(4,2))
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_ship_latency" ->
+      """SELECT
+        |  CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT) AS delay_band,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q19_discounted_revenue" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

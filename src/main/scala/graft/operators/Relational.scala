@@ -2069,6 +2069,57 @@ object Relational {
           col("l_discount").cast(DecimalType(18, 2)))).cast("double")
         .as("revenue"), count(lit(1)).as("n_lines"))
 
+  /** TPC-H Q6's shape — the forecast-revenue-change probe: a pure
+    * scan-side conjunctive filter (ship year, discount band, quantity
+    * cap) followed by one scalar aggregate. The whole predicate
+    * pushes to the parquet scan (no join, no shuffle beyond the
+    * single-row final combine), which is exactly why Q6 is the
+    * canonical scan-throughput query at any scale. The discount band
+    * compares on DECIMAL(4,2) so the 0.05 double literal can't
+    * epsilon-miss rows on either engine; revenue is an exact DECIMAL
+    * sum cast to double only at the end.
+    */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") < 24 &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").cast(DecimalType(4, 2))
+          .between(lit("0.04").cast(DecimalType(4, 2)),
+            lit("0.06").cast(DecimalType(4, 2))))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        col("l_discount").cast(DecimalType(18, 2))).cast("double")
+        .as("revenue"), count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q12's shape — the shipping-latency priority census: did
+    * slow-shipping lines carry critical orders? This schema has no
+    * commit/receipt dates, so the latency is order→ship lag bucketed
+    * into 30-day bands, crossed with the Q12 high/low priority
+    * conditional-count pair. The orders join runs key-partitioned on
+    * the order key — the natural co-partitioning both fact tables
+    * already hash to at scale — and only (o_orderdate,
+    * o_orderpriority) survive projection into the shuffle; group
+    * cardinality is the handful of latency bands, so the final
+    * aggregate is trivially small no matter the fact size.
+    */
+  def q12ShipLatencyPriority(orders: DataFrame,
+      lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(floor(datediff(col("l_shipdate"), col("o_orderdate"))
+        .cast("double") / 30.0).as("delay_band"), col("o_orderpriority"))
+      .groupBy("delay_band")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("delay_band")
+
   /** TPC-H Q8's shape — one nation's market share inside one region's
     * market for one product type, per order year: the deepest join
     * tree in the battery (fact + 4 dimensions), every dimension side

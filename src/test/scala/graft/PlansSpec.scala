@@ -765,6 +765,37 @@ class PlansSpec extends SparkSpec {
       s"only the orderkey fact join may sort-merge, saw $smj8:\n${p8.take(3000)}")
   }
 
+  test("q6/q12: Q6 predicate pushes to the scan; Q12 joins on the orderkey with pruned sides") {
+    val q6 = Relational.q6ForecastRevenue(Tables(spark, sf0001, "lineitem"))
+    q6.collect()
+    val p6 = plan(q6).split("== Initial Plan ==").head
+    assert(!p6.contains("Join"), s"Q6 is scan+agg only:\n${p6.take(2000)}")
+    // the ship-date range and the quantity cap must reach the parquet
+    // reader as pushed filters — Q6 is a scan-throughput probe, and a
+    // post-scan filter would read every row group
+    assert(p6.contains("PushedFilters") && p6.contains("l_shipdate") &&
+      p6.contains("LessThan(l_quantity,24"),
+      s"Q6 predicate must push to the scan:\n${p6.take(3000)}")
+    assert(p6.contains("ReadSchema: struct<l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      s"Q6 scan must prune to its four columns:\n${p6.take(3000)}")
+
+    val q12 = Relational.q12ShipLatencyPriority(
+      Tables(spark, sf0001, "orders"), Tables(spark, sf0001, "lineitem"))
+    q12.collect()
+    val p12 = plan(q12).split("== Initial Plan ==").head
+    // fact-x-fact on the orderkey — the natural co-partition key; the
+    // lineitem side must carry only (orderkey, shipdate) into the
+    // shuffle and orders only (orderkey, orderdate, priority)
+    assert(p12.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"),
+      s"Q12 lineitem scan must prune to (orderkey, shipdate):\n${p12.take(3000)}")
+    assert(p12.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp") &&
+      p12.contains("o_orderpriority:string>"),
+      s"Q12 orders scan must prune to its three columns:\n${p12.take(3000)}")
+    assert(p12.contains("partial_"),
+      s"Q12 band counts must partially aggregate map-side:\n${p12.take(2000)}")
+  }
+
   test("invertedIndex: bounded heap aggregate, no Window, df fused in the same pass") {
     val df = graft.operators.TextOps.invertedIndex(
       Tables(spark, sf0001, "documents"))
