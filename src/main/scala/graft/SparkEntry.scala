@@ -345,6 +345,8 @@ object SparkEntry {
     "a29_spearman" -> ((s, d) => Relational.a29Spearman(t(s, d)("events"))),
     // robust trend: median time-ordered step (linear Theil-Sen flavor)
     "a30_robust_trend" -> ((s, d) => Relational.a30RobustTrend(t(s, d)("events"))),
+    // one-way ANOVA F across event types (k-group mean-difference test)
+    "a31_anova_f" -> ((s, d) => Relational.a31AnovaF(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -460,6 +462,10 @@ object SparkEntry {
     // cluster density of the near-dup graph: exact triangle count
     "dedup_triangles" -> ((s, d) => graft.operators.GraphOps
       .triangleCount(DedupOps.simhashPairs(t(s, d)("documents")))),
+    // triangle-closure rate of the near-dup graph (chain-vs-clique)
+    "dedup_clustering_coeff" -> ((s, d) => graft.operators.GraphOps
+      .clusteringCoefficient(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
     // hub-pairing tendency of the near-dup graph (boilerplate alarm)
     "dedup_assortativity" -> ((s, d) => graft.operators.GraphOps
       .assortativity(DedupOps.simhashPairs(t(s, d)("documents"))
@@ -3633,6 +3639,26 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM edges e1 JOIN edges e2 ON e1.b = e2.a
          |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "dedup_clustering_coeff" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |edges AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sym AS (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         |w AS (SELECT CAST(COALESCE(SUM(CAST(d AS HUGEINT) * (d - 1)), 0) // 2
+         |    AS BIGINT) AS n_wedges FROM deg)
+         |SELECT n_triangles, n_wedges,
+         |  CASE WHEN n_wedges = 0 THEN 0.0
+         |    ELSE round(3.0 * CAST(n_triangles AS DOUBLE)
+         |      / CAST(n_wedges AS DOUBLE), 9) END AS gcc
+         |FROM tri CROSS JOIN w""".stripMargin,
     "dedup_assortativity" ->
       s"""WITH $ToksCte,
          |$SimhashSigCte,
@@ -4354,6 +4380,31 @@ object SparkEntry {
         |SELECT event_type, COUNT(d) AS n_steps,
         |  CAST(median(d) AS DOUBLE) AS med_step_cents
         |FROM d WHERE d IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a31_anova_f" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sx_g,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx_g
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT n_g, sx_g,
+        |    CAST(round(CAST(sxx_g AS DOUBLE)
+        |      - CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE), 6) AS DECIMAL(28,10)) AS ssw_g,
+        |    CAST(round(CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE), 6) AS DECIMAL(28,10)) AS sb_g
+        |  FROM s),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+        |    SUM(sx_g) AS sx_tot, SUM(ssw_g) AS ssw, SUM(sb_g) AS sb
+        |  FROM g)
+        |SELECT k, n,
+        |  round(((CAST(sb AS DOUBLE)
+        |      - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        |    / (CAST(ssw AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 9) AS f_stat
+        |FROM t WHERE k > 1 AND n > k""".stripMargin,
     "a29_spearman" ->
       """WITH r AS (
         |  SELECT event_type, value, ts,

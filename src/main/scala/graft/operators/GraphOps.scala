@@ -239,6 +239,36 @@ object GraphOps {
     * is itself an LSH band join, re-deriving it per consumer nearly
     * doubles the operator's cost (measured 7.9 s → 4.8 s at sf0.1).
     */
+  /** Global clustering coefficient of the near-dup graph — the
+    * one-number closure summary 3·triangles / wedges, where wedges =
+    * Σ_v C(d(v), 2): how often does "A matches B, B matches C" imply
+    * "A matches C"? Low closure on a dup graph means chained
+    * borderline matches (the survivors step is merging non-dups);
+    * high closure means true cliques. Reuses [[triangleCount]]'s
+    * edge-iterator core (no wedge row is ever materialized — the
+    * classic 2-path self-join explodes on hub vertices) plus one
+    * degree aggregate; both reductions end in single-row frames, so
+    * the final combine is a broadcast of one row, and wedge counts
+    * accumulate in exact integers (d·(d−1) is even, halved with
+    * integer division — no float sum). Zero-wedge graphs pin gcc to
+    * 0.0 on both engines.
+    */
+  def clusteringCoefficient(pairs: DataFrame, adjSlices: Int = 1): DataFrame = {
+    val e = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val tri = edgeTriangles(e, "doc_a", "doc_b", adjSlices)
+      .agg(coalesce(sum(col("tri")), lit(0L)).cast("bigint").as("n_triangles"))
+    val wedges = e.select(col("doc_a").as("v"))
+      .unionByName(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - lit(1L))), lit(0L)).as("tw"))
+      .select(expr("tw DIV 2").cast("bigint").as("n_wedges"))
+    tri.crossJoin(broadcast(wedges)) // single row x single row
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"), 9)).as("gcc"))
+  }
+
   def cliqueDensity(pairs: DataFrame, adjSlices: Int = 1): DataFrame = {
     // one eager materialization of the pair list (it feeds the
     // closure, the pair tally, and both triangle joins); checkpoint

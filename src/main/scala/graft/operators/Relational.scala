@@ -1732,6 +1732,41 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** One-way ANOVA F statistic for value across event types — the
+    * k-group generalization of [[a25WelchT]]'s pair test: does ANY
+    * type's mean differ? Same sufficient-statistic discipline: ONE
+    * fact shuffle into per-type (n, Σx, Σx²) exact decimals, then the
+    * within/between sums of squares as per-GROUP double contributions
+    * rounded to 6 dp and cast to DECIMAL before the final sum (the
+    * [[a26CramersV]] order-free trick — k is small but the summation
+    * order must still not matter), and F as one fixed double
+    * expression on the single total row, rounded 9 dp. Degenerate
+    * inputs (k < 2 or no within-group freedom) emit NO row.
+    */
+  def a31AnovaF(events: DataFrame): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val sxd = col("sx_g").cast("double")
+    val nd = col("n_g").cast("double")
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"), sum(x).as("sx_g"), sum(x * x).as("sxx_g"))
+      .select(col("n_g"), col("sx_g"),
+        round(col("sxx_g").cast("double") - sxd * sxd / nd, 6)
+          .cast(DecimalType(28, 10)).as("ssw_g"),
+        round(sxd * sxd / nd, 6).cast(DecimalType(28, 10)).as("sb_g"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("sx_g")).as("sx_tot"),
+        sum(col("ssw_g")).as("ssw"), sum(col("sb_g")).as("sb"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+      .select(col("k"), col("n"),
+        round(((col("sb").cast("double") -
+          col("sx_tot").cast("double") * col("sx_tot").cast("double") /
+            col("n").cast("double")) /
+          (col("k").cast("double") - lit(1.0))) /
+          (col("ssw").cast("double") /
+            (col("n").cast("double") - col("k").cast("double"))), 9)
+          .as("f_stat"))
+  }
+
   def a29Spearman(events: DataFrame): DataFrame = {
     val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -194,6 +194,22 @@ class BreadthOps6Spec extends SparkSpec {
     assert(math.abs(out.head._5 - expected) < 1e-9, s"t=${out.head._5}")
   }
 
+  test("a31AnovaF matches the hand formula on three separated groups") {
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 4.0), (5L, "b", 5.0), (6L, "b", 6.0),
+      (7L, "c", 7.0), (8L, "c", 8.0), (9L, "c", 9.0)
+    ).toDF("event_id", "event_type", "value")
+    val out = Relational.a31AnovaF(ev)
+      .as[(Long, Long, Double)].collect().toSeq
+    // group means 2/5/8, grand mean 5: SSB = 3*(9+0+9) = 54 over
+    // k-1 = 2 df; SSW = 2+2+2 = 6 over N-k = 6 df -> F = 27/1 = 27
+    assert(out == Seq((3L, 9L, 27.0)))
+    // k = 1 (single group) is degenerate: no row, not a NaN
+    assert(Relational.a31AnovaF(ev.filter($"event_type" === "a"))
+      .collect().isEmpty)
+  }
+
   test("a27MannWhitney: tie-corrected U via doubled integer ranks") {
     val ev = Seq(
       (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0),

@@ -121,6 +121,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(graft.operators.GraphOps.triangleCount(empty).as[Long].head() == 0L)
   }
 
+  test("clusteringCoefficient: triangle+pendant = 0.6; path = 0; empty pins 0.0") {
+    import spark.implicits._
+    // triangle {1,2,3} plus pendant 4 on vertex 3: 1 triangle,
+    // degrees (2,2,3,1) -> wedges = 1+1+3+0 = 5 -> gcc = 3/5
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.clusteringCoefficient(g)
+      .as[(Long, Long, Double)].head() == ((1L, 5L, 0.6)))
+    // a path has wedges but no closure
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.clusteringCoefficient(path)
+      .as[(Long, Long, Double)].head() == ((0L, 1L, 0.0)))
+    // empty graph: zero wedges must pin gcc to 0.0, not NaN
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.clusteringCoefficient(empty)
+      .as[(Long, Long, Double)].head() == ((0L, 0L, 0.0)))
+  }
+
   test("cliqueDensity: a K3 clique and a 3-chain report distinct shapes") {
     import spark.implicits._
     // component 1: triangle {1,2,3}; component 10: chain 10-11-12
