@@ -347,6 +347,8 @@ object SparkEntry {
     "a30_robust_trend" -> ((s, d) => Relational.a30RobustTrend(t(s, d)("events"))),
     // one-way ANOVA F across event types (k-group mean-difference test)
     "a31_anova_f" -> ((s, d) => Relational.a31AnovaF(t(s, d)("events"))),
+    // mutual information between event type and a coarse value band
+    "a32_mutual_info" -> ((s, d) => Relational.a32MutualInfo(t(s, d)("events"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -462,6 +464,10 @@ object SparkEntry {
     // cluster density of the near-dup graph: exact triangle count
     "dedup_triangles" -> ((s, d) => graft.operators.GraphOps
       .triangleCount(DedupOps.simhashPairs(t(s, d)("documents")))),
+    // degree histogram of the near-dup graph (skew-guard census)
+    "dedup_degree_hist" -> ((s, d) => graft.operators.GraphOps
+      .degreeHistogram(DedupOps.simhashPairs(t(s, d)("documents"))
+        .select("doc_a", "doc_b"))),
     // triangle-closure rate of the near-dup graph (chain-vs-clique)
     "dedup_clustering_coeff" -> ((s, d) => graft.operators.GraphOps
       .clusteringCoefficient(DedupOps.simhashPairs(t(s, d)("documents"))
@@ -3639,6 +3645,18 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM edges e1 JOIN edges e2 ON e1.b = e2.a
          |JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+    "dedup_degree_hist" ->
+      s"""WITH $ToksCte,
+         |$SimhashSigCte,
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (SELECT doc_a AS v FROM prs UNION ALL SELECT doc_b FROM prs),
+         |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+         |  FROM sym GROUP BY 1)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+         |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_clustering_coeff" ->
       s"""WITH $ToksCte,
          |$SimhashSigCte,
@@ -4405,6 +4423,27 @@ object SparkEntry {
         |    / (CAST(ssw AS DOUBLE)
         |      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 9) AS f_stat
         |FROM t WHERE k > 1 AND n > k""".stripMargin,
+    "a32_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS rx
+        |  FROM cells GROUP BY 1),
+        |co AS (SELECT band, CAST(SUM(c) AS BIGINT) AS cy
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |k AS (
+        |  SELECT n, CAST(round(
+        |    (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+        |    AS DECIMAL(24,14)) AS contrib
+        |  FROM cells JOIN r USING (event_type) JOIN co USING (band)
+        |  CROSS JOIN t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, MAX(n) AS n,
+        |  CAST(SUM(contrib) AS DOUBLE) AS mi_nats
+        |FROM k""".stripMargin,
     "a29_spearman" ->
       """WITH r AS (
         |  SELECT event_type, value, ts,

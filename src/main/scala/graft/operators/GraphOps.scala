@@ -269,6 +269,21 @@ object GraphOps {
             col("n_wedges").cast("double"), 9)).as("gcc"))
   }
 
+  /** Degree histogram of the near-dup graph — (degree, vertex count),
+    * the census behind every skew decision in this file: a heavy tail
+    * here is the empirical trigger for [[edgeTriangles]]'s
+    * `adjSlices` guard and the salted joins. Two keyed integer
+    * aggregates (vertex → degree, degree → count); no per-vertex
+    * state beyond a counter, so a boilerplate hub costs one row, not
+    * one giant array.
+    */
+  def degreeHistogram(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+      .orderBy("degree")
+
   def cliqueDensity(pairs: DataFrame, adjSlices: Int = 1): DataFrame = {
     // one eager materialization of the pair list (it feeds the
     // closure, the pair tally, and both triangle joins); checkpoint

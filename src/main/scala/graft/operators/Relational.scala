@@ -1767,6 +1767,36 @@ object Relational {
           .as("f_stat"))
   }
 
+  /** Mutual information (nats) between event type and a coarse value
+    * band — the information-theoretic cousin of [[a26CramersV]]: how
+    * many bits does knowing the type buy about the value? Unlike the
+    * χ² grid, MI only needs OBSERVED cells (empty cells contribute
+    * exactly 0), so no margin cross-join: one cells aggregate, two
+    * group-scale margin joins (both broadcast-sized — |types|·|bands|
+    * cells), and per-cell (p·ln p-ratio) contributions rounded 9 dp
+    * into DECIMAL before the order-free exact sum, the
+    * [[a26CramersV]] discipline. The band edges divide by a double
+    * constant with the identical expression on both engines, so a
+    * boundary value cannot band differently.
+    */
+  def a32MutualInfo(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(col("event_type"),
+        floor(col("value") / lit(50.0)).cast("long").as("band"))
+      .agg(count(lit(1)).as("c"))
+    val rows = cells.groupBy("event_type").agg(sum("c").as("rx"))
+    val cols = cells.groupBy("band").agg(sum("c").as("cy"))
+    val tot = cells.agg(sum("c").as("n"))
+    cells.join(rows, "event_type").join(cols, "band")
+      .crossJoin(broadcast(tot)) // single-row total
+      .withColumn("contrib", round(
+        (col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") * col("n").cast("double") /
+            (col("rx").cast("double") * col("cy").cast("double"))), 9)
+        .cast(DecimalType(24, 14)))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("n"),
+        sum(col("contrib")).cast("double").as("mi_nats"))
+  }
+
   def a29Spearman(events: DataFrame): DataFrame = {
     val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

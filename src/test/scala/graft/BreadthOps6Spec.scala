@@ -210,6 +210,23 @@ class BreadthOps6Spec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("a32MutualInfo: dependent bands give ln 2, independent bands give 0") {
+    // type a always lands in band 0 (< 50), type b in band 1: knowing
+    // the type determines the band -> MI = ln 2 (in 9-dp contributions)
+    val dep = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0),
+      (3L, "b", 60.0), (4L, "b", 70.0)).toDF("event_id", "event_type", "value")
+    val out = Relational.a32MutualInfo(dep)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((2L, 4L, 0.693147180)))
+    // each type splits 50/50 across the bands: independent -> MI = 0
+    val ind = Seq(
+      (1L, "a", 10.0), (2L, "a", 60.0),
+      (3L, "b", 20.0), (4L, "b", 70.0)).toDF("event_id", "event_type", "value")
+    assert(Relational.a32MutualInfo(ind)
+      .as[(Long, Long, Double)].head() == ((4L, 4L, 0.0)))
+  }
+
   test("a27MannWhitney: tie-corrected U via doubled integer ranks") {
     val ev = Seq(
       (1L, "click", 1.0), (2L, "click", 2.0), (3L, "click", 3.0),

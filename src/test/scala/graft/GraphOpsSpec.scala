@@ -138,6 +138,13 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((0L, 0L, 0.0)))
   }
 
+  test("degreeHistogram: triangle+pendant census is (1,1),(2,2),(3,1)") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    assert(graft.operators.GraphOps.degreeHistogram(g)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
+
   test("cliqueDensity: a K3 clique and a 3-chain report distinct shapes") {
     import spark.implicits._
     // component 1: triangle {1,2,3}; component 10: chain 10-11-12
