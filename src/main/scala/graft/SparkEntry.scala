@@ -52,6 +52,9 @@ object SparkEntry {
     "a5_distinct_count" -> ((s, d) => Relational.a5DistinctCount(t(s, d)("events"))),
     "w6_grouping_sets" -> ((s, d) => Relational.w6GroupingSets(t(s, d)("lineitem"))),
     "w4_sessionize" -> ((s, d) => Relational.w4Sessionize(t(s, d)("events"), 30)),
+    // p50/p90/max of per-session first-to-last spans (exact micros)
+    "w23_session_duration" -> ((s, d) =>
+      Relational.w23SessionDuration(t(s, d)("events"), 30)),
     "w5_cube" -> ((s, d) => Relational.w5Cube(t(s, d)("lineitem"))),
     "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
     "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
@@ -2211,6 +2214,25 @@ object SparkEntry {
         |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
         |ORDER BY user_id, event_id""".stripMargin,
+    "w23_session_duration" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |d AS (
+        |  SELECT user_id, session_seq,
+        |    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        |  FROM s GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  round(quantile_cont(dur_us, 0.5) / 1000000.0, 6) AS p50_s,
+        |  round(quantile_cont(dur_us, 0.9) / 1000000.0, 6) AS p90_s,
+        |  round(CAST(MAX(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_s
+        |FROM d""".stripMargin,
     "w5_cube" ->
       """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
         |  coalesce(l_linestatus, '_ALL_') AS linestatus,

@@ -1797,6 +1797,38 @@ object Relational {
         sum(col("contrib")).cast("double").as("mi_nats"))
   }
 
+  /** Session-duration distribution — the summary a sessionization
+    * pipeline actually ships: split each user's stream at the
+    * [[w4Sessionize]] gap, take each session's first-to-last span in
+    * EXACT integer microseconds (epoch-micro subtraction — a
+    * seconds-granularity date_diff would truncate differently per
+    * engine on sub-second stamps), then the p50/p90/max over the
+    * per-session spans. One user-keyed window exchange feeds the
+    * session aggregate; the closing percentile state is bounded by
+    * DISTINCT span values (the [[a30RobustTrend]] reliance), and the
+    * interpolated quantiles cross a 6-dp round barrier after the
+    * micros→seconds divide.
+    */
+  def w23SessionDuration(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .as("dur_us"))
+      .agg(count(lit(1)).as("n_sessions"),
+        round(expr("percentile(dur_us, 0.5)") / lit(1000000.0), 6).as("p50_s"),
+        round(expr("percentile(dur_us, 0.9)") / lit(1000000.0), 6).as("p90_s"),
+        round(max(col("dur_us")).cast("double") / lit(1000000.0), 6).as("max_s"))
+  }
+
   def a29Spearman(events: DataFrame): DataFrame = {
     val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -210,6 +210,20 @@ class BreadthOps6Spec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("w23SessionDuration: gap splits spans; interpolated p50/p90 over micros") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(s: Long) = new Timestamp(t0.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, 7L, t0), (2L, 7L, plus(10)),       // session 1: 10 s span
+      (3L, 7L, plus(10 * 3600))               // past the gap: 0 s span
+    ).toDF("event_id", "user_id", "ts")
+    val out = Relational.w23SessionDuration(ev, 30)
+      .as[(Long, Double, Double, Double)].head()
+    // spans {0, 10} s -> p50 interpolates to 5, p90 to 9
+    assert(out == ((2L, 5.0, 9.0, 10.0)))
+  }
+
   test("a32MutualInfo: dependent bands give ln 2, independent bands give 0") {
     // type a always lands in band 0 (< 50), type b in band 1: knowing
     // the type determines the band -> MI = ln 2 (in 9-dp contributions)
