@@ -617,6 +617,9 @@ object SparkEntry {
     }),
     "sim_neardup_lsh" -> ((s, d) =>
       SimilarityOps.lshNearDup(t(s, d)("embeddings"), 0.463)),
+    // cosine histogram over the LSH candidates (threshold calibration)
+    "sim_cosine_census" -> ((s, d) =>
+      SimilarityOps.cosineBandCensus(t(s, d)("embeddings"))),
     // ε-ball retrieval: ALL corpus vectors within the cosine radius of
     // each query (broadcast queries, no corpus shuffle)
     "sim_range_search" -> ((s, d) => {
@@ -4025,6 +4028,24 @@ object SparkEntry {
          |JOIN embeddings b ON b.vec_id = c.vec_b
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.463
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "sim_cosine_census" -> {
+      val tables = (0 until 8).map(t => lshSigCte(s"sig$t", 4, t * 4))
+      val unions = (0 until 8).map(t =>
+        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig$t a " +
+          s"JOIN sig$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
+        .mkString("\n    UNION ALL ")
+      s"""WITH ${tables.mkString(",\n")},
+         |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+         |    $unions)),
+         |c AS (
+         |  SELECT CAST(floor(${duckCosine("a.embedding", "b.embedding")}
+         |    * 20.0) AS BIGINT) AS band
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.vec_a
+         |  JOIN embeddings b ON b.vec_id = cand.vec_b)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "sim_kmeans" -> KmeansOracle,
     // norms are bit-exact per row (ordered double accumulation +

@@ -289,6 +289,50 @@ object SimilarityOps {
     * union is what lifts recall (1-(1-0.18)^8 ≈ 0.80); recall < 1
     * remains by construction.
     */
+  /** Cosine-band census over the LSH candidate pairs — the histogram
+    * that CALIBRATES [[lshNearDup]]'s threshold: before committing to
+    * a cut like 0.463, look at where the candidate mass actually sits
+    * (a bimodal census says the threshold lives in the gap; a flat one
+    * says the banding is too loose). Same one-sweep signature + band
+    * self-join as the dedup path, but pairs are distinct'd BEFORE
+    * verification (every pair must count exactly once in the
+    * histogram, so the re-verify-k-times trade is unavailable), then
+    * one O(dim) codegen'd dot per pair and a band-keyed count. Band
+    * edges floor the bit-identical cosine (ordered accumulation on
+    * both engines), so last-bit drift cannot move a pair across a
+    * band. Output is ≤ 40 rows regardless of corpus size.
+    */
+  def cosineBandCensus(embeddings: DataFrame,
+      numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+    require(numPlanes * numTables <= 64, "plane family exceeds one 64-bit signature")
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "en")
+    val mask = (1L << numPlanes) - 1
+    val withSig = embeddings.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
+      .withColumn("sig", graft.functions.GraftFunctions.hyperplane_sig(
+        col("embedding"), numPlanes * numTables, 0))
+    val stackArgs = (0 until numTables)
+      .map(t => s"$t, shiftright(sig, ${t * numPlanes}) & ${mask}L")
+      .mkString(", ")
+    val bands = withSig.selectExpr("vec_id",
+      s"stack($numTables, $stackArgs) AS (tbl, bucket)")
+    bands.as("a").join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("en").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("en").as("nb")), "vec_b")
+      .withColumn("sim", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .groupBy(floor(col("sim") * lit(20.0)).cast("long").as("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("band")
+  }
+
   def lshNearDup(embeddings: DataFrame, threshold: Double,
       numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
     require(numPlanes * numTables <= 64, "plane family exceeds one 64-bit signature")

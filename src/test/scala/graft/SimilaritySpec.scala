@@ -130,6 +130,20 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("cosineBandCensus: bands bounded to [-20,20), mass totals the candidate pairs") {
+    val e = Tables(spark, sf001, "embeddings")
+    val census = SimilarityOps.cosineBandCensus(e)
+      .as[(Long, Long)].collect().toSeq
+    assert(census.nonEmpty)
+    // cosine in [-1,1] -> floor(20x) in [-20,20)
+    assert(census.forall { case (b, n) => b >= -20 && b < 20 && n > 0 })
+    // the near-dup pairs at >= 0.463 are a subset of the mass at band >= 9
+    val nd = SimilarityOps.lshNearDup(e, 0.463).count()
+    val high = census.filter(_._1 >= 10).map(_._2).sum
+    assert(high <= nd && nd <= census.filter(_._1 >= 9).map(_._2).sum,
+      s"near-dup count $nd inconsistent with census tail $high")
+  }
+
   test("lshNearDup finds a nonempty subset of the exact near-dup pairs (sf0.01)") {
     val e = Tables(spark, sf001, "embeddings")
     val exact = SimilarityOps.cosineNearDup(e, 0.463)
