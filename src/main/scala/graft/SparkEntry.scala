@@ -699,6 +699,15 @@ object SparkEntry {
             .cast("long").as("doc_id"), col("content")))
         .orderBy("doc_id")
     }),
+    // 16-band grayscale tone census over the real PNG decode
+    "mm_gray_histogram" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.grayHistogram(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
     // perceptual dHash fingerprints over the real PNG decode
     "mm_dhash" -> ((s, d) => {
       val pngDir = stagingTag(d, "png", "documents.parquet")
@@ -4168,6 +4177,20 @@ object SparkEntry {
         |  CAST(MIN((doc_id + i*31 + j*7) % 256) AS INT) AS px_min,
         |  CAST(MAX((doc_id + i*31 + j*7) % 256) AS INT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // tone census restated from the stagePngs formula: band =
+    // ((id + 31i + 7j) % 256) >> 4 over every in-raster (i, j)
+    "mm_gray_histogram" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i.i, j.j
+        |  FROM m, (SELECT unnest(range(0,64)) AS i) i,
+        |          (SELECT unnest(range(0,48)) AS j) j
+        |  WHERE i.i < w AND j.j < h)
+        |SELECT CAST(((doc_id + i*31 + j*7) % 256) // 16 AS INT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pixels
+        |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     // gray formula from stagePngs: (id + 31·sx + 7·sy) % 256 at the
     // 9×8 NN sample grid sx = x·w//9, sy = y·h//8; per-row bytes
     // compose MSB-first into the 16-hex dhash (bit63 stays unsigned)

@@ -275,6 +275,49 @@ object Multimodal {
     * cannot pass. Narrow mapPartitions over binaryFile splits, no
     * shuffle; cost is one w·h sweep per image.
     */
+  /** Corpus-level grayscale tone histogram over the REAL decoded
+    * rasters — 16 bands of the low channel byte, the exposure/contrast
+    * census a vision pipeline runs before normalization decisions
+    * (a spike at band 0/15 means clipped images; a single hot band
+    * means near-constant rasters). Each task folds ALL its images
+    * into ONE fixed 16-cell array before emitting (map-side
+    * pre-aggregation in the decode pass itself — the shuffle carries
+    * ≤16 rows per task no matter how many pixels were read), then a
+    * band-keyed sum combines tasks. Decode failures fail loudly, the
+    * [[pixelStats]] discipline.
+    */
+  def grayHistogram(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false))))
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val acc = new Array[Long](16)
+      rows.foreach { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            acc((img.getRGB(x, y) & 0xff) >> 4) += 1L
+            x += 1
+          }
+          y += 1
+        }
+      }
+      acc.iterator.zipWithIndex.filter(_._1 > 0L)
+        .map { case (n, b) => Row(b, n) }
+    }(enc)
+      .groupBy("band")
+      .agg(sum(col("n_px")).as("n_pixels"))
+      .select(col("band"), col("n_pixels"))
+      .orderBy("band")
+  }
+
   def pixelStats(spark: SparkSession, images: DataFrame): DataFrame = {
     val enc = Encoders.row(pixelStatsSchema)
     images.select(col("doc_id"), col("content")).mapPartitions { rows =>

@@ -360,6 +360,19 @@ class MultimodalSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("no complete PCM frame")))
   }
 
+  test("grayHistogram folds whole rasters into 16 bands, zero bands absent") {
+    // 2x2 image: bytes 10/20/30/40 -> bands 0 (10), 1 (20,30), 2 (40)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 10 * 0x010101); img.setRGB(1, 0, 20 * 0x010101)
+    img.setRGB(0, 1, 30 * 0x010101); img.setRGB(1, 1, 40 * 0x010101)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val in = Seq((7L, buf.toByteArray)).toDF("doc_id", "content")
+    assert(Multimodal.grayHistogram(spark, in)
+      .as[(Int, Long)].collect().toSeq == Seq((0, 1L), (1, 2L), (2, 1L)))
+  }
+
   test("pixelStats sweeps the FULL raster of a hand-built PNG") {
     // 2x2 image with distinct per-pixel low bytes 10/20/30/40: sum,
     // min, max only come out right if every pixel is visited
