@@ -741,6 +741,15 @@ object SparkEntry {
     "mm_audio_meta" -> ((s, d) => mmAudioMetaQuery(s, d)),
     // full-stream PCM sample stats over the real audio decode
     "mm_audio_stats" -> ((s, d) => mmAudioStatsQuery(s, d)),
+    // quarter-band Σv² energy over the real PCM decode (trim signal)
+    "mm_audio_energy" -> ((s, d) => {
+      val dir = stagingTag(d, "wav", "documents.parquet")
+      Multimodal.stageWavs(t(s, d)("documents"), dir)
+      Multimodal.audioBandEnergy(s,
+        s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
     // NN resample of channel-0 PCM to a fixed 64-point grid + digest
     "mm_audio_resample" -> ((s, d) => {
       val dir = stagingTag(d, "wav", "documents.parquet")
@@ -4289,6 +4298,20 @@ object SparkEntry {
         |SELECT doc_id, ns AS n_samples, CAST(SUM(v) AS BIGINT) AS s_sum,
         |  CAST(MIN(v) AS INT) AS s_min, CAST(MAX(v) AS INT) AS s_max
         |FROM sm GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    "mm_audio_energy" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)
+        |      AS ns
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id, ns, j,
+        |    ((doc_id + (2*j+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*j*31) % 256 - 128 + 256) % 256 AS v
+        |  FROM m, unnest(range(0, ns)) t(j))
+        |SELECT doc_id, CAST((j * 4) // ns AS INT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+        |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a21_gini" ->
       """WITH r AS (
         |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,

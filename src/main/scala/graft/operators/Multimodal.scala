@@ -439,6 +439,50 @@ object Multimodal {
     * decode cannot pass — this proves `javax.sound.sampled` streamed
     * the actual sample data. Narrow mapPartitions, no shuffle.
     */
+  /** Per-clip band energy over the REAL PCM decode — the clip split
+    * into `bands` equal sample ranges, each reporting its sample count
+    * and Σv² energy: the silence/clipping LOCALIZATION probe
+    * ([[audioStats]] sees a whole-clip min/max; this sees "the last
+    * quarter is dead air", the trim signal an audio-curation pass
+    * acts on). Energy accumulates in exact BIGINTs (|v| ≤ 2¹⁵ →
+    * v²·samples far under 2⁶³), band assignment is positive integer
+    * division (floor = truncate on both engines), and decode failures
+    * fail loudly per the [[pixelStats]] discipline. One narrow decode
+    * pass, ≤`bands` rows out per clip.
+    */
+  def audioBandEnergy(spark: SparkSession, audio: DataFrame,
+      bands: Int = 4): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false))))
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val data = ais.readAllBytes()
+        ais.close()
+        require(data.length >= 2,
+          s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
+            "no complete 16-bit sample (truncated or header-only WAV)")
+        val ns = data.length / 2
+        val e = new Array[Long](bands)
+        val c = new Array[Long](bands)
+        var j = 0
+        while (j < ns) {
+          val v = (data(2 * j + 1).toInt << 8) | (data(2 * j) & 0xff)
+          val b = j * bands / ns
+          e(b) += v.toLong * v
+          c(b) += 1L
+          j += 1
+        }
+        (0 until bands).iterator.filter(c(_) > 0L)
+          .map(b => Row(r.getLong(0), b, c(b), e(b)))
+      }
+    }(enc).orderBy("doc_id", "band")
+  }
+
   def audioStats(spark: SparkSession, audio: DataFrame): DataFrame = {
     val enc = Encoders.row(audioStatsSchema)
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>

@@ -299,6 +299,27 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.read.format("binaryFile").load(dir).count() == 1)
   }
 
+  test("audioBandEnergy splits samples into quarter bands of exact sum-squares") {
+    // 8 mono samples 1..8 -> bands of 2: energies 5, 25, 61, 113
+    val samples = Array[Short](1, 2, 3, 4, 5, 6, 7, 8)
+    val pcm = new Array[Byte](16)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 8),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val in = Seq((9L, buf.toByteArray)).toDF("doc_id", "content")
+    assert(Multimodal.audioBandEnergy(spark, in)
+      .as[(Long, Int, Long, Long)].collect().toSeq == Seq(
+        (9L, 0, 2L, 5L), (9L, 1, 2L, 25L),
+        (9L, 2, 2L, 61L), (9L, 3, 2L, 113L)))
+  }
+
   test("audioStats streams every 16-bit sample of a hand-built WAV") {
     // 3 mono samples 100, -200, 300: sum/min/max need the full stream
     val samples = Array[Short](100, -200, 300)
