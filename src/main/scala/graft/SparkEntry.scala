@@ -55,6 +55,9 @@ object SparkEntry {
     // p50/p90/max of per-session first-to-last spans (exact micros)
     "w23_session_duration" -> ((s, d) =>
       Relational.w23SessionDuration(t(s, d)("events"), 30)),
+    // first-view -> first-purchase lag distribution (funnel latency)
+    "w24_conversion_lag" -> ((s, d) =>
+      Relational.w24ConversionLag(t(s, d)("events"))),
     "w5_cube" -> ((s, d) => Relational.w5Cube(t(s, d)("lineitem"))),
     "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
     "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
@@ -453,6 +456,18 @@ object SparkEntry {
     // blocked on (lang, exact 10-char prefix)
     "dedup_edit_distance" -> ((s, d) => DedupOps.editDistancePairs(t(s, d)("documents"))),
     "er_jaro_pairs" -> ((s, d) => DedupOps.jaroWinklerPairs(t(s, d)("documents"))),
+    // records -> entity ids: transitive closure over the blocked
+    // Jaro-Winkler matches; unmatched records are their own entity
+    "er_entities" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val cc = GraphOps.connectedComponents(
+        DedupOps.jaroWinklerPairs(docs).select("doc_a", "doc_b"))
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("entity_id"))
+        .orderBy("doc_id")
+    }),
     // asymmetric quote/containment dedup: |A∩B|/|A| per direction
     "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d)("documents"), 0.6)),
     // sub-document curation signal: fraction of each doc's shingles
@@ -2254,6 +2269,21 @@ object SparkEntry {
         |  round(quantile_cont(dur_us, 0.9) / 1000000.0, 6) AS p90_s,
         |  round(CAST(MAX(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_s
         |FROM d""".stripMargin,
+    "w24_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY 1),
+        |l AS (
+        |  SELECT epoch_us(first_purchase) - epoch_us(first_view) AS lag_us
+        |  FROM f
+        |  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        |    AND first_purchase >= first_view)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  round(quantile_cont(lag_us, 0.5) / 1000000.0, 6) AS p50_s,
+        |  round(quantile_cont(lag_us, 0.9) / 1000000.0, 6) AS p90_s
+        |FROM l""".stripMargin,
     "w5_cube" ->
       """SELECT coalesce(l_returnflag, '_ALL_') AS returnflag,
         |  coalesce(l_linestatus, '_ALL_') AS linestatus,
@@ -2751,6 +2781,24 @@ object SparkEntry {
         |WHERE levenshtein(substr(a.text,1,40), substr(b.text,1,40)) <= 10
         |ORDER BY doc_a, doc_b""".stripMargin,
     "er_jaro_pairs" -> ErJaroPairsOracle,
+    "er_entities" ->
+      """WITH RECURSIVE h AS (SELECT doc_id, lang, substr(text,1,32) AS head,
+        |             substr(text,1,4) AS blk FROM documents),
+        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS entity_id
+        |FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the full stream replay emits exactly the batch pair set
     "stream_er_pairs" -> ErJaroPairsOracle,
     // literals mirror the Spark side UNFOLDED ((1.2 + 1.0), not 2.2):

@@ -1829,6 +1829,32 @@ object Relational {
         round(max(col("dur_us")).cast("double") / lit(1000000.0), 6).as("max_s"))
   }
 
+  /** View→purchase conversion lag distribution — per user, the span
+    * from FIRST view to FIRST purchase (users who purchase before
+    * ever viewing, or never do both, drop on both engines), then the
+    * n/p50/p90 summary. The funnel-latency number product teams pair
+    * with [[w10Funnel]]'s conversion rate: not "how many convert" but
+    * "how long it takes". One user-keyed aggregate whose two
+    * conditional `min`s fold in the same pass (no per-type self-join,
+    * the [[q14PromoRevenue]] discipline); spans are exact integer
+    * micros; the closing percentile state is bounded by distinct span
+    * values; quantiles cross the [[w23SessionDuration]] 6-dp barrier.
+    */
+  def w24ConversionLag(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .select((unix_micros(col("first_purchase")) -
+        unix_micros(col("first_view"))).as("lag_us"))
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(lag_us, 0.5)") / lit(1000000.0), 6).as("p50_s"),
+        round(expr("percentile(lag_us, 0.9)") / lit(1000000.0), 6).as("p90_s"))
+
   def a29Spearman(events: DataFrame): DataFrame = {
     val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

@@ -224,6 +224,22 @@ class BreadthOps6Spec extends SparkSpec {
     assert(out == ((2L, 5.0, 9.0, 10.0)))
   }
 
+  test("w24ConversionLag: first-view to first-purchase spans, non-converters drop") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(s: Long) = new Timestamp(t0.getTime + s * 1000L)
+    val ev = Seq(
+      (1L, 1L, "view", t0), (2L, 1L, "purchase", plus(10)),   // lag 10 s
+      (3L, 2L, "view", plus(5)), (4L, 2L, "purchase", plus(25)), // lag 20 s
+      (5L, 3L, "view", t0),                                   // never buys
+      (6L, 4L, "purchase", t0)                                // never views
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Relational.w24ConversionLag(ev)
+      .as[(Long, Double, Double)].head()
+    // spans {10, 20} -> p50 = 15, p90 = 19
+    assert(out == ((2L, 15.0, 19.0)))
+  }
+
   test("a32MutualInfo: dependent bands give ln 2, independent bands give 0") {
     // type a always lands in band 0 (< 50), type b in band 1: knowing
     // the type determines the band -> MI = ln 2 (in 9-dp contributions)
