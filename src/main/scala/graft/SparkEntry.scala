@@ -58,6 +58,9 @@ object SparkEntry {
     // first-view -> first-purchase lag distribution (funnel latency)
     "w24_conversion_lag" -> ((s, d) =>
       Relational.w24ConversionLag(t(s, d)("events"))),
+    // per-user recency-decayed engagement score (max-ts anchored)
+    "w25_decay_score" -> ((s, d) =>
+      Relational.w25DecayScore(t(s, d)("events"))),
     "w5_cube" -> ((s, d) => Relational.w5Cube(t(s, d)("lineitem"))),
     "p4_pivot" -> ((s, d) => Relational.p4Pivot(t(s, d)("events"))),
     "a4_percentiles" -> ((s, d) => Relational.a4Percentiles(t(s, d)("lineitem"))),
@@ -232,6 +235,12 @@ object SparkEntry {
     "text_quality_model" -> ((s, d) =>
       TextOps.qualityModelScore(t(s, d)("documents"))),
     "text_langid" -> ((s, d) => TextOps.languageId(t(s, d)("documents"))),
+    // lang-ID eval: confusion census of predicted vs labeled language
+    "text_lang_confusion" -> ((s, d) =>
+      TextOps.languageId(t(s, d)("documents"))
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_label", "lang_pred")),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d)("documents"), 5).orderBy("doc_id", "rnk")),
@@ -2269,6 +2278,14 @@ object SparkEntry {
         |  round(quantile_cont(dur_us, 0.9) / 1000000.0, 6) AS p90_s,
         |  round(CAST(MAX(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_s
         |FROM d""".stripMargin,
+    "w25_decay_score" ->
+      """WITH r AS (SELECT MAX(ts) AS ref_ts FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(value * exp(
+        |    -(CAST(epoch_us(ref_ts) - epoch_us(ts) AS DOUBLE)
+        |      / 86400000000.0) * 0.6931471805599453 / 7.0), 9)
+        |    AS DECIMAL(24,12))) AS DOUBLE) AS score
+        |FROM events CROSS JOIN r GROUP BY 1 ORDER BY 1""".stripMargin,
     "w24_conversion_lag" ->
       """WITH f AS (
         |  SELECT user_id,
@@ -2766,6 +2783,19 @@ object SparkEntry {
          |  CASE $caseChain ELSE 'und' END AS lang_pred,
          |  score_en, score_de, score_es, score_fr, score_zh
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_lang_confusion" -> {
+      val scoreCols = TextOpsOracle.langScoreCols(
+        "regexp_extract_all(lower(text), '[a-z0-9]+')")
+      val caseChain = TextOpsOracle.langCaseChain
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    $scoreCols
+         |  FROM documents),
+         |p AS (SELECT lang_label,
+         |  CASE $caseChain ELSE 'und' END AS lang_pred FROM s)
+         |SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -1855,6 +1855,32 @@ object Relational {
         round(expr("percentile(lag_us, 0.5)") / lit(1000000.0), 6).as("p50_s"),
         round(expr("percentile(lag_us, 0.9)") / lit(1000000.0), 6).as("p90_s"))
 
+  /** Per-user time-decayed engagement score — Σ value·2^(−age/T½)
+    * anchored at the corpus max timestamp, the recency-weighted
+    * activity feature a ranking/recsys pipeline materializes (recent
+    * purchases count full, year-old ones ~nothing). The anchor is a
+    * single-row max broadcast (the sketch-broadcast pattern), ages
+    * are exact integer micros before ONE double expression per row
+    * (identical shape both engines; exp agrees to ~1 ulp and the 9-dp
+    * round barrier absorbs it), and the decayed contributions sum as
+    * exact decimals — order-free under any partitioning. One
+    * user-keyed exchange total.
+    */
+  def w25DecayScore(events: DataFrame, halfLifeDays: Double = 7.0): DataFrame = {
+    val ref = events.agg(max(col("ts")).as("ref_ts"))
+    events
+      .crossJoin(broadcast(ref)) // single-row anchor
+      .withColumn("contrib", round(col("value") *
+        exp(-((unix_micros(col("ref_ts")) - unix_micros(col("ts")))
+          .cast("double") / lit(86400000000.0)) *
+          lit(0.6931471805599453) / lit(halfLifeDays)), 9)
+        .cast(DecimalType(24, 12)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).cast("double").as("score"))
+      .orderBy("user_id")
+  }
+
   def a29Spearman(events: DataFrame): DataFrame = {
     val wx = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wy = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))

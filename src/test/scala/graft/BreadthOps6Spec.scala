@@ -240,6 +240,19 @@ class BreadthOps6Spec extends SparkSpec {
     assert(out == ((2L, 15.0, 19.0)))
   }
 
+  test("w25DecayScore: one half-life halves the contribution, anchor counts full") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-08 00:00:00")
+    val weekAgo = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, 5L, "view", 10.0, weekAgo), // exactly one half-life old -> 5.0
+      (2L, 5L, "view", 4.0, t0)        // at the anchor -> 4.0
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Relational.w25DecayScore(ev)
+      .as[(Long, Long, Double)].head()
+    assert(out == ((5L, 2L, 9.0)))
+  }
+
   test("a32MutualInfo: dependent bands give ln 2, independent bands give 0") {
     // type a always lands in band 0 (< 50), type b in band 1: knowing
     // the type determines the band -> MI = ln 2 (in 9-dp contributions)
