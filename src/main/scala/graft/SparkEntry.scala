@@ -4109,31 +4109,16 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
-    "sim_neardup_lsh" -> {
-      val tables = (0 until 8).map(t => lshSigCte(s"sig$t", 4, t * 4))
-      val unions = (0 until 8).map(t =>
-        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig$t a " +
-          s"JOIN sig$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
-        .mkString("\n    UNION ALL ")
-      s"""WITH ${tables.mkString(",\n")},
-         |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
-         |    $unions))
+    "sim_neardup_lsh" ->
+      s"""WITH $lshBandedCandSql
          |SELECT c.vec_a, c.vec_b
          |FROM cand c
          |JOIN embeddings a ON a.vec_id = c.vec_a
          |JOIN embeddings b ON b.vec_id = c.vec_b
          |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.463
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
-    "sim_cosine_census" -> {
-      val tables = (0 until 8).map(t => lshSigCte(s"sig$t", 4, t * 4))
-      val unions = (0 until 8).map(t =>
-        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig$t a " +
-          s"JOIN sig$t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id")
-        .mkString("\n    UNION ALL ")
-      s"""WITH ${tables.mkString(",\n")},
-         |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
-         |    $unions)),
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_cosine_census" ->
+      s"""WITH $lshBandedCandSql,
          |c AS (
          |  SELECT CAST(floor(${duckCosine("a.embedding", "b.embedding")}
          |    * 20.0) AS BIGINT) AS band
@@ -4141,8 +4126,7 @@ object SparkEntry {
          |  JOIN embeddings a ON a.vec_id = cand.vec_a
          |  JOIN embeddings b ON b.vec_id = cand.vec_b)
          |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_kmeans" -> KmeansOracle,
     // norms are bit-exact per row (ordered double accumulation +
     // correctly-rounded sqrt); the cross-row mean goes fixed-point
@@ -4978,6 +4962,28 @@ object SparkEntry {
        |  FROM embeddings)""".stripMargin
 
   private val LshSigCte = lshSigCte("sig", 8, 0)
+
+  /** Adaptive banded-LSH candidate CTEs mirroring
+    * SimilarityOps.bandedCandidatePairs: 8 tables at a FIXED 8-plane
+    * stride (sig$t holds the full 8-bit slice at plane offset t*8),
+    * active planes = the low-p bits masked off with a COUNT(*)-derived
+    * mask — the same integer ladder as SimilarityOps.adaptivePlanes,
+    * so both engines band identically at every corpus size.
+    */
+  private def lshBandedCandSql: String = {
+    val tables = (0 until 8).map(t => lshSigCte(s"sig$t", 8, t * 8))
+    val unions = (0 until 8).map(t =>
+      s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sig$t a " +
+        s"JOIN sig$t b ON (a.bucket & (SELECT mask FROM params)) = " +
+        s"(b.bucket & (SELECT mask FROM params)) AND a.vec_id < b.vec_id")
+      .mkString("\n    UNION ALL ")
+    s"""${tables.mkString(",\n")},
+       |params AS (SELECT CASE WHEN COUNT(*) <= 512 THEN 15
+       |  WHEN COUNT(*) <= 1024 THEN 31 WHEN COUNT(*) <= 2048 THEN 63
+       |  WHEN COUNT(*) <= 4096 THEN 127 ELSE 255 END AS mask FROM embeddings),
+       |cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+       |    $unions))""".stripMargin
+  }
 
   /** DuckDB-side minhash: the same (a*H + b) mod P family as
     * DedupOps.minhashParams(16), unrolled from the same constants.

@@ -302,18 +302,57 @@ object SimilarityOps {
     * both engines), so last-bit drift cannot move a pair across a
     * band. Output is ≤ 40 rows regardless of corpus size.
     */
-  def cosineBandCensus(embeddings: DataFrame,
-      numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
-    require(numPlanes * numTables <= 64, "plane family exceeds one 64-bit signature")
-    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
-      "embedding", "en")
-    val mask = (1L << numPlanes) - 1
+  /** Hyperplane count for the banded LSH, derived from the corpus size
+    * so expected bucket occupancy stays bounded: a FIXED plane count
+    * makes candidate pairs grow O(N²/2^p) — the 10× scale probe
+    * measured exactly that (12.8× work at 10× data with p pinned at
+    * 4). Integer threshold ladder, no float log, so the DuckDB oracle
+    * mirrors it bit-for-bit from COUNT(*). Capped at 8: 8 tables ×
+    * 8-plane stride packs into one 64-bit signature; past that the
+    * production remedy is not a wider code but a coarse-quantizer
+    * prefix on the bucket key (the [[semanticNearDup]] k-means cell),
+    * which keeps occupancy bounded at any N.
+    */
+  private[graft] def adaptivePlanes(n: Long): Int =
+    if (n <= 512L) 4 else if (n <= 1024L) 5 else if (n <= 2048L) 6
+    else if (n <= 4096L) 7 else 8
+
+  /** Banded candidate pairs shared by [[lshNearDup]] and
+    * [[cosineBandCensus]]: ONE wide 64-bit signature pass over the
+    * vectors (8 tables × 8-plane stride in a single codegen'd sweep),
+    * per-table buckets sliced out with shift/mask, then one stack
+    * unpivot + ONE self-join on (table, bucket) — not a hash pass or
+    * join per table. The plane STRIDE is fixed at 8 while the ACTIVE
+    * planes per table are the low `p` bits of each slice, so growing
+    * p with the corpus only appends planes to every table's prefix —
+    * the family stays stable and candidate sets shrink monotonically
+    * as N grows. The mask also clears the sign-extension bits
+    * `shiftright` drags in when plane 63 fires (Spark's shift on
+    * LongType is arithmetic). numPlanes <= 0 means adaptive: derived
+    * via [[adaptivePlanes]] from a one-off COUNT of the input (a
+    * metadata-cheap driver aggregate, the same pattern as the IVF
+    * centroid-step derivation).
+    */
+  private def bandedCandidatePairs(embeddings: DataFrame, numPlanes: Int,
+      numTables: Int): DataFrame = {
+    require(numTables >= 1 && numTables <= 8, s"numTables in [1,8], got $numTables")
+    val p = if (numPlanes > 0) numPlanes
+      else adaptivePlanes(embeddings.select(col("vec_id")).count())
+    require(p <= 8, s"numPlanes in [1,8], got $p")
+    val mask = (1L << p) - 1
+    // the pair-expansion work downstream is orders of magnitude larger
+    // than the input, so parallelism must not be bound by the input's
+    // split count (a small table can be a single split executing the
+    // whole candidate join on one core). One narrow-width exchange of
+    // (id, vector) spreads the hot stage across the cluster and evens
+    // out file-split skew; it is amortized by computing the signature
+    // after it, once, reused by both sides of the self-join.
     val withSig = embeddings.select(col("vec_id"), col("embedding"))
       .repartition(col("vec_id"))
       .withColumn("sig", graft.functions.GraftFunctions.hyperplane_sig(
-        col("embedding"), numPlanes * numTables, 0))
+        col("embedding"), 64, 0))
     val stackArgs = (0 until numTables)
-      .map(t => s"$t, shiftright(sig, ${t * numPlanes}) & ${mask}L")
+      .map(t => s"$t, shiftright(sig, ${t * 8}) & ${mask}L")
       .mkString(", ")
     val bands = withSig.selectExpr("vec_id",
       s"stack($numTables, $stackArgs) AS (tbl, bucket)")
@@ -322,6 +361,13 @@ object SimilarityOps {
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  def cosineBandCensus(embeddings: DataFrame,
+      numPlanes: Int = 0, numTables: Int = 8): DataFrame = {
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "en")
+    bandedCandidatePairs(embeddings, numPlanes, numTables)
       .distinct()
       .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("en").as("na")), "vec_a")
@@ -334,38 +380,10 @@ object SimilarityOps {
   }
 
   def lshNearDup(embeddings: DataFrame, threshold: Double,
-      numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
-    require(numPlanes * numTables <= 64, "plane family exceeds one 64-bit signature")
+      numPlanes: Int = 0, numTables: Int = 8): DataFrame = {
     val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
       "embedding", "en")
-    // ONE wide signature pass over the vectors (numPlanes·numTables sign
-    // bits in a single codegen'd sweep), per-table buckets sliced out
-    // with shift/mask, then one stack unpivot + ONE self-join on
-    // (table, bucket) — not a hash pass or join per table: table t's
-    // bucket = bits [t·p, (t+1)·p) of the signature, identical values to
-    // hashing each family separately
-    val mask = (1L << numPlanes) - 1
-    // the pair-expansion work downstream is orders of magnitude larger
-    // than the input, so parallelism must not be bound by the input's
-    // split count (a small table can be a single split executing the
-    // whole candidate join on one core). One narrow-width exchange of
-    // (id, vector) spreads the hot stage across the cluster and evens
-    // out file-split skew; it is amortized by computing the signature
-    // after it, once, reused by both sides of the self-join.
-    val withSig = embeddings.select(col("vec_id"), col("embedding"))
-      .repartition(col("vec_id"))
-      .withColumn("sig", graft.functions.GraftFunctions.hyperplane_sig(
-        col("embedding"), numPlanes * numTables, 0))
-    val stackArgs = (0 until numTables)
-      .map(t => s"$t, shiftright(sig, ${t * numPlanes}) & ${mask}L")
-      .mkString(", ")
-    val bands = withSig.selectExpr("vec_id",
-      s"stack($numTables, $stackArgs) AS (tbl, bucket)")
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.tbl") === col("b.tbl") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val cand = bandedCandidatePairs(embeddings, numPlanes, numTables)
     // verify BEFORE dedup: a pair colliding in k tables is re-verified k
     // times (≤ numTables, each one codegen'd O(dim) dot), which is far
     // cheaper than a full-width distinct exchange over every raw

@@ -154,6 +154,14 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "LSH near-dup found nothing — buckets too fine")
   }
 
+  test("adaptivePlanes ladder keeps expected bucket occupancy bounded") {
+    assert(SimilarityOps.adaptivePlanes(500L) == 4)   // sf0.01 stays on 4 planes
+    assert(SimilarityOps.adaptivePlanes(512L) == 4)
+    assert(SimilarityOps.adaptivePlanes(513L) == 5)
+    assert(SimilarityOps.adaptivePlanes(2000L) == 6)  // sf0.1's 2000 vectors
+    assert(SimilarityOps.adaptivePlanes(1000000000L) == 8)
+  }
+
   test("hyperplane signature is deterministic across invocations") {
     val a = SimilarityOps.hyperplaneSignature(vecs, 8)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
