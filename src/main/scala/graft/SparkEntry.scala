@@ -547,6 +547,29 @@ object SparkEntry {
     // near-dup graph (frequency vote, ties to smallest label)
     "dedup_lpa" -> ((s, d) => GraphOps.labelPropagation(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
+    // per-community modularity census over the LPA vote: did the vote
+    // find real structure (Q >> 0) before a dedup policy acts on it?
+    "dedup_modularity" -> ((s, d) => GraphOps.modularity(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
+    // common-neighbor link prediction over the part co-order graph
+    // (parts sharing an order are edges): non-edge part pairs sharing
+    // >= 2 co-order partners are the "bought together by proxy"
+    // recommendation candidates. The minhash near-dup graph is the
+    // WRONG input here — its components are complete cliques by
+    // construction (verified empty at sf0.01), so the basket graph
+    // with real wedge structure is what exercises the operator.
+    // Hub centers capped at degree 64: a part in every basket is no
+    // evidence (and the cap is what bounds the wedge expansion).
+    "graph_link_predict" -> ((s, d) => {
+      val li = t(s, d)("lineitem")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
+      GraphOps.commonNeighbors(pairs)
+        .withColumnRenamed("doc_a", "part_a")
+        .withColumnRenamed("doc_b", "part_b")
+    }),
     // survivor policy twin: keep the LONGEST doc per near-dup cluster
     // (ties to lowest id) instead of the lowest-id convention
     "dedup_survivors_rank" -> ((s, d) => GraphOps.dedupSurvivorsBy(
@@ -871,6 +894,11 @@ object SparkEntry {
     // dataset-assembly: deterministic hash splits, context-window
     // chunking, fixed-budget sequence packing
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
+    // contamination-safe split: hash the near-dup component root so a
+    // test doc's near-twin can never land in train
+    "pipe_split_leakage_safe" -> ((s, d) => PipelineOps.splitLeakageSafe(
+      t(s, d)("documents"),
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
     // reproducible training-order shuffle (affine hash → shard + pos)
     "pipe_shuffle_shards" -> ((s, d) =>
       PipelineOps.shardShuffle(t(s, d)("documents"))),
@@ -2015,6 +2043,30 @@ object SparkEntry {
         |  CASE WHEN bucket < 204 THEN 'train'
         |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // same md5 buckets, but hashed over the near-dup component root
+    // (transitive closure of the banded pairs) — unpaired docs hash
+    // their own id
+    "pipe_split_leakage_safe" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |b AS (SELECT doc_id, group_key,
+         |  (strpos('0123456789abcdef', substr(md5(CAST(group_key AS VARCHAR)), 1, 1)) - 1) * 16
+         |  + (strpos('0123456789abcdef', substr(md5(CAST(group_key AS VARCHAR)), 2, 1)) - 1)
+         |    AS bucket
+         |  FROM g)
+         |SELECT doc_id, group_key,
+         |  CASE WHEN bucket < 204 THEN 'train'
+         |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     // affine hash key, shard = key mod 8, pos = within-shard rank —
     // integer arithmetic only, so the training order is engine-exact
     "pipe_shuffle_shards" ->
@@ -3475,6 +3527,63 @@ object SparkEntry {
          |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
          |  FROM v3) WHERE rn = 1)
          |SELECT u AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin,
+    // the same three vote rounds, then per-community sufficient stats:
+    // internal edges, degree sum, and the two-term modularity formula
+    // behind a round(...,12) barrier
+    "dedup_modularity" ->
+      s"""WITH $MinhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS label FROM e),
+         |v1 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l0 l ON l.u = e.v GROUP BY 1, 2),
+         |l1 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l1 l ON l.u = e.v GROUP BY 1, 2),
+         |l2 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v2) WHERE rn = 1),
+         |v3 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l2 l ON l.u = e.v GROUP BY 1, 2),
+         |l3 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v3) WHERE rn = 1),
+         |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+         |ns AS (SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+         |  FROM l3 l JOIN deg ON deg.u = l.u GROUP BY 1),
+         |ein AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+         |  FROM pairs p
+         |  JOIN l3 la ON la.u = p.doc_a
+         |  JOIN l3 lb ON lb.u = p.doc_b AND lb.label = la.label
+         |  GROUP BY 1),
+         |m AS (SELECT COUNT(*) AS m FROM pairs)
+         |SELECT ns.label, ns.n_nodes, COALESCE(ein.e_in, 0) AS e_in,
+         |  ns.deg_sum,
+         |  round(CAST(COALESCE(ein.e_in, 0) AS DOUBLE) / m.m
+         |    - power(CAST(ns.deg_sum AS DOUBLE) / (m.m * 2), 2), 12) AS contrib
+         |FROM ns LEFT JOIN ein ON ein.label = ns.label CROSS JOIN m
+         |ORDER BY 1""".stripMargin,
+    // wedge join with the SAME degree-capped centers as the operator,
+    // minus the real edge list = never-co-ordered recommendation pairs
+    "graph_link_predict" ->
+      """WITH p AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+        |    greatest(a.l_partkey, b.l_partkey) AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS u, y AS v FROM p UNION ALL SELECT y, x FROM p),
+        |c AS (SELECT u FROM e GROUP BY u HAVING COUNT(*) <= 64),
+        |adj AS (SELECT e.u, e.v FROM e JOIN c ON c.u = e.u),
+        |cnc AS (SELECT l.v AS doc_a, r.v AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT cnc.doc_a AS part_a, cnc.doc_b AS part_b, cnc.n_common FROM cnc
+        |LEFT JOIN p ON p.x = cnc.doc_a AND p.y = cnc.doc_b
+        |WHERE p.x IS NULL
+        |ORDER BY 1, 2""".stripMargin,
     // three explicit peel rounds — the SQL image of kCore's bounded loop
     "dedup_kcore" ->
       s"""WITH $MinhashPairsCtes,

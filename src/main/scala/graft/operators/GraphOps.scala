@@ -614,4 +614,87 @@ object GraphOps {
           .as("ball_est"))
       .orderBy("doc_id")
   }
+
+  /** Newman modularity census of the [[labelPropagation]] communities
+    * over an undirected pair graph: per community c,
+    * contrib = e_c/m − (d_c/2m)², where e_c = internal edges, d_c =
+    * degree sum, m = total edges; Q = Σ contrib measures whether the
+    * vote actually found structure (Q≈0: no better than random — the
+    * signal a dedup operator uses to decide if "template communities"
+    * are real before acting on them). Plan: the pair list is
+    * materialized ONCE (it is usually an LSH band join — re-deriving
+    * it per consumer repeats the candidate join), then every step is a
+    * keyed aggregate or keyed join on node id / label — no per-group
+    * arrays, no driver pulls; m joins in as a one-row broadcast. All
+    * counts are exact integers; the two-term float formula is a final
+    * round(…,12) barrier.
+    */
+  def modularity(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val Array(a, b) = pairs.columns.take(2)
+    val p = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+      .localCheckpoint(true)
+    val labels = labelPropagation(p, rounds)
+      .select(col("doc_id"), col("label"))
+    val sym = p.select(col("x").as("u"), col("y").as("v"))
+      .union(p.select(col("y").as("u"), col("x").as("v")))
+    // node-keyed: degree, then community tag; label-keyed: the three
+    // per-community sufficient statistics
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    val nodeStats = deg.join(labels.withColumnRenamed("doc_id", "u"), "u")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+    val eIn = p
+      .join(labels.select(col("doc_id").as("x"), col("label").as("la")), "x")
+      .join(labels.select(col("doc_id").as("y"), col("label").as("lb")), "y")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val m = p.agg(count(lit(1)).as("m"))
+    nodeStats.join(eIn, Seq("label"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .crossJoin(m)
+      .select(col("label"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        round(col("e_in").cast("double") / col("m")
+          - pow(col("deg_sum").cast("double") / (col("m") * 2), 2), 12)
+          .as("contrib"))
+      .orderBy("label")
+  }
+
+  /** Common-neighbor link prediction over the near-dup graph: for
+    * every NON-edge pair (u,v) sharing at least `minCommon` neighbors,
+    * emit the shared-neighbor count — the classic "these two documents
+    * match the same cluster but the LSH bands missed their direct
+    * pair" recall signal. Wedge centers are capped at `maxDegree`:
+    * a hub shared by everything is no evidence of similarity (the
+    * integer-exact analogue of Adamic–Adar's 1/log d down-weighting),
+    * and the cap is what bounds the wedge expansion — an uncapped
+    * degree-d hub mints d²/2 candidate pairs, the exact blowup the
+    * triangle core guards with adjSlices. Identical cap on the oracle
+    * side, so the semantics (not just the plan) are shared. Plan: one
+    * degree aggregate, one center-filtered self-join keyed on the
+    * wedge center, one pair-keyed count, one anti-join against the
+    * real edge list — every stage keyed and bounded.
+    */
+  def commonNeighbors(pairs: DataFrame, maxDegree: Int = 64,
+      minCommon: Int = 2): DataFrame = {
+    val Array(a, b) = pairs.columns.take(2)
+    val p = pairs.select(
+        least(col(a), col(b)).cast("long").as("x"),
+        greatest(col(a), col(b)).cast("long").as("y"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = p.select(col("x").as("u"), col("y").as("v"))
+      .union(p.select(col("y").as("u"), col("x").as("v")))
+    val centers = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree)
+      .select("u")
+    val adj = sym.join(centers, "u")
+    val cand = adj.as("l").join(adj.as("r"),
+        col("l.u") === col("r.u") && col("l.v") < col("r.v"))
+      .select(col("l.v").as("doc_a"), col("r.v").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    cand.join(p.select(col("x").as("doc_a"), col("y").as("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -130,6 +130,36 @@ object PipelineOps {
           .otherwise(lit("test")))
       .orderBy("doc_id")
 
+  /** Leakage-safe train/val/test split: the hash is taken over the
+    * near-dup COMPONENT root instead of the doc id, so an entire
+    * near-dup cluster lands in one split — the standard fix for
+    * eval contamination, where a test document's near-twin sits in
+    * train and the benchmark silently measures memorization.
+    * `pairs` is the LSH candidate edge list; unpaired docs hash their
+    * own id (their component is themselves). Plan: bounded-round
+    * connected components (pointer jumping) + ONE left keyed join of
+    * the corpus against the node→component map (component map is
+    * paired-docs-only, usually a small fraction of the corpus) + the
+    * same md5-bucket assignment as [[splitAssign]] — no new shuffle
+    * shapes beyond the components step itself.
+    */
+  def splitLeakageSafe(documents: DataFrame, pairs: DataFrame,
+      trainUpper: Int = 204, valUpper: Int = 230): DataFrame = {
+    val comps = graft.operators.GraphOps.connectedComponents(pairs)
+      .select(col("doc_id"), col("component"))
+    documents.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("group_key").cast("string")), 1, 2), 16, 10)
+          .cast("int"))
+      .select(col("doc_id"), col("group_key"),
+        when(col("bucket") < trainUpper, lit("train"))
+          .when(col("bucket") < valUpper, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic source-mixture interleave (data mixing): orders the
     * corpus so a sequential reader consumes sources in proportion to
     * `weights` — the dataset-assembly step that turns per-source

@@ -299,4 +299,40 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap.apply(0L)
     assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
   }
+
+  test("modularity: two planted triangles joined by a bridge score Q ≈ 0.357") {
+    // LPA (3 rounds, ties to smallest) labels {1,2,3}→1 and {4,5,6}→3;
+    // each community: e_in=3, deg_sum=7, m=7 →
+    // contrib = 3/7 − (7/14)² = 0.178571428571…
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.modularity(pairs)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 3L, 3L, 7L), (3L, 3L, 3L, 7L)), got.toSeq)
+    got.foreach(r => assert(math.abs(r._5 - 0.178571428571) < 1e-9, r))
+    // empty pair list → empty census (no NaN division)
+    val empty = GraphOps.modularity(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("commonNeighbors: cycle diagonals found, hub centers capped out") {
+    // 4-cycle: the two diagonals each share exactly the 2 opposite
+    // corners; the 4 real edges must NOT appear (anti-join)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.commonNeighbors(cyc)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 4L, 2L)), got)
+    // a 100-leaf star: every leaf pair shares the hub, but a
+    // degree-100 wedge center is capped out (shared-by-everything is
+    // no evidence) — and minCommon=2 would drop them anyway
+    val hub = (1L to 100L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    assert(GraphOps.commonNeighbors(hub).count() == 0)
+    // raising the cap re-admits the hub but 1 common neighbor still
+    // fails minCommon=2; minCommon=1 surfaces all C(100,2) pairs
+    assert(GraphOps.commonNeighbors(hub, maxDegree = 200).count() == 0)
+    assert(GraphOps.commonNeighbors(hub, maxDegree = 200, minCommon = 1)
+      .count() == 4950)
+  }
 }

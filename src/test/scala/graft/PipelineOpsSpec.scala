@@ -27,6 +27,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("splitLeakageSafe: a near-dup cluster lands whole in one split") {
+    // pairs chain 1-2-3 into one component rooted at 1; docs 4,5 are
+    // unpaired and must match plain splitAssign exactly
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = PipelineOps.splitLeakageSafe(docs, pairs)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.take(3).map(_._2).toSet == Set(1L), got)
+    assert(got.take(3).map(_._3).toSet.size == 1, s"cluster split apart: $got")
+    val plain = PipelineOps.splitAssign(docs)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    got.drop(3).foreach { case (id, key, split) =>
+      assert(key == id && split == plain(id), (id, key, split))
+    }
+    // no pairs at all → degenerates to splitAssign on every doc
+    val none = PipelineOps.splitLeakageSafe(docs,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .as[(Long, Long, String)].collect()
+    none.foreach { case (id, key, split) =>
+      assert(key == id && split == plain(id)) }
+  }
+
   test("buildCorpus: clean survivors minus contaminated, split + packed") {
     // "the ... and ... of" markers keep lang_pred = en (clean requires
     // a detected language); 12+ tokens clear the min-token gate
