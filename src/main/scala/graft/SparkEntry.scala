@@ -364,6 +364,14 @@ object SparkEntry {
     "a31_anova_f" -> ((s, d) => Relational.a31AnovaF(t(s, d)("events"))),
     // mutual information between event type and a coarse value band
     "a32_mutual_info" -> ((s, d) => Relational.a32MutualInfo(t(s, d)("events"))),
+    // k-group rank test: is ANY event type's value distribution
+    // shifted (the non-parametric ANOVA)
+    "a33_kruskal_wallis" -> ((s, d) =>
+      Relational.a33KruskalWallis(t(s, d)("events"))),
+    // rank correlation off the joint histogram — the scalable
+    // restatement of the O(N²) concordant-pair walk
+    "a34_kendall_tau" -> ((s, d) =>
+      Relational.a34KendallTau(t(s, d)("lineitem"))),
     // code-vs-prose routing signal (indent + symbol density)
     "text_code_detect" -> ((s, d) => TextOps.codeDetect(t(s, d)("documents"))),
     // TPC-H Q18-shaped large-volume orders (having-on-agg + multi-join)
@@ -4704,6 +4712,60 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, MAX(n) AS n,
         |  CAST(SUM(contrib) AS DOUBLE) AS mi_nats
         |FROM k""".stripMargin,
+    // same doubled-rank ladder as a27, extended to k groups; per-type
+    // R'²/n terms cross a round(...,4) decimal barrier before the sum
+    "a33_kruskal_wallis" ->
+      """WITH cells AS (SELECT value AS v, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |bv AS (SELECT v, SUM(c) AS t FROM cells GROUP BY 1),
+        |rk AS (SELECT v, t,
+        |  2 * COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS dr
+        |  FROM bv),
+        |pt AS (SELECT event_type, SUM(c) AS n_i,
+        |    SUM(CAST(c AS HUGEINT) * dr) AS r2
+        |  FROM cells JOIN rk USING (v) GROUP BY 1),
+        |tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |  SUM(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+        |    / CAST(n_i AS DOUBLE), 4) AS DECIMAL(38,4))) AS term_sum FROM pt),
+        |tt AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_sum,
+        |  CAST(SUM(t) AS HUGEINT) AS n FROM bv)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN CAST(tie_sum AS DOUBLE) = CAST(n*n*n - n AS DOUBLE)
+        |    THEN 0.0
+        |    ELSE (3.0 * CAST(term_sum AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1))
+        |      / (1.0 - CAST(tie_sum AS DOUBLE) / CAST(n*n*n - n AS DOUBLE))
+        |    END, 9) AS h
+        |FROM tm CROSS JOIN tt""".stripMargin,
+    // concordant/discordant counts off the B² cell-pair join of the
+    // joint histogram; `//` integer halving keeps tie terms exact
+    "a34_kendall_tau" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS y,
+        |    COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pr AS (SELECT
+        |    SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS conc,
+        |    SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+        |      THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS disc
+        |  FROM cells a JOIN cells b
+        |    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+        |xm AS (SELECT SUM(tx * (tx - 1) // 2) AS n1 FROM
+        |  (SELECT CAST(SUM(c) AS HUGEINT) AS tx FROM cells GROUP BY x)),
+        |ym AS (SELECT SUM(ty * (ty - 1) // 2) AS n2 FROM
+        |  (SELECT CAST(SUM(c) AS HUGEINT) AS ty FROM cells GROUP BY y)),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(c) AS HUGEINT) * (CAST(SUM(c) AS HUGEINT) - 1) // 2 AS n0
+        |  FROM cells)
+        |SELECT n, CAST(conc AS BIGINT) AS concordant,
+        |  CAST(disc AS BIGINT) AS discordant,
+        |  round(CAST(conc - disc AS DOUBLE)
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 9)
+        |    AS tau_b
+        |FROM pr CROSS JOIN xm CROSS JOIN ym CROSS JOIN tot""".stripMargin,
     "a29_spearman" ->
       """WITH r AS (
         |  SELECT event_type, value, ts,

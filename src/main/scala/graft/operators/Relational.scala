@@ -1797,6 +1797,107 @@ object Relational {
         sum(col("contrib")).cast("double").as("mi_nats"))
   }
 
+  /** Kruskal–Wallis H across ALL event types — the k-group extension
+    * of [[a27MannWhitney]] (is ANY type's value distribution shifted,
+    * without assuming normality the way [[a31AnovaF]] does). Same
+    * doubled-rank discipline: per-value cells first (one keyed shuffle
+    * with map-side combine; sample-scale rows never reach the window),
+    * a tie block of t pooled values after C predecessors carries
+    * doubled average rank 2C + t + 1 (always an integer), per-type
+    * doubled rank sums accumulate in DECIMAL(38,0). With R'ᵢ = 2Rᵢ,
+    * H = [3·Σ R'ᵢ²/nᵢ]/(N(N+1)) − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N). The per-type R'ᵢ²/nᵢ terms cross a
+    * round(…,4) decimal barrier before the k-row sum (the chi-square
+    * contrib pattern — float sum order must not matter), and the
+    * all-values-tied degenerate case (C = 0) pins H to 0.0. The rank
+    * window is over DISTINCT values only — bounded by value
+    * cardinality, the [[a24KsTest]] 100 TB posture.
+    */
+  def a33KruskalWallis(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(col("value"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = cells.groupBy("value").agg(sum(col("c")).as("t"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byVal
+      .withColumn("cbefore", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("value"), col("t"),
+        (lit(2) * col("cbefore") + col("t") + 1)
+          .cast(DecimalType(38, 0)).as("dr"))
+    val perType = cells.join(ranked, "value")
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_i"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("dr")).as("r2"))
+      // R'ᵢ² leaves exact-decimal range near 1e19 rows; square in
+      // double instead (int→double conversion is correctly rounded and
+      // engine-identical), then barrier the term before the k-row sum
+      .select(col("n_i"),
+        round(col("r2").cast("double") * col("r2").cast("double")
+          / col("n_i").cast("double"), 4).cast(DecimalType(38, 4)).as("term"))
+    val ties = ranked.agg(
+      sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t") - col("t"))
+        .as("tie_sum"),
+      sum(col("t")).cast(DecimalType(38, 0)).as("n"))
+    perType.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n_check"),
+        sum(col("term")).as("term_sum"))
+      .crossJoin(ties) // single-row tie totals
+      .select(col("k"), col("n").cast("long").as("n"),
+        round(
+          when(col("tie_sum").cast("double") ===
+              (col("n") * col("n") * col("n") - col("n")).cast("double"), 0.0d)
+            .otherwise(
+              (lit(3.0d) * col("term_sum").cast("double")
+                / (col("n").cast("double") * (col("n").cast("double") + 1))
+                - lit(3.0d) * (col("n").cast("double") + 1))
+              / (lit(1.0d) - col("tie_sum").cast("double")
+                / (col("n") * col("n") * col("n") - col("n")).cast("double"))),
+          9).as("h"))
+  }
+
+  /** Kendall τ-b between quantity and price band over the JOINT
+    * HISTOGRAM — the scalable restatement of the O(N²) pair walk: with
+    * B distinct (x, y) cells, concordant/discordant pair counts are a
+    * B² cell-pair sum (B is value-range-bounded, independent of row
+    * count), and the tie terms n₁/n₂ come off the marginals. All pair
+    * counts are exact DECIMAL(38,0) (N²/2 wraps a long near 6e9 rows);
+    * τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one final double formula behind
+    * a round(…,9) barrier. Plan: one histogram aggregate (map-side
+    * combine), two marginal aggregates of cell-scale rows, one
+    * broadcast-sized cell self-join — nothing row-scale past the first
+    * shuffle.
+    */
+  def a34KendallTau(lineitem: DataFrame): DataFrame = {
+    val cells = lineitem.select(
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") / lit(10000.0)).cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds 4 consumers; keep the scan single
+    def d38(c: Column) = c.cast(DecimalType(38, 0))
+    val pairTerms = cells.as("a").join(cells.as("b"),
+        col("a.x") < col("b.x") ||
+          (col("a.x") === col("b.x") && col("a.y") < col("b.y")))
+      .select(
+        (d38(col("a.c")) * d38(col("b.c"))).as("np"),
+        signum((col("b.x") - col("a.x")).cast("double") *
+          (col("b.y") - col("a.y")).cast("double")).as("sgn"))
+      .agg(
+        sum(when(col("sgn") === 1.0d, col("np")).otherwise(lit(0))).as("conc"),
+        sum(when(col("sgn") === -1.0d, col("np")).otherwise(lit(0))).as("disc"))
+    val xm = cells.groupBy("x").agg(sum(col("c")).as("tx"))
+      .agg(sum(d38(col("tx")) * (d38(col("tx")) - 1) / 2).as("n1"))
+    val ym = cells.groupBy("y").agg(sum(col("c")).as("ty"))
+      .agg(sum(d38(col("ty")) * (d38(col("ty")) - 1) / 2).as("n2"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+      .select(col("n"), (d38(col("n")) * (d38(col("n")) - 1) / 2).as("n0"))
+    pairTerms.crossJoin(xm).crossJoin(ym).crossJoin(tot) // all single-row
+      .select(col("n").cast("long").as("n"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        round((col("conc") - col("disc")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), 9).as("tau_b"))
+  }
+
   /** Session-duration distribution — the summary a sessionization
     * pipeline actually ships: split each user's stream at the
     * [[w4Sessionize]] gap, take each session's first-to-last span in

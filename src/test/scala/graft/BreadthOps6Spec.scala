@@ -385,4 +385,36 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 2L, 5L), (4L, 2L, 11L)))
   }
+
+  test("a33KruskalWallis: textbook no-tie H; all-tied input pins 0") {
+    // 3 groups of 2 with fully separated values: ranks {1,2},{3,4},
+    // {5,6} -> H = 12/(6·7)·(9/2+49/2+121/2) − 3·7 = 4.571428571
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0), (4L, "b", 4.0),
+      (5L, "c", 5.0), (6L, "c", 6.0)).toDF("event_id", "event_type", "value")
+    val out = Relational.a33KruskalWallis(ev)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((3L, 6L, 4.571428571)), out)
+    // every value identical: tie correction hits 0 -> pinned H = 0.0
+    val flat = Seq((1L, "a", 5.0), (2L, "a", 5.0), (3L, "b", 5.0))
+      .toDF("event_id", "event_type", "value")
+    assert(Relational.a33KruskalWallis(flat)
+      .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
+  }
+
+  test("a34KendallTau: perfect concordance is +1; balanced ties cancel to 0") {
+    def li(rows: Seq[(Double, Double)]) =
+      rows.toDF("l_quantity", "l_extendedprice")
+    // strictly rising: every pair concordant
+    val up = li(Seq((1.0, 5000.0), (2.0, 15000.0), (3.0, 25000.0)))
+    assert(Relational.a34KendallTau(up)
+      .as[(Long, Long, Long, Double)].head() == ((3L, 3L, 0L, 1.0)))
+    // 2×2 grid: one concordant + one discordant diagonal, x/y tie
+    // terms n1 = n2 = 2 -> τ-b = (1−1)/√((6−2)(6−2)) = 0
+    val grid = li(Seq((1.0, 5000.0), (1.0, 15000.0),
+      (2.0, 5000.0), (2.0, 15000.0)))
+    assert(Relational.a34KendallTau(grid)
+      .as[(Long, Long, Long, Double)].head() == ((4L, 1L, 1L, 0.0)))
+  }
 }
