@@ -805,6 +805,15 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
             .cast("long").as("doc_id"), col("content")))
     }),
+    // integer-exact zero-crossing census over the real PCM decode
+    "mm_audio_zcr" -> ((s, d) => {
+      val dir = stagingTag(d, "wav", "documents.parquet")
+      Multimodal.stageWavs(t(s, d)("documents"), dir)
+      Multimodal.audioZcr(s,
+        s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
     // NN resample of channel-0 PCM to a fixed 64-point grid + digest
     "mm_audio_resample" -> ((s, d) => {
       val dir = stagingTag(d, "wav", "documents.parquet")
@@ -907,6 +916,10 @@ object SparkEntry {
     "pipe_split_leakage_safe" -> ((s, d) => PipelineOps.splitLeakageSafe(
       t(s, d)("documents"),
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
+    // leave-one-out smoothed mean encoding (the label-leak-free
+    // categorical feature)
+    "pipe_target_encode" -> ((s, d) =>
+      PipelineOps.targetEncodeLoo(t(s, d)("events"))),
     // reproducible training-order shuffle (affine hash → shard + pos)
     "pipe_shuffle_shards" -> ((s, d) =>
       PipelineOps.shardShuffle(t(s, d)("documents"))),
@@ -2075,6 +2088,22 @@ object SparkEntry {
          |  CASE WHEN bucket < 204 THEN 'train'
          |       WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    // exact decimal group/global sums; the per-row LOO formula keeps
+    // the identical double expression shape on both engines
+    "pipe_target_encode" ->
+      """WITH grp AS (SELECT event_type,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s_c, COUNT(*) AS n_c
+        |  FROM events GROUP BY 1),
+        |gt AS (SELECT SUM(CAST(value AS DECIMAL(18,2))) AS s_g,
+        |    COUNT(*) AS n_g FROM events)
+        |SELECT e.event_id, e.event_type,
+        |  round((CAST(grp.s_c - CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+        |      + 20.0 * (CAST(gt.s_g AS DOUBLE) / CAST(gt.n_g AS DOUBLE)))
+        |    / (CAST(grp.n_c - 1 AS DOUBLE) + 20.0), 9) AS enc_loo
+        |FROM events e
+        |JOIN grp ON grp.event_type = e.event_type
+        |CROSS JOIN gt
+        |ORDER BY event_id""".stripMargin,
     // affine hash key, shard = key mod 8, pos = within-shard rank —
     // integer arithmetic only, so the training order is engine-exact
     "pipe_shuffle_shards" ->
@@ -4477,6 +4506,28 @@ object SparkEntry {
         |SELECT doc_id, ns AS n_samples, CAST(SUM(v) AS BIGINT) AS s_sum,
         |  CAST(MIN(v) AS INT) AS s_min, CAST(MAX(v) AS INT) AS s_max
         |FROM sm GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+    // sign changes over the regenerated sample walk (LAG window);
+    // integer-exact, rate behind round(...,9)
+    "mm_audio_zcr" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)
+        |      AS ns
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id, ns, j,
+        |    CASE WHEN ((doc_id + (2*j+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*j*31) % 256 - 128 + 256) % 256 >= 0
+        |      THEN 1 ELSE 0 END AS s
+        |  FROM m, unnest(range(0, ns)) t(j)),
+        |sg AS (SELECT doc_id, ns, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY j) AS sp
+        |  FROM sm)
+        |SELECT doc_id, ns AS n_samples,
+        |  CAST(SUM(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cross,
+        |  round(CAST(SUM(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(ns - 1 AS DOUBLE), 9) AS zcr
+        |FROM sg GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "mm_audio_energy" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)

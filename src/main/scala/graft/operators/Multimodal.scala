@@ -513,6 +513,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Zero-crossing census over the REAL PCM decode — ZCR is the
+    * cheapest voiced/unvoiced + noisiness feature an audio-curation
+    * pass computes (white noise crosses ~every other sample; a pure
+    * low tone barely crosses), and it is integer-exact: the count of
+    * adjacent sample pairs whose (v ≥ 0) signs differ, over the same
+    * linear 16-bit sample walk as [[audioStats]], so the DuckDB
+    * oracle predicts it sample-for-sample from the staged PCM
+    * formula. The final rate divides by (n−1) behind a round(…,9)
+    * barrier. Narrow mapPartitions over binary splits, no shuffle,
+    * one row per clip; decode failures fail loudly (the
+    * [[pixelStats]] discipline).
+    */
+  def audioZcr(spark: SparkSession, audio: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_cross", LongType, nullable = false))))
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val data = ais.readAllBytes()
+        ais.close()
+        require(data.length >= 4,
+          s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
+            "fewer than two complete 16-bit samples")
+        val ns = data.length / 2
+        var cross = 0L
+        var prevNonNeg = ((data(1).toInt << 8) | (data(0) & 0xff)) >= 0
+        var j = 1
+        while (j < ns) {
+          val nonNeg = ((data(2 * j + 1).toInt << 8) | (data(2 * j) & 0xff)) >= 0
+          if (nonNeg != prevNonNeg) cross += 1L
+          prevNonNeg = nonNeg
+          j += 1
+        }
+        Row(r.getLong(0), ns.toLong, cross)
+      }
+    }(enc)
+      // the rate divides OUTSIDE the decode kernel, through the same
+      // column-level round the oracle uses (JVM-side BigDecimal
+      // rounding of a double risks last-bit drift vs engine round)
+      .withColumn("zcr", round(col("n_cross").cast("double")
+        / (col("n_samples") - 1).cast("double"), 9))
+      .orderBy("doc_id")
+  }
+
   /** Schema of a resampled-audio record: source frame count, target
     * point count, and a digest of the RESAMPLED channel-0 amplitudes
     * (proof the resample ran over decoded PCM, not just the header).

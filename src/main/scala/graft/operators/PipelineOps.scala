@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.GraftFunctions
 
@@ -158,6 +159,36 @@ object PipelineOps {
           .when(col("bucket") < valUpper, lit("val"))
           .otherwise(lit("test")).as("split"))
       .orderBy("doc_id")
+  }
+
+  /** Leave-one-out target encoding with additive smoothing — the
+    * feature-engineering workhorse for high-cardinality categoricals:
+    * encode category c for row i as (S_c − xᵢ + m·prior)/(n_c − 1 + m),
+    * where prior is the global target mean and m the smoothing
+    * strength. Leaving the row's own target out is the part that
+    * matters (plain mean encoding leaks the label into the feature —
+    * the same failure class [[splitLeakageSafe]] closes for splits).
+    * Exactness: targets accumulate as DECIMAL(18,2) sums (order-free),
+    * the per-row formula runs in double with an identical expression
+    * shape on both engines behind a round(…,9) barrier. Plan: one
+    * category-keyed aggregate, broadcast back over the row scan
+    * (category cardinality is bounded), one single-row global
+    * cross-join — no row-scale shuffle at any corpus size beyond the
+    * category aggregate itself.
+    */
+  def targetEncodeLoo(events: DataFrame, m: Double = 20.0): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val grp = events.groupBy("event_type")
+      .agg(sum(x).as("s_c"), count(lit(1)).as("n_c"))
+    val glob = events.agg(sum(x).as("s_g"), count(lit(1)).as("n_g"))
+    events.select(col("event_id"), col("event_type"), x.as("x"))
+      .join(broadcast(grp), "event_type")
+      .crossJoin(broadcast(glob)) // single-row global totals
+      .select(col("event_id"), col("event_type"),
+        round(((col("s_c") - col("x")).cast("double")
+            + lit(m) * (col("s_g").cast("double") / col("n_g").cast("double")))
+          / ((col("n_c") - 1).cast("double") + lit(m)), 9).as("enc_loo"))
+      .orderBy("event_id")
   }
 
   /** Deterministic source-mixture interleave (data mixing): orders the

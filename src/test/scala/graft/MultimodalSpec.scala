@@ -341,6 +341,27 @@ class MultimodalSpec extends SparkSpec {
       Seq((3L, 3L, 200L, -200, 300)))
   }
 
+  test("audioZcr counts exact sign transitions over the sample walk") {
+    // signs: + - + + -  → transitions at j=1,2,4 → 3 crossings over
+    // 4 adjacent pairs; 0 counts as non-negative by definition
+    val samples = Array[Short](100, -200, 0, 300, -1)
+    val pcm = new Array[Byte](10)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 5),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val in = Seq((7L, buf.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.audioZcr(spark, in)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((7L, 5L, 3L, 0.75)), out)
+  }
+
   test("resampleAudio picks the nearest-neighbor source frame per grid point") {
     // 4 stereo frames, channel-0 samples 10, 20, 30, 40; resample to
     // outN=8 → source frame ⌊j·4/8⌋ = 0,0,1,1,2,2,3,3 → sum = 200

@@ -49,6 +49,22 @@ class PipelineOpsSpec extends SparkSpec {
       assert(key == id && split == plain(id)) }
   }
 
+  test("targetEncodeLoo: own label excluded, smoothing pulls to the prior") {
+    // type a: S=30, n=2; type b: S=40, n=1; global prior = 70/3; m=2
+    val ev = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 40.0))
+      .toDF("event_id", "event_type", "value")
+    val out = PipelineOps.targetEncodeLoo(ev, m = 2.0)
+      .as[(Long, String, Double)].collect().toSeq
+    // (30−10 + 2·70/3)/(1+2), (30−20 + …)/3, (40−40 + …)/(0+2)
+    assert(out == Seq(
+      (1L, "a", 22.222222222),
+      (2L, "a", 18.888888889),
+      (3L, "b", 23.333333333)), out)
+    // a singleton category degrades to pure prior (no self-leak, no
+    // division by zero) — row 3 above IS that case: (0 + 2·prior)/2
+    assert(out(2)._3 == 23.333333333)
+  }
+
   test("buildCorpus: clean survivors minus contaminated, split + packed") {
     // "the ... and ... of" markers keep lang_pred = en (clean requires
     // a detected language); 12+ tokens clear the min-token gate
