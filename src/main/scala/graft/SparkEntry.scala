@@ -865,6 +865,8 @@ object SparkEntry {
     // (bounded windowed state), entropy finalized group-scale over the
     // sink — oracle is the batch restatement over the same day windows
     "stream_entropy" -> ((s, d) => streamEntropyQuery(s, d)),
+    // per-window PSI vs the static corpus baseline (the retrain gate)
+    "stream_drift" -> ((s, d) => streamDriftQuery(s, d)),
     "stream_dedup" -> ((s, d) => streamDedupQuery(s, d)),
     "stream_join" -> ((s, d) => streamJoinQuery(s, d)),
     // left-outer stream-stream join: null-padded rows flush when the
@@ -1114,6 +1116,52 @@ object SparkEntry {
       operators.Relational.entropyOverCells(
         sink.select(col("window_start"), col("event_type"), col("n_events")),
         groupCol = "window_start", countCol = "n_events")
+    }
+
+  /** Streaming drift monitor: the stream holds ONLY the bounded
+    * stateful part (per-window value-bin counts — bin cardinality is
+    * range-bounded, state evicts at the watermark); the PSI-vs-static-
+    * baseline finalization is a group-scale batch pass over the memory
+    * sink. Every day's histogram is compared against the full-corpus
+    * baseline on the BASELINE's bin set (a day's bins are a subset by
+    * construction), with the [[operators.Relational.a28Psi]] add-one
+    * smoothing and round-12 decimal term sum.
+    */
+  private def streamDriftQuery(s: SparkSession, d: String): DataFrame =
+    withStreamShuffle(s) {
+      import org.apache.spark.sql.types.DecimalType
+      val stream = stagedEventsStream(s, d, "src")
+      val agg = graft.streaming.StreamingSync
+        .windowedValueBins(stream, "24 hours", "1 hour")
+      val sink = runToMemorySink(s, agg, "stream_drift", "complete")
+      val base = t(s, d)("events")
+        .groupBy(floor(col("value") / lit(10.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cb"))
+      val nb = base.agg(sum(col("cb")).as("n_b"), count(lit(1)).as("n_bins"))
+      // aliases mint fresh attribute ids — the sink appears on both
+      // sides of the day-grid join, and same-id references across a
+      // self-join fail analysis
+      val days = sink.select(col("window_start").as("ws")).distinct()
+      val grid = days
+        .crossJoin(broadcast(base.select(col("bin").as("bbin"), col("cb"))))
+        .join(sink,
+          col("ws") === col("window_start") && col("bbin") === col("bin"),
+          "left")
+        .select(col("ws").as("window_start"), col("bbin").as("bin"),
+          col("cb"), coalesce(col("c"), lit(0L)).as("c"))
+      val nw = grid.groupBy("window_start").agg(sum(col("c")).as("n_w"))
+      val pa = (col("c") + 1).cast("double") /
+        (col("n_w") + col("n_bins")).cast("double")
+      val pb = (col("cb") + 1).cast("double") /
+        (col("n_b") + col("n_bins")).cast("double")
+      grid.join(nw, "window_start")
+        .crossJoin(broadcast(nb)) // single-row totals
+        .withColumn("term",
+          round((pa - pb) * log(pa / pb), 12).cast(DecimalType(24, 14)))
+        .groupBy("window_start")
+        .agg(max(col("n_w")).as("n_events"),
+          sum(col("term")).cast("double").as("psi"))
+        .orderBy("window_start")
     }
 
   /** Streaming exact dedup driver query: the staged source directory
@@ -2228,6 +2276,32 @@ object SparkEntry {
         |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
         |    AS DECIMAL(24,14))) AS DOUBLE) AS entropy
         |FROM cells JOIN d USING (window_start) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // daily histograms vs the full-corpus baseline on the baseline's
+    // bin grid; a28Psi smoothing, round-12 decimal term sum
+    "stream_drift" ->
+      """WITH base AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |    COUNT(*) AS cb FROM events GROUP BY 1),
+        |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bins FROM base),
+        |cells AS (SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS window_start,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS bin, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT window_start FROM cells),
+        |grid AS (SELECT d.window_start, b.bin, b.cb, COALESCE(cells.c, 0) AS c
+        |  FROM days d CROSS JOIN base b
+        |  LEFT JOIN cells ON cells.window_start = d.window_start
+        |    AND cells.bin = b.bin),
+        |nw AS (SELECT window_start, CAST(SUM(c) AS BIGINT) AS n_w
+        |  FROM grid GROUP BY 1)
+        |SELECT g.window_start, MAX(nw.n_w) AS n_events,
+        |  CAST(SUM(CAST(round(
+        |    ((CAST(g.c + 1 AS DOUBLE) / CAST(nw.n_w + nb.n_bins AS DOUBLE))
+        |      - (CAST(g.cb + 1 AS DOUBLE) / CAST(nb.n_b + nb.n_bins AS DOUBLE)))
+        |    * ln((CAST(g.c + 1 AS DOUBLE) / CAST(nw.n_w + nb.n_bins AS DOUBLE))
+        |      / (CAST(g.cb + 1 AS DOUBLE) / CAST(nb.n_b + nb.n_bins AS DOUBLE))),
+        |    12) AS DECIMAL(24,14))) AS DOUBLE) AS psi
+        |FROM grid g JOIN nw USING (window_start) CROSS JOIN nb
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the staged stream re-delivers every 7th event; dedup collapses
     // the input back to exactly the original table
     "stream_dedup" ->

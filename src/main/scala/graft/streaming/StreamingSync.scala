@@ -107,6 +107,23 @@ object StreamingSync {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming windowed value-histogram — the stateful half of a
+    * drift monitor: per tumbling window, counts per fixed-width value
+    * bin. State per live window is BIN cardinality (range/width-
+    * bounded), never row-scale, and evicts once the watermark passes
+    * window end. The PSI finalization against a static baseline is a
+    * narrow group-scale batch pass over the sink (the driver query) —
+    * the stateful/finalize split that holds at 100 TB stream volume.
+    */
+  def windowedValueBins(events: DataFrame, windowLength: String,
+      watermarkDelay: String, binWidth: Double = 10.0): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("window_start"), col("bin"), col("c"))
+
   /** Streaming windowed heavy hitters: top-k (by max event value) per
     * event type per tumbling window, via the bounded
     * [[graft.functions.TopKAgg]] aggregate UNDER the watermark — the

@@ -98,6 +98,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_._1 == "view"))
   }
 
+  test("windowedValueBins: per-window histogram state is bin-keyed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val agg = StreamingSync.windowedValueBins(
+      events, "24 hours", "1 hour", binWidth = 10.0)
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_bins").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), "click", 5.0),   // bin 0
+        (2L, ts("2024-01-01 10:00:00"), "view", 7.0),    // bin 0
+        (3L, ts("2024-01-01 12:00:00"), "click", 25.0),  // bin 2
+        (4L, ts("2024-01-02 01:00:00"), "click", 15.0))  // next day, bin 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_bins")
+      .select(date_format(col("window_start"), "MM-dd").as("d"),
+        col("bin"), col("c"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(("01-01", 0L, 2L), ("01-01", 2L, 1L),
+      ("01-02", 1L, 1L)), rows)
+  }
+
   test("dedupWithinWatermark drops re-deliveries across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
