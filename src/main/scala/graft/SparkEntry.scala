@@ -251,6 +251,11 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d)("documents"))),
     // Zipf rank-frequency OLS fit over the bounded top-256 terms
     "text_zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d)("documents"))),
+    // RAKE: each doc's best stopword-free phrase by corpus-wide
+    // degree/frequency word scores (the keyword tagger)
+    "text_keywords" -> ((s, d) => TextOps.rakeKeywords(t(s, d)("documents"))),
+    // day-of-week chi-square vs uniform + peak day per event type
+    "w26_dow_profile" -> ((s, d) => Relational.w26DowProfile(t(s, d)("events"))),
     "text_normalize" -> ((s, d) => TextOps.normalizeUnicode(t(s, d)("documents"))),
     // perplexity proxy: occurrence share outside the top-20 corpus vocab
     "text_oov" -> ((s, d) => TextOps.oovRatio(t(s, d)("documents"), 20)),
@@ -2441,6 +2446,35 @@ object SparkEntry {
         |  round(quantile_cont(dur_us, 0.9) / 1000000.0, 6) AS p90_s,
         |  round(CAST(MAX(dur_us) AS DOUBLE) / 1000000.0, 6) AS max_s
         |FROM d""".stripMargin,
+    // full 7-day grid per type (absent days contribute (0-e)^2/e);
+    // round-6 decimal terms; peak ties to the smallest day
+    "w26_dow_profile" ->
+      """WITH cells AS (SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT t.event_type, t.n, d.dow, COALESCE(cells.c, 0) AS c
+        |  FROM tot t CROSS JOIN unnest(range(0, 7)) AS d(dow)
+        |  LEFT JOIN cells ON cells.event_type = t.event_type
+        |    AND cells.dow = d.dow),
+        |agg AS (SELECT event_type, MAX(n) AS n,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_days_seen,
+        |  CAST(SUM(CAST(round(
+        |    (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+        |      * (CAST(c AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+        |      / (CAST(n AS DOUBLE) / 7.0), 6) AS DECIMAL(24,14)))
+        |    AS DOUBLE) AS chi2_uniform
+        |  FROM grid GROUP BY 1),
+        |pk AS (SELECT event_type, CAST(dow AS INT) AS peak_dow,
+        |    CAST(c AS BIGINT) AS peak_count
+        |  FROM (SELECT event_type, dow, c, ROW_NUMBER() OVER (
+        |      PARTITION BY event_type ORDER BY c DESC, dow) AS rn
+        |    FROM grid) WHERE rn = 1)
+        |SELECT agg.event_type, n, n_days_seen, chi2_uniform,
+        |  peak_dow, peak_count
+        |FROM agg JOIN pk ON pk.event_type = agg.event_type
+        |ORDER BY 1""".stripMargin,
     "w25_decay_score" ->
       """WITH r AS (SELECT MAX(ts) AS ref_ts FROM events)
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2845,6 +2879,36 @@ object SparkEntry {
         |  length(nfc_normalize(substr(text, 1, 60) || 'e' || chr(769))) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     // decimal-summed — associative, hash-stable (see TextOps scaladoc)
+    // positional token walk -> stopword-boundary phrase runs -> word
+    // deg/freq scores (round-6 decimal) -> per-doc best phrase; score
+    // ties break to the bytewise-largest phrase on both engines
+    "text_keywords" ->
+      s"""WITH $ToksCte,
+         |tk AS (SELECT doc_id, i AS pos, ws[i] AS w
+         |  FROM toks, unnest(range(1, len(ws) + 1)) t(i)),
+         |fl AS (SELECT doc_id, pos, w,
+         |  CASE WHEN w IN ('the','a','an','and','of','to','in','is','on',
+         |    'for','with','that','it','as','was','at','by','or')
+         |    THEN 1 ELSE 0 END AS stop
+         |  FROM tk),
+         |ph AS (SELECT doc_id, pos, w, stop,
+         |  SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_seq
+         |  FROM fl),
+         |pw AS (SELECT doc_id, phrase_seq, pos, w,
+         |  COUNT(*) OVER (PARTITION BY doc_id, phrase_seq) AS plen
+         |  FROM ph WHERE stop = 0),
+         |sc AS (SELECT w, CAST(round(CAST(SUM(plen) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS DECIMAL(18,6)) AS wsc
+         |  FROM pw GROUP BY 1),
+         |ps AS (SELECT pw.doc_id, pw.phrase_seq,
+         |  string_agg(pw.w, ' ' ORDER BY pw.pos) AS phrase,
+         |  SUM(sc.wsc) AS score
+         |  FROM pw JOIN sc ON sc.w = pw.w GROUP BY 1, 2),
+         |best AS (SELECT doc_id, phrase, score,
+         |  ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, phrase DESC) AS rn FROM ps)
+         |SELECT doc_id, phrase, CAST(score AS DOUBLE) AS score
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_zipf_slope" ->
       s"""WITH $ToksCte,
          |t AS (SELECT unnest(ws) AS tok FROM toks),

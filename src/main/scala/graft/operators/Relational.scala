@@ -1898,6 +1898,47 @@ object Relational {
             (col("n0") - col("n2")).cast("double")), 9).as("tau_b"))
   }
 
+  /** Weekly-seasonality census: per event type, the day-of-week
+    * profile's chi-square against uniformity plus the peak day — the
+    * screen that separates "organic traffic" (strong weekday rhythm)
+    * from bot/batch noise (flat or single-day spikes) before events
+    * feed engagement features. dow is 0 = Sunday on BOTH engines
+    * (Spark's dayofweek is 1-based; DuckDB's 0-based — the −1 lives on
+    * the Spark side). Exact integer cells; the (o−e)²/e terms cross a
+    * round(…,6) decimal barrier before the 7-row sum ([[a20ChiSquare]]
+    * discipline); peak-day argmax is max(struct(c, −dow)) — count ties
+    * break to the SMALLEST day, no window. One type×7 aggregate with
+    * map-side combine — flat at any event volume.
+    */
+  def w26DowProfile(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("event_type").agg(sum(col("c")).as("n"))
+    // the FULL 7-day grid per type: a day with zero events still
+    // contributes (0−e)²/e = e — dropping absent cells understates
+    // exactly the single-day-spike profiles this census exists to flag
+    val grid = tot
+      .select(col("event_type"), col("n"),
+        explode(sequence(lit(0), lit(6))).as("dow"))
+      .join(cells, Seq("event_type", "dow"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val e = col("n").cast("double") / 7.0d
+    val diff = col("c").cast("double") - e
+    grid
+      .withColumn("term",
+        round(diff * diff / e, 6).cast(DecimalType(24, 14)))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_days_seen"),
+        sum(col("term")).cast("double").as("chi2_uniform"),
+        max(struct(col("c"), (-col("dow")).as("nd"))).as("peak"))
+      .select(col("event_type"), col("n"), col("n_days_seen"),
+        col("chi2_uniform"), (-col("peak.nd")).cast("int").as("peak_dow"),
+        col("peak.c").as("peak_count"))
+      .orderBy("event_type")
+  }
+
   /** Session-duration distribution — the summary a sessionization
     * pipeline actually ships: split each user's stream at the
     * [[w4Sessionize]] gap, take each session's first-to-last span in

@@ -405,6 +405,56 @@ object TextOps {
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
       .orderBy("survivor_id")
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * the maximal stopword-free token runs, a word scores
+    * degree/frequency over the whole corpus (degree = Σ length of
+    * every phrase the word appears in — words that live in long
+    * multi-word phrases beat words that appear alone), and a phrase
+    * scores the sum of its word scores; emit each document's best
+    * phrase. The cheap, deterministic keyword tagger a metadata-
+    * enrichment pass runs at corpus scale.
+    *
+    * Determinism: per-word scores cross a round(…,6) DECIMAL barrier
+    * before the per-phrase sum (decimal addition is order-free), and
+    * the per-doc argmax is max(struct(score, phrase)) — score ties
+    * break to the bytewise-LARGEST phrase, mirrored by the oracle's
+    * `ORDER BY score DESC, phrase DESC`. Scale: the phrase windows
+    * are doc-keyed, the word-stat join is word-keyed, and the only
+    * collect_list is bounded by phrase length ≤ document length (the
+    * chunk-op discipline); no global window anywhere.
+    */
+  def rakeKeywords(documents: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on",
+      "for", "with", "that", "it", "as", "was", "at", "by", "or")
+    val stopList = stops.map(s => s"'$s'").mkString(",")
+    val toks = documents.select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as(Seq("pos", "w")))
+    val dw = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inPhrase = toks
+      .withColumn("stop", expr(s"CASE WHEN w IN ($stopList) THEN 1 ELSE 0 END"))
+      .withColumn("phrase_seq", sum(col("stop")).over(dw))
+      .filter(col("stop") === 0)
+      .withColumn("plen", count(lit(1))
+        .over(Window.partitionBy("doc_id", "phrase_seq")))
+    val wordScore = inPhrase.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+          .cast(DecimalType(18, 6)).as("wsc"))
+    inPhrase.join(wordScore, "w")
+      .groupBy("doc_id", "phrase_seq")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " x -> x.w), ' ')").as("phrase"),
+        sum(col("wsc")).as("score"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("score"), col("phrase"))).as("best"))
+      .select(col("doc_id"), col("best.phrase").as("phrase"),
+        col("best.score").cast("double").as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Sub-document boilerplate removal: sentences (literal ". " splits)
     * appearing in at least `minDf` DISTINCT documents are dropped from
     * every document, and each document is reassembled in original

@@ -403,6 +403,21 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("w26DowProfile: absent days still charge the uniformity chi-square") {
+    // 2024-01-07 is a Sunday (dow 0), 01-08 a Monday (dow 1)
+    val ev = Seq(
+      (1L, ts("2024-01-07 10:00:00"), "a", 1.0),
+      (2L, ts("2024-01-07 11:00:00"), "a", 1.0),
+      (3L, ts("2024-01-08 10:00:00"), "a", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = Relational.w26DowProfile(ev)
+      .as[(String, Long, Long, Double, Int, Long)].collect().toSeq
+    val (t0, n, seen, chi2, peakDow, peakC) = out.head
+    assert((t0, n, seen, peakDow, peakC) == (("a", 3L, 2L, 0, 2L)), out)
+    // e = 3/7: round-6 terms 5.761905 + 0.761905 + 5·0.428571
+    assert(math.abs(chi2 - 8.666665) < 1e-9, chi2)
+  }
+
   test("a34KendallTau: perfect concordance is +1; balanced ties cancel to 0") {
     def li(rows: Seq[(Double, Double)]) =
       rows.toDF("l_quantity", "l_extendedprice")

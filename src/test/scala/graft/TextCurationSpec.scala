@@ -216,4 +216,19 @@ class TextCurationSpec extends SparkSpec {
       (2L, 0L, 0.0, 0L),
       (3L, 1L, 20.0, 20L)), got)
   }
+
+  test("rakeKeywords: degree/frequency scores favor multi-word phrases") {
+    // corpus: "fox" occurs in a 3-word phrase (deg 3) and alone
+    // (deg 1) -> freq 2, deg 4, score 2; quick/brown keep 3/1 = 3
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "fox")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.rakeKeywords(docs)
+      .as[(Long, String, Double)].collect().toSeq
+    // doc1: "quick brown fox" = 3+3+2 = 8 beats "lazy dog" = 2+2 = 4
+    assert(got == Seq((1L, "quick brown fox", 8.0), (2L, "fox", 2.0)), got)
+    // all-stopword doc contributes no phrase row
+    val stopOnly = Seq((9L, "the and of to")).toDF("doc_id", "text")
+    assert(graft.operators.TextOps.rakeKeywords(stopOnly).isEmpty)
+  }
 }
