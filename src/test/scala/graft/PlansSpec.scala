@@ -818,4 +818,69 @@ class PlansSpec extends SparkSpec {
       s"expected exactly the one term-keyed index exchange, " +
         s"got $exchanges:\n${p.take(3000)}")
   }
+
+  test("w26 DOW profile: no window — peak day via max(struct), partial agg") {
+    val df = Relational.w26DowProfile(Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Window"),
+      s"peak-day argmax must be the max(struct) aggregate, not a " +
+        s"ranking window:\n${p.take(3000)}")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(3000)}")
+  }
+
+  test("rakeKeywords: every window is doc-keyed — no global sort anywhere") {
+    val df = graft.operators.TextOps.rakeKeywords(
+      Tables(spark, sf0001, "documents"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val specs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    val all = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(all > 0 && specs == all,
+      s"found a window not partitioned by doc_id ($specs/$all):\n${p.take(3000)}")
+    // the per-doc argmax is max(struct) — no ranking window, and the
+    // only collect_list is the phrase assembly (bounded by doc length)
+    assert(!p.contains("row_number"), s"no ranking window:\n${p.take(3000)}")
+  }
+
+  test("graph_link_predict: keyed joins only — no cartesian wedge expansion") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val pairs = li.as("a").join(li.as("b"),
+        org.apache.spark.sql.functions.col("a.l_orderkey") ===
+          org.apache.spark.sql.functions.col("b.l_orderkey") &&
+        org.apache.spark.sql.functions.col("a.l_partkey") <
+          org.apache.spark.sql.functions.col("b.l_partkey"))
+      .select(org.apache.spark.sql.functions.col("a.l_partkey").as("doc_a"),
+        org.apache.spark.sql.functions.col("b.l_partkey").as("doc_b"))
+    val df = graft.operators.GraphOps.commonNeighbors(pairs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"wedge join must be keyed on the center:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"),
+      s"existing edges must drop via anti-join:\n${p.take(3000)}")
+  }
+
+  test("targetEncodeLoo: category stats broadcast back over the row scan") {
+    val df = graft.operators.PipelineOps.targetEncodeLoo(
+      Tables(spark, sf0001, "events"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"group sums must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no row-scale sort-merge for a bounded category table:\n${p.take(3000)}")
+  }
+
+  test("modularity: keyed aggregates only — no cartesian, no per-group arrays") {
+    val pairs = graft.operators.DedupOps.minhashLsh(
+      Tables(spark, sf0001, "documents")).select("doc_a", "doc_b")
+    val df = graft.operators.GraphOps.modularity(pairs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"),
+      s"only the single-row m broadcast may cross:\n${p.take(3000)}")
+    assert(!p.contains("collect_list"),
+      s"no unbounded per-community state:\n${p.take(3000)}")
+  }
 }
