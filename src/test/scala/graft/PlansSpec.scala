@@ -852,7 +852,13 @@ class PlansSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("b.l_partkey"))
       .select(org.apache.spark.sql.functions.col("a.l_partkey").as("doc_a"),
         org.apache.spark.sql.functions.col("b.l_partkey").as("doc_b"))
-    val df = graft.operators.GraphOps.commonNeighbors(pairs)
+    // pin the LAZY pipeline — the public wrapper returns a checkpoint
+    // scan that hides the join shapes
+    import org.apache.spark.sql.functions.{least, greatest}
+    val norm = pairs.select(
+      least(pairs("doc_a"), pairs("doc_b")).cast("long").as("x"),
+      greatest(pairs("doc_a"), pairs("doc_b")).cast("long").as("y")).distinct()
+    val df = graft.operators.GraphOps.commonNeighborsLazy(norm, 64, 2)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"),
