@@ -490,6 +490,11 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("entity_id"))
         .orderBy("doc_id")
     }),
+    // after ER: fuse each cluster to ONE canonical record (mode per
+    // categorical, ties bytewise-smallest; no per-entity arrays)
+    "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
+      t(s, d)("documents"),
+      DedupOps.jaroWinklerPairs(t(s, d)("documents")).select("doc_a", "doc_b"))),
     // asymmetric quote/containment dedup: |A∩B|/|A| per direction
     "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d)("documents"), 0.6)),
     // sub-document curation signal: fraction of each doc's shingles
@@ -764,6 +769,16 @@ object SparkEntry {
       val pngDir = stagingTag(d, "png", "documents.parquet")
       Multimodal.stagePngs(t(s, d)("documents"), pngDir)
       Multimodal.grayHistogram(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
+    // 2×2 tile brightness over the real decode: the letterbox/blank-
+    // region localization probe (raster twin of the audio band energy)
+    "mm_tile_brightness" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.tileBrightness(s,
         s.read.format("binaryFile").load(pngDir)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
@@ -3058,6 +3073,44 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // the full stream replay emits exactly the batch pair set
     "stream_er_pairs" -> ErJaroPairsOracle,
+    // same ER closure, then per-entity attribute fusion: mode via
+    // max-count + MIN tie-break, mirrored exactly
+    "er_golden_record" ->
+      """WITH RECURSIVE h AS (SELECT doc_id, lang, substr(text,1,32) AS head,
+        |             substr(text,1,4) AS blk FROM documents),
+        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM h a JOIN h b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+        |  FROM reach GROUP BY u),
+        |t AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |  COALESCE(comp.component, d.doc_id) AS entity_id
+        |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+        |base AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  MIN(doc_id) AS canonical_doc, MAX(n_chars) AS max_chars
+        |  FROM t GROUP BY 1),
+        |lc AS (SELECT entity_id, lang, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |lm AS (SELECT entity_id, MIN(lang) AS lang FROM (
+        |  SELECT entity_id, lang, n,
+        |    MAX(n) OVER (PARTITION BY entity_id) AS mx FROM lc)
+        |  WHERE n = mx GROUP BY 1),
+        |sc AS (SELECT entity_id, source, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |sm AS (SELECT entity_id, MIN(source) AS source FROM (
+        |  SELECT entity_id, source, n,
+        |    MAX(n) OVER (PARTITION BY entity_id) AS mx FROM sc)
+        |  WHERE n = mx GROUP BY 1)
+        |SELECT base.entity_id, n_members, canonical_doc, lang, source,
+        |  max_chars
+        |FROM base JOIN lm ON lm.entity_id = base.entity_id
+        |JOIN sm ON sm.entity_id = base.entity_id
+        |ORDER BY 1""".stripMargin,
     // literals mirror the Spark side UNFOLDED ((1.2 + 1.0), not 2.2):
     // both engines then run the identical IEEE op sequence, and the
     // round(…,6) absorbs ln/accumulation-order last-bit noise
@@ -4532,6 +4585,23 @@ object SparkEntry {
         |  CAST(MIN((doc_id + i*31 + j*7) % 256) AS INT) AS px_min,
         |  CAST(MAX((doc_id + i*31 + j*7) % 256) AS INT) AS px_max
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // tile census restated from the stagePngs formula: tile =
+    // (2j // h)·2 + 2i // w, integer-exact sums, round-6 means
+    "mm_tile_brightness" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i.i, j.j
+        |  FROM m, (SELECT unnest(range(0,64)) AS i) i,
+        |          (SELECT unnest(range(0,48)) AS j) j
+        |  WHERE i.i < w AND j.j < h)
+        |SELECT doc_id, CAST((j*2 // h) * 2 + i*2 // w AS INT) AS tile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM((doc_id + i*31 + j*7) % 256) AS BIGINT) AS px_sum,
+        |  round(CAST(SUM((doc_id + i*31 + j*7) % 256) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_px
+        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tone census restated from the stagePngs formula: band =
     // ((id + 31i + 7j) % 256) >> 4 over every in-raster (i, j)
     "mm_gray_histogram" ->

@@ -142,6 +142,42 @@ object GraphOps {
       .unionByName(best)
   }
 
+  /** Golden-record fusion over ER clusters — the step AFTER entity
+    * resolution: every matched cluster collapses to one canonical
+    * record whose attributes are fused across members (mode per
+    * categorical attribute, ties to the bytewise-smallest value; max
+    * for the size field; min doc_id as the stable record key).
+    * Unmatched records are their own entity. Mode is computed WITHOUT
+    * per-entity arrays or windows: one (entity, value)-keyed count,
+    * one entity-keyed max, one join-back + min — three group-scale
+    * keyed aggregates, the [[labelPropagation]] vote shape, safe for
+    * an entity of any member count.
+    */
+  def goldenRecords(records: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val tagged = records
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("doc_id")))
+      .localCheckpoint(true) // feeds base + one vote per fused attribute
+    val base = tagged.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_doc"),
+        max(col("n_chars")).as("max_chars"))
+    def modeOf(c: String): DataFrame = {
+      val cells = tagged.groupBy(col("entity_id"), col(c))
+        .agg(count(lit(1)).as("n"))
+      val mx = cells.groupBy("entity_id").agg(max(col("n")).as("mx"))
+      cells.join(mx, "entity_id").filter(col("n") === col("mx"))
+        .groupBy("entity_id").agg(min(col(c)).as(c))
+    }
+    base.join(modeOf("lang"), "entity_id")
+      .join(modeOf("source"), "entity_id")
+      .select(col("entity_id"), col("n_members"), col("canonical_doc"),
+        col("lang"), col("source"), col("max_chars"))
+      .orderBy("entity_id")
+  }
+
   /** Triangle count over an ORDERED edge list (a < b) — the cluster-
     * density complement of [[connectedComponents]] (a component of n
     * nodes with ~C(n,3) triangles is a true dup clique; one with few

@@ -318,6 +318,54 @@ object Multimodal {
       .orderBy("band")
   }
 
+  /** 2×2 tile brightness census over the REAL decode — the
+    * blank-region / letterbox LOCALIZATION probe of image curation
+    * ([[pixelStats]] sees whole-frame sums; this sees "the bottom half
+    * is black", the crop/pad signal an image-cleaning pass acts on —
+    * the raster twin of [[audioBandEnergy]]). Tile of pixel (x, y) is
+    * (2y/h)·2 + 2x/w — non-negative integer division, engine-exact,
+    * degenerating gracefully on 1-pixel-wide rasters (everything lands
+    * in the left tiles, which then simply don't exist on either
+    * engine). Exact integer sums; the per-tile mean divides behind a
+    * round(…,6) barrier. Narrow mapPartitions, ≤4 rows per image.
+    */
+  def tileBrightness(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("tile", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("px_sum", LongType, nullable = false))))
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val n = new Array[Long](4)
+        val s = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          val ty = y * 2 / h
+          var x = 0
+          while (x < w) {
+            val t = ty * 2 + x * 2 / w
+            n(t) += 1L
+            s(t) += (img.getRGB(x, y) & 0xff).toLong
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 4).iterator.filter(n(_) > 0L)
+          .map(t => Row(r.getLong(0), t, n(t), s(t)))
+      }
+    }(enc)
+      .withColumn("mean_px",
+        round(col("px_sum").cast("double") / col("n_px").cast("double"), 6))
+      .orderBy("doc_id", "tile")
+  }
+
   def pixelStats(spark: SparkSession, images: DataFrame): DataFrame = {
     val enc = Encoders.row(pixelStatsSchema)
     images.select(col("doc_id"), col("content")).mapPartitions { rows =>

@@ -300,6 +300,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
   }
 
+  test("goldenRecords: mode fusion with MIN tie-break, singletons pass through") {
+    val recs = Seq(
+      (1L, "en", "web", 100L), (2L, "en", "books", 300L),
+      (3L, "fr", "books", 200L),          // entity 1: lang en(2) fr(1)
+      (5L, "en", "web", 10L), (6L, "fr", "cc", 20L), // entity 5: 1-1 tie
+      (9L, "de", "cc", 50L))                         // unmatched singleton
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.goldenRecords(recs, pairs)
+      .as[(Long, Long, Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, "en", "books", 300L), // mode lang en; source books(2)
+      (5L, 2L, 5L, "en", "cc", 20L),     // ties -> bytewise-smallest
+      (9L, 1L, 9L, "de", "cc", 50L)), got)
+  }
+
   test("modularity: two planted triangles joined by a bridge score Q ≈ 0.357") {
     // LPA (3 rounds, ties to smallest) labels {1,2,3}→1 and {4,5,6}→3;
     // each community: e_in=3, deg_sum=7, m=7 →

@@ -165,6 +165,30 @@ class MultimodalSpec extends SparkSpec {
       (11L, 3L, "image", 1, 1, 1)))
   }
 
+  test("tileBrightness: each quadrant sums its own pixels; 1×1 degenerates") {
+    // 2×2 gray image: one pixel per tile, values 10/20/30/40
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def g(v: Int) = (v << 16) | (v << 8) | v
+    img.setRGB(0, 0, g(10)); img.setRGB(1, 0, g(20))
+    img.setRGB(0, 1, g(30)); img.setRGB(1, 1, g(40))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val one = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    one.setRGB(0, 0, g(99))
+    val bos1 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(one, "png", bos1)
+    val bin = Seq((1L, bos.toByteArray), (2L, bos1.toByteArray))
+      .toDF("doc_id", "content")
+    val out = Multimodal.tileBrightness(spark, bin)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 1L, 10L, 10.0), (1L, 1, 1L, 20L, 20.0),
+      (1L, 2, 1L, 30L, 30.0), (1L, 3, 1L, 40L, 40.0),
+      (2L, 0, 1L, 99L, 99.0)), out)
+  }
+
   test("decodeJpegCheck: staged block-gradient passes the gate; garbage raster fails") {
     // real staged jpeg for one id: encode exactly as stageJpegs does
     def jpegFor(id: Long): Array[Byte] = {
