@@ -490,6 +490,10 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("entity_id"))
         .orderBy("doc_id")
     }),
+    // estimator honesty: signature-agreement Jaccard vs exact shingle
+    // Jaccard per LSH pair — may "12/16 agree" stand in for J≈0.75?
+    "dedup_minhash_calibration" -> ((s, d) =>
+      DedupOps.minhashCalibration(t(s, d)("documents"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
@@ -3703,6 +3707,23 @@ object SparkEntry {
          |  (SELECT COUNT(*) FROM eps e
          |   LEFT JOIN lshs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
          |   WHERE p.doc_a IS NULL) AS n_missed_s""".stripMargin,
+    // pairs + mh come from the same CTE family; 16 unrolled equality
+    // terms, exact-Jaccard round-9 decimal mean per agreement level
+    "dedup_minhash_calibration" -> {
+      val terms = (0 until 16)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString("\n         |    + ")
+      s"""WITH $MinhashPairsCtes,
+         |est AS (SELECT p.doc_a, p.doc_b, p.jaccard,
+         |    CAST($terms AS BIGINT) AS n_match
+         |  FROM pairs p
+         |  JOIN mh a ON a.doc_id = p.doc_a
+         |  JOIN mh b ON b.doc_id = p.doc_b)
+         |SELECT n_match, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(SUM(CAST(round(jaccard, 9) AS DECIMAL(24,12)))
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS avg_jaccard
+         |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dedup_components" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs

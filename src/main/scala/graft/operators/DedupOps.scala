@@ -128,6 +128,40 @@ object DedupOps {
     out
   }
 
+  /** MinHash estimator calibration census: for every verified LSH
+    * pair, the SIGNATURE-AGREEMENT Jaccard estimate (matching
+    * minhashes / k — what [[minhashLshIncremental]] trusts in
+    * production, where shingle sets are gone) is binned against the
+    * EXACT shingle Jaccard, emitting per-agreement-level pair counts
+    * and mean exact similarity. This is the honesty check that says
+    * whether "12/16 hashes agree" may stand in for "J ≈ 0.75" on THIS
+    * corpus before the incremental path relies on it. ≤ k+1 rows out;
+    * exact Jaccards cross a round(…,9) decimal barrier before the
+    * order-free mean. One pair-keyed join against the signature frame
+    * per side — candidate-scale, not corpus-scale.
+    */
+  def minhashCalibration(documents: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = minhashLsh(documents, numHashes)
+      .select("doc_a", "doc_b", "jaccard")
+    val sigs = minhashSignatures(documents, numHashes)
+    def side(tag: String) = sigs.toDF(sigs.columns
+      .map(c => if (c == "doc_id") s"doc_$tag" else s"${tag}_$c"): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .withColumn("n_match", matches.cast("long"))
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard"), 9).cast(DecimalType(24, 12))).as("sj"))
+      .select(col("n_match"), col("n_pairs"),
+        round(col("sj").cast("double") / col("n_pairs").cast("double"), 9)
+          .as("avg_jaccard"))
+      .orderBy("n_match")
+  }
+
   /** Incremental near-dup: a slice of NEW documents against the
     * signature INDEX of an existing corpus — the production shape for
     * growing corpora (you never re-LSH 100 TB to admit a day's crawl;

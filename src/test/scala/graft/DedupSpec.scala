@@ -114,6 +114,18 @@ class DedupSpec extends SparkSpec {
     assert(pref == exact)
   }
 
+  test("minhashCalibration: exact twins agree on all 16 hashes at J = 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "entirely different content about spark engines here")).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.minhashCalibration(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the only verified pair is the twin: 16/16 agreement, exact J = 1
+    assert(got == Seq((16L, 1L, 1.0)), got)
+  }
+
   test("containmentPairs flags the quoted doc in the direction jaccard misses") {
     val a = "alpha beta gamma delta epsilon" // 3 trigrams
     val corpus = Seq(
