@@ -921,6 +921,14 @@ object SparkEntry {
     "w11_retention" -> ((s, d) =>
       Relational.cohortRetention(t(s, d)("events"))),
     // first-order Markov transition matrix over per-user sequences
+    // argmax-transition hit rate off the transition counts — the
+    // sanity gate for "predicted next action" features
+    "w27_markov_accuracy" -> ((s, d) =>
+      Relational.w27MarkovAccuracy(t(s, d)("events"))),
+    // per-label centroid cosine vs the global centroid (embedding
+    // drift screen; fixed-point component sums)
+    "sim_centroid_drift" -> ((s, d) =>
+      SimilarityOps.centroidDrift(t(s, d)("embeddings"))),
     "w12_transitions" -> ((s, d) =>
       Relational.eventTransitions(t(s, d)("events"))),
     // interval-overlap self-join: concurrent same-part shipments from
@@ -4363,6 +4371,50 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM a GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // same transition cells; hits = argmax cell, steps = row sum —
+    // ties cannot move the accuracy, only the reported label (MIN)
+    "w27_markov_accuracy" ->
+      """WITH tr AS (SELECT src_type, dst_type, COUNT(*) AS n FROM (
+        |    SELECT event_type AS src_type,
+        |      LEAD(event_type) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |    FROM events)
+        |  WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+        |mx AS (SELECT src_type, CAST(MAX(n) AS BIGINT) AS n_hits,
+        |  CAST(SUM(n) AS BIGINT) AS n_steps FROM tr GROUP BY 1),
+        |pr AS (SELECT tr.src_type, MIN(dst_type) AS predicted
+        |  FROM tr JOIN mx ON mx.src_type = tr.src_type AND tr.n = mx.n_hits
+        |  GROUP BY 1)
+        |SELECT mx.src_type, n_steps, predicted, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / CAST(n_steps AS DOUBLE), 9)
+        |    AS accuracy
+        |FROM mx JOIN pr ON pr.src_type = mx.src_type ORDER BY 1""".stripMargin,
+    // fixed-point component sums (floor(x*1e12) HUGEINT), double
+    // centroids in the identical shape, round-12 decimal product terms
+    "sim_centroid_drift" ->
+      """WITH c AS (SELECT label, i AS pos,
+        |    SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS HUGEINT))
+        |      AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+        |  GROUP BY 1, 2),
+        |g AS (SELECT pos, SUM(s) AS gs, SUM(nl) AS gn FROM c GROUP BY 1),
+        |t AS (SELECT label, nl,
+        |    CAST(round((CAST(s AS DOUBLE) / CAST(nl AS DOUBLE) / 1e12)
+        |      * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) / 1e12), 12)
+        |      AS DECIMAL(38,18)) AS t_dot,
+        |    CAST(round((CAST(s AS DOUBLE) / CAST(nl AS DOUBLE) / 1e12)
+        |      * (CAST(s AS DOUBLE) / CAST(nl AS DOUBLE) / 1e12), 12)
+        |      AS DECIMAL(38,18)) AS t_l2,
+        |    CAST(round((CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) / 1e12)
+        |      * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) / 1e12), 12)
+        |      AS DECIMAL(38,18)) AS t_g2
+        |  FROM c JOIN g USING (pos))
+        |SELECT label, MAX(nl) AS n_vecs,
+        |  round(CAST(SUM(t_dot) AS DOUBLE)
+        |    / (sqrt(CAST(SUM(t_l2) AS DOUBLE))
+        |      * sqrt(CAST(SUM(t_g2) AS DOUBLE))), 9) AS cos_to_global
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "w12_transitions" ->
       """SELECT src_type, dst_type, count(*) AS n FROM (
         |  SELECT event_type AS src_type,

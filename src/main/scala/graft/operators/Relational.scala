@@ -342,6 +342,33 @@ object Relational {
       .orderBy("src_type", "dst_type")
   }
 
+  /** First-order Markov next-event prediction accuracy — the sanity
+    * gate before anyone ships "predicted next action" features: how
+    * often does the argmax transition actually happen? Everything
+    * derives from the [[eventTransitions]] COUNTS (cell-scale, ≤
+    * |types|²): per source, hits = the argmax cell's count, steps =
+    * the row sum, accuracy = hits/steps — the row-scale stream is
+    * touched exactly once, by the transition window itself. The
+    * predicted label reports with a two-step min tie-break (max count,
+    * then bytewise-smallest destination; the [[GraphOps.goldenRecords]]
+    * mode shape) — ties cannot move the accuracy number itself.
+    */
+  def w27MarkovAccuracy(events: DataFrame): DataFrame = {
+    val trans = eventTransitions(events)
+      .localCheckpoint(true) // cell-scale; feeds totals + the argmin
+    val mx = trans.groupBy("src_type")
+      .agg(max(col("n")).as("n_hits"), sum(col("n")).as("n_steps"))
+    val pred = trans.join(mx, "src_type")
+      .filter(col("n") === col("n_hits"))
+      .groupBy("src_type").agg(min(col("dst_type")).as("predicted"))
+    mx.join(pred, "src_type")
+      .select(col("src_type"), col("n_steps"), col("predicted"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_steps").cast("double"), 9)
+          .as("accuracy"))
+      .orderBy("src_type")
+  }
+
   /** CUBE over two dims (all four grouping sets in one pass — Spark
     * expands grouping sets before the single shuffle).
     */

@@ -648,6 +648,50 @@ object SimilarityOps {
     * narrow map + one tiny aggregate keyed by label — no join, no
     * per-pair work, flat at any corpus size.
     */
+  /** Per-label centroid drift census: the cosine of each label's
+    * centroid against the GLOBAL corpus centroid — the embedding-space
+    * drift screen (a label whose centroid swings away from the corpus
+    * mean is the cluster to re-examine before it skews a kNN or IVF
+    * index built on "typical" geometry). Cross-row float sums are the
+    * classic nondeterminism trap; per-component sums go FIXED-POINT
+    * (floor(x·10¹²) in DECIMAL(38,0) — the [[normStats]] discipline),
+    * centroids divide in double with the identical expression shape on
+    * both engines, and the 64 per-dimension product terms cross a
+    * round(…,12) decimal barrier before the order-free sum. Plan: one
+    * (label, pos)-keyed aggregate over the exploded components — the
+    * global side derives from the SAME cell frame, no second corpus
+    * pass — then label-scale arithmetic. Flat at any corpus size.
+    */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val comps = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x").cast("double") * lit(1.0e12))
+          .cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("nl"))
+      .localCheckpoint(true) // |labels|·dim cells; feeds both sides
+    val glob = comps.groupBy("pos")
+      .agg(sum(col("s")).as("gs"), sum(col("nl")).as("gn"))
+    // divide the 10¹² fixed-point scale back out (same shape both
+    // engines); cosine is scale-invariant but the round-12 term
+    // barrier is not
+    val la = col("s").cast("double") / col("nl").cast("double") / lit(1.0e12)
+    val g = col("gs").cast("double") / col("gn").cast("double") / lit(1.0e12)
+    comps.join(glob, "pos")
+      .withColumn("t_dot", round(la * g, 12).cast(DecimalType(38, 18)))
+      .withColumn("t_l2", round(la * la, 12).cast(DecimalType(38, 18)))
+      .withColumn("t_g2", round(g * g, 12).cast(DecimalType(38, 18)))
+      .groupBy("label")
+      .agg(max(col("nl")).as("n_vecs"), sum(col("t_dot")).as("dot"),
+        sum(col("t_l2")).as("l2"), sum(col("t_g2")).as("g2"))
+      .select(col("label"), col("n_vecs"),
+        round(col("dot").cast("double") /
+          (sqrt(col("l2").cast("double")) * sqrt(col("g2").cast("double"))),
+          9).as("cos_to_global"))
+      .orderBy("label")
+  }
+
   def normStats(embeddings: DataFrame): DataFrame =
     withNorm(embeddings.select(col("label"), col("embedding")),
       "embedding", "nrm")

@@ -403,6 +403,25 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("w27MarkovAccuracy: argmax hit rate; label ties break to MIN") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click"),
+      (2L, ts("2024-01-01 00:02:00"), 1L, "view"),
+      (3L, ts("2024-01-01 00:03:00"), 1L, "click"),
+      (4L, ts("2024-01-01 00:01:00"), 2L, "click"),
+      (5L, ts("2024-01-01 00:02:00"), 2L, "view"),
+      (6L, ts("2024-01-01 00:01:00"), 3L, "view"),
+      (7L, ts("2024-01-01 00:02:00"), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Relational.w27MarkovAccuracy(ev)
+      .as[(String, Long, String, Long, Double)].collect().toSeq
+    // click->view twice (2/2); view splits 1-1 between click and
+    // purchase: accuracy 0.5 regardless of the tie, label = MIN
+    assert(out == Seq(
+      ("click", 2L, "view", 2L, 1.0),
+      ("view", 2L, "click", 1L, 0.5)), out)
+  }
+
   test("w26DowProfile: absent days still charge the uniformity chi-square") {
     // 2024-01-07 is a Sunday (dow 0), 01-08 a Monday (dow 1)
     val ev = Seq(

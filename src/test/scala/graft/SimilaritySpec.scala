@@ -154,6 +154,19 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "LSH near-dup found nothing — buckets too fine")
   }
 
+  test("centroidDrift: label centroids score their cosine to the global mean") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.centroidDrift(e)
+      .as[(Int, Long, Double)].collect().toSeq
+    // global centroid (2/3, 1/3): cos(label0) = 2/√5, cos(label1) = 1/√5
+    assert(got.map(r => (r._1, r._2)) == Seq((0, 2L), (1, 1L)), got)
+    assert(math.abs(got(0)._3 - 0.894427191) < 1e-6, got)
+    assert(math.abs(got(1)._3 - 0.447213595) < 1e-6, got)
+  }
+
   test("adaptivePlanes ladder keeps expected bucket occupancy bounded") {
     assert(SimilarityOps.adaptivePlanes(500L) == 4)   // sf0.01 stays on 4 planes
     assert(SimilarityOps.adaptivePlanes(512L) == 4)
