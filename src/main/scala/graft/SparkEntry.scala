@@ -921,6 +921,13 @@ object SparkEntry {
     "w11_retention" -> ((s, d) =>
       Relational.cohortRetention(t(s, d)("events"))),
     // first-order Markov transition matrix over per-user sequences
+    // R/F/M quartile codes per customer off one keyed aggregate
+    "a35_rfm_segments" -> ((s, d) =>
+      Relational.a35RfmSegments(t(s, d)("orders"))),
+    // support/confidence/lift over co-ordered part pairs, top-20 by
+    // lift via TakeOrdered (bounded, no global window state)
+    "j11_assoc_rules" -> ((s, d) =>
+      Relational.j11AssocRules(t(s, d)("lineitem"))),
     // argmax-transition hit rate off the transition counts — the
     // sanity gate for "predicted next action" features
     "w27_markov_accuracy" -> ((s, d) =>
@@ -4371,6 +4378,46 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM a GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    // windows rank the DECIMAL metrics (cast to double only in the
+    // final projection, so tile boundaries cannot drift)
+    "a35_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT o_custkey, frequency, monetary,
+        |    NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r,
+        |    NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f,
+        |    NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
+        |  FROM per)
+        |SELECT o_custkey, CAST(frequency AS BIGINT) AS frequency,
+        |  CAST(monetary AS DOUBLE) AS monetary,
+        |  CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+        |  CAST(r*100 + f*10 + m AS INT) AS rfm_code
+        |FROM q ORDER BY o_custkey""".stripMargin,
+    // integer-exact pair/item/order counts; rounded lift + pair id as
+    // the deterministic top-20 sort key
+    "j11_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS item
+        |  FROM lineitem),
+        |pc AS (SELECT a.item AS part_a, b.item AS part_b, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ord = b.ord AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |ic AS (SELECT item, COUNT(*) AS ni FROM items GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(DISTINCT ord) AS BIGINT) AS n_orders
+        |  FROM items)
+        |SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 9)
+        |    AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(na.ni AS DOUBLE), 9)
+        |    AS conf_a_to_b,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(na.ni AS DOUBLE) * CAST(nb.ni AS DOUBLE)), 9) AS lift
+        |FROM pc
+        |JOIN ic na ON na.item = pc.part_a
+        |JOIN ic nb ON nb.item = pc.part_b
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // same transition cells; hits = argmax cell, steps = row sum —
     // ties cannot move the accuracy, only the reported label (MIN)
     "w27_markov_accuracy" ->

@@ -692,6 +692,76 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** RFM segmentation — the classic customer-scoring feature build:
+    * per customer, Recency (latest order date), Frequency (order
+    * count), Monetary (exact decimal revenue sum), each cut into
+    * quartiles, concatenated into the 3-digit segment code marketing
+    * pipelines key on. Quartile assignment is ntile(4) over a
+    * deterministic (metric, custkey) order — a GLOBAL sort over the
+    * customer aggregate, which is customer-scale, not order-scale (the
+    * [[w8NtileStats]] posture: at 100 TB this is the range-partitioned
+    * sort of a dimension table, not of the fact stream). One
+    * customer-keyed aggregate feeds all three windows.
+    */
+  def a35RfmSegments(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+    def quart(metric: Column, name: String) =
+      ntile(4).over(Window.orderBy(metric, col("o_custkey"))).as(name)
+    per
+      .select(col("o_custkey"), col("last_order"), col("frequency"),
+        col("monetary"),
+        quart(col("last_order"), "r"), quart(col("frequency"), "f"),
+        quart(col("monetary"), "m"))
+      .withColumn("rfm_code",
+        (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
+      .select(col("o_custkey"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        col("r"), col("f"), col("m"), col("rfm_code"))
+      .orderBy("o_custkey")
+  }
+
+  /** Market-basket association rules over co-ordered part pairs — the
+    * support/confidence/lift scoring that turns the co-order graph
+    * ([[GraphOps.commonNeighbors]]'s input) into ranked "bought
+    * together" rules. All counts are exact integers off two keyed
+    * aggregates (distinct per-order pairs; per-part order counts);
+    * support/confidence/lift are final double formulas behind
+    * round(…,9) barriers; the top-k is TakeOrdered on the rounded
+    * keys + pair id (bounded, no global window state). minCount
+    * prunes the pair tail BEFORE the join-back, so the rule table
+    * never materializes the singleton noise.
+    */
+  def j11AssocRules(lineitem: DataFrame, minCount: Long = 3,
+      topK: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey").as("ord"),
+      col("l_partkey").as("item")).distinct()
+      .localCheckpoint(true) // feeds pairs + item counts + order count
+    val pairCnt = items.as("a").join(items.as("b"),
+        col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    val total = items.select(col("ord")).distinct().agg(count(lit(1)).as("n_orders"))
+    pairCnt
+      .join(itemCnt.select(col("item").as("part_a"), col("ni").as("n_a")), "part_a")
+      .join(itemCnt.select(col("item").as("part_b"), col("ni").as("n_b")), "part_b")
+      .crossJoin(broadcast(total)) // single-row order total
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders").cast("double"), 9)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 9)
+          .as("conf_a_to_b"),
+        round(col("n_ab").cast("double") * col("n_orders").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 9)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
   /** Rolling median over a 5-row frame per event type — the
     * robust-baseline smoother (medians shrug off the spikes that drag
     * a rolling mean). Exact windowed percentile, not approx: the

@@ -403,6 +403,41 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("a35RfmSegments: separated customers land in distinct quartiles") {
+    val orders = Seq(
+      (1L, 101L, ts("1996-01-01 00:00:00"), 100.0),
+      (2L, 102L, ts("1997-01-01 00:00:00"), 200.0),
+      (3L, 102L, ts("1997-02-01 00:00:00"), 200.0),
+      (4L, 103L, ts("1998-01-01 00:00:00"), 300.0),
+      (5L, 103L, ts("1998-02-01 00:00:00"), 300.0),
+      (6L, 103L, ts("1998-03-01 00:00:00"), 300.0),
+      (7L, 104L, ts("1998-06-01 00:00:00"), 400.0),
+      (8L, 104L, ts("1998-06-02 00:00:00"), 400.0),
+      (9L, 104L, ts("1998-06-03 00:00:00"), 400.0),
+      (10L, 104L, ts("1998-06-04 00:00:00"), 400.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.a35RfmSegments(orders)
+      .select("o_custkey", "rfm_code").as[(Long, Int)].collect().toSeq
+    // recency, frequency and monetary all rise together here, so each
+    // customer owns one quartile on every axis
+    assert(out == Seq((101L, 111), (102L, 222), (103L, 333), (104L, 444)),
+      out)
+  }
+
+  test("j11AssocRules: min-support prunes; lift reflects the baskets") {
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 30L), (4L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational.j11AssocRules(li)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // only (10,20) reaches 3 co-orders: support 3/4, conf 3/3,
+    // lift 3·4/(3·3) = 4/3
+    assert(out == Seq((10L, 20L, 3L, 0.75, 1.0, 1.333333333)), out)
+  }
+
   test("w27MarkovAccuracy: argmax hit rate; label ties break to MIN") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:01:00"), 1L, "click"),
