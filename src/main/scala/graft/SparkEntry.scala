@@ -565,6 +565,24 @@ object SparkEntry {
     // farms) survive; hubs with one-off matches peel away
     "dedup_kcore" -> ((s, d) => GraphOps.kCore(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
+    // edge-grained core over the co-order basket graph: an edge
+    // survives only with >= k-2 triangle witnesses (the minhash graph
+    // is the WRONG input — its clusters are 2-3-doc cliques, so every
+    // k >= 4 truss is empty by construction; k = 12 on the basket
+    // graph peels 115k edges to a ~2.5k dense co-purchase core)
+    "graph_ktruss" -> ((s, d) => {
+      val li = t(s, d)("lineitem")
+      GraphOps.kTruss(li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b")),
+        k = 12)
+        .withColumnRenamed("doc_a", "part_a")
+        .withColumnRenamed("doc_b", "part_b")
+    }),
+    // which communities bridge into which: edge counts per label pair
+    "dedup_community_edges" -> ((s, d) => GraphOps.communityEdges(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
     // deterministic 3-round label propagation: communities inside the
     // near-dup graph (frequency vote, ties to smallest label)
     "dedup_lpa" -> ((s, d) => GraphOps.labelPropagation(
@@ -3848,6 +3866,59 @@ object SparkEntry {
         |LEFT JOIN p ON p.x = cnc.doc_a AND p.y = cnc.doc_b
         |WHERE p.x IS NULL
         |ORDER BY 1, 2""".stripMargin,
+    // three explicit peel rounds — the SQL image of kTruss's bounded
+    // loop: support(x,y) = common-neighbor count over the surviving
+    // symmetric edge set, edges keep >= k-2 = 10 witnesses
+    "graph_ktruss" -> {
+      def round(i: Int): String = {
+        val prev = s"e$i"
+        val n = i + 1
+        s"""s$n AS MATERIALIZED (SELECT x AS u, y AS v FROM $prev
+           |  UNION ALL SELECT y, x FROM $prev),
+           |e$n AS MATERIALIZED (SELECT e.x, e.y FROM $prev e
+           |  JOIN s$n a ON a.u = e.x
+           |  JOIN s$n b ON b.u = e.y AND b.v = a.v
+           |  GROUP BY e.x, e.y HAVING COUNT(*) >= 10)""".stripMargin
+      }
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+         |    greatest(a.l_partkey, b.l_partkey) AS y
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT x AS part_a, y AS part_b FROM e3
+         |ORDER BY part_a, part_b""".stripMargin
+    },
+    // the LPA vote's community-pair edge census (intra: comm_a=comm_b)
+    "dedup_community_edges" ->
+      s"""WITH $MinhashPairsCtes,
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT u, u AS label FROM e),
+         |v1 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l0 l ON l.u = e.v GROUP BY 1, 2),
+         |l1 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l1 l ON l.u = e.v GROUP BY 1, 2),
+         |l2 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v2) WHERE rn = 1),
+         |v3 AS (SELECT e.u, l.label AS vl, COUNT(*) AS n
+         |  FROM e JOIN l2 l ON l.u = e.v GROUP BY 1, 2),
+         |l3 AS (SELECT u, vl AS label FROM (
+         |  SELECT u, vl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY n DESC, vl) AS rn
+         |  FROM v3) WHERE rn = 1)
+         |SELECT least(la.label, lb.label) AS comm_a,
+         |  greatest(la.label, lb.label) AS comm_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges
+         |FROM pairs p
+         |JOIN l3 la ON la.u = p.doc_a
+         |JOIN l3 lb ON lb.u = p.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // three explicit peel rounds — the SQL image of kCore's bounded loop
     "dedup_kcore" ->
       s"""WITH $MinhashPairsCtes,

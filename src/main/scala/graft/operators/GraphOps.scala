@@ -533,6 +533,83 @@ object GraphOps {
     labels.select(col("u").as("doc_id"), col("label")).orderBy("doc_id")
   }
 
+  /** Bounded k-truss peel: edges supported by fewer than k−2 triangles
+    * drop, for `rounds` rounds — the edge-grained community core
+    * ([[kCore]] keeps a vertex with enough WEAK neighbors; a truss
+    * keeps an edge only if its endpoints share actual witnesses, so
+    * chained borderline matches peel even when degrees look healthy).
+    * Support is computed per round from sorted adjacency arrays via
+    * codegen'd `array_intersect` — never a wedge row ([[triangleCount]]
+    * core) — with the same `adjSlices` hot-vertex guard: sliced
+    * adjacency intersects per slice and SUMS, so a pathological hub
+    * never builds one giant array. Each round is one vertex-keyed
+    * aggregate + two edge-keyed joins, lineage truncated per round.
+    * Rounds are part of the operator contract (the [[kCore]]/[[
+    * labelPropagation]] bounded-round discipline), mirrored exactly by
+    * the oracle's unrolled rounds.
+    */
+  def kTruss(pairs: DataFrame, k: Int = 4, rounds: Int = 3,
+      adjSlices: Int = 1): DataFrame = {
+    require(k >= 3 && rounds >= 1 && adjSlices >= 1,
+      s"need k>=3, rounds>=1, adjSlices>=1; got $k, $rounds, $adjSlices")
+    val Array(a, b) = pairs.columns.take(2)
+    var e = pairs.select(
+        least(col(a), col(b)).cast("long").as("x"),
+        greatest(col(a), col(b)).cast("long").as("y"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val sym = e.select(col("x").as("u"), col("y").as("v"))
+        .union(e.select(col("y").as("u"), col("x").as("v")))
+      val supported =
+        if (adjSlices == 1) {
+          val adj = sym.groupBy(col("u").as("vtx"))
+            .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+          e.join(adj.as("na"), col("x") === col("na.vtx"))
+            .join(adj.as("nb"), col("y") === col("nb.vtx"))
+            .select(col("x"), col("y"),
+              size(array_intersect(col("na.nbrs"), col("nb.nbrs")))
+                .cast("long").as("supp"))
+        } else {
+          val adj = sym.groupBy(col("u").as("vtx"),
+              pmod(col("v"), lit(adjSlices)).as("sl"))
+            .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+          // an edge with no common slice has support 0 and k >= 3
+          // filters it anyway, so the inner slice join is exact
+          e.join(adj.as("na"), col("x") === col("na.vtx"))
+            .join(adj.as("nb"),
+              col("y") === col("nb.vtx") && col("na.sl") === col("nb.sl"))
+            .groupBy(col("x"), col("y"))
+            .agg(sum(size(array_intersect(col("na.nbrs"), col("nb.nbrs"))))
+              .cast("long").as("supp"))
+        }
+      e = supported.filter(col("supp") >= k - 2).select("x", "y")
+        .localCheckpoint(true)
+    }
+    e.select(col("x").as("doc_a"), col("y").as("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Community boundary census over the [[labelPropagation]] vote: the
+    * edge count per (community, community) pair — the inter-community
+    * structure [[modularity]]'s per-community e_in can't see (WHICH
+    * templates bridge into which, the first question after "the vote
+    * found structure"). Intra-community cells have comm_a = comm_b.
+    * Two vertex-keyed labeling joins + one label-pair aggregate;
+    * output is community-pair-scale.
+    */
+  def communityEdges(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    val Array(a, b) = pairs.columns.take(2)
+    val p = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
+      .localCheckpoint(true)
+    val labels = labelPropagation(p, rounds)
+    p.join(labels.select(col("doc_id").as("x"), col("label").as("la")), "x")
+      .join(labels.select(col("doc_id").as("y"), col("label").as("lb")), "y")
+      .groupBy(least(col("la"), col("lb")).as("comm_a"),
+        greatest(col("la"), col("lb")).as("comm_b"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("comm_a", "comm_b")
+  }
+
   /** Degree assortativity of the undirected pair graph — the Pearson
     * correlation of endpoint degrees over every DIRECTED edge (each
     * undirected edge counted once per direction, the standard Newman

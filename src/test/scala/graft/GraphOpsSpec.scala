@@ -300,6 +300,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
   }
 
+  test("kTruss: cliques keep their edges, chains and lone triangles peel") {
+    // 4-clique {1,2,3,4}: every edge has 2 witnesses (k=4 keeps);
+    // triangle {10,11,12}: 1 witness each (k=4 peels, k=3 keeps);
+    // pendant edge (4,9): 0 witnesses (always peels)
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val pairs = (clique ++ Seq((10L, 11L), (10L, 12L), (11L, 12L), (4L, 9L)))
+      .toDF("doc_a", "doc_b")
+    val k4 = GraphOps.kTruss(pairs, k = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(k4 == clique.sorted, k4)
+    val k3 = GraphOps.kTruss(pairs, k = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(k3 == (clique ++ Seq((10L, 11L), (10L, 12L), (11L, 12L))).sorted, k3)
+    // the sliced-adjacency hot-vertex guard is result-identical
+    val sliced = GraphOps.kTruss(pairs, k = 4, adjSlices = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(sliced == k4, sliced)
+  }
+
+  test("communityEdges: intra cells on the diagonal, one bridge cell") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.communityEdges(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    // LPA labels the triangles 1 and 3 (see the modularity test);
+    // the bridge 3-4 is the single inter-community edge
+    assert(got == Seq((1L, 1L, 3L), (1L, 3L, 1L), (3L, 3L, 3L)), got)
+  }
+
   test("goldenRecords: mode fusion with MIN tie-break, singletons pass through") {
     val recs = Seq(
       (1L, "en", "web", 100L), (2L, "en", "books", 300L),
