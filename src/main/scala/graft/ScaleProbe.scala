@@ -56,7 +56,15 @@ object ScaleProbe {
     // (the census variant that is ALLOWED at scale — the full
     // all-pairs census stays out by design)
     "text_bigram_lm", "text_novelty", "dedup_containment",
-    "dedup_lsh_recall_sampled")
+    "dedup_lsh_recall_sampled",
+    // round-7 additions: the LPA-derived community censuses, the
+    // wedge-join link predictor + edge-peel truss on the basket
+    // graph (lineitem now staged as disjoint id-offset copies), the
+    // component-hashed split, ER attribute fusion, and the RAKE
+    // word-stat join
+    "dedup_modularity", "dedup_community_edges", "graph_link_predict",
+    "graph_ktruss", "pipe_split_leakage_safe", "er_golden_record",
+    "text_keywords")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
@@ -97,6 +105,17 @@ object ScaleProbe {
     copies(emb) { (e, k) =>
       e.withColumn("vec_id", col("vec_id") + lit(k * IdOffset))
     }.write.parquet(s"$tmp/embeddings.parquet")
+    // basket-graph inputs: order AND part keys offset per copy, so the
+    // scaled corpus is `mult` disjoint basket graphs — "10× more
+    // orders over 10× more parts at the same basket density", linear
+    // edge growth (offsetting only orders would instead densify every
+    // part's co-order neighborhood quadratically — a data-semantics
+    // change, not a scale test)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    copies(li) { (l, k) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
+    }.write.parquet(s"$tmp/lineitem.parquet")
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"ScaleProbe: could not publish $tmp -> $published")
     ()
@@ -120,7 +139,8 @@ object ScaleProbe {
     // re-stage, never reuse a stale scaled corpus
     val srcM = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$src/events.parquet")).toMillis
-    val dir = s"/tmp/graft_scale${mult}_" +
+    // v2: lineitem joined the staged set — a v1 dir must not be reused
+    val dir = s"/tmp/graft_scale${mult}_v2_" +
       src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
     System.err.println(s"[scale] staging ${mult}x of $src -> $dir")
     stage(spark, src, dir, mult)
