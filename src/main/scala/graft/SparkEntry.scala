@@ -169,6 +169,30 @@ object SparkEntry {
     "t8_json_extract" -> ((s, d) => Relational.t8JsonExtract(t(s, d)("events"))),
     "text_bigram_freq" -> ((s, d) => TextOps.bigramFreq(t(s, d)("documents"), 20)),
     // custom whole-operator path: LogicalPlan + Strategy + SparkPlan
+    // feature-store point-in-time join: each purchase reads the
+    // user's SCD2 status AS OF its timestamp through the custom as-of
+    // plan — the training-label correctness pattern (a plain join to
+    // is_current leaks the future into features)
+    "pipe_point_in_time" -> ((s, d) => {
+      val ev = t(s, d)("events")
+      val dim = MergeOps.scd2History(ev.filter(col("event_type") =!= "purchase"))
+        // unique (user, valid_from): simultaneous status flips pick
+        // the bytewise-largest status on both engines
+        .groupBy(col("user_id").as("d_user"), col("valid_from"))
+        .agg(max(col("status")).as("status"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      graft.plans.AsofJoin.asof(facts, dim,
+          Seq("user_id"), Seq("d_user"), "ts", "valid_from")
+        .select("purchase_id", "user_id", "status", "valid_from")
+        .orderBy("purchase_id")
+    }),
+    // banded non-equi self-join: value-collision pairs within eps via
+    // bucket replication (right side emits bucket and bucket-1, pairs
+    // ordered lo<=hi match at exactly ONE replica) — the scale pattern
+    // for |a-b|<=eps joins; hot buckets would salt at 100 TB
+    "j12_band_join" -> ((s, d) =>
+      Relational.j12BandJoin(t(s, d)("events"))),
     "asof_join" -> ((s, d) => {
       val ev = t(s, d)("events")
       val clicks = ev.filter(col("event_type") === "click")
@@ -2706,6 +2730,40 @@ object SparkEntry {
          |  WHERE len(ws) >= 2)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // SCD2 over non-purchase activity (same lag/filter as c11), then
+    // DuckDB's native ASOF for the latest valid_from <= purchase ts
+    "pipe_point_in_time" ->
+      """WITH nd AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE event_type <> 'purchase'),
+        |d0 AS (SELECT user_id, event_type AS status, ts AS valid_from,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        |  FROM nd),
+        |d1 AS (SELECT user_id, status, valid_from FROM d0
+        |  WHERE prev_t IS NULL OR status <> prev_t),
+        |dim AS (SELECT user_id, valid_from, MAX(status) AS status
+        |  FROM d1 GROUP BY 1, 2),
+        |f AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id, dim.status, dim.valid_from
+        |FROM f ASOF JOIN dim
+        |  ON f.user_id = dim.user_id AND f.ts >= dim.valid_from
+        |ORDER BY purchase_id""".stripMargin,
+    // identical bucket replication and float comparisons; the lo<=hi
+    // pair ordering guarantees exactly one replica match per pair
+    "j12_band_join" ->
+      """WITH base AS (SELECT event_id, event_type, value,
+        |    CAST(floor(value / 0.01) AS BIGINT) AS bucket FROM events),
+        |hi AS (SELECT event_type AS t_hi, event_id AS id_hi,
+        |    value AS v_hi, bucket - r AS bucket
+        |  FROM base, unnest([0, 1]) t(r))
+        |SELECT lo.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM base lo JOIN hi ON hi.bucket = lo.bucket
+        |  AND hi.t_hi = lo.event_type
+        |  AND (lo.value < hi.v_hi
+        |    OR (lo.value = hi.v_hi AND lo.event_id < hi.id_hi))
+        |  AND hi.v_hi - lo.value <= 0.01
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_join" ->
       """WITH p AS (
         |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id

@@ -692,6 +692,35 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Banded non-equi self-join: same-type event pairs whose values
+    * collide within `eps`, counted per type — the |a−b| ≤ eps join a
+    * naive plan writes as a cross join. The banded decomposition makes
+    * it an EQUI join: each left row keys by bucket = floor(value/eps);
+    * the right side replicates at (bucket, bucket−1); ordering every
+    * pair lo ≤ hi (value, then id) means the hi row's replica set
+    * contains the lo row's bucket EXACTLY once, so no post-join dedup
+    * is needed. One bucket-keyed shuffle; a hot bucket (massive value
+    * ties) is the residual skew exposure — at 100 TB the bucket key
+    * salts like any other hot equi-key ([[j6SaltedSkewJoin]]).
+    */
+  def j12BandJoin(events: DataFrame, eps: Double = 0.01): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"),
+      col("value"), floor(col("value") / lit(eps)).cast("long").as("bucket"))
+    val lo = base.select(col("event_type"), col("event_id").as("id_lo"),
+      col("value").as("v_lo"), col("bucket"))
+    val hi = base.select(col("event_type").as("t_hi"),
+        col("event_id").as("id_hi"), col("value").as("v_hi"),
+        explode(array(col("bucket"), col("bucket") - 1)).as("bucket"))
+    lo.join(hi,
+        lo("bucket") === hi("bucket") && col("event_type") === col("t_hi") &&
+        (col("v_lo") < col("v_hi") ||
+          (col("v_lo") === col("v_hi") && col("id_lo") < col("id_hi"))) &&
+        col("v_hi") - col("v_lo") <= eps)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type")
+  }
+
   /** RFM segmentation — the classic customer-scoring feature build:
     * per customer, Recency (latest order date), Frequency (order
     * count), Monetary (exact decimal revenue sum), each cut into

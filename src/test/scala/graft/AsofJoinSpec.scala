@@ -34,6 +34,30 @@ class AsofJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out == Set((1L, 5L, 10.0), (1L, 6L, 11.0), (1L, 7L, 12.0)))
   }
 
+  test("point-in-time composition: purchases read the SCD2 status as-of ts") {
+    import org.apache.spark.sql.functions._
+    // user 1: view@01, click@03; purchases at 02 (-> view) and 04
+    // (-> click); user 2 purchases before any status row -> dropped
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:02:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 00:03:00"), 1L, "click"),
+      (4L, ts("2024-01-01 00:04:00"), 1L, "purchase"),
+      (5L, ts("2024-01-01 00:01:00"), 2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val dim = graft.operators.MergeOps
+      .scd2History(ev.filter(col("event_type") =!= "purchase"))
+      .groupBy(col("user_id").as("d_user"), col("valid_from"))
+      .agg(max(col("status")).as("status"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val out = AsofJoin.asof(facts, dim,
+        Seq("user_id"), Seq("d_user"), "ts", "valid_from")
+      .select("purchase_id", "status")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((2L, "view"), (4L, "click")), out)
+  }
+
   test("left-outer as-of keeps unmatched left rows with null right") {
     val out = AsofJoin.asof(trades, quotes, Seq("tk"), Seq("qk"), "tts", "qts",
         leftOuter = true)

@@ -403,6 +403,18 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("j12BandJoin: eps-band pairs found across bucket edges, once each") {
+    // a: 1.000-1.005 collide (.005); 1.02 is .015 from 1.005 - out;
+    // b: two exactly-equal values pair once via the id tie-break
+    val ev = Seq(
+      (1L, "a", 1.000), (2L, "a", 1.005), (3L, "a", 1.02), (4L, "a", 5.0),
+      (5L, "b", 2.0), (6L, "b", 2.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Relational.j12BandJoin(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L), ("b", 1L)), out)
+  }
+
   test("a35RfmSegments: separated customers land in distinct quartiles") {
     val orders = Seq(
       (1L, 101L, ts("1996-01-01 00:00:00"), 100.0),
