@@ -673,6 +673,16 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
         .select("query_id", "neighbor_id", "rnk")
     }),
+    // filtered vector search: the label predicate gates candidates
+    // BEFORE ranking (post-filtering an unfiltered top-k under-fills)
+    "sim_filtered_topk" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.filteredTopK(e, e.filter(col("vec_id") % 25 === 0), 5)
+        .select("query_id", "neighbor_id", "rnk")
+    }),
+    // weekly-structure screen: week-ago forecast MAE vs lag-1 naive
+    "a37_seasonal_error" -> ((s, d) =>
+      Relational.a37SeasonalError(t(s, d)("events"))),
     // max-inner-product serving scorer (dot, no norms), bounded top-k
     "sim_mips_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
@@ -4616,6 +4626,42 @@ object SparkEntry {
       "SELECT 5 AS k, true AS rerank_recall_ok, true AS rerank_beats_pq",
     "sim_recall_check" ->
       "SELECT 5 AS k, true AS lsh_recall_ok, true AS ivf_recall_ok",
+    // label predicate inside the candidate join, same rank tie-break
+    "sim_filtered_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${duckCosine("qe", "embedding")} AS sim
+         |  FROM embeddings CROSS JOIN q
+         |  WHERE vec_id <> query_id AND label = ql)
+         |SELECT query_id, vec_id AS neighbor_id, rnk FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // daily cells only: lag-1 window + day-7 self-join, exact integer
+    // |diff| sums, round-9 ratios, zero-naive pinned to 0.0
+    "a37_seasonal_error" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+        |nv AS (SELECT event_type, SUM(ABS(c - prev)) AS nsum,
+        |    CAST(COUNT(*) AS BIGINT) AS nn FROM (
+        |  SELECT event_type, c, LAG(c) OVER (
+        |    PARTITION BY event_type ORDER BY day) AS prev FROM daily)
+        |  WHERE prev IS NOT NULL GROUP BY 1),
+        |sz AS (SELECT a.event_type, SUM(ABS(a.c - b.c)) AS ssum,
+        |    CAST(COUNT(*) AS BIGINT) AS sn
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 7
+        |  GROUP BY 1)
+        |SELECT nv.event_type, nn, sn,
+        |  round(CAST(nsum AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS naive_mae,
+        |  round(CAST(ssum AS DOUBLE) / CAST(sn AS DOUBLE), 9) AS seasonal_mae,
+        |  CASE WHEN nsum = 0 THEN 0.0 ELSE
+        |    round((CAST(ssum AS DOUBLE) / CAST(sn AS DOUBLE))
+        |      / (CAST(nsum AS DOUBLE) / CAST(nn AS DOUBLE)), 9) END AS mase
+        |FROM nv JOIN sz ON sz.event_type = nv.event_type
+        |ORDER BY 1""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 25 = 0),
          |scored AS (

@@ -692,6 +692,44 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Seasonal-naive forecast error (MASE shape): per event type, the
+    * mean absolute error of the week-ago-count forecast, scaled by the
+    * lag-1 naive error — the standard "is there real weekly structure
+    * worth modeling" screen (MASE < 1: the weekly forecast beats
+    * naive). Both errors come off the DAILY count cells (group-scale,
+    * never the row stream): naive from one type-keyed lag window,
+    * seasonal from a (type, day−7) self-join of the same cells. Counts
+    * and |diff| sums are exact integers; the ratio divides in double
+    * behind round(…,9), with the zero-naive-error degenerate pinned to
+    * 0.0 on both engines.
+    */
+  def a37SeasonalError(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // cell-scale; feeds the lag and the join
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val naive = daily.withColumn("prev", lag(col("c"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("event_type")
+      .agg(sum(abs(col("c") - col("prev"))).as("nsum"),
+        count(lit(1)).as("nn"))
+    val seasonal = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+        col("a.day") === date_add(col("b.day"), 7))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(abs(col("a.c") - col("b.c"))).as("ssum"),
+        count(lit(1)).as("sn"))
+    val nmae = col("nsum").cast("double") / col("nn").cast("double")
+    val smae = col("ssum").cast("double") / col("sn").cast("double")
+    naive.join(seasonal, "event_type")
+      .select(col("event_type"), col("nn"), col("sn"),
+        round(nmae, 9).as("naive_mae"), round(smae, 9).as("seasonal_mae"),
+        when(col("nsum") === 0, lit(0.0))
+          .otherwise(round(smae / nmae, 9)).as("mase"))
+      .orderBy("event_type")
+  }
+
   /** Banded non-equi self-join: same-type event pairs whose values
     * collide within `eps`, counted per type — the |a−b| ≤ eps join a
     * naive plan writes as a cross join. The banded decomposition makes

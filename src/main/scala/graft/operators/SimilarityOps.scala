@@ -64,6 +64,31 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Filtered vector search — the production ANN pattern every vector
+    * store ships: a metadata predicate (here: the query's own label)
+    * gates the candidate set BEFORE ranking, so the top-k is over the
+    * filtered universe, not post-filtered from an unfiltered top-k
+    * (post-filtering silently returns < k when the filter is
+    * selective — the classic correctness bug). Same plan family as
+    * [[bruteForceTopK]]: the predicate rides the ONE broadcast join's
+    * condition (evaluated before any scoring work), then the bounded
+    * top-k aggregate. At scale the label would also prefix the
+    * IVF/LSH bucket key, keeping the filter inside candidate
+    * generation.
+    */
+  def filteredTopK(embeddings: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("label").as("q_label")), "qe", "qn")
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding"),
+      col("label")), "embedding", "en")
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") === col("q_label"))
+      .withColumn("sim",
+        vec_dot(col("qe"), col("embedding")) / (col("qn") * col("en")))
+    rankTopK(scored, k)
+  }
+
   /** Embedding-quality eval: does each query vector's own label agree
     * with the majority label of its k cosine-nearest neighbors? The
     * standard intrinsic probe for a trained embedding space (kNN

@@ -403,6 +403,19 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("a37SeasonalError: flat week then a spike — MASE pins the ratio") {
+    // one event/day for 7 days, two on day 8: naive MAE = 1/7 over 7
+    // lag-1 pairs; the single day-7 pair (day8 vs day1) errs by 1
+    val ev = (1 to 7).map(d =>
+        (d.toLong, ts(f"2024-01-0$d%d 10:00:00"), "a")) ++ Seq(
+        (8L, ts("2024-01-08 10:00:00"), "a"),
+        (9L, ts("2024-01-08 11:00:00"), "a"))
+    val out = Relational.a37SeasonalError(
+      ev.toDF("event_id", "ts", "event_type"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 7L, 1L, 0.142857143, 1.0, 7.0)), out)
+  }
+
   test("j12BandJoin: eps-band pairs found across bucket edges, once each") {
     // a: 1.000-1.005 collide (.005); 1.02 is .015 from 1.005 - out;
     // b: two exactly-equal values pair once via the id tie-break

@@ -154,6 +154,19 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "LSH near-dup found nothing — buckets too fine")
   }
 
+  test("filteredTopK: the label gate excludes a closer cross-label vector") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),  // query
+      (1L, Array(0.9f, 0.1f), 0),  // same label, close
+      (2L, Array(1.0f, 0.0f), 1),  // CLOSEST but wrong label — gated out
+      (3L, Array(0.0f, 1.0f), 0))  // same label, orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.filteredTopK(e, e.filter($"vec_id" === 0), 2)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 1L, 1), (0L, 3L, 2)), out)
+  }
+
   test("centroidDrift: label centroids score their cosine to the global mean") {
     val e = Seq(
       (1L, Array(1.0f, 0.0f), 0),
