@@ -912,6 +912,12 @@ object SparkEntry {
       val staging = "/tmp/graft_s11_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       FileOps.jsonlRoundTrip(s, t(s, d)("documents"), staging).orderBy("doc_id")
     }),
+    // planted-corruption permissive read: bad lines must land in
+    // _corrupt_record, never vanish or half-parse
+    "s15_jsonl_permissive" -> ((s, d) => {
+      val staging = "/tmp/graft_s15_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      FileOps.jsonlPermissiveCensus(s, t(s, d)("documents"), staging)
+    }),
     "s12_orc_roundtrip" -> ((s, d) => {
       val staging = "/tmp/graft_s12_" + d.replaceAll("[^a-zA-Z0-9]", "_")
       FileOps.orcRoundTrip(s, t(s, d)("supplier"), staging).orderBy("s_suppkey")
@@ -5432,6 +5438,18 @@ object SparkEntry {
       "SELECT * FROM documents ORDER BY doc_id",
     "s12_orc_roundtrip" ->
       "SELECT * FROM supplier ORDER BY s_suppkey",
+    // the corruption rule is doc_id-arithmetic, so the census is
+    // analytically predictable — a dropped or half-parsed corrupt
+    // line breaks n_total/n_corrupt/the good-id checksum
+    "s15_jsonl_permissive" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN doc_id % 13 <> 0 THEN doc_id ELSE 0 END)
+        |    AS BIGINT) AS sum_good_ids
+        |FROM documents""".stripMargin,
     "s9_compact_roundtrip" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -38,6 +38,42 @@ object FileOps {
     spark.read.schema(df.schema).json(stagingDir)
   }
 
+  /** Permissive-mode JSONL ingestion census — the robustness contract
+    * a 100 TB crawl ingest actually needs: malformed lines (truncated
+    * uploads, mid-write crashes) must land in `_corrupt_record`, not
+    * kill the job or silently vanish. The staging pass plants a
+    * DETERMINISTIC corruption (every doc_id ≡ 0 mod 13 writes an
+    * unterminated JSON string), so the oracle predicts the good/corrupt
+    * split and the good-id checksum analytically — a reader that
+    * dropped or half-parsed corrupt lines cannot match. Narrow
+    * write + read + one scalar aggregate.
+    */
+  def jsonlPermissiveCensus(spark: SparkSession, documents: DataFrame,
+      stagingDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    documents.select(
+        when(col("doc_id") % 13 === 0,
+          concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+            lit(",\"text\":\"trunca")))
+          .otherwise(to_json(struct(col("doc_id"), col("text")))).as("value"))
+      .write.mode("overwrite").text(stagingDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stagingDir)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))
+          .otherwise(lit(0L))).as("sum_good_ids"))
+  }
+
   /** ORC round trip — the second columnar lake format Spark ships
     * natively (warehouse interchange beyond parquet). Same
     * schema-pinned read discipline; ORC carries its own schema, the

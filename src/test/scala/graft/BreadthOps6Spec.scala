@@ -403,6 +403,16 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("jsonlPermissiveCensus: planted corrupt lines are counted, not dropped") {
+    val docs = Seq((1L, "plain"), (13L, "will corrupt"),
+      (14L, "quote \" and tab\t survive escaping"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.FileOps.jsonlPermissiveCensus(spark, docs,
+      "/tmp/graft_s15_spec").as[(Long, Long, Long, Long)].head()
+    // doc 13 writes an unterminated string: 1 corrupt, good ids 1+14
+    assert(out == ((3L, 2L, 1L, 15L)), out)
+  }
+
   test("a37SeasonalError: flat week then a spike — MASE pins the ratio") {
     // one event/day for 7 days, two on day 8: naive MAE = 1/7 over 7
     // lag-1 pairs; the single day-7 pair (day8 vs day1) errs by 1
