@@ -683,6 +683,14 @@ object SparkEntry {
     // weekly-structure screen: week-ago forecast MAE vs lag-1 naive
     "a37_seasonal_error" -> ((s, d) =>
       Relational.a37SeasonalError(t(s, d)("events"))),
+    // experiment readout: per-user conversion by deterministic arm,
+    // pooled-variance two-proportion z
+    "a38_ab_conversion" -> ((s, d) =>
+      Relational.a38AbConversion(t(s, d)("events"))),
+    // structural confidence per near-dup edge: do the endpoints'
+    // neighborhoods agree too?
+    "dedup_node_jaccard" -> ((s, d) => GraphOps.nodeJaccard(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
     // max-inner-product serving scorer (dot, no norms), bounded top-k
     "sim_mips_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
@@ -4645,6 +4653,54 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // one user-keyed aggregate + conditional pivot; z in the identical
+    // double shape, degenerate pools pinned
+    "a38_ab_conversion" ->
+      """WITH per AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n0,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+        |    AS BIGINT) AS c0,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+        |    AS BIGINT) AS c1
+        |  FROM per)
+        |SELECT n0, c0, n1, c1,
+        |  round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS rate_a,
+        |  round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) AS rate_b,
+        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0 ELSE
+        |    round((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |        - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 9)
+        |    END AS z
+        |FROM r""".stripMargin,
+    // adjacency-agreement per verified pair: COUNT-based intersection
+    // over the symmetric edge set, endpoints in the union only
+    "dedup_node_jaccard" ->
+      s"""WITH $MinhashPairsCtes,
+         |p AS (SELECT DISTINCT least(doc_a, doc_b) AS x,
+         |    greatest(doc_a, doc_b) AS y FROM pairs),
+         |e AS (SELECT x AS u, y AS v FROM p UNION ALL SELECT y, x FROM p),
+         |d AS (SELECT u, COUNT(*) AS dg FROM e GROUP BY 1),
+         |i AS (SELECT p.x, p.y, COUNT(*) AS inter
+         |  FROM p JOIN e a ON a.u = p.x JOIN e b ON b.u = p.y AND b.v = a.v
+         |  GROUP BY 1, 2)
+         |SELECT p.x AS doc_a, p.y AS doc_b,
+         |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         |    / CAST(dx.dg + dy.dg - COALESCE(i.inter, 0) AS DOUBLE), 6)
+         |    AS nbr_jaccard
+         |FROM p
+         |LEFT JOIN i ON i.x = p.x AND i.y = p.y
+         |JOIN d dx ON dx.u = p.x
+         |JOIN d dy ON dy.u = p.y
+         |ORDER BY 1, 2""".stripMargin,
     // daily cells only: lag-1 window + day-7 self-join, exact integer
     // |diff| sums, round-9 ratios, zero-naive pinned to 0.0
     "a37_seasonal_error" ->

@@ -589,6 +589,38 @@ object GraphOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-edge neighborhood Jaccard — the structural-confidence score
+    * for candidate pairs: a near-dup edge whose endpoints ALSO share
+    * most neighbors sits inside a real dup cluster; one with disjoint
+    * neighborhoods is a lone (possibly spurious) match even at high
+    * text similarity. |N(u)∩N(v)| / |N(u)∪N(v)| with neighbor sets
+    * as-is (the endpoints themselves count in the union, not the
+    * intersection — the standard convention). Same machinery as
+    * [[kTruss]]'s support pass: sorted adjacency arrays +
+    * codegen'd intersect, one vertex-keyed aggregate, two edge-keyed
+    * joins, round(…,6) on the one division.
+    */
+  def nodeJaccard(pairs: DataFrame): DataFrame = {
+    val Array(a, b) = pairs.columns.take(2)
+    val p = pairs.select(
+        least(col(a), col(b)).cast("long").as("x"),
+        greatest(col(a), col(b)).cast("long").as("y"))
+      .distinct().localCheckpoint(true)
+    val sym = p.select(col("x").as("u"), col("y").as("v"))
+      .union(p.select(col("y").as("u"), col("x").as("v")))
+    val adj = sym.groupBy(col("u").as("vtx"))
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    val inter = size(array_intersect(col("na.nbrs"), col("nb.nbrs")))
+      .cast("long")
+    p.join(adj.as("na"), col("x") === col("na.vtx"))
+      .join(adj.as("nb"), col("y") === col("nb.vtx"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        round(inter.cast("double") /
+          (size(col("na.nbrs")) + size(col("nb.nbrs")) - inter)
+            .cast("double"), 6).as("nbr_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Community boundary census over the [[labelPropagation]] vote: the
     * edge count per (community, community) pair — the inter-community
     * structure [[modularity]]'s per-community e_in can't see (WHICH

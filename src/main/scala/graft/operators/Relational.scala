@@ -692,6 +692,40 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Two-proportion z-test over a deterministic A/B assignment
+    * (arm = user_id mod 2): per-user conversion (any purchase), arm
+    * rates, and the pooled-variance z — the experiment-readout
+    * primitive. All counts are exact integers off ONE user-keyed
+    * aggregate + a two-row conditional pivot (no window); the z
+    * formula runs in double with the identical shape on both engines
+    * behind round(…,9), with all-converted / none-converted pools
+    * pinned to 0.0 (zero pooled variance).
+    */
+  def a38AbConversion(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val r = per.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      .agg(
+        sum(when(col("arm") === 0, col("n_users"))).as("n0"),
+        sum(when(col("arm") === 0, col("n_conv"))).as("c0"),
+        sum(when(col("arm") === 1, col("n_users"))).as("n1"),
+        sum(when(col("arm") === 1, col("n_conv"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    r.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      round(p0, 9).as("rate_a"), round(p1, 9).as("rate_b"),
+      when(col("c0") + col("c1") === 0 ||
+          col("c0") + col("c1") === col("n0") + col("n1"), lit(0.0))
+        .otherwise(round((p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0").cast("double")
+            + lit(1.0) / col("n1").cast("double"))), 9)).as("z"))
+  }
+
   /** Seasonal-naive forecast error (MASE shape): per event type, the
     * mean absolute error of the week-ago-count forecast, scaled by the
     * lag-1 naive error — the standard "is there real weekly structure

@@ -403,6 +403,23 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("a38AbConversion: hand-checked pooled z over parity arms") {
+    // arm 0 = users 2,4 (user 2 converts); arm 1 = users 1,3 (none)
+    val ev = Seq(
+      (1L, 1L, "click"), (2L, 2L, "purchase"), (3L, 3L, "view"),
+      (4L, 4L, "click"), (5L, 2L, "click"))
+      .toDF("event_id", "user_id", "event_type")
+    val out = Relational.a38AbConversion(ev)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    // z = 0.5 / sqrt(0.25·0.75·(1/2+1/2)) = 1.154700538
+    assert(out == ((2L, 1L, 2L, 0L, 0.5, 0.0, 1.154700538)), out)
+    // degenerate all-converted pool pins z to 0.0
+    val all = Seq((1L, 1L, "purchase"), (2L, 2L, "purchase"))
+      .toDF("event_id", "user_id", "event_type")
+    assert(Relational.a38AbConversion(all)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()._7 == 0.0)
+  }
+
   test("jsonlPermissiveCensus: planted corrupt lines are counted, not dropped") {
     val docs = Seq((1L, "plain"), (13L, "will corrupt"),
       (14L, "quote \" and tab\t survive escaping"))

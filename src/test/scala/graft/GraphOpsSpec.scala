@@ -300,6 +300,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
   }
 
+  test("nodeJaccard: triangle edges agree 1/3, the pendant edge scores 0") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.nodeJaccard(pairs)
+      .as[(Long, Long, Double)].collect().toSeq
+    // edge (1,2): N(1)={2,3}, N(2)={1,3} -> ∩ {3}, ∪ size 3 -> 1/3;
+    // (1,3): N(3)={1,2,9} -> ∩ {2}, ∪ 2+3-1=4 -> 0.25; pendant (3,9):
+    // N(9)={3} shares nothing with N(3)
+    assert(got == Seq(
+      (1L, 2L, 0.333333), (1L, 3L, 0.25), (2L, 3L, 0.25),
+      (3L, 9L, 0.0)), got)
+  }
+
   test("kTruss: cliques keep their edges, chains and lone triangles peel") {
     // 4-clique {1,2,3,4}: every edge has 2 witnesses (k=4 keeps);
     // triangle {10,11,12}: 1 witness each (k=4 peels, k=3 keeps);
