@@ -687,6 +687,16 @@ object SparkEntry {
     // pooled-variance two-proportion z
     "a38_ab_conversion" -> ((s, d) =>
       Relational.a38AbConversion(t(s, d)("events"))),
+    // whales readout: top-1%/top-10% user share of total value
+    "a39_pareto_share" -> ((s, d) =>
+      Relational.a39ParetoShare(t(s, d)("events"))),
+    // dedup run report chart #1: cluster-size histogram
+    "dedup_cluster_sizes" -> ((s, d) => GraphOps.clusterSizeHistogram(
+      DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
+    // exact mean pairwise cosine per label pair via the sum-vector
+    // identity — the O(N²) census at O(labels²·dim) cost
+    "sim_separability" -> ((s, d) =>
+      SimilarityOps.labelSeparability(t(s, d)("embeddings"))),
     // structural confidence per near-dup edge: do the endpoints'
     // neighborhoods agree too?
     "dedup_node_jaccard" -> ((s, d) => GraphOps.nodeJaccard(
@@ -4653,6 +4663,66 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // exact decimal user totals, ceil(n*p) integer cutoffs, round-9
+    // shares — the ranking window runs over the USER aggregate
+    "a39_pareto_share" ->
+      """WITH per AS (SELECT user_id,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, SUM(v) AS total
+        |  FROM per),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, user_id) AS rnk
+        |  FROM per)
+        |SELECT t.n_users, CAST(t.total AS DOUBLE) AS total_value,
+        |  round(CAST(SUM(CASE WHEN rnk <= ceil(t.n_users * 0.01)
+        |      THEN v ELSE 0 END) AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
+        |    AS top1_share,
+        |  round(CAST(SUM(CASE WHEN rnk <= ceil(t.n_users * 0.10)
+        |      THEN v ELSE 0 END) AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
+        |    AS top10_share
+        |FROM r CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+    // recursive component closure -> size histogram
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |szs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY 1)
+         |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same fixed-point normalized component sums, then the
+    // sum-vector identity per label pair (self-pairs subtract n)
+    "sim_separability" ->
+      """WITH nrm AS (SELECT label, list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(
+        |      range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
+        |    AS eh
+        |  FROM embeddings),
+        |c AS (SELECT label, i AS pos,
+        |    SUM(CAST(floor(eh[i] * 1e12) AS HUGEINT)) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM nrm, unnest(range(1, len(eh) + 1)) t(i)
+        |  GROUP BY 1, 2),
+        |cells AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(a.s * b.s) AS d, MAX(a.nl) AS n_a, MAX(b.nl) AS n_b
+        |  FROM c a JOIN c b ON a.pos = b.pos AND a.label <= b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b, n_a, n_b,
+        |  CASE WHEN label_a = label_b AND n_a > 1 THEN
+        |    round((CAST(d AS DOUBLE) / 1e24 - CAST(n_a AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE)
+        |        - CAST(n_a AS DOUBLE)), 9)
+        |  WHEN label_a = label_b THEN 0.0
+        |  ELSE round((CAST(d AS DOUBLE) / 1e24)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9) END AS mean_cos
+        |FROM cells ORDER BY 1, 2""".stripMargin,
     // one user-keyed aggregate + conditional pivot; z in the identical
     // double shape, degenerate pools pinned
     "a38_ab_conversion" ->

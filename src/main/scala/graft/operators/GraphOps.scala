@@ -589,6 +589,19 @@ object GraphOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-cluster size histogram: how many near-dup clusters of
+    * each member count exist — the first chart of every dedup run
+    * report (a fat tail of giant clusters means template farms; all
+    * size-2 means borderline pairings). [[connectedComponents]] then
+    * two group-scale aggregates; singletons (docs in no pair) are NOT
+    * counted — this is a census of the pair graph's clusters.
+    */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("sz")
+
   /** Per-edge neighborhood Jaccard — the structural-confidence score
     * for candidate pairs: a near-dup edge whose endpoints ALSO share
     * most neighbors sits inside a real dup cluster; one with disjoint

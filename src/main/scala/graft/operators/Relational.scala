@@ -692,6 +692,38 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Revenue-concentration census (Pareto/Lorenz readout): what share
+    * of total event value do the top 1% / top 10% of users carry? The
+    * "whales" number every engagement dashboard leads with, and the
+    * Lorenz complement of [[a21Gini]]'s single coefficient. Per-user
+    * totals are exact decimals off ONE user-keyed aggregate; ranking
+    * is a window over the USER aggregate (dimension-scale, the
+    * [[a35RfmSegments]] posture); cutoffs use ceil(n·p) integer
+    * arithmetic so the cohort is engine-identical; shares divide in
+    * double behind round(…,9).
+    */
+  def a39ParetoShare(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
+    val w = Window.orderBy(col("v").desc, col("user_id"))
+    val ranked = per.withColumn("rnk", row_number().over(w))
+    val tot = per.agg(count(lit(1)).as("n_users"),
+      sum(col("v")).as("total"))
+    ranked.crossJoin(broadcast(tot)) // single-row totals
+      .select(col("n_users"), col("total"), col("v"),
+        col("rnk") <= ceil(col("n_users") * 0.01) as "in1",
+        col("rnk") <= ceil(col("n_users") * 0.10) as "in10")
+      .groupBy("n_users")
+      .agg(max(col("total")).as("total"),
+        sum(when(col("in1"), col("v")).otherwise(lit(0))).as("s1"),
+        sum(when(col("in10"), col("v")).otherwise(lit(0))).as("s10"))
+      .select(col("n_users"), col("total").cast("double").as("total_value"),
+        round(col("s1").cast("double") / col("total").cast("double"), 9)
+          .as("top1_share"),
+        round(col("s10").cast("double") / col("total").cast("double"), 9)
+          .as("top10_share"))
+  }
+
   /** Two-proportion z-test over a deterministic A/B assignment
     * (arm = user_id mod 2): per-user conversion (any purchase), arm
     * rates, and the pooled-variance z — the experiment-readout

@@ -717,6 +717,47 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  /** Label-separability matrix: the EXACT mean pairwise cosine within
+    * and across labels, from the sum-vector identity — never a pair
+    * join. With normalized vectors â, Σ_{a∈l1,b∈l2} cos(a,b) =
+    * S_{l1}·S_{l2} where S_l = Σ_{a∈l} â; so inter-label mean =
+    * S_a·S_b/(n_a n_b) and intra-label mean = (S_l·S_l − n_l)/(n_l²−n_l)
+    * (the self-pairs each contribute exactly 1). That turns an O(N²)
+    * all-pairs census into ONE label×dim aggregate + a |labels|²-cell
+    * combine — the separability readout ("are my labels actually
+    * separated in embedding space?") at any corpus size. Per-component
+    * sums go fixed-point (floor(â·10¹²) decimals, the [[centroidDrift]]
+    * discipline) so the cross-row accumulation is order-free; the
+    * identity then holds to ~10⁻¹² and IDENTICALLY on both engines.
+    * Single-member labels pin their (empty) intra mean to 0.0.
+    */
+  def labelSeparability(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = withNorm(embeddings.select(col("label"), col("embedding")),
+      "embedding", "nrm")
+    val comps = e.select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"))
+          .as(Seq("pos", "xh")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("xh") * lit(1.0e12)).cast(DecimalType(38, 0)))
+        .as("s"), count(lit(1)).as("nl"))
+      .localCheckpoint(true) // |labels|·dim cells; both join sides
+    val cells = comps.as("a").join(comps.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") <= col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.s") * col("b.s")).as("d"),
+        max(col("a.nl")).as("n_a"), max(col("b.nl")).as("n_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val dd = col("d").cast("double") / lit(1.0e24)
+    cells.select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("label_a") === col("label_b") && col("n_a") > 1,
+          round((dd - na) / (na * na - na), 9))
+          .when(col("label_a") === col("label_b"), lit(0.0))
+          .otherwise(round(dd / (na * nb), 9)).as("mean_cos"))
+      .orderBy("label_a", "label_b")
+  }
+
   def normStats(embeddings: DataFrame): DataFrame =
     withNorm(embeddings.select(col("label"), col("embedding")),
       "embedding", "nrm")

@@ -403,6 +403,17 @@ class BreadthOps6Spec extends SparkSpec {
       .as[(Long, Long, Double)].head() == ((2L, 3L, 0.0)))
   }
 
+  test("a39ParetoShare: ceil cutoffs carve the whale cohorts exactly") {
+    // 20 users: u1=62, u2=20, 18 others at 1 → total 100;
+    // top-1% = ceil(0.2) = 1 user (62%), top-10% = 2 users (82%)
+    val ev = (Seq((101L, 1L, 62.0), (102L, 2L, 20.0)) ++
+      (3L to 20L).map(u => (100L + u, u, 1.0)))
+      .toDF("event_id", "user_id", "value")
+    val out = Relational.a39ParetoShare(ev)
+      .as[(Long, Double, Double, Double)].head()
+    assert(out == ((20L, 100.0, 0.62, 0.82)), out)
+  }
+
   test("a38AbConversion: hand-checked pooled z over parity arms") {
     // arm 0 = users 2,4 (user 2 converts); arm 1 = users 1,3 (none)
     val ev = Seq(

@@ -300,6 +300,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
   }
 
+  test("clusterSizeHistogram counts clusters per member count") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.clusterSizeHistogram(pairs)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L), (3L, 1L)), got)
+  }
+
   test("nodeJaccard: triangle edges agree 1/3, the pendant edge scores 0") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L)).toDF("doc_a", "doc_b")
     val got = GraphOps.nodeJaccard(pairs)

@@ -154,6 +154,18 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty, "LSH near-dup found nothing — buckets too fine")
   }
 
+  test("labelSeparability: sum-vector identity equals the pair census") {
+    // label 0: two copies of e_x (intra mean cos = 1); label 1: one
+    // e_y (intra pinned 0, singleton); inter 0-1: orthogonal -> 0
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.labelSeparability(e)
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 0, 2L, 2L, 1.0), (0, 1, 2L, 1L, 0.0),
+      (1, 1, 1L, 1L, 0.0)), got)
+  }
+
   test("filteredTopK: the label gate excludes a closer cross-label vector") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0),  // query
