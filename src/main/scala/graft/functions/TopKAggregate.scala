@@ -146,3 +146,136 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
     copy(score = newChildren(0), id = newChildren(1))
   override def prettyName: String = "top_k_agg"
 }
+
+/** [[TopKState]] with STRING ids — rank order (score desc, id asc by
+  * UTF8String binary compare, Spark's own string sort order and
+  * DuckDB's default collation, so the tie-break is engine-identical).
+  */
+final class TopKStrState(val k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  val scores = new Array[Double](k)
+  val ids = new Array[UTF8String](k)
+  var n: Int = 0
+
+  @inline private def better(s: Double, i: UTF8String, j: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(j))
+    c > 0 || (c == 0 && i.compareTo(ids(j)) < 0)
+  }
+
+  def insert(s: Double, i: UTF8String): Unit = {
+    if (n == k && !better(s, i, n - 1)) return
+    var pos = if (n == k) n - 1 else n
+    while (pos > 0 && better(s, i, pos - 1)) pos -= 1
+    // SET semantics, as in [[TopKState]]: the identical (score, id)
+    // pair is the same logical row seen again — merge stays idempotent
+    if (pos > 0 &&
+      java.lang.Double.compare(scores(pos - 1), s) == 0 &&
+      ids(pos - 1).compareTo(i) == 0)
+      return
+    var j = math.min(n, k - 1)
+    while (j > pos) {
+      scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
+    }
+    scores(pos) = s; ids(pos) = i
+    if (n < k) n += 1
+  }
+}
+
+/** [[TopKAgg]] over string-keyed rows — the per-document term ranker
+  * (top-k terms by tf-idf, keywords, labels): the same bounded
+  * map-side-combining shape, but the id is the term itself, so a
+  * doc-partitioned `row_number` window (which shuffles and sorts every
+  * (doc, term) row) collapses to a k-rows-per-group exchange. Emits
+  * `array<struct<score double, id string>>` in rank order.
+  */
+case class TopKStrAgg(score: Expression, id: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrState] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k >= 1, "top_k_str_agg needs k >= 1")
+
+  override def children: Seq[Expression] = score :: id :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k_str_agg expects (double score, string id), got $other")
+    }
+
+  override def createAggregationBuffer(): TopKStrState = new TopKStrState(k)
+
+  override def update(buf: TopKStrState, input: InternalRow): TopKStrState = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      // clone: the input row's bytes are buffer-backed and reused
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone())
+    buf
+  }
+
+  override def merge(a: TopKStrState, b: TopKStrState): TopKStrState = {
+    var j = 0
+    while (j < b.n) { a.insert(b.scores(j), b.ids(j)); j += 1 }
+    a
+  }
+
+  override def eval(buf: TopKStrState): Any = {
+    val rows = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      rows(j) = InternalRow(buf.scores(j), buf.ids(j))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKStrState): Array[Byte] = {
+    var size = 4
+    var j = 0
+    while (j < buf.n) { size += 8 + 4 + buf.ids(j).numBytes(); j += 1 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.n)
+    j = 0
+    while (j < buf.n) {
+      bb.putDouble(buf.scores(j))
+      val bytes = buf.ids(j).getBytes
+      bb.putInt(bytes.length)
+      bb.put(bytes)
+      j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new TopKStrState(k)
+    var j = 0
+    while (j < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      st.insert(s, UTF8String.fromBytes(arr))
+      j += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStrAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStrAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+  override def prettyName: String = "top_k_str_agg"
+}

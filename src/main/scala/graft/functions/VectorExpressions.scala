@@ -296,6 +296,14 @@ object GraftFunctions {
       ColumnShim.expression(score), ColumnShim.expression(id), k)
       .toAggregateExpression())
 
+  /** [[top_k_agg]] with string ids (score desc, id asc binary) — the
+    * per-document term ranker; see [[TopKStrAgg]].
+    */
+  def top_k_str_agg(score: Column, id: Column, k: Int): Column =
+    ColumnShim.column(TopKStrAgg(
+      ColumnShim.expression(score), ColumnShim.expression(id), k)
+      .toAggregateExpression())
+
   /** ≤k Misra–Gries heavy-hitter candidates (superset of every item
     * with frequency > n/(k+1)) — see [[MGCandidates]].
     */

@@ -36,17 +36,37 @@ object GraphOps {
     * from the checkpoint, not a job restart from scratch. The hardened
     * choice for long 100 TB runs; local (default) is faster when
     * executors are stable.
+    *
+    * `smallGraphThreshold` gates a driver union-find fast path — the
+    * AQE-broadcast discipline applied to an iterative algorithm: one
+    * COUNT over the (persisted) edge list decides, and a graph at or
+    * under the threshold (default 2²⁰ edges ≈ 16 MB — the same order
+    * as a broadcast side) is collected and solved in one pass instead
+    * of paying 3-5 distributed jobs per pointer-jumping round. ER/dedup
+    * pair graphs are candidate-scale (LSH/blocking already pruned
+    * them), so in practice this is the common case even at large
+    * corpus sizes — while a pair graph that outgrows the threshold
+    * falls back to the unchanged distributed loop. Labels are
+    * identical on both paths (component = min reachable id).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      smallGraphThreshold: Long = 1L << 20): DataFrame = {
     checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     // one knob for both snapshot flavors; always eager (the round's
     // plan must truncate NOW, not at some later action)
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val Array(a, b) = edges.columns.take(2)
-    val sym = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
-      .union(edges.select(col(b).cast("long").as("u"), col(a).cast("long").as("v")))
+    val e = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    if (m <= smallGraphThreshold) {
+      val rows = e.collect() // bounded by the threshold gate above
+      e.unpersist(blocking = false)
+      return driverUnionFind(edges.sparkSession, rows)
+    }
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // label(u) starts at min(u, best neighbor) — one round of
@@ -73,21 +93,78 @@ object GraphOps {
         .select(col("u"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // (b) pointer jump: follow the label one hop through the label
-      // table itself — halves remaining chain length every round
-      val jumped = snap(stepped.as("s")
-        .join(stepped.as("l"), col("s.label") === col("l.u"), "left")
-        .select(col("s.u").as("u"),
-          least(col("s.label"), coalesce(col("l.label"), col("s.label"))).as("label")))
-      val s = checksum(jumped)
-      stepped.unpersist(blocking = false)
-      labels = jumped
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      // fixpoint check BEFORE the jump: if the neighbor-min step moved
+      // nothing, the labeling is stable under propagation and the
+      // pointer jump (pure acceleration) cannot move it either — the
+      // confirming round then costs one cached aggregate instead of a
+      // self-join + eager snapshot. The checksum action also warms the
+      // cache the jump reads when the round does continue.
+      val sStep = checksum(stepped)
+      if (sStep.compareTo(prevSum) == 0) {
+        stepped.unpersist(blocking = false)
+        converged = true
+      } else {
+        // (b) pointer jump: follow the label one hop through the label
+        // table itself — halves remaining chain length every round
+        val jumped = snap(stepped.as("s")
+          .join(stepped.as("l"), col("s.label") === col("l.u"), "left")
+          .select(col("s.u").as("u"),
+            least(col("s.label"), coalesce(col("l.label"), col("s.label"))).as("label")))
+        // labels only decrease, so checksum(jumped) <= sStep < prevSum
+        // here — a post-jump convergence test would never fire
+        prevSum = checksum(jumped)
+        stepped.unpersist(blocking = false)
+        labels = jumped
+      }
       i += 1
     }
     sym.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     labels.select(col("u").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Weighted union-find with path compression over a collected edge
+    * list, re-labeled so component = min member id (the distributed
+    * loop's contract). Only reachable through the size gate in
+    * [[connectedComponents]] — the input is ≤ `smallGraphThreshold`
+    * rows by construction.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val rank = scala.collection.mutable.LongMap.empty[Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path
+        x = parent(x)
+      }
+      x
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) {
+        val (kx, ky) = (rank.getOrElse(rx, 0), rank.getOrElse(ry, 0))
+        if (kx < ky) parent(rx) = ry
+        else if (ky < kx) parent(ry) = rx
+        else { parent(ry) = rx; rank(rx) = kx + 1 }
+      }
+    }
+    rows.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      union(u, v)
+    }
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+    }
+    val labels = parent.keys.toArray.sorted.map(n => (n, minOfRoot(find(n))))
+    import spark.implicits._
+    labels.toSeq.toDF("doc_id", "component")
   }
 
   /** Labels are node ids (non-negative) and only ever decrease, so the
@@ -148,10 +225,14 @@ object GraphOps {
     * categorical attribute, ties to the bytewise-smallest value; max
     * for the size field; min doc_id as the stable record key).
     * Unmatched records are their own entity. Mode is computed WITHOUT
-    * per-entity arrays or windows: one (entity, value)-keyed count,
-    * one entity-keyed max, one join-back + min — three group-scale
-    * keyed aggregates, the [[labelPropagation]] vote shape, safe for
-    * an entity of any member count.
+    * per-entity arrays or windows — and the per-attribute votes are
+    * FUSED: both categorical attributes melt (`stack`) into one
+    * (entity, attr, value)-keyed count, one (entity, attr)-keyed max,
+    * one join-back + min, and one entity-keyed un-melt — a single
+    * vote pipeline instead of one per attribute (halves the shuffles
+    * and the join-backs to `base`), the [[labelPropagation]] vote
+    * shape, safe for an entity of any member count. `tagged` is
+    * persisted, not checkpointed: nothing downstream is iterative.
     */
   def goldenRecords(records: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
@@ -159,20 +240,22 @@ object GraphOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("entity_id", coalesce(col("component"), col("doc_id")))
-      .localCheckpoint(true) // feeds base + one vote per fused attribute
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds base + the fused vote
     val base = tagged.groupBy("entity_id")
       .agg(count(lit(1)).as("n_members"),
         min(col("doc_id")).as("canonical_doc"),
         max(col("n_chars")).as("max_chars"))
-    def modeOf(c: String): DataFrame = {
-      val cells = tagged.groupBy(col("entity_id"), col(c))
-        .agg(count(lit(1)).as("n"))
-      val mx = cells.groupBy("entity_id").agg(max(col("n")).as("mx"))
-      cells.join(mx, "entity_id").filter(col("n") === col("mx"))
-        .groupBy("entity_id").agg(min(col(c)).as(c))
-    }
-    base.join(modeOf("lang"), "entity_id")
-      .join(modeOf("source"), "entity_id")
+    val cells = tagged.selectExpr("entity_id",
+        "stack(2, 'lang', lang, 'source', source) AS (attr, value)")
+      .groupBy("entity_id", "attr", "value").agg(count(lit(1)).as("n"))
+    val mx = cells.groupBy("entity_id", "attr").agg(max(col("n")).as("mx"))
+    val fused = cells.join(mx, Seq("entity_id", "attr"))
+      .filter(col("n") === col("mx"))
+      .groupBy("entity_id", "attr").agg(min(col("value")).as("value"))
+      .groupBy("entity_id")
+      .agg(max(when(col("attr") === "lang", col("value"))).as("lang"),
+        max(when(col("attr") === "source", col("value"))).as("source"))
+    base.join(fused, "entity_id")
       .select(col("entity_id"), col("n_members"), col("canonical_doc"),
         col("lang"), col("source"), col("max_chars"))
       .orderBy("entity_id")
@@ -548,6 +631,29 @@ object GraphOps {
     * labelPropagation]] bounded-round discipline), mirrored exactly by
     * the oracle's unrolled rounds.
     */
+  /** Degree-probe ladder for the `adjSlices` hot-vertex guard — the
+    * LSH plane-ladder discipline applied to adjacency arrays: ONE
+    * cheap degree aggregate over the (distinct, ordered) pair list
+    * picks the slice count so no vertex's per-slice neighbor array
+    * exceeds ~`sliceCap` entries. On the tested corpora max degree
+    * sits far under the cap (probe returns 1 — plan unchanged), but a
+    * hub whose basket degree grows with corpus size now engages
+    * slicing automatically instead of building one giant array.
+    * Results-invariant: slicing only reshapes the plan (per-slice
+    * intersect counts SUM to the unsliced count), so no oracle mirror
+    * is needed — unlike the LSH plane ladder, which changes candidate
+    * sets and must be mirrored.
+    */
+  def adjSlicesFor(pairs: DataFrame, sliceCap: Int = 4096): Int = {
+    val Array(a, b) = pairs.columns.take(2)
+    val sym = pairs.select(col(a).cast("long").as("u"))
+      .union(pairs.select(col(b).cast("long").as("u")))
+    val r = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head()
+    val maxDeg = if (r.isNullAt(0)) 0L else r.getLong(0)
+    math.max(1, math.ceil(maxDeg.toDouble / sliceCap).toInt)
+  }
+
   def kTruss(pairs: DataFrame, k: Int = 4, rounds: Int = 3,
       adjSlices: Int = 1): DataFrame = {
     require(k >= 3 && rounds >= 1 && adjSlices >= 1,

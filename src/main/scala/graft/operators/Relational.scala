@@ -869,14 +869,29 @@ object Relational {
     */
   def j11AssocRules(lineitem: DataFrame, minCount: Long = 3,
       topK: Int = 20): DataFrame = {
+    // persist, not localCheckpoint: the incidence list feeds three
+    // consumers but nothing is iterative — cached lineage beats the
+    // eager materialize + serialized round trip (the d8bd56e lesson)
     val items = lineitem.select(col("l_orderkey").as("ord"),
       col("l_partkey").as("item")).distinct()
-      .localCheckpoint(true) // feeds pairs + item counts + order count
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairCnt = items.as("a").join(items.as("b"),
         col("a.ord") === col("b.ord") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("part_a"), col("b.item").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
+    j11AssocRulesFrom(items, pairCnt, minCount, topK)
+  }
+
+  /** [[j11AssocRules]] over PRE-BUILT basket frames — the entry point
+    * for the shared persisted co-order graph (`SparkEntry.BasketGraph`):
+    * `items` = distinct (ord, item) incidence list, `pairCounts` =
+    * distinct ordered pairs with exact co-order counts. Building the
+    * pair frame once and scoring/peeling/wedging it from the cache is
+    * what keeps the suite's biggest shuffle from running three times.
+    */
+  def j11AssocRulesFrom(items: DataFrame, pairCounts: DataFrame,
+      minCount: Long = 3, topK: Int = 20): DataFrame = {
+    val pairCnt = pairCounts.filter(col("n_ab") >= minCount)
     val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
     val total = items.select(col("ord")).distinct().agg(count(lit(1)).as("n_orders"))
     pairCnt
@@ -2068,19 +2083,24 @@ object Relational {
       sum(col("t").cast(DecimalType(38, 0)) * col("t") * col("t") - col("t"))
         .as("tie_sum"),
       sum(col("t")).cast(DecimalType(38, 0)).as("n"))
+    // N³−N for the tie guard/denominator is cubed in DOUBLE, not
+    // decimal: a decimal cube overflows precision 38 past ~1e12 pooled
+    // rows and (ANSI off) silently nulls h. Exactness is not needed
+    // here — the guard compares doubles anyway, and both engines run
+    // the identical ((n·n)·n)−n IEEE tree, so parity is unaffected.
+    val nd = col("n").cast("double")
+    val n3n = nd * nd * nd - nd
     perType.agg(count(lit(1)).as("k"), sum(col("n_i")).as("n_check"),
         sum(col("term")).as("term_sum"))
       .crossJoin(ties) // single-row tie totals
       .select(col("k"), col("n").cast("long").as("n"),
         round(
-          when(col("tie_sum").cast("double") ===
-              (col("n") * col("n") * col("n") - col("n")).cast("double"), 0.0d)
+          when(col("tie_sum").cast("double") === n3n, 0.0d)
             .otherwise(
               (lit(3.0d) * col("term_sum").cast("double")
                 / (col("n").cast("double") * (col("n").cast("double") + 1))
                 - lit(3.0d) * (col("n").cast("double") + 1))
-              / (lit(1.0d) - col("tie_sum").cast("double")
-                / (col("n") * col("n") * col("n") - col("n")).cast("double"))),
+              / (lit(1.0d) - col("tie_sum").cast("double") / n3n)),
           9).as("h"))
   }
 

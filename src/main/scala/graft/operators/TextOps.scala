@@ -303,19 +303,27 @@ object TextOps {
     *
     * Scale shape: tf is one map-side-combining groupBy on (doc, term);
     * the document-frequency table is VOCABULARY-bounded, so it joins
-    * back by broadcast — no shuffle of the tf rows on term; the only
-    * other exchange is the per-doc top-K window on doc_id. Scores are
-    * rounded to 6 decimals on both engines so a ±1-ulp `ln` difference
-    * can never reorder the ranking.
+    * back by broadcast — no shuffle of the tf rows on term; and the
+    * per-doc top-K is the bounded [[graft.functions.TopKStrAgg]], so
+    * only K terms per doc per partition cross the one remaining
+    * exchange (a doc-partitioned window would shuffle AND sort every
+    * (doc, term) row). The selected ≤K·docs pairs then broadcast back
+    * onto the cached tf scan to re-attach tf/df — no tf shuffle
+    * anywhere. Scores are rounded to 6 decimals on both engines so a
+    * ±1-ulp `ln` difference can never reorder the ranking.
     */
   def tfidfTopTerms(documents: DataFrame, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.top_k_str_agg
     // tf is PER-ROW: a doc's tokens all live in its own row, so the
-    // fused kernel counts them in one pass — no (doc, term) shuffle
+    // fused kernel counts them in one pass — no (doc, term) shuffle.
+    // PERSISTED: tf feeds the df aggregation, the ranking pass and the
+    // final re-attach join; without the cache the explode kernel (the
+    // operator's only corpus-scale pass) runs three times.
     val tf = documents
       .select(col("doc_id"), explode(graft.functions.GraftFunctions
         .word_term_freqs(col("text"))).as("tfs"))
       .select(col("doc_id"), col("tfs.term").as("term"), col("tfs.tf").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // tf rows are distinct (doc, term), so df = row count per term.
     // The broadcast table is BOUNDED to the top-2²¹ terms by df (the
     // oovRatio / bigram-model vocab discipline — a saturating real
@@ -328,14 +336,22 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(1 << 21)
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
-    tf.join(broadcast(dfreq), Seq("term"), "left_outer")
+    // rank with the bounded aggregate (score desc, term asc — the
+    // row_number window's exact tie order), then re-attach tf/df by
+    // broadcasting the ≤K·docs selection back onto the cached tf scan
+    val sel = tf.join(broadcast(dfreq), Seq("term"), "left_outer")
       .crossJoin(broadcast(nDocs))
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0d) / (col("df") + 1.0d)), 6))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
-      .filter(col("rnk") <= topK)
+      .groupBy("doc_id")
+      .agg(top_k_str_agg(col("tfidf"), col("term"), topK).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("col.id").as("term"),
+        col("col.score").as("tfidf"), (col("pos") + 1).cast("int").as("rnk"))
+    tf.join(broadcast(sel), Seq("doc_id", "term"))
+      .join(broadcast(dfreq), Seq("term"), "left_outer")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
   }
 

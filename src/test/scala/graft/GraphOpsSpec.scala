@@ -23,11 +23,28 @@ class GraphOpsSpec extends SparkSpec {
 
   test("connectedComponents: long path converges within the iteration cap") {
     // a 64-node path has diameter 63; pointer jumping must close it in
-    // far fewer than 63 rounds (log-ish), well inside maxIter=25
+    // far fewer than 63 rounds (log-ish), well inside maxIter=25.
+    // smallGraphThreshold = 0 forces the DISTRIBUTED loop — the size
+    // gate would otherwise route a 63-edge graph to the driver path
     val edges = (1L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = GraphOps.connectedComponents(edges).as[(Long, Long)].collect()
+    val got = GraphOps.connectedComponents(edges, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect()
     assert(got.length == 64)
     assert(got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents: driver fast path and distributed loop agree") {
+    // path + island pair + triangle + a star, labeled identically by
+    // both paths (component = min reachable id is the shared contract)
+    val edges = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)) ++
+      (31L to 38L).map(i => (30L, i))).toDF("doc_a", "doc_b")
+    val viaDriver = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = GraphOps.connectedComponents(edges, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    assert(viaDriver(38L) == 30L && viaDriver(4L) == 1L)
   }
 
   test("pageRank: 3 fixed-point power steps match a hand-run integer mirror") {
@@ -63,9 +80,11 @@ class GraphOpsSpec extends SparkSpec {
       (2L, 1L), (2L, 3L), (3L, 4L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
-    val local = GraphOps.connectedComponents(edges)
+    // threshold 0: the checkpoint flag only matters on the loop path
+    val local = GraphOps.connectedComponents(edges, smallGraphThreshold = 0)
       .as[(Long, Long)].collect().toMap
-    val reliable = GraphOps.connectedComponents(edges, checkpointDir = Some(dir))
+    val reliable = GraphOps.connectedComponents(edges,
+        checkpointDir = Some(dir), smallGraphThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(reliable == local)
     // the reliable path really wrote checkpoint files to the directory

@@ -796,6 +796,18 @@ class PlansSpec extends SparkSpec {
       s"Q12 band counts must partially aggregate map-side:\n${p12.take(2000)}")
   }
 
+  test("tfidfTopTerms: bounded string-keyed heap, no per-doc Window") {
+    val df = graft.operators.TextOps.tfidfTopTerms(
+      Tables(spark, sf0001, "documents"), 5)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("partial_top_k_str_agg"),
+      s"per-doc top-K must combine map-side (bounded heap):\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"no doc-partitioned ranking window allowed — it would shuffle and " +
+        s"sort every (doc, term) row:\n${p.take(3000)}")
+  }
+
   test("invertedIndex: bounded heap aggregate, no Window, df fused in the same pass") {
     val df = graft.operators.TextOps.invertedIndex(
       Tables(spark, sf0001, "documents"))
