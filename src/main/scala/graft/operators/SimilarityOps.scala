@@ -325,7 +325,9 @@ object SimilarityOps {
     * one O(dim) codegen'd dot per pair and a band-keyed count. Band
     * edges floor the bit-identical cosine (ordered accumulation on
     * both engines), so last-bit drift cannot move a pair across a
-    * band. Output is ≤ 40 rows regardless of corpus size.
+    * band. Output is ≤ 41 rows regardless of corpus size: cosine spans
+    * [−1, 1], so floor(sim·20) yields bands −20..20 (pairs at exactly
+    * 1.0 — byte-identical docs — land in band 20).
     */
   /** Hyperplane count for the banded LSH, derived from the corpus size
     * so expected bucket occupancy stays bounded: a FIXED plane count
@@ -726,9 +728,16 @@ object SimilarityOps {
     * all-pairs census into ONE label×dim aggregate + a |labels|²-cell
     * combine — the separability readout ("are my labels actually
     * separated in embedding space?") at any corpus size. Per-component
-    * sums go fixed-point (floor(â·10¹²) decimals, the [[centroidDrift]]
-    * discipline) so the cross-row accumulation is order-free; the
-    * identity then holds to ~10⁻¹² and IDENTICALLY on both engines.
+    * sums go fixed-point (floor(â·10⁶) decimals, the [[centroidDrift]]
+    * discipline) so the cross-row accumulation is order-free and
+    * IDENTICAL on both engines; the identity holds to the ~10⁻⁶
+    * quantization (well inside the round-9 barrier's stability). The
+    * scale is 10⁶, NOT the 10¹² of the per-label sums elsewhere: the
+    * pair cell multiplies two component sums, so a 10¹² scale costs
+    * 10²⁴ of the DECIMAL(38,0) headroom and overflows (silently
+    * nulling mean_cos) once a label holds ~10⁶ vectors — at 10⁶ the
+    * product term is nl²·10¹², good to ~10¹² vectors per label (and
+    * the same headroom math protects the oracle's HUGEINT).
     * Single-member labels pin their (empty) intra mean to 0.0.
     */
   def labelSeparability(embeddings: DataFrame): DataFrame = {
@@ -739,7 +748,7 @@ object SimilarityOps {
         posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"))
           .as(Seq("pos", "xh")))
       .groupBy("label", "pos")
-      .agg(sum(floor(col("xh") * lit(1.0e12)).cast(DecimalType(38, 0)))
+      .agg(sum(floor(col("xh") * lit(1.0e6)).cast(DecimalType(38, 0)))
         .as("s"), count(lit(1)).as("nl"))
       .localCheckpoint(true) // |labels|·dim cells; both join sides
     val cells = comps.as("a").join(comps.as("b"),
@@ -749,7 +758,7 @@ object SimilarityOps {
         max(col("a.nl")).as("n_a"), max(col("b.nl")).as("n_b"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
-    val dd = col("d").cast("double") / lit(1.0e24)
+    val dd = col("d").cast("double") / lit(1.0e12)
     cells.select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         when(col("label_a") === col("label_b") && col("n_a") > 1,
           round((dd - na) / (na * na - na), 9))
