@@ -146,8 +146,8 @@ object Cli {
 
   private def describeFields(opts: Map[String, String]): Seq[SfField] =
     SfTransports.get(required(opts, "transport"))
-      .describe(required(opts, "object"))
-      .map(m => SfField(m.name, m.sfType, m.length, m.precision, m.scale, m.nillable))
+      .describeWithIndexes(required(opts, "object"))
+      .map(_.toSfField)
 
   /** `tabledesc.py` + `createtable.py`: field inventory and the DDL the
     * destination would get.
@@ -157,8 +157,13 @@ object Cli {
     val fields = describeFields(opts)
     fields.foreach(f => out(
       s"${f.name}\t${f.sfType}\tlen=${f.length}\tnillable=${f.nillable}"))
-    out(SfSchema.createTableDdl(opts.getOrElse("schema", "salesforce"), obj,
-      SfSchema.defaultSelection(fields)))
+    // full bootstrap script: CREATE TABLE + indexes + optional GRANT
+    // (`createtable.py:87-127`; --grant-to ↔ config `grant_to`)
+    SfSchema.createScript(opts.getOrElse("schema", "salesforce"), obj,
+      SfSchema.defaultSelection(fields),
+      mappingIndexed = opts.get("indexed-fields")
+        .map(_.split(",").toSet).getOrElse(Set.empty),
+      grantTo = opts.get("grant-to")).foreach(out)
   }
 
   private def readObject(opts: Map[String, String]): DataFrame = {

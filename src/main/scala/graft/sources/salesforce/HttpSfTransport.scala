@@ -188,10 +188,16 @@ final class HttpSfTransport(
   // ---- SfTransport ----------------------------------------------------
 
   /** GET sobjects/{name}/describe → field metadata
-    * (`api.py:555-567`, consumed by `tabledesc.py:24-33`).
+    * (`api.py:555-567`, consumed by `tabledesc.py:24-33`) — the FULL
+    * attribute record the mapping rules key off: `calculated` and
+    * `compoundFieldName` (default-selection exclusions), `unique` and
+    * `defaultValue` (column DDL). `isIndexed` is NOT in describe — it
+    * merges from [[fieldIndexes]] via `describeWithIndexes`.
     */
   override def describe(objectName: String): Seq[SfFieldMeta] = {
     val json = restGetJson(restBase + s"sobjects/$objectName/describe")
+    def optNode(f: JsonNode, key: String): Option[JsonNode] =
+      Option(f.get(key)).filterNot(_.isNull)
     json.get("fields").elements().asScala.map { f =>
       SfFieldMeta(
         name = f.get("name").asText(),
@@ -199,9 +205,31 @@ final class HttpSfTransport(
         length = if (f.has("length")) f.get("length").asInt() else 0,
         precision = if (f.has("precision")) f.get("precision").asInt() else 0,
         scale = if (f.has("scale")) f.get("scale").asInt() else 0,
-        nillable = !f.has("nillable") || f.get("nillable").asBoolean())
+        nillable = !f.has("nillable") || f.get("nillable").asBoolean(),
+        unique = f.path("unique").asBoolean(false),
+        calculated = f.path("calculated").asBoolean(false),
+        compoundFieldName = optNode(f, "compoundFieldName").map(_.asText()),
+        defaultValue = optNode(f, "defaultValue").map(JsonWire.scalar))
     }.toSeq
   }
+
+  /** FieldDefinition IsIndexed fetch (`tabledesc.py:35-51`): the table
+    * requires a reified-column filter (an unfiltered scan is a
+    * MALFORMED_QUERY per the reference's note), so the SOQL pins
+    * EntityDefinitionId — one paginated REST query, QualifiedApiName →
+    * IsIndexed.
+    */
+  override def fieldIndexes(objectName: String): Map[String, Boolean] =
+    restQueryRows("FieldDefinition", Seq("QualifiedApiName", "IsIndexed"),
+        Some(s"EntityDefinitionId='$objectName'"), limit = None,
+        includeDeleted = false)
+      .flatMap { r =>
+        r.get("QualifiedApiName").map(_.toString -> (r.get("IsIndexed") match {
+          case Some(b: Boolean) => b
+          case Some(x) => x.toString.equalsIgnoreCase("true")
+          case None => false
+        }))
+      }.toMap
 
   private def queryEndpoint(includeDeleted: Boolean): String =
     if (includeDeleted) "queryAll/" else "query/"

@@ -50,10 +50,11 @@ class SalesforceSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val obj = required(options, "object")
-    val metas = transport(options).describe(obj)
-    val fields = metas.map(m => SfField(m.name, m.sfType, m.length,
-      m.precision, m.scale, m.nillable))
-    SfSchema.structType(fields)
+    // describeWithIndexes, not raw describe: the struct flatten keys
+    // off compoundFieldName and the drop rules off calculated — over
+    // the HTTP transport those only exist on the merged record
+    val metas = transport(options).describeWithIndexes(obj)
+    SfSchema.structType(metas.map(_.toSfField))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

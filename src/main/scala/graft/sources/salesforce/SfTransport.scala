@@ -13,6 +13,28 @@ trait SfTransport extends Serializable {
   /** describe(): field metadata for an object (`tabledesc.py:24-33`). */
   def describe(objectName: String): Seq[SfFieldMeta]
 
+  /** QualifiedApiName → IsIndexed from the FieldDefinition table
+    * (`tabledesc.py:35-51`) — describe alone does not report index
+    * state, and the secondary-index DDL generator keys off it. Default
+    * empty: transports without the endpoint (the mock seeds
+    * `isIndexed` directly in its schema) merge nothing.
+    */
+  def fieldIndexes(objectName: String): Map[String, Boolean] = Map.empty
+
+  /** [[describe]] merged with [[fieldIndexes]] — the reference's
+    * `get_sf_fields` (`tabledesc.py:53-77`): describe is the base
+    * record, FieldDefinition contributes IsIndexed by QualifiedApiName
+    * (FieldDefinition rows naming fields describe doesn't carry are
+    * dropped, the reference's warning branch). This is the entry point
+    * schema/mapping/DDL consumers should use — raw [[describe]] is the
+    * wire primitive.
+    */
+  def describeWithIndexes(objectName: String): Seq[SfFieldMeta] = {
+    val idx = fieldIndexes(objectName)
+    describe(objectName).map(f =>
+      idx.get(f.name).fold(f)(b => f.copy(isIndexed = b)))
+  }
+
   /** Total record count for a SOQL (`query.py:53-65` COUNT pushdown);
     * the query/queryAll endpoint split governs deleted-row visibility.
     */
@@ -97,8 +119,23 @@ trait SfTransport extends Serializable {
   def recordDelete(objectName: String, recordId: String): Int
 }
 
+/** The transport-level image of one describe field record — the full
+  * attribute set `types.SfField` consumes downstream: `calculated` and
+  * `compoundFieldName` drive the default-selection exclusions,
+  * `unique`/`defaultValue` land in column DDL, `isIndexed` (merged
+  * from FieldDefinition, not describe) gates secondary-index DDL
+  * (`tabledesc.py:24-77`, `createtable.py:87-127`).
+  */
 final case class SfFieldMeta(name: String, sfType: String, length: Int = 0,
-    precision: Int = 0, scale: Int = 0, nillable: Boolean = true)
+    precision: Int = 0, scale: Int = 0, nillable: Boolean = true,
+    unique: Boolean = false, calculated: Boolean = false,
+    compoundFieldName: Option[String] = None,
+    defaultValue: Option[Any] = None, isIndexed: Boolean = false) {
+  /** Field-for-field into the schema/DDL model. */
+  def toSfField: graft.types.SfField =
+    graft.types.SfField(name, sfType, length, precision, scale, nillable,
+      unique, calculated, compoundFieldName, defaultValue, isIndexed)
+}
 
 /** JVM-local transport registry: the connector's options carry a
   * transport NAME, and partition readers resolve it lazily — nothing

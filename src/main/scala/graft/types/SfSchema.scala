@@ -181,4 +181,26 @@ object SfSchema {
       .map(f =>
         s"CREATE INDEX ON ${quote(schema)}.${quote(table)} (${quote(f.name)})")
   }
+
+  /** GRANT SELECT for the replicated table — the read-out role grant
+    * the reference appends to its create script when `grant_to` is
+    * configured (`createtable.py:124-126`, `config.py:35`; the install
+    * script grants schema usage the same way, `install.sql`).
+    */
+  def grantDdl(schema: String, table: String, grantTo: String,
+      quote: String => String = identity): String =
+    s"GRANT SELECT ON ${quote(schema)}.${quote(table)} TO ${quote(grantTo)}"
+
+  /** The full bootstrap statement list — the image of
+    * `get_pgsql_create` (`createtable.py:87-127`): CREATE TABLE, one
+    * CREATE INDEX per mapping-and-SF-indexed field, and (when a
+    * grantee is configured) the GRANT.
+    */
+  def createScript(schema: String, table: String, fields: Seq[SfField],
+      mappingIndexed: Set[String] = Set.empty,
+      grantTo: Option[String] = None,
+      quote: String => String = identity): Seq[String] =
+    Seq(createTableDdl(schema, table, fields, quote)) ++
+      createIndexDdl(schema, table, fields, mappingIndexed, quote) ++
+      grantTo.map(g => grantDdl(schema, table, g, quote))
 }

@@ -11,7 +11,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.BeforeAndAfterAll
 
 import graft.reverse.{BulkUpload, UploadTransports}
-import graft.sources.salesforce.{CsvWire, HttpSfTransport, SfTransports}
+import graft.sources.salesforce.{CsvWire, HttpSfTransport, MockSfTransport, SfFieldMeta, SfTransports}
 
 /** The real HTTP transport against recorded protocol fixtures served by
   * a local JDK HttpServer — the same request/response shapes the
@@ -31,6 +31,34 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
       |{"name":"Id","type":"id","length":18,"nillable":false},
       |{"name":"Name","type":"string","length":80,"nillable":true},
       |{"name":"NumEmployees","type":"int","nillable":true}
+      |]}""".stripMargin
+
+  // rich describe (Lead) for the mapping-rule attributes: compound
+  // parent+member, a formula field, unique and defaultValue — plus the
+  // FieldDefinition records that contribute IsIndexed (describe itself
+  // never carries index state; `tabledesc.py:35-77` merges the two)
+  private val LeadDescribeJson =
+    """{"name":"Lead","fields":[
+      |{"name":"Id","type":"id","length":18,"nillable":false},
+      |{"name":"Name","type":"string","length":121,"nillable":true,
+      | "compoundFieldName":null},
+      |{"name":"FirstName","type":"string","length":40,"nillable":true,
+      | "compoundFieldName":"Name"},
+      |{"name":"Email","type":"email","length":80,"nillable":true,
+      | "unique":true},
+      |{"name":"IsActive","type":"boolean","nillable":false,
+      | "defaultValue":true},
+      |{"name":"Score__c","type":"double","precision":18,"scale":2,
+      | "nillable":true,"calculated":true}
+      |]}""".stripMargin
+  private val LeadFieldDefJson =
+    """{"totalSize":3,"done":true,"records":[
+      |{"attributes":{"type":"FieldDefinition","url":"/x"},
+      | "QualifiedApiName":"Id","IsIndexed":true},
+      |{"attributes":{"type":"FieldDefinition","url":"/x"},
+      | "QualifiedApiName":"Email","IsIndexed":true},
+      |{"attributes":{"type":"FieldDefinition","url":"/x"},
+      | "QualifiedApiName":"Ghost__c","IsIndexed":true}
       |]}""".stripMargin
 
   private def rec(id: String, name: String, n: Long): String =
@@ -153,6 +181,12 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
               """{"deletedRecords":[{"id":"001Z","deletedDate":"2024-01-15T08:30:00.000Z"}],
                 |"earliestDateAvailable":"2024-01-01T00:00:00.000+0000",
                 |"latestDateCovered":"2024-02-01T00:00:00.000+0000"}""".stripMargin)
+          case ("GET", "/services/data/v52.0/sobjects/Lead/describe") =>
+            respond(ex, LeadDescribeJson)
+          case ("GET", p) if p.startsWith("/services/data/v52.0/query")
+              && q.contains("FROM FieldDefinition") =>
+            seen.put("fieldDefSoql", q)
+            respond(ex, LeadFieldDefJson)
           case ("GET", p) if p.startsWith("/services/data/v52.0/query") =>
             seen.put("querySoql", q)
             if (q.startsWith("SELECT COUNT()")) respond(ex,
@@ -268,6 +302,48 @@ class HttpSfTransportSpec extends SparkSpec with BeforeAndAfterAll {
     assert(seen("describeAuth") == "Bearer SESSION-TOKEN")
     // quota observability: Sforce-Limit-Info parsed off the response
     assert(t.apiUsage.contains(graft.sources.salesforce.ApiUsage(18L, 15000L)))
+  }
+
+  test("describeWithIndexes: full mapping attributes + FieldDefinition merge") {
+    val t = transport()
+    val metas = t.describeWithIndexes("Lead")
+    // the FieldDefinition SOQL pins the reified-column filter the
+    // table requires (tabledesc.py:40-44)
+    assert(seen("fieldDefSoql") ==
+      "SELECT QualifiedApiName,IsIndexed FROM FieldDefinition" +
+        " WHERE EntityDefinitionId='Lead'")
+    // field-for-field identical to what the mock path would seed — the
+    // HTTP transport no longer degrades the mapping attributes
+    val expected = Seq(
+      SfFieldMeta("Id", "id", length = 18, nillable = false, isIndexed = true),
+      SfFieldMeta("Name", "string", length = 121),
+      SfFieldMeta("FirstName", "string", length = 40,
+        compoundFieldName = Some("Name")),
+      SfFieldMeta("Email", "email", length = 80, unique = true,
+        isIndexed = true),
+      SfFieldMeta("IsActive", "boolean", nillable = false,
+        defaultValue = Some(true)),
+      SfFieldMeta("Score__c", "double", precision = 18, scale = 2,
+        calculated = true))
+    assert(metas == expected)
+    val mock = new MockSfTransport(Map("Lead" -> expected), Map.empty)
+    assert(mock.describeWithIndexes("Lead") == metas)
+    // a FieldDefinition row naming a field describe doesn't carry is
+    // dropped (the reference's warning branch)
+    assert(!metas.exists(_.name == "Ghost__c"))
+    // and the merged record drives mapping + DDL over the wire: the
+    // formula and the compound member fall out of default selection,
+    // UNIQUE / DEFAULT / the secondary index render from the fetched
+    // attributes
+    val fields = metas.map(_.toSfField)
+    val selected = graft.types.SfSchema.defaultSelection(fields)
+    assert(selected.map(_.name) == Seq("Id", "Name", "Email", "IsActive"))
+    val ddl = graft.types.SfSchema.createTableDdl("sf", "lead", fields)
+    assert(ddl.contains("Email") && ddl.contains("UNIQUE"))
+    assert(ddl.contains("DEFAULT true"))
+    val idx = graft.types.SfSchema.createIndexDdl("sf", "lead", fields,
+      mappingIndexed = Set("Email", "Name"))
+    assert(idx == Seq("CREATE INDEX ON sf.lead (Email)"))
   }
 
   test("REST query follows nextRecordsUrl across pages and strips NUL") {

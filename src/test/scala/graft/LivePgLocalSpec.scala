@@ -102,6 +102,26 @@ class LivePgLocalSpec extends AnyFunSuite with BeforeAndAfterAll {
       == "Ada/12.50")
   }
 
+  test("bootstrap GRANT executes and actually confers SELECT") {
+    live()
+    val fields = Seq(
+      SfField("Id", "string", length = 18, nillable = false),
+      SfField("Name", "string", length = 80, isIndexed = true))
+    psql("CREATE SCHEMA IF NOT EXISTS salesforce")
+    psql("DROP ROLE IF EXISTS graft_readers")
+    psql("CREATE ROLE graft_readers")
+    SfSchema.createScript("salesforce", "Granted", fields,
+        mappingIndexed = Set("Name"), grantTo = Some("graft_readers"), q)
+      .foreach(psql(_))
+    // the grant is real: PG reports SELECT privilege for the role
+    assert(psql("""SELECT has_table_privilege('graft_readers',
+      '"salesforce"."Granted"', 'SELECT')""") == "t")
+    // and the index DDL took effect alongside it
+    assert(psql("""SELECT count(*) FROM pg_indexes
+      WHERE schemaname = 'salesforce' AND tablename = 'Granted'
+        AND indexdef LIKE '%Name%'""") == "1")
+  }
+
   test("golden ON CONFLICT merge + anti-delete mutate real rows") {
     live()
     psql("""CREATE TABLE dest ("Id" TEXT PRIMARY KEY, "Name" TEXT, "IsDeleted" BOOLEAN)""")

@@ -88,6 +88,23 @@ class TypesSpec extends AnyFunSuite {
     assert(ddl.contains("Email VARCHAR(80) UNIQUE"))
   }
 
+  test("bootstrap script: table + index + GRANT (createtable.py:87-127)") {
+    val fields = Seq(
+      SfField("Id", "id", length = 18, nillable = false),
+      SfField("Email", "email", length = 80, unique = true, isIndexed = true),
+      SfField("Name", "string", length = 80, isIndexed = true))
+    val script = SfSchema.createScript("salesforce", "Contact", fields,
+      mappingIndexed = Set("Email"), grantTo = Some("readers"))
+    assert(script.length == 3)
+    assert(script(0).startsWith("CREATE TABLE salesforce.Contact"))
+    // only mapping ∩ SF-indexed gets an index; the PK never does
+    assert(script(1) == "CREATE INDEX ON salesforce.Contact (Email)")
+    assert(script(2) == "GRANT SELECT ON salesforce.Contact TO readers")
+    // no grantee configured -> no GRANT statement (config.py:35 default)
+    assert(SfSchema.createScript("salesforce", "Contact", fields,
+      Set("Email")).length == 2)
+  }
+
   test("sql const rendering escapes quotes (createtable.py:38-45)") {
     assert(SfSchema.sqlConst("o'brien") == "'o''brien'")
     assert(SfSchema.sqlConst(false) == "false")
