@@ -72,8 +72,14 @@ object ScaleProbe {
 
   private val IdOffset = 100000000L
 
+  /** The hub-guarded basket operators — the only sensible probe set
+    * under hub-growth staging (everything else sees unchanged inputs).
+    */
+  val HubGrowthQueries: Seq[String] =
+    Seq("graph_link_predict", "graph_ktruss", "j11_assoc_rules")
+
   private def stage(spark: SparkSession, src: String, dir: String,
-      mult: Int): Unit = {
+      mult: Int, hubGrowth: Boolean): Unit = {
     val published = new java.io.File(dir)
     if (published.exists()) return
     require(mult <= VowelPerms.size,
@@ -105,16 +111,24 @@ object ScaleProbe {
     copies(emb) { (e, k) =>
       e.withColumn("vec_id", col("vec_id") + lit(k * IdOffset))
     }.write.parquet(s"$tmp/embeddings.parquet")
-    // basket-graph inputs: order AND part keys offset per copy, so the
-    // scaled corpus is `mult` disjoint basket graphs — "10× more
-    // orders over 10× more parts at the same basket density", linear
-    // edge growth (offsetting only orders would instead densify every
-    // part's co-order neighborhood quadratically — a data-semantics
-    // change, not a scale test)
+    // basket-graph inputs, two deliberately different scalings:
+    //  - default: order AND part keys offset per copy → `mult` disjoint
+    //    basket graphs — "10× more orders over 10× more parts at the
+    //    same basket density", linear edge growth. This is the SCALE
+    //    test, but it holds per-part degree constant, so it can never
+    //    expose a hub-growth failure.
+    //  - hubGrowth: only order keys offset → the same parts appear in
+    //    `mult`× more orders, so every part's co-order degree grows
+    //    ~`mult`× (quadratic candidate blowup by data semantics). This
+    //    is NOT a throughput test — it's the adversarial staging that
+    //    verifies the hub GUARDS (the degree-64 wedge-center cap, the
+    //    adjSlicesFor ladder) actually engage and keep the operators
+    //    bounded instead of minting d² work per hub.
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     copies(li) { (l, k) =>
-      l.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
-        .withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
+      val o = l.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
+      if (hubGrowth) o
+      else o.withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
     }.write.parquet(s"$tmp/lineitem.parquet")
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"ScaleProbe: could not publish $tmp -> $published")
@@ -131,19 +145,25 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_HUBGROWTH=1: the adversarial shared-hot-vertex
+    // staging + the hub-guarded probe set; writes SCALE_PROBE_HUB.json
+    val hubGrowth = sys.env.get("SPARK_GRAFT_HUBGROWTH").contains("1")
+    val baseSet = if (hubGrowth) HubGrowthQueries else DefaultQueries
     val names = SparkEntry.onlySubset() match {
-      case Some(only) => DefaultQueries.filter(only)
-      case None => DefaultQueries
+      case Some(only) => baseSet.filter(only)
+      case None => baseSet
     }
     // mtime-keyed like the other stagings: regenerated testdata must
     // re-stage, never reuse a stale scaled corpus
     val srcM = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$src/events.parquet")).toMillis
     // v2: lineitem joined the staged set — a v1 dir must not be reused
-    val dir = s"/tmp/graft_scale${mult}_v2_" +
+    val flavor = if (hubGrowth) "hub" else "v2"
+    val dir = s"/tmp/graft_scale${mult}_${flavor}_" +
       src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
-    System.err.println(s"[scale] staging ${mult}x of $src -> $dir")
-    stage(spark, src, dir, mult)
+    System.err.println(s"[scale] staging ${mult}x of $src -> $dir" +
+      (if (hubGrowth) " (hub-growth: shared part keys)" else ""))
+    stage(spark, src, dir, mult, hubGrowth)
 
     def time(name: String, d: String): Double = {
       val t0 = System.nanoTime()
@@ -173,12 +193,15 @@ object ScaleProbe {
     val qs = rows.map { case (n, b, s, r) =>
       s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_probe","mult":$mult,""" +
+    val metric = if (hubGrowth) "scale_probe_hub" else "scale_probe"
+    val line = s"""{"metric":"$metric","mult":$mult,""" +
       s""""total_base":${fmt(rows.map(_._2).sum)},""" +
       s""""total_scaled":${fmt(rows.map(_._3).sum)},""" +
       s""""queries":$qs,"src":"$src"}"""
     println(line)
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+    val outFile =
+      if (hubGrowth) "SCALE_PROBE_HUB.json" else "SCALE_PROBE.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

@@ -287,8 +287,7 @@ object GraphOps {
     // the whole candidate join (measured 3.5 s -> ~2 s at sf0.1).
     // cliqueDensity checkpoints upstream and calls edgeTriangles
     // directly, so this copy happens exactly once per raw entry.
-    val e = edges.select(col(aCol).as(aCol), col(bCol).as(bCol))
-      .localCheckpoint(true)
+    val e = stagePersist(edges.select(col(aCol).as(aCol), col(bCol).as(bCol)))
     edgeTriangles(e, aCol, bCol, adjSlices)
       .agg(coalesce(sum(col("tri")), lit(0L))
         .cast("bigint").as("n_triangles"))
@@ -373,7 +372,7 @@ object GraphOps {
     * 0.0 on both engines.
     */
   def clusteringCoefficient(pairs: DataFrame, adjSlices: Int = 1): DataFrame = {
-    val e = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val e = stagePersist(pairs.select(col("doc_a"), col("doc_b")))
     val tri = edgeTriangles(e, "doc_a", "doc_b", adjSlices)
       .agg(coalesce(sum(col("tri")), lit(0L)).cast("bigint").as("n_triangles"))
     val wedges = e.select(col("doc_a").as("v"))
@@ -410,7 +409,7 @@ object GraphOps {
     // an InMemoryRelation pins the consumer joins' strategies at
     // compile time, while the checkpointed RDD leaves runtime
     // broadcast conversion available
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val p = stagePersist(pairs.select(col("doc_a"), col("doc_b")))
     val labels = connectedComponents(p) // (doc_id, component), checkpointed
     val byA = labels.withColumnRenamed("doc_id", "a")
     val nodes = labels.groupBy("component")
@@ -631,6 +630,22 @@ object GraphOps {
     * labelPropagation]] bounded-round discipline), mirrored exactly by
     * the oracle's unrolled rounds.
     */
+  /** persist + eager one-pass materialize — the non-iterative staging
+    * discipline (the `d8bd56e` commonNeighbors measurement: an eager
+    * `localCheckpoint` on a non-iterative frame costs ~40% of operator
+    * wall in extra materialize + serialized round trip). The count
+    * populates the cache up front so concurrent consumer branches of
+    * the one downstream job read it instead of racing to recompute the
+    * (typically LSH/SimHash band-join) input. Iterative loops keep
+    * their per-round checkpoints — THOSE exist to truncate lineage,
+    * which persist cannot do.
+    */
+  private def stagePersist(df: DataFrame): DataFrame = {
+    val out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    out
+  }
+
   /** Degree-probe ladder for the `adjSlices` hot-vertex guard — the
     * LSH plane-ladder discipline applied to adjacency arrays: ONE
     * cheap degree aggregate over the (distinct, ordered) pair list
@@ -721,10 +736,10 @@ object GraphOps {
     */
   def nodeJaccard(pairs: DataFrame): DataFrame = {
     val Array(a, b) = pairs.columns.take(2)
-    val p = pairs.select(
+    val p = stagePersist(pairs.select(
         least(col(a), col(b)).cast("long").as("x"),
         greatest(col(a), col(b)).cast("long").as("y"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     val sym = p.select(col("x").as("u"), col("y").as("v"))
       .union(p.select(col("y").as("u"), col("x").as("v")))
     val adj = sym.groupBy(col("u").as("vtx"))
@@ -750,8 +765,8 @@ object GraphOps {
     */
   def communityEdges(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val Array(a, b) = pairs.columns.take(2)
-    val p = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
-      .localCheckpoint(true)
+    val p = stagePersist(pairs.select(
+      col(a).cast("long").as("x"), col(b).cast("long").as("y")))
     val labels = labelPropagation(p, rounds)
     p.join(labels.select(col("doc_id").as("x"), col("label").as("la")), "x")
       .join(labels.select(col("doc_id").as("y"), col("label").as("lb")), "y")
@@ -783,15 +798,14 @@ object GraphOps {
     // and when `pairs` is a SimHash band join, leaving it lazy
     // re-derives that candidate join per consumer (the pageRank /
     // cliqueDensity discipline)
-    val p = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
-      .localCheckpoint(true)
+    val p = stagePersist(pairs.select(
+      col(a).cast("long").as("x"), col(b).cast("long").as("y")))
     val sym = p.select(col("x").as("u"), col("y").as("v"))
       .union(p.select(col("y").as("u"), col("x").as("v")))
     // deg is VERTEX-scale and feeds two consumers (the cross-term
-    // join and the closing moment join) — checkpoint it so the
-    // edge-scale degree aggregation runs once (the pageRank ladder)
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // join and the closing moment join) — cache it so the edge-scale
+    // degree aggregation runs once (the pageRank ladder)
+    val deg = stagePersist(sym.groupBy("u").agg(count(lit(1)).as("d")))
     def d38(c: Column) = c.cast(DecimalType(38, 0))
     // degree-moment form: over the SYMMETRIC directed-edge list the
     // source-side and target-side sums coincide exactly (every vertex
@@ -848,8 +862,8 @@ object GraphOps {
     import graft.functions.GraftFunctions.top_k_agg
     require(rounds >= 1 && k >= 2, s"need rounds>=1, k>=2; got $rounds, $k")
     val Array(a, b) = pairs.columns.take(2)
-    val p = pairs.select(col(a).cast("long").as("x"), col(b).cast("long").as("y"))
-      .localCheckpoint(true)
+    val p = stagePersist(pairs.select(
+      col(a).cast("long").as("x"), col(b).cast("long").as("y")))
     val sym = p.select(col("x").as("u"), col("y").as("v"))
       .union(p.select(col("y").as("u"), col("x").as("v")))
     def h(c: Column) =
