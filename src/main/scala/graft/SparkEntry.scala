@@ -299,6 +299,8 @@ object SparkEntry {
         .groupBy(col("lang_label"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_label", "lang_pred")),
+    // chance-corrected classifier audit of the lang-ID heuristic
+    "text_langid_kappa" -> ((s, d) => TextOps.langIdKappa(t(s, d)("documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d)("documents"), 5).orderBy("doc_id", "rnk")),
@@ -722,6 +724,12 @@ object SparkEntry {
     // whales readout: top-1%/top-10% user share of total value
     "a39_pareto_share" -> ((s, d) =>
       Relational.a39ParetoShare(t(s, d)("events"))),
+    // exact tie-corrected ROC-AUC: does value separate purchases?
+    "a40_auc" -> ((s, d) => Relational.a40Auc(t(s, d)("events"))),
+    // deterministic Poisson bootstrap: replicate means -> 95% CI for
+    // the mean purchase value (integer hash weights, no RNG)
+    "a41_bootstrap_ci" -> ((s, d) =>
+      Relational.a41BootstrapCi(t(s, d)("events"))),
     // dedup run report chart #1: cluster-size histogram
     "dedup_cluster_sizes" -> ((s, d) => GraphOps.clusterSizeHistogram(
       DedupOps.minhashLsh(t(s, d)("documents")).select("doc_a", "doc_b"))),
@@ -1042,6 +1050,8 @@ object SparkEntry {
     // sanity gate for "predicted next action" features
     "w27_markov_accuracy" -> ((s, d) =>
       Relational.w27MarkovAccuracy(t(s, d)("events"))),
+    // weekly cohort retention matrix (first-week cohorts, age cells)
+    "w28_retention" -> ((s, d) => Relational.w28Retention(t(s, d)("events"))),
     // per-label centroid cosine vs the global centroid (embedding
     // drift screen; fixed-point component sums)
     "sim_centroid_drift" -> ((s, d) =>
@@ -1091,6 +1101,8 @@ object SparkEntry {
     // one-query corpus release card: volume, dup mass, median length,
     // language shares as (metric, value) rows
     "pipe_dataset_card" -> ((s, d) => PipelineOps.datasetCard(t(s, d)("documents"))),
+    // order-invariant content digest per source (dataset versioning)
+    "pipe_dataset_hash" -> ((s, d) => PipelineOps.datasetHash(t(s, d)("documents"))),
     // deterministic source-mixture interleave: src0 at 2x, src1 at 4x
     // the base rate — the data-mixing order of a training stream
     "pipe_interleave" -> ((s, d) => PipelineOps.interleaveBySource(
@@ -2129,6 +2141,22 @@ object SparkEntry {
     // composed clean: same signal definitions as text_quality /
     // text_langid / dedup_exact, dedup survivor chosen among ALL docs,
     // then the quality + language gates
+    // 48-bit md5-prefix row hashes, order-free exact sums per source
+    "pipe_dataset_hash" ->
+      """WITH h AS (SELECT source,
+        |    CAST(list_sum(list_transform(range(1, 13),
+        |      i -> (strpos('0123456789abcdef', substr(md5(
+        |        CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
+        |        || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)),
+        |        i, 1)) - 1) * power(16, 12 - i))) AS BIGINT) AS h
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    SUM(CAST(h AS HUGEINT)) AS digest FROM h GROUP BY 1)
+        |SELECT source, n_rows, CAST(digest AS VARCHAR) AS digest FROM ps
+        |UNION ALL
+        |SELECT '__all__', CAST(SUM(n_rows) AS BIGINT),
+        |  CAST(SUM(digest) AS VARCHAR) FROM ps
+        |ORDER BY source""".stripMargin,
     "pipe_dataset_card" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,
@@ -3201,6 +3229,35 @@ object SparkEntry {
          |  CASE $caseChain ELSE 'und' END AS lang_pred,
          |  score_en, score_de, score_es, score_fr, score_zh
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_langid_kappa" -> {
+      val scoreCols = TextOpsOracle.langScoreCols(
+        "regexp_extract_all(lower(text), '[a-z0-9]+')")
+      val caseChain = TextOpsOracle.langCaseChain
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS lang_label,
+         |    $scoreCols
+         |  FROM documents),
+         |conf AS (SELECT lang_label,
+         |    CASE $caseChain ELSE 'und' END AS lang_pred, COUNT(*) AS c
+         |  FROM s GROUP BY 1, 2),
+         |rows_ AS (SELECT lang_label AS l, SUM(c) AS rn FROM conf GROUP BY 1),
+         |cols_ AS (SELECT lang_pred AS l, SUM(c) AS cn FROM conf GROUP BY 1),
+         |ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN lang_label = lang_pred THEN c ELSE 0 END)
+         |      AS BIGINT) AS diag
+         |  FROM conf),
+         |pe AS (SELECT COALESCE(SUM(CAST(rn AS HUGEINT) * cn),
+         |    CAST(0 AS HUGEINT)) AS rc
+         |  FROM rows_ JOIN cols_ USING (l))
+         |SELECT n, diag,
+         |  round(CASE WHEN CAST(rc AS DOUBLE) =
+         |      CAST(n AS DOUBLE) * CAST(n AS DOUBLE) THEN 0.0
+         |    ELSE (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - CAST(rc AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         |      / (1.0 - CAST(rc AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 9) AS kappa
+         |FROM ag CROSS JOIN pe""".stripMargin
     },
     "text_lang_confusion" -> {
       val scoreCols = TextOpsOracle.langScoreCols(
@@ -4630,6 +4687,21 @@ object SparkEntry {
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // same transition cells; hits = argmax cell, steps = row sum —
     // ties cannot move the accuracy, only the reported label (MIN)
+    // integer week offsets (days // 7) from a fixed epoch; exact counts
+    "w28_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk FROM events),
+        |coh AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1),
+        |sizes AS (SELECT cohort_wk, COUNT(DISTINCT user_id) AS n_cohort
+        |  FROM coh GROUP BY 1),
+        |cells AS (SELECT c.cohort_wk, u.wk - c.cohort_wk AS age_wk,
+        |    COUNT(*) AS n_active
+        |  FROM uw u JOIN coh c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_wk, age_wk, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_cohort AS BIGINT) AS n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 9)
+        |    AS retention
+        |FROM cells JOIN sizes USING (cohort_wk) ORDER BY 1, 2""".stripMargin,
     "w27_markov_accuracy" ->
       """WITH tr AS (SELECT src_type, dst_type, COUNT(*) AS n FROM (
         |    SELECT event_type AS src_type,
@@ -4728,6 +4800,57 @@ object SparkEntry {
         |      THEN v ELSE 0 END) AS DOUBLE) / CAST(t.total AS DOUBLE), 9)
         |    AS top10_share
         |FROM r CROSS JOIN t GROUP BY 1, 2""".stripMargin,
+    // doubled tie-averaged ranks (integral), Mann-Whitney normalization
+    "a40_auc" ->
+      """WITH cells AS (SELECT value AS v, COUNT(*) AS t,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS tp
+        |  FROM events GROUP BY 1),
+        |rk AS (SELECT t, tp,
+        |  2 * COALESCE(SUM(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS dr
+        |  FROM cells)
+        |SELECT CAST(SUM(tp) AS BIGINT) AS n_pos,
+        |  CAST(SUM(t - tp) AS BIGINT) AS n_neg,
+        |  round((CAST(SUM(CAST(tp AS HUGEINT) * dr) AS DOUBLE)
+        |      - CAST(SUM(tp) AS DOUBLE) * (CAST(SUM(tp) AS DOUBLE) + 1))
+        |    / (2.0 * CAST(SUM(tp) AS DOUBLE) * CAST(SUM(t - tp) AS DOUBLE)),
+        |    9) AS auc
+        |FROM rk""".stripMargin,
+    // identical integer Poisson thresholds, fixed-point value sums,
+    // explicit rank interpolation for the CI
+    "a41_bootstrap_ci" -> {
+      val ladder = graft.operators.Relational.BootstrapCumP.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")
+      def pos(q: String) = s"((CAST(nb AS DOUBLE) - 1.0) * $q)"
+      def interp(q: String) =
+        s"""round(SUM(CASE
+           |    WHEN rk = CAST(floor(${pos(q)}) AS BIGINT) + 1
+           |      THEN boot_mean * (1.0 - (${pos(q)} - floor(${pos(q)})))
+           |    WHEN rk = CAST(floor(${pos(q)}) AS BIGINT) + 2
+           |      THEN boot_mean * (${pos(q)} - floor(${pos(q)}))
+           |    ELSE 0.0 END), 9)""".stripMargin
+      s"""WITH p AS (SELECT event_id, CAST(floor(value * 1e6) AS BIGINT) AS v6
+         |  FROM events WHERE event_type = 'purchase'),
+         |reps AS (SELECT event_id, v6, r FROM p, unnest(range(0, 32)) t(r)),
+         |u AS (SELECT v6, r, CAST(list_sum(list_transform(range(1, 9),
+         |    i -> (strpos('0123456789abcdef', substr(md5(
+         |      CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), i, 1))
+         |      - 1) * power(16, 8 - i))) AS BIGINT) AS h
+         |  FROM reps),
+         |w AS (SELECT v6, r, CASE $ladder ELSE 8 END AS w FROM u),
+         |means AS (SELECT r,
+         |    round(CAST(SUM(CAST(w * v6 AS HUGEINT)) AS DOUBLE) / 1e6
+         |      / CAST(SUM(w) AS DOUBLE), 9) AS boot_mean
+         |  FROM w GROUP BY r HAVING SUM(w) > 0),
+         |rk AS (SELECT r, boot_mean,
+         |    ROW_NUMBER() OVER (ORDER BY boot_mean, r) AS rk,
+         |    COUNT(*) OVER () AS nb
+         |  FROM means)
+         |SELECT CAST(MAX(nb) AS BIGINT) AS n_reps,
+         |  ${interp("0.025")} AS ci_lo,
+         |  ${interp("0.975")} AS ci_hi
+         |FROM rk""".stripMargin
+    },
     // recursive component closure -> size histogram
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,

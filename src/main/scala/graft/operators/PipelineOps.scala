@@ -576,6 +576,34 @@ object PipelineOps {
     baseRows.unionByName(langRows).orderBy("metric")
   }
 
+  /** Order-invariant dataset content fingerprint — the reproducibility
+    * primitive of dataset versioning: an integer digest per source
+    * plus the corpus rollup, computed as the exact-decimal SUM of a
+    * 48-bit md5 prefix over each row's canonical string. Addition is
+    * commutative, so the digest is independent of partitioning, task
+    * order, and file layout — two builds of "the same" dataset compare
+    * by one tiny table (the rows a `diff` would need 100 TB to check).
+    * 48 bits per row keeps every per-row term exact in the oracle's
+    * double-built integers while the decimal sum never wraps. One
+    * narrow map + one source-keyed aggregate; flat at any scale.
+    */
+  def datasetHash(documents: DataFrame): DataFrame = {
+    val canon = concat_ws("|", col("doc_id").cast("string"), col("lang"),
+      col("source"), col("n_chars").cast("string"), md5(col("text")))
+    val rowH = conv(substring(md5(canon), 1, 12), 16, 10).cast("long")
+    val perSource = documents
+      .select(col("source"), rowH.as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast(DecimalType(38, 0))).as("digest"))
+    perSource.unionByName(
+        perSource.groupBy(lit("__all__").as("source"))
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("digest")).as("digest")))
+      .select(col("source"), col("n_rows"),
+        col("digest").cast("string").as("digest"))
+      .orderBy("source")
+  }
+
   /** Deterministic exact-k uniform sample per stratum — "give me
     * exactly 40 docs per language, reproducibly" — via BOTTOM-k by
     * md5 priority through the bounded [[graft.functions.TopKAgg]]

@@ -2116,6 +2116,139 @@ object Relational {
     * broadcast-sized cell self-join — nothing row-scale past the first
     * shuffle.
     */
+  /** Exact tie-corrected ROC-AUC of a score column against a binary
+    * label — the evaluation primitive behind every "does this quality
+    * signal actually separate the classes" gate (here: does `value`
+    * predict purchases?). AUC is the Mann-Whitney statistic
+    * normalized: with doubled tie-averaged ranks R' (integral even
+    * under ties — the [[a33KruskalWallis]] trick),
+    * AUC = (ΣR'₊ − n₊(n₊+1)) / (2·n₊·n₋), integer-exact until the one
+    * final division behind a round(…,9) barrier. The rank window runs
+    * over DISTINCT score values only (value-cardinality-bounded, the
+    * [[a24KsTest]] 100 TB posture); everything else is two keyed
+    * integer aggregates.
+    */
+  def a40Auc(events: DataFrame): DataFrame = {
+    val cells = events.select(col("value"),
+        (col("event_type") === "purchase").cast("long").as("pos"))
+      .groupBy("value")
+      .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("cbefore", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("t"), col("tp"),
+        (lit(2) * col("cbefore") + col("t") + 1)
+          .cast(DecimalType(38, 0)).as("dr"))
+    ranked.agg(
+        sum(col("tp")).as("n_pos"),
+        sum(col("t") - col("tp")).as("n_neg"),
+        sum(col("tp").cast(DecimalType(38, 0)) * col("dr")).as("r2pos"))
+      .select(col("n_pos"), col("n_neg"),
+        round(
+          (col("r2pos").cast("double")
+            - col("n_pos").cast("double") * (col("n_pos").cast("double") + 1))
+          / (lit(2.0d) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          9).as("auc"))
+  }
+
+  /** Weekly cohort retention matrix — the activation/stickiness
+    * readout of every product-analytics stack: users bucket into the
+    * week of their first event (cohort), and each (cohort, age) cell
+    * counts users active `age` weeks later, with the rate against the
+    * cohort's size. Weeks are integer day-offsets div 7 from a fixed
+    * epoch (floor division — identical on both engines; no timezone
+    * or ISO-week convention in sight). Plan: one user-keyed min
+    * aggregate, one distinct (user, week) projection, one
+    * cohort×age-keyed count — map-side combining throughout, nothing
+    * row-scale past the first shuffle.
+    */
+  def w28Retention(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val week = (datediff(col("ts").cast("date"), lit(epoch).cast("date"))
+      .cast("long") / 7L).cast("long") // integer div: both positive
+    val uw = events.select(col("user_id"), week.as("wk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("age_wk"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 9)
+          .as("retention"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
+  /** Poisson(1) bootstrap thresholds: floor(cumP(k)·2³²) as exact
+    * integer literals, shared verbatim by the Spark expression and the
+    * SQL oracle — the replicate weight is a pure integer CASE ladder
+    * on a 32-bit md5-derived uniform, so both engines draw identical
+    * "resamples" with no float in the path.
+    */
+  val BootstrapCumP: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val cum = Iterator.iterate((e1, 0, e1)) { case (p, k, c) =>
+      val p2 = p / (k + 1); (p2, k + 1, c + p2)
+    }.take(8).map(_._3).toSeq
+    cum.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Deterministic Poisson bootstrap over the purchase values — the
+    * distributed bootstrap (each row enters replicate r with weight ~
+    * Poisson(1), drawn from a hash, so a resample never materializes
+    * and the pass is one map + one replicate-keyed aggregate). Emits
+    * the B replicate means plus the 95% percentile CI via explicit
+    * rank interpolation — every arithmetic step an identical IEEE
+    * shape on both engines (fixed-point value sums, integer weights,
+    * one final interpolation formula), so the whole bootstrap
+    * distribution hash-matches. The standard-error readout a mean
+    * without error bars is missing.
+    */
+  def a41BootstrapCi(events: DataFrame, b: Int = 32): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), floor(col("value") * 1e6).as("v6"))
+    val reps = purchases.select(col("event_id"), col("v6"),
+      explode(sequence(lit(0), lit(b - 1))).as("r"))
+    // u = first 8 md5 hex digits of "event_id:r" as a 32-bit integer
+    val u = conv(substring(md5(concat_ws(":",
+      col("event_id").cast("string"), col("r").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    // CASE u < t0 THEN 0 WHEN u < t1 THEN 1 … ELSE 8 — first match wins
+    val weight = BootstrapCumP.zipWithIndex
+      .foldLeft(Option.empty[Column]) { case (acc, (thr, k)) =>
+        Some(acc.fold(when(u < thr, lit(k.toLong)))(
+          _.when(u < thr, lit(k.toLong))))
+      }.get.otherwise(lit(8L))
+    val means = reps.select(col("r"), col("v6"), weight.as("w"))
+      .groupBy("r")
+      .agg(sum((col("w") * col("v6")).cast(DecimalType(38, 0))).as("s6"),
+        sum(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("r"),
+        round(col("s6").cast("double") / lit(1.0e6) / col("n").cast("double"), 9)
+          .as("boot_mean"))
+    // explicit 2.5/97.5 percentile interpolation over the sorted means
+    val wr = Window.orderBy(col("boot_mean"), col("r"))
+    val rankedM = means.withColumn("rk", row_number().over(wr))
+      .crossJoin(broadcast(means.agg(count(lit(1)).as("nb"))))
+    def interp(q: Double): Column = {
+      // pos = (nb-1)·q; lo = floor(pos)+1 as rank; frac = pos - floor
+      val pos = (col("nb").cast("double") - 1.0d) * lit(q)
+      val loRk = floor(pos).cast("long") + 1
+      val frac = pos - floor(pos)
+      sum(when(col("rk") === loRk,
+          col("boot_mean") * (lit(1.0d) - frac))
+        .when(col("rk") === loRk + 1, col("boot_mean") * frac)
+        .otherwise(lit(0.0d)))
+    }
+    rankedM.agg(max(col("nb")).as("n_reps"),
+        round(interp(0.025), 9).as("ci_lo"),
+        round(interp(0.975), 9).as("ci_hi"))
+  }
+
   def a34KendallTau(lineitem: DataFrame): DataFrame = {
     val cells = lineitem.select(
         col("l_quantity").cast("long").as("x"),

@@ -180,6 +180,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cohen's kappa between the [[languageId]] heuristic and the
+    * labeled `lang` column — chance-corrected agreement, the honest
+    * readout of a classifier audit (raw accuracy flatters any skewed
+    * label mix; kappa subtracts the agreement a label-marginal random
+    * guesser would get). κ = (p_o − p_e)/(1 − p_e) with p_o = Σdiag/N
+    * and p_e = Σ_k row_k·col_k/N², all integer-exact off the confusion
+    * matrix until two final double divisions behind a round(…,9)
+    * barrier. Plan: the label-pair census (bounded by |langs|²) plus
+    * label-scale marginal joins — nothing row-scale past the first
+    * keyed count.
+    */
+  def langIdKappa(documents: DataFrame): DataFrame = {
+    val conf = languageId(documents)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("lang_label").as("l")).agg(sum(col("c")).as("rn"))
+    val cols = conf.groupBy(col("lang_pred").as("l")).agg(sum(col("c")).as("cn"))
+    val agree = conf.agg(
+      sum(col("c")).as("n"),
+      sum(when(col("lang_label") === col("lang_pred"), col("c"))
+        .otherwise(lit(0L))).as("diag"))
+    val pe = rows.join(cols, "l")
+      .agg(coalesce(sum(col("rn").cast(DecimalType(38, 0)) * col("cn")),
+        lit(0).cast(DecimalType(38, 0))).as("rc"))
+    agree.crossJoin(pe) // two single-row frames
+      .select(col("n"), col("diag"),
+        round(
+          // degenerate pe = 1 (single class on both axes): agreement
+          // is total and chance-correction is undefined — pin to 0.0,
+          // mirrored in the oracle
+          when(col("rc").cast("double") ===
+              col("n").cast("double") * col("n").cast("double"), lit(0.0d))
+          .otherwise(
+            (col("diag").cast("double") / col("n").cast("double")
+              - col("rc").cast("double")
+                / (col("n").cast("double") * col("n").cast("double")))
+            / (lit(1.0d) - col("rc").cast("double")
+                / (col("n").cast("double") * col("n").cast("double")))),
+          9).as("kappa"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lower-cased
     * text (content-defined identity for exact dedup across formatting
     * variants), plus a coarse rolling-window fingerprint = md5 of the
