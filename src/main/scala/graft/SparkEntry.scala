@@ -301,6 +301,8 @@ object SparkEntry {
         .orderBy("lang_label", "lang_pred")),
     // chance-corrected classifier audit of the lang-ID heuristic
     "text_langid_kappa" -> ((s, d) => TextOps.langIdKappa(t(s, d)("documents"))),
+    // Heaps'-law vocabulary-growth fit (log-log OLS over 32 cuts)
+    "text_heaps_law" -> ((s, d) => TextOps.heapsLaw(t(s, d)("documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d)("documents"), 5).orderBy("doc_id", "rnk")),
@@ -554,6 +556,10 @@ object SparkEntry {
     // Jaccard per LSH pair — may "12/16 agree" stand in for J≈0.75?
     "dedup_minhash_calibration" -> ((s, d) =>
       DedupOps.minhashCalibration(t(s, d)("documents"))),
+    // pair/cluster/survivor sensitivity at three Jaccard cuts (one
+    // LSH+verify pass; per-cut components via the union-find path)
+    "dedup_threshold_sweep" -> ((s, d) =>
+      DedupOps.thresholdSweep(t(s, d)("documents"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
@@ -726,6 +732,8 @@ object SparkEntry {
       Relational.a39ParetoShare(t(s, d)("events"))),
     // exact tie-corrected ROC-AUC: does value separate purchases?
     "a40_auc" -> ((s, d) => Relational.a40Auc(t(s, d)("events"))),
+    // weekly DAU/WAU stickiness (engagement depth next to retention)
+    "w29_stickiness" -> ((s, d) => Relational.w29Stickiness(t(s, d)("events"))),
     // deterministic Poisson bootstrap: replicate means -> 95% CI for
     // the mean purchase value (integer hash weights, no RNG)
     "a41_bootstrap_ci" -> ((s, d) =>
@@ -877,6 +885,15 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
         .orderBy("doc_id")
+    }),
+    // per-image tonal entropy over the real decode (flat-frame screen)
+    "mm_image_entropy" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.imageEntropy(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
     }),
     // 16-band grayscale tone census over the real PNG decode
     "mm_gray_histogram" -> ((s, d) => {
@@ -1103,6 +1120,9 @@ object SparkEntry {
     "pipe_dataset_card" -> ((s, d) => PipelineOps.datasetCard(t(s, d)("documents"))),
     // order-invariant content digest per source (dataset versioning)
     "pipe_dataset_hash" -> ((s, d) => PipelineOps.datasetHash(t(s, d)("documents"))),
+    // diagonal-variance effective dimensionality of the embedding space
+    "sim_participation_ratio" -> ((s, d) =>
+      SimilarityOps.participationRatio(t(s, d)("embeddings"))),
     // deterministic source-mixture interleave: src0 at 2x, src1 at 4x
     // the base rate — the data-mixing order of a training stream
     "pipe_interleave" -> ((s, d) => PipelineOps.interleaveBySource(
@@ -3259,6 +3279,46 @@ object SparkEntry {
          |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 9) AS kappa
          |FROM ag CROSS JOIN pe""".stripMargin
     },
+    // first-seen vocabulary + token mass at 32 id-range cuts, log-log
+    // OLS in the a17 sufficient-statistic shape (round-12 ln barriers)
+    "text_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        |nv AS (SELECT (fd * 32) // (mx + 1) AS bucket, COUNT(*) AS v_new
+        |  FROM (SELECT term, MIN(doc_id) AS fd FROM tf GROUP BY 1)
+        |  CROSS JOIN mx GROUP BY 1),
+        |nt AS (SELECT (doc_id * 32) // (mx + 1) AS bucket, SUM(tf) AS t_new
+        |  FROM tf CROSS JOIN mx GROUP BY 1),
+        |pts AS (SELECT bucket,
+        |    SUM(t_new) OVER w AS cum_t, SUM(COALESCE(v_new, 0)) OVER w AS cum_v
+        |  FROM nt LEFT JOIN nv USING (bucket)
+        |  WINDOW w AS (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |xy AS (SELECT cum_t, cum_v,
+        |    round(ln(CAST(cum_t AS DOUBLE)), 12) AS x,
+        |    round(ln(CAST(cum_v AS DOUBLE)), 12) AS y
+        |  FROM pts WHERE cum_t > 0 AND cum_v > 0),
+        |sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(MAX(cum_t) AS BIGINT) AS total_tokens,
+        |    CAST(MAX(cum_v) AS BIGINT) AS total_vocab,
+        |    SUM(CAST(x AS DECIMAL(24,14))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(24,14))) AS sy,
+        |    SUM(CAST(round(x * x, 12) AS DECIMAL(24,14))) AS sxx,
+        |    SUM(CAST(round(x * y, 12) AS DECIMAL(24,14))) AS sxy
+        |  FROM xy),
+        |b AS (SELECT *, round(
+        |    (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS beta
+        |  FROM sums)
+        |SELECT n_points, total_tokens, total_vocab, beta,
+        |  round(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+        |    / CAST(n_points AS DOUBLE)), 6) AS k
+        |FROM b""".stripMargin,
     "text_lang_confusion" -> {
       val scoreCols = TextOpsOracle.langScoreCols(
         "regexp_extract_all(lower(text), '[a-z0-9]+')")
@@ -4687,6 +4747,22 @@ object SparkEntry {
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // same transition cells; hits = argmax cell, steps = row sum —
     // ties cannot move the accuracy, only the reported label (MIN)
+    // exact distinct (week, day, user) projections; one final division
+    "w29_stickiness" ->
+      """WITH du AS (SELECT DISTINCT
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') AS d, user_id
+        |  FROM events),
+        |w AS (SELECT wk, COUNT(DISTINCT user_id) AS wau,
+        |    COUNT(DISTINCT d) AS n_days, COUNT(*) AS day_users
+        |  FROM du GROUP BY 1)
+        |SELECT wk, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(wau AS BIGINT) AS wau,
+        |  round(CAST(day_users AS DOUBLE) / CAST(n_days AS DOUBLE), 9)
+        |    AS dau_avg,
+        |  round(CAST(day_users AS DOUBLE)
+        |    / (CAST(n_days AS DOUBLE) * CAST(wau AS DOUBLE)), 9) AS stickiness
+        |FROM w ORDER BY wk""".stripMargin,
     // integer week offsets (days // 7) from a fixed epoch; exact counts
     "w28_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
@@ -4851,6 +4927,61 @@ object SparkEntry {
          |  ${interp("0.975")} AS ci_hi
          |FROM rk""".stripMargin
     },
+    // one LSH+verify pair pass, three filtered recursive closures —
+    // the sensitivity table at probed-in-range Jaccard cuts
+    "dedup_threshold_sweep" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |e95 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |    WHERE jaccard >= CAST(0.95 AS DOUBLE)
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |    WHERE jaccard >= CAST(0.95 AS DOUBLE)),
+         |reach95 AS (SELECT u, v FROM e95
+         |  UNION SELECT r.u, e.v FROM reach95 r JOIN e95 e ON r.v = e.u),
+         |comp95 AS (SELECT u, least(u, min(v)) AS c
+         |  FROM reach95 GROUP BY u),
+         |st95 AS (SELECT CAST(0.95 AS DOUBLE) AS threshold,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+         |      WHERE jaccard >= CAST(0.95 AS DOUBLE)) AS n_pairs,
+         |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_clusters,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         |      - (CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT c) AS BIGINT))
+         |      AS n_survivors
+         |  FROM comp95),
+         |e97 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |    WHERE jaccard >= CAST(0.97 AS DOUBLE)
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |    WHERE jaccard >= CAST(0.97 AS DOUBLE)),
+         |reach97 AS (SELECT u, v FROM e97
+         |  UNION SELECT r.u, e.v FROM reach97 r JOIN e97 e ON r.v = e.u),
+         |comp97 AS (SELECT u, least(u, min(v)) AS c
+         |  FROM reach97 GROUP BY u),
+         |st97 AS (SELECT CAST(0.97 AS DOUBLE) AS threshold,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+         |      WHERE jaccard >= CAST(0.97 AS DOUBLE)) AS n_pairs,
+         |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_clusters,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         |      - (CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT c) AS BIGINT))
+         |      AS n_survivors
+         |  FROM comp97),
+         |e985 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |    WHERE jaccard >= CAST(0.985 AS DOUBLE)
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |    WHERE jaccard >= CAST(0.985 AS DOUBLE)),
+         |reach985 AS (SELECT u, v FROM e985
+         |  UNION SELECT r.u, e.v FROM reach985 r JOIN e985 e ON r.v = e.u),
+         |comp985 AS (SELECT u, least(u, min(v)) AS c
+         |  FROM reach985 GROUP BY u),
+         |st985 AS (SELECT CAST(0.985 AS DOUBLE) AS threshold,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+         |      WHERE jaccard >= CAST(0.985 AS DOUBLE)) AS n_pairs,
+         |    CAST(COUNT(DISTINCT c) AS BIGINT) AS n_clusters,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         |      - (CAST(COUNT(*) AS BIGINT) - CAST(COUNT(DISTINCT c) AS BIGINT))
+         |      AS n_survivors
+         |  FROM comp985)
+         |SELECT * FROM st95 UNION ALL SELECT * FROM st97
+         |UNION ALL SELECT * FROM st985
+         |ORDER BY threshold""".stripMargin,
     // recursive component closure -> size histogram
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
@@ -4866,6 +4997,27 @@ object SparkEntry {
          |  FROM comp GROUP BY 1)
          |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
          |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fixed-point per-dim variance sums; PR closed in one double shape
+    "sim_participation_ratio" ->
+      """WITH c AS (SELECT i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS HUGEINT) AS x6
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+        |per AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x6) AS s1, SUM(x6 * x6) AS s2 FROM c GROUP BY 1),
+        |v AS (SELECT round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) / 1e12
+        |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6), 12) AS v
+        |  FROM per),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |    SUM(CAST(v AS DECIMAL(24,14))) AS sv,
+        |    SUM(CAST(round(v * v, 12) AS DECIMAL(24,14))) AS svv
+        |  FROM v)
+        |SELECT n_dims,
+        |  round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |    / CAST(svv AS DOUBLE), 9) AS pr,
+        |  round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+        |    / CAST(svv AS DOUBLE) / CAST(n_dims AS DOUBLE), 9) AS pr_ratio
+        |FROM s""".stripMargin,
     // the same fixed-point normalized component sums (1e6 scale — the
     // pair cell SQUARES the sum scale, so 1e12 would overflow HUGEINT
     // headroom past ~1e6 vectors/label), then the sum-vector identity
@@ -5203,6 +5355,29 @@ object SparkEntry {
         |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // tone census restated from the stagePngs formula: band =
     // ((id + 31i + 7j) % 256) >> 4 over every in-raster (i, j)
+    // same staged-pixel formula, per-doc band census -> Shannon entropy
+    "mm_image_entropy" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i.i, j.j
+        |  FROM m, (SELECT unnest(range(0,64)) AS i) i,
+        |          (SELECT unnest(range(0,48)) AS j) j
+        |  WHERE i.i < w AND j.j < h),
+        |pb AS (SELECT doc_id,
+        |    CAST(((doc_id + i*31 + j*7) % 256) // 16 AS INT) AS band,
+        |    COUNT(*) AS n_px
+        |  FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(n_px) AS np FROM pb GROUP BY 1),
+        |ct AS (SELECT pb.doc_id, np,
+        |    round((CAST(n_px AS DOUBLE) / CAST(np AS DOUBLE))
+        |      * ln(CAST(n_px AS DOUBLE) / CAST(np AS DOUBLE)) / ln(2.0), 12)
+        |      AS contrib
+        |  FROM pb JOIN tot USING (doc_id))
+        |SELECT doc_id, CAST(MAX(np) AS BIGINT) AS n_pixels,
+        |  CAST(-SUM(CAST(contrib AS DECIMAL(18,14))) AS DOUBLE) AS entropy16
+        |FROM ct GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_gray_histogram" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h

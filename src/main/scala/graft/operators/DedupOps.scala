@@ -140,6 +140,37 @@ object DedupOps {
     * order-free mean. One pair-keyed join against the signature frame
     * per side — candidate-scale, not corpus-scale.
     */
+  /** Dedup-threshold sensitivity sweep — the calibration table a
+    * dedup policy decision reads: pair mass, cluster count, and
+    * surviving-corpus size at several Jaccard cuts, from ONE LSH +
+    * verify pass (the pairs carry their exact Jaccard, so each cut is
+    * a filter over the checkpointed pair list, never a re-run of the
+    * banded join). Components per cut ride
+    * [[GraphOps.connectedComponents]] (candidate-scale graphs take its
+    * union-find fast path). Thresholds sit inside the planted-dup
+    * similarity range of the corpus (probed 0.95/0.97/0.985 split the
+    * sf0.01 pair set 24/18/8) so the sweep shows real sensitivity, not
+    * three identical rows. Output is |thresholds| rows at any corpus
+    * size.
+    */
+  def thresholdSweep(documents: DataFrame,
+      thresholds: Seq[Double] = Seq(0.95, 0.97, 0.985)): DataFrame = {
+    val pairs = minhashLsh(documents)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    thresholds.map { th =>
+      val pt = pairs.filter(col("jaccard") >= th).select("doc_a", "doc_b")
+      val cc = GraphOps.connectedComponents(pt)
+      pt.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(cc.agg(countDistinct(col("component")).as("n_clusters"),
+          count(lit(1)).as("n_paired")))
+        .crossJoin(broadcast(nDocs))
+        .select(lit(th).as("threshold"), col("n_pairs"), col("n_clusters"),
+          (col("n_docs") - (col("n_paired") - col("n_clusters")))
+            .as("n_survivors"))
+    }.reduce(_ unionByName _).orderBy("threshold")
+  }
+
   def minhashCalibration(documents: DataFrame,
       numHashes: Int = 16): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -316,6 +317,59 @@ object Multimodal {
       .agg(sum(col("n_px")).as("n_pixels"))
       .select(col("band"), col("n_pixels"))
       .orderBy("band")
+  }
+
+  /** Per-image tonal entropy over the REAL decode — the flat/degenerate
+    * frame screen of image curation (a solid or two-tone frame scores
+    * near 0 bits; a busy natural raster approaches the 4-bit ceiling of
+    * the 16-band census): Shannon entropy of the [[grayHistogram]]
+    * bands, per image. Decode is the same narrow mapPartitions pass
+    * (≤16 rows out per image); each band's −p·log₂p term crosses a
+    * round(…,12) barrier before the exact-decimal per-image sum (the
+    * TextOps.tokenEntropy discipline), so partial-aggregation order
+    * can never move the hash.
+    */
+  def imageEntropy(spark: SparkSession, images: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false))))
+    val perBand = images.select(col("doc_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"undecodable image payload for doc $id")
+          val acc = new Array[Long](16)
+          val w = img.getWidth
+          val h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              acc((img.getRGB(x, y) & 0xff) >> 4) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          acc.iterator.zipWithIndex.filter(_._1 > 0L)
+            .map { case (n, b) => Row(id, b, n) }
+        }
+      }(enc)
+    val tot = Window.partitionBy("doc_id")
+    perBand
+      .withColumn("p", col("n_px").cast("double") /
+        sum(col("n_px")).over(tot).cast("double"))
+      .withColumn("contrib",
+        round(col("p") * log(col("p")) / log(lit(2.0)), 12))
+      .groupBy("doc_id")
+      .agg(sum(col("n_px")).as("n_pixels"),
+        (-sum(col("contrib").cast(DecimalType(18, 14))))
+          .cast("double").as("entropy16"))
+      .orderBy("doc_id")
   }
 
   /** 2×2 tile brightness census over the REAL decode — the

@@ -2182,6 +2182,34 @@ object Relational {
       .orderBy("cohort_wk", "age_wk")
   }
 
+  /** Weekly DAU/WAU stickiness — the engagement-depth ratio product
+    * analytics put next to [[w28Retention]]: of a week's active users,
+    * how many show up on an average active day. Weeks/days are integer
+    * day offsets from the fixed epoch (engine-exact floor division);
+    * all counts exact; one final double division behind round(…,9).
+    * Two distinct-projection aggregates keyed by week — nothing
+    * row-scale past the first shuffle.
+    */
+  def w29Stickiness(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit(epoch).cast("date"))
+      .cast("long")
+    val du = events.select((day / 7L).cast("long").as("wk"), day.as("d"),
+      col("user_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val weekly = du.groupBy("wk")
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(col("d")).as("n_days"),
+        count(lit(1)).as("day_users"))
+    weekly.select(col("wk"), col("n_days"), col("wau"),
+        round(col("day_users").cast("double") / col("n_days").cast("double"),
+          9).as("dau_avg"),
+        round(col("day_users").cast("double")
+          / (col("n_days").cast("double") * col("wau").cast("double")),
+          9).as("stickiness"))
+      .orderBy("wk")
+  }
+
   /** Poisson(1) bootstrap thresholds: floor(cumP(k)·2³²) as exact
     * integer literals, shared verbatim by the Spark expression and the
     * SQL oracle — the replicate weight is a pure integer CASE ladder

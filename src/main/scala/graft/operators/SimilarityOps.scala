@@ -788,6 +788,41 @@ object SimilarityOps {
       .orderBy("label_a", "label_b")
   }
 
+  /** Participation ratio over the per-dimension variances — the
+    * effective-dimensionality screen of an embedding space:
+    * PR = (Σv)²/Σv² counts how many dimensions carry real variance
+    * (64 for isotropic, →1 when one axis dominates — the collapse
+    * signature a re-embed check looks for before any index is built).
+    * The diagonal-variance restriction keeps it one (pos)-keyed
+    * aggregate of fixed-point component sums (the [[normStats]]
+    * discipline: floor(x·10⁶) exact decimals, variance closed in an
+    * identical double shape behind round(…,12), dim-scale arithmetic
+    * after) — no d×d covariance pass, flat at any corpus size.
+    */
+  def participationRatio(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val comps = embeddings
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as(Seq("pos", "x")))
+      .select(col("pos"), floor(col("x") * lit(1.0e6))
+        .cast(DecimalType(38, 0)).as("x6"))
+    val per = comps.groupBy("pos").agg(count(lit(1)).as("n"),
+      sum(col("x6")).as("s1"), sum(col("x6") * col("x6")).as("s2"))
+    val mean6 = col("s1").cast("double") / col("n").cast("double") / lit(1.0e6)
+    val v = round(col("s2").cast("double") / col("n").cast("double")
+      / lit(1.0e12) - mean6 * mean6, 12)
+    def dd(c: String) = col(c).cast("double")
+    per.select(col("pos"), v.as("v"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("v").cast(DecimalType(24, 14))).as("sv"),
+        sum(round(col("v") * col("v"), 12).cast(DecimalType(24, 14)))
+          .as("svv"))
+      .select(col("n_dims"),
+        round(dd("sv") * dd("sv") / dd("svv"), 9).as("pr"),
+        round(dd("sv") * dd("sv") / dd("svv") / dd("n_dims"), 9)
+          .as("pr_ratio"))
+  }
+
   def normStats(embeddings: DataFrame): DataFrame =
     withNorm(embeddings.select(col("label"), col("embedding")),
       "embedding", "nrm")

@@ -180,6 +180,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Heaps'-law fit V(n) ≈ K·n^β — the vocabulary-growth diagnostic of
+    * corpus curation (natural text sits near β ≈ 0.5; β drifting
+    * toward 1 flags unbounded junk vocabulary — OCR noise, ids,
+    * boilerplate churn — long before a vocab build blows up).
+    * Cumulative (tokens, vocab) checkpoints are taken at `buckets`
+    * id-range cuts, then β is the log-log OLS slope.
+    *
+    * Scale shape: per-term FIRST-SEEN doc is one term-keyed min (the
+    * shingle-novelty discipline — no per-term state beyond a min);
+    * token mass per bucket is a second keyed sum; everything after is
+    * BUCKET-scale (≤ `buckets` rows — the cumulative window and the
+    * OLS run over a bounded frame, never the corpus). Determinism: the
+    * checkpoints are exact integers; each ln crosses a round(…,12)
+    * barrier before any cross-row sum (tokenEntropy discipline), and
+    * the OLS closes in one double formula behind round(…,9).
+    */
+  def heapsLaw(documents: DataFrame, buckets: Int = 32): DataFrame = {
+    val mx = documents.agg(max(col("doc_id")).as("mx"))
+    def bucketOf(idCol: String): Column =
+      expr(s"($idCol * $buckets) div (mx + 1)")
+    val tf = documents
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .word_term_freqs(col("text"))).as("tfs"))
+      .select(col("doc_id"), col("tfs.term").as("term"),
+        col("tfs.tf").as("tf"))
+    val newVocab = tf.groupBy("term").agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf("fd").as("bucket"))
+      .agg(count(lit(1)).as("v_new"))
+    val newToks = tf.crossJoin(broadcast(mx))
+      .groupBy(bucketOf("doc_id").as("bucket"))
+      .agg(sum(col("tf")).as("t_new"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // bucket-scale from here: ≤ `buckets` rows cross this window
+    val pts = newToks.join(newVocab, Seq("bucket"), "left")
+      .na.fill(0L, Seq("v_new"))
+      .withColumn("cum_t", sum(col("t_new")).over(w))
+      .withColumn("cum_v", sum(col("v_new")).over(w))
+      .filter(col("cum_t") > 0 && col("cum_v") > 0)
+      .withColumn("x", round(log(col("cum_t").cast("double")), 12))
+      .withColumn("y", round(log(col("cum_v").cast("double")), 12))
+    val sums = pts.agg(
+      count(lit(1)).as("n_points"),
+      max(col("cum_t")).as("total_tokens"),
+      max(col("cum_v")).as("total_vocab"),
+      sum(col("x").cast(DecimalType(24, 14))).as("sx"),
+      sum(col("y").cast(DecimalType(24, 14))).as("sy"),
+      sum(round(col("x") * col("x"), 12).cast(DecimalType(24, 14))).as("sxx"),
+      sum(round(col("x") * col("y"), 12).cast(DecimalType(24, 14))).as("sxy"))
+    def dd(c: String) = col(c).cast("double")
+    sums
+      .withColumn("beta", round(
+        (dd("n_points") * dd("sxy") - dd("sx") * dd("sy")) /
+          (dd("n_points") * dd("sxx") - dd("sx") * dd("sx")), 9))
+      .withColumn("k", round(
+        exp((dd("sy") - col("beta") * dd("sx")) / dd("n_points")), 6))
+      .select("n_points", "total_tokens", "total_vocab", "beta", "k")
+  }
+
   /** Cohen's kappa between the [[languageId]] heuristic and the
     * labeled `lang` column — chance-corrected agreement, the honest
     * readout of a classifier audit (raw accuracy flatters any skewed

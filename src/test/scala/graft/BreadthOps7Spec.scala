@@ -112,4 +112,77 @@ class BreadthOps7Spec extends SparkSpec {
       .as[(String, Long, String)].collect().toSeq
     assert(c.find(_._1 == "web").get._3 != a.find(_._1 == "web").get._3)
   }
+
+  test("heapsLaw: an all-new-vocab corpus fits beta 1, k 1 exactly") {
+    // every token is globally unique -> cumulative vocab == cumulative
+    // tokens at every cut -> y = x -> slope 1, intercept 0
+    val docs = (0L until 16L).map { i =>
+      val toks = (0 until 10).map(j => s"tok${i}x$j").mkString(" ")
+      (i, toks, "en", "s0", toks.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (n, tt, tv, beta, k) = graft.operators.TextOps.heapsLaw(docs)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(tt == 160L && tv == 160L)
+    assert(n > 2)
+    assert(beta == 1.0 && k == 1.0)
+  }
+
+  test("thresholdSweep: identical-pair corpus is flat across cuts; math holds") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dups: jaccard 1.0 at every cut
+      (7L, "totally different content about columnar engines and shuffle plans here now"))
+      .map { case (i, t) => (i, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.DedupOps.thresholdSweep(docs)
+      .as[(Double, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(0.95, 0.97, 0.985))
+    out.foreach { case (_, nPairs, nClusters, nSurvivors) =>
+      assert(nPairs == 1L && nClusters == 1L && nSurvivors == 2L)
+    }
+  }
+
+  test("participationRatio: counts exactly the dims that carry variance") {
+    val vecs = Seq(
+      Array(1.0f, 1.0f, 5.0f), Array(1.0f, -1.0f, 5.0f),
+      Array(-1.0f, 1.0f, 5.0f), Array(-1.0f, -1.0f, 5.0f))
+      .zipWithIndex.map { case (e, i) => (i.toLong, e, "l0") }
+      .toDF("vec_id", "embedding", "label")
+    val (nDims, pr, ratio) = graft.operators.SimilarityOps
+      .participationRatio(vecs).as[(Long, Double, Double)].head()
+    // dims 0,1 have variance 1, dim 2 has variance 0 -> PR = 2 of 3
+    assert(nDims == 3L && pr == 2.0)
+    assert(math.abs(ratio - 2.0 / 3.0) < 1e-9)
+  }
+
+  test("w29Stickiness: daily repeats fold into the distinct projection") {
+    val ev = Seq(
+      // week 0: user 1 active 2 days (one day twice), user 2 active 1 day
+      (1L, 1L, "2024-01-01 08:00:00"), (2L, 1L, "2024-01-01 09:00:00"),
+      (3L, 1L, "2024-01-02 08:00:00"), (4L, 2L, "2024-01-02 12:00:00"))
+      .map { case (e, u, t) => (e, u, ts(t), "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Relational.w29Stickiness(ev)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // 2 active days, wau 2, (day,user) pairs 3 -> dau_avg 1.5, s 0.75
+    assert(out == Seq((0L, 2L, 2L, 1.5, 0.75)))
+  }
+
+  test("imageEntropy: solid frame scores 0 bits; two equal tones score 1") {
+    def png(f: (Int, Int) => Int, w: Int = 8, h: Int = 4): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val solid = png((_, _) => 0x404040)
+    val split = png((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val images = Seq((1L, solid), (2L, split)).toDF("doc_id", "content")
+    val out = graft.operators.Multimodal.imageEntropy(spark, images)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 32L, 0.0), (2L, 32L, 1.0)))
+  }
 }
