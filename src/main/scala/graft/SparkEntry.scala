@@ -303,6 +303,8 @@ object SparkEntry {
     "text_langid_kappa" -> ((s, d) => TextOps.langIdKappa(t(s, d)("documents"))),
     // Heaps'-law vocabulary-growth fit (log-log OLS over 32 cuts)
     "text_heaps_law" -> ((s, d) => TextOps.heapsLaw(t(s, d)("documents"))),
+    // per-source JSD against the corpus unigram mix (drift screen)
+    "text_js_drift" -> ((s, d) => TextOps.jsSourceDrift(t(s, d)("documents"))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(t(s, d)("documents"))),
     "text_tfidf" -> ((s, d) =>
       TextOps.tfidfTopTerms(t(s, d)("documents"), 5).orderBy("doc_id", "rnk")),
@@ -560,6 +562,9 @@ object SparkEntry {
     // LSH+verify pass; per-cut components via the union-find path)
     "dedup_threshold_sweep" -> ((s, d) =>
       DedupOps.thresholdSweep(t(s, d)("documents"))),
+    // LSH bucket-occupancy histogram (banding health monitor)
+    "dedup_lsh_buckets" -> ((s, d) =>
+      DedupOps.lshBucketCensus(t(s, d)("documents"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
@@ -734,6 +739,12 @@ object SparkEntry {
     "a40_auc" -> ((s, d) => Relational.a40Auc(t(s, d)("events"))),
     // weekly DAU/WAU stickiness (engagement depth next to retention)
     "w29_stickiness" -> ((s, d) => Relational.w29Stickiness(t(s, d)("events"))),
+    // MAD-robust outlier census (median-of-cents, 3x MAD cut)
+    "a42_mad_outliers" -> ((s, d) =>
+      Relational.a42MadOutliers(t(s, d)("events"))),
+    // inter-arrival gap percentiles per type (burstiness profile)
+    "w31_interarrival" -> ((s, d) =>
+      Relational.w31Interarrival(t(s, d)("events"))),
     // deterministic Poisson bootstrap: replicate means -> 95% CI for
     // the mean purchase value (integer hash weights, no RNG)
     "a41_bootstrap_ci" -> ((s, d) =>
@@ -1123,6 +1134,9 @@ object SparkEntry {
     // diagonal-variance effective dimensionality of the embedding space
     "sim_participation_ratio" -> ((s, d) =>
       SimilarityOps.participationRatio(t(s, d)("embeddings"))),
+    // k-occurrence histogram of the LSH kNN graph (hubness pathology)
+    "sim_hubness" -> ((s, d) =>
+      SimilarityOps.hubnessCensus(t(s, d)("embeddings"))),
     // deterministic source-mixture interleave: src0 at 2x, src1 at 4x
     // the base rate — the data-mixing order of a training stream
     "pipe_interleave" -> ((s, d) => PipelineOps.interleaveBySource(
@@ -3279,6 +3293,35 @@ object SparkEntry {
          |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 9) AS kappa
          |FROM ag CROSS JOIN pe""".stripMargin
     },
+    // per-source vs corpus unigram JSD; absent mass folded analytically
+    "text_js_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS term
+        |  FROM documents),
+        |bs AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(c) AS ns FROM bs GROUP BY 1),
+        |g AS (SELECT term, SUM(c) AS g FROM bs GROUP BY 1),
+        |gt AS (SELECT SUM(g) AS ng FROM g),
+        |j AS (SELECT bs.source, st.ns,
+        |    CAST(round((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+        |      * ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+        |        / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+        |          + CAST(g AS DOUBLE) / CAST(ng AS DOUBLE)) / 2.0))
+        |      / ln(2.0), 12) AS DECIMAL(24,14)) AS cp,
+        |    CAST(round((CAST(g AS DOUBLE) / CAST(ng AS DOUBLE))
+        |      * ln((CAST(g AS DOUBLE) / CAST(ng AS DOUBLE))
+        |        / ((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)
+        |          + CAST(g AS DOUBLE) / CAST(ng AS DOUBLE)) / 2.0))
+        |      / ln(2.0), 12) AS DECIMAL(24,14)) AS cq,
+        |    CAST(round(CAST(g AS DOUBLE) / CAST(ng AS DOUBLE), 12)
+        |      AS DECIMAL(24,14)) AS qp
+        |  FROM bs JOIN g USING (term) JOIN st USING (source) CROSS JOIN gt)
+        |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+        |  round(0.5 * CAST(SUM(cp) AS DOUBLE)
+        |    + 0.5 * (CAST(SUM(cq) AS DOUBLE)
+        |      + (1.0 - CAST(SUM(qp) AS DOUBLE))), 9) AS jsd_bits
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // first-seen vocabulary + token mass at 32 id-range cuts, log-log
     // OLS in the a17 sufficient-statistic shape (round-12 ln barriers)
     "text_heaps_law" ->
@@ -4747,6 +4790,33 @@ object SparkEntry {
         |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // same transition cells; hits = argmax cell, steps = row sum —
     // ties cannot move the accuracy, only the reported label (MIN)
+    // fixed-point cents, integer-domain medians, 3x MAD integer cut
+    "a42_mad_outliers" ->
+      """WITH c AS (SELECT event_type, floor(value * 100 + 0.5) AS c
+        |  FROM events),
+        |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |dev AS (SELECT c.event_type, abs(CAST(c.c AS DOUBLE) - med) AS ad
+        |  FROM c JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, MAX(mad.n) AS n, MAX(med.med) AS med,
+        |  MAX(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN ad > 3.0 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact integer micro gaps off one type-keyed LAG; round-6 summary
+    "w31_interarrival" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5) / 1000000.0, 6) AS p50_s,
+        |  round(quantile_cont(gap, 0.95) / 1000000.0, 6) AS p95_s,
+        |  round(CAST(MAX(gap) AS DOUBLE) / 1000000.0, 6) AS max_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact distinct (week, day, user) projections; one final division
     "w29_stickiness" ->
       """WITH du AS (SELECT DISTINCT
@@ -4927,6 +4997,18 @@ object SparkEntry {
          |  ${interp("0.975")} AS ci_hi
          |FROM rk""".stripMargin
     },
+    // band the signatures, count bucket sizes, histogram occupancy
+    "dedup_lsh_buckets" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |$HashedMhCtes,
+         |bands AS (
+         |  $MinhashBandsSql),
+         |bk AS (SELECT band, band_key, COUNT(*) AS sz FROM bands
+         |  GROUP BY 1, 2)
+         |SELECT band, CAST(sz AS BIGINT) AS bucket_size,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one LSH+verify pair pass, three filtered recursive closures —
     // the sensitivity table at probed-in-range Jaccard cuts
     "dedup_threshold_sweep" ->
@@ -4997,6 +5079,31 @@ object SparkEntry {
          |  FROM comp GROUP BY 1)
          |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters
          |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // banded candidate pairs -> per-query top-5 -> k-occurrence census
+    "sim_hubness" ->
+      s"""WITH $lshBandedCandSql,
+         |sc AS (SELECT vec_a, vec_b,
+         |    ${duckCosine("a.embedding", "b.embedding")} AS sim
+         |  FROM cand
+         |  JOIN embeddings a ON a.vec_id = cand.vec_a
+         |  JOIN embeddings b ON b.vec_id = cand.vec_b),
+         |dir AS (SELECT vec_a AS query_id, vec_b AS vec_id, sim FROM sc
+         |  UNION ALL SELECT vec_b, vec_a, sim FROM sc),
+         |topk AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM dir) WHERE rn <= 5),
+         |occ AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS k_occurrence
+         |  FROM topk GROUP BY 1),
+         |hist AS (SELECT k_occurrence, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |  FROM occ GROUP BY 1)
+         |SELECT k_occurrence, n_vectors FROM hist
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+         |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM occ)
+         |WHERE (SELECT COUNT(*) FROM embeddings) > (SELECT COUNT(*) FROM occ)
+         |ORDER BY k_occurrence""".stripMargin,
     // fixed-point per-dim variance sums; PR closed in one double shape
     "sim_participation_ratio" ->
       """WITH c AS (SELECT i AS pos,

@@ -105,13 +105,7 @@ object DedupOps {
     val numBands = numHashes / rowsPerBand
     // unpivot the k min columns into (band, band_key) rows — a narrow
     // generator, no aggregation needed to build band keys
-    val stackArgs = (0 until numBands).map { j =>
-      val key = (0 until rowsPerBand)
-        .map(r => s"m${j * rowsPerBand + r}").mkString(", '_', ")
-      s"$j, concat($key)"
-    }.mkString(", ")
-    val bands = sigs.selectExpr("doc_id",
-      s"stack($numBands, $stackArgs) AS (band, band_key)")
+    val bands = bandsOf(sigs, numHashes, rowsPerBand)
     // candidates materialize eagerly (pair-set-sized): the verify stage
     // broadcasts two projections of them, and without a materialization
     // each broadcast exchange would re-run the whole signature+band
@@ -128,18 +122,40 @@ object DedupOps {
     out
   }
 
-  /** MinHash estimator calibration census: for every verified LSH
-    * pair, the SIGNATURE-AGREEMENT Jaccard estimate (matching
-    * minhashes / k — what [[minhashLshIncremental]] trusts in
-    * production, where shingle sets are gone) is binned against the
-    * EXACT shingle Jaccard, emitting per-agreement-level pair counts
-    * and mean exact similarity. This is the honesty check that says
-    * whether "12/16 hashes agree" may stand in for "J ≈ 0.75" on THIS
-    * corpus before the incremental path relies on it. ≤ k+1 rows out;
-    * exact Jaccards cross a round(…,9) decimal barrier before the
-    * order-free mean. One pair-keyed join against the signature frame
-    * per side — candidate-scale, not corpus-scale.
+  /** Unpivot the k min-hash columns into (band, band_key) rows — the
+    * banding step shared by [[minhashLsh]] and the bucket census.
     */
+  private def bandsOf(sigs: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val stackArgs = (0 until numBands).map { j =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"m${j * rowsPerBand + r}").mkString(", '_', ")
+      s"$j, concat($key)"
+    }.mkString(", ")
+    sigs.selectExpr("doc_id",
+      s"stack($numBands, $stackArgs) AS (band, band_key)")
+  }
+
+  /** LSH bucket-occupancy census — the banding-health monitor every
+    * production LSH index watches: per band, how many buckets exist at
+    * each occupancy (a fat bucket tail means the band key is too weak
+    * for the corpus and the candidate join is about to go quadratic —
+    * THE early-warning signal for re-deriving the banding parameters,
+    * the same failure mode the hyperplane ladder guards on the
+    * embedding side). Two keyed integer aggregates; output is bounded
+    * by bands × distinct occupancies, never corpus-scale.
+    */
+  def lshBucketCensus(documents: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingleRows(documents)
+    val bands = bandsOf(signaturesFrom(sh, numHashes), numHashes, rowsPerBand)
+    bands.groupBy("band", "band_key").agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"), col("sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy("band", "bucket_size")
+  }
+
   /** Dedup-threshold sensitivity sweep — the calibration table a
     * dedup policy decision reads: pair mass, cluster count, and
     * surviving-corpus size at several Jaccard cuts, from ONE LSH +
@@ -171,6 +187,18 @@ object DedupOps {
     }.reduce(_ unionByName _).orderBy("threshold")
   }
 
+  /** MinHash estimator calibration census: for every verified LSH
+    * pair, the SIGNATURE-AGREEMENT Jaccard estimate (matching
+    * minhashes / k — what [[minhashLshIncremental]] trusts in
+    * production, where shingle sets are gone) is binned against the
+    * EXACT shingle Jaccard, emitting per-agreement-level pair counts
+    * and mean exact similarity. This is the honesty check that says
+    * whether "12/16 hashes agree" may stand in for "J ≈ 0.75" on THIS
+    * corpus before the incremental path relies on it. ≤ k+1 rows out;
+    * exact Jaccards cross a round(…,9) decimal barrier before the
+    * order-free mean. One pair-keyed join against the signature frame
+    * per side — candidate-scale, not corpus-scale.
+    */
   def minhashCalibration(documents: DataFrame,
       numHashes: Int = 16): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -2182,6 +2182,61 @@ object Relational {
       .orderBy("cohort_wk", "age_wk")
   }
 
+  /** MAD-based robust outlier census per event type — the anomaly
+    * screen that survives the anomalies (mean/stddev z-scores move
+    * with the outliers they hunt; the median absolute deviation does
+    * not). Values go fixed-point cents (floor(value·100 + 0.5) — floor
+    * of a bit-identical double, the [[w23SessionDuration]] family's
+    * exact-integer percentile discipline), medians interpolate over
+    * integers (exact halves), and the outlier cut |x − med| > 3·MAD is
+    * integer-vs-double with identical operands on both engines. Three
+    * keyed aggregates over the same cached scan; the percentile state
+    * is bounded by distinct cent values.
+    */
+  def a42MadOutliers(events: DataFrame): DataFrame = {
+    val cents = events.select(col("event_type"),
+        floor(col("value") * 100 + 0.5).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = cents.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5D)").as("med"))
+    val dev = cents.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("c").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), expr("percentile(ad, 0.5D)").as("mad"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("ad") > lit(3.0d) * col("mad"), 1L).otherwise(0L))
+        .as("n_outliers"))
+      .join(med, "event_type")
+      .join(mad, "event_type")
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Inter-arrival gap percentiles per event type — the traffic-shape
+    * profile (burstiness vs steady drip) a pipeline reads before
+    * sizing watermarks and micro-batch triggers. Gaps are exact
+    * integer micros off one type-partitioned LAG; the summary is the
+    * [[w23SessionDuration]] percentile discipline (integer-domain
+    * interpolation behind round-6 barriers). The per-type window is
+    * the one data-scale sort — the same posture as the sessionizers
+    * (keyed by a bounded-cardinality column, AQE splits skewed types).
+    */
+  def w31Interarrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), (unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap, 0.5)") / lit(1000000.0), 6).as("p50_s"),
+        round(expr("percentile(gap, 0.95)") / lit(1000000.0), 6).as("p95_s"),
+        round(max(col("gap")).cast("double") / lit(1000000.0), 6).as("max_s"))
+      .orderBy("event_type")
+  }
+
   /** Weekly DAU/WAU stickiness — the engagement-depth ratio product
     * analytics put next to [[w28Retention]]: of a week's active users,
     * how many show up on an average active day. Weeks/days are integer

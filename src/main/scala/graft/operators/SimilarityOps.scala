@@ -788,6 +788,43 @@ object SimilarityOps {
       .orderBy("label_a", "label_b")
   }
 
+  /** Hubness census — the k-occurrence distribution of the LSH kNN
+    * graph: how many vectors appear in exactly j other vectors' top-k
+    * lists. Hubness is THE high-dimensional ANN pathology (a few
+    * vectors become everyone's neighbor while orphans vanish from
+    * every list — retrieval quality collapses while recall metrics
+    * still look fine), and this histogram is its standard diagnostic.
+    * Candidates come only from the banded self-join (adaptive plane
+    * ladder, no broadcast of the corpus); each undirected pair scores
+    * ONE codegen'd cosine and feeds both directions of the bounded
+    * [[rankTopK]] aggregate; the census is two keyed integer counts.
+    * Vectors in nobody's list surface as the k_occurrence = 0 row.
+    */
+  def hubnessCensus(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
+      "embedding", "en")
+    val sc = bandedCandidatePairs(embeddings, 0, 8)
+      .distinct()
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("en").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("en").as("nb")), "vec_b")
+      .withColumn("sim", vec_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select("vec_a", "vec_b", "sim")
+    val dir = sc.select(col("vec_a").as("query_id"), col("vec_b").as("vec_id"),
+        col("sim"))
+      .unionByName(sc.select(col("vec_b").as("query_id"),
+        col("vec_a").as("vec_id"), col("sim")))
+    val occ = rankTopK(dir, k)
+      .groupBy(col("neighbor_id")).agg(count(lit(1)).as("k_occurrence"))
+    val hist = occ.groupBy("k_occurrence").agg(count(lit(1)).as("n_vectors"))
+    val zero = embeddings.agg(count(lit(1)).as("nv"))
+      .crossJoin(occ.agg(count(lit(1)).as("na")))
+      .filter(col("nv") > col("na"))
+      .select(lit(0L).as("k_occurrence"), (col("nv") - col("na")).as("n_vectors"))
+    hist.unionByName(zero).orderBy("k_occurrence")
+  }
+
   /** Participation ratio over the per-dimension variances — the
     * effective-dimensionality screen of an embedding space:
     * PR = (Σv)²/Σv² counts how many dimensions carry real variance

@@ -180,6 +180,49 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Jensen-Shannon divergence of each source's unigram distribution
+    * against the corpus distribution — the "which source drifted"
+    * readout of mixture curation (KL is asymmetric and infinite on
+    * missing tokens; JSD is the bounded, symmetric screen). The
+    * absent-token mass never needs an outer join: for a token the
+    * source lacks, m = q/2 so its corpus-side term is q·log₂2 = q —
+    * the whole absent tail folds into (1 − Σ_present q) analytically.
+    * Per-term contributions cross round(…,12) decimal barriers (the
+    * [[tokenEntropy]] discipline); the corpus table is vocab-bounded
+    * and broadcasts; one (source, term)-keyed aggregate is the only
+    * corpus-scale exchange.
+    */
+  def jsSourceDrift(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(graft.functions.GraftFunctions
+        .word_term_freqs(col("text"))).as("tfs"))
+      .select(col("source"), col("tfs.term").as("term"), col("tfs.tf").as("tf"))
+    val bySrc = tf.groupBy("source", "term").agg(sum(col("tf")).as("c"))
+    val srcTot = bySrc.groupBy("source").agg(sum(col("c")).as("ns"))
+    val glob = bySrc.groupBy("term").agg(sum(col("c")).as("g"))
+    val globTot = glob.agg(sum(col("g")).as("ng"))
+    val p = col("c").cast("double") / col("ns").cast("double")
+    val q = col("g").cast("double") / col("ng").cast("double")
+    val m = (p + q) / lit(2.0d)
+    val ln2 = log(lit(2.0d))
+    val joined = bySrc
+      .join(broadcast(glob), "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(globTot))
+      .select(col("source"), col("ns"),
+        round(p * log(p / m) / ln2, 12).cast(DecimalType(24, 14)).as("cp"),
+        round(q * log(q / m) / ln2, 12).cast(DecimalType(24, 14)).as("cq"),
+        round(q, 12).cast(DecimalType(24, 14)).as("qp"))
+    joined.groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"), sum(col("cp")).as("sp"),
+        sum(col("cq")).as("sq"), sum(col("qp")).as("qpres"))
+      .select(col("source"), col("n_tokens"),
+        round(lit(0.5d) * col("sp").cast("double")
+          + lit(0.5d) * (col("sq").cast("double")
+            + (lit(1.0d) - col("qpres").cast("double"))), 9).as("jsd_bits"))
+      .orderBy("source")
+  }
+
   /** Heaps'-law fit V(n) ≈ K·n^β — the vocabulary-growth diagnostic of
     * corpus curation (natural text sits near β ≈ 0.5; β drifting
     * toward 1 flags unbounded junk vocabulary — OCR noise, ids,

@@ -185,4 +185,79 @@ class BreadthOps7Spec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 32L, 0.0), (2L, 32L, 1.0)))
   }
+
+  test("a42MadOutliers: hand-computed median/MAD and the 3xMAD cut") {
+    // type A cents: {100, 200, 300, 400, 10000} -> med 300, ad {200,
+    // 100, 0, 100, 9700} -> mad 100, outliers: ad > 300 -> only 9700
+    val ev = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, "A", v)
+    }.toDF("event_id", "event_type", "value")
+    val out = Relational.a42MadOutliers(ev)
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(out == (("A", 5L, 300.0, 100.0, 1L)))
+  }
+
+  test("w31Interarrival: exact micro gaps and integer-domain percentiles") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:00:01"),
+      (3L, "2024-01-01 00:00:03"), (4L, "2024-01-01 00:00:07"))
+      .map { case (e, t) => (e, 1L, ts(t), "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val (tpe, n, p50, p95, mx) = Relational.w31Interarrival(ev)
+      .as[(String, Long, Double, Double, Double)].head()
+    // gaps: 1s, 2s, 4s -> p50 = 2.0, p95 interpolates 2..4 at 0.9,
+    // max 4
+    assert(tpe == "view" && n == 3L && p50 == 2.0 && mx == 4.0)
+    assert(math.abs(p95 - (2.0 + 0.9 * 2.0)) < 1e-6)
+  }
+
+  test("jsSourceDrift: identical mixes score 0; disjoint vocab matches the formula") {
+    val same = Seq(
+      (1L, "alpha beta", "en", "s0", 10L), (2L, "alpha beta", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out0 = TextOps.jsSourceDrift(same)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out0.map(_._3) == Seq(0.0, 0.0))
+    // s0 = {a}, s1 = {b}: closed form .5*log2(4/3) + .5*(.5*log2(2/3) + .5)
+    val disj = Seq(
+      (1L, "aaa", "en", "s0", 3L), (2L, "bbb", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val expected = 0.5 * (math.log(4.0 / 3.0) / math.log(2.0)) +
+      0.5 * (0.5 * (math.log(2.0 / 3.0) / math.log(2.0)) + 0.5)
+    TextOps.jsSourceDrift(disj).as[(String, Long, Double)].collect()
+      .foreach { case (_, n, j) =>
+        assert(n == 1L)
+        assert(math.abs(j - expected) < 1e-9)
+      }
+  }
+
+  test("lshBucketCensus: dup docs share every band bucket; totals add up") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base),
+      (7L, "wholly different words about shuffle plans and columnar scans ok"))
+      .map { case (i, t) => (i, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.DedupOps.lshBucketCensus(docs)
+      .as[(Int, Long, Long)].collect().toSeq
+    // 8 bands; per band the two dups share one bucket (size 2) and the
+    // odd doc sits alone (size 1)
+    assert(out.map(_._1).distinct.sorted == (0 until 8))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => r._2 * r._3).sum == 3L, s"per-band doc mass: $rows")
+      assert(rows.exists(r => r._2 == 2L && r._3 == 1L))
+    }
+  }
+
+  test("hubnessCensus: a clique hub profile plus the zero-occurrence tail") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f)), (2L, Array(1.0f, 1.0f)), (3L, Array(1.0f, 1.0f)),
+      (4L, Array(-1.0f, -1.0f)))
+      .map { case (i, e) => (i, e, "l0") }
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.SimilarityOps.hubnessCensus(vecs)
+      .as[(Long, Long)].collect().toMap
+    // vectors 1-3 collide in one bucket and fill each other's lists
+    // (2 occurrences each); vector 4 shares no bucket -> occurrence 0
+    assert(out == Map(0L -> 1L, 2L -> 3L))
+  }
 }
