@@ -565,6 +565,9 @@ object SparkEntry {
     // LSH bucket-occupancy histogram (banding health monitor)
     "dedup_lsh_buckets" -> ((s, d) =>
       DedupOps.lshBucketCensus(t(s, d)("documents"))),
+    // which provider feeds the duplicate mass: near-dup rate by source
+    "dedup_rate_by_source" -> ((s, d) =>
+      DedupOps.dupRateBySource(t(s, d)("documents"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
@@ -745,6 +748,8 @@ object SparkEntry {
     // inter-arrival gap percentiles per type (burstiness profile)
     "w31_interarrival" -> ((s, d) =>
       Relational.w31Interarrival(t(s, d)("events"))),
+    // pre-join key-skew probe (mean/p99/max per-key counts, skew ratio)
+    "j15_skew_probe" -> ((s, d) => Relational.j15SkewProbe(t(s, d)("lineitem"))),
     // deterministic Poisson bootstrap: replicate means -> 95% CI for
     // the mean purchase value (integer hash weights, no RNG)
     "a41_bootstrap_ci" -> ((s, d) =>
@@ -963,6 +968,15 @@ object SparkEntry {
       val dir = stagingTag(d, "wav", "documents.parquet")
       Multimodal.stageWavs(t(s, d)("documents"), dir)
       Multimodal.audioBandEnergy(s,
+        s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
+    // near-full-scale sample census over the real PCM decode
+    "mm_audio_clipping" -> ((s, d) => {
+      val dir = stagingTag(d, "wav", "documents.parquet")
+      Multimodal.stageWavs(t(s, d)("documents"), dir)
+      Multimodal.audioClipping(s,
         s.read.format("binaryFile").load(dir)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
             .cast("long").as("doc_id"), col("content")))
@@ -4806,6 +4820,23 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-key counts -> bounded summary; skew ratio in one double shape
+    "j15_skew_probe" ->
+      """WITH pk AS (SELECT l_orderkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    quantile_cont(cnt, 0.99) AS p99,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |  FROM pk)
+        |SELECT n_keys, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 9)
+        |    AS mean_cnt,
+        |  p99, max_cnt,
+        |  round(CAST(max_cnt AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+        |    AS skew_ratio
+        |FROM s""".stripMargin,
     // exact integer micro gaps off one type-keyed LAG; round-6 summary
     "w31_interarrival" ->
       """WITH g AS (SELECT event_type,
@@ -4997,6 +5028,21 @@ object SparkEntry {
          |  ${interp("0.975")} AS ci_hi
          |FROM rk""".stripMargin
     },
+    // verified pair ids broadcast back onto the corpus; per-source rate
+    "dedup_rate_by_source" ->
+      s"""WITH $MinhashPairsCtes,
+         |touched AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM pairs
+         |  UNION ALL SELECT doc_b FROM pairs)),
+         |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |dp AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |  FROM documents JOIN touched USING (doc_id) GROUP BY 1)
+         |SELECT ps.source, n_docs, COALESCE(n_dup_docs, 0) AS n_dup_docs,
+         |  round(CAST(COALESCE(n_dup_docs, 0) AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE), 9) AS dup_rate
+         |FROM ps LEFT JOIN dp ON dp.source = ps.source
+         |ORDER BY ps.source""".stripMargin,
     // band the signatures, count bucket sizes, histogram occupancy
     "dedup_lsh_buckets" ->
       s"""WITH $ToksCte,
@@ -5597,6 +5643,23 @@ object SparkEntry {
         |FROM sm GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // sign changes over the regenerated sample walk (LAG window);
     // integer-exact, rate behind round(...,9)
+    // |sample| >= 30000 census from the staged PCM formula
+    "mm_audio_clipping" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)
+        |      AS ns
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id, ns, j,
+        |    ((doc_id + (2*j+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*j*31) % 256 - 128 + 256) % 256 AS v
+        |  FROM m, unnest(range(0, ns)) t(j))
+        |SELECT doc_id, ns AS n_samples,
+        |  CAST(SUM(CASE WHEN v >= 30000 OR v <= -30000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped,
+        |  round(CAST(SUM(CASE WHEN v >= 30000 OR v <= -30000 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(ns AS DOUBLE), 9) AS clip_ratio
+        |FROM sm GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     "mm_audio_zcr" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)

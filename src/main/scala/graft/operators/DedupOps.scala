@@ -156,6 +156,32 @@ object DedupOps {
       .orderBy("band", "bucket_size")
   }
 
+  /** Near-dup rate per source — the first table of a dedup run report
+    * read per PROVIDER: which source is feeding the duplicate mass
+    * (a crawler re-ingesting a mirror shows up here long before the
+    * corpus-level rate moves). Docs touched by any verified LSH pair,
+    * counted against each source's size. The pair set is
+    * candidate-scale, so the touched-id frame broadcasts onto the
+    * corpus scan; one source-keyed count each side.
+    */
+  def dupRateBySource(documents: DataFrame): DataFrame = {
+    val pairs = minhashLsh(documents)
+    val touched = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val perSource = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val dup = documents.select(col("doc_id"), col("source"))
+      .join(broadcast(touched), Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    perSource.join(dup, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") / col("n_docs").cast("double"),
+          9).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** Dedup-threshold sensitivity sweep — the calibration table a
     * dedup policy decision reads: pair mass, cluster count, and
     * surviving-corpus size at several Jaccard cuts, from ONE LSH +

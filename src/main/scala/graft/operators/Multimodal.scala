@@ -662,6 +662,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Clipping census over the real PCM decode — the standard audio-QA
+    * gate (a clipped recording saturates the 16-bit range; its
+    * spectrum is garbage for any downstream model, and no later
+    * normalization can undo it). Counts samples with |v| ≥ `threshold`
+    * (near full scale, default 30000 of ±32768) per document —
+    * integer-exact, so the oracle predicts every count from the
+    * staged PCM formula. Narrow mapPartitions, one row per clip.
+    */
+  def audioClipping(spark: SparkSession, audio: DataFrame,
+      threshold: Int = 30000): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("n_clipped", LongType, nullable = false))))
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val data = ais.readAllBytes()
+        ais.close()
+        require(data.length >= 2,
+          s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes")
+        val ns = data.length / 2
+        var clipped = 0L
+        var j = 0
+        while (j < ns) {
+          val v = (data(2 * j + 1).toInt << 8) | (data(2 * j) & 0xff)
+          if (v >= threshold || v <= -threshold) clipped += 1L
+          j += 1
+        }
+        Row(r.getLong(0), ns.toLong, clipped)
+      }
+    }(enc)
+      .withColumn("clip_ratio", round(col("n_clipped").cast("double")
+        / col("n_samples").cast("double"), 9))
+      .orderBy("doc_id")
+  }
+
   /** Schema of a resampled-audio record: source frame count, target
     * point count, and a digest of the RESAMPLED channel-0 amplitudes
     * (proof the resample ran over decoded PCM, not just the header).

@@ -2182,6 +2182,30 @@ object Relational {
       .orderBy("cohort_wk", "age_wk")
   }
 
+  /** Pre-join key-skew probe — the census an engineer (or an adaptive
+    * planner) reads BEFORE committing a large self-join: per-key row
+    * counts summarized as mean / p99 / max and the max-to-mean skew
+    * ratio. A ratio near 1 says hash partitioning will balance; a
+    * large one says salt the key or let AQE split (and predicts the
+    * pair-expansion blowup of a basket join, since a key of size s
+    * mints s² pairs). One keyed count + one bounded-state aggregate;
+    * the percentile domain is distinct count values.
+    */
+  def j15SkewProbe(lineitem: DataFrame): DataFrame = {
+    val perKey = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+    perKey.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        expr("percentile(cnt, 0.99D)").as("p99"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 9)
+          .as("mean_cnt"),
+        col("p99"), col("max_cnt"),
+        round(col("max_cnt").cast("double")
+          / (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_ratio"))
+  }
+
   /** MAD-based robust outlier census per event type — the anomaly
     * screen that survives the anomalies (mean/stddev z-scores move
     * with the outliers they hunt; the median absolute deviation does

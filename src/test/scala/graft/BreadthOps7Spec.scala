@@ -260,4 +260,49 @@ class BreadthOps7Spec extends SparkSpec {
     // (2 occurrences each); vector 4 shares no bucket -> occurrence 0
     assert(out == Map(0L -> 1L, 2L -> 3L))
   }
+
+  test("j15SkewProbe: key-count summary and skew ratio by hand") {
+    // keys: 1 -> 4 rows, 2 -> 1, 3 -> 1: mean 2.0, max 4, skew 2.0
+    val li = Seq(1L, 1L, 1L, 1L, 2L, 3L).zipWithIndex.map {
+      case (k, i) => (k, i.toLong, 1.0)
+    }.toDF("l_orderkey", "l_partkey", "l_quantity")
+    val (nk, nr, mean, p99, mx, skew) = Relational.j15SkewProbe(li)
+      .as[(Long, Long, Double, Double, Long, Double)].head()
+    assert(nk == 3L && nr == 6L && mean == 2.0 && mx == 4L && skew == 2.0)
+    assert(p99 >= 1.0 && p99 <= 4.0)
+  }
+
+  test("dupRateBySource: only the mirrored source carries the dup mass") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "mirror"), (2L, base, "mirror"), // near-dup pair
+      (3L, "completely different words about shuffle plans and scans", "clean"),
+      (4L, "another unrelated document on columnar formats and codecs", "clean"))
+      .map { case (i, t, src) => (i, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.operators.DedupOps.dupRateBySource(docs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("clean", 2L, 0L, 0.0), ("mirror", 2L, 2L, 1.0)))
+  }
+
+  test("audioClipping: counts exactly the near-full-scale samples") {
+    // hand-built 16-bit LE PCM wrapped as WAV: samples
+    // {0, 31000, -31000, 100} -> 2 clipped at the 30000 cut
+    val samples = Seq[Short](0, 31000, -31000, 100)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val audio = Seq((1L, bos.toByteArray)).toDF("doc_id", "content")
+    val out = graft.operators.Multimodal.audioClipping(spark, audio)
+      .as[(Long, Long, Long, Double)].head()
+    assert(out == ((1L, 4L, 2L, 0.5)))
+  }
 }
