@@ -166,6 +166,10 @@ object ScaleProbe {
     stage(spark, src, dir, mult, hubGrowth)
 
     def time(name: String, d: String): Double = {
+      // cold shared caches per timing: the probe must measure the FULL
+      // operator including its pair-graph build at both scales (see
+      // SparkEntry.resetSharedCaches) — Bench keeps them warm instead
+      SparkEntry.resetSharedCaches()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, d).count()
       (System.nanoTime() - t0) / 1e9

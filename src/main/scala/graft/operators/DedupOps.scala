@@ -164,8 +164,12 @@ object DedupOps {
     * candidate-scale, so the touched-id frame broadcasts onto the
     * corpus scan; one source-keyed count each side.
     */
-  def dupRateBySource(documents: DataFrame): DataFrame = {
-    val pairs = minhashLsh(documents)
+  def dupRateBySource(documents: DataFrame): DataFrame =
+    dupRateBySourceFrom(documents, minhashLsh(documents))
+
+  /** [[dupRateBySource]] over a pre-built verified pair frame. */
+  def dupRateBySourceFrom(documents: DataFrame, verified: DataFrame): DataFrame = {
+    val pairs = verified
     val touched = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -196,9 +200,15 @@ object DedupOps {
     * size.
     */
   def thresholdSweep(documents: DataFrame,
+      thresholds: Seq[Double] = Seq(0.95, 0.97, 0.985)): DataFrame =
+    thresholdSweepFrom(documents, minhashLsh(documents), thresholds)
+
+  /** [[thresholdSweep]] over a pre-built (possibly shared/cached)
+    * verified pair frame carrying `jaccard`.
+    */
+  def thresholdSweepFrom(documents: DataFrame, verified: DataFrame,
       thresholds: Seq[Double] = Seq(0.95, 0.97, 0.985)): DataFrame = {
-    val pairs = minhashLsh(documents)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val pairs = verified.select(col("doc_a"), col("doc_b"), col("jaccard"))
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     thresholds.map { th =>
       val pt = pairs.filter(col("jaccard") >= th).select("doc_a", "doc_b")
