@@ -808,6 +808,12 @@ object SparkEntry {
       Relational.w31Interarrival(t(s, d)("events"))),
     // pre-join key-skew probe (mean/p99/max per-key counts, skew ratio)
     "j15_skew_probe" -> ((s, d) => Relational.j15SkewProbe(t(s, d)("lineitem"))),
+    // day-of-week variance explained over daily volumes
+    "a44_seasonality" -> ((s, d) =>
+      Relational.a44SeasonalityStrength(t(s, d)("events"))),
+    // largest before/after mean-volume gap: when did traffic shift?
+    "a45_changepoint" -> ((s, d) =>
+      Relational.a45Changepoint(t(s, d)("events"))),
     // deterministic Poisson bootstrap: replicate means -> 95% CI for
     // the mean purchase value (integer hash weights, no RNG)
     "a41_bootstrap_ci" -> ((s, d) =>
@@ -4878,6 +4884,50 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (event_type) JOIN med USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact daily counts; identical squared-deviation shapes, decimal
+    // day-scale sums, strength pinned 0.0 on a constant series
+    "a44_seasonality" ->
+      """WITH daily AS (SELECT (CAST(ts AS DATE) - DATE '2024-01-01') AS d,
+        |    COUNT(*) AS c FROM events GROUP BY 1),
+        |dw AS (SELECT d, c, d % 7 AS dow FROM daily),
+        |dm AS (SELECT dow, CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS m_dow FROM dw GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m_all
+        |  FROM dw),
+        |terms AS (SELECT n_days,
+        |    CAST(round((CAST(c AS DOUBLE) - m_dow)
+        |      * (CAST(c AS DOUBLE) - m_dow), 9) AS DECIMAL(24,10)) AS w,
+        |    CAST(round((CAST(c AS DOUBLE) - m_all)
+        |      * (CAST(c AS DOUBLE) - m_all), 9) AS DECIMAL(24,10)) AS t
+        |  FROM dw JOIN dm USING (dow) CROSS JOIN tt)
+        |SELECT n_days, round(CAST(SUM(w) AS DOUBLE), 6) AS sse_within,
+        |  round(CAST(SUM(t) AS DOUBLE), 6) AS ss_total,
+        |  CASE WHEN CAST(SUM(t) AS DOUBLE) = 0.0 THEN 0.0
+        |    ELSE round(1.0 - CAST(SUM(w) AS DOUBLE) / CAST(SUM(t) AS DOUBLE),
+        |      9) END AS strength
+        |FROM terms GROUP BY 1""".stripMargin,
+    // cumulative day-scale sums; argmax gap with ties to earliest day
+    "a45_changepoint" ->
+      """WITH daily AS (SELECT (CAST(ts AS DATE) - DATE '2024-01-01') AS d,
+        |    COUNT(*) AS c FROM events GROUP BY 1),
+        |tt AS (SELECT SUM(c) AS s_all, COUNT(*) AS n_all FROM daily),
+        |sc AS (SELECT d,
+        |    COALESCE(SUM(c) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s1,
+        |    COALESCE(COUNT(*) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+        |  FROM daily),
+        |gaps AS (SELECT d,
+        |    round(abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s_all - s1 AS DOUBLE) / CAST(n_all - n1 AS DOUBLE)), 9)
+        |      AS gap
+        |  FROM sc CROSS JOIN tt WHERE n1 > 0 AND n1 < n_all),
+        |sel AS (SELECT d, gap,
+        |    ROW_NUMBER() OVER (ORDER BY gap DESC, d) AS rn FROM gaps),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_splits FROM gaps)
+        |SELECT n_splits, CAST(d AS BIGINT) AS change_day, gap AS mean_gap
+        |FROM sel CROSS JOIN n WHERE rn = 1""".stripMargin,
     // per-key counts -> bounded summary; skew ratio in one double shape
     "j15_skew_probe" ->
       """WITH pk AS (SELECT l_orderkey, COUNT(*) AS cnt

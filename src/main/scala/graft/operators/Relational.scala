@@ -2182,6 +2182,78 @@ object Relational {
       .orderBy("cohort_wk", "age_wk")
   }
 
+  /** Day-of-week seasonality strength over the daily event counts —
+    * the variance-explained readout (1 − SSE_within / SS_total) that
+    * says whether a weekly profile is worth modeling before anyone
+    * fits one. Weekday = day-offset mod 7 from the fixed epoch (no
+    * engine dayofweek convention in sight). Counts are exact integers;
+    * each squared deviation is one identical double shape behind a
+    * round(…,9) barrier before the exact-decimal day-scale sums; a
+    * constant series pins strength to 0.0. Day-scale state only.
+    */
+  def a44SeasonalityStrength(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit(epoch).cast("date"))
+      .cast("long")
+    val daily = events.groupBy(day.as("d")).agg(count(lit(1)).as("c"))
+      .withColumn("dow", pmod(col("d"), lit(7L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dowMeans = daily.groupBy("dow")
+      .agg((sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+        .as("m_dow"))
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      (sum(col("c")).cast("double") / count(lit(1)).cast("double")).as("m_all"))
+    val terms = daily.join(broadcast(dowMeans), "dow").crossJoin(broadcast(tot))
+      .select(col("n_days"),
+        round((col("c").cast("double") - col("m_dow"))
+          * (col("c").cast("double") - col("m_dow")), 9)
+          .cast(DecimalType(24, 10)).as("w"),
+        round((col("c").cast("double") - col("m_all"))
+          * (col("c").cast("double") - col("m_all")), 9)
+          .cast(DecimalType(24, 10)).as("t"))
+    terms.groupBy("n_days")
+      .agg(sum(col("w")).as("ssw"), sum(col("t")).as("sst"))
+      .select(col("n_days"),
+        round(col("ssw").cast("double"), 6).as("sse_within"),
+        round(col("sst").cast("double"), 6).as("ss_total"),
+        when(col("sst").cast("double") === 0.0d, lit(0.0d))
+          .otherwise(round(lit(1.0d)
+            - col("ssw").cast("double") / col("sst").cast("double"), 9))
+          .as("strength"))
+  }
+
+  /** Single changepoint scan over the daily event counts — for every
+    * split day k, the absolute gap between the mean daily volume
+    * before and from k; the argmax is "the day traffic shifted", the
+    * first question after any monitoring alarm. Cumulative integer
+    * sums over DAY-scale rows (the window is bounded by distinct
+    * days, not events), gaps in one double shape behind round(…,9),
+    * argmax via max(struct) with ties to the EARLIEST day. One
+    * event-scale keyed count; everything after is day-scale.
+    */
+  def a45Changepoint(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit(epoch).cast("date"))
+      .cast("long")
+    val daily = events.groupBy(day.as("d")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly before d
+    val tot = daily.agg(sum(col("c")).as("s_all"), count(lit(1)).as("n_all"))
+    val scans = daily
+      .withColumn("s1", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n1", coalesce(count(lit(1)).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") > 0 && col("n1") < col("n_all")) // both sides real
+      .select(col("d"),
+        round(abs(col("s1").cast("double") / col("n1").cast("double")
+          - (col("s_all") - col("s1")).cast("double")
+            / (col("n_all") - col("n1")).cast("double")), 9).as("gap"))
+    scans.agg(max(struct(col("gap"), (-col("d")).as("nd"))).as("best"),
+        count(lit(1)).as("n_splits"))
+      .select(col("n_splits"), (-col("best.nd")).as("change_day"),
+        col("best.gap").as("mean_gap"))
+  }
+
   /** Pre-join key-skew probe — the census an engineer (or an adaptive
     * planner) reads BEFORE committing a large self-join: per-key row
     * counts summarized as mean / p99 / max and the max-to-mean skew

@@ -305,4 +305,39 @@ class BreadthOps7Spec extends SparkSpec {
       .as[(Long, Long, Long, Double)].head()
     assert(out == ((1L, 4L, 2L, 0.5)))
   }
+
+  test("a44SeasonalityStrength: perfect weekly pattern explains all variance") {
+    // two full weeks, count = dow + 1 every day: within-dow deviation 0
+    val ev = (0 until 14).flatMap { d =>
+      (0 to (d % 7)).map(i => (d * 100L + i,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).atTime(10, 0)), 1L))
+    }.map { case (e, t, u) => (e, u, t, "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val (nDays, ssw, sst, strength) = Relational.a44SeasonalityStrength(ev)
+      .as[(Long, Double, Double, Double)].head()
+    assert(nDays == 14L && ssw == 0.0 && sst > 0 && strength == 1.0)
+    // constant series: ss_total 0 -> pinned 0.0, not NaN
+    val flat = (0 until 7).map { d => (d.toLong, 1L,
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(d).atTime(9, 0)), "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val (_, _, sst2, st2) = Relational.a44SeasonalityStrength(flat)
+      .as[(Long, Double, Double, Double)].head()
+    assert(sst2 == 0.0 && st2 == 0.0)
+  }
+
+  test("a45Changepoint: finds the level-shift day, ties to the earliest") {
+    // days 0-3 have 1 event/day, days 4-7 have 5/day -> split at day 4
+    val ev = (0 until 8).flatMap { d =>
+      val n = if (d < 4) 1 else 5
+      (0 until n).map(i => (d * 10L + i,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).atTime(12, 0))))
+    }.map { case (e, t) => (e, 1L, t, "view", 1.0) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val (nSplits, day, gap) = Relational.a45Changepoint(ev)
+      .as[(Long, Long, Double)].head()
+    assert(nSplits == 7L && day == 4L && gap == 4.0)
+  }
 }
