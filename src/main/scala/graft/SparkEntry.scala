@@ -1180,6 +1180,11 @@ object SparkEntry {
     "pipe_split_assign" -> ((s, d) => PipelineOps.splitAssign(t(s, d)("documents"))),
     // contamination-safe split: hash the near-dup component root so a
     // test doc's near-twin can never land in train
+    // how much pair mass straddles a split boundary, per scheme: the
+    // naive hash split leaks, the component-hashed split audits to 0
+    "pipe_split_leakage_audit" -> ((s, d) => PipelineOps.splitLeakageAudit(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
     "pipe_split_leakage_safe" -> ((s, d) => PipelineOps.splitLeakageSafe(
       t(s, d)("documents"),
       DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
@@ -2417,6 +2422,59 @@ object SparkEntry {
     // same md5 buckets, but hashed over the near-dup component root
     // (transitive closure of the banded pairs) — unpaired docs hash
     // their own id
+    // both assignments recomputed; crossing pairs counted per scheme
+    "pipe_split_leakage_audit" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |na AS (SELECT doc_id,
+         |  CASE WHEN (strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 204
+         |      THEN 'train'
+         |    WHEN (strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 230
+         |      THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |sf AS (SELECT g.doc_id,
+         |  CASE WHEN (strpos('0123456789abcdef',
+         |        substr(md5(CAST(g.group_key AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(g.group_key AS VARCHAR)), 2, 1)) - 1) < 204
+         |      THEN 'train'
+         |    WHEN (strpos('0123456789abcdef',
+         |        substr(md5(CAST(g.group_key AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(g.group_key AS VARCHAR)), 2, 1)) - 1) < 230
+         |      THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+         |    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id) g),
+         |cn AS (SELECT 'naive' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cross
+         |  FROM pairs JOIN na a ON a.doc_id = pairs.doc_a
+         |  JOIN na b ON b.doc_id = pairs.doc_b),
+         |cs AS (SELECT 'component_hashed' AS scheme,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cross
+         |  FROM pairs JOIN sf a ON a.doc_id = pairs.doc_a
+         |  JOIN sf b ON b.doc_id = pairs.doc_b)
+         |SELECT scheme, n_pairs, n_cross,
+         |  CASE WHEN n_pairs = 0 THEN 0.0
+         |    ELSE round(CAST(n_cross AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9)
+         |    END AS cross_rate
+         |FROM (SELECT * FROM cn UNION ALL SELECT * FROM cs)
+         |ORDER BY scheme""".stripMargin,
     "pipe_split_leakage_safe" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
          |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs

@@ -161,6 +161,38 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Split-leakage audit — the measurement that justifies
+    * [[splitLeakageSafe]]: for each split scheme, how many near-dup
+    * pairs STRADDLE a split boundary (a test doc whose near-twin is
+    * in train = the eval-contamination unit). The naive per-doc hash
+    * split leaks a predictable ~1 − Σ pᵢ² of the pair mass; the
+    * component-hashed split must audit to exactly zero — and this
+    * query is the regression tripwire that keeps it that way. Pairs
+    * are candidate-scale, so both assignment joins broadcast onto the
+    * pair list; two rows out at any corpus size.
+    */
+  def splitLeakageAudit(documents: DataFrame, pairs: DataFrame,
+      trainUpper: Int = 204, valUpper: Int = 230): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    def crossCount(assign: DataFrame, scheme: String) = p
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+      .select(lit(scheme).as("scheme"), col("n_pairs"), col("n_cross"))
+    crossCount(splitAssign(documents, trainUpper, valUpper), "naive")
+      .unionByName(crossCount(
+        splitLeakageSafe(documents, p, trainUpper, valUpper),
+        "component_hashed"))
+      .withColumn("cross_rate",
+        when(col("n_pairs") === 0, lit(0.0d))
+          .otherwise(round(col("n_cross").cast("double")
+            / col("n_pairs").cast("double"), 9)))
+      .orderBy("scheme")
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the
     * feature-engineering workhorse for high-cardinality categoricals:
     * encode category c for row i as (S_c − xᵢ + m·prior)/(n_c − 1 + m),

@@ -340,4 +340,25 @@ class BreadthOps7Spec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(nSplits == 7L && day == 4L && gap == 4.0)
   }
+
+  test("splitLeakageAudit: the component-hashed scheme audits to zero") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 12 dup clusters of 2 -> some naive pairs straddle split borders;
+    // the invariants: equal pair mass per scheme, safe cross == 0
+    val docs = (0L until 12L).flatMap { i =>
+      Seq((i * 2, base + s" variant$i"), (i * 2 + 1, base + s" variant$i"))
+    }.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = graft.operators.DedupOps.minhashLsh(docs)
+      .select("doc_a", "doc_b")
+    val rows = PipelineOps.splitLeakageAudit(docs, pairs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val bySch = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).sorted == Seq("component_hashed", "naive"))
+    assert(bySch("naive")._2 == bySch("component_hashed")._2)
+    assert(bySch("naive")._2 >= 12L, "every planted dup pair must verify")
+    assert(bySch("component_hashed")._3 == 0L &&
+      bySch("component_hashed")._4 == 0.0,
+      "a near-dup pair must never straddle a component-hashed split")
+  }
 }
