@@ -40,9 +40,18 @@ object SparkEntry {
     */
   private[graft] object BasketGraph {
     private val cache = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (DataFrame, DataFrame)]
-    def itemsAndPairs(s: SparkSession, d: String): (DataFrame, DataFrame) =
-      cache.getOrElseUpdate((s, d), {
+      .empty[(SparkSession, String, Long), (DataFrame, DataFrame)]
+    def itemsAndPairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      // keyed by source mtime (the stagingTag discipline): regenerated
+      // testdata in a live session must not serve a stale pair graph.
+      // A superseded generation's key can never recur, so its entry is
+      // evicted and unpersisted here rather than accumulating storage.
+      val gen = sourceGen(d, "lineitem.parquet")
+      cache.keys.filter(k => k._1 == s && k._2 == d && k._3 != gen)
+        .foreach(cache.remove(_).foreach { case (i, p) =>
+          i.unpersist(false); p.unpersist(false)
+        })
+      cache.getOrElseUpdate((s, d, gen), {
         val items = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("ord"), col("l_partkey").as("item"))
           .distinct()
@@ -54,15 +63,60 @@ object SparkEntry {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (items, pairCounts)
       })
+    }
     /** Distinct (doc_a, doc_b) co-order part pairs — the graph view. */
     def pairs(s: SparkSession, d: String): DataFrame =
       itemsAndPairs(s, d)._2
         .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+    // basket-profile sidecar: the per-item distinct-order counts and
+    // the single-row order total that the association-rule scorer
+    // joins against. Both are keyed aggregates over the persisted
+    // incidence list; memoized per generation so the scorer costs
+    // only its candidate-scale joins per invocation.
+    private val statsMemo = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Long), (DataFrame, DataFrame)]
+    def itemStats(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+      val gen = sourceGen(d, "lineitem.parquet")
+      statsMemo.keys.filter(k => k._1 == s && k._2 == d && k._3 != gen)
+        .foreach(statsMemo.remove(_).foreach { case (ic, tot) =>
+          ic.unpersist(false); tot.unpersist(false)
+        })
+      statsMemo.getOrElseUpdate((s, d, gen), {
+        val (items, _) = itemsAndPairs(s, d)
+        val ic = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = items.select(col("ord")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ic.count(); tot.count() // eager: lazy persists cache nothing
+        (ic, tot)
+      })
+    }
+    // the adjSlices degree probe is a full pair-scan aggregate; memoize
+    // it per cache generation so registered consumers (ktruss) don't
+    // re-run it per invocation. Spec-visible run counter.
+    private val probeMemo = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Long), Int]
+    private[graft] val probeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    def adjSlices(s: SparkSession, d: String): Int = {
+      val gen = sourceGen(d, "lineitem.parquet")
+      probeMemo.keys.filter(k => k._1 == s && k._2 == d && k._3 != gen)
+        .foreach(probeMemo.remove)
+      probeMemo.getOrElseUpdate((s, d, gen), {
+        probeRuns.incrementAndGet()
+        operators.GraphOps.adjSlicesFor(pairs(s, d))
+      })
+    }
     private[graft] def reset(): Unit = {
       cache.values.foreach { case (i, p) =>
         i.unpersist(false); p.unpersist(false)
       }
+      statsMemo.values.foreach { case (ic, tot) =>
+        ic.unpersist(false); tot.unpersist(false)
+      }
       cache.clear()
+      statsMemo.clear()
+      probeMemo.clear()
     }
   }
 
@@ -80,14 +134,44 @@ object SparkEntry {
     */
   private[graft] object DedupGraph {
     private val mh = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
+      .empty[(SparkSession, String, Long), DataFrame]
     private val sh = scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-    def minhashPairs(s: SparkSession, d: String): DataFrame =
-      mh.getOrElseUpdate((s, d),
+      .empty[(SparkSession, String, Long), DataFrame]
+    // stale-generation eviction, as in [[BasketGraph.itemsAndPairs]]
+    private def evict(m: scala.collection.concurrent.TrieMap[
+          (SparkSession, String, Long), DataFrame],
+        s: SparkSession, d: String, gen: Long,
+        release: DataFrame => Unit): Unit =
+      m.keys.filter(k => k._1 == s && k._2 == d && k._3 != gen)
+        .foreach(m.remove(_).foreach(release))
+    def minhashPairs(s: SparkSession, d: String): DataFrame = {
+      val gen = sourceGen(d, "documents.parquet")
+      evict(mh, s, d, gen,
+        org.apache.spark.sql.graft.CheckpointCleanupShim.unpersistBlocks)
+      mh.getOrElseUpdate((s, d, gen),
         operators.DedupOps.minhashLsh(Tables(s, d, "documents")))
-    def simhashPairs(s: SparkSession, d: String): DataFrame =
-      sh.getOrElseUpdate((s, d), {
+    }
+    // blocked Jaro-Winkler match pairs: three registered ER consumers
+    // (pair report, entity closure, golden-record fusion) — the
+    // production ER pipeline scores matches once and every downstream
+    // step reads them
+    private val jw = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Long), DataFrame]
+    def jwPairs(s: SparkSession, d: String): DataFrame = {
+      val gen = sourceGen(d, "documents.parquet")
+      evict(jw, s, d, gen, _.unpersist(false))
+      jw.getOrElseUpdate((s, d, gen), {
+        val p = operators.DedupOps
+          .jaroWinklerPairsLazy(Tables(s, d, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager: a lazy persist caches nothing
+        p
+      })
+    }
+    def simhashPairs(s: SparkSession, d: String): DataFrame = {
+      val gen = sourceGen(d, "documents.parquet")
+      evict(sh, s, d, gen, _.unpersist(false))
+      sh.getOrElseUpdate((s, d, gen), {
         // simhashPairs returns a LAZY plan (its one join pipeline has
         // no internal materialization) — persist + eager count here,
         // or every consumer would re-run the band join and the cache
@@ -97,10 +181,31 @@ object SparkEntry {
         p.count()
         p
       })
-    private[graft] def reset(): Unit = {
-      sh.values.foreach(_.unpersist(false))
-      mh.clear(); sh.clear()
     }
+    private[graft] def reset(): Unit = {
+      // symmetric release: sh frames are persisted here (unpersist
+      // drops their cache-manager entry); mh frames are the operator's
+      // own eagerly-localCheckpoint'd outputs, for which unpersist is
+      // a no-op — the shim walks their LogicalRDDs and drops the
+      // checkpoint blocks deterministically instead of waiting on the
+      // ContextCleaner
+      sh.values.foreach(_.unpersist(false))
+      jw.values.foreach(_.unpersist(false))
+      mh.values.foreach(
+        org.apache.spark.sql.graft.CheckpointCleanupShim.unpersistBlocks)
+      mh.clear(); sh.clear(); jw.clear()
+    }
+  }
+
+  /** Source-generation tag for the shared caches: the parquet file's
+    * mtime, 0 when absent (synthetic spec inputs). Same freshness
+    * discipline as [[stagingTag]].
+    */
+  private def sourceGen(d: String, sourceFile: String): Long = {
+    val p = java.nio.file.Paths.get(s"$d/$sourceFile")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.getLastModifiedTime(p).toMillis
+    else 0L
   }
 
   /** Drop every shared per-(session, dir) materialization. The SCALE
@@ -599,13 +704,14 @@ object SparkEntry {
     // "same article, minor edits": Levenshtein over leading content,
     // blocked on (lang, exact 10-char prefix)
     "dedup_edit_distance" -> ((s, d) => DedupOps.editDistancePairs(t(s, d)("documents"))),
-    "er_jaro_pairs" -> ((s, d) => DedupOps.jaroWinklerPairs(t(s, d)("documents"))),
+    "er_jaro_pairs" -> ((s, d) =>
+      DedupGraph.jwPairs(s, d).orderBy("doc_a", "doc_b")),
     // records -> entity ids: transitive closure over the blocked
     // Jaro-Winkler matches; unmatched records are their own entity
     "er_entities" -> ((s, d) => {
       val docs = t(s, d)("documents")
       val cc = GraphOps.connectedComponents(
-        DedupOps.jaroWinklerPairs(docs).select("doc_a", "doc_b"))
+        DedupGraph.jwPairs(s, d).select("doc_a", "doc_b"))
       docs.select(col("doc_id"))
         .join(cc, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -630,7 +736,7 @@ object SparkEntry {
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
       t(s, d)("documents"),
-      DedupOps.jaroWinklerPairs(t(s, d)("documents")).select("doc_a", "doc_b"))),
+      DedupGraph.jwPairs(s, d).select("doc_a", "doc_b"))),
     // asymmetric quote/containment dedup: |A∩B|/|A| per direction
     "dedup_containment" -> ((s, d) => DedupOps.containmentPairs(t(s, d)("documents"), 0.6)),
     // sub-document curation signal: fraction of each doc's shingles
@@ -704,7 +810,7 @@ object SparkEntry {
     // graph peels 115k edges to a ~2.5k dense co-purchase core)
     "graph_ktruss" -> ((s, d) =>
       GraphOps.kTruss(BasketGraph.pairs(s, d), k = 12,
-          adjSlices = GraphOps.adjSlicesFor(BasketGraph.pairs(s, d)))
+          adjSlices = BasketGraph.adjSlices(s, d))
         .withColumnRenamed("doc_a", "part_a")
         .withColumnRenamed("doc_b", "part_b")),
     // which communities bridge into which: edge counts per label pair
@@ -1149,8 +1255,9 @@ object SparkEntry {
     // support/confidence/lift over co-ordered part pairs, top-20 by
     // lift via TakeOrdered (bounded, no global window state)
     "j11_assoc_rules" -> ((s, d) => {
-      val (items, pairCounts) = BasketGraph.itemsAndPairs(s, d)
-      Relational.j11AssocRulesFrom(items, pairCounts)
+      val (_, pairCounts) = BasketGraph.itemsAndPairs(s, d)
+      val (itemCnt, totalOrders) = BasketGraph.itemStats(s, d)
+      Relational.j11ScoreRules(pairCounts, itemCnt, totalOrders)
     }),
     // argmax-transition hit rate off the transition counts — the
     // sanity gate for "predicted next action" features
@@ -2263,7 +2370,8 @@ object SparkEntry {
       """WITH h AS (SELECT source,
         |    CAST(list_sum(list_transform(range(1, 13),
         |      i -> (strpos('0123456789abcdef', substr(md5(
-        |        CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
+        |        CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '\N')
+        |        || '|' || COALESCE(source, '\N')
         |        || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)),
         |        i, 1)) - 1) * power(16, 12 - i))) AS BIGINT) AS h
         |  FROM documents),

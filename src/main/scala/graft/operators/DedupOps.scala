@@ -543,7 +543,18 @@ object DedupOps {
     * to the oracle's, rounding just removes double-formatting drift).
     */
   def jaroWinklerPairs(documents: DataFrame, headLen: Int = 32,
-      blockLen: Int = 4, threshold: Double = 0.92): DataFrame = {
+      blockLen: Int = 4, threshold: Double = 0.92): DataFrame =
+    jaroWinklerPairsLazy(documents, headLen, blockLen, threshold)
+      .orderBy("doc_a", "doc_b") // presentation order only
+
+  /** The unsorted match-pair pipeline — split out so the shared ER
+    * pair cache (`SparkEntry.DedupGraph.jwPairs`) and the closure /
+    * fusion consumers can read the candidate-scale pair list without
+    * paying a presentation sort none of them needs.
+    */
+  private[graft] def jaroWinklerPairsLazy(documents: DataFrame,
+      headLen: Int = 32, blockLen: Int = 4,
+      threshold: Double = 0.92): DataFrame = {
     val t = documents.select(col("doc_id"), col("lang"),
       substring(col("text"), 1, headLen).as("head"),
       substring(col("text"), 1, blockLen).as("blk"))
@@ -554,7 +565,6 @@ object DedupOps {
         round(graft.functions.GraftFunctions.jaro_winkler(
           col("a.head"), col("b.head")), 6).as("jw"))
       .filter(col("jw") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash (32-bit here; 64-bit in production — 32 keeps the value

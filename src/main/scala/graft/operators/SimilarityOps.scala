@@ -34,6 +34,20 @@ object SimilarityOps {
     * sim desc, vec_id asc (TopKAgg's total order, NaN ranked largest
     * exactly like Spark's descending sort); `posexplode` rebuilds the
     * ranked rows (pos + 1 = rank).
+    *
+    * 2x-audit note, ANN-ranker family (r8 quiet-host:
+    * `sim_filtered_topk` / `sim_lsh_topk` / `sim_multiprobe_topk` at
+    * ~2.1-2.5x oracles of 0.1-0.3 s): structural floor at bench scale.
+    * Each ranker is one broadcast-probe join (candidates gated by
+    * bucket/label equality BEFORE any O(dim) scoring) + this bounded
+    * aggregate — two shuffle-scheduled jobs of ~0.4-0.7 s fixed
+    * overhead over a 2k-vector corpus whose arithmetic is
+    * milliseconds; DuckDB pays neither. Action inventory: candidate
+    * generation is already equi-join-gated (no post-filter, no
+    * all-pairs), the probe side broadcasts (query-scale), scoring is
+    * a codegen'd kernel, the rank state is k-bounded — no data-scale
+    * stage remains, so the gap is scheduling overhead that amortizes
+    * with corpus size.
     */
   private def rankTopK(scored: DataFrame, k: Int,
       keepSim: Boolean = true): DataFrame = {
@@ -74,7 +88,8 @@ object SimilarityOps {
     * condition (evaluated before any scoring work), then the bounded
     * top-k aggregate. At scale the label would also prefix the
     * IVF/LSH bucket key, keeping the filter inside candidate
-    * generation.
+    * generation. 2x-audit: see [[rankTopK]]'s ANN-ranker family note
+    * (`sim_filtered_topk` sits on the same two-job structural floor).
     */
   def filteredTopK(embeddings: DataFrame, queries: DataFrame,
       k: Int): DataFrame = {
@@ -179,6 +194,8 @@ object SimilarityOps {
     * bruteForceTopK is measured in the test suite. Recall/cost dial:
     * more planes = fewer candidates per table, more tables = higher
     * recall; each table is one equi-join shuffle on its bucket key.
+    * 2x-audit: see [[rankTopK]]'s ANN-ranker family note
+    * (`sim_lsh_topk` sits on the same two-job structural floor).
     */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, numTables: Int = 1): DataFrame = {
@@ -229,6 +246,8 @@ object SimilarityOps {
     * 0.16 vs 0.07 / 0.04 for the same 8-plane single-probe table — a
     * ~4× recall boost for a 9× candidate bound; stacking tables on
     * top recovers the rest (see [[annRecallCheck]]'s 4×8 config).
+    * 2x-audit: see [[rankTopK]]'s ANN-ranker family note
+    * (`sim_multiprobe_topk` sits on the same two-job structural floor).
     */
   def multiprobeTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8): DataFrame = {
@@ -760,6 +779,15 @@ object SimilarityOps {
     * product term is nl²·10¹², good to ~10¹² vectors per label (and
     * the same headroom math protects the oracle's HUGEINT).
     * Single-member labels pin their (empty) intra mean to 0.0.
+    *
+    * 2x-audit note (r8 `sim_separability` ~2.1-2.5x a ~0.2 s oracle):
+    * structural floor at bench scale, same family as [[rankTopK]]'s
+    * note — the operator is one label×dim aggregate (eagerly
+    * checkpointed because BOTH sides of the cell join read it), one
+    * |labels|²·dim-bounded self-join, one cell rollup: ~0.5-0.7 s of
+    * job-scheduling fixed cost over 2k vectors. The identity already
+    * removed the only data-scale stage (the O(N²) pair join); what's
+    * left is bounded by label-cardinality², not the corpus.
     */
   def labelSeparability(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

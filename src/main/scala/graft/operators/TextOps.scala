@@ -451,23 +451,36 @@ object TextOps {
     * per-doc top-K is the bounded [[graft.functions.TopKStrAgg]], so
     * only K terms per doc per partition cross the one remaining
     * exchange (a doc-partitioned window would shuffle AND sort every
-    * (doc, term) row). The selected ≤K·docs pairs then broadcast back
-    * onto the cached tf scan to re-attach tf/df — no tf shuffle
-    * anywhere. Scores are rounded to 6 decimals on both engines so a
-    * ±1-ulp `ln` difference can never reorder the ranking.
+    * (doc, term) row). tf and df ride INSIDE the heap id
+    * (`termtfdf` — the separator byte 0x01 sorts below
+    * every token byte `[a-z0-9]`, so packed-id ties order exactly as
+    * bare-term ties), so the output needs NO re-attach join at all:
+    * the previous revision broadcast the ≤K·n_docs selection back onto
+    * the tf scan, a corpus-linear broadcast that would eventually OOM;
+    * now nothing docs-scale is ever broadcast. Scores are rounded to
+    * 6 decimals on both engines so a ±1-ulp `ln` difference can never
+    * reorder the ranking.
+    *
+    * `eager = false` (PlansSpec path) skips the persist + checkpoint
+    * and returns the fully lazy plan for shape inspection.
     */
-  def tfidfTopTerms(documents: DataFrame, topK: Int): DataFrame = {
+  def tfidfTopTerms(documents: DataFrame, topK: Int,
+      eager: Boolean = true): DataFrame = {
     import graft.functions.GraftFunctions.top_k_str_agg
     // tf is PER-ROW: a doc's tokens all live in its own row, so the
     // fused kernel counts them in one pass — no (doc, term) shuffle.
-    // PERSISTED: tf feeds the df aggregation, the ranking pass and the
-    // final re-attach join; without the cache the explode kernel (the
-    // operator's only corpus-scale pass) runs three times.
-    val tf = documents
+    // PERSISTED: tf feeds the df aggregation's broadcast-exchange job
+    // and the ranking pass; without the cache the explode kernel (the
+    // operator's only corpus-scale pass) runs twice. Released after
+    // the eager checkpoint of the ≤K·n_docs result (repo-standard
+    // lifecycle, as in [[bm25TopDocs]]).
+    val tfBase = documents
       .select(col("doc_id"), explode(graft.functions.GraftFunctions
         .word_term_freqs(col("text"))).as("tfs"))
       .select(col("doc_id"), col("tfs.term").as("term"), col("tfs.tf").as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = if (eager)
+      tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else tfBase
     // tf rows are distinct (doc, term), so df = row count per term.
     // The broadcast table is BOUNDED to the top-2²¹ terms by df (the
     // oovRatio / bigram-model vocab discipline — a saturating real
@@ -480,23 +493,31 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(1 << 21)
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
-    // rank with the bounded aggregate (score desc, term asc — the
-    // row_number window's exact tie order), then re-attach tf/df by
-    // broadcasting the ≤K·docs selection back onto the cached tf scan
-    val sel = tf.join(broadcast(dfreq), Seq("term"), "left_outer")
+    // rank with the bounded aggregate (score desc, packed-id asc ==
+    // term asc — the row_number window's exact tie order; see the
+    // separator-byte argument above), carrying tf/df in the payload
+    val packed = concat_ws("", col("term"),
+      col("tf").cast("string"), col("df").cast("string"))
+    val ranked = tf.join(broadcast(dfreq), Seq("term"), "left_outer")
       .crossJoin(broadcast(nDocs))
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0d) / (col("df") + 1.0d)), 6))
       .groupBy("doc_id")
-      .agg(top_k_str_agg(col("tfidf"), col("term"), topK).as("tk"))
+      .agg(top_k_str_agg(col("tfidf"), packed, topK).as("tk"))
       .select(col("doc_id"), posexplode(col("tk")))
-      .select(col("doc_id"), col("col.id").as("term"),
+      .select(col("doc_id"), split(col("col.id"), "").as("parts"),
         col("col.score").as("tfidf"), (col("pos") + 1).cast("int").as("rnk"))
-    tf.join(broadcast(sel), Seq("doc_id", "term"))
-      .join(broadcast(dfreq), Seq("term"), "left_outer")
-      .withColumn("df", coalesce(col("df"), lit(1L)))
-      .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+      .select(col("doc_id"), col("parts").getItem(0).as("term"),
+        col("parts").getItem(1).cast("long").as("tf"),
+        col("parts").getItem(2).cast("long").as("df"),
+        col("tfidf"), col("rnk"))
+    if (!eager) ranked
+    else {
+      val out = ranked.localCheckpoint(true)
+      tf.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Out-of-vocabulary ratio: the fraction of each doc's token
@@ -994,6 +1015,24 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "bucket")
 
+  /** Per-document average unigram log-probability under the corpus's
+    * own add-one-smoothed unigram LM — the zero-training perplexity
+    * proxy of a quality pipeline. The LM table is the SATURATING
+    * unigram vocabulary (one term-keyed aggregate), broadcast back
+    * onto the token stream; per-term contributions go through a
+    * round(…,12)→DECIMAL barrier so the cross-row float sum is
+    * engine-exact.
+    *
+    * 2x-audit note (r8 `text_unigram_lm` ~2.8x a ~0.2 s oracle):
+    * structural floor at bench scale — the cost is three
+    * shuffle-scheduled jobs (vocab aggregate, its single-row stats
+    * rollup, the doc-keyed score pass) of fixed ~0.5 s overhead
+    * against one in-process hash aggregate. The plan is already the
+    * bounded one: only the vocabulary crosses an exchange twice; the
+    * token stream shuffles ONCE (doc-keyed, map-side combining), so
+    * the overhead amortizes with corpus size and no data-scale stage
+    * is removable.
+    */
   def unigramLogProb(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), explode(toksCol).as("tok"))
     val tf = toks.groupBy("tok").agg(count(lit(1)).as("c"))

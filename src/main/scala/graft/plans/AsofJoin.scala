@@ -313,6 +313,16 @@ object AsofJoin {
     * direction='nearest'`). Still ONE single-pass merge: the sweep
     * tracks the closest-from-below candidate while stopping on the
     * first at-or-after row, then picks the closer of the two.
+    *
+    * 2x-audit note (r8 `pipe_point_in_time` ~2.7x a ~0.2 s oracle):
+    * structural floor at bench scale — the custom exec is one
+    * co-partitioned exchange + sort per side and a linear merge
+    * (exactly what DuckDB's native ASOF runs in-process); the residual
+    * is the two shuffle-scheduled jobs plus the SCD2 window that
+    * builds the dim side, ~0.5 s of fixed cost at any corpus size.
+    * No data-scale stage is removable: the merge never materializes a
+    * candidate set (contrast the windowed-equi-join restatement, which
+    * explodes fact×history rows before ranking them).
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],

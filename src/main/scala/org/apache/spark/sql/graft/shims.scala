@@ -27,6 +27,27 @@ object ExtensionsShim {
     ext.buildPlannerStrategies(session)
 }
 
+/** Explicit storage release for `localCheckpoint`'d DataFrames.
+  * `Dataset.unpersist` consults the cache manager, which has no entry
+  * for a checkpointed frame (its plan is a `LogicalRDD` over the
+  * persisted checkpoint RDD), so without this the blocks linger until
+  * the ContextCleaner GC-reaps the RDD — unbounded in a long-lived
+  * session that regenerates shared pair-graph caches. Walking the
+  * analyzed plan and unpersisting each `LogicalRDD`'s RDD drops the
+  * block-manager storage deterministically.
+  */
+object CheckpointCleanupShim {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  def unpersistBlocks(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+}
+
 /** Bridge to `Dataset.ofRows` for libraries that build custom logical
   * plans (the extension-library counterpart of what `spark.sql` does
   * internally).

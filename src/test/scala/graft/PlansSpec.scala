@@ -798,7 +798,7 @@ class PlansSpec extends SparkSpec {
 
   test("tfidfTopTerms: bounded string-keyed heap, no per-doc Window") {
     val df = graft.operators.TextOps.tfidfTopTerms(
-      Tables(spark, sf0001, "documents"), 5)
+      Tables(spark, sf0001, "documents"), 5, eager = false)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
     assert(p.contains("partial_top_k_str_agg"),
@@ -806,6 +806,13 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"no doc-partitioned ranking window allowed — it would shuffle and " +
         s"sort every (doc, term) row:\n${p.take(3000)}")
+    // tf/df ride in the heap payload: the only broadcasts are the
+    // vocabulary-bounded dfreq table and the single-row n_docs — the
+    // docs-scale selection must never be broadcast back
+    val nBroadcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(nBroadcasts <= 2,
+      s"expected only the bounded dfreq + n_docs broadcasts, " +
+        s"got $nBroadcasts:\n${p.take(3000)}")
   }
 
   test("invertedIndex: bounded heap aggregate, no Window, df fused in the same pass") {
