@@ -1119,6 +1119,18 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
     }),
+    // cross-modal join: image near-dup pairs scored by caption
+    // agreement (fingerprint equality + distinct-token Jaccard) — the
+    // duplicated-image / conflicting-caption labeling census
+    "mm_caption_integrity" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.captionIntegrity(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")),
+        t(s, d)("documents"))
+    }),
     // perceptual audio fingerprints over the real PCM decode
     "mm_audio_hash" -> ((s, d) => {
       val docs = t(s, d)("documents")
@@ -5861,6 +5873,47 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, hamming FROM pairs
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // the dhash pair CTEs above, extended by the caption join — the
+    // oracle re-derives the near-dup pairs from the gradient formula,
+    // then scores caption agreement per pair
+    "mm_caption_integrity" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |bits AS (
+        |  SELECT doc_id, y.y, x.x,
+        |    (doc_id + ((x.x * w) // 9) * 31 + ((y.y * h) // 8) * 7) % 256 AS g1,
+        |    (doc_id + (((x.x + 1) * w) // 9) * 31 + ((y.y * h) // 8) * 7) % 256 AS g2
+        |  FROM m, (SELECT unnest(range(0,8)) AS x) x,
+        |          (SELECT unnest(range(0,8)) AS y) y),
+        |rows_ AS (
+        |  SELECT doc_id, y,
+        |    CAST(SUM(CASE WHEN g2 > g1 THEN 1 << x ELSE 0 END) AS INT) AS rb
+        |  FROM bits GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(SUM(bit_count(xor(a.rb, b.rb))) AS BIGINT) AS hamming
+        |  FROM rows_ a JOIN rows_ b ON a.y = b.y AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cap AS (SELECT doc_id,
+        |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks,
+        |    md5(array_to_string(
+        |      regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+        |  FROM documents),
+        |j AS (
+        |  SELECT doc_a, doc_b, hamming, ca.fp = cb.fp AS same_caption,
+        |    len(list_intersect(ca.toks, cb.toks)) AS ni,
+        |    len(ca.toks) + len(cb.toks)
+        |      - len(list_intersect(ca.toks, cb.toks)) AS nu
+        |  FROM pairs
+        |  JOIN cap ca ON ca.doc_id = pairs.doc_a
+        |  JOIN cap cb ON cb.doc_id = pairs.doc_b
+        |  WHERE hamming <= 3)
+        |SELECT doc_a, doc_b, hamming, same_caption,
+        |  CASE WHEN nu = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE round(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+        |  END AS caption_jaccard
+        |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     // the 65-point NN resample grid over the staged PCM formula: the
     // oracle reconstructs every sampled amplitude, so the fingerprint
     // proves the decoder streamed real sample data

@@ -522,6 +522,49 @@ object Multimodal {
     DedupOps.bandedHamming64(sig, maxHamming).orderBy("doc_a", "doc_b")
   }
 
+  /** Cross-modal caption-integrity census — the join a multimodal
+    * corpus build runs BETWEEN its two dedup modalities: every
+    * perceptual image near-dup pair ([[imageNearDup]] — REAL PNG
+    * decode, banded Hamming) scored by how much its two CAPTIONS
+    * agree (exact canonical-token fingerprint equality plus the
+    * distinct-token Jaccard). A duplicated image whose captions
+    * diverge is a labeling conflict (keep one caption? flag the pair?
+    * a training example teaching two answers for one input); text
+    * dedup alone never sees it because the captions are NOT near-dups
+    * of each other.
+    *
+    * Scale shape: the pair list is candidate-scale (banded Hamming
+    * equi-join, pigeonhole-exact ≤ maxHamming); each caption join is
+    * keyed on doc_id with the pair side candidate-scale (AQE
+    * broadcasts it), so the corpus-scale caption table never
+    * self-joins and token arrays ride only on matched rows. Jaccard
+    * is per-row array arithmetic over the engine-shared tokenizer
+    * (`[a-z0-9]+` on lower), two empty captions score 1.0, and the
+    * ratio rounds to 6 dp on both engines.
+    */
+  def captionIntegrity(spark: SparkSession, images: DataFrame,
+      documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val pairs = imageNearDup(spark, images, maxHamming)
+    val caps = documents.select(col("doc_id"),
+      array_distinct(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("toks"),
+      md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+        .as("fp"))
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    val uni = size(col("toks_a")) + size(col("toks_b")) - inter
+    pairs
+      .join(caps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("fp").as("fp_a")), "doc_a")
+      .join(caps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("fp_a") === col("fp_b")).as("same_caption"),
+        when(uni === 0, lit(1.0d))
+          .otherwise(round(inter.cast("double") / uni.cast("double"), 6))
+          .as("caption_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Schema of a per-clip PCM sample-statistics record (full-stream
     * 16-bit sample stats over the REAL decoded audio).
     */

@@ -305,6 +305,29 @@ class MultimodalSpec extends SparkSpec {
     assert(spark.read.format("binaryFile").load(dir).count() == 1)
   }
 
+  test("captionIntegrity scores caption agreement over image-dup pairs") {
+    // three image-typed docs (12 bytes, % 3 == 0) whose ids are all
+    // % 64 == 0 -> 1-pixel-wide renders -> dhash 0 -> one exact-dup
+    // image clique; captions: two identical, one diverging
+    val cdocs = Seq(
+      (0L, "the cat sat.", "en", "s", 12L),
+      (192L, "the cat sat.", "en", "s", 12L),
+      (384L, "the dog sat.", "en", "s", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_capint_spec")
+      .resolve("staged").toString
+    Multimodal.stagePngs(cdocs, dir)
+    val staged = spark.read.format("binaryFile").load(dir)
+      .selectExpr("CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.png$', 1) AS LONG) AS doc_id",
+        "content")
+    val out = Multimodal.captionIntegrity(spark, staged, cdocs)
+      .as[(Long, Long, Long, Boolean, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 192L, 0L, true, 1.0),   // same image, same caption
+      (0L, 384L, 0L, false, 0.5),  // same image, conflicting caption
+      (192L, 384L, 0L, false, 0.5)), out)
+  }
+
   test("stageWavs + binaryFile round trip decodes the staged RIFF header") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wav_spec")
       .resolve("staged").toString
