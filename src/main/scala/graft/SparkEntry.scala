@@ -478,6 +478,8 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextOps.tokenEntropy(t(s, d)("documents"))),
     // Zipf rank-frequency OLS fit over the bounded top-256 terms
     "text_zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d)("documents"))),
+    // Hill tail-index over top-100 bigram frequencies (power-law health)
+    "text_hill_tail" -> ((s, d) => TextOps.hillTailIndex(t(s, d)("documents"))),
     // RAKE: each doc's best stopword-free phrase by corpus-wide
     // degree/frequency word scores (the keyword tagger)
     "text_keywords" -> ((s, d) => TextOps.rakeKeywords(t(s, d)("documents"))),
@@ -732,6 +734,10 @@ object SparkEntry {
     // which provider feeds the duplicate mass: near-dup rate by source
     "dedup_rate_by_source" -> ((s, d) => DedupOps.dupRateBySourceFrom(
       t(s, d)("documents"), DedupGraph.minhashPairs(s, d))),
+    // does dedup skew the length distribution? dup rate by length decile
+    "dedup_length_bias" -> ((s, d) => DedupOps.dupRateByLength(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
@@ -748,6 +754,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => DedupOps.simhash(t(s, d)("documents"))),
     "dedup_simhash64" -> ((s, d) => DedupOps.simhash64(t(s, d)("documents"))),
     "dedup_simhash_pairs" -> ((s, d) => DedupGraph.simhashPairs(s, d)),
+    // do the two near-dup definitions even agree? pair-set Jaccard of
+    // the MinHash-verified vs SimHash pair graphs (both shared caches)
+    "dedup_scheme_agreement" -> ((s, d) => DedupOps.pairSetAgreement(
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"),
+      DedupGraph.simhashPairs(s, d).select("doc_a", "doc_b"))),
     // cluster density of the near-dup graph: exact triangle count
     "dedup_triangles" -> ((s, d) => graft.operators.GraphOps
       .triangleCount(DedupGraph.simhashPairs(s, d))),
@@ -914,6 +925,8 @@ object SparkEntry {
       Relational.w31Interarrival(t(s, d)("events"))),
     // pre-join key-skew probe (mean/p99/max per-key counts, skew ratio)
     "j15_skew_probe" -> ((s, d) => Relational.j15SkewProbe(t(s, d)("lineitem"))),
+    // FD violation census: a true key and a false one, both verdicts
+    "j16_fd_profile" -> ((s, d) => Relational.j16FdProfile(t(s, d)("orders"))),
     // day-of-week variance explained over daily volumes
     "a44_seasonality" -> ((s, d) =>
       Relational.a44SeasonalityStrength(t(s, d)("events"))),
@@ -3443,6 +3456,30 @@ object SparkEntry {
          |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
          |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept
          |FROM s WHERE n >= 3""".stripMargin,
+    "text_hill_tail" ->
+      s"""WITH $ToksCte,
+         |t AS (SELECT ws[i] || ' ' || ws[i+1] AS tok
+         |  FROM toks, unnest(range(1, greatest(len(ws), 1))) t(i)
+         |  WHERE len(ws) >= 2),
+         |tf AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+         |rk AS (SELECT c,
+         |  ROW_NUMBER() OVER (ORDER BY c DESC,
+         |    CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)) AS rnk
+         |  FROM tf),
+         |ft AS (SELECT c AS f_tail FROM rk WHERE rnk = 101),
+         |terms AS (SELECT f_tail,
+         |    CAST(round(ln(CAST(c AS DOUBLE) / CAST(f_tail AS DOUBLE)), 9)
+         |      AS DECIMAL(18,9)) AS t
+         |  FROM rk CROSS JOIN ft WHERE rnk <= 100),
+         |s AS (SELECT f_tail, CAST(COUNT(*) AS BIGINT) AS k_used,
+         |    SUM(t) AS s FROM terms GROUP BY 1)
+         |SELECT k_used, f_tail,
+         |  round(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE), 9) AS hill_mean,
+         |  CASE WHEN round(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE), 9) > 0
+         |       THEN round(CAST(1.0 AS DOUBLE)
+         |         / round(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE), 9), 9)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS alpha
+         |FROM s""".stripMargin,
     "text_entropy" ->
       s"""WITH $ToksCte,
          |t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
@@ -3612,7 +3649,8 @@ object SparkEntry {
         |    (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS beta
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+        |    + CAST(0.0 AS DOUBLE) AS beta
         |  FROM sums)
         |SELECT n_points, total_tokens, total_vocab, beta,
         |  round(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
@@ -4255,6 +4293,27 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $MinhashPairsCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    // both pair pipelines spliced (CTE namespaces are disjoint:
+    // minhash uses toks/sh/hashed/mh/bands/cand/sizes/inter/pairs,
+    // simhash uses tok/h/bits/s/sig)
+    "dedup_scheme_agreement" ->
+      s"""WITH $MinhashPairsCtes,
+         |$SimhashSigCte,
+         |shp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |c AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_minhash,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM shp) AS n_simhash,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM pairs p JOIN shp USING (doc_a, doc_b)) AS n_both)
+         |SELECT n_minhash, n_simhash, n_both,
+         |  CASE WHEN n_minhash + n_simhash - n_both = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_both AS DOUBLE)
+         |         / CAST(n_minhash + n_simhash - n_both AS DOUBLE), 6)
+         |  END AS pair_jaccard
+         |FROM c""".stripMargin,
     "dedup_lsh_recall" ->
       s"""WITH $MinhashPairsCtes,
          |ex AS (
@@ -5123,6 +5182,27 @@ object SparkEntry {
         |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
         |    AS skew_ratio
         |FROM s""".stripMargin,
+    // per-FD keyed countDistinct + bounded rollup; both verdicts
+    "j16_fd_profile" ->
+      """WITH f1 AS (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+        |  FROM orders GROUP BY 1),
+        |a1 AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM f1),
+        |f2 AS (SELECT o_orderkey, COUNT(DISTINCT o_orderstatus) AS nd
+        |  FROM orders GROUP BY 1),
+        |a2 AS (SELECT 'o_orderkey->o_orderstatus' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating
+        |  FROM f2)
+        |SELECT fd, n_groups, n_violating,
+        |  round(CAST(n_violating AS DOUBLE) / CAST(n_groups AS DOUBLE), 6)
+        |    AS violation_rate
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY fd""".stripMargin,
     // exact integer micro gaps off one type-keyed LAG; round-6 summary
     "w31_interarrival" ->
       """WITH g AS (SELECT event_type,
@@ -5329,6 +5409,29 @@ object SparkEntry {
          |    / CAST(n_docs AS DOUBLE), 9) AS dup_rate
          |FROM ps LEFT JOIN dp ON dp.source = ps.source
          |ORDER BY ps.source""".stripMargin,
+    // exact interpolated decile boundaries over integer n_chars, CASE
+    // ladder bucket, endpoint-set left join — mirrors dupRateByLength
+    "dedup_length_bias" ->
+      s"""WITH $MinhashPairsCtes,
+         |dup AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM pairs
+         |  UNION ALL SELECT doc_b FROM pairs)),
+         |b AS (SELECT
+         |  ${(1 to 9).map(i => s"quantile_cont(n_chars, 0.$i) AS b$i")
+              .mkString(", ")}
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    CASE ${(1 to 9).map(i => s"WHEN n_chars <= b$i THEN ${i - 1}")
+              .mkString(" ")} ELSE 9 END AS bucket
+         |  FROM documents CROSS JOIN b)
+         |SELECT CAST(bucket AS INT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup,
+         |  round(CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         |FROM t LEFT JOIN dup USING (doc_id)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     // band the signatures, count bucket sizes, histogram occupancy
     "dedup_lsh_buckets" ->
       s"""WITH $ToksCte,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -496,6 +496,73 @@ object DedupOps {
     val out = verifyJaccard(sh, candidates, threshold).localCheckpoint(true)
     sh.unpersist(blocking = false)
     out
+  }
+
+  /** Cross-scheme dedup agreement census — MinHash-LSH (verified
+    * Jaccard) vs SimHash (Hamming ≤ 3) pair sets compared as sets:
+    * counts of each, their intersection, and the pair-set Jaccard.
+    * The calibration readout an engineer checks before trusting ONE
+    * scheme's dup-rate number: a near-zero agreement (as on this
+    * corpus, where SimHash's 32-bit collision cliques dwarf the
+    * verified MinHash matches) says the two "near-dup" definitions
+    * are measuring different things and the pipeline must pick by
+    * intent, not convenience. Inputs are the shared cached pair
+    * graphs, so the census costs one candidate-scale equi-join plus
+    * two counts; two empty sets agree at 1.0.
+    */
+  def pairSetAgreement(mh: DataFrame, sh: DataFrame): DataFrame = {
+    val both = mh.join(sh, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val na = mh.agg(count(lit(1)).as("n_minhash"))
+    val nb = sh.agg(count(lit(1)).as("n_simhash"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(both))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+        when(col("n_minhash") + col("n_simhash") - col("n_both") === 0,
+          lit(1.0d))
+          .otherwise(round(col("n_both").cast("double")
+            / (col("n_minhash") + col("n_simhash") - col("n_both"))
+              .cast("double"), 6))
+          .as("pair_jaccard"))
+  }
+
+  /** Near-dup incidence by document-length decile — "are my
+    * duplicates concentrated in short docs?", the length-bias screen
+    * that decides whether a dedup policy silently skews the corpus's
+    * length distribution (boilerplate stubs duplicate far more than
+    * long-form text). Decile boundaries come from ONE exact
+    * interpolated-percentile aggregate over the integer n_chars
+    * domain (bounded state, engine-identical to quantile_cont — never
+    * a global ntile sort of the corpus), broadcast back as a single
+    * row; dup membership is the distinct endpoint set of the shared
+    * pair graph (candidate-scale). One doc-keyed left join + one
+    * 10-bucket aggregate.
+    */
+  def dupRateByLength(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val boundCols = (1 to 9).map(i =>
+      expr(s"percentile(n_chars, 0.${i}D)").as(s"b$i"))
+    val bounds = documents.agg(boundCols.head, boundCols.tail: _*)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val bucket = (1 to 9).reverse
+      .foldLeft(lit(9): Column) { case (acc, i) =>
+        when(col("n_chars") <= col(s"b$i"), lit(i - 1)).otherwise(acc)
+      }
+    documents.select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(bounds))
+      .select(col("doc_id"), bucket.cast("int").as("bucket"))
+      // no broadcast hint: the endpoint set is candidate-scale but
+      // corpus-growing — AQE broadcasts it while it's small (the r9
+      // tfidf lesson: never force a broadcast that scales with data)
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("bucket"), col("n_docs"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+      .orderBy("bucket")
   }
 
   /** Edit-distance near-dup pairs over each document's LEADING content

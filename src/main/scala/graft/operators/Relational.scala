@@ -943,6 +943,33 @@ object Relational {
       .limit(topK)
   }
 
+  /** Functional-dependency violation census — the data-quality
+    * profile a sync pipeline runs before trusting a column as a
+    * lookup key: for each candidate FD lhs → rhs, how many lhs groups
+    * map to MORE than one rhs value (and at what rate). A key that
+    * "should" determine a value but doesn't is how silent fan-out
+    * bugs enter joins. Candidates here pair a true key
+    * (o_orderkey → o_orderstatus, rate 0 by construction) with a
+    * deliberately false one (o_custkey → o_orderpriority) so the
+    * output exercises both verdicts. Per FD: one keyed
+    * countDistinct aggregate + one bounded rollup — map-side
+    * combining, nothing row-scale past the first shuffle.
+    */
+  def j16FdProfile(orders: DataFrame): DataFrame = {
+    def fd(lhs: String, rhs: String): DataFrame =
+      orders.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_groups"),
+          col("n_violating"),
+          round(col("n_violating").cast("double")
+            / col("n_groups").cast("double"), 6).as("violation_rate"))
+    fd("o_custkey", "o_orderpriority")
+      .unionByName(fd("o_orderkey", "o_orderstatus"))
+      .orderBy("fd")
+  }
+
   /** Rolling median over a 5-row frame per event type — the
     * robust-baseline smoother (medians shrug off the spikes that drag
     * a rolling mean). Exact windowed percentile, not approx: the

@@ -275,9 +275,13 @@ object TextOps {
       sum(round(col("x") * col("y"), 12).cast(DecimalType(24, 14))).as("sxy"))
     def dd(c: String) = col(c).cast("double")
     sums
+      // + 0.0 folds IEEE -0.0 to +0.0 (a saturated-vocab corpus puts
+      // the slope at ±ulp around zero; the two engines may land on
+      // opposite signs before the round) — identity for every other
+      // value, mirrored in the oracle
       .withColumn("beta", round(
         (dd("n_points") * dd("sxy") - dd("sx") * dd("sy")) /
-          (dd("n_points") * dd("sxx") - dd("sx") * dd("sx")), 9))
+          (dd("n_points") * dd("sxx") - dd("sx") * dd("sx")), 9) + lit(0.0d))
       .withColumn("k", round(
         exp((dd("sy") - col("beta") * dd("sx")) / dd("n_points")), 6))
       .select("n_points", "total_tokens", "total_vocab", "beta", "k")
@@ -1232,6 +1236,51 @@ object TextOps {
     * (the pearsonFromSums discipline), intercept computed from the
     * ROUNDED slope so the two emitted numbers round-trip exactly.
     */
+  /** Hill tail-index estimate over the BIGRAM-frequency distribution —
+    * the standard order-statistics estimator for a power-law tail
+    * (alpha ≈ 1/mean(ln(f_i/f_{k+1})) over the top-k frequencies),
+    * the numeric companion to [[zipfSlope]]'s OLS fit: the slope says
+    * "roughly Zipfian", the Hill alpha prices how heavy the head
+    * actually is (template/boilerplate corpora inflate it; natural
+    * text sits near 1). Bigrams, not unigrams, because the estimator
+    * needs k+1 distinct ranks and this corpus's unigram vocabulary is
+    * tiny (31 words) while its bigram vocabulary is ~1k — the general
+    * lesson stands at any scale: pick the n-gram order whose support
+    * exceeds k. Same scale shape as the Zipf fit: one fused
+    * word_shingles pass, one vocabulary-scale aggregate, a BOUNDED
+    * top-(k+1) heap with the md5-hash tie key, then k-scale
+    * arithmetic. Each ln ratio is ONE double shape behind a
+    * round(…,9)→DECIMAL barrier; alpha derives from the ROUNDED mean
+    * so both emitted numbers round-trip.
+    */
+  def hillTailIndex(documents: DataFrame, k: Int = 100): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val tf = documents
+      .select(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 2, distinct = false).as("bs"))
+      .select(explode(col("bs")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val hid = conv(substring(md5(col("tok")), 1, 13), 16, 10).cast("long")
+    val ranked = tf
+      .agg(top_k_agg(col("c").cast("double"), hid, k + 1).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.score").cast("long").as("c"))
+    val fTail = ranked.filter(col("rnk") === (k + 1))
+      .select(col("c").as("f_tail"))
+    val terms = ranked.filter(col("rnk") <= k)
+      .crossJoin(broadcast(fTail)) // single-row boundary frequency
+      .select(col("f_tail"),
+        round(log(col("c").cast("double") / col("f_tail").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("t"))
+    val hm = round(col("s").cast("double") / col("k_used").cast("double"), 9)
+    terms.groupBy("f_tail")
+      .agg(count(lit(1)).as("k_used"), sum(col("t")).as("s"))
+      .select(col("k_used"), col("f_tail"), hm.as("hill_mean"),
+        when(hm > 0.0d, round(lit(1.0d) / hm, 9)).otherwise(lit(0.0d))
+          .as("alpha"))
+  }
+
   def zipfSlope(documents: DataFrame, topK: Int = 256): DataFrame = {
     import graft.functions.GraftFunctions.top_k_agg
     val tf = documents.select(explode(toksCol).as("tok"))
