@@ -480,6 +480,9 @@ object SparkEntry {
     "text_zipf_slope" -> ((s, d) => TextOps.zipfSlope(t(s, d)("documents"))),
     // Hill tail-index over top-100 bigram frequencies (power-law health)
     "text_hill_tail" -> ((s, d) => TextOps.hillTailIndex(t(s, d)("documents"))),
+    // held-out n-gram coverage across the md5 split (orders 1 and 2)
+    "text_split_coverage" -> ((s, d) =>
+      TextOps.splitNgramCoverage(t(s, d)("documents"))),
     // RAKE: each doc's best stopword-free phrase by corpus-wide
     // degree/frequency word scores (the keyword tagger)
     "text_keywords" -> ((s, d) => TextOps.rakeKeywords(t(s, d)("documents"))),
@@ -736,6 +739,14 @@ object SparkEntry {
       t(s, d)("documents"), DedupGraph.minhashPairs(s, d))),
     // does dedup skew the length distribution? dup rate by length decile
     "dedup_length_bias" -> ((s, d) => DedupOps.dupRateByLength(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // syndication census: near-dup pair mass within vs across sources
+    "dedup_cross_source" -> ((s, d) => DedupOps.crossSourcePairs(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // did dedup change the source mixture? share before/after + delta
+    "pipe_mixture_shift" -> ((s, d) => PipelineOps.mixtureShift(
       t(s, d)("documents"),
       DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
@@ -1294,6 +1305,12 @@ object SparkEntry {
     // drift screen; fixed-point component sums)
     "sim_centroid_drift" -> ((s, d) =>
       SimilarityOps.centroidDrift(t(s, d)("embeddings"))),
+    // label coherence: per-label nearest-centroid self-classification
+    "sim_nearest_centroid" -> ((s, d) =>
+      SimilarityOps.nearestCentroid(t(s, d)("embeddings"))),
+    // long-run event mix implied by the transition matrix (power iter)
+    "a47_markov_stationary" -> ((s, d) =>
+      Relational.a47MarkovStationary(s, t(s, d)("events"))),
     "w12_transitions" -> ((s, d) =>
       Relational.eventTransitions(t(s, d)("events"))),
     // interval-overlap self-join: concurrent same-part shipments from
@@ -3480,6 +3497,43 @@ object SparkEntry {
          |         / round(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE), 9), 9)
          |       ELSE CAST(0.0 AS DOUBLE) END AS alpha
          |FROM s""".stripMargin,
+    // per-ngram presence flags over the md5-bucket split, folded to
+    // one row per order — mirrors splitNgramCoverage (duplicates
+    // can't move a MAX flag, so no per-doc distinct is needed)
+    "text_split_coverage" ->
+      s"""WITH $ToksCte,
+         |tagged AS (SELECT
+         |    ((strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) < 204
+         |      AS is_train,
+         |    ws FROM toks),
+         |u1 AS (SELECT is_train, unnest(ws) AS g FROM tagged),
+         |c1 AS (SELECT g,
+         |    MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+         |    MAX(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_heldout
+         |  FROM u1 GROUP BY 1),
+         |r1 AS (SELECT 1 AS ngram_order,
+         |    CAST(COUNT(*) AS BIGINT) AS n_heldout_distinct,
+         |    CAST(SUM(in_train) AS BIGINT) AS n_covered
+         |  FROM c1 WHERE in_heldout = 1),
+         |u2 AS (SELECT is_train, ws[i] || ' ' || ws[i+1] AS g
+         |  FROM tagged, unnest(range(1, greatest(len(ws), 1))) t(i)
+         |  WHERE len(ws) >= 2),
+         |c2 AS (SELECT g,
+         |    MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+         |    MAX(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_heldout
+         |  FROM u2 GROUP BY 1),
+         |r2 AS (SELECT 2 AS ngram_order,
+         |    CAST(COUNT(*) AS BIGINT) AS n_heldout_distinct,
+         |    CAST(SUM(in_train) AS BIGINT) AS n_covered
+         |  FROM c2 WHERE in_heldout = 1)
+         |SELECT ngram_order, n_heldout_distinct, n_covered,
+         |  round(CAST(n_covered AS DOUBLE)
+         |    / CAST(n_heldout_distinct AS DOUBLE), 9) AS coverage
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         |ORDER BY ngram_order""".stripMargin,
     "text_entropy" ->
       s"""WITH $ToksCte,
          |t AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
@@ -5263,6 +5317,40 @@ object SparkEntry {
         |FROM mx JOIN pr ON pr.src_type = mx.src_type ORDER BY 1""".stripMargin,
     // fixed-point component sums (floor(x*1e12) HUGEINT), double
     // centroids in the identical shape, round-12 decimal product terms
+    // fixed-point centroid cells -> per-(vec,label) round-12 decimal
+    // dots -> round-9 score argmax (ties to lowest label) -> accuracy
+    "sim_nearest_centroid" ->
+      """WITH c AS (SELECT label AS c_label, i AS pos,
+        |    SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS HUGEINT))
+        |      AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT c_label, pos,
+        |    CAST(s AS DOUBLE) / CAST(nl AS DOUBLE) / 1e12 AS m FROM c),
+        |nm AS (SELECT c_label,
+        |    SUM(CAST(round(m * m, 12) AS DECIMAL(38,18))) AS n2
+        |  FROM m GROUP BY 1),
+        |ev AS (SELECT vec_id, label, i AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+        |tv AS (SELECT ev.vec_id, ev.label, m.c_label,
+        |    SUM(CAST(round(ev.x * m.m, 12) AS DECIMAL(38,18))) AS dot
+        |  FROM ev JOIN m USING (pos) GROUP BY 1, 2, 3),
+        |sc AS (SELECT vec_id, label, tv.c_label,
+        |    round(CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)), 9)
+        |      AS score
+        |  FROM tv JOIN nm USING (c_label)),
+        |pr AS (SELECT vec_id, label, c_label AS pred,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, c_label) AS rk
+        |  FROM sc)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        |FROM pr WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_centroid_drift" ->
       """WITH c AS (SELECT label, i AS pos,
         |    SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS HUGEINT))
@@ -5287,6 +5375,44 @@ object SparkEntry {
         |    / (sqrt(CAST(SUM(t_l2) AS DOUBLE))
         |      * sqrt(CAST(SUM(t_g2) AS DOUBLE))), 9) AS cos_to_global
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same 24 power-iteration rounds as the Spark driver loop,
+    // unrolled as DECIMAL(18,12) CTEs (exact decimal arithmetic on
+    // both engines at every intermediate state — converged or not)
+    "a47_markov_stationary" -> {
+      val iters = 24
+      // MATERIALIZED per round: without it DuckDB inlines the whole
+      // 24-deep chain into one plan and optimization time explodes
+      // (measured ~625 s inlined vs ms materialized at sf0.01)
+      val iterCtes = (1 to iters).map { k =>
+        s"""it$k AS MATERIALIZED (SELECT p.dst_type AS t,
+           |    CAST(round(SUM(i.pi * p.p), 12) AS DECIMAL(18,12)) AS pi
+           |  FROM it${k - 1} i JOIN p ON i.t = p.src_type GROUP BY 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT src_type, dst_type, count(*) AS n FROM (
+         |    SELECT event_type AS src_type,
+         |      LEAD(event_type) OVER (
+         |        PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+         |    FROM events)
+         |  WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT src_type, SUM(n) AS tot FROM tr GROUP BY 1),
+         |p AS MATERIALIZED (SELECT src_type, dst_type,
+         |    CAST(round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+         |      AS DECIMAL(18,12)) AS p
+         |  FROM tr JOIN rt USING (src_type)),
+         |ty AS (SELECT DISTINCT t FROM
+         |  (SELECT src_type AS t FROM tr UNION SELECT dst_type FROM tr)),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM ty),
+         |it0 AS (SELECT t,
+         |    CAST(round(CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE), 12)
+         |      AS DECIMAL(18,12)) AS pi
+         |  FROM ty CROSS JOIN kk),
+         |$iterCtes
+         |SELECT ty.t AS event_type,
+         |  CAST(COALESCE(f.pi, 0) AS DOUBLE) AS stationary_p
+         |FROM ty LEFT JOIN it$iters f ON ty.t = f.t
+         |ORDER BY event_type""".stripMargin
+    },
     "w12_transitions" ->
       """SELECT src_type, dst_type, count(*) AS n FROM (
         |  SELECT event_type AS src_type,
@@ -5409,6 +5535,47 @@ object SparkEntry {
          |    / CAST(n_docs AS DOUBLE), 9) AS dup_rate
          |FROM ps LEFT JOIN dp ON dp.source = ps.source
          |ORDER BY ps.source""".stripMargin,
+    // candidate-scale pairs joined twice to the source map, bounded
+    // source-pair rollup — mirrors crossSourcePairs
+    "dedup_cross_source" ->
+      s"""WITH $MinhashPairsCtes,
+         |ps AS (SELECT least(da.source, db.source) AS src_lo,
+         |    greatest(da.source, db.source) AS src_hi
+         |  FROM pairs p JOIN documents da ON p.doc_a = da.doc_id
+         |  JOIN documents db ON p.doc_b = db.doc_id)
+         |SELECT src_lo, src_hi,
+         |  CASE WHEN src_lo = src_hi THEN 0 ELSE 1 END AS is_cross,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM ps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // survivor components -> per-source before/after counts + shares;
+    // share delta computed from the rounded shares on both engines
+    "pipe_mixture_shift" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+         |j AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_before,
+         |    CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_after
+         |  FROM documents d LEFT JOIN losers l USING (doc_id) GROUP BY 1),
+         |t AS (SELECT SUM(n_before) AS t_before, SUM(n_after) AS t_after
+         |  FROM j)
+         |SELECT source, n_before, n_after,
+         |  round(CAST(n_before AS DOUBLE) / CAST(t_before AS DOUBLE), 9)
+         |    AS share_before,
+         |  round(CAST(n_after AS DOUBLE) / CAST(t_after AS DOUBLE), 9)
+         |    AS share_after,
+         |  round(round(CAST(n_after AS DOUBLE) / CAST(t_after AS DOUBLE), 9)
+         |    - round(CAST(n_before AS DOUBLE) / CAST(t_before AS DOUBLE), 9),
+         |    9) AS share_shift
+         |FROM j CROSS JOIN t ORDER BY source""".stripMargin,
     // exact interpolated decile boundaries over integer n_chars, CASE
     // ladder bucket, endpoint-set left join — mirrors dupRateByLength
     "dedup_length_bias" ->

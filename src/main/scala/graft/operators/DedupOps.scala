@@ -525,6 +525,37 @@ object DedupOps {
           .as("pair_jaccard"))
   }
 
+  /** Near-dup pair census by source relationship — the syndication
+    * detector: how much of the duplicate mass is WITHIN one provider
+    * (that provider re-serves its own content) vs ACROSS providers
+    * (the same article syndicated through several feeds)? Cross-source
+    * duplication is the case per-source dedup misses entirely, so a
+    * pipeline that shards its dedup by source needs this census to
+    * know what it's leaving on the table. Source pairs are emitted
+    * unordered (least/greatest) so A↔B and B↔A collapse. Plan: the
+    * candidate-scale cached pair list joined twice against the
+    * (doc_id, source) projection — AQE broadcasts the projection
+    * while it's small, shuffles when it isn't (never a forced
+    * broadcast of a corpus-scale map: the tfidf lesson) — then one
+    * |sources|²-bounded count aggregate.
+    */
+  def crossSourcePairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("src_lo"), col("src_hi"),
+        when(col("src_lo") === col("src_hi"), lit(0))
+          .otherwise(lit(1)).as("is_cross"),
+        col("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** Near-dup incidence by document-length decile — "are my
     * duplicates concentrated in short docs?", the length-bias screen
     * that decides whether a dedup policy silently skews the corpus's

@@ -193,6 +193,42 @@ object PipelineOps {
       .orderBy("scheme")
   }
 
+  /** Source-mixture shift under dedup — the "did dedup change my
+    * data mix?" readout: per source, document count and corpus share
+    * BEFORE and AFTER near-dup removal (lowest-id survivor per
+    * cluster, the [[GraphOps.dedupSurvivors]] policy), plus the share
+    * delta. A provider whose content duplicates heavily loses weight
+    * in the final mixture — silently, unless this table is checked
+    * against the intended sampling weights ([[mixtureWeights]] /
+    * [[temperatureMixture]]). Plan: the candidate-scale components map
+    * names the losers; the corpus is touched by ONE left-anti join +
+    * two source-keyed counts; totals ride single-row broadcast
+    * cross-joins. Shares and the delta are round-9 doubles computed
+    * from exact counts with identical shape on both engines.
+    */
+  def mixtureShift(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = graft.operators.GraphOps.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    val docs = documents.select(col("doc_id"), col("source"))
+    val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+    val after = docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_after"))
+    val joined = before.join(after, Seq("source"), "left")
+      .na.fill(0L, Seq("n_after"))
+    val totals = joined.agg(sum(col("n_before")).as("t_before"),
+      sum(col("n_after")).as("t_after"))
+    val shareB = round(col("n_before").cast("double")
+      / col("t_before").cast("double"), 9)
+    val shareA = round(col("n_after").cast("double")
+      / col("t_after").cast("double"), 9)
+    joined.crossJoin(broadcast(totals)) // single-row totals
+      .select(col("source"), col("n_before"), col("n_after"),
+        shareB.as("share_before"), shareA.as("share_after"),
+        round(shareA - shareB, 9).as("share_shift"))
+      .orderBy("source")
+  }
+
   /** Leave-one-out target encoding with additive smoothing — the
     * feature-engineering workhorse for high-cardinality categoricals:
     * encode category c for row i as (S_c − xᵢ + m·prior)/(n_c − 1 + m),

@@ -386,6 +386,50 @@ object Relational {
     out
   }
 
+  /** Stationary distribution of the first-order event-type Markov
+    * chain — the long-run behavioral mix the transition matrix
+    * implies ("if users keep behaving like this, what share of steps
+    * are purchases?"), read against the OBSERVED event mix to spot
+    * drift between where traffic is and where it's heading. Fixed
+    * power iteration (π ← πP, `iters` rounds) over the
+    * |types|²-bounded matrix: the row-scale stream is touched exactly
+    * once, by [[eventTransitions]]'s lead() window; the ≤|types|²
+    * count cells are then a PRINCIPLED driver pull (the k-means
+    * centroid discipline — iterating 25 cells as a distributed plan
+    * would be 24 pointless job rounds). Engine-exactness: P cells are
+    * round-12 fixed-point decimals off double division (the identical
+    * shape the oracle computes), every iterate re-rounds to scale 12
+    * in exact BigDecimal arithmetic, and the oracle unrolls the same
+    * `iters` rounds as DECIMAL(18,12) CTEs — hash-identical at any
+    * convergence state, converged or not.
+    */
+  def a47MarkovStationary(spark: org.apache.spark.sql.SparkSession,
+      events: DataFrame, iters: Int = 24): DataFrame = {
+    import scala.math.BigDecimal.RoundingMode
+    val cells = eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = cells.flatMap(c => Seq(c._1, c._2)).distinct.sorted
+    val rowTot = cells.groupBy(_._1).map { case (s, cs) =>
+      s -> cs.map(_._3).sum
+    }
+    val p = cells.map { case (src, dst, n) =>
+      (src, dst) -> BigDecimal(n.toDouble / rowTot(src).toDouble)
+        .setScale(12, RoundingMode.HALF_UP)
+    }.toMap
+    val zero = BigDecimal(0).setScale(12)
+    var pi: Map[String, BigDecimal] = types.map(t => t ->
+      BigDecimal(1.0 / types.size).setScale(12, RoundingMode.HALF_UP)).toMap
+    for (_ <- 1 to iters) {
+      pi = types.map { dst =>
+        dst -> types.map(src => pi(src) * p.getOrElse((src, dst), zero))
+          .sum.setScale(12, RoundingMode.HALF_UP)
+      }.toMap
+    }
+    import spark.implicits._
+    types.toSeq.map(t => (t, pi(t).toDouble))
+      .toDF("event_type", "stationary_p").orderBy("event_type")
+  }
+
   /** CUBE over two dims (all four grouping sets in one pass — Spark
     * expands grouping sets before the single shuffle).
     */

@@ -729,6 +729,66 @@ object SimilarityOps {
     * global side derives from the SAME cell frame, no second corpus
     * pass — then label-scale arithmetic. Flat at any corpus size.
     */
+  /** Nearest-centroid label-coherence census — "do my labels hold up
+    * in embedding space?": assign every vector to the label centroid
+    * with the highest cosine score and report per-label accuracy. Low
+    * accuracy for a label means its cluster isn't where its labels
+    * say it is — the cheap screen run before trusting labels for
+    * training or before picking IVF list counts (a label that can't
+    * classify itself won't partition well either). Assignment uses
+    * dot(v, c_l)/||c_l|| — argmax-equivalent to full cosine since
+    * ||v|| is constant across candidate labels, so the vector itself
+    * is never normalized. Determinism: centroid components come from
+    * the [[centroidDrift]] fixed-point sums (order-free DECIMAL);
+    * per-(vec,label) dot terms are round-12 DECIMAL sums; the score
+    * gets a round-9 barrier and ties break to the lowest label. Plan:
+    * one |labels|·dim centroid aggregate (checkpointed — it feeds the
+    * norm AND the scoring join), then the corpus exploded once and
+    * joined against the BROADCAST centroid cells (bounded by
+    * |labels|·dim, never corpus-scale), one (vec,label)-keyed sum, a
+    * per-vec argmax, and a |labels|-bounded accuracy rollup.
+    */
+  def nearestCentroid(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val comps = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x").cast("double") * lit(1.0e12))
+        .cast(DecimalType(38, 0))).as("s"),
+        count(lit(1)).as("nl"))
+      .localCheckpoint(true) // |labels|·dim cells; feeds norm + scoring
+    val cents = comps.select(col("label").as("c_label"), col("pos"),
+      (col("s").cast("double") / col("nl").cast("double") / lit(1.0e12))
+        .as("m"))
+    val norms = cents.groupBy("c_label")
+      .agg(sum(round(col("m") * col("m"), 12).cast(DecimalType(38, 18)))
+        .as("n2"))
+    val dots = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .join(broadcast(cents), Seq("pos")) // |labels|·dim cells, bounded
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(round(col("x").cast("double") * col("m"), 12)
+        .cast(DecimalType(38, 18))).as("dot"))
+    val assigned = dots.join(broadcast(norms), Seq("c_label"))
+      .select(col("vec_id"), col("label"),
+        struct(
+          round(col("dot").cast("double") / sqrt(col("n2").cast("double")),
+            9).as("score"),
+          (-col("c_label")).cast("long").as("neg_label")).as("w"))
+      .groupBy("vec_id", "label")
+      .agg(max(col("w")).as("best"))
+      .select(col("label"), (-col("best.neg_label")).cast("int").as("pred"))
+    assigned.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_vecs").cast("double"),
+          6).as("accuracy"))
+      .orderBy("label")
+  }
+
   def centroidDrift(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val comps = embeddings

@@ -1281,6 +1281,41 @@ object TextOps {
           .as("alpha"))
   }
 
+  /** Held-out n-gram coverage across the train/eval split — the
+    * generalization-vs-contamination dial: what fraction of the
+    * held-out split's distinct n-grams also appear in train? Near 1.0
+    * at order 1 is expected (shared vocabulary); near 1.0 at HIGH
+    * orders means the eval set is phrase-level contaminated (the
+    * n-gram view of what [[PipelineOps.splitLeakageAudit]] measures
+    * at document granularity). Uses the exact md5-bucket split of
+    * [[PipelineOps.splitAssign]] (train = bucket < 204 of 256) so the
+    * audit matches the split the pipeline actually ships. Plan, per
+    * order: one fused per-doc distinct-shingle pass, then ONE
+    * vocabulary-keyed presence aggregate (max of two flags — bounded
+    * by n-gram vocabulary, never pairing docs) folded to a single
+    * row. Orders 1 and 2 here; the shape is order-agnostic.
+    */
+  def splitNgramCoverage(documents: DataFrame): DataFrame = {
+    val isTrain = (conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+      16, 10).cast("int") < 204).as("is_train")
+    val tagged = documents.select(isTrain, col("text"))
+    def order(n: Int): DataFrame = tagged
+      .select(col("is_train"),
+        explode(graft.functions.GraftFunctions
+          .word_shingles(col("text"), n, distinct = true)).as("g"))
+      .groupBy("g")
+      .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+        max(when(col("is_train"), 0L).otherwise(1L)).as("in_heldout"))
+      .filter(col("in_heldout") === 1L)
+      .agg(count(lit(1)).as("n_heldout_distinct"),
+        sum(col("in_train")).as("n_covered"))
+      .select(lit(n).as("ngram_order"), col("n_heldout_distinct"),
+        col("n_covered"),
+        round(col("n_covered").cast("double")
+          / col("n_heldout_distinct").cast("double"), 9).as("coverage"))
+    order(1).unionByName(order(2)).orderBy("ngram_order")
+  }
+
   def zipfSlope(documents: DataFrame, topK: Int = 256): DataFrame = {
     import graft.functions.GraftFunctions.top_k_agg
     val tf = documents.select(explode(toksCol).as("tok"))

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{DedupOps, PipelineOps, Relational, SimilarityOps, TextOps}
+
+/** Round-9 breadth wave 2: cross-source pair census, mixture shift
+  * under dedup, held-out n-gram coverage, nearest-centroid label
+  * coherence, Markov stationary distribution.
+  */
+class BreadthOps9Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5Bucket(id: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    ((d(0) & 0xff)) // first two hex chars = first byte
+  }
+
+  test("crossSourcePairs: within vs cross source pair census") {
+    val docs = Seq(
+      (1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sB"), (5L, "sC"))
+      .toDF("doc_id", "source")
+    // (1,2) within sA; (2,3) cross sA-sB; (3,4) within sB; (1,5) cross
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = DedupOps.crossSourcePairs(docs, pairs)
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      ("sA", "sA", 0, 1L), ("sA", "sB", 1, 1L),
+      ("sA", "sC", 1, 1L), ("sB", "sB", 0, 1L)), out)
+  }
+
+  test("mixtureShift: losers shift share toward the clean source") {
+    // sX: 4 docs, 2 lost to dedup; sY: 4 docs, none lost
+    val docs = Seq(
+      (1L, "sX"), (2L, "sX"), (3L, "sX"), (4L, "sX"),
+      (5L, "sY"), (6L, "sY"), (7L, "sY"), (8L, "sY"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b") // comp {1,2,3}
+    val out = PipelineOps.mixtureShift(docs, pairs)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val sx = out.find(_._1 == "sX").get
+    val sy = out.find(_._1 == "sY").get
+    assert(sx == (("sX", 4L, 2L, 0.5, round9(2.0 / 6), round9(2.0 / 6 - 0.5))), sx)
+    assert(sy == (("sY", 4L, 4L, 0.5, round9(4.0 / 6), round9(4.0 / 6 - 0.5))), sy)
+  }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("splitNgramCoverage: shared text covers fully, held-out-only text doesn't") {
+    val ids = (1L to 60L)
+    val train = ids.filter(i => md5Bucket(i) < 204)
+    val heldout = ids.filter(i => md5Bucket(i) >= 204)
+    assert(train.nonEmpty && heldout.nonEmpty) // both splits occupied
+    // identical text everywhere -> every held-out gram is in train
+    val docs = ids.map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val full = TextOps.splitNgramCoverage(docs)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(full == Seq((1, 2L, 2L, 1.0), (2, 1L, 1L, 1.0)), full)
+    // one held-out doc gets a unique phrase -> its grams are uncovered
+    val oddId = heldout.head
+    val docs2 = ids.map(i =>
+      (i, if (i == oddId) "gamma delta" else "alpha beta"))
+      .toDF("doc_id", "text")
+    val part = TextOps.splitNgramCoverage(docs2)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(part == Seq(
+      (1, 4L, 2L, 0.5), (2, 2L, 1L, 0.5)), part)
+  }
+
+  test("nearestCentroid: separated labels classify, a planted flip fails") {
+    // label 0 sits at e1, label 1 at e2; one label-0 vector planted at e2
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.0f, 1.0f), 0)) // the flip
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.nearestCentroid(emb)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // label 0: 3 vecs, the planted one lands on centroid 1 -> 2 correct
+    // (centroid 0 is dragged toward e2 but stays closer to e1)
+    assert(out == Seq((0, 3L, 2L, round6(2.0 / 3)), (1, 2L, 2L, 1.0)), out)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("a47MarkovStationary: skewed 2-state chain converges to (0.4, 0.6)") {
+    // transitions: a->a 1, a->b 3, b->a 2, b->b 2  =>  P = [.25 .75; .5 .5]
+    // stationary: pi = (0.4, 0.6)
+    val seq1 = Seq("a", "a", "b", "b", "a", "b") // aa ab bb ba ab
+    val seq2 = Seq("b", "b", "a", "b")           // bb ba ab
+    val events = (seq1.zipWithIndex.map { case (t, i) => (1L, i, t) } ++
+      seq2.zipWithIndex.map { case (t, i) => (2L, i, t) })
+      .map { case (u, i, t) =>
+        (u, new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong, t)
+      }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Relational.a47MarkovStationary(spark, events)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out("a") - 0.4) < 1e-9, out)
+    assert(math.abs(out("b") - 0.6) < 1e-9, out)
+  }
+}
