@@ -483,6 +483,9 @@ object SparkEntry {
     // held-out n-gram coverage across the md5 split (orders 1 and 2)
     "text_split_coverage" -> ((s, d) =>
       TextOps.splitNgramCoverage(t(s, d)("documents"))),
+    // Church-Gale burstiness (VMR incl. zero docs) over top bigrams
+    "text_burstiness" -> ((s, d) =>
+      TextOps.termBurstiness(t(s, d)("documents"))),
     // RAKE: each doc's best stopword-free phrase by corpus-wide
     // degree/frequency word scores (the keyword tagger)
     "text_keywords" -> ((s, d) => TextOps.rakeKeywords(t(s, d)("documents"))),
@@ -744,6 +747,9 @@ object SparkEntry {
     // syndication census: near-dup pair mass within vs across sources
     "dedup_cross_source" -> ((s, d) => DedupOps.crossSourcePairs(
       t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // chaining pathology dial: closure pairs vs verified pairs
+    "dedup_transitive_inflation" -> ((s, d) => DedupOps.transitiveInflation(
       DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
     // did dedup change the source mixture? share before/after + delta
     "pipe_mixture_shift" -> ((s, d) => PipelineOps.mixtureShift(
@@ -1308,9 +1314,15 @@ object SparkEntry {
     // label coherence: per-label nearest-centroid self-classification
     "sim_nearest_centroid" -> ((s, d) =>
       SimilarityOps.nearestCentroid(t(s, d)("embeddings"))),
+    // cluster-quality census: centroid silhouette per label
+    "sim_silhouette" -> ((s, d) =>
+      SimilarityOps.silhouette(t(s, d)("embeddings"))),
     // long-run event mix implied by the transition matrix (power iter)
     "a47_markov_stationary" -> ((s, d) =>
       Relational.a47MarkovStationary(s, t(s, d)("events"))),
+    // value vs hour-of-day correlation, day-of-week partialled out
+    "a48_partial_corr" -> ((s, d) =>
+      Relational.a48PartialCorr(t(s, d)("events"))),
     "w12_transitions" -> ((s, d) =>
       Relational.eventTransitions(t(s, d)("events"))),
     // interval-overlap self-join: concurrent same-part shipments from
@@ -3497,6 +3509,27 @@ object SparkEntry {
          |         / round(CAST(s AS DOUBLE) / CAST(k_used AS DOUBLE), 9), 9)
          |       ELSE CAST(0.0 AS DOUBLE) END AS alpha
          |FROM s""".stripMargin,
+    // integer-exact (doc,bigram) counts -> term rollup -> VMR with the
+    // zero-doc mass folded analytically — mirrors termBurstiness
+    "text_burstiness" ->
+      s"""WITH $ToksCte,
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
+         |  FROM toks, unnest(range(1, greatest(len(ws), 1))) t(i)
+         |  WHERE len(ws) >= 2),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bg GROUP BY 1, 2),
+         |tm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST(SUM(tf) AS BIGINT) AS total_tf,
+         |    CAST(SUM(tf * tf) AS BIGINT) AS sum_tf2
+         |  FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT term, df, total_tf,
+         |  round((CAST(sum_tf2 AS DOUBLE)
+         |    - CAST(total_tf AS DOUBLE) * CAST(total_tf AS DOUBLE)
+         |      / CAST(n_docs AS DOUBLE))
+         |    / CAST(total_tf AS DOUBLE), 9) AS vmr
+         |FROM tm CROSS JOIN nd
+         |ORDER BY total_tf DESC, term LIMIT 20""".stripMargin,
     // per-ngram presence flags over the md5-bucket split, folded to
     // one row per order — mirrors splitNgramCoverage (duplicates
     // can't move a MAX flag, so no per-doc distinct is needed)
@@ -5317,6 +5350,46 @@ object SparkEntry {
         |FROM mx JOIN pr ON pr.src_type = mx.src_type ORDER BY 1""".stripMargin,
     // fixed-point component sums (floor(x*1e12) HUGEINT), double
     // centroids in the identical shape, round-12 decimal product terms
+    // d^2 = |v|^2 - 2 v.c + |c|^2 off the same centroid cells; a = own
+    // label, b = nearest other; round-9 barriers, DECIMAL(18,9) means
+    "sim_silhouette" ->
+      """WITH c AS (SELECT label AS c_label, i AS pos,
+        |    SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS HUGEINT))
+        |      AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS nl
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+        |  GROUP BY 1, 2),
+        |m AS (SELECT c_label, pos,
+        |    CAST(s AS DOUBLE) / CAST(nl AS DOUBLE) / 1e12 AS m FROM c),
+        |nm AS (SELECT c_label,
+        |    SUM(CAST(round(m * m, 12) AS DECIMAL(38,18))) AS n2
+        |  FROM m GROUP BY 1),
+        |ev AS (SELECT vec_id, label, i AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+        |v2 AS (SELECT vec_id,
+        |    SUM(CAST(round(x * x, 12) AS DECIMAL(38,18))) AS v2
+        |  FROM ev GROUP BY 1),
+        |tv AS (SELECT ev.vec_id, ev.label, m.c_label,
+        |    SUM(CAST(round(ev.x * m.m, 12) AS DECIMAL(38,18))) AS dot
+        |  FROM ev JOIN m USING (pos) GROUP BY 1, 2, 3),
+        |dm AS (SELECT vec_id, label, tv.c_label,
+        |    round(sqrt(greatest(CAST(v2.v2 AS DOUBLE)
+        |      - 2.0 * CAST(dot AS DOUBLE) + CAST(n2 AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE))), 9) AS d
+        |  FROM tv JOIN nm USING (c_label) JOIN v2 USING (vec_id)),
+        |pv AS (SELECT vec_id, label,
+        |    MIN(CASE WHEN c_label = label THEN d END) AS a,
+        |    MIN(CASE WHEN c_label <> label THEN d END) AS b
+        |  FROM dm GROUP BY 1, 2),
+        |sl AS (SELECT label,
+        |    CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE round((b - a) / greatest(a, b), 9) END AS sil
+        |  FROM pv)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(SUM(CAST(sil AS DECIMAL(18,9))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS mean_silhouette
+        |FROM sl GROUP BY 1 ORDER BY 1""".stripMargin,
     // fixed-point centroid cells -> per-(vec,label) round-12 decimal
     // dots -> round-9 score argmax (ties to lowest label) -> accuracy
     "sim_nearest_centroid" ->
@@ -5375,6 +5448,42 @@ object SparkEntry {
         |    / (sqrt(CAST(SUM(t_l2) AS DOUBLE))
         |      * sqrt(CAST(SUM(t_g2) AS DOUBLE))), 9) AS cos_to_global
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one exact-decimal sums pass -> three round-12 Pearson r's ->
+    // the partial-corr recursion in double behind a round-9
+    "a48_partial_corr" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+        |    SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+        |  FROM (SELECT CAST(value AS DECIMAL(18,2)) AS x,
+        |      CAST(hour(ts) AS DECIMAL(18,2)) AS y,
+        |      CAST(dayofweek(ts) AS DECIMAL(18,2)) AS z
+        |    FROM events)),
+        |r AS (SELECT n,
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 12) AS r_xy,
+        |    round((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 12) AS r_xz,
+        |    round((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+        |        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))), 12) AS r_yz
+        |  FROM s)
+        |SELECT n, r_xy, r_xz, r_yz,
+        |  round((r_xy - r_xz * r_yz)
+        |    / sqrt((CAST(1.0 AS DOUBLE) - r_xz * r_xz)
+        |      * (CAST(1.0 AS DOUBLE) - r_yz * r_yz)), 9) AS partial_r
+        |FROM r""".stripMargin,
     // the same 24 power-iteration rounds as the Spark driver loop,
     // unrolled as DECIMAL(18,12) CTEs (exact decimal arithmetic on
     // both engines at every intermediate state — converged or not)
@@ -5535,6 +5644,31 @@ object SparkEntry {
          |    / CAST(n_docs AS DOUBLE), 9) AS dup_rate
          |FROM ps LEFT JOIN dp ON dp.source = ps.source
          |ORDER BY ps.source""".stripMargin,
+    // closure sizes off the recursive comp CTE; sz(sz-1) always even
+    // so // 2 is exact on both engines — mirrors transitiveInflation
+    "dedup_transitive_inflation" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |szs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY 1),
+         |cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    MAX(sz) AS max_cluster,
+         |    CAST(SUM(sz * (sz - 1)) // 2 AS BIGINT) AS n_closure
+         |  FROM szs),
+         |dp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_direct FROM pairs)
+         |SELECT n_direct, n_closure, n_clusters, max_cluster,
+         |  CASE WHEN n_direct = 0 THEN CAST(1.0 AS DOUBLE)
+         |       ELSE round(CAST(n_closure AS DOUBLE)
+         |         / CAST(n_direct AS DOUBLE), 6) END AS inflation
+         |FROM dp CROSS JOIN cl""".stripMargin,
     // candidate-scale pairs joined twice to the source map, bounded
     // source-pair rollup — mirrors crossSourcePairs
     "dedup_cross_source" ->

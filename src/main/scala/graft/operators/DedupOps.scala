@@ -525,6 +525,36 @@ object DedupOps {
           .as("pair_jaccard"))
   }
 
+  /** Transitive-closure inflation of the near-dup pair graph — how
+    * many doc pairs does CLUSTER-level dedup treat as duplicates
+    * (Σ C(|cluster|,2)) versus the pairs the similarity join actually
+    * verified? A high ratio is the chaining pathology: A≈B and B≈C
+    * pull A and C into one cluster though they were never compared —
+    * the readout that decides between cluster-collapse and
+    * pairwise-verified dedup policies at a given threshold. Plan:
+    * components over the candidate-scale pair graph (union-find fast
+    * path under the size gate), one component-size count, one bounded
+    * rollup; sz·(sz−1) is always even so `div 2` is exact integer
+    * arithmetic on both engines.
+    */
+  def transitiveInflation(pairs: DataFrame): DataFrame = {
+    val direct = pairs.agg(count(lit(1)).as("n_direct"))
+    val cl = graft.operators.GraphOps.connectedComponents(pairs)
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        max(col("sz")).as("max_cluster"),
+        sum(col("sz") * (col("sz") - lit(1L))).as("s2"))
+    direct.crossJoin(broadcast(cl)) // two single-row aggregates
+      .select(col("n_direct"),
+        expr("s2 div 2").as("n_closure"),
+        col("n_clusters"), col("max_cluster"))
+      .select(col("n_direct"), col("n_closure"), col("n_clusters"),
+        col("max_cluster"),
+        when(col("n_direct") === 0L, lit(1.0d))
+          .otherwise(round(col("n_closure").cast("double")
+            / col("n_direct").cast("double"), 6)).as("inflation"))
+  }
+
   /** Near-dup pair census by source relationship — the syndication
     * detector: how much of the duplicate mass is WITHIN one provider
     * (that provider re-serves its own content) vs ACROSS providers

@@ -386,6 +386,47 @@ object Relational {
     out
   }
 
+  /** Partial correlation of event value vs hour-of-day CONTROLLING for
+    * day-of-week — the confounder-aware version of [[a15Corr]]: a raw
+    * value↔hour correlation can be pure dow structure (weekends shift
+    * both the traffic hour mix and the spend level); partialling dow
+    * out asks whether the hourly effect survives. Classic recursion
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over three
+    * Pearson coefficients, each from the SAME single exact-decimal
+    * sums pass (one scan, ten accumulators, nothing row-scale after) —
+    * value is exact at DECIMAL(18,2), hour/dow are small integers, so
+    * every sum is order-free; the r's take the round-12 barrier and
+    * the final composition a round-9.
+    */
+  def a48PartialCorr(events: DataFrame): DataFrame = {
+    val x = col("value").cast(DecimalType(18, 2))
+    val y = hour(col("ts")).cast(DecimalType(18, 2))
+    // Spark dayofweek is 1-based, DuckDB 0-based; −1 aligns them
+    val z = (dayofweek(col("ts")) - 1).cast(DecimalType(18, 2))
+    val sums = events.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+      sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+      sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+    def r(sa: String, sb: String, saa: String, sbb: String,
+        sab: String): Column = {
+      val n = col("n").cast("double")
+      def dd(c: String) = col(c).cast("double")
+      round((n * dd(sab) - dd(sa) * dd(sb)) /
+        sqrt((n * dd(saa) - dd(sa) * dd(sa))
+          * (n * dd(sbb) - dd(sb) * dd(sb))), 12)
+    }
+    sums
+      .select(col("n"),
+        r("sx", "sy", "sxx", "syy", "sxy").as("r_xy"),
+        r("sx", "sz", "sxx", "szz", "sxz").as("r_xz"),
+        r("sy", "sz", "syy", "szz", "syz").as("r_yz"))
+      .select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+        round((col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt((lit(1.0d) - col("r_xz") * col("r_xz"))
+            * (lit(1.0d) - col("r_yz") * col("r_yz"))), 9).as("partial_r"))
+  }
+
   /** Stationary distribution of the first-order event-type Markov
     * chain — the long-run behavioral mix the transition matrix
     * implies ("if users keep behaving like this, what share of steps

@@ -748,28 +748,55 @@ object SimilarityOps {
     * |labels|·dim, never corpus-scale), one (vec,label)-keyed sum, a
     * per-vec argmax, and a |labels|-bounded accuracy rollup.
     */
-  def nearestCentroid(embeddings: DataFrame): DataFrame = {
+  /** Per-(label, pos) centroid component means off the fixed-point
+    * DECIMAL sums (the [[centroidDrift]] discipline), eagerly
+    * checkpointed — |labels|·dim cells that feed every
+    * centroid-geometry consumer ([[nearestCentroid]], [[silhouette]]).
+    */
+  private[operators] def labelCentroidCells(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val comps = embeddings
+    embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(sum(floor(col("x").cast("double") * lit(1.0e12))
         .cast(DecimalType(38, 0))).as("s"),
         count(lit(1)).as("nl"))
-      .localCheckpoint(true) // |labels|·dim cells; feeds norm + scoring
-    val cents = comps.select(col("label").as("c_label"), col("pos"),
-      (col("s").cast("double") / col("nl").cast("double") / lit(1.0e12))
-        .as("m"))
-    val norms = cents.groupBy("c_label")
+      .localCheckpoint(true) // |labels|·dim cells; feeds several sides
+      .select(col("label").as("c_label"), col("pos"),
+        (col("s").cast("double") / col("nl").cast("double") / lit(1.0e12))
+          .as("m"))
+  }
+
+  /** Per-label squared centroid norms off [[labelCentroidCells]] —
+    * round-12 decimal component terms, |labels| rows out.
+    */
+  private[operators] def centroidNorms(cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    cents.groupBy("c_label")
       .agg(sum(round(col("m") * col("m"), 12).cast(DecimalType(38, 18)))
         .as("n2"))
-    val dots = embeddings
+  }
+
+  /** Per-(vec, label)·centroid dot products: the corpus exploded ONCE
+    * and joined against the broadcast centroid cells (bounded by
+    * |labels|·dim — never corpus-scale), round-12 decimal term sums.
+    */
+  private[operators] def vecCentroidDots(embeddings: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .join(broadcast(cents), Seq("pos")) // |labels|·dim cells, bounded
       .groupBy(col("vec_id"), col("label"), col("c_label"))
       .agg(sum(round(col("x").cast("double") * col("m"), 12)
         .cast(DecimalType(38, 18))).as("dot"))
+  }
+
+  def nearestCentroid(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroidCells(embeddings)
+    val norms = centroidNorms(cents)
+    val dots = vecCentroidDots(embeddings, cents)
     val assigned = dots.join(broadcast(norms), Seq("c_label"))
       .select(col("vec_id"), col("label"),
         struct(
@@ -786,6 +813,55 @@ object SimilarityOps {
       .select(col("label"), col("n_vecs"), col("n_correct"),
         round(col("n_correct").cast("double") / col("n_vecs").cast("double"),
           6).as("accuracy"))
+      .orderBy("label")
+  }
+
+  /** Centroid-based silhouette per label — the cluster-quality census
+    * beyond [[nearestCentroid]]'s hit rate: for each vector, a = its
+    * Euclidean distance to its OWN label centroid, b = the nearest
+    * OTHER label centroid, silhouette = (b−a)/max(a,b) ∈ [−1,1];
+    * per-label means near 0 (as on this synthetic corpus) say the
+    * labels barely separate even when a coarse assignment still lands.
+    * The simplified (centroid, not all-pairs) silhouette is the one
+    * that scales: distances come from the d² = ‖v‖² − 2v·c + ‖c‖²
+    * identity over the SAME bounded broadcast centroid cells — one
+    * corpus explode for ‖v‖², one for the dots, never a vector-pair
+    * join. Exactness: all three quadratic pieces are round-12 decimal
+    * sums; d takes a round-9 barrier, the per-vector silhouette
+    * another, and per-label means accumulate as DECIMAL(18,9).
+    * Degenerate guards (single label → b undefined; a=b=0) pin to 0.0
+    * on both engines.
+    */
+  def silhouette(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = labelCentroidCells(embeddings)
+    val norms = centroidNorms(cents)
+    val dots = vecCentroidDots(embeddings, cents)
+    val vecNorm2 = embeddings
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy("vec_id")
+      .agg(sum(round(col("x").cast("double") * col("x").cast("double"), 12)
+        .cast(DecimalType(38, 18))).as("v2"))
+    val d = dots.join(broadcast(norms), Seq("c_label"))
+      .join(vecNorm2, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        round(sqrt(greatest(
+          col("v2").cast("double") - lit(2.0d) * col("dot").cast("double")
+            + col("n2").cast("double"), lit(0.0d))), 9).as("d"))
+    val perVec = d.groupBy("vec_id", "label")
+      .agg(min(when(col("c_label") === col("label"), col("d"))).as("a"),
+        min(when(col("c_label") =!= col("label"), col("d"))).as("b"))
+      .select(col("label"),
+        when(col("b").isNull || greatest(col("a"), col("b")) === 0.0d,
+          lit(0.0d))
+          .otherwise(round((col("b") - col("a"))
+            / greatest(col("a"), col("b")), 9)).as("sil"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("sil").cast(DecimalType(18, 9))).as("ssil"))
+      .select(col("label"), col("n_vecs"),
+        round(col("ssil").cast("double") / col("n_vecs").cast("double"), 9)
+          .as("mean_silhouette"))
       .orderBy("label")
   }
 

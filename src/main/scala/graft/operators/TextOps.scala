@@ -1281,6 +1281,37 @@ object TextOps {
           .as("alpha"))
   }
 
+  /** Term burstiness census (Church–Gale variance-to-mean ratio) over
+    * the top bigrams: VMR ≈ 1 is background Poisson usage; VMR ≫ 1
+    * means the term clumps into few documents — topical or TEMPLATE
+    * text (boilerplate phrases are the burstiest thing in a crawl,
+    * which makes this the cheap screen for which high-frequency
+    * n-grams deserve boilerplate inspection). Variance is over ALL
+    * documents including zero-count ones, folded analytically from
+    * (Σtf, Σtf², N) — integer-exact until one final double division
+    * behind a round-9 barrier. Plan: one fused shingle pass, one
+    * (doc,term)-keyed count, one term-keyed rollup (n-gram-vocabulary
+    * scale), and a TakeOrdered top-k — never a global sort of the
+    * corpus.
+    */
+  def termBurstiness(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(graft.functions.GraftFunctions
+        .word_shingles(col("text"), 2, distinct = false)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dd = (c: String) => col(c).cast("double")
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .crossJoin(broadcast(nDocs)) // single-row corpus size
+      .select(col("term"), col("df"), col("total_tf"),
+        round((dd("sum_tf2") - dd("total_tf") * dd("total_tf") / dd("n_docs"))
+          / dd("total_tf"), 9).as("vmr"))
+      .orderBy(col("total_tf").desc, col("term"))
+      .limit(topK)
+  }
+
   /** Held-out n-gram coverage across the train/eval split — the
     * generalization-vs-contamination dial: what fraction of the
     * held-out split's distinct n-grams also appear in train? Near 1.0

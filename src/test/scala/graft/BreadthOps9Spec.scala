@@ -85,6 +85,57 @@ class BreadthOps9Spec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("transitiveInflation: a 3-chain closes to 3 pairs from 2") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.transitiveInflation(pairs)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(out == ((2L, 3L, 1L, 3L, 1.5)), out)
+  }
+
+  test("a48PartialCorr: x linear in y keeps partial_r at 1 for any z") {
+    // value = 2*hour + 5 -> r_xy = 1 and the recursion collapses to 1
+    val events = (0 until 96).map { i =>
+      val hour = i % 24
+      val day = i / 24 // varies dow across 4 days
+      // base is midnight UTC so hour(ts) == i % 24 exactly
+      (i.toLong, new java.sql.Timestamp(
+        1700006400000L + day * 86400000L + hour * 3600000L),
+        1L, "click", 2.0 * hour + 5.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.a48PartialCorr(events)
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(out._2 == 1.0, out) // r_xy
+    assert(out._5 == 1.0, out) // partial_r
+  }
+
+  test("termBurstiness: clumped bigram scores high, uniform scores low") {
+    val docs = Seq(
+      (1L, "a b x a b y a b z a b"), // "a b" x4 in one doc
+      (2L, "c d"), (3L, "c d"), (4L, "c d")) // "c d" once per doc
+      .toDF("doc_id", "text")
+    val out = TextOps.termBurstiness(docs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val ab = out.find(_._1 == "a b").get
+    val cd = out.find(_._1 == "c d").get
+    assert(ab == (("a b", 1L, 4L, 3.0)), ab)  // (16 - 16/4) / 4
+    assert(cd == (("c d", 3L, 3L, 0.25)), cd) // (3 - 9/4) / 3
+  }
+
+  test("silhouette: point-mass labels score 1; single label pins to 0") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.silhouette(emb)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out == Seq((0, 2L, 1.0), (1, 2L, 1.0)), out)
+    val single = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.5f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val s = SimilarityOps.silhouette(single)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(s == Seq((0, 2L, 0.0)), s)
+  }
+
   test("a47MarkovStationary: skewed 2-state chain converges to (0.4, 0.6)") {
     // transitions: a->a 1, a->b 3, b->a 2, b->b 2  =>  P = [.25 .75; .5 .5]
     // stationary: pi = (0.4, 0.6)
