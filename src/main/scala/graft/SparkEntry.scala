@@ -405,6 +405,29 @@ object SparkEntry {
         .select("click_id", "user_id", "purchase_id", "purchase_ts")
         .orderBy("click_id")
     }),
+    // tolerance variant of the custom exec: the latest at-or-before
+    // match only counts within a 24 h staleness budget (the production
+    // PIT-join rule — a week-old feature row is NOT "the" feature);
+    // left-outer keeps every probe, stale matches null out
+    "asof_join_tolerance" -> ((s, d) => {
+      val ev = t(s, d)("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        .agg(max("event_id").as("purchase_id"))
+      val j = graft.plans.AsofJoin.asof(clicks, purchases,
+        Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+        leftOuter = true)
+      val fresh = col("purchase_ts").isNotNull &&
+        (unix_millis(col("click_ts")) - unix_millis(col("purchase_ts"))
+          <= lit(86400000L))
+      j.select(col("click_id"), col("user_id"),
+          when(fresh, col("purchase_id")).as("purchase_id"),
+          when(fresh, col("purchase_ts")).as("purchase_ts"))
+        .orderBy("click_id")
+    }),
     // forward direction of the custom operator: FIRST purchase
     // at-or-after each click (the attribution shape), same single-pass
     // merge exec with the direction flag flipped
@@ -1367,6 +1390,12 @@ object SparkEntry {
         .withColumn("chunk_id", col("chunk_id").cast("long"))),
     "pipe_pack_budget" -> ((s, d) =>
       PipelineOps.packByBudget(t(s, d)("documents"), 2000L)),
+    // how much of the packed budget is actually filled, per source
+    "pipe_pack_efficiency" -> ((s, d) =>
+      PipelineOps.packEfficiency(t(s, d)("documents"), 2000L)),
+    // which provider is OOD under the corpus bigram LM, per source
+    "text_source_perplexity" -> ((s, d) =>
+      TextOps.sourcePerplexity(t(s, d)("documents"))),
     // flagship composition: quality gates + language-ID + exact-dedup
     // survivorship fused into a single-shuffle clean
     "pipe_clean_corpus" -> ((s, d) => PipelineOps.cleanCorpus(t(s, d)("documents"))),
@@ -2773,6 +2802,23 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
         |    AS BIGINT) AS batch_id
         |FROM documents ORDER BY source, doc_id""".stripMargin,
+    // rollup over the packer's assignment; batch ids are dense so
+    // n_batches = max + 1 — mirrors packEfficiency
+    "pipe_pack_efficiency" ->
+      """WITH pk AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+        |    CAST(floor(COALESCE(
+        |      SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |        OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) / 2000.0) AS BIGINT) AS batch_id
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MAX(batch_id) + 1 AS n_batches,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(SUM(n_tokens) AS DOUBLE)
+        |    / (CAST(MAX(batch_id) + 1 AS DOUBLE) * 2000.0), 6) AS fill_rate
+        |FROM pk GROUP BY source ORDER BY source""".stripMargin,
     // batch restatement of the 1h/30m sliding windows: each event lands
     // in exactly two 30-min-aligned windows (k = 0, 1); time_bucket's
     // 2000-01-01 origin is a whole multiple of 30 min past the epoch,
@@ -3213,6 +3259,24 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
         |ORDER BY click_id""".stripMargin,
+    // native ASOF LEFT JOIN + the same epoch-ms staleness guard
+    "asof_join_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+        |    p.purchase_id, p.purchase_ts
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.purchase_ts)
+        |SELECT click_id, user_id,
+        |  CASE WHEN purchase_ts IS NOT NULL
+        |    AND epoch_ms(click_ts) - epoch_ms(purchase_ts) <= 86400000
+        |    THEN purchase_id END AS purchase_id,
+        |  CASE WHEN purchase_ts IS NOT NULL
+        |    AND epoch_ms(click_ts) - epoch_ms(purchase_ts) <= 86400000
+        |    THEN purchase_ts END AS purchase_ts
+        |FROM j ORDER BY click_id""".stripMargin,
     // forward variant restated with a window (engine-agnostic; no
     // dependence on the oracle's ASOF direction support)
     "asof_join_forward" ->
@@ -3967,6 +4031,40 @@ object SparkEntry {
          |JOIN c1 cp ON cp.tok = pairs.wprev
          |CROSS JOIN st
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same LM scoring wrapped in a CTE, rolled up per source with
+    // a round-9 DECIMAL barrier; perplexity off the ROUNDED mean
+    "text_source_perplexity" ->
+      s"""WITH $ToksCte, px AS (
+         |  SELECT doc_id, ws, CAST(unnest(range(0, len(ws))) AS INT) AS pos FROM toks
+         |), pairs AS (
+         |  SELECT doc_id, ws[pos] AS wprev, ws[pos+1] AS w FROM px WHERE pos >= 1
+         |), c2 AS (SELECT wprev, w, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2
+         |  ORDER BY c2 DESC, wprev, w LIMIT 2097152),
+         |tk AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+         |c1 AS (SELECT tok, COUNT(*) AS c1 FROM tk GROUP BY tok),
+         |st AS (SELECT SUM(c1) AS n_total, COUNT(*) AS v FROM c1),
+         |ds AS (SELECT doc_id,
+         |  CAST(SUM(CAST(round(ln(
+         |      CASE WHEN c2.c2 IS NULL THEN 0.0
+         |        ELSE 0.7 * (CAST(c2.c2 AS DOUBLE) / CAST(cp.c1 AS DOUBLE)) END +
+         |        0.3 * (CAST(cw.c1 + 1 AS DOUBLE) / CAST(n_total + v AS DOUBLE))), 12)
+         |      AS DECIMAL(24,14))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS avg_logprob2
+         |  FROM pairs
+         |  LEFT JOIN c2 USING (wprev, w)
+         |  JOIN c1 cw ON cw.tok = pairs.w
+         |  JOIN c1 cp ON cp.tok = pairs.wprev
+         |  CROSS JOIN st
+         |  GROUP BY doc_id),
+         |sr AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    SUM(CAST(round(avg_logprob2, 9) AS DECIMAL(18,9))) AS s
+         |  FROM ds JOIN documents d USING (doc_id) GROUP BY 1)
+         |SELECT source, n_scored,
+         |  round(CAST(s AS DOUBLE) / CAST(n_scored AS DOUBLE), 9)
+         |    AS mean_logprob,
+         |  round(exp(-round(CAST(s AS DOUBLE) / CAST(n_scored AS DOUBLE), 9)),
+         |    6) AS perplexity
+         |FROM sr ORDER BY source""".stripMargin,
     "a17_linear_fit" -> LinearFitOracleSql,
     "a18_autocorr" ->
       """WITH p AS (

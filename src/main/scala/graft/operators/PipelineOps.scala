@@ -506,6 +506,29 @@ object PipelineOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Packing-efficiency census over [[packByBudget]] — per source: how
+    * many batches the budget packer produced and what fraction of the
+    * reserved token budget those batches actually fill. Low fill rate
+    * means the padding bill (every batch trains at budget length) is
+    * being paid for air — the readout that tunes budget size against
+    * the corpus's document-length distribution. Pure rollup over the
+    * packer's assignment: one source-keyed aggregate (batch ids are
+    * dense per source, so n_batches = max + 1 — no distinct state),
+    * exact integer token sums, one round-6 division.
+    */
+  def packEfficiency(documents: DataFrame, budgetTokens: Long): DataFrame =
+    packByBudget(documents, budgetTokens)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("batch_id")) + lit(1L)).as("n_batches"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_batches"),
+        col("total_tokens"),
+        round(col("total_tokens").cast("double")
+          / (col("n_batches") * lit(budgetTokens)).cast("double"), 6)
+          .as("fill_rate"))
+      .orderBy("source")
+
   /** doc_id + source + token count, the shared scoring projection of
     * the per-source curation operators below (narrow, runs in the
     * scan stage).

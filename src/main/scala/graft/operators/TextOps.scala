@@ -957,6 +957,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source mean bigram-LM score and perplexity — the
+    * out-of-distribution screen over providers: a source whose
+    * documents score systematically worse under the CORPUS-wide
+    * interpolated bigram model ([[bigramLogProb]]) is contributing
+    * text the rest of the corpus doesn't predict — a different
+    * register, a different language mix, or garbage. Per-doc scores
+    * are already deterministic (decimal contribution sums); the
+    * cross-doc mean takes a round-9 → DECIMAL(18,9) barrier, and the
+    * perplexity derives from the ROUNDED mean so both emitted numbers
+    * round-trip. Docs with <2 tokens have no bigrams and are outside
+    * the model's domain — excluded on both engines (n_scored counts
+    * what's in). One source-keyed rollup past the LM scoring itself.
+    */
+  def sourcePerplexity(documents: DataFrame): DataFrame = {
+    val scores = bigramLogProb(documents)
+    val mean = round(col("s").cast("double") / col("n_scored").cast("double"),
+      9)
+    documents.select(col("doc_id"), col("source"))
+      .join(scores, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(round(col("avg_logprob2"), 9).cast(DecimalType(18, 9))).as("s"))
+      .select(col("source"), col("n_scored"),
+        mean.as("mean_logprob"),
+        round(exp(-mean), 6).as("perplexity"))
+      .orderBy("source")
+  }
+
   /** Bigram-model bound for [[bigramLogProb]]: top-K bigram types kept
     * with the full interpolated probability; below the cut, unigram
     * backoff. 2²¹ rows ≈ tens of MB broadcast — executor-safe at any

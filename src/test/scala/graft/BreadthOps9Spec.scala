@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{DedupOps, PipelineOps, Relational, SimilarityOps, TextOps}
 
 /** Round-9 breadth wave 2: cross-source pair census, mixture shift
@@ -134,6 +136,57 @@ class BreadthOps9Spec extends SparkSpec {
     val s = SimilarityOps.silhouette(single)
       .as[(Int, Long, Double)].collect().toSeq
     assert(s == Seq((0, 2L, 0.0)), s)
+  }
+
+  test("asof tolerance composition: stale matches null out, fresh survive") {
+    val clicks = Seq(
+      (10L, 1L, ts(100000L)), // 50s after purchase -> fresh
+      (11L, 1L, ts(400000L)), // 350s after purchase -> stale at 300s tol
+      (12L, 2L, ts(100000L))) // no purchase at all
+      .toDF("click_id", "user_id", "click_ts")
+    val purchases = Seq((1L, ts(50000L), 99L))
+      .toDF("p_user", "purchase_ts", "purchase_id")
+    val j = graft.plans.AsofJoin.asof(clicks, purchases,
+      Seq("user_id"), Seq("p_user"), "click_ts", "purchase_ts",
+      leftOuter = true)
+    val fresh = col("purchase_ts").isNotNull &&
+      (unix_millis(col("click_ts")) - unix_millis(col("purchase_ts"))
+        <= lit(300000L))
+    val out = j.select(col("click_id"),
+        when(fresh, col("purchase_id")).as("purchase_id"))
+      .orderBy("click_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out == Seq((10L, Some(99L)), (11L, None), (12L, None)), out)
+  }
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("packEfficiency: fill rate counts tokens against batch budget") {
+    // source sA: 3 docs of 3 tokens, budget 4 -> cumsums 0,3,6 ->
+    // batches 0,0,1 -> 2 batches, 9 tokens, fill 9/8
+    val docs = Seq(
+      (1L, "sA", "a b c"), (2L, "sA", "d e f"), (3L, "sA", "g h i"))
+      .toDF("doc_id", "source", "text")
+    val out = PipelineOps.packEfficiency(docs, 4L)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("sA", 3L, 2L, 9L, 1.125)), out)
+  }
+
+  test("sourcePerplexity: groups doc LM scores; sub-bigram docs excluded") {
+    val docs = Seq(
+      (1L, "sA", "a b a b"), (2L, "sA", "a b"), (3L, "sB", "b a b a"),
+      (4L, "sB", "x")) // 1 token -> no bigrams -> excluded
+      .toDF("doc_id", "source", "text")
+    val perDoc = TextOps.bigramLogProb(docs.select(col("doc_id"), col("text")))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val out = TextOps.sourcePerplexity(docs)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expA = r9((r9(perDoc(1L)) + r9(perDoc(2L))) / 2)
+    val expB = r9(r9(perDoc(3L)))
+    assert(out.map(t => (t._1, t._2)) == Seq(("sA", 2L), ("sB", 1L)), out)
+    assert(out.head._3 == expA && out(1)._3 == expB, (out, expA, expB))
   }
 
   test("a47MarkovStationary: skewed 2-state chain converges to (0.4, 0.6)") {
