@@ -1134,6 +1134,16 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
     }),
+    // letterbox/frame screen: border-ring vs interior brightness over
+    // the real decode
+    "mm_border_contrast" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.borderContrast(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
     // 16-band grayscale tone census over the real PNG decode
     "mm_gray_histogram" -> ((s, d) => {
       val pngDir = stagingTag(d, "png", "documents.parquet")
@@ -6263,6 +6273,40 @@ object SparkEntry {
         |  CAST(SUM((doc_id + ((i*w)//16)*31 + ((j*h)//12)*7) % 256) AS BIGINT)
         |    AS checksum
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // ring/interior classification over the gradient formula; means
+    // and contrast from the same rounded integers as the real decode
+    "mm_border_contrast" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, i.i, j.j,
+        |    CASE WHEN i.i = 0 OR i.i = w - 1 OR j.j = 0 OR j.j = h - 1
+        |         THEN 1 ELSE 0 END AS is_border,
+        |    (doc_id + i.i*31 + j.j*7) % 256 AS v
+        |  FROM m, (SELECT unnest(range(0,64)) AS i) i,
+        |          (SELECT unnest(range(0,48)) AS j) j
+        |  WHERE i.i < w AND j.j < h),
+        |a AS (SELECT doc_id, w, h,
+        |    CAST(SUM(CASE WHEN is_border = 1 THEN v ELSE 0 END) AS BIGINT)
+        |      AS border_sum,
+        |    CAST(SUM(is_border) AS BIGINT) AS n_border,
+        |    CAST(SUM(CASE WHEN is_border = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS interior_sum,
+        |    CAST(SUM(1 - is_border) AS BIGINT) AS n_interior
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id, w AS width, h AS height,
+        |  round(CAST(border_sum AS DOUBLE) / CAST(n_border AS DOUBLE), 6)
+        |    AS border_mean,
+        |  CASE WHEN n_interior > 0 THEN
+        |    round(CAST(interior_sum AS DOUBLE) / CAST(n_interior AS DOUBLE), 6)
+        |  END AS interior_mean,
+        |  CASE WHEN n_interior > 0 THEN
+        |    round(round(CAST(border_sum AS DOUBLE) / CAST(n_border AS DOUBLE), 6)
+        |      - round(CAST(interior_sum AS DOUBLE) / CAST(n_interior AS DOUBLE), 6),
+        |      6)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS contrast
+        |FROM a ORDER BY doc_id""".stripMargin,
     "mm_pixel_stats" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h

@@ -450,6 +450,66 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of a per-image border/interior brightness record. */
+  val borderContrastSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("border_sum", LongType, nullable = false),
+    StructField("n_border", LongType, nullable = false),
+    StructField("interior_sum", LongType, nullable = false),
+    StructField("n_interior", LongType, nullable = false)))
+
+  /** Border-vs-interior brightness contrast over the REAL decode — the
+    * letterbox/frame screen of image curation: a padded or framed
+    * image shows a border ring whose mean brightness diverges hard
+    * from its interior, and those frames poison both perceptual
+    * hashing (the ring dominates the [[dHash]] gradient grid) and
+    * training crops. Border = the 1-px outer ring; images too small
+    * to have an interior (w ≤ 2 or h ≤ 2) emit a NULL interior mean
+    * and a 0 contrast on both engines. One decode pass per image with
+    * integer ring/interior sums; means and their difference are
+    * round-6 doubles computed from the exact integers, the contrast
+    * from the ROUNDED means so all three emitted numbers round-trip.
+    */
+  def borderContrast(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(borderContrastSchema)
+    val raw = images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var bs = 0L; var bn = 0L; var is = 0L; var in = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) & 0xff).toLong
+            if (x == 0 || x == w - 1 || y == 0 || y == h - 1) {
+              bs += v; bn += 1L
+            } else { is += v; in += 1L }
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, bs, bn, is, in)
+      }
+    }(enc)
+    val bm = round(col("border_sum").cast("double")
+      / col("n_border").cast("double"), 6)
+    val im = round(col("interior_sum").cast("double")
+      / col("n_interior").cast("double"), 6)
+    raw.select(col("doc_id"), col("width"), col("height"),
+      bm.as("border_mean"),
+      when(col("n_interior") > 0L, im).as("interior_mean"),
+      when(col("n_interior") > 0L, round(bm - im, 6)).otherwise(lit(0.0d))
+        .as("contrast"))
+      .orderBy("doc_id")
+  }
+
   /** Schema of a per-image perceptual-hash record. */
   val imageDHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

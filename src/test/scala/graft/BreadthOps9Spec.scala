@@ -189,6 +189,30 @@ class BreadthOps9Spec extends SparkSpec {
     assert(out.head._3 == expA && out(1)._3 == expB, (out, expA, expB))
   }
 
+  test("borderContrast: framed image scores its ring; no-interior pins 0") {
+    def png(w: Int, h: Int, border: Int, interior: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (x == 0 || x == w - 1 || y == 0 || y == h - 1) border
+                else interior
+        img.setRGB(x, y, v * 0x010101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val images = Seq(
+      (1L, png(5, 4, 255, 0)), // 14 ring px at 255, 6 interior at 0
+      (2L, png(2, 2, 7, 0)))   // all ring, no interior
+      .toDF("doc_id", "content")
+    val out = graft.operators.Multimodal.borderContrast(spark, images)
+      .as[(Long, Int, Int, Double, Option[Double], Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5, 4, 255.0, Some(0.0), 255.0),
+      (2L, 2, 2, 7.0, None, 0.0)), out)
+  }
+
   test("a47MarkovStationary: skewed 2-state chain converges to (0.4, 0.6)") {
     // transitions: a->a 1, a->b 3, b->a 2, b->b 2  =>  P = [.25 .75; .5 .5]
     // stationary: pi = (0.4, 0.6)
