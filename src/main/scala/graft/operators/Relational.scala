@@ -353,7 +353,8 @@ object Relational {
     * then bytewise-smallest destination; the [[GraphOps.goldenRecords]]
     * mode shape) — ties cannot move the accuracy number itself.
     *
-    * 2x-audit note (`w27_markov_accuracy`, ~0.23 s oracle): the
+    * 2x-audit note (`w27_markov_accuracy`, oracle 0.05–0.23 s across
+    * runs): the
     * operator IS the row-scale user-keyed lead() window both engines
     * run. The r9 final shape fuses the old two-step argmax (a max
     * aggregate + a tie-filter join-back over the persisted cells)
@@ -361,9 +362,9 @@ object Relational {
     * is the max count, ties take the bytewise-smallest destination,
     * exactly the two-step semantics — so the whole operator is the
     * window plus a single |types|²→|types| aggregate: no persist, no
-    * join, nothing left to remove (fresh-artifact 1.10 → ~0.75 s
-    * same-host; the residual over DuckDB's 0.23 s in-process window
-    * is the one data-scale exchange + sort plus job scheduling, which
+    * join, nothing left to remove (fresh-artifact 1.10 → 0.55 s
+    * same-host; the residual over DuckDB's in-process window is the
+    * one data-scale exchange + sort plus job scheduling, which
     * amortizes with corpus size).
     */
   def w27MarkovAccuracy(events: DataFrame): DataFrame =
