@@ -1071,6 +1071,9 @@ object SparkEntry {
     // codebooks, exact L2 argmin per (vector, subspace)
     "sim_pq_encode" -> ((s, d) =>
       SimilarityOps.pqEncode(t(s, d)("embeddings"))),
+    // PQ calibration: per-subspace reconstruction MSE of the codebook
+    "sim_pq_distortion" -> ((s, d) =>
+      SimilarityOps.pqDistortion(t(s, d)("embeddings"))),
     // PQ serving: ADC lookup over the codes, fixed-point sums
     "sim_pq_topk" -> ((s, d) => {
       val e = t(s, d)("embeddings")
@@ -6203,6 +6206,20 @@ object SparkEntry {
         |FROM ex ORDER BY vec_id, pos""".stripMargin,
     // PQ assignment restated: same slices, same 2·dot − |c|² argmax
     // (score DESC, cid tiebreak), dots with the vec_dot cast shape
+    // ||s-c||^2 per assigned pair off the shared PQ CTEs; round-12
+    // decimal terms so the cross-vector sum is order-free
+    "sim_pq_distortion" ->
+      s"""WITH $PqCtes
+         |SELECT CAST(s.j AS INT) AS subspace,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(SUM(CAST(round(
+         |      ${PqDot("s.sub", "s.sub")} - 2 * ${PqDot("s.sub", "c.ce")}
+         |        + ${PqDot("c.ce", "c.ce")}, 12) AS DECIMAL(38,18)))
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean_sq_err
+         |FROM sub s
+         |JOIN codes k ON k.vec_id = s.vec_id AND k.j = s.j
+         |JOIN cent c ON c.cid = k.cid AND c.j = s.j
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_pq_encode" ->
       s"""WITH $PqCtes
          |SELECT vec_id, CAST(j AS INT) AS subspace, CAST(cid AS INT) AS code

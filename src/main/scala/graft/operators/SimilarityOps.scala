@@ -555,6 +555,40 @@ object SimilarityOps {
       .agg(max(struct(col("score").as("s"), (-col("cid")).as("nj"))).as("w"))
       .select(col("vec_id"), col("subspace"), (-col("w.nj")).as("code"))
 
+  /** PQ reconstruction-distortion census — the calibration readout
+    * priced BEFORE trusting [[pqTopK]]'s ADC ranking: per subspace,
+    * the mean squared error between stored subvectors and their
+    * assigned codebook centroid (‖s−c‖² = s·s − 2 s·c + c·c). A
+    * subspace whose distortion dwarfs the others means the codebook
+    * under-fits that slice of the embedding and its ADC distances are
+    * noise — the signal to raise k or re-train before serving. Plan:
+    * the same encode pass as [[pqEncode]] (bounded codebook broadcast,
+    * per-(vec,subspace) argmax), one more broadcast join back to the
+    * centroid cells, and an m-row rollup; per-row errors are ONE
+    * double shape (the codegen'd [[graft.functions.VectorDot]] kernels
+    * both engines replicate term-for-term) behind a round-12 →
+    * DECIMAL barrier, so the cross-vector sum is order-free.
+    */
+  def pqDistortion(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      centroidStep: Int = 23): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = pqCodebook(embeddings, m, k, centroidStep)
+    val codes = pqCodes(embeddings, cents, m)
+    pqSubs(embeddings, "vec_id", m)
+      .join(codes, Seq("vec_id", "subspace"))
+      .join(broadcast(cents.withColumnRenamed("cid", "code")),
+        Seq("subspace", "code"))
+      .withColumn("err", round(vec_dot(col("sub"), col("sub"))
+        - lit(2.0d) * vec_dot(col("sub"), col("ce")) + col("cn2"), 12)
+        .cast(DecimalType(38, 18)))
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("s"))
+      .select(col("subspace"), col("n_vecs"),
+        round(col("s").cast("double") / col("n_vecs").cast("double"), 9)
+          .as("mean_sq_err"))
+      .orderBy("subspace")
+  }
+
   /** PQ-ADC top-k — the SERVING path the [[pqEncode]] index exists
     * for (asymmetric distance computation): each query precomputes a
     * tiny per-subspace distance table against the codebooks (Q·m·k

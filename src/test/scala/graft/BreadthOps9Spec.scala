@@ -213,6 +213,18 @@ class BreadthOps9Spec extends SparkSpec {
       (2L, 2, 2, 7.0, None, 0.0)), out)
   }
 
+  test("pqDistortion: exact-centroid vectors score 0; midpoint splits") {
+    // ids 0 and 23 become the codebook (vec_id % 23 == 0): the zero
+    // vector and the ones vector. id 1 == centroid 1 -> err 0;
+    // id 2 is the midpoint -> err 0.25 * 2 dims = 0.5 per subspace.
+    def v(x: Float) = Array.fill(8)(x)
+    val emb = Seq((0L, v(0f)), (1L, v(1f)), (2L, v(0.5f)), (23L, v(1f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqDistortion(emb)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out == (0 to 3).map(j => (j, 4L, 0.125)), out)
+  }
+
   test("a47MarkovStationary: skewed 2-state chain converges to (0.4, 0.6)") {
     // transitions: a->a 1, a->b 3, b->a 2, b->b 2  =>  P = [.25 .75; .5 .5]
     // stationary: pi = (0.4, 0.6)
