@@ -778,6 +778,10 @@ object SparkEntry {
     "pipe_mixture_shift" -> ((s, d) => PipelineOps.mixtureShift(
       t(s, d)("documents"),
       DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // what did dedup COST, token-weighted: tokens lost per source
+    "pipe_token_loss" -> ((s, d) => PipelineOps.tokenLoss(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
     // after ER: fuse each cluster to ONE canonical record (mode per
     // categorical, ties bytewise-smallest; no per-entity arrays)
     "er_golden_record" -> ((s, d) => GraphOps.goldenRecords(
@@ -1359,6 +1363,9 @@ object SparkEntry {
     // value vs hour-of-day correlation, day-of-week partialled out
     "a48_partial_corr" -> ((s, d) =>
       Relational.a48PartialCorr(t(s, d)("events"))),
+    // single-event-session share + events/session over 30-min gaps
+    "w33_bounce_rate" -> ((s, d) =>
+      Relational.w33BounceRate(t(s, d)("events"))),
     "w12_transitions" -> ((s, d) =>
       Relational.eventTransitions(t(s, d)("events"))),
     // interval-overlap self-join: concurrent same-part shipments from
@@ -2996,6 +3003,28 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // same gap-session assignment, folded to the one-row engagement
+    // headline — mirrors w33BounceRate
+    "w33_bounce_rate" ->
+      """WITH q AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |ps AS (SELECT user_id, session_seq, COUNT(*) AS n_events
+        |  FROM q GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS bounce_rate,
+        |  round(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS events_per_session
+        |FROM ps""".stripMargin,
     "w4_sessionize" ->
       """SELECT user_id, event_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
         |  SELECT user_id, event_id,
@@ -5796,6 +5825,30 @@ object SparkEntry {
          |  CASE WHEN src_lo = src_hi THEN 0 ELSE 1 END AS is_cross,
          |  CAST(COUNT(*) AS BIGINT) AS n_pairs
          |FROM ps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // loser set left-joined onto per-doc token counts, source rollup
+    // — mirrors tokenLoss
+    "pipe_token_loss" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |losers AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+         |tk AS (SELECT d.source,
+         |    len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS n_tokens,
+         |    l.doc_id IS NOT NULL AS lost
+         |  FROM documents d LEFT JOIN losers l USING (doc_id))
+         |SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+         |  CAST(SUM(CASE WHEN lost THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_lost,
+         |  round(CAST(SUM(CASE WHEN lost THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(n_tokens) AS DOUBLE), 9) AS loss_rate
+         |FROM tk GROUP BY source ORDER BY source""".stripMargin,
     // survivor components -> per-source before/after counts + shares;
     // share delta computed from the rounded shares on both engines
     "pipe_mixture_shift" ->

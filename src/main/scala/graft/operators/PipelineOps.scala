@@ -518,6 +518,33 @@ object PipelineOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Token-weighted dedup cost per source — [[mixtureShift]] counts
+    * DOCUMENTS, but training budgets are priced in TOKENS, and long
+    * documents dominate both: this census reports how many tokens
+    * each source loses to near-dup removal (cluster losers under the
+    * lowest-id survivor policy) and at what rate. The number that
+    * decides whether a dedup threshold is "cheap hygiene" or "just
+    * deleted a tenth of provider X's budget". Plan: the
+    * candidate-scale loser set left-joins the token-scored projection
+    * once; one source-keyed rollup; exact integer token sums and a
+    * round-9 rate.
+    */
+  def tokenLoss(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = graft.operators.GraphOps.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"), lit(1L).as("lost"))
+    tokenScored(documents)
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("tokens_before"),
+        sum(when(col("lost").isNotNull, col("n_tokens")).otherwise(0L))
+          .as("tokens_lost"))
+      .select(col("source"), col("tokens_before"), col("tokens_lost"),
+        round(col("tokens_lost").cast("double")
+          / col("tokens_before").cast("double"), 9).as("loss_rate"))
+      .orderBy("source")
+  }
+
   /** Packing-efficiency census over [[packByBudget]] — per source: how
     * many batches the budget packer produced and what fraction of the
     * reserved token budget those batches actually fill. Low fill rate

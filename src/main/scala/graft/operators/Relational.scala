@@ -270,6 +270,39 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Bounce-rate census over 30-min gap sessions — the engagement
+    * headline every product dashboard leads with: what share of
+    * sessions contain exactly ONE event, and how many events the
+    * average session carries. Reuses [[w4Sessionize]]'s gap rule
+    * inline (without its presentation sort): one user-keyed window
+    * pass, one (user, session)-keyed count, then a single-row rollup —
+    * the per-session frame is the only exchange past the window, and
+    * it shrinks with the gap parameter, not the corpus.
+    */
+  def w33BounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val perSession = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapMinutes MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"))
+    perSession.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("n_events_total"))
+      .select(col("n_sessions"), col("n_bounce"),
+        round(col("n_bounce").cast("double")
+          / col("n_sessions").cast("double"), 9).as("bounce_rate"),
+        round(col("n_events_total").cast("double")
+          / col("n_sessions").cast("double"), 9).as("events_per_session"))
+  }
+
   /** Ordered funnel: how many of `steps` each user completed, where
     * step i+1 must occur STRICTLY AFTER the user's EARLIEST completion
     * of step i (the analytics-standard windowFunnel semantics).

@@ -213,6 +213,33 @@ class BreadthOps9Spec extends SparkSpec {
       (2L, 2, 2, 7.0, None, 0.0)), out)
   }
 
+  test("tokenLoss: losers charge their tokens to their source") {
+    val docs = Seq(
+      (1L, "sX", "a b c d"), (2L, "sX", "a b"), (3L, "sX", "e f"),
+      (4L, "sY", "g h i"))
+      .toDF("doc_id", "source", "text")
+    // cluster {1,2}: doc 2 loses its 2 tokens; sX has 8 total
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = PipelineOps.tokenLoss(docs, pairs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("sX", 8L, 2L, 0.25), ("sY", 3L, 0L, 0.0)), out)
+  }
+
+  test("w33BounceRate: one bounce in three sessions") {
+    // user 1: two events 5 min apart (one session of 2), then one
+    // event 2 h later (a bounce); user 2: one session of 3
+    val ev = Seq(
+      (1L, 0L), (1L, 300000L), (1L, 7500000L),
+      (2L, 0L), (2L, 60000L), (2L, 120000L))
+      .zipWithIndex.map { case ((u, ms), i) =>
+        (u, new java.sql.Timestamp(1700000000000L + ms), i.toLong, "click",
+          1.0)
+      }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Relational.w33BounceRate(ev)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(out == ((3L, 1L, round9(1.0 / 3), 2.0)), out)
+  }
+
   test("pqDistortion: exact-centroid vectors score 0; midpoint splits") {
     // ids 0 and 23 become the codebook (vec_id % 23 == 0): the zero
     // vector and the ones vector. id 1 == centroid 1 -> err 0;
