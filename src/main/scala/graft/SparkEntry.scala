@@ -1467,6 +1467,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 37 =!= 0),
         docs.filter(col("doc_id") % 37 === 0))
     }),
+    // does order volume lead revenue? Pearson r at day lags 0..7
+    "w30_xcorr" -> ((s, d) => Relational.w30Xcorr(s, t(s, d)("orders"))),
+    // additive inequality decomposition of event value over types
+    "a49_theil" -> ((s, d) => Relational.a49Theil(t(s, d)("events"))),
+    // Wald-Wolfowitz randomness test on the daily-revenue series
+    "a50_runs_test" -> ((s, d) => Relational.a50RunsTest(t(s, d)("orders"))),
+    // token-budget epoch allocation per source (repetition plan)
+    "pipe_epoch_plan" -> ((s, d) => PipelineOps.epochPlan(t(s, d)("documents"))),
+    // Hill-number diversity triple (richness / exp-H / inv-Simpson)
+    "text_diversity" -> ((s, d) =>
+      TextOps.diversityProfile(t(s, d)("documents"))),
+    // repetition-aware multiset Jaccard over the verified pair graph
+    "dedup_weighted_jaccard" -> ((s, d) => DedupOps.weightedJaccard(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7066,6 +7081,146 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_fp
         |FROM m, unnest(range(0, n_frames, 7)) t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // exact BIGINT/DECIMAL sufficient statistics per lag; double math
+    // only on the final 8 rows (mirrors w30Xcorr exactly)
+    "w30_xcorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS lag),
+        |j AS (SELECT l.lag, CAST(x.cnt AS DECIMAL(18,0)) AS x, y.rev
+        |  FROM daily x CROSS JOIN l
+        |  JOIN daily y ON y.d = x.d + l.lag),
+        |s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(rev) AS sy,
+        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(rev * rev AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(x * rev AS DECIMAL(38,2))) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n AS n_days,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r
+        |FROM s ORDER BY lag""".stripMargin,
+    // per-term round-9 DECIMAL(28,9) staging of v*ln(v) (order-free
+    // sums); group/total folds mirror a49Theil's expression tree
+    "a49_theil" ->
+      """WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s_g,
+        |    SUM(CAST(ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+        |      * LN(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS t_g
+        |  FROM events WHERE value > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS DECIMAL(28,2)) AS s,
+        |    CAST(SUM(t_g) AS DECIMAL(38,9)) AS t FROM g),
+        |per AS (SELECT n, s, t,
+        |    CAST(ROUND((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+        |      * LN((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+        |        / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))), 12)
+        |      AS DECIMAL(18,14)) AS bt,
+        |    CAST(ROUND((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+        |      * (CAST(t_g AS DOUBLE) / (CAST(n_g AS DOUBLE)
+        |          * (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
+        |        - LN(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))), 12)
+        |      AS DECIMAL(18,14)) AS wt
+        |  FROM g CROSS JOIN tot)
+        |SELECT n AS n_events,
+        |  round(CAST(t AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    - LN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS theil_total,
+        |  round(CAST(SUM(bt) AS DOUBLE), 9) AS theil_between,
+        |  round(CAST(SUM(wt) AS DOUBLE), 9) AS theil_within
+        |FROM per GROUP BY n, s, t""".stripMargin,
+    // pure integer counts -> one double z formula; ties at the exact-
+    // decimal mean fall to "below" on both engines
+    "a50_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM daily),
+        |sg AS (SELECT d, CASE WHEN CAST(rev AS DOUBLE) > mu THEN 1 ELSE 0 END AS sgn
+        |  FROM daily CROSS JOIN mu),
+        |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(sgn) AS BIGINT) AS n_above,
+        |    CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+        |    CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs
+        |  FROM (SELECT sgn, LAG(sgn) OVER (ORDER BY d) AS prev FROM sg))
+        |SELECT n_days, n_above, n_below, runs,
+        |  round((CAST(runs AS DOUBLE)
+        |      - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+        |    / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+        |      / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 9) AS z_score
+        |FROM (SELECT n_days, n_above, n_below, runs,
+        |    CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
+        |  FROM r)""".stripMargin,
+    // IEEE-exact plan arithmetic (no transcendentals): the division/
+    // least/floor chain mirrors epochPlan's op order term for term
+    "pipe_epoch_plan" ->
+      """WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |      AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM t)
+        |SELECT source, n_docs, tokens,
+        |  round(LEAST(4.0, (CAST(2 * total_tokens AS DOUBLE)
+        |      / CAST(n_sources AS DOUBLE)) / CAST(tokens AS DOUBLE)), 9)
+        |    AS epochs,
+        |  CAST(FLOOR(LEAST(4.0, (CAST(2 * total_tokens AS DOUBLE)
+        |      / CAST(n_sources AS DOUBLE)) / CAST(tokens AS DOUBLE))
+        |    * CAST(tokens AS DOUBLE)) AS BIGINT) AS realized_tokens,
+        |  round(FLOOR(LEAST(4.0, (CAST(2 * total_tokens AS DOUBLE)
+        |      / CAST(n_sources AS DOUBLE)) / CAST(tokens AS DOUBLE))
+        |    * CAST(tokens AS DOUBLE)) / CAST(2 * total_tokens AS DOUBLE), 9)
+        |    AS budget_share
+        |FROM t CROSS JOIN tot ORDER BY source""".stripMargin,
+    // per-term round-12 DECIMAL(28,12) staging of c*ln(c) (the
+    // tokenEntropy discipline); D2 folds from pure-integer sums
+    "text_diversity" ->
+      """WITH tk AS (SELECT source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(ws) AS tok FROM tk) GROUP BY 1, 2),
+        |p AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS d0_richness,
+        |    SUM(CAST(c * c AS DECIMAL(38,0))) AS sum_c2,
+        |    SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12))) AS clnc
+        |  FROM tf GROUP BY 1)
+        |SELECT source, n_tokens, d0_richness,
+        |  round(LN(CAST(n_tokens AS DOUBLE))
+        |    - CAST(clnc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS shannon_h,
+        |  round(EXP(LN(CAST(n_tokens AS DOUBLE))
+        |    - CAST(clnc AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS d1_exp_h,
+        |  round(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+        |    / CAST(sum_c2 AS DOUBLE), 9) AS d2_inv_simpson
+        |FROM p ORDER BY source""".stripMargin,
+    // candidate pairs from the shared minhash CTE chain; only the
+    // inner token join is built (sum_max folds from per-doc totals)
+    "dedup_weighted_jaccard" ->
+      s"""WITH $MinhashPairsCtes,
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks) GROUP BY 1, 2),
+         |tots AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+         |im AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+         |  FROM pairs p
+         |  JOIN tf a ON a.doc_id = p.doc_a
+         |  JOIN tf b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT im.doc_a, im.doc_b, sum_min,
+         |  round(CAST(sum_min AS DOUBLE)
+         |    / CAST(ta.n + tb.n - sum_min AS DOUBLE), 9) AS w_jaccard
+         |FROM im
+         |JOIN tots ta ON ta.doc_id = im.doc_a
+         |JOIN tots tb ON tb.doc_id = im.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

@@ -933,4 +933,43 @@ object DedupOps {
           col("n_shingles")).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** Weighted (multiset) Jaccard over an already-verified candidate
+    * pair list: Σ_t min(c_a,c_b) / Σ_t max(c_a,c_b), where c are raw
+    * token COUNTS — the repetition-aware refinement of set Jaccard
+    * that separates "same vocabulary" from "same text" (a doc and its
+    * tripled concatenation share set-J = 1 but weighted-J = 1/3).
+    * Identity Σmax = N_a + N_b − Σmin (min+max = c_a+c_b per token,
+    * absent = 0) means only the INNER token join is ever built: the
+    * small pair list broadcasts onto the (doc, token, c) counts to
+    * pull each left side's tokens, and that pair-token-scale frame
+    * equi-joins the counts once more on (doc_b, tok) — both joins are
+    * candidate-bounded, never corpus×corpus, so the operator inherits
+    * the pair graph's scale posture. All arithmetic is integer until
+    * the final per-pair double division.
+    */
+  def weightedJaccard(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(TextOps.toksCol).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val interMin = broadcast(pairs.select(col("doc_a"), col("doc_b")))
+      .join(tf.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("c", "ca"), Seq("doc_a"))
+      .join(tf.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("c", "cb"), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("sum_min"))
+    interMin
+      .join(totals.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(totals.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sum_min"),
+        round(col("sum_min").cast("double") /
+          (col("na") + col("nb") - col("sum_min")).cast("double"), 9)
+          .as("w_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -864,4 +864,37 @@ object PipelineOps {
         round(col("pa") / col("z").cast("double"), 12).as("p_temp"))
       .orderBy("lang")
   }
+
+  /** Epoch/repetition plan under a token budget — the "how many
+    * epochs of each source fit" arithmetic every corpus-mixing run
+    * starts from (cf. the repetition-budget analyses in the data-
+    * constrained-scaling literature): the budget is `budgetEpochs`×
+    * the whole corpus, split UNIFORMLY across sources, and each
+    * source repeats up to `maxEpochs` before its surplus is stranded.
+    * One corpus pass sums exact whitespace-token counts per source
+    * (BIGINT, order-free); the per-source plan is then pure IEEE
+    * arithmetic over a source-cardinality-bounded table against the
+    * broadcast single-row total — division/multiplication/floor are
+    * exactly-rounded on both engines, so no per-term decimal staging
+    * is needed (contrast the ln/pow operators).
+    */
+  def epochPlan(documents: DataFrame, budgetEpochs: Int = 2,
+      maxEpochs: Double = 4.0): DataFrame = {
+    val perSource = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.toksCol).cast("long")).as("tokens"))
+    val tot = perSource.agg(sum(col("tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val budget = lit(budgetEpochs.toLong) * col("total_tokens")
+    val target = budget.cast("double") / col("n_sources").cast("double")
+    val epochs = least(lit(maxEpochs), target / col("tokens").cast("double"))
+    perSource.crossJoin(broadcast(tot)) // single row
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(epochs, 9).as("epochs"),
+        floor(epochs * col("tokens").cast("double")).cast("long")
+          .as("realized_tokens"),
+        round(floor(epochs * col("tokens").cast("double")) /
+          budget.cast("double"), 9).as("budget_share"))
+      .orderBy("source")
+  }
 }

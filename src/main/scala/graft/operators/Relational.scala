@@ -3214,4 +3214,136 @@ object Relational {
         col("total_rev").cast("double").as("total_rev"))
       .orderBy("order_year")
   }
+
+  /** Lead-lag cross-correlation between two daily business series —
+    * does today's order VOLUME predict revenue k days out? One
+    * day-grain aggregate builds both series in a single fact pass
+    * (count + exact-decimal revenue per day), then an 8-row lag
+    * dimension is broadcast onto the day table and re-joined to
+    * itself on `d + lag` — the joined frame is days×lags (bounded by
+    * date-domain cardinality, never by fact rows, the repo's
+    * time-series posture), so at 100 TB the only fact-scale work is
+    * the first day-grain shuffle. Pearson r per lag folds from exact
+    * sums: counts/products accumulate as BIGINT/DECIMAL (order-free),
+    * the r formula runs in double only on the final 8 rows.
+    */
+  def w30Xcorr(spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        // re-cast the (38,2) sum to (18,2) so the rev*rev / cnt*rev
+        // products below stay inside DECIMAL(38,·) without Spark's
+        // silent precision-capping (a day's revenue is ~1e7 at any
+        // realistic day grain — 16 integer digits is 9 orders of
+        // headroom)
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("rev"))
+    val lags = spark.range(0, maxLag + 1L)
+      .select(col("id").cast("int").as("lag"))
+    val y = daily.select(col("d").as("dy"), col("rev"))
+    val joined = daily.select(col("d"), col("cnt"))
+      .crossJoin(broadcast(lags))
+      .join(y, col("dy") === date_add(col("d"), col("lag")))
+    val x = col("cnt").cast(DecimalType(18, 0))
+    val yv = col("rev")
+    val s = joined.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(yv).as("sy"),
+      sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
+      sum((yv * yv).cast(DecimalType(38, 4))).as("syy"),
+      sum((x * yv).cast(DecimalType(38, 2))).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    s.select(col("lag"), col("n").as("n_days"),
+        round((nD * d("sxy") - d("sx") * d("sy")) /
+          sqrt((nD * d("sxx") - d("sx") * d("sx")) *
+            (nD * d("syy") - d("sy") * d("sy"))), 9).as("r"))
+      .orderBy("lag")
+  }
+
+  /** Theil-T inequality index of event value, decomposed into
+    * between-group and within-group components over `event_type` —
+    * the additive inequality decomposition (Theil 1967) that Gini
+    * (a21) cannot provide. One grouped pass accumulates per-group
+    * count, exact-decimal value sum, and Σ v·ln v (each term rounded
+    * to 9 dp and cast to DECIMAL(28,9) so the sum is order-free and
+    * engine-exact — the [[graft.operators.TextOps.tokenEntropy]]
+    * discipline); the handful of group rows then cross-joins the
+    * broadcast single-row totals, and the final between/within sums
+    * again accumulate as rounded decimals. Fact-scale work is exactly
+    * one shuffle on a low-cardinality key; everything after is
+    * group-cardinality-bounded.
+    */
+  def a49Theil(events: DataFrame): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 2))
+    val vd = v.cast("double")
+    val g = events.filter(col("value") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"), sum(v).as("s_g"),
+        sum(round(vd * log(vd), 9).cast(DecimalType(28, 9))).as("t_g"))
+    val tot = g.agg(sum(col("n_g")).as("n"),
+      sum(col("s_g")).cast(DecimalType(28, 2)).as("s"),
+      sum(col("t_g")).cast(DecimalType(38, 9)).as("t"))
+    val muG = col("s_g").cast("double") / col("n_g").cast("double")
+    val mu = col("s").cast("double") / col("n").cast("double")
+    val w = col("s_g").cast("double") / col("s").cast("double")
+    val theilG = col("t_g").cast("double") /
+      (col("n_g").cast("double") * muG) - log(muG)
+    g.crossJoin(broadcast(tot)) // single row
+      .select(col("n"), col("s"), col("t"),
+        round(w * log(muG / mu), 12).cast(DecimalType(18, 14)).as("bt"),
+        round(w * theilG, 12).cast(DecimalType(18, 14)).as("wt"))
+      .groupBy(col("n"), col("s"), col("t"))
+      .agg(sum(col("bt")).as("btw"), sum(col("wt")).as("wth"))
+      .select(col("n").as("n_events"),
+        round(col("t").cast("double") /
+          (col("n").cast("double") *
+            (col("s").cast("double") / col("n").cast("double"))) -
+          log(col("s").cast("double") / col("n").cast("double")), 9)
+          .as("theil_total"),
+        round(col("btw").cast("double"), 9).as("theil_between"),
+        round(col("wth").cast("double"), 9).as("theil_within"))
+  }
+
+  /** Wald–Wolfowitz runs test for randomness of the daily-revenue
+    * series: are above-mean and below-mean days independently
+    * interleaved, or does revenue trend/cluster? The day-grain
+    * aggregate is the only fact-scale pass; the run count is one lag
+    * window over the date-domain-bounded day table (the repo's
+    * documented unpartitioned-window posture), and the z-score folds
+    * from pure integer counts — no transcendental enters, so the
+    * result is engine-exact IEEE arithmetic under round(…, 9). Ties
+    * at the mean (exact-decimal mean, compared in double) count as
+    * "below" deterministically on both engines.
+    */
+  def a50RunsTest(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val mu = daily.agg(
+      (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
+        .as("mu"))
+    val signed = daily.crossJoin(broadcast(mu)) // single row
+      .select(col("d"),
+        when(col("rev").cast("double") > col("mu"), 1).otherwise(0)
+          .as("sgn"))
+    val w = Window.orderBy(col("d"))
+    val runs = signed
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull ||
+          lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("sgn").cast("long")).as("n_above"),
+        sum(lit(1L) - col("sgn")).as("n_below"),
+        sum(col("chg")).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n2 = col("n_below").cast("double")
+    val muR = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+    val varR = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - lit(1.0)))
+    runs.select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+      round((col("runs").cast("double") - muR) / sqrt(varR), 9)
+        .as("z_score"))
+  }
 }

@@ -1419,4 +1419,41 @@ object TextOps {
     sums.select(col("n").as("n_terms"), slope.as("slope"),
       round((dd("sy") - slope * dd("sx")) / nD, 9).as("intercept"))
   }
+
+  /** Hill-number diversity profile of each source's token
+    * distribution — the ecology-standard triple the mix designer
+    * reads as "how many EFFECTIVE distinct tokens does this provider
+    * contribute": D0 = richness (distinct tokens), D1 = exp(Shannon
+    * entropy) (frequency-weighted effective vocabulary), D2 = inverse
+    * Simpson (dominance-weighted; collapses when a few tokens own the
+    * mass). A boilerplate-heavy or templated source shows D2 ≪ D1 ≪
+    * D0. One (source, token) count shuffle — the same exchange every
+    * token-frequency operator in this battery rides — then a
+    * source-grain fold: Σ c·ln c accumulates per-term as rounded
+    * DECIMAL(28,12) (order-free, engine-exact — the [[tokenEntropy]]
+    * discipline; c·ln c grows only to ~1e6·14 so the 16 integer
+    * digits never overflow), D2 folds from pure-integer Σc² so it
+    * needs no decimal staging at all. exp() runs once per source on
+    * an H that two engines computed from identical decimal sums.
+    */
+  def diversityProfile(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(toksCol).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    val perSource = tf.groupBy(col("source")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("d0_richness"),
+      sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("sum_c2"),
+      sum(round(cd * log(cd), 12).cast(DecimalType(28, 12))).as("clnc"))
+    val nD = col("n_tokens").cast("double")
+    val h = log(nD) - col("clnc").cast("double") / nD
+    perSource.select(col("source"), col("n_tokens"), col("d0_richness"),
+        round(h, 9).as("shannon_h"),
+        round(exp(h), 6).as("d1_exp_h"),
+        round(nD * nD / col("sum_c2").cast("double"), 9)
+          .as("d2_inv_simpson"))
+      .orderBy("source")
+  }
 }

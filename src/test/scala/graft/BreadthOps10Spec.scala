@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{DedupOps, PipelineOps, Relational, TextOps}
+
+/** Round-9 breadth wave 3: lead-lag cross-correlation, Theil
+  * decomposition, runs test, epoch/repetition budget, Hill diversity
+  * profile, weighted (multiset) Jaccard.
+  */
+class BreadthOps10Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("w30Xcorr: a shifted copy correlates perfectly at its lag") {
+    // cnt(t) proportional to rev(t+2): cnt = 1,2,3,4,... and
+    // rev two days later = 10,20,30,... -> r = 1 at lag 2
+    val days = 1 to 12
+    val orders = days.flatMap { d =>
+      // cnt(d) = d orders of price (d-2)*10/d each day... simpler:
+      // exactly d orders on day d, each priced so rev(d) = 10*(d-2)
+      // for d >= 3 (rev correlates with cnt at lag 2 perfectly)
+      val rev = 10.0 * math.max(d - 2, 1)
+      (1 to d).map(i => (d.toLong * 100 + i, rev / d, ts(d)))
+    }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.w30Xcorr(spark, orders, maxLag = 3)
+      .as[(Int, Long, Double)].collect().toMap2
+    // lag 2: cnt(d) = d vs rev(d+2) = 10*d for d in 1..10 -> r ~= 1
+    // (the per-order price split rounds to cents, so not exactly 1)
+    assert(out(2)._2 > 0.99999, out)
+    assert(out(2)._2 > out(0)._2 && out(2)._2 > out(1)._2, out)
+    assert(out.keySet == Set(0, 1, 2, 3), out)
+  }
+
+  implicit private class Map2[K, A, B](rows: Array[(K, A, B)]) {
+    def toMap2: Map[K, (A, B)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
+  test("a49Theil: equal values -> zero; decomposition adds up") {
+    val flat = (1 to 8).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 5.0, ts(1)))
+      .toDF("event_id", "event_type", "value", "ts")
+    val z = Relational.a49Theil(flat)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(z == ((8L, 0.0, 0.0, 0.0)), z)
+
+    // two groups, constant within: within = 0, between = total
+    val split = (Seq.fill(4)(2.0).map(("a", _)) ++ Seq.fill(4)(8.0).map(("b", _)))
+      .zipWithIndex.map { case ((t, v), i) => (i.toLong, t, v, ts(1)) }
+      .toDF("event_id", "event_type", "value", "ts")
+    val s = Relational.a49Theil(split)
+      .as[(Long, Double, Double, Double)].collect().head
+    // mu = 5; T = (1/8)*sum((v/5)ln(v/5)) over 4x2.0 and 4x8.0
+    val expT = (4 * (2.0 / 5) * math.log(2.0 / 5) +
+      4 * (8.0 / 5) * math.log(8.0 / 5)) / 8
+    assert(s._1 == 8L && math.abs(s._2 - expT) < 1e-6, s)
+    assert(s._4 == 0.0, s) // constant within groups
+    assert(math.abs(s._3 - s._2) < 1e-6, s) // between = total
+  }
+
+  test("a50RunsTest: alternating series maximizes runs; z matches hand calc") {
+    // daily revs alternate 1, 9, 1, 9, ... over 10 days: 10 runs
+    val orders = (1 to 10).map(d =>
+      (d.toLong, if (d % 2 == 0) 9.0 else 1.0, ts(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val r = Relational.a50RunsTest(orders)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val (n1, n2) = (5.0, 5.0)
+    val mu = 2 * n1 * n2 / (n1 + n2) + 1
+    val v = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) /
+      ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    assert(r._1 == 10L && r._2 == 5L && r._3 == 5L && r._4 == 10L, r)
+    assert(r._5 == round9((10 - mu) / math.sqrt(v)), r)
+  }
+
+  test("epochPlan: small source repeats to the cap, big source gets < 1 epoch") {
+    // sA: 10 tokens, sB: 90 tokens; budget = 2*100 = 200, target 100
+    // each -> sA raw 10.0 capped at 4.0; sB 100/90 = 1.111...
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "sA"),
+      (2L, ("x " * 90).trim, "sB"))
+      .toDF("doc_id", "text", "source")
+    val out = PipelineOps.epochPlan(docs)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    val a = out.find(_._1 == "sA").get
+    val b = out.find(_._1 == "sB").get
+    assert(a == (("sA", 1L, 10L, 4.0, 40L, round9(40.0 / 200))), a)
+    assert(b._4 == round9(100.0 / 90) &&
+      b._5 == math.floor(100.0 / 90 * 90).toLong, b)
+  }
+
+  test("diversityProfile: uniform tokens -> D0 = D1 = D2; skew collapses D2") {
+    val docs = Seq(
+      (1L, "a b c d", "uni"), // 4 distinct, each once
+      (2L, "z z z z z z z y", "skew")) // 7x z, 1x y
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.diversityProfile(docs)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val u = out("uni")
+    assert(u._2 == 4L && u._3 == 4L, u)
+    assert(u._5 === 4.0 && u._6 == 4.0, u) // exp(ln 4) = 4, 16/4 = 4
+    val s = out("skew")
+    assert(s._2 == 8L && s._3 == 2L, s)
+    // D2 = 64 / (49 + 1) = 1.28 — dominance collapses the profile
+    assert(s._6 == 1.28, s)
+    assert(s._5 > s._6 && s._3 > s._5, s) // D0 > D1 > D2 under skew
+  }
+
+  test("weightedJaccard: repetition separates pairs set-Jaccard conflates") {
+    val docs = Seq(
+      (1L, "a b c"), // counts {a:1,b:1,c:1}
+      (2L, "a a a b b c"), // counts {a:3,b:2,c:1} — same SET
+      (3L, "a b c")) // identical to doc 1
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.weightedJaccard(docs, pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // (1,2): min-sum = 3 (1+1+1), union-sum = 3+6-3 = 6 -> 0.5
+    assert(out((1L, 2L)) == ((3L, 0.5)), out)
+    // (1,3): identical multisets -> 1.0
+    assert(out((1L, 3L)) == ((3L, 1.0)), out)
+  }
+}
