@@ -1482,6 +1482,34 @@ object SparkEntry {
     "dedup_weighted_jaccard" -> ((s, d) => DedupOps.weightedJaccard(
       t(s, d)("documents"),
       DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // per-stage marginal catch of the exact→simhash→minhash cascade
+    "dedup_cascade" -> ((s, d) => DedupOps.cascadePolicy(
+      t(s, d)("documents"),
+      DedupGraph.simhashPairs(s, d),
+      DedupGraph.minhashPairs(s, d))),
+    // recall cost of keeping only the 16 highest-variance dims
+    "sim_dim_prune" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.dimPruneRecall(e, e.filter(col("vec_id") % 25 === 0))
+    }),
+    // pieces-per-word and chars-per-piece tokenizer economics
+    "text_fertility" -> ((s, d) =>
+      TextOps.tokenizerFertility(t(s, d)("documents"))),
+    // ARCH-effect probe: returns vs squared-returns lag-1 autocorr
+    "w34_volatility" -> ((s, d) =>
+      Relational.w34Volatility(t(s, d)("orders"))),
+    // watermark-sizing lateness bands off a hash-shuffled replay
+    "w35_late_arrival" -> ((s, d) =>
+      Relational.w35LateArrival(t(s, d)("events"))),
+    // leading/trailing silence trim census over the real PCM decode
+    "mm_audio_silence" -> ((s, d) => {
+      val dir = stagingTag(d, "wav", "documents.parquet")
+      Multimodal.stageWavs(t(s, d)("documents"), dir)
+      Multimodal.audioSilence(s,
+        s.read.format("binaryFile").load(dir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7221,6 +7249,178 @@ object SparkEntry {
          |JOIN tots ta ON ta.doc_id = im.doc_a
          |JOIN tots tb ON tb.doc_id = im.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // all three scheme pipelines share one WITH (their CTE namespaces
+    // are disjoint: minhash = toks/sh/hashed/mh/bands/cand/sizes/
+    // inter/pairs, simhash = tok/h/bits/s/sig); marginal catch via
+    // NOT EXISTS against the cheaper stages
+    "dedup_cascade" ->
+      s"""WITH $MinhashPairsCtes,
+         |$SimhashSigCte,
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |fps AS (SELECT doc_id,
+         |    md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+         |  FROM documents),
+         |ep AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         |mp AS (SELECT doc_a, doc_b FROM pairs),
+         |spn AS (SELECT doc_a, doc_b FROM sp
+         |  WHERE NOT EXISTS (SELECT 1 FROM ep
+         |    WHERE ep.doc_a = sp.doc_a AND ep.doc_b = sp.doc_b)),
+         |mpn AS (SELECT doc_a, doc_b FROM mp
+         |  WHERE NOT EXISTS (SELECT 1 FROM ep
+         |    WHERE ep.doc_a = mp.doc_a AND ep.doc_b = mp.doc_b)
+         |  AND NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_a = mp.doc_a AND sp.doc_b = mp.doc_b))
+         |SELECT * FROM (
+         |  SELECT 1 AS stage_order, 'exact' AS stage,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ep) AS n_pairs,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ep) AS n_new
+         |  UNION ALL SELECT 2, 'simhash',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sp),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM spn)
+         |  UNION ALL SELECT 3, 'minhash',
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mp),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mpn))
+         |ORDER BY stage_order""".stripMargin,
+    // variance scores from round-12 decimal component sums -> the
+    // same deterministic dim ranking; both top-5 searches restated
+    // as ROW_NUMBER windows; recall joins the two query x k lists
+    "sim_dim_prune" ->
+      s"""WITH comp AS (SELECT CAST(i AS INT) - 1 AS pos,
+         |    CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)),
+         |stats AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(ROUND(v, 12) AS DECIMAL(28,12))) AS sv,
+         |    SUM(CAST(ROUND(v * v, 12) AS DECIMAL(28,12))) AS svv
+         |  FROM comp GROUP BY 1),
+         |sc AS (SELECT pos, CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+         |    - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) AS score FROM stats),
+         |dims AS (SELECT list(pos ORDER BY pos) AS dims
+         |  FROM (SELECT pos FROM sc ORDER BY score DESC, pos LIMIT 16)),
+         |pe AS (SELECT vec_id, embedding,
+         |    list_transform(dims, i -> embedding[i + 1]) AS p
+         |  FROM embeddings CROSS JOIN dims),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, p AS qp
+         |  FROM pe WHERE vec_id % 25 = 0),
+         |fullsc AS (SELECT query_id, vec_id,
+         |    ${duckCosine("qe", "embedding")} AS sim
+         |  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+         |fullt AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM fullsc) WHERE rnk <= 5),
+         |prsc AS (SELECT query_id, p2.vec_id,
+         |    ${duckCosine("qp", "p")} AS sim
+         |  FROM pe p2 CROSS JOIN q WHERE p2.vec_id <> query_id),
+         |prt AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM prsc) WHERE rnk <= 5)
+         |SELECT f.query_id, CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+         |  round(CAST(COUNT(p.vec_id) AS DOUBLE) / 5.0, 9) AS recall
+         |FROM fullt f LEFT JOIN prt p
+         |  ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact BIGINT sums of the same two regex counts; ratios divide
+    // the sums in double at the end
+    "text_fertility" ->
+      s"""WITH f AS (SELECT source,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text,
+         |      '${graft.operators.TextOps.BpePattern.replace("'", "''")}')) AS BIGINT) AS bpe,
+         |    CAST(len(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ws) AS BIGINT) AS n_ws, CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+         |  round(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9)
+         |    AS fertility,
+         |  round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE), 9)
+         |    AS chars_per_piece
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // returns divide exact day revenues in double; every Pearson
+    // term stages as round-12 DECIMAL(28,12) (order-free sums)
+    "w34_volatility" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |rets AS (SELECT d,
+        |    (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE) AS r
+        |  FROM (SELECT d, rev, LAG(rev) OVER (ORDER BY d) AS prev FROM daily)
+        |  WHERE prev IS NOT NULL),
+        |p AS (SELECT r AS a, rn AS b, r * r AS a2, rn * rn AS b2
+        |  FROM (SELECT r, LEAD(r) OVER (ORDER BY d) AS rn FROM rets)
+        |  WHERE rn IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(ROUND(a, 12) AS DECIMAL(28,12))) AS r_sa,
+        |    SUM(CAST(ROUND(b, 12) AS DECIMAL(28,12))) AS r_sb,
+        |    SUM(CAST(ROUND(a * b, 12) AS DECIMAL(28,12))) AS r_sab,
+        |    SUM(CAST(ROUND(a * a, 12) AS DECIMAL(28,12))) AS r_saa,
+        |    SUM(CAST(ROUND(b * b, 12) AS DECIMAL(28,12))) AS r_sbb,
+        |    SUM(CAST(ROUND(a2, 12) AS DECIMAL(28,12))) AS q_sa,
+        |    SUM(CAST(ROUND(b2, 12) AS DECIMAL(28,12))) AS q_sb,
+        |    SUM(CAST(ROUND(a2 * b2, 12) AS DECIMAL(28,12))) AS q_sab,
+        |    SUM(CAST(ROUND(a2 * a2, 12) AS DECIMAL(28,12))) AS q_saa,
+        |    SUM(CAST(ROUND(b2 * b2, 12) AS DECIMAL(28,12))) AS q_sbb
+        |  FROM p)
+        |SELECT n AS n_pairs,
+        |  round((CAST(n AS DOUBLE) * CAST(r_sab AS DOUBLE)
+        |      - CAST(r_sa AS DOUBLE) * CAST(r_sb AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(r_saa AS DOUBLE)
+        |        - CAST(r_sa AS DOUBLE) * CAST(r_sa AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(r_sbb AS DOUBLE)
+        |        - CAST(r_sb AS DOUBLE) * CAST(r_sb AS DOUBLE))), 9)
+        |    AS r1_returns,
+        |  round((CAST(n AS DOUBLE) * CAST(q_sab AS DOUBLE)
+        |      - CAST(q_sa AS DOUBLE) * CAST(q_sb AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(q_saa AS DOUBLE)
+        |        - CAST(q_sa AS DOUBLE) * CAST(q_sa AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(q_sbb AS DOUBLE)
+        |        - CAST(q_sb AS DOUBLE) * CAST(q_sb AS DOUBLE))), 9)
+        |    AS r1_sq_returns
+        |FROM s""".stripMargin,
+    // per-user running-max event time over the deterministic
+    // hash-shuffled replay order; micros lateness in watermark bands
+    "w35_late_arrival" ->
+      """WITH l AS (SELECT GREATEST(0, COALESCE(mx - tu, 0)) AS late_us
+        |  FROM (SELECT epoch_us(ts) AS tu,
+        |      MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY md5(CAST(event_id AS VARCHAR))
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |    FROM events)),
+        |b AS (SELECT CASE WHEN late_us = 0 THEN 0
+        |    WHEN late_us <= 60000000 THEN 1
+        |    WHEN late_us <= 600000000 THEN 2
+        |    WHEN late_us <= 3600000000 THEN 3
+        |    ELSE 4 END AS bucket_order FROM l),
+        |g AS (SELECT bucket_order, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+        |SELECT bucket_order,
+        |  (['on_time', 'le_1m', 'le_10m', 'le_1h', 'gt_1h'])[bucket_order + 1]
+        |    AS bucket,
+        |  n_events,
+        |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share
+        |FROM g CROSS JOIN tot ORDER BY bucket_order""".stripMargin,
+    // integer-exact silence runs predicted from the staged PCM
+    // formula (the mm_audio_zcr sample expression)
+    "mm_audio_silence" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 50 + 10 AS BIGINT) * CAST(doc_id % 2 + 1 AS BIGINT)
+        |      AS ns
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 1),
+        |sm AS (SELECT doc_id, ns, j,
+        |    ((doc_id + (2*j+1)*31) % 256 - 128) * 256
+        |      + ((doc_id + 2*j*31) % 256 - 128 + 256) % 256 AS v
+        |  FROM m, unnest(range(0, ns)) t(j))
+        |SELECT doc_id, ns AS n_samples,
+        |  CAST(COALESCE(MIN(j) FILTER (WHERE abs(v) >= 4096), ns) AS BIGINT)
+        |    AS lead_silence,
+        |  CAST(COALESCE(ns - 1 - MAX(j) FILTER (WHERE abs(v) >= 4096), ns)
+        |    AS BIGINT) AS trail_silence,
+        |  CAST(COUNT(*) FILTER (WHERE abs(v) < 4096) AS BIGINT) AS n_silent
+        |FROM sm GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

@@ -972,4 +972,44 @@ object DedupOps {
           .as("w_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Dedup-cascade marginal-value census: runs the three schemes in
+    * production cost order — exact fingerprint (cheapest), SimHash
+    * Hamming ≤ 3, MinHash-LSH Jaccard ≥ 0.5 — and counts, per stage,
+    * the pairs it catches that NO earlier (cheaper) stage caught.
+    * This is the table a pipeline owner reads before deciding whether
+    * the expensive band-join stage earns its cost: if n_new at stage
+    * 3 is negligible, drop the stage. The sim/min pair lists arrive
+    * as the suite's shared verified caches (candidate-scale); exact
+    * pairs self-join on the fingerprint key — the standard exact-dup
+    * shuffle; a pathologically hot fingerprint would square there, at
+    * which point the production fix is pairing each dup to the group
+    * survivor instead (the [[exactDedup]] shape), not all-pairs.
+    * Anti-joins run at candidate scale on (doc_a, doc_b).
+    */
+  def cascadePolicy(documents: DataFrame, simhashPairs: DataFrame,
+      minhashPairs: DataFrame): DataFrame = {
+    val fp = documents.select(col("doc_id"),
+      md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
+        .as("fp"))
+    val ep = fp.as("a")
+      .join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sp = simhashPairs.select("doc_a", "doc_b")
+    val mp = minhashPairs.select("doc_a", "doc_b")
+    val keys = Seq("doc_a", "doc_b")
+    val spNew = sp.join(ep, keys, "left_anti")
+    val mpNew = mp.join(ep, keys, "left_anti").join(sp, keys, "left_anti")
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as(name))
+    def stage(order: Int, name: String, all: DataFrame, fresh: DataFrame) =
+      cnt(all, "n_pairs").crossJoin(cnt(fresh, "n_new")) // 1x1 rows
+        .select(lit(order).as("stage_order"), lit(name).as("stage"),
+          col("n_pairs"), col("n_new"))
+    stage(1, "exact", ep, ep)
+      .unionAll(stage(2, "simhash", sp, spNew))
+      .unionAll(stage(3, "minhash", mp, mpNew))
+      .orderBy("stage_order")
+  }
 }

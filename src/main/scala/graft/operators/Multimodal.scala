@@ -808,6 +808,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Silence census over the real PCM decode — the trim/VAD
+    * preprocessing gate: leading and trailing run lengths of samples
+    * under `threshold` absolute amplitude (what a trimmer would cut)
+    * plus the total silent-sample count (what a voice-activity
+    * screen reads). Integer-exact over the decoded stream, so the
+    * oracle predicts every count from the staged PCM formula; narrow
+    * mapPartitions, one row per clip — the same single decode pass
+    * shape as [[audioZcr]]/[[audioClipping]].
+    */
+  def audioSilence(spark: SparkSession, audio: DataFrame,
+      threshold: Int = 4096): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("lead_silence", LongType, nullable = false),
+      StructField("trail_silence", LongType, nullable = false),
+      StructField("n_silent", LongType, nullable = false))))
+    audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val data = ais.readAllBytes()
+        ais.close()
+        val ns = data.length / 2
+        var silent = 0L
+        var firstLoud = -1
+        var lastLoud = -1
+        var j = 0
+        while (j < ns) {
+          val v = (data(2 * j + 1).toInt << 8) | (data(2 * j) & 0xff)
+          if (v > -threshold && v < threshold) silent += 1L
+          else { if (firstLoud < 0) firstLoud = j; lastLoud = j }
+          j += 1
+        }
+        val lead = if (firstLoud < 0) ns.toLong else firstLoud.toLong
+        val trail = if (lastLoud < 0) ns.toLong else (ns - 1 - lastLoud).toLong
+        Row(r.getLong(0), ns.toLong, lead, trail, silent)
+      }
+    }(enc)
+      .orderBy("doc_id")
+  }
+
   /** Schema of a resampled-audio record: source frame count, target
     * point count, and a digest of the RESAMPLED channel-0 amplitudes
     * (proof the resample ran over decoded PCM, not just the header).

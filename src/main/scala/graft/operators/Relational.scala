@@ -3346,4 +3346,91 @@ object Relational {
       round((col("runs").cast("double") - muR) / sqrt(varR), 9)
         .as("z_score"))
   }
+
+  /** Volatility-clustering probe on daily revenue: lag-1
+    * autocorrelation of RETURNS (should be ~0 for an efficient
+    * series) vs lag-1 autocorrelation of SQUARED returns (high when
+    * turbulent days cluster — the ARCH effect the GARCH family
+    * models). Day-grain aggregate is the only fact-scale pass;
+    * returns divide exact-decimal day revenues in double (identical
+    * IEEE on both engines); each Pearson sufficient statistic stages
+    * per-term as round-12 DECIMAL(28,12) so the sums are order-free.
+    * One lead window over the date-domain-bounded day table.
+    */
+  def w34Volatility(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("d"))
+    val rets = daily
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("d"),
+        ((col("rev").cast("double") - col("prev").cast("double")) /
+          col("prev").cast("double")).as("r"))
+    val pairs = rets
+      .withColumn("rn", lead(col("r"), 1).over(Window.orderBy(col("d"))))
+      .filter(col("rn").isNotNull)
+      .select(col("r").as("a"), col("rn").as("b"),
+        (col("r") * col("r")).as("a2"), (col("rn") * col("rn")).as("b2"))
+    def d12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    def corrCols(a: Column, b: Column, out: String): Seq[Column] = Seq(
+      sum(d12(a)).as(s"${out}_sa"), sum(d12(b)).as(s"${out}_sb"),
+      sum(d12(a * b)).as(s"${out}_sab"),
+      sum(d12(a * a)).as(s"${out}_saa"),
+      sum(d12(b * b)).as(s"${out}_sbb"))
+    val s = pairs.agg(count(lit(1)).as("n"),
+      (corrCols(col("a"), col("b"), "r") ++
+        corrCols(col("a2"), col("b2"), "q")): _*)
+    def pearson(p: String): Column = {
+      def dd(suffix: String) = col(s"${p}_$suffix").cast("double")
+      val nD = col("n").cast("double")
+      round((nD * dd("sab") - dd("sa") * dd("sb")) /
+        sqrt((nD * dd("saa") - dd("sa") * dd("sa")) *
+          (nD * dd("sbb") - dd("sb") * dd("sb"))), 9)
+    }
+    s.select(col("n").as("n_pairs"), pearson("r").as("r1_returns"),
+      pearson("q").as("r1_sq_returns"))
+  }
+
+  /** Watermark what-if replay — the lateness table that sizes a
+    * streaming deployment's watermark: each user's stream is replayed
+    * in a DETERMINISTIC hash-shuffled arrival order (md5 of event_id —
+    * the standard simulated-reorder harness, since the stored table's
+    * ingest order is time-sorted and would make every event on-time),
+    * and an event is late by how far the per-user running-max event
+    * time had already advanced past it. Bucketed into the
+    * watermark-relevant bands (on time / ≤1 m / ≤10 m / ≤1 h / >1 h).
+    * The window partitions by user_id (bounded per-user state at any
+    * scale), the census is one tiny keyed aggregate plus a broadcast
+    * single-row total.
+    */
+  def w35LateArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(md5(col("event_id").cast("string").cast("binary")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        max(col("ts")).over(w).as("seen"))
+      .select(greatest(lit(0L),
+        coalesce(unix_micros(col("seen")) - unix_micros(col("ts")), lit(0L)))
+        .as("late_us"))
+    val bucketed = late.select(
+      when(col("late_us") === 0L, 0)
+        .when(col("late_us") <= 60L * 1000000L, 1)
+        .when(col("late_us") <= 600L * 1000000L, 2)
+        .when(col("late_us") <= 3600L * 1000000L, 3)
+        .otherwise(4).as("bucket_order"))
+      .groupBy(col("bucket_order"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = bucketed.agg(sum(col("n_events")).as("total"))
+    bucketed.crossJoin(broadcast(tot)) // single row
+      .select(col("bucket_order"),
+        element_at(lit(Array("on_time", "le_1m", "le_10m", "le_1h", "gt_1h")),
+          col("bucket_order") + 1).as("bucket"),
+        col("n_events"),
+        round(col("n_events").cast("double") / col("total").cast("double"), 9)
+          .as("share"))
+      .orderBy("bucket_order")
+  }
 }

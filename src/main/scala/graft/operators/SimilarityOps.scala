@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.GraftFunctions.{vec_dot, vec_norm}
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -1317,5 +1318,64 @@ object SimilarityOps {
       .map { case (x, i) => (i.toLong, x.toDouble / 1000000.0) }
       .toSeq.toDF("dim", "loading")
       .orderBy("dim")
+  }
+
+  /** Dimension-pruning calibration: keep only the `keepDims`
+    * highest-variance dimensions and measure how much cosine-top-k
+    * recall that costs — the cheap-but-honest precursor to PCA
+    * dimensionality reduction (variance pruning needs one aggregate
+    * pass; a rotation needs the full covariance). Per-dim variance
+    * scores fold from round-12 DECIMAL(28,12) component sums
+    * (order-free, engine-exact), so the dim RANKING is deterministic;
+    * the dim list is a 64-row aggregate collected into ONE array row
+    * and broadcast — never a per-vector shuffle. Both searches then
+    * run the [[bruteForceTopK]] plan (broadcast queries, bounded
+    * top-k aggregate) and recall joins the two queries×k lists.
+    * At 100 TB: the variance pass is one narrow aggregate over the
+    * posexploded components (dim-cardinality output), everything
+    * downstream is the established ANN-ranker shape.
+    */
+  def dimPruneRecall(embeddings: DataFrame, queries: DataFrame,
+      k: Int = 5, keepDims: Int = 16): DataFrame = {
+    import graft.functions.GraftFunctions.top_k_agg
+    val vd = col("col").cast("double")
+    val stats = embeddings.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(vd, 12).cast(DecimalType(28, 12))).as("sv"),
+        sum(round(vd * vd, 12).cast(DecimalType(28, 12))).as("svv"))
+    // n·Σv² − (Σv)² in double over exact decimal inputs: identical on
+    // both engines, ties broken by dim index
+    val scored = stats.select(col("pos"),
+      (col("n").cast("double") * col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double")).as("score"))
+    val dims = scored.orderBy(col("score").desc, col("pos"))
+      .limit(keepDims)
+      .agg(sort_array(collect_list(col("pos"))).as("dims"))
+    def pruned(df: DataFrame, idCol: String, vecOut: String) = df
+      .crossJoin(broadcast(dims)) // single row
+      .select(col(idCol), transform(col("dims"),
+        i => element_at(col("embedding"), i + 1)).as(vecOut))
+    val q = withNorm(pruned(
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      "query_id", "qe"), "qe", "qn")
+    val e = withNorm(pruned(embeddings.select(col("vec_id"),
+      col("embedding")), "vec_id", "pe"), "pe", "en")
+    val prunedTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        vec_dot(col("qe"), col("pe")) / (col("qn") * col("en")))
+      .groupBy("query_id")
+      .agg(top_k_agg(col("sim"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("neighbor_id"),
+        lit(1L).as("hit"))
+    bruteForceTopK(embeddings, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(prunedTop, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(k.toDouble), 9)
+          .as("recall"))
+      .orderBy("query_id")
   }
 }

@@ -1456,4 +1456,32 @@ object TextOps {
           .as("d2_inv_simpson"))
       .orderBy("source")
   }
+
+  /** Tokenizer-fertility census per source — the multilingual-
+    * pipeline audit that answers "which provider is EXPENSIVE to
+    * tokenize": GPT-2-style pre-tokenizer pieces per whitespace word
+    * (fertility; high for scripts/symbol-heavy text) and characters
+    * per piece (compression; low = the tokenizer fragments this
+    * source). Pure per-row regex counts summed as exact BIGINTs into
+    * a source-cardinality aggregate — one narrow map + one tiny
+    * shuffle; ratios divide the exact sums in double at the end.
+    */
+  def tokenizerFertility(documents: DataFrame): DataFrame = {
+    val pieces = regexp_extract_all(col("text"), lit(BpePattern), lit(0))
+    documents
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("ws"),
+        size(pieces).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_ws"),
+        sum(col("bpe")).as("n_bpe"), sum(col("chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_ws"), col("n_bpe"),
+        round(col("n_bpe").cast("double") / col("n_ws").cast("double"), 9)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 9)
+          .as("chars_per_piece"))
+      .orderBy("source")
+  }
 }

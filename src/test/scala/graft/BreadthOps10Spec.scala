@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.{DedupOps, PipelineOps, Relational, TextOps}
+import graft.operators.{DedupOps, PipelineOps, Relational, SimilarityOps, TextOps}
 
 /** Round-9 breadth wave 3: lead-lag cross-correlation, Theil
   * decomposition, runs test, epoch/repetition budget, Hill diversity
@@ -126,5 +126,79 @@ class BreadthOps10Spec extends SparkSpec {
     assert(out((1L, 2L)) == ((3L, 0.5)), out)
     // (1,3): identical multisets -> 1.0
     assert(out((1L, 3L)) == ((3L, 1.0)), out)
+  }
+
+  test("cascadePolicy: marginal catch per stage, cheapest first") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), // exact dups
+      (3L, "delta epsilon"), (4L, "zeta eta"))
+      .toDF("doc_id", "text")
+    // simhash catches (1,2) [also exact] and (1,3); minhash catches
+    // (1,2), (1,3) and one genuinely new pair (3,4)
+    val sp = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val mp = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.cascadePolicy(docs, sp, mp)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, "exact", 1L, 1L), // the (1,2) fingerprint pair
+      (2, "simhash", 2L, 1L), // (1,3) is new, (1,2) was caught
+      (3, "minhash", 3L, 1L)), out) // only (3,4) is new
+  }
+
+  test("dimPruneRecall: pruning to the informative dims keeps recall 1") {
+    import org.apache.spark.sql.functions._
+    // dims 0-1 carry all the variance; dims 2-3 are identically ZERO
+    // (a constant NONZERO dim would change cosine angles when cut —
+    // zero dims contribute to neither dot nor norm) -> the 2-dim
+    // prune reproduces the full-dim neighbor sets exactly
+    val vecs = (1L to 30L).map { i =>
+      (i, Array((i % 7 + 1).toFloat, (i % 5 + 1).toFloat, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.dimPruneRecall(
+      vecs, vecs.filter(col("vec_id") % 10 === 0), k = 3, keepDims = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(10L, 20L, 30L), out)
+    assert(out.forall(r => r._2 == 3L && r._3 == 1.0), out)
+  }
+
+  test("tokenizerFertility: symbol-heavy source fragments into more pieces") {
+    val docs = Seq(
+      (1L, "plain words here", "clean"),
+      (2L, "x=1;y+=2;//cmt", "code"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.tokenizerFertility(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val clean = out("clean")
+    assert(clean._3 == 3L && clean._4 == 3L && clean._5 == 1.0, clean)
+    val code = out("code")
+    assert(code._5 > 1.0, code) // pieces per whitespace word > 1
+  }
+
+  test("w34Volatility: alternating big/small moves cluster negatively, squares positively") {
+    // revenue 100, 200, 100, 200, ... -> returns +1, -0.5 alternating:
+    // raw lag-1 corr = -1 (perfect alternation), squared-returns corr
+    // = -1 too (the squares alternate 1, 0.25). A constant-magnitude
+    // series instead gives NaN variance -> just pin the algebra here.
+    val orders = (1 to 10).map(d =>
+      (d.toLong, if (d % 2 == 0) 200.0 else 100.0, ts(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.w34Volatility(orders)
+      .as[(Long, Double, Double)].collect().head
+    assert(out._1 == 8L, out)
+    assert(out._2 == -1.0, out)
+    assert(out._3 == -1.0, out)
+  }
+
+  test("w35LateArrival: replay reorder yields late buckets; shares sum to 1") {
+    val events = (1L to 40L).map(i =>
+      (i, i % 4, "e", Timestamp.valueOf(f"2024-01-01 ${(i / 4) % 24}%02d:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Relational.w35LateArrival(events)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(out.map(_._3).sum == 40L, out)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-6, out)
+    // the hash shuffle must produce SOME lateness on an hourly spread
+    assert(out.exists(r => r._1 > 0 && r._3 > 0), out)
   }
 }

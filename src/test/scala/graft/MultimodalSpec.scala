@@ -409,6 +409,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Seq((7L, 5L, 3L, 0.75)), out)
   }
 
+  test("audioSilence measures lead/trail runs and the total silent count") {
+    // threshold 4096: samples 10, -20, 9000, 30, -9000, 5, 8
+    // silent at j=0,1,3,5,6; loud at 2 and 4 → lead=2, trail=2, n=5
+    val samples = Array[Short](10, -20, 9000, 30, -9000, 5, 8)
+    val pcm = new Array[Byte](14)
+    samples.zipWithIndex.foreach { case (v, j) =>
+      pcm(2 * j) = (v & 0xff).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 7),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val in = Seq((9L, buf.toByteArray)).toDF("doc_id", "content")
+    val out = Multimodal.audioSilence(spark, in)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((9L, 7L, 2L, 2L, 5L)), out)
+
+    // all-silent clip: lead = trail = ns
+    val quiet = Array[Short](1, -2, 3)
+    val qp = new Array[Byte](6)
+    quiet.zipWithIndex.foreach { case (v, j) =>
+      qp(2 * j) = (v & 0xff).toByte
+      qp(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val qbuf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(qp), fmt, 3),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, qbuf)
+    val qout = Multimodal.audioSilence(spark,
+      Seq((4L, qbuf.toByteArray)).toDF("doc_id", "content"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(qout == Seq((4L, 3L, 3L, 3L, 3L)), qout)
+  }
+
   test("resampleAudio picks the nearest-neighbor source frame per grid point") {
     // 4 stereo frames, channel-0 samples 10, 20, 30, 40; resample to
     // outN=8 → source frame ⌊j·4/8⌋ = 0,0,1,1,2,2,3,3 → sum = 200
