@@ -1510,6 +1510,22 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
             .cast("long").as("doc_id"), col("content")))
     }),
+    // radius-1/2/3 reachability balls from modulus-sampled seeds
+    "graph_bfs_ball" -> ((s, d) =>
+      GraphOps.bfsBall(BasketGraph.pairs(s, d))),
+    // per-subspace PQ codebook utilization (effective codes)
+    "sim_pq_code_util" -> ((s, d) =>
+      SimilarityOps.pqCodeUtil(t(s, d)("embeddings"))),
+    // lowest-id vs longest-doc survivor disagreement census
+    "pipe_survivor_policy" -> ((s, d) => PipelineOps.survivorPolicySensitivity(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // Chapman two-capture estimate of the unseen near-dup pair mass
+    "dedup_capture_recapture" -> ((s, d) => DedupOps.captureRecapture(
+      DedupGraph.minhashPairs(s, d), DedupGraph.simhashPairs(s, d))),
+    // marginal novel-shingle rate per collection batch
+    "pipe_novelty_curve" -> ((s, d) =>
+      PipelineOps.noveltyCurve(t(s, d)("documents"))),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7421,6 +7437,123 @@ object SparkEntry {
         |    AS BIGINT) AS trail_silence,
         |  CAST(COUNT(*) FILTER (WHERE abs(v) < 4096) AS BIGINT) AS n_silent
         |FROM sm GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin,
+    // three explicit frontier expansions over the co-order pair list
+    // (the iterative joins restated); balls exclude the seed itself
+    "graph_bfs_ball" ->
+      """WITH p AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+        |    greatest(a.l_partkey, b.l_partkey) AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS u, y AS v FROM p UNION ALL SELECT y, x FROM p),
+        |seeds AS (SELECT DISTINCT u AS s FROM e WHERE u % 997 = 0),
+        |b1 AS (SELECT DISTINCT s.s, e.v FROM seeds s JOIN e ON e.u = s.s),
+        |b2 AS (SELECT DISTINCT s, v FROM (
+        |    SELECT s, v FROM b1
+        |    UNION ALL SELECT f.s, g.v FROM b1 f JOIN e g ON f.v = g.u)
+        |  WHERE v <> s),
+        |b3 AS (SELECT DISTINCT s, v FROM (
+        |    SELECT s, v FROM b2
+        |    UNION ALL SELECT f.s, g.v FROM b2 f JOIN e g ON f.v = g.u)
+        |  WHERE v <> s)
+        |SELECT n1.s AS seed, n1.n AS n_r1, n2.n AS n_r2, n3.n AS n_r3,
+        |  round(CAST(n3.n AS DOUBLE) / CAST(n1.n AS DOUBLE), 9) AS expansion
+        |FROM (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM b1 GROUP BY 1) n1
+        |JOIN (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM b2 GROUP BY 1) n2
+        |  ON n2.s = n1.s
+        |JOIN (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM b3 GROUP BY 1) n3
+        |  ON n3.s = n1.s
+        |ORDER BY seed""".stripMargin,
+    // code-usage counts off the same stored-index CTE; utilization
+    // folds from pure-integer sums
+    "sim_pq_code_util" ->
+      s"""WITH $PqCtes,
+         |u AS (SELECT j, cid, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM codes GROUP BY 1, 2)
+         |SELECT CAST(j AS INT) AS subspace,
+         |  CAST(SUM(c) AS BIGINT) AS n_vecs,
+         |  CAST(COUNT(*) AS BIGINT) AS codes_used,
+         |  round(CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)
+         |    / CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE), 9)
+         |    AS eff_codes,
+         |  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9)
+         |    AS top_code_share
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    // transitive-closure components; longest-doc pick restated as the
+    // max-len + min-id two-step (identical to max(struct) ties)
+    "pipe_survivor_policy" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |cm AS (SELECT c.component, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+         |byid AS (SELECT component, MIN(doc_id) AS s_min FROM cm GROUP BY 1),
+         |mx AS (SELECT component, MAX(n_chars) AS mc FROM cm GROUP BY 1),
+         |byq AS (SELECT cm.component, MIN(cm.doc_id) AS s_q
+         |  FROM cm JOIN mx ON cm.component = mx.component
+         |    AND cm.n_chars = mx.mc
+         |  GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+         |  CAST(SUM(CASE WHEN s_min <> s_q THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_disagree,
+         |  round(CAST(SUM(CASE WHEN s_min <> s_q THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 9) AS disagree_share
+         |FROM byid JOIN byq ON byq.component = byid.component""".stripMargin,
+    // both scheme chains in one WITH (disjoint CTE namespaces, as in
+    // dedup_cascade); Chapman folds from the three exact counts
+    "dedup_capture_recapture" ->
+      s"""WITH $MinhashPairsCtes,
+         |$SimhashSigCte,
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |mp AS (SELECT doc_a, doc_b FROM pairs),
+         |c AS (SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mp) AS n_minhash,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sp) AS n_simhash,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mp
+         |      WHERE EXISTS (SELECT 1 FROM sp
+         |        WHERE sp.doc_a = mp.doc_a AND sp.doc_b = mp.doc_b))
+         |      AS n_overlap)
+         |SELECT n_minhash, n_simhash, n_overlap,
+         |  round((CAST(n_minhash AS DOUBLE) + 1.0)
+         |    * (CAST(n_simhash AS DOUBLE) + 1.0)
+         |    / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0, 9) AS chapman_est,
+         |  round(CAST(n_minhash AS DOUBLE) / ((CAST(n_minhash AS DOUBLE) + 1.0)
+         |    * (CAST(n_simhash AS DOUBLE) + 1.0)
+         |    / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0), 9)
+         |    AS coverage_minhash,
+         |  round(CAST(n_simhash AS DOUBLE) / ((CAST(n_minhash AS DOUBLE) + 1.0)
+         |    * (CAST(n_simhash AS DOUBLE) + 1.0)
+         |    / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0), 9)
+         |    AS coverage_simhash
+         |FROM c""".stripMargin,
+    // first-occurrence bucket per distinct (bucket, shingle); the
+    // bucket boundary is one broadcast max (integer div on both sides)
+    "pipe_novelty_curve" ->
+      s"""WITH $ToksCte,
+         |$ShinglesCte,
+         |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |b AS (SELECT DISTINCT
+         |    CAST(LEAST(9, (doc_id * 10) // (mx + 1)) AS INT) AS bucket, sh
+         |  FROM sh CROSS JOIN mx),
+         |pb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |  FROM b GROUP BY 1),
+         |nv AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_novel FROM (
+         |    SELECT sh, MIN(bucket) AS bucket FROM b GROUP BY 1)
+         |  GROUP BY 1)
+         |SELECT pb.bucket, pb.n_shingles,
+         |  COALESCE(nv.n_novel, 0) AS n_novel,
+         |  round(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE)
+         |    / CAST(pb.n_shingles AS DOUBLE), 9) AS novelty_rate
+         |FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
+         |ORDER BY pb.bucket""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

@@ -1012,4 +1012,36 @@ object DedupOps {
       .unionAll(stage(3, "minhash", mp, mpNew))
       .orderBy("stage_order")
   }
+
+  /** Capture-recapture coverage estimate: treating the MinHash and
+    * SimHash pair sets as two independent "captures" of the true
+    * near-dup pair population, the Chapman estimator
+    * N̂ = (n1+1)(n2+1)/(m+1) − 1 bounds how many near-dup pairs BOTH
+    * schemes are missing — the ecology-standard answer to "what's our
+    * dedup recall, absent ground truth". Three candidate-scale counts
+    * (two sizes + the semi-join overlap) fold into one row; the
+    * estimator and per-scheme coverage divide exact integers in
+    * double. Assumes capture independence (the schemes hash different
+    * views: shingle sets vs token bit-votes), stated so the reader
+    * prices the bias.
+    */
+  def captureRecapture(minhashPairs: DataFrame,
+      simhashPairs: DataFrame): DataFrame = {
+    val keys = Seq("doc_a", "doc_b")
+    val mp = minhashPairs.select(keys.map(col): _*)
+    val sp = simhashPairs.select(keys.map(col): _*)
+    val both = mp.join(sp, keys, "left_semi")
+    def cnt(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    val n1 = col("n_minhash").cast("double")
+    val n2 = col("n_simhash").cast("double")
+    val m = col("n_overlap").cast("double")
+    val chapman = (n1 + lit(1.0)) * (n2 + lit(1.0)) / (m + lit(1.0)) -
+      lit(1.0)
+    cnt(mp, "n_minhash").crossJoin(cnt(sp, "n_simhash")) // 1x1 rows
+      .crossJoin(cnt(both, "n_overlap"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_overlap"),
+        round(chapman, 9).as("chapman_est"),
+        round(n1 / chapman, 9).as("coverage_minhash"),
+        round(n2 / chapman, 9).as("coverage_simhash"))
+  }
 }

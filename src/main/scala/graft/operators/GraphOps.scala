@@ -1034,4 +1034,42 @@ object GraphOps {
         Seq("doc_a", "doc_b"), "left_anti")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Multi-source BFS ball census: cumulative reachable-node counts
+    * at radius 1/2/3 from a deterministic seed subset (`node %
+    * seedMod == 0`) — the "how connected is this graph around a
+    * probe set" readout (recommendation blast radius, contamination
+    * spread). Exactly three frontier-expansion joins off the
+    * (persisted, shared) pair list, each a seed-bounded frame against
+    * the adjacency — the standard multi-source BFS shape that holds
+    * at any graph size as long as the SEED set is bounded (it is:
+    * modulus-sampled; a production run sizes the modulus to its
+    * cluster). No per-node state beyond (seed, node) distinct rows.
+    */
+  def bfsBall(pairs: DataFrame, seedMod: Long = 997L): DataFrame = {
+    val p = pairs.select(col("doc_a").cast("long").as("x"),
+      col("doc_b").cast("long").as("y"))
+    val e = p.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(p.select(col("y").as("u"), col("x").as("v")))
+    val seeds = e.select(col("u").as("s")).distinct()
+      .filter(col("s") % seedMod === 0)
+    val b1 = broadcast(seeds).join(e, col("s") === col("u"))
+      .select(col("s"), col("v")).distinct()
+    def expand(ball: DataFrame): DataFrame = ball
+      .unionAll(ball.as("f").join(e.as("g"), col("f.v") === col("g.u"))
+        .select(col("f.s").as("s"), col("g.v").as("v")))
+      .filter(col("v") =!= col("s"))
+      .distinct()
+    val b2 = expand(b1)
+    val b3 = expand(b2)
+    def sizes(ball: DataFrame, name: String) =
+      ball.groupBy(col("s")).agg(count(lit(1)).as(name))
+    sizes(b1, "n_r1")
+      .join(sizes(b2, "n_r2"), "s")
+      .join(sizes(b3, "n_r3"), "s")
+      .select(col("s").as("seed"), col("n_r1"), col("n_r2"), col("n_r3"),
+        round(col("n_r3").cast("double") / col("n_r1").cast("double"), 9)
+          .as("expansion"))
+      .orderBy("seed")
+  }
 }

@@ -897,4 +897,68 @@ object PipelineOps {
           budget.cast("double"), 9).as("budget_share"))
       .orderBy("source")
   }
+
+  /** Survivor-policy sensitivity: across the near-dup components, how
+    * often does "keep the lowest doc_id" (the reproducible default)
+    * pick a DIFFERENT survivor than "keep the longest document" (the
+    * quality-first policy, ties to the lowest id)? High disagreement
+    * means the corpus's dedup output genuinely depends on the policy
+    * knob — the audit a release manager wants before declaring
+    * survivor choice "arbitrary". Components come from the shared
+    * verified pair graph; both argmins fold as component-keyed
+    * aggregates (the longest-doc pick via max(struct(len, -id)), the
+    * engine-exact argmax idiom), so nothing here exceeds
+    * candidate-component scale.
+    */
+  def survivorPolicySensitivity(documents: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val comp = GraphOps.connectedComponents(pairs)
+    val cm = comp.join(
+      documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val byId = cm.groupBy(col("component"))
+      .agg(min(col("doc_id")).as("s_min"))
+    val byQ = cm.groupBy(col("component"))
+      .agg(max(struct(col("n_chars").cast("long").as("c"),
+        (-col("doc_id")).as("nid"))).as("w"))
+      .select(col("component"), (-col("w.nid")).as("s_q"))
+    byId.join(byQ, "component")
+      .agg(count(lit(1)).as("n_components"),
+        sum(when(col("s_min") =!= col("s_q"), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .select(col("n_components"), col("n_disagree"),
+        round(col("n_disagree").cast("double") /
+          col("n_components").cast("double"), 9).as("disagree_share"))
+  }
+
+  /** Collection novelty curve — the marginal-value-of-more-data
+    * readout: bucket the corpus into ten collection batches (by
+    * doc_id range, the arrival proxy) and measure, per batch, what
+    * fraction of its distinct word-trigram shingles no EARLIER batch
+    * contributed. A flattening curve says new data is mostly
+    * repeating old data — the empirical basis for dedup-aware
+    * collection budgeting. First-occurrence folds as a min-bucket
+    * aggregate over the (bucket, shingle) distinct frame: two keyed
+    * aggregates over the shingle exchange every dedup operator
+    * already rides, no corpus-scale window anywhere (the bucket
+    * boundary is one broadcast max).
+    */
+  def noveltyCurve(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    val mx = documents.agg(max(col("doc_id")).as("mx"))
+    val b = DedupOps.shingleRows(documents)
+      .crossJoin(broadcast(mx)) // single row
+      .select(least(lit(buckets - 1),
+        expr(s"doc_id * $buckets div (mx + 1)")).cast("int").as("bucket"),
+        col("sh"))
+      .distinct()
+    val perBucket = b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = b.groupBy(col("sh")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_novel"))
+    perBucket.join(novel, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double"), 9).as("novelty_rate"))
+      .orderBy("bucket")
+  }
 }

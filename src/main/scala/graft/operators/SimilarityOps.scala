@@ -556,6 +556,31 @@ object SimilarityOps {
       .agg(max(struct(col("score").as("s"), (-col("cid")).as("nj"))).as("w"))
       .select(col("vec_id"), col("subspace"), (-col("w.nj")).as("code"))
 
+  /** PQ codebook-utilization census — the OTHER pre-serving
+    * calibration next to [[pqDistortion]]: per subspace, how many of
+    * the k codes actually carry vectors, their inverse-Simpson
+    * effective count, and the dominant code's share. A subspace whose
+    * mass collapses onto one code contributes ~zero bits to the ADC
+    * ranking — the signal to retrain that codebook. One keyed count
+    * off the encode output (the stored index), then a
+    * subspace-cardinality fold from pure-integer sums.
+    */
+  def pqCodeUtil(embeddings: DataFrame, m: Int = 4, k: Int = 8,
+      centroidStep: Int = 23): DataFrame =
+    pqCodes(embeddings, pqCodebook(embeddings, m, k, centroidStep), m)
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("subspace"))
+      .agg(sum(col("c")).as("n_vecs"), count(lit(1)).as("codes_used"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("c2"),
+        max(col("c")).as("maxc"))
+      .select(col("subspace"), col("n_vecs"), col("codes_used"),
+        round(col("n_vecs").cast("double") * col("n_vecs").cast("double")
+          / col("c2").cast("double"), 9).as("eff_codes"),
+        round(col("maxc").cast("double") / col("n_vecs").cast("double"), 9)
+          .as("top_code_share"))
+      .orderBy("subspace")
+
   /** PQ reconstruction-distortion census — the calibration readout
     * priced BEFORE trusting [[pqTopK]]'s ADC ranking: per subspace,
     * the mean squared error between stored subvectors and their

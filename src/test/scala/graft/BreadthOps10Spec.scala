@@ -201,4 +201,58 @@ class BreadthOps10Spec extends SparkSpec {
     // the hash shuffle must produce SOME lateness on an hourly spread
     assert(out.exists(r => r._1 > 0 && r._3 > 0), out)
   }
+
+  test("bfsBall: path graph balls grow by one hop per radius") {
+    import graft.operators.GraphOps
+    // path 0-1-2-3-4-5: seed 0 (0 % 997 == 0) reaches 1 / 2 / 3 nodes
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val out = GraphOps.bfsBall(pairs)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1L, 2L, 3L, 3.0)), out)
+  }
+
+  test("pqCodeUtil: a collapsed subspace reports ~1 effective code") {
+    // 16 identical vectors: every subspace maps all mass to one code
+    val vecs = (1L to 16L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.pqCodeUtil(vecs, m = 4, k = 4, centroidStep = 3)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2, 3), out)
+    assert(out.forall(r => r._2 == 16L && r._3 == 1L &&
+      r._4 == 1.0 && r._5 == 1.0), out)
+  }
+
+  test("survivorPolicySensitivity: disagreement iff the longest doc isn't the lowest id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), // comp {1,2}: min-id 1, longest 2 -> disagree
+      (5L, 50L), (6L, 20L)) // comp {5,6}: min-id 5, longest 5 -> agree
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = PipelineOps.survivorPolicySensitivity(docs, pairs)
+      .as[(Long, Long, Double)].collect().head
+    assert(out == ((2L, 1L, 0.5)), out)
+  }
+
+  test("captureRecapture: Chapman estimate from two overlapping pair sets") {
+    val mp = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val sp = Seq((1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.captureRecapture(mp, sp)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    // n1=3, n2=2, m=1 -> Chapman = 4*3/2 - 1 = 5
+    assert(out._1 == 3L && out._2 == 2L && out._3 == 1L, out)
+    assert(out._4 == 5.0 && out._5 == 0.6 && out._6 == 0.4, out)
+  }
+
+  test("noveltyCurve: repeated shingles stop being novel in later buckets") {
+    // same trigram everywhere: bucket of the smallest doc_id owns it
+    val docs = (1L to 20L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.noveltyCurve(docs, buckets = 4)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    // every bucket has the one distinct shingle; only the first is novel
+    assert(out.map(_._2).forall(_ == 1L), out)
+    assert(out.map(_._3) == Seq(1L, 0L, 0L, 0L), out)
+    assert(out.head._4 == 1.0 && out.tail.forall(_._4 == 0.0), out)
+  }
 }
