@@ -1526,6 +1526,27 @@ object SparkEntry {
     // marginal novel-shingle rate per collection batch
     "pipe_novelty_curve" -> ((s, d) =>
       PipelineOps.noveltyCurve(t(s, d)("documents"))),
+    // cumulative value per user by cohort age (the LTV curve)
+    "w36_cohort_ltv" -> ((s, d) =>
+      Relational.w36CohortLtv(t(s, d)("events"))),
+    // Lo-MacKinlay random-walk test on daily log revenue
+    "a53_variance_ratio" -> ((s, d) =>
+      Relational.a53VarianceRatio(t(s, d)("orders"))),
+    // 1-bit minhash estimator accuracy on the verified pair list
+    "dedup_bbit" -> ((s, d) => DedupOps.bbitMinhashCalibration(
+      t(s, d)("documents"), DedupGraph.minhashPairs(s, d))),
+    // digit-normalized template-sentence share per source
+    "text_templates" -> ((s, d) =>
+      TextOps.templateDetect(t(s, d)("documents"))),
+    // x-gradient sharpness census over the real PNG decode
+    "mm_gradient_energy" -> ((s, d) => {
+      val pngDir = stagingTag(d, "png", "documents.parquet")
+      Multimodal.stagePngs(t(s, d)("documents"), pngDir)
+      Multimodal.gradientEnergy(s,
+        s.read.format("binaryFile").load(pngDir)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"), col("content")))
+    }),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7554,6 +7575,125 @@ object SparkEntry {
          |    / CAST(pb.n_shingles AS DOUBLE), 9) AS novelty_rate
          |FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
          |ORDER BY pb.bucket""".stripMargin,
+    // exact decimal value sums through the grid AND the cumulative
+    // window; one division at the end (the w28 cohort convention)
+    "w36_cohort_ltv" ->
+      """WITH base AS (SELECT user_id,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM base GROUP BY 1),
+        |sizes AS (SELECT cohort_wk,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |  FROM cohort GROUP BY 1),
+        |cells AS (SELECT c.cohort_wk, b.wk - c.cohort_wk AS age_wk,
+        |    SUM(b.v) AS wk_value
+        |  FROM base b JOIN cohort c ON c.user_id = b.user_id
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cohort_wk, age_wk,
+        |    SUM(wk_value) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+        |  FROM cells)
+        |SELECT cum.cohort_wk, cum.age_wk, s.n_cohort,
+        |  CAST(cum.cum_value AS DOUBLE) AS cum_value,
+        |  round(CAST(cum.cum_value AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 9)
+        |    AS ltv_per_user
+        |FROM cum JOIN sizes s ON s.cohort_wk = cum.cohort_wk
+        |ORDER BY cum.cohort_wk, cum.age_wk""".stripMargin,
+    // per-day ln(revenue) staged once behind round-12; q-period
+    // returns difference the staged values; round-12 decimal sums
+    "a53_variance_ratio" -> {
+      def varCte(q: Int) =
+        s"""v$q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$q,
+           |    SUM(CAST(ROUND(r, 12) AS DECIMAL(28,12))) AS s_$q,
+           |    SUM(CAST(ROUND(r * r, 12) AS DECIMAL(28,12))) AS ss_$q
+           |  FROM (SELECT l - LAG(l, $q) OVER (ORDER BY d) AS r FROM ld)
+           |  WHERE r IS NOT NULL)""".stripMargin
+      def variance(q: Int) =
+        s"""((CAST(ss_$q AS DOUBLE) - CAST(s_$q AS DOUBLE)
+           | * CAST(s_$q AS DOUBLE) / CAST(n_$q AS DOUBLE))
+           | / CAST(n_$q AS DOUBLE))""".stripMargin.replace("\n", "")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         |  FROM orders GROUP BY 1),
+         |ld AS (SELECT d, ROUND(LN(CAST(rev AS DOUBLE)), 12) AS l FROM daily),
+         |${varCte(1)},
+         |${varCte(2)},
+         |${varCte(4)},
+         |${varCte(8)}
+         |SELECT q, n_returns, vr FROM (
+         |  SELECT 2 AS q, n_2 AS n_returns,
+         |    round(${variance(2)} / (2.0 * ${variance(1)}), 9) AS vr
+         |  FROM v1 CROSS JOIN v2
+         |  UNION ALL SELECT 4, n_4,
+         |    round(${variance(4)} / (4.0 * ${variance(1)}), 9)
+         |  FROM v1 CROSS JOIN v4
+         |  UNION ALL SELECT 8, n_8,
+         |    round(${variance(8)} / (8.0 * ${variance(1)}), 9)
+         |  FROM v1 CROSS JOIN v8)
+         |ORDER BY q""".stripMargin
+    },
+    // low bit of each of the 16 minhashes; the debiased 1-bit
+    // estimator unrolls as 16 literal comparisons on both engines
+    "dedup_bbit" -> {
+      val agreeSql = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i % 2 = b.m$i % 2 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $MinhashPairsCtes
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  round(CAST($agreeSql AS DOUBLE) * 2.0 / 16.0 - 1.0, 9) AS bbit_est,
+         |  round(abs(p.jaccard
+         |    - (CAST($agreeSql AS DOUBLE) * 2.0 / 16.0 - 1.0)), 9) AS abs_err
+         |FROM pairs p
+         |JOIN mh a ON a.doc_id = p.doc_a
+         |JOIN mh b ON b.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    },
+    // digit runs normalized to '#' before the document-frequency
+    // count; census joins back per source
+    "text_templates" ->
+      """WITH parts AS (SELECT doc_id, source,
+        |    regexp_replace(unnest(string_split(text, '. ')),
+        |      '[0-9]+', '#', 'g') AS tpl
+        |  FROM documents),
+        |tpls AS (SELECT tpl FROM parts GROUP BY tpl
+        |  HAVING COUNT(DISTINCT doc_id) >= 5),
+        |hit AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_templated FROM (
+        |    SELECT DISTINCT p.doc_id, p.source
+        |    FROM parts p JOIN tpls t ON t.tpl = p.tpl)
+        |  GROUP BY 1),
+        |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT ps.source, ps.n_docs,
+        |  COALESCE(hit.n_templated, 0) AS n_templated,
+        |  round(CAST(COALESCE(hit.n_templated, 0) AS DOUBLE)
+        |    / CAST(ps.n_docs AS DOUBLE), 9) AS templated_share
+        |FROM ps LEFT JOIN hit ON hit.source = ps.source
+        |ORDER BY ps.source""".stripMargin,
+    // |p(x+1,y) - p(x,y)| summed over the stagePngs ramp formula;
+    // width-1 images keep their zero row via the LEFT JOIN
+    "mm_gradient_energy" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(doc_id % 64 + 1 AS INT) AS w, CAST(doc_id % 48 + 1 AS INT) AS h
+        |  FROM documents WHERE octet_length(encode(text)) % 3 = 0),
+        |px AS (
+        |  SELECT doc_id, i.i, j.j
+        |  FROM m, (SELECT unnest(range(0,64)) AS i) i,
+        |          (SELECT unnest(range(0,48)) AS j) j
+        |  WHERE i.i < w - 1 AND j.j < h),
+        |g AS (SELECT doc_id,
+        |    CAST(SUM(abs((doc_id + (i+1)*31 + j*7) % 256
+        |      - (doc_id + i*31 + j*7) % 256)) AS BIGINT) AS gs
+        |  FROM px GROUP BY 1)
+        |SELECT m.doc_id, m.w AS width, m.h AS height,
+        |  CAST(m.w - 1 AS BIGINT) * m.h AS n_pairs,
+        |  COALESCE(g.gs, 0) AS grad_sum,
+        |  CASE WHEN (m.w - 1) * m.h > 0 THEN
+        |      round(CAST(COALESCE(g.gs, 0) AS DOUBLE)
+        |        / CAST(CAST(m.w - 1 AS BIGINT) * m.h AS DOUBLE), 9)
+        |    ELSE 0.0 END AS mean_grad
+        |FROM m LEFT JOIN g ON g.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

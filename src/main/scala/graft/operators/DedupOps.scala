@@ -1044,4 +1044,35 @@ object DedupOps {
         round(n1 / chapman, 9).as("coverage_minhash"),
         round(n2 / chapman, 9).as("coverage_simhash"))
   }
+
+  /** b-bit minhash calibration (b = 1, Li & König's storage trick):
+    * keep only the LOW BIT of each of the 16 minhash values — 2 bytes
+    * per signature instead of 128 — and check, on the verified pair
+    * list, how well the debiased 1-bit estimator
+    * Ĵ = 2·(agreeing bits / 16) − 1 tracks the exact shingle Jaccard.
+    * The table that decides whether the compact index is accurate
+    * enough to serve. Signature join is pair-bounded (broadcast pair
+    * list onto the signature frame twice); the estimator is integer
+    * arithmetic over 16 literal bit comparisons, unrolled so the
+    * whole row stays in codegen.
+    */
+  def bbitMinhashCalibration(documents: DataFrame, pairs: DataFrame,
+      numHashes: Int = 16): DataFrame = {
+    val sigs = minhashSignatures(documents, numHashes)
+    def bits(side: String) = sigs.select(
+      col("doc_id").as(s"doc_$side") +:
+        (0 until numHashes).map(i => (col(s"m$i") % 2).as(s"$side$i")): _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = agree.cast("double") * lit(2.0) / lit(numHashes.toDouble) -
+      lit(1.0)
+    broadcast(pairs.select(col("doc_a"), col("doc_b"), col("jaccard")))
+      .join(bits("a"), Seq("doc_a"))
+      .join(bits("b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(est, 9).as("bbit_est"),
+        round(abs(col("jaccard") - est), 9).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -450,6 +450,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Horizontal gradient energy over the REAL decode — the
+    * sharpness/blur QA screen (a Tenengrad-style focus measure,
+    * restricted to the x-gradient so it is integer-exact): the sum of
+    * |p(x+1,y) − p(x,y)| over every horizontally adjacent pixel pair,
+    * plus the mean per pair. Blurry or flat renders score low; the
+    * staged ramp pattern gives a closed-form oracle. Same narrow
+    * decode-pass shape as [[pixelStats]].
+    */
+  def gradientEnergy(spark: SparkSession, images: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_pairs", LongType, nullable = false),
+      StructField("grad_sum", LongType, nullable = false))))
+    images.select(col("doc_id"), col("content")).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image payload for doc ${r.getLong(0)}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var gs = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            val a = img.getRGB(x, y) & 0xff
+            val b = img.getRGB(x + 1, y) & 0xff
+            gs += math.abs(b - a).toLong
+            x += 1
+          }
+          y += 1
+        }
+        Row(r.getLong(0), w, h, (w - 1).toLong * h, gs)
+      }
+    }(enc)
+      .withColumn("mean_grad",
+        when(col("n_pairs") > 0L, round(col("grad_sum").cast("double")
+          / col("n_pairs").cast("double"), 9)).otherwise(lit(0.0d)))
+      .orderBy("doc_id")
+  }
+
   /** Schema of a per-image border/interior brightness record. */
   val borderContrastSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

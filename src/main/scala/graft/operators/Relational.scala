@@ -3433,4 +3433,76 @@ object Relational {
           .as("share"))
       .orderBy("bucket_order")
   }
+
+  /** Cohort LTV curve — [[w28Retention]]'s revenue twin: cumulative
+    * event value per user by cohort age (weeks since each cohort's
+    * first activity). The row every growth model calibrates against.
+    * Value sums stay exact DECIMAL through the (cohort, age) grid AND
+    * the cumulative window (decimal addition is associative — no
+    * double drift however the window accumulates), dividing by cohort
+    * size only at the end. The window partitions by cohort over the
+    * age axis — both bounded by the calendar, never by fact rows.
+    */
+  def w36CohortLtv(events: DataFrame,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val week = (datediff(col("ts").cast("date"), lit(epoch).cast("date"))
+      .cast("long") / 7L).cast("long")
+    val base = events.select(col("user_id"), week.as("wk"),
+      col("value").cast(DecimalType(18, 2)).as("v"))
+    val cohort = base.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(countDistinct(col("user_id")).as("n_cohort"))
+    val cells = base.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(sum(col("v")).as("wk_value"))
+    val cum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_value", sum(col("wk_value")).over(cum))
+      .join(sizes, "cohort_wk")
+      .select(col("cohort_wk"), col("age_wk"), col("n_cohort"),
+        col("cum_value").cast("double").as("cum_value"),
+        round(col("cum_value").cast("double") /
+          col("n_cohort").cast("double"), 9).as("ltv_per_user"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
+  /** Lo–MacKinlay variance-ratio test on the daily log-revenue
+    * series: VR(q) = Var(q-period log return) / (q · Var(1-period)),
+    * ~1 under a random walk, < 1 under mean reversion, > 1 under
+    * momentum. Per-day ln(revenue) is staged once behind a round-12
+    * barrier (one transcendental per DAY, not per row); q-period
+    * returns difference those staged values exactly; every variance
+    * sufficient statistic accumulates as round-12 DECIMAL(28,12).
+    * Everything after the day-grain aggregate is day-cardinality-
+    * bounded (lags over the date-ordered window — the repo's
+    * documented posture).
+    */
+  def a53VarianceRatio(orders: DataFrame,
+      qs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .select(col("d"), round(log(col("rev").cast("double")), 12).as("l"))
+    val w = Window.orderBy(col("d"))
+    def d12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    def varOf(q: Int): DataFrame = {
+      val diff = col("l") - lag(col("l"), q).over(w)
+      daily.select(diff.as("r")).filter(col("r").isNotNull)
+        .agg(count(lit(1)).as(s"n_$q"), sum(d12(col("r"))).as(s"s_$q"),
+          sum(d12(col("r") * col("r"))).as(s"ss_$q"))
+    }
+    def variance(q: Int): Column = {
+      val n = col(s"n_$q").cast("double")
+      (col(s"ss_$q").cast("double") -
+        col(s"s_$q").cast("double") * col(s"s_$q").cast("double") / n) / n
+    }
+    val joined = (1 +: qs).map(varOf).reduce(_.crossJoin(_)) // 1x1 rows
+    val rows = qs.map(q => struct(lit(q).as("q"), col(s"n_$q").as("n_returns"),
+      round(variance(q) / (lit(q.toDouble) * variance(1)), 9).as("vr")))
+    joined.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.q").as("q"), col("r.n_returns").as("n_returns"),
+        col("r.vr").as("vr"))
+      .orderBy("q")
+  }
 }

@@ -1484,4 +1484,34 @@ object TextOps {
           .as("chars_per_piece"))
       .orderBy("source")
   }
+
+  /** Template-sentence census per source — the generated-content
+    * screen [[removeBoilerplate]]'s exact matcher misses: sentences
+    * are NORMALIZED (digit runs → '#') before counting document
+    * frequency, so "Order 123 shipped." and "Order 456 shipped."
+    * collapse onto one template; a source where most documents
+    * contain a ≥`minDf`-doc template is form-letter output, not
+    * prose. Same sentence exchange as the boilerplate pass plus one
+    * semi-join back; the census is a source-cardinality aggregate.
+    */
+  def templateDetect(documents: DataFrame, minDf: Long = 5L): DataFrame = {
+    val parts = documents.select(col("doc_id"), col("source"),
+      explode(split(col("text"), "\\. ")).as("part"))
+      .select(col("doc_id"), col("source"),
+        regexp_replace(col("part"), lit("[0-9]+"), lit("#")).as("tpl"))
+    val tpls = parts.groupBy("tpl")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("tpl")
+    val hit = parts.join(tpls, Seq("tpl"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_templated"))
+    documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(hit, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_templated"), lit(0L)).as("n_templated"),
+        round(coalesce(col("n_templated"), lit(0L)).cast("double") /
+          col("n_docs").cast("double"), 9).as("templated_share"))
+      .orderBy("source")
+  }
 }

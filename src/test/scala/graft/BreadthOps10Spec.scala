@@ -255,4 +255,64 @@ class BreadthOps10Spec extends SparkSpec {
     assert(out.map(_._3) == Seq(1L, 0L, 0L, 0L), out)
     assert(out.head._4 == 1.0 && out.tail.forall(_._4 == 0.0), out)
   }
+
+  test("w36CohortLtv: cumulative value accrues per cohort age") {
+    // one user, active in weeks 0 and 2, spending 10 then 5
+    val events = Seq(
+      (1L, 7L, "a", 10.0, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, 7L, "a", 5.0, Timestamp.valueOf("2024-01-16 00:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Relational.w36CohortLtv(events)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((0L, 0L, 1L, 10.0, 10.0), (0L, 2L, 1L, 15.0, 15.0)), out)
+  }
+
+  test("a53VarianceRatio: a deterministic trend inflates VR above 1") {
+    // alternating growth: var(1) > 0 while even-lag returns are all
+    // ~0 -> VR(q) < 1 (mean reversion)
+    val daily = (1 to 28).map(d =>
+      (d.toLong, if (d % 2 == 0) 400.0 else 100.0, ts(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.a53VarianceRatio(daily)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // 2-period log returns of a perfect alternation are all ~0
+    assert(out(2) < 0.1, out)
+    assert(out.keySet == Set(2, 4, 8), out)
+  }
+
+  test("bbitMinhashCalibration: identical docs agree on every low bit") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val out = DedupOps.bbitMinhashCalibration(docs, pairs)
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(out == ((1L, 2L, 1.0, 1.0, 0.0)), out)
+  }
+
+  test("templateDetect: digit-varying form letters collapse onto one template") {
+    val docs = (1L to 6L).map(i =>
+      (i, s"Order $i shipped. Have a day", "forms")) :+
+      ((7L, "entirely original prose", "prose"))
+    val out = TextOps.templateDetect(docs.toDF("doc_id", "text", "source"), 5L)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("forms") == (("forms", 6L, 6L, 1.0)), out)
+    assert(out("prose") == (("prose", 1L, 0L, 0.0)), out)
+  }
+
+  test("gradientEnergy: a horizontal ramp scores its exact step sum") {
+    import graft.operators.Multimodal
+    // 3x2 image, pixel = 10*x: gradients |10|,|10| per row, 2 rows
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (10 * x) * 0x010101)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val out = Multimodal.gradientEnergy(spark,
+      Seq((5L, buf.toByteArray)).toDF("doc_id", "content"))
+      .as[(Long, Int, Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((5L, 3, 2, 4L, 40L, 10.0)), out)
+  }
 }
