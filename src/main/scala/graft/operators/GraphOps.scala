@@ -1053,13 +1053,17 @@ object GraphOps {
       .unionAll(p.select(col("y").as("u"), col("x").as("v")))
     val seeds = e.select(col("u").as("s")).distinct()
       .filter(col("s") % seedMod === 0)
+    // each ball is (seeds × nodes)-bounded — eagerly truncate so the
+    // next hop and the three size aggregates read a materialized
+    // frontier instead of re-running the whole join chain (without
+    // this, sizes(b3) re-executes b1's and b2's adjacency joins)
     val b1 = broadcast(seeds).join(e, col("s") === col("u"))
-      .select(col("s"), col("v")).distinct()
+      .select(col("s"), col("v")).distinct().localCheckpoint(true)
     def expand(ball: DataFrame): DataFrame = ball
       .unionAll(ball.as("f").join(e.as("g"), col("f.v") === col("g.u"))
         .select(col("f.s").as("s"), col("g.v").as("v")))
       .filter(col("v") =!= col("s"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val b2 = expand(b1)
     val b3 = expand(b2)
     def sizes(ball: DataFrame, name: String) =
