@@ -1547,6 +1547,23 @@ object SparkEntry {
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
             .cast("long").as("doc_id"), col("content")))
     }),
+    // period-7 Goertzel amplitude of demeaned daily revenue
+    "a54_spectral_peak" -> ((s, d) =>
+      Relational.a54SpectralPeak(t(s, d)("orders"))),
+    // H(next | current) vs H(next): the next-action predictability gap
+    "a55_entropy_rate" -> ((s, d) =>
+      Relational.a55EntropyRate(t(s, d)("events"))),
+    // 28-day rolling count-revenue Pearson (regime-shift screen)
+    "w37_rolling_corr" -> ((s, d) =>
+      Relational.w37RollingCorr(t(s, d)("orders"))),
+    // LSH recall@{1,5,10} vs brute force off one max-k ranking
+    "sim_recall_curve" -> ((s, d) => {
+      val e = t(s, d)("embeddings")
+      SimilarityOps.recallCurve(e, e.filter(col("vec_id") % 25 === 0))
+    }),
+    // deterministic 1-in-5 reviewer sample with all measures attached
+    "dedup_review_queue" -> ((s, d) => DedupOps.reviewQueue(
+      t(s, d)("documents"), DedupGraph.minhashPairs(s, d))),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7694,6 +7711,162 @@ object SparkEntry {
         |    ELSE 0.0 END AS mean_grad
         |FROM m LEFT JOIN g ON g.doc_id = m.doc_id
         |ORDER BY m.doc_id""".stripMargin,
+    // demeaned Goertzel bin: each x*cos / x*sin / x*x term staged as
+    // round-6 DECIMAL(28,6); the amplitude folds on the exact sums
+    "a54_spectral_peak" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+        |  FROM daily),
+        |xt AS (SELECT CAST(rev AS DOUBLE) - mu AS x,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS DOUBLE)
+        |      * (2.0 * pi() / 7) AS th
+        |  FROM daily CROSS JOIN mu),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(ROUND(x * cos(th), 6) AS DECIMAL(28,6))) AS c,
+        |    SUM(CAST(ROUND(x * sin(th), 6) AS DECIMAL(28,6))) AS sn,
+        |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS xx
+        |  FROM xt)
+        |SELECT n AS n_days,
+        |  round(sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+        |      + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+        |    * 2.0 / CAST(n AS DOUBLE), 6) AS amp_week,
+        |  round(sqrt(CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS std_daily,
+        |  round((sqrt(CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+        |      + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE))
+        |    * 2.0 / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(xx AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS amp_over_std
+        |FROM st""".stripMargin,
+    // per-term round-12 DECIMAL(18,14) staging of both entropies
+    // (the tokenEntropy discipline over the type^2 transition table)
+    "a55_entropy_rate" ->
+      """WITH tr AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_sd FROM (
+        |    SELECT event_type AS src, LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |    FROM events)
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |bs AS (SELECT src, CAST(SUM(n_sd) AS BIGINT) AS n_s FROM tr GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_sd) AS BIGINT) AS n FROM tr),
+        |hr AS (SELECT n, SUM(CAST(ROUND(
+        |      -(CAST(n_sd AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * LN(CAST(n_sd AS DOUBLE) / CAST(n_s AS DOUBLE)), 12)
+        |      AS DECIMAL(18,14))) AS h_rate
+        |  FROM tr JOIN bs USING (src) CROSS JOIN tot GROUP BY n),
+        |h0 AS (SELECT SUM(CAST(ROUND(
+        |      -(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * LN(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(18,14))) AS h0
+        |  FROM (SELECT dst, CAST(SUM(n_sd) AS BIGINT) AS n_d
+        |    FROM tr GROUP BY 1) CROSS JOIN tot)
+        |SELECT n AS n_transitions,
+        |  round(CAST(h_rate AS DOUBLE), 9) AS entropy_rate,
+        |  round(CAST(h0 AS DOUBLE), 9) AS marginal_entropy,
+        |  round(CAST(h0 AS DOUBLE) - CAST(h_rate AS DOUBLE), 9) AS info_gain
+        |FROM hr CROSS JOIN h0""".stripMargin,
+    // five round-12 decimal sufficient statistics inside ONE 28-row
+    // date window; emitted once the window is full
+    "w37_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT d, COUNT(*) OVER w AS n,
+        |    SUM(CAST(ROUND(CAST(cnt AS DOUBLE), 12) AS DECIMAL(28,12)))
+        |      OVER w AS sx,
+        |    SUM(CAST(ROUND(CAST(rev AS DOUBLE), 12) AS DECIMAL(28,12)))
+        |      OVER w AS sy,
+        |    SUM(CAST(ROUND(CAST(cnt AS DOUBLE) * CAST(rev AS DOUBLE), 12)
+        |      AS DECIMAL(28,12))) OVER w AS sxy,
+        |    SUM(CAST(ROUND(CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE), 12)
+        |      AS DECIMAL(28,12))) OVER w AS sxx,
+        |    SUM(CAST(ROUND(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE), 12)
+        |      AS DECIMAL(28,12))) OVER w AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+        |SELECT d AS day,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS rolling_r
+        |FROM r WHERE n = 28 ORDER BY day""".stripMargin,
+    // both rankers restated at k = 10; per-k overlaps fold from the
+    // one joined rank-pair list
+    "sim_recall_curve" ->
+      s"""WITH $LshSigCte,
+         |qr AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 25 = 0),
+         |bsc AS (SELECT query_id, vec_id, ${duckCosine("qe", "embedding")} AS sim
+         |  FROM embeddings CROSS JOIN qr WHERE vec_id <> query_id),
+         |bt AS (SELECT query_id, vec_id, rnk FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM bsc) WHERE rnk <= 10),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig
+         |  WHERE vec_id % 25 = 0),
+         |cand AS (SELECT qb.query_id, s.vec_id, qb.qe, s.embedding
+         |  FROM sig s JOIN qb ON s.bucket = qb.bucket
+         |    AND s.vec_id <> qb.query_id),
+         |lsc AS (SELECT query_id, vec_id,
+         |    ${duckCosine("qe", "embedding")} AS sim FROM cand),
+         |lt AS (SELECT query_id, vec_id, rnk FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM lsc) WHERE rnk <= 10),
+         |j AS (SELECT b.query_id, b.rnk AS b_rnk, l.rnk AS l_rnk
+         |  FROM bt b JOIN lt l
+         |    ON l.query_id = b.query_id AND l.vec_id = b.vec_id),
+         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qr),
+         |h AS (SELECT
+         |    CAST(SUM(CASE WHEN b_rnk <= 1 AND l_rnk <= 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS h1,
+         |    CAST(SUM(CASE WHEN b_rnk <= 5 AND l_rnk <= 5 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS h5,
+         |    CAST(SUM(CASE WHEN b_rnk <= 10 AND l_rnk <= 10 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS h10
+         |  FROM j)
+         |SELECT k, n_queries, recall FROM (
+         |  SELECT 1 AS k, n_queries,
+         |    round(CAST(h1 AS DOUBLE) / (1.0 * CAST(n_queries AS DOUBLE)), 9)
+         |      AS recall FROM h CROSS JOIN nq
+         |  UNION ALL SELECT 5, n_queries,
+         |    round(CAST(h5 AS DOUBLE) / (5.0 * CAST(n_queries AS DOUBLE)), 9)
+         |  FROM h CROSS JOIN nq
+         |  UNION ALL SELECT 10, n_queries,
+         |    round(CAST(h10 AS DOUBLE) / (10.0 * CAST(n_queries AS DOUBLE)), 9)
+         |  FROM h CROSS JOIN nq)
+         |ORDER BY k""".stripMargin,
+    // affine-sampled pair subset; weighted-Jaccard inner join runs
+    // only on the sample; lengths join back from documents
+    "dedup_review_queue" ->
+      s"""WITH $MinhashPairsCtes,
+         |sampled AS (SELECT doc_a, doc_b, jaccard FROM pairs
+         |  WHERE ((((doc_a % 1000003) * 131071 + doc_b % 1000003)
+         |    % 2147483648) * 1103515245 + 12345) % 2147483648 % 5 = 0),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(ws) AS tok FROM toks) GROUP BY 1, 2),
+         |tots AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY 1),
+         |im AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+         |  FROM sampled p
+         |  JOIN tf a ON a.doc_id = p.doc_a
+         |  JOIN tf b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b, s.jaccard,
+         |  round(CAST(im.sum_min AS DOUBLE)
+         |    / CAST(ta.n + tb.n - im.sum_min AS DOUBLE), 9) AS w_jaccard,
+         |  CAST(da.n_chars AS BIGINT) AS len_a,
+         |  CAST(db.n_chars AS BIGINT) AS len_b
+         |FROM sampled s
+         |JOIN im ON im.doc_a = s.doc_a AND im.doc_b = s.doc_b
+         |JOIN tots ta ON ta.doc_id = s.doc_a
+         |JOIN tots tb ON tb.doc_id = s.doc_b
+         |JOIN documents da ON da.doc_id = s.doc_a
+         |JOIN documents db ON db.doc_id = s.doc_b
+         |ORDER BY s.doc_a, s.doc_b""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

@@ -1075,4 +1075,38 @@ object DedupOps {
         round(abs(col("jaccard") - est), 9).as("abs_err"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Human-review queue: a deterministic 1-in-`modulus` sample of the
+    * verified pair list, enriched with every similarity measure a
+    * reviewer reads side by side — shingle Jaccard (set), weighted
+    * token Jaccard (repetition-aware), and both documents' lengths.
+    * The affine sampling key is pure BIGINT arithmetic (the
+    * pipe_shuffle_shards generator, mod-reduced so no intermediate
+    * exceeds 2^62), so the SAME pairs land in the queue on every
+    * engine and every run — an auditable sample, not a random one.
+    * Everything is pair-bounded: the sample filters the cached pair
+    * list, [[weightedJaccard]] runs only on the sampled subset.
+    */
+  def reviewQueue(documents: DataFrame, pairs: DataFrame,
+      modulus: Int = 5): DataFrame = {
+    val k1 = ((col("doc_a") % 1000003L) * 131071L +
+      col("doc_b") % 1000003L) % 2147483648L
+    val key = (k1 * 1103515245L + 12345L) % 2147483648L
+    val sampled = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(key % modulus === 0)
+    val wj = weightedJaccard(documents,
+      sampled.select(col("doc_a"), col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("w_jaccard"))
+    val len = documents.select(col("doc_id"), col("n_chars"))
+    sampled
+      .join(wj, Seq("doc_a", "doc_b"))
+      .join(len.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_chars", "len_a"), Seq("doc_a"))
+      .join(len.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_chars", "len_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("w_jaccard"),
+        col("len_a").cast("long").as("len_a"),
+        col("len_b").cast("long").as("len_b"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -3505,4 +3505,119 @@ object Relational {
         col("r.vr").as("vr"))
       .orderBy("q")
   }
+
+  /** Single-bin DFT (Goertzel probe) at the weekly frequency: the
+    * amplitude of the period-7 component of DEMEANED daily revenue,
+    * reported against the series' own standard deviation — the
+    * spectral twin of [[a44SeasonalityStrength]]'s ANOVA readout (that
+    * one asks "do weekday MEANS differ", this one asks "is there a
+    * coherent 7-day WAVE"). Day index comes from one date-ordered
+    * window over the day table (bounded); each cos/sin product stages
+    * as a round-6 decimal before summing (x·cos is ~1e7-magnitude, so
+    * round-6 still leaves 1e-13 relative headroom over the 1-ulp
+    * transcendental risk — the suite-wide staging rule); the
+    * amplitude/std fold is plain IEEE on the exact sums.
+    */
+  def a54SpectralPeak(orders: DataFrame, period: Int = 7): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val mu = daily.agg(
+      (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
+        .as("mu"))
+    val w = Window.orderBy(col("d"))
+    val omega = lit(2.0 * math.Pi / period)
+    val xt = daily.crossJoin(broadcast(mu)) // single row
+      .withColumn("t", (row_number().over(w) - 1).cast("long"))
+      .select((col("rev").cast("double") - col("mu")).as("x"),
+        (col("t").cast("double") * omega).as("th"))
+    def d6(c: Column) = round(c, 6).cast(DecimalType(28, 6))
+    val s = xt.agg(count(lit(1)).as("n"),
+      sum(d6(col("x") * cos(col("th")))).as("c"),
+      sum(d6(col("x") * sin(col("th")))).as("s"),
+      sum(d6(col("x") * col("x"))).as("xx"))
+    val nD = col("n").cast("double")
+    val amp = sqrt(col("c").cast("double") * col("c").cast("double") +
+      col("s").cast("double") * col("s").cast("double")) * lit(2.0) / nD
+    val std = sqrt(col("xx").cast("double") / nD)
+    s.select(col("n").as("n_days"), round(amp, 6).as("amp_week"),
+      round(std, 6).as("std_daily"),
+      round(amp / std, 9).as("amp_over_std"))
+  }
+
+  /** Entropy rate of the event-type Markov chain — the
+    * predictability ceiling for any next-action model:
+    * H(next | current) = −Σ p(s,d)·ln(p(d|s)), reported against the
+    * marginal next-state entropy H(next); their gap is exactly the
+    * information the current state carries. One fact-scale lag window
+    * per user (the [[eventTransitions]] shape) feeds a type²-bounded
+    * count table; every p·ln p term stages as round-12
+    * DECIMAL(18,14) before the exact sums ([[TextOps.tokenEntropy]]
+    * discipline).
+    */
+  def a55EntropyRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_sd"))
+    val bySrc = tr.groupBy(col("src")).agg(sum(col("n_sd")).as("n_s"))
+    val tot = tr.agg(sum(col("n_sd")).as("n"))
+    def d12(c: Column) = round(c, 12).cast(DecimalType(18, 14))
+    val joint = tr.join(broadcast(bySrc), "src")
+      .crossJoin(broadcast(tot)) // single row
+    val pSd = col("n_sd").cast("double") / col("n").cast("double")
+    val pCond = col("n_sd").cast("double") / col("n_s").cast("double")
+    val hRate = joint
+      .select(col("n"), d12(-pSd * log(pCond)).as("term"))
+      .groupBy(col("n")).agg(sum(col("term")).as("h_rate"))
+    val byDst = tr.groupBy(col("dst")).agg(sum(col("n_sd")).as("n_d"))
+      .crossJoin(broadcast(tot))
+      .select(d12(-(col("n_d").cast("double") / col("n").cast("double")) *
+        log(col("n_d").cast("double") / col("n").cast("double"))).as("term"))
+      .agg(sum(col("term")).as("h0"))
+    hRate.crossJoin(byDst) // 1x1 rows
+      .select(col("n").as("n_transitions"),
+        round(col("h_rate").cast("double"), 9).as("entropy_rate"),
+        round(col("h0").cast("double"), 9).as("marginal_entropy"),
+        round(col("h0").cast("double") - col("h_rate").cast("double"), 9)
+          .as("info_gain"))
+  }
+
+  /** 28-day rolling Pearson correlation between daily order count and
+    * daily revenue — the local-stability twin of [[w30Xcorr]]'s global
+    * lag scan: a regime change shows up as the rolling r breaking
+    * down long before the global statistic moves. All five sufficient
+    * statistics accumulate as round-12 decimals inside ONE date-
+    * ordered 28-row window over the day-grain table (bounded by the
+    * calendar; decimal window sums are order-free), and the r formula
+    * runs per day on the exact window sums. Emitted from day 28 on.
+    */
+  def w37RollingCorr(orders: DataFrame, windowDays: Int = 28): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("rev"))
+    def d12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    val x = col("cnt").cast("double")
+    val y = col("rev").cast("double")
+    val w = Window.orderBy(col("d")).rowsBetween(-(windowDays - 1), 0)
+    val rolled = daily.select(col("d"),
+      count(lit(1)).over(w).as("n"),
+      sum(d12(x)).over(w).as("sx"), sum(d12(y)).over(w).as("sy"),
+      sum(d12(x * y)).over(w).as("sxy"),
+      sum(d12(x * x)).over(w).as("sxx"),
+      sum(d12(y * y)).over(w).as("syy"))
+      .filter(col("n") === windowDays.toLong)
+    val nD = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    rolled.select(col("d").as("day"),
+        round((nD * dd("sxy") - dd("sx") * dd("sy")) /
+          sqrt((nD * dd("sxx") - dd("sx") * dd("sx")) *
+            (nD * dd("syy") - dd("sy") * dd("sy"))), 9).as("rolling_r"))
+      .orderBy("day")
+  }
 }

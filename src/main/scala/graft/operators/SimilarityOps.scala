@@ -1403,4 +1403,36 @@ object SimilarityOps {
           .as("recall"))
       .orderBy("query_id")
   }
+
+  /** Recall@k CURVE of the LSH index against brute force, k ∈ `ks` —
+    * the index-tuning readout one recall point can't give (LSH recall
+    * typically rises with k; a flat-low curve means the plane count
+    * is wrong, a rising one means just ask for more candidates). Both
+    * rankers run ONCE at max(k) (their established bounded-aggregate
+    * plans); the per-k overlap counts fold from the single joined
+    * rank-pair list as conditional sums — no per-k re-ranking.
+    * Macro = micro averaging here since brute always fills k slots.
+    */
+  def recallCurve(embeddings: DataFrame, queries: DataFrame,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val kMax = ks.max
+    val brute = bruteForceTopK(embeddings, queries, kMax)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("b_rnk"))
+    val lsh = lshTopK(embeddings, queries, kMax)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("l_rnk"))
+    val hits = brute.join(lsh, Seq("query_id", "neighbor_id"))
+      .agg(ks.map(k => sum(when(col("b_rnk") <= k && col("l_rnk") <= k, 1L)
+        .otherwise(0L)).as(s"h$k")).head,
+        ks.map(k => sum(when(col("b_rnk") <= k && col("l_rnk") <= k, 1L)
+          .otherwise(0L)).as(s"h$k")).tail: _*)
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    val rows = ks.map(k => struct(lit(k).as("k"),
+      round(col(s"h$k").cast("double") /
+        (lit(k.toDouble) * col("n_queries").cast("double")), 9)
+        .as("recall")))
+    hits.crossJoin(broadcast(nq)) // 1x1 rows
+      .select(col("n_queries"), explode(array(rows: _*)).as("r"))
+      .select(col("r.k").as("k"), col("n_queries"), col("r.recall").as("recall"))
+      .orderBy("k")
+  }
 }

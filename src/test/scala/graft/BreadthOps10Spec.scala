@@ -315,4 +315,68 @@ class BreadthOps10Spec extends SparkSpec {
       .as[(Long, Int, Int, Long, Long, Double)].collect().toSeq
     assert(out == Seq((5L, 3, 2, 4L, 40L, 10.0)), out)
   }
+
+  test("a54SpectralPeak: a pure 7-day wave dominates its own std") {
+    // rev = 1000 + 100*cos(2*pi*t/7) over 28 days: amp ~= 100,
+    // std = 100/sqrt(2) -> amp/std ~= sqrt(2)
+    val orders = (0 until 28).map { t =>
+      val rev = 1000.0 + 100.0 * math.cos(2 * math.Pi * t / 7)
+      (t.toLong, math.round(rev * 100) / 100.0, ts(t + 1))
+    }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.a54SpectralPeak(orders)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 28L, out)
+    assert(math.abs(out._2 - 100.0) < 0.5, out)
+    assert(math.abs(out._4 - math.sqrt(2.0)) < 0.01, out)
+  }
+
+  test("a55EntropyRate: a deterministic chain has zero conditional entropy") {
+    // a->b->a->b...: next state is fully determined by current
+    val events = (1L to 20L).map(i =>
+      (i, 1L, if (i % 2 == 0) "a" else "b", Timestamp.valueOf(
+        f"2024-01-01 00:${i}%02d:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Relational.a55EntropyRate(events)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 19L, out)
+    assert(out._2 == 0.0, out) // H(next|cur) = 0
+    assert(out._3 > 0.6 && out._4 == out._3, out) // gain = H0
+  }
+
+  test("w37RollingCorr: perfectly proportional series pin rolling r to 1") {
+    val orders = (1 to 30).flatMap { d =>
+      // cnt(d) = (d % 3) + 1 orders, each priced 10 -> rev = 10*cnt
+      (1 to (d % 3) + 1).map(i => (d.toLong * 100 + i, 10.0, ts(d)))
+    }.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.w37RollingCorr(orders)
+      .as[(java.sql.Date, Double)].collect().toSeq
+    assert(out.size == 3, out) // 30 days -> 3 full 28-day windows
+    assert(out.forall(_._2 == 1.0), out)
+  }
+
+  test("recallCurve: an exhaustive 'index' reaches recall 1 at every k") {
+    import org.apache.spark.sql.functions._
+    // tight single cluster -> every LSH bucket holds everything; with
+    // few planes all vectors share a bucket, so recall = 1 across k
+    val vecs = (1L to 40L).map(i =>
+      (i, Array(1.0f, (1.0 + i / 1000.0).toFloat, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.recallCurve(
+      vecs, vecs.filter(col("vec_id") % 10 === 0))
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 5, 10), out)
+    assert(out.forall(r => r._2 == 4L && r._3 == 1.0), out)
+  }
+
+  test("reviewQueue: sampled pairs carry jaccard, weighted jaccard, lengths") {
+    val docs = Seq(
+      (1L, "a b c", 5L), (2L, "a a b b c c", 11L), (5L, "x", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    // affine key sampling: include every pair by using modulus 1
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val out = DedupOps.reviewQueue(docs, pairs, modulus = 1)
+      .as[(Long, Long, Double, Double, Long, Long)].collect().toSeq
+    // w_jaccard: min-sum 3 over union 3+6-3=6 -> 0.5
+    assert(out == Seq((1L, 2L, 1.0, 0.5, 5L, 11L)), out)
+  }
 }
