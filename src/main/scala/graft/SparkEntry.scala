@@ -1564,6 +1564,16 @@ object SparkEntry {
     // deterministic 1-in-5 reviewer sample with all measures attached
     "dedup_review_queue" -> ((s, d) => DedupOps.reviewQueue(
       t(s, d)("documents"), DedupGraph.minhashPairs(s, d))),
+    // TPC-H Q9 shape: margin by supplier nation x order year
+    "q9_nation_margin" -> ((s, d) => Relational.q9NationMargin(
+      t(s, d)("nation"), t(s, d)("supplier"), t(s, d)("part"),
+      t(s, d)("orders"), t(s, d)("lineitem"))),
+    // chained-merge depth census over the near-dup components
+    "dedup_component_ecc" -> ((s, d) => GraphOps.componentEccentricity(
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
+    // straggler predictor: token-mass balance across training shards
+    "pipe_shard_balance" -> ((s, d) =>
+      PipelineOps.shardBalance(t(s, d)("documents"))),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7482,14 +7492,16 @@ object SparkEntry {
         |    greatest(a.l_partkey, b.l_partkey) AS y
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |e AS (SELECT x AS u, y AS v FROM p UNION ALL SELECT y, x FROM p),
+        |e AS MATERIALIZED (SELECT x AS u, y AS v FROM p
+        |  UNION ALL SELECT y, x FROM p),
         |seeds AS (SELECT DISTINCT u AS s FROM e WHERE u % 997 = 0),
-        |b1 AS (SELECT DISTINCT s.s, e.v FROM seeds s JOIN e ON e.u = s.s),
-        |b2 AS (SELECT DISTINCT s, v FROM (
+        |b1 AS MATERIALIZED (SELECT DISTINCT s.s, e.v
+        |  FROM seeds s JOIN e ON e.u = s.s),
+        |b2 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
         |    SELECT s, v FROM b1
         |    UNION ALL SELECT f.s, g.v FROM b1 f JOIN e g ON f.v = g.u)
         |  WHERE v <> s),
-        |b3 AS (SELECT DISTINCT s, v FROM (
+        |b3 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
         |    SELECT s, v FROM b2
         |    UNION ALL SELECT f.s, g.v FROM b2 f JOIN e g ON f.v = g.u)
         |  WHERE v <> s)
@@ -7867,6 +7879,85 @@ object SparkEntry {
          |JOIN documents da ON da.doc_id = s.doc_a
          |JOIN documents db ON db.doc_id = s.doc_b
          |ORDER BY s.doc_a, s.doc_b""".stripMargin,
+    // every decimal intermediate is exactly representable on both
+    // engines (rev at scale 4, cost at scale 3 x integer qty), so no
+    // precision-capping path is ever taken
+    "q9_nation_margin" ->
+      """WITH j AS (SELECT n.n_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |    CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(1 - CAST(l.l_discount AS DECIMAL(18,2)) AS DECIMAL(6,2))
+        |      AS DECIMAL(38,6))
+        |    - CAST(CAST(CAST(0.80 AS DECIMAL(4,2))
+        |          * CAST(p.p_retailprice AS DECIMAL(18,2)) AS DECIMAL(20,3))
+        |        * CAST(l.l_quantity AS DECIMAL(4,0)) AS DECIMAL(38,6)) AS m
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |SELECT n_name AS nation, o_year,
+        |  CAST(SUM(m) AS DOUBLE) AS margin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM j GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // transitive-closure components, then four unrolled BFS hops from
+    // each root; ecc = first ball that covers the component
+    "dedup_component_ecc" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS MATERIALIZED (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY 1),
+         |roots AS (SELECT DISTINCT component AS s FROM comp),
+         |b1 AS MATERIALIZED (SELECT DISTINCT r.s, e.v
+         |  FROM roots r JOIN edges e ON e.u = r.s),
+         |b2 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
+         |    SELECT s, v FROM b1
+         |    UNION ALL SELECT f.s, g.v FROM b1 f JOIN edges g ON g.u = f.v)
+         |  WHERE v <> s),
+         |b3 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
+         |    SELECT s, v FROM b2
+         |    UNION ALL SELECT f.s, g.v FROM b2 f JOIN edges g ON g.u = f.v)
+         |  WHERE v <> s),
+         |b4 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
+         |    SELECT s, v FROM b3
+         |    UNION ALL SELECT f.s, g.v FROM b3 f JOIN edges g ON g.u = f.v)
+         |  WHERE v <> s),
+         |c1 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n1 FROM b1 GROUP BY 1),
+         |c2 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n2 FROM b2 GROUP BY 1),
+         |c3 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n3 FROM b3 GROUP BY 1),
+         |c4 AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n4 FROM b4 GROUP BY 1),
+         |ecc AS (SELECT c1.s,
+         |    CASE WHEN n1 = sz - 1 THEN 1 WHEN n2 = sz - 1 THEN 2
+         |      WHEN n3 = sz - 1 THEN 3 WHEN n4 = sz - 1 THEN 4
+         |      ELSE 5 END AS root_ecc, sz
+         |  FROM c1 JOIN c2 ON c2.s = c1.s JOIN c3 ON c3.s = c1.s
+         |  JOIN c4 ON c4.s = c1.s JOIN sz ON sz.component = c1.s)
+         |SELECT root_ecc, CAST(COUNT(*) AS BIGINT) AS n_components,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM ecc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the shardShuffle affine key reduced mod nShards; exact token
+    // sums, one division against the uniform share
+    "pipe_shard_balance" ->
+      """WITH k AS (SELECT
+        |    ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 8
+        |      AS shard,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |p AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS tokens FROM k GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM p)
+        |SELECT shard, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / (CAST(total AS DOUBLE) / 8.0), 9)
+        |    AS load_ratio
+        |FROM p CROSS JOIN tot ORDER BY shard""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

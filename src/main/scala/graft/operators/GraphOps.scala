@@ -1076,4 +1076,49 @@ object GraphOps {
           .as("expansion"))
       .orderBy("seed")
   }
+
+  /** Root-eccentricity census of the near-dup components: BFS from
+    * each component's canonical root (its minimum doc_id — the
+    * survivor every keep-lowest policy retains) and report how many
+    * hops the FARTHEST member sits away, capped at 4 (reported as 5).
+    * Eccentricity 1 means the root is directly similar to every
+    * member; 3+ means the component exists only through CHAINED
+    * similarity — exactly the over-merge depth
+    * [[graft.operators.DedupOps]]'s pair counts can't see. Roots are
+    * component-cardinality-bounded seeds; each of the four fixed
+    * frontier joins is eagerly truncated (the [[bfsBall]] shape), and
+    * the census is a tiny keyed count.
+    */
+  def componentEccentricity(pairs: DataFrame, maxHops: Int = 4): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val sizesC = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+    val p = pairs.select(col("doc_a").cast("long").as("x"),
+      col("doc_b").cast("long").as("y"))
+    val e = p.select(col("x").as("u"), col("y").as("v"))
+      .unionAll(p.select(col("y").as("u"), col("x").as("v")))
+      .localCheckpoint(true)
+    val roots = comp.select(col("component").as("s")).distinct()
+    val b1 = roots.join(e, col("s") === col("u"))
+      .select(col("s"), col("v")).distinct().localCheckpoint(true)
+    val balls = Iterator.iterate(b1) { ball =>
+      ball.unionAll(ball.as("f").join(e.as("g"), col("f.v") === col("g.u"))
+          .select(col("f.s").as("s"), col("g.v").as("v")))
+        .filter(col("v") =!= col("s"))
+        .distinct().localCheckpoint(true)
+    }.take(maxHops).toSeq
+    val counts = balls.zipWithIndex.map { case (b, i) =>
+      b.groupBy(col("s")).agg(count(lit(1)).as(s"n_r${i + 1}"))
+    }
+    val joined = counts.reduce(_.join(_, "s"))
+      .join(sizesC.withColumnRenamed("component", "s"), "s")
+    // eccentricity = first radius whose ball covers the whole
+    // component (root excluded); 4 hops not enough -> capped bucket
+    val ecc = (1 to maxHops).foldRight(lit(maxHops + 1): Column) { (r, tail) =>
+      when(col(s"n_r$r") === col("sz") - 1L, r).otherwise(tail)
+    }
+    joined.select(ecc.as("root_ecc"), col("sz"))
+      .groupBy(col("root_ecc"))
+      .agg(count(lit(1)).as("n_components"), sum(col("sz")).as("n_docs"))
+      .orderBy("root_ecc")
+  }
 }

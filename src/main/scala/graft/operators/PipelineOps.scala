@@ -930,6 +930,31 @@ object PipelineOps {
           col("n_components").cast("double"), 9).as("disagree_share"))
   }
 
+  /** Shard load-balance audit over the [[shardShuffle]] assignment:
+    * per shard, document count, exact token mass, and the load ratio
+    * against the uniform share — the straggler predictor every
+    * training run reads before launch (a 1.3× shard finishes 30%
+    * late no matter how many workers you add). One corpus pass sums
+    * exact BIGINT token counts into a shard-cardinality aggregate
+    * plus one broadcast single-row total.
+    */
+  def shardBalance(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val key = ((col("doc_id") % lit(1000003L)) * lit(1103515245L) +
+      lit(12345L)) % lit(2147483648L)
+    val perShard = documents
+      .select((key % lit(nShards.toLong)).as("shard"),
+        size(TextOps.toksCol).cast("long").as("tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+    val tot = perShard.agg(sum(col("tokens")).as("total_tokens"))
+    perShard.crossJoin(broadcast(tot)) // single row
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        round(col("tokens").cast("double") /
+          (col("total_tokens").cast("double") / lit(nShards.toDouble)), 9)
+          .as("load_ratio"))
+      .orderBy("shard")
+  }
+
   /** Collection novelty curve — the marginal-value-of-more-data
     * readout: bucket the corpus into ten collection batches (by
     * doc_id range, the arrival proxy) and measure, per batch, what

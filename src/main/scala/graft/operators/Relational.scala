@@ -3506,6 +3506,46 @@ object Relational {
       .orderBy("q")
   }
 
+  /** TPC-H Q9's shape — product-line profit by supplier nation and
+    * order year — adapted to this schema: there is no partsupp table,
+    * so unit cost is proxied as 80% of the part's retail price (an
+    * explicit, deterministic stand-in; the JOIN TREE is the point of
+    * Q9, not the cost constant). Margin folds exact-decimal per line:
+    * extprice·(1−disc) − 0.8·retail·qty. One fact pass: orders joins
+    * key-partitioned on the order key (the co-partitioning both fact
+    * tables hash to at scale), part and the supplier→nation chain
+    * broadcast; group cardinality is nations×years.
+    */
+  def q9NationMargin(nation: DataFrame, supplier: DataFrame,
+      part: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val d2 = DecimalType(18, 2)
+    // every intermediate is exactly representable (rev needs scale 4,
+    // cost scale 3 times an integer quantity), so neither engine ever
+    // hits a precision-capping rounding path
+    val rev = col("l_extendedprice").cast(d2) *
+      (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(d2))
+        .cast(DecimalType(6, 2))
+    val cost = (lit(new java.math.BigDecimal("0.80")).cast(DecimalType(4, 2)) *
+      col("p_retailprice").cast(d2)).cast(DecimalType(20, 3)) *
+      col("l_quantity").cast(DecimalType(4, 0))
+    val margin = rev.cast(DecimalType(38, 6)) - cost.cast(DecimalType(38, 6))
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(margin).as("m"), count(lit(1)).as("n_lines"))
+      .select(col("nation"), col("o_year"),
+        col("m").cast("double").as("margin"), col("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** Single-bin DFT (Goertzel probe) at the weekly frequency: the
     * amplitude of the period-7 component of DEMEANED daily revenue,
     * reported against the series' own standard deviation — the

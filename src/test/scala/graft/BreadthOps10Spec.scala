@@ -379,4 +379,38 @@ class BreadthOps10Spec extends SparkSpec {
     // w_jaccard: min-sum 3 over union 3+6-3=6 -> 0.5
     assert(out == Seq((1L, 2L, 1.0, 0.5, 5L, 11L)), out)
   }
+
+  test("q9NationMargin: exact-decimal margin over the five-table tree") {
+    val nation = Seq((1L, "N_A", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((10L, "s", 1L)).toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq((100L, 50.0)).toDF("p_partkey", "p_retailprice")
+    val orders = Seq((1000L, ts(5))).toDF("o_orderkey", "o_orderdate")
+    // rev = 200*(1-0.10) = 180; cost = 0.8*50*2 = 80 -> margin 100
+    val lineitem = Seq((1000L, 100L, 10L, 2.0, 200.0, 0.10))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val out = Relational.q9NationMargin(nation, supplier, part, orders, lineitem)
+      .as[(String, Int, Double, Long)].collect().toSeq
+    assert(out == Seq(("N_A", 2024, 100.0, 1L)), out)
+  }
+
+  test("componentEccentricity: a chain of 3 has ecc 2 from its min-id root") {
+    import graft.operators.GraphOps
+    // comp {1,2,3} chained 1-2-3 (root 1, ecc 2); comp {7,8} (ecc 1)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = GraphOps.componentEccentricity(pairs)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((1, 1L, 2L), (2, 1L, 3L)), out)
+  }
+
+  test("shardBalance: load ratios average to 1 over occupied shards") {
+    val docs = (1L to 64L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.shardBalance(docs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._2).sum == 64L, out)
+    assert(out.map(_._3).sum == 192L, out) // 3 tokens per doc
+    // identical doc masses: ratio = n_docs_shard / (64/8)
+    out.foreach(r => assert(r._4 == r._2 / 8.0, r))
+  }
 }
