@@ -1574,6 +1574,23 @@ object SparkEntry {
     // straggler predictor: token-mass balance across training shards
     "pipe_shard_balance" -> ((s, d) =>
       PipelineOps.shardBalance(t(s, d)("documents"))),
+    // TPC-H Q2 shape: observed min-unit-cost supplier per part
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(
+      t(s, d)("region"), t(s, d)("nation"), t(s, d)("supplier"),
+      t(s, d)("part"), t(s, d)("lineitem"))),
+    // TPC-H Q11 shape: parts above 2x the uniform value share
+    "q11_important_share" -> ((s, d) => Relational.q11ImportantShare(
+      t(s, d)("nation"), t(s, d)("supplier"), t(s, d)("lineitem"),
+      t(s, d)("region"))),
+    // TPC-H Q16 shape: distinct shipping suppliers per (brand, size)
+    "q16_supplier_variety" -> ((s, d) => Relational.q16SupplierVariety(
+      t(s, d)("part"), t(s, d)("lineitem"))),
+    // TPC-H Q20 shape: suppliers holding >50% of any part's quantity
+    "q20_dominant_supplier" -> ((s, d) => Relational.q20DominantSupplier(
+      t(s, d)("nation"), t(s, d)("supplier"), t(s, d)("lineitem"))),
+    // skew/kurtosis/JB normality screen on daily revenue
+    "a57_jarque_bera" -> ((s, d) =>
+      Relational.a57JarqueBera(t(s, d)("orders"))),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -7958,6 +7975,119 @@ object SparkEntry {
         |  round(CAST(tokens AS DOUBLE) / (CAST(total AS DOUBLE) / 8.0), 9)
         |    AS load_ratio
         |FROM p CROSS JOIN tot ORDER BY shard""".stripMargin,
+    // observed-cost Q2: per-(part, supplier) exact decimal sums, cost
+    // divides in double, argmin = (cost, suppkey) lexicographic min
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |ps AS (SELECT l.l_partkey, l.l_suppkey,
+        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS cost
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size = 15
+        |  JOIN rs ON rs.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey, MIN(cost) AS mcost FROM ps GROUP BY 1),
+        |am AS (SELECT ps.l_partkey, MIN(ps.l_suppkey) AS s_suppkey,
+        |    MIN(ps.cost) AS cost
+        |  FROM ps JOIN mc ON mc.l_partkey = ps.l_partkey
+        |    AND ps.cost = mc.mcost
+        |  GROUP BY 1)
+        |SELECT am.l_partkey AS p_partkey, am.s_suppkey,
+        |  rs.s_name, rs.s_acctbal, rs.n_name,
+        |  round(am.cost, 9) AS unit_cost
+        |FROM am JOIN rs ON rs.s_suppkey = am.s_suppkey
+        |ORDER BY p_partkey""".stripMargin,
+    // relative-threshold Q11: share > 2/n_parts of the nation's value
+    "q11_important_share" ->
+      """WITH ns AS (SELECT s_suppkey FROM supplier s
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |pp AS (SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM ns)
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(value) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_parts FROM pp)
+        |SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value,
+        |  round(CAST(value AS DOUBLE) / CAST(total AS DOUBLE), 9) AS share
+        |FROM pp CROSS JOIN tot
+        |WHERE round(CAST(value AS DOUBLE) / CAST(total AS DOUBLE), 9)
+        |  > 2.0 / CAST(n_parts AS DOUBLE)
+        |ORDER BY p_partkey""".stripMargin,
+    // observed-relation Q16: distinct shippers per (brand, size)
+    "q16_supplier_variety" ->
+      """SELECT p.p_brand, p.p_size,
+        |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#45'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+    // fair-share-relative Q20: supplier share x supplier count > 3
+    "q20_dominant_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, SUM(qty) AS part_qty,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM ps GROUP BY 1),
+        |dom AS (SELECT ps.l_suppkey, CAST(COUNT(*) AS BIGINT)
+        |    AS n_dominant_parts
+        |  FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+        |  WHERE CAST(ps.qty AS DOUBLE) / CAST(pt.part_qty AS DOUBLE)
+        |    * CAST(pt.k AS DOUBLE) > 3.0
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, n.n_name, dom.n_dominant_parts
+        |FROM dom
+        |JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+    // centered powers staged as round-6 DECIMAL(38,6) moment terms
+    "a57_jarque_bera" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mu FROM daily),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(ROUND((CAST(rev AS DOUBLE) - mu)
+        |      * (CAST(rev AS DOUBLE) - mu), 6) AS DECIMAL(38,6))) AS m2s,
+        |    SUM(CAST(ROUND((CAST(rev AS DOUBLE) - mu)
+        |      * (CAST(rev AS DOUBLE) - mu)
+        |      * (CAST(rev AS DOUBLE) - mu), 6) AS DECIMAL(38,6))) AS m3s,
+        |    SUM(CAST(ROUND((CAST(rev AS DOUBLE) - mu)
+        |      * (CAST(rev AS DOUBLE) - mu)
+        |      * (CAST(rev AS DOUBLE) - mu)
+        |      * (CAST(rev AS DOUBLE) - mu), 6) AS DECIMAL(38,6))) AS m4s
+        |  FROM daily CROSS JOIN mu)
+        |SELECT n AS n_days,
+        |  round((CAST(m3s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / pow(CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE), 1.5), 9)
+        |    AS skewness,
+        |  round((CAST(m4s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / ((CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0, 9)
+        |    AS excess_kurtosis,
+        |  round(CAST(n AS DOUBLE) / 6.0
+        |    * (((CAST(m3s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / pow(CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE), 1.5))
+        |      * ((CAST(m3s AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / pow(CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE), 1.5))
+        |      + ((CAST(m4s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+        |        * ((CAST(m4s AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
+        |        / 4.0), 9) AS jarque_bera
+        |FROM m""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

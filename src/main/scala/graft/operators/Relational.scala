@@ -3546,6 +3546,169 @@ object Relational {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** TPC-H Q2's shape — the minimum-cost supplier per part within one
+    * region — adapted for the missing partsupp table: the supply cost
+    * is the supplier's OBSERVED average unit price for that part
+    * (exact-decimal revenue / exact-decimal quantity from lineitem).
+    * Region-filtered suppliers broadcast as a semi-join before any
+    * aggregation; the per-part argmin folds as min(struct(cost,
+    * suppkey)) — the engine-exact argmin idiom, cost being an
+    * identical double division of exact decimal sums on both engines.
+    * One fact shuffle on (part, supplier); everything downstream is
+    * part-cardinality-bounded.
+    */
+  def q2MinCostSupplier(region: DataFrame, nation: DataFrame,
+      supplier: DataFrame, part: DataFrame, lineitem: DataFrame,
+      marketRegion: String = "EUROPE", partSize: Int = 15): DataFrame = {
+    val regionSupp = supplier
+      .join(broadcast(nation
+        .join(broadcast(region.filter(col("r_name") === marketRegion)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val targetParts = part.filter(col("p_size") === partSize)
+      .select(col("p_partkey"))
+    val perPs = lineitem
+      .join(broadcast(targetParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .join(broadcast(regionSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("rev").cast("double") / col("qty").cast("double")).as("cost"))
+    perPs.groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("w.l_suppkey").as("s_suppkey"),
+        round(col("w.cost"), 9).as("unit_cost"))
+      .join(broadcast(regionSupp), "s_suppkey")
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("unit_cost"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q11's shape — which parts carry an outsized share of one
+    * nation's supplied value — with lineitem revenue standing in for
+    * partsupp stock value. The importance threshold is RELATIVE (2×
+    * the uniform share), so the query means the same thing at every
+    * scale factor — the fixed 0.0001 of the original silently changes
+    * selectivity with SF. One fact pass (nation-filtered via a
+    * broadcast semi-join), one part-grain aggregate, one broadcast
+    * single-row total + part count.
+    */
+  def q11ImportantShare(nation: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, region: DataFrame,
+      targetRegion: String = "ASIA"): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation
+        .join(broadcast(region.filter(col("r_name") === targetRegion)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(java.math.BigDecimal.ONE) - col("l_discount").cast(DecimalType(18, 2)))
+    val perPart = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(rev).as("value"))
+    val tot = perPart.agg(sum(col("value")).as("total"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot)) // single row
+      .select(col("l_partkey").as("p_partkey"),
+        col("value").cast("double").as("value"),
+        round(col("value").cast("double") / col("total").cast("double"), 9)
+          .as("share"))
+      .filter(col("share") > lit(2.0) / col("n_parts").cast("double"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q16's shape — supplier variety per part attribute bucket:
+    * how many DISTINCT suppliers have actually shipped each
+    * (brand, size) family, excluding one brand the buyer blacklists.
+    * partsupp's supplier-offers relation is replaced by the observed
+    * shipping relation in lineitem. COUNT(DISTINCT) runs per group on
+    * the (brand, size, suppkey) projection — a two-level aggregate
+    * whose first level dedups map-side, the Q16 plan shape.
+    */
+  def q16SupplierVariety(part: DataFrame, lineitem: DataFrame,
+      excludeBrand: String = "Brand#45"): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  /** TPC-H Q20's shape — suppliers who dominate a part's supply: the
+    * concentration screen a buyer runs before negotiating. Dominance
+    * is RELATIVE — a supplier shipping over 3× its fair share of a
+    * part's quantity (share > 3/k over the k suppliers shipping that
+    * part) — because an absolute 50% cut means nothing when every
+    * part has 20 near-uniform suppliers (it selects zero rows at
+    * every scale on such data). Quantity shares fold from exact
+    * decimal sums per (part, supplier) against a joined per-part
+    * total; the supplier census joins the handful of dominant rows
+    * back to the broadcast dimension chain.
+    */
+  def q20DominantSupplier(nation: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, fairShareMult: Double = 3.0): DataFrame = {
+    val perPs = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+    val perPart = perPs.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("part_qty"), count(lit(1)).as("k"))
+    val dominant = perPs.join(perPart, "l_partkey")
+      .filter(col("qty").cast("double") / col("part_qty").cast("double") *
+        col("k").cast("double") > fairShareMult)
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    dominant.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_dominant_parts"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Jarque–Bera normality screen on daily revenue: skewness, excess
+    * kurtosis, and the JB statistic — the 10-second answer to "can I
+    * use Gaussian control limits on this series". Two passes: the
+    * exact-decimal mean broadcasts, then each centered power stages
+    * as a round-6 DECIMAL(38,6) term ((x−μ)⁴ reaches ~1e24 here; 32
+    * integer digits of headroom remain) so the moment sums are
+    * order-free. Day-cardinality-bounded after the day-grain fold.
+    */
+  def a57JarqueBera(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val mu = daily.agg(
+      (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
+        .as("mu"))
+    def d6(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    val x = col("rev").cast("double") - col("mu")
+    val m = daily.crossJoin(broadcast(mu)) // single row
+      .agg(count(lit(1)).as("n"), sum(d6(x * x)).as("m2s"),
+        sum(d6(x * x * x)).as("m3s"), sum(d6(x * x * x * x)).as("m4s"))
+    val nD = col("n").cast("double")
+    val m2 = col("m2s").cast("double") / nD
+    val m3 = col("m3s").cast("double") / nD
+    val m4 = col("m4s").cast("double") / nD
+    val skew = m3 / pow(m2, 1.5)
+    val exkurt = m4 / (m2 * m2) - lit(3.0)
+    m.select(col("n").as("n_days"), round(skew, 9).as("skewness"),
+      round(exkurt, 9).as("excess_kurtosis"),
+      round(nD / lit(6.0) * (skew * skew + exkurt * exkurt / lit(4.0)), 9)
+        .as("jarque_bera"))
+  }
+
   /** Single-bin DFT (Goertzel probe) at the weekly frequency: the
     * amplitude of the period-7 component of DEMEANED daily revenue,
     * reported against the series' own standard deviation — the

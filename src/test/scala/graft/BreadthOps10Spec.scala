@@ -413,4 +413,73 @@ class BreadthOps10Spec extends SparkSpec {
     // identical doc masses: ratio = n_docs_shard / (64/8)
     out.foreach(r => assert(r._4 == r._2 / 8.0, r))
   }
+
+  private lazy val tpchDims = {
+    val region = Seq((0L, "EUROPE"), (1L, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "N_EU", 0L), (2L, "N_AS", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((10L, "sEU", 1L, 5.0), (20L, "sAS", 2L, 7.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    (region, nation, supplier)
+  }
+
+  test("q2MinCostSupplier: picks the cheapest observed unit price in region") {
+    val (region, nation, supplier) = tpchDims
+    val part = Seq((100L, 15), (200L, 9)).toDF("p_partkey", "p_size")
+    // part 100: sEU ships 2 units for 40 (cost 20); sAS ships 1 for 10
+    // but sits outside EUROPE -> sEU wins despite the higher price
+    val lineitem = Seq(
+      (100L, 10L, 2.0, 40.0), (100L, 20L, 1.0, 10.0),
+      (200L, 10L, 1.0, 99.0)) // size-9 part: filtered out
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val out = Relational.q2MinCostSupplier(region, nation, supplier,
+      part, lineitem)
+      .as[(Long, Long, String, Double, String, Double)].collect().toSeq
+    assert(out == Seq((100L, 10L, "sEU", 5.0, "N_EU", 20.0)), out)
+  }
+
+  test("q11ImportantShare: only parts above twice the uniform share survive") {
+    val (region, nation, supplier) = tpchDims
+    // ASIA supplier 20 ships parts 1..5 with values 60, 10, 10, 10, 10
+    val lineitem = (Seq((1L, 60.0)) ++ (2L to 5L).map((_, 10.0))).map {
+      case (p, v) => (p, 20L, v, 0.0)
+    }.toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Relational.q11ImportantShare(nation, supplier, lineitem, region)
+      .as[(Long, Double, Double)].collect().toSeq
+    // uniform share = 1/5; only part 1 (0.6) clears 2/5
+    assert(out == Seq((1L, 60.0, 0.6)), out)
+  }
+
+  test("q16SupplierVariety: counts distinct shippers, blacklisted brand dropped") {
+    val part = Seq((1L, "Brand#11", 5), (2L, "Brand#45", 5))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val lineitem = Seq((1L, 10L), (1L, 20L), (1L, 10L), (2L, 30L))
+      .toDF("l_partkey", "l_suppkey")
+    val out = Relational.q16SupplierVariety(part, lineitem)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out == Seq(("Brand#11", 5, 2L)), out)
+  }
+
+  test("q20DominantSupplier: flags shippers above 3x their fair share") {
+    val (_, nation, supplier) = tpchDims
+    // part 1: 4 suppliers, supplier 10 ships 85 of 100 -> share*k = 3.4
+    val lineitem = (Seq((1L, 10L, 85.0)) ++
+      Seq(20L, 30L, 40L).map((1L, _, 5.0)))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val out = Relational.q20DominantSupplier(nation, supplier, lineitem)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(out == Seq((10L, "sEU", "N_EU", 1L)), out)
+  }
+
+  test("a57JarqueBera: a symmetric two-point series has skew 0, kurtosis -2") {
+    val orders = (1 to 20).map(d =>
+      (d.toLong, if (d % 2 == 0) 200.0 else 100.0, ts(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.a57JarqueBera(orders)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._1 == 20L && out._2 == 0.0 && out._3 == -2.0, out)
+    // JB = n/6 * (0 + 4/4) = 20/6
+    assert(math.abs(out._4 - 20.0 / 6) < 1e-6, out)
+  }
 }
