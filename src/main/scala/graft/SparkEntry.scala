@@ -1591,6 +1591,30 @@ object SparkEntry {
     // skew/kurtosis/JB normality screen on daily revenue
     "a57_jarque_bera" -> ((s, d) =>
       Relational.a57JarqueBera(t(s, d)("orders"))),
+    // Box-Jenkins order table: ACF + PACF at lags 1-3
+    "a58_pacf" -> ((s, d) => Relational.a58Pacf(t(s, d)("orders"))),
+    // ER precision knob dose-response off the cached JW pair list
+    "er_threshold_sweep" -> ((s, d) =>
+      DedupOps.erThresholdSweep(DedupGraph.jwPairs(s, d))),
+    // truncation-waste pricing per candidate context window
+    "pipe_context_census" -> ((s, d) =>
+      PipelineOps.contextWindowCensus(t(s, d)("documents"))),
+    // staging-integrity manifest: REAL staged file counts per
+    // modality vs the doc_id % 3 routing rule the oracle predicts
+    "mm_manifest" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      val png = stagingTag(d, "png", "documents.parquet")
+      val wav = stagingTag(d, "wav", "documents.parquet")
+      val mp4 = stagingTag(d, "mp4", "documents.parquet")
+      Multimodal.stagePngs(docs, png)
+      Multimodal.stageWavs(docs, wav)
+      Multimodal.stageMp4s(docs, mp4)
+      def cnt(dir: String, name: String) = s.read.format("binaryFile")
+        .load(dir).agg(count(lit(1)).as("n_files"))
+        .select(lit(name).as("modality"), col("n_files"))
+      cnt(mp4, "mp4").unionAll(cnt(png, "png")).unionAll(cnt(wav, "wav"))
+        .orderBy("modality")
+    }),
   )
 
   /** K2 end-to-end: two Completed batches (odd/even split of `part`)
@@ -8088,6 +8112,90 @@ object SparkEntry {
         |            * (CAST(m2s AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0)
         |        / 4.0), 9) AS jarque_bera
         |FROM m""".stripMargin,
+    // round-9 autocorrelations feed the same Durbin-Levinson doubles
+    "a58_pacf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |mu AS (SELECT CAST(SUM(rev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mu FROM daily),
+        |xs AS (SELECT d, CAST(rev AS DOUBLE) - mu AS x
+        |  FROM daily CROSS JOIN mu),
+        |ls AS (SELECT x, LEAD(x, 1) OVER (ORDER BY d) AS x1,
+        |    LEAD(x, 2) OVER (ORDER BY d) AS x2,
+        |    LEAD(x, 3) OVER (ORDER BY d) AS x3
+        |  FROM xs),
+        |cs AS (SELECT
+        |    SUM(CAST(ROUND(x * x, 6) AS DECIMAL(38,6))) AS c0,
+        |    SUM(CAST(ROUND(x * x1, 6) AS DECIMAL(38,6))) AS c1,
+        |    SUM(CAST(ROUND(x * x2, 6) AS DECIMAL(38,6))) AS c2,
+        |    SUM(CAST(ROUND(x * x3, 6) AS DECIMAL(38,6))) AS c3
+        |  FROM ls),
+        |rs AS (SELECT
+        |    round(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE), 9) AS r1,
+        |    round(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE), 9) AS r2,
+        |    round(CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE), 9) AS r3
+        |  FROM cs),
+        |dl AS (SELECT r1, r2, r3,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM rs),
+        |dl2 AS (SELECT r1, r2, r3, p22, r1 - p22 * r1 AS p21 FROM dl)
+        |SELECT lag, acf, pacf FROM (
+        |  SELECT 1 AS lag, r1 AS acf, r1 AS pacf FROM dl2
+        |  UNION ALL SELECT 2, r2, round(p22, 9) FROM dl2
+        |  UNION ALL SELECT 3, r3, round(
+        |    (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2), 9)
+        |  FROM dl2)
+        |ORDER BY lag""".stripMargin,
+    // the blocked JW join runs once; every sweep point is a count
+    "er_threshold_sweep" ->
+      """WITH h AS (SELECT doc_id, lang, substr(text,1,32) AS head,
+        |             substr(text,1,4) AS blk FROM documents),
+        |p AS (SELECT round(jaro_winkler_similarity(a.head, b.head), 6) AS jw
+        |  FROM h a JOIN h b
+        |    ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE round(jaro_winkler_similarity(a.head, b.head), 6) >= 0.92),
+        |t AS (SELECT UNNEST([0.92, 0.94, 0.96, 0.98]) AS threshold)
+        |SELECT t.threshold, CAST(COUNT(p.jw) AS BIGINT) AS n_pairs
+        |FROM t LEFT JOIN p ON p.jw >= t.threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one token-count pass, conditional sums per window limit
+    "pipe_context_census" ->
+      """WITH td AS (SELECT CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+')) AS BIGINT) AS tok FROM documents),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |    CAST(SUM(CASE WHEN tok > 512 THEN tok - 512 ELSE 0 END)
+        |      AS BIGINT) AS w1,
+        |    CAST(SUM(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS o2,
+        |    CAST(SUM(CASE WHEN tok > 2048 THEN tok - 2048 ELSE 0 END)
+        |      AS BIGINT) AS w2,
+        |    CAST(SUM(CASE WHEN tok > 8192 THEN 1 ELSE 0 END) AS BIGINT) AS o3,
+        |    CAST(SUM(CASE WHEN tok > 8192 THEN tok - 8192 ELSE 0 END)
+        |      AS BIGINT) AS w3
+        |  FROM td)
+        |SELECT w AS window_len, n_over, share_over, waste_share FROM (
+        |  SELECT 512 AS w, o1 AS n_over,
+        |    round(CAST(o1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |      AS share_over,
+        |    round(CAST(w1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+        |      AS waste_share FROM a
+        |  UNION ALL SELECT 2048, o2,
+        |    round(CAST(o2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9),
+        |    round(CAST(w2 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+        |  FROM a
+        |  UNION ALL SELECT 8192, o3,
+        |    round(CAST(o3 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9),
+        |    round(CAST(w3 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+        |  FROM a)
+        |ORDER BY window_len""".stripMargin,
+    // the doc_id % 3 routing rule predicts every staged file count
+    "mm_manifest" ->
+      """SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_files FROM (
+        |  SELECT CASE octet_length(encode(text)) % 3
+        |      WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS modality
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

@@ -695,6 +695,28 @@ object DedupOps {
       .filter(col("jw") >= threshold)
   }
 
+  /** ER match-count sweep over the Jaro–Winkler threshold — the
+    * precision knob's dose-response curve, read before anyone commits
+    * to a cutoff (match counts should fall SMOOTHLY as the threshold
+    * rises; a cliff means the score distribution is bimodal and the
+    * knob is safe, a plateau means it isn't doing anything). Pure
+    * cut-filters over the already-verified cached pair list — the
+    * [[graft.operators]] threshold-sweep discipline: the blocked join
+    * runs once, every sweep point is a conditional count.
+    */
+  def erThresholdSweep(pairs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.92, 0.94, 0.96, 0.98)): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val t = thresholds.toDF("threshold")
+    broadcast(t)
+      .join(pairs.select(col("jw")), col("jw") >= col("threshold"),
+        "left_outer")
+      .groupBy(col("threshold"))
+      .agg(count(col("jw")).as("n_pairs"))
+      .orderBy("threshold")
+  }
+
   /** SimHash (32-bit here; 64-bit in production — 32 keeps the value
     * inside an exactly-representable SQL BIGINT for oracle parity):
     * per distinct token, a 32-bit hash from the md5 hex prefix; each

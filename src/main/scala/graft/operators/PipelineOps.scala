@@ -955,6 +955,39 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** Context-window census: for each candidate serving/training
+    * window length, how many documents overflow it and what fraction
+    * of the corpus' tokens a hard truncation would discard — the
+    * table that prices "just truncate" against "chunk properly"
+    * ([[chunkTokens]]) per window size. One narrow token-count pass;
+    * each limit is a conditional sum over the same per-doc counts
+    * (no per-limit re-scan), then one broadcast single-row total.
+    */
+  def contextWindowCensus(documents: DataFrame,
+      limits: Seq[Int] = Seq(512, 2048, 8192)): DataFrame = {
+    val perDoc = documents
+      .select(size(TextOps.toksCol).cast("long").as("tok"))
+    val sums = count(lit(1)).as("n_docs") +:
+      sum(col("tok")).as("total_tokens") +:
+      limits.flatMap(l => Seq(
+        sum(when(col("tok") > l, 1L).otherwise(0L)).as(s"over_$l"),
+        sum(when(col("tok") > l, col("tok") - l).otherwise(0L))
+          .as(s"waste_$l")))
+    val agg = perDoc.agg(sums.head, sums.tail: _*)
+    val rows = limits.map(l => struct(lit(l).as("window_len"),
+      col(s"over_$l").as("n_over"),
+      round(col(s"over_$l").cast("double") / col("n_docs").cast("double"), 9)
+        .as("share_over"),
+      round(col(s"waste_$l").cast("double") /
+        col("total_tokens").cast("double"), 9).as("waste_share")))
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.window_len").as("window_len"),
+        col("r.n_over").as("n_over"),
+        col("r.share_over").as("share_over"),
+        col("r.waste_share").as("waste_share"))
+      .orderBy("window_len")
+  }
+
   /** Collection novelty curve — the marginal-value-of-more-data
     * readout: bucket the corpus into ten collection batches (by
     * doc_id range, the arrival proxy) and measure, per batch, what

@@ -3709,6 +3709,51 @@ object Relational {
         .as("jarque_bera"))
   }
 
+  /** ACF + PACF at lags 1–3 of daily revenue — the Box–Jenkins
+    * order-selection table ([[a18Autocorr]] gives the raw ACF; the
+    * PARTIAL autocorrelation is what separates an AR(1) from an AR(2)
+    * process). Autocovariances fold from round-6 decimal term sums of
+    * the demeaned series against its leads; each r_k rounds to 9
+    * BEFORE the Durbin–Levinson recursion, so the recursion runs on
+    * identical doubles on both engines. Day-cardinality-bounded after
+    * the day-grain fold.
+    */
+  def a58Pacf(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val mu = daily.agg(
+      (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
+        .as("mu"))
+    val w = Window.orderBy(col("d"))
+    def d6(c: Column) = round(c, 6).cast(DecimalType(38, 6))
+    val x = col("rev").cast("double") - col("mu")
+    val s = daily.crossJoin(broadcast(mu)) // single row
+      .select(col("d"), x.as("x"))
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("x2", lead(col("x"), 2).over(w))
+      .withColumn("x3", lead(col("x"), 3).over(w))
+      .agg(sum(d6(col("x") * col("x"))).as("c0"),
+        sum(d6(col("x") * col("x1"))).as("c1"),
+        sum(d6(col("x") * col("x2"))).as("c2"),
+        sum(d6(col("x") * col("x3"))).as("c3"))
+    val r1 = round(col("c1").cast("double") / col("c0").cast("double"), 9)
+    val r2 = round(col("c2").cast("double") / col("c0").cast("double"), 9)
+    val r3 = round(col("c3").cast("double") / col("c0").cast("double"), 9)
+    val p22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      (lit(1.0) - p21 * r1 - p22 * r2)
+    val rows = array(
+      struct(lit(1).as("lag"), r1.as("acf"), r1.as("pacf")),
+      struct(lit(2).as("lag"), r2.as("acf"), round(p22, 9).as("pacf")),
+      struct(lit(3).as("lag"), r3.as("acf"), round(p33, 9).as("pacf")))
+    s.select(explode(rows).as("r"))
+      .select(col("r.lag").as("lag"), col("r.acf").as("acf"),
+        col("r.pacf").as("pacf"))
+      .orderBy("lag")
+  }
+
   /** Single-bin DFT (Goertzel probe) at the weekly frequency: the
     * amplitude of the period-7 component of DEMEANED daily revenue,
     * reported against the series' own standard deviation — the

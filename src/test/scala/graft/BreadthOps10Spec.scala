@@ -482,4 +482,39 @@ class BreadthOps10Spec extends SparkSpec {
     // JB = n/6 * (0 + 4/4) = 20/6
     assert(math.abs(out._4 - 20.0 / 6) < 1e-6, out)
   }
+
+  test("a58Pacf: an alternating series has acf(1) < 0 and |pacf| <= 1 shape") {
+    val orders = (1 to 24).map(d =>
+      (d.toLong, if (d % 2 == 0) 200.0 else 100.0, ts(d)))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.a58Pacf(orders)
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1, 2, 3), out)
+    assert(out(1)._2 < -0.9, out) // strong negative lag-1
+    assert(out(1)._2 == out(1)._3, out) // pacf(1) = acf(1)
+    // alternation is AR(1): pacf(2) collapses toward 0 vs acf(2) ~ +1
+    assert(out(2)._2 > 0.9 && math.abs(out(2)._3) < 0.2, out)
+  }
+
+  test("erThresholdSweep: counts fall monotonically as the cutoff rises") {
+    val pairs = Seq((1L, 2L, 0.93), (1L, 3L, 0.95), (2L, 3L, 0.99))
+      .toDF("doc_a", "doc_b", "jw")
+    val out = DedupOps.erThresholdSweep(pairs)
+      .as[(Double, Long)].collect().toSeq
+    assert(out == Seq((0.92, 3L), (0.94, 2L), (0.96, 1L), (0.98, 1L)), out)
+  }
+
+  test("contextWindowCensus: overflow counts and truncation waste per limit") {
+    val docs = Seq(
+      (1L, ("w " * 600).trim), // 600 tokens: over 512 by 88
+      (2L, ("w " * 100).trim)) // under every limit
+      .toDF("doc_id", "text")
+    val out = PipelineOps.contextWindowCensus(docs)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(512, 2048, 8192), out)
+    assert(out.head._2 == 1L && out.head._3 == 0.5, out)
+    assert(out.head._4 == BigDecimal(88.0 / 700)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, out)
+    assert(out.tail.forall(r => r._2 == 0L && r._4 == 0.0), out)
+  }
 }
