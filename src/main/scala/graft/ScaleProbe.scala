@@ -64,7 +64,13 @@ object ScaleProbe {
     // word-stat join
     "dedup_modularity", "dedup_community_edges", "graph_link_predict",
     "graph_ktruss", "pipe_split_leakage_safe", "er_golden_record",
-    "text_keywords")
+    "text_keywords",
+    // round-9 additions: the multi-source BFS ball + the component
+    // eccentricity BFS (both seed-bounded frontier chains), the
+    // cascade's three-scheme anti-joins, the candidate-bounded
+    // weighted-Jaccard verify, and the dim-pruned re-ranking pass
+    "graph_bfs_ball", "dedup_component_ecc", "dedup_cascade",
+    "dedup_weighted_jaccard", "sim_dim_prune")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",

@@ -7222,14 +7222,15 @@ object SparkEntry {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
         |  FROM orders GROUP BY 1),
         |l AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS lag),
-        |j AS (SELECT l.lag, CAST(x.cnt AS DECIMAL(18,0)) AS x, y.rev
+        |j AS (SELECT l.lag, CAST(x.cnt AS DECIMAL(18,0)) AS x,
+        |    CAST(x.cnt AS DOUBLE) AS xd, y.rev, CAST(y.rev AS DOUBLE) AS yd
         |  FROM daily x CROSS JOIN l
         |  JOIN daily y ON y.d = x.d + l.lag),
         |s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(x) AS sx, SUM(rev) AS sy,
-        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-        |    SUM(CAST(rev * rev AS DECIMAL(38,4))) AS syy,
-        |    SUM(CAST(x * rev AS DECIMAL(38,2))) AS sxy
+        |    SUM(CAST(ROUND(xd * xd, 4) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(ROUND(yd * yd, 4) AS DECIMAL(38,4))) AS syy,
+        |    SUM(CAST(ROUND(xd * yd, 4) AS DECIMAL(38,4))) AS sxy
         |  FROM j GROUP BY 1)
         |SELECT lag, n AS n_days,
         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)

@@ -3245,14 +3245,20 @@ object Relational {
     val joined = daily.select(col("d"), col("cnt"))
       .crossJoin(broadcast(lags))
       .join(y, col("dy") === date_add(col("d"), col("lag")))
+    // product terms stage as round-4 doubles (identical IEEE products
+    // on both engines) rather than decimal×decimal: a day's squared
+    // revenue overflows DuckDB's int64-backed DECIMAL(18) multiply at
+    // sf0.1 already — the linear sums stay exact decimal
     val x = col("cnt").cast(DecimalType(18, 0))
-    val yv = col("rev")
+    val xd = col("cnt").cast("double")
+    val yd = col("rev").cast("double")
+    def d4(c: Column) = round(c, 4).cast(DecimalType(38, 4))
     val s = joined.groupBy(col("lag")).agg(
       count(lit(1)).as("n"),
-      sum(x).as("sx"), sum(yv).as("sy"),
-      sum((x * x).cast(DecimalType(38, 0))).as("sxx"),
-      sum((yv * yv).cast(DecimalType(38, 4))).as("syy"),
-      sum((x * yv).cast(DecimalType(38, 2))).as("sxy"))
+      sum(x).as("sx"), sum(col("rev")).as("sy"),
+      sum(d4(xd * xd)).as("sxx"),
+      sum(d4(yd * yd)).as("syy"),
+      sum(d4(xd * yd)).as("sxy"))
     val nD = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
     s.select(col("lag"), col("n").as("n_days"),
