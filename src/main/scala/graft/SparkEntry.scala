@@ -1599,6 +1599,15 @@ object SparkEntry {
     // truncation-waste pricing per candidate context window
     "pipe_context_census" -> ((s, d) =>
       PipelineOps.contextWindowCensus(t(s, d)("documents"))),
+    // macro-redundancy: cosine between source unigram profiles
+    "text_source_similarity" -> ((s, d) =>
+      TextOps.sourceSimilarity(t(s, d)("documents"))),
+    // priced quality-filter tradeoff: docs/tokens kept per cutoff
+    "pipe_quality_sweep" -> ((s, d) =>
+      PipelineOps.qualitySweep(t(s, d)("documents"))),
+    // Poisson overdispersion index of daily arrivals per weekday
+    "a59_dispersion" -> ((s, d) =>
+      Relational.a59Dispersion(t(s, d)("orders"))),
     // staging-integrity manifest: REAL staged file counts per
     // modality vs the doc_id % 3 routing rule the oracle predicts
     "mm_manifest" -> ((s, d) => {
@@ -8197,6 +8206,93 @@ object SparkEntry {
         |      WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS modality
         |  FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // token-keyed profile self-join (vocab x source^2 bounded);
+    // exact BIGINT-in-DECIMAL dot/norm sums
+    "text_source_similarity" ->
+      """WITH tf AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT source,
+        |    SUM(CAST(c * c AS DECIMAL(38,0))) AS n2 FROM tf GROUP BY 1),
+        |dots AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    SUM(CAST(a.c * b.c AS DECIMAL(38,0))) AS dot
+        |  FROM tf a JOIN tf b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT d.source_a, d.source_b,
+        |  round(CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9)
+        |    AS cosine
+        |FROM dots d
+        |JOIN norms na ON na.source = d.source_a
+        |JOIN norms nb ON nb.source = d.source_b
+        |ORDER BY d.source_a, d.source_b""".stripMargin,
+    // the text_quality_model score shape, swept as conditional sums
+    "pipe_quality_sweep" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(text) AS BIGINT) AS n_chars_measured,
+        |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS n_stop,
+        |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> len(t))) AS BIGINT) AS total_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tokens,
+        |    1.5 * (CASE WHEN n_tokens > 0
+        |        THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+        |      - CAST(n_punct AS DOUBLE) / n_chars_measured
+        |      + 0.02 * (CASE WHEN n_tokens > 0
+        |        THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END)
+        |      AS q_score
+        |  FROM q),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN q_score >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+        |    CAST(SUM(CASE WHEN q_score >= 0.1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t0,
+        |    CAST(SUM(CASE WHEN q_score >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(SUM(CASE WHEN q_score >= 0.2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN q_score >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+        |    CAST(SUM(CASE WHEN q_score >= 0.3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN q_score >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+        |    CAST(SUM(CASE WHEN q_score >= 0.4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+        |  FROM f)
+        |SELECT cutoff, n_kept, doc_share, token_share FROM (
+        |  SELECT CAST(0.1 AS DOUBLE) AS cutoff, k0 AS n_kept,
+        |    round(CAST(k0 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9) AS doc_share,
+        |    round(CAST(t0 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9)
+        |      AS token_share FROM a
+        |  UNION ALL SELECT CAST(0.2 AS DOUBLE), k1,
+        |    round(CAST(k1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9),
+        |    round(CAST(t1 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9) FROM a
+        |  UNION ALL SELECT CAST(0.3 AS DOUBLE), k2,
+        |    round(CAST(k2 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9),
+        |    round(CAST(t2 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9) FROM a
+        |  UNION ALL SELECT CAST(0.4 AS DOUBLE), k3,
+        |    round(CAST(k3 AS DOUBLE) / CAST(n_docs AS DOUBLE), 9),
+        |    round(CAST(t3 AS DOUBLE) / CAST(total_tokens AS DOUBLE), 9) FROM a)
+        |ORDER BY cutoff""".stripMargin,
+    // exact BIGINT count moments per weekday (a44 epoch convention)
+    "a59_dispersion" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT ((d - DATE '1996-01-01') % 7 + 7) % 7 AS weekday,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sc2
+        |  FROM daily GROUP BY 1)
+        |SELECT CAST(weekday AS INT) AS weekday, n_days,
+        |  round(CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE), 9) AS mean_count,
+        |  round((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE), 9)
+        |    AS var_count,
+        |  round(((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |      / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE))
+        |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)), 9) AS dispersion
+        |FROM g ORDER BY weekday""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

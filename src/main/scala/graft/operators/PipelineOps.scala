@@ -955,6 +955,42 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** Quality-vs-quantity tradeoff curve: for each candidate quality
+    * cutoff, how many documents and what share of the corpus' TOKENS
+    * a [[graft.operators.TextOps.qualityModelScore]] gate would
+    * retain — the table that turns "filter harder" from a vibe into a
+    * priced decision. The linear-model score computes once per row
+    * (the text_quality feature shapes, identical IEEE on both
+    * engines); every cutoff is a conditional sum over that one pass.
+    */
+  def qualitySweep(documents: DataFrame,
+      cutoffs: Seq[Double] = Seq(0.1, 0.2, 0.3, 0.4)): DataFrame = {
+    val scored = TextOps.qualityModelScore(documents)
+      .select(col("q_score"), col("doc_id"))
+      .join(documents.select(col("doc_id"),
+        size(TextOps.toksCol).cast("long").as("tok")), Seq("doc_id"))
+    val sums = count(lit(1)).as("n_docs") +:
+      sum(col("tok")).as("total_tokens") +:
+      cutoffs.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(col("q_score") >= c, 1L).otherwise(0L)).as(s"k$i"),
+        sum(when(col("q_score") >= c, col("tok")).otherwise(0L))
+          .as(s"t$i"))
+      }
+    val agg = scored.agg(sums.head, sums.tail: _*)
+    val rows = cutoffs.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("cutoff"), col(s"k$i").as("n_kept"),
+        round(col(s"k$i").cast("double") / col("n_docs").cast("double"), 9)
+          .as("doc_share"),
+        round(col(s"t$i").cast("double") /
+          col("total_tokens").cast("double"), 9).as("token_share"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.cutoff").as("cutoff"), col("r.n_kept").as("n_kept"),
+        col("r.doc_share").as("doc_share"),
+        col("r.token_share").as("token_share"))
+      .orderBy("cutoff")
+  }
+
   /** Context-window census: for each candidate serving/training
     * window length, how many documents overflow it and what fraction
     * of the corpus' tokens a hard truncation would discard — the

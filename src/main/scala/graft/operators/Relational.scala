@@ -3715,6 +3715,35 @@ object Relational {
         .as("jarque_bera"))
   }
 
+  /** Poisson dispersion index of daily order counts per weekday —
+    * the overdispersion test that decides whether a Poisson arrival
+    * model (and its control limits) is usable per day-of-week: index
+    * = variance/mean, ~1 under Poisson, ≫1 when arrivals cluster.
+    * Weekday = day-offset mod 7 from a fixed epoch (the a44
+    * convention — no engine dayofweek dependency); counts are exact
+    * integers so every moment folds from BIGINT sums, doubles only
+    * in the final division. Day-cardinality-bounded.
+    */
+  def a59Dispersion(orders: DataFrame,
+      epoch: String = "1996-01-01"): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val wd = (datediff(col("d"), lit(epoch).cast("date")) % 7 + 7) % 7
+    val g = daily.groupBy(wd.as("weekday"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val nD = col("n_days").cast("double")
+    val mean = col("sc").cast("double") / nD
+    val variance = (col("sc2").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / nD) / nD
+    g.select(col("weekday"), col("n_days"),
+        round(mean, 9).as("mean_count"),
+        round(variance, 9).as("var_count"),
+        round(variance / mean, 9).as("dispersion"))
+      .orderBy("weekday")
+  }
+
   /** ACF + PACF at lags 1–3 of daily revenue — the Box–Jenkins
     * order-selection table ([[a18Autocorr]] gives the raw ACF; the
     * PARTIAL autocorrelation is what separates an AR(1) from an AR(2)

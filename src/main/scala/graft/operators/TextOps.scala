@@ -1485,6 +1485,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Source-profile cosine similarity matrix — the MACRO-redundancy
+    * readout pair-level dedup can't give: two providers can share
+    * almost no duplicate documents yet have near-identical unigram
+    * profiles (same scrape of the same domain, different crawl
+    * dates). Cosine over raw token-count vectors, folded from exact
+    * BIGINT dot/norm sums: the tf self-join keys on the TOKEN, so its
+    * size is Σ_t C(k_t, 2) over each token's source count k_t —
+    * bounded by vocab × source², never by corpus rows; norms join
+    * back from a source-cardinality table. Upper triangle only.
+    */
+  def sourceSimilarity(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("source"), explode(toksCol).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val norms = tf.groupBy(col("source"))
+      .agg(sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("n2"))
+    val dots = tf.as("a")
+      .join(tf.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum((col("a.c") * col("b.c")).cast(DecimalType(38, 0))).as("dot"))
+    dots
+      .join(broadcast(norms.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n2", "na")), Seq("source_a"))
+      .join(broadcast(norms.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n2", "nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          9).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Template-sentence census per source — the generated-content
     * screen [[removeBoilerplate]]'s exact matcher misses: sentences
     * are NORMALIZED (digit runs → '#') before counting document

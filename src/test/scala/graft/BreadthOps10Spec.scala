@@ -517,4 +517,41 @@ class BreadthOps10Spec extends SparkSpec {
       .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, out)
     assert(out.tail.forall(r => r._2 == 0L && r._4 == 0.0), out)
   }
+
+  test("sourceSimilarity: identical profiles hit cosine 1, disjoint hit 0") {
+    val docs = Seq(
+      (1L, "alpha beta", "s1"), (2L, "alpha beta", "s2"),
+      (3L, "zeta", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceSimilarity(docs)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("s1", "s2")) == 1.0, out)
+    // disjoint vocab -> no joined token rows -> pair absent (dot = 0)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")), out)
+  }
+
+  test("qualitySweep: shares fall monotonically with the cutoff") {
+    val docs = Seq(
+      (1L, "the quick fox and the dog of the town went to a show"),
+      (2L, "xxxx!!! ####"))
+      .toDF("doc_id", "text")
+    val out = PipelineOps.qualitySweep(docs)
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0.1, 0.2, 0.3, 0.4), out)
+    assert(out.head._2 >= out.last._2, out)
+    // the stopword-rich doc clears every cutoff; the junk doc none
+    assert(out.forall(r => r._2 == 1L && r._3 == 0.5), out)
+  }
+
+  test("a59Dispersion: constant daily counts have zero dispersion") {
+    val orders = (1 to 28).flatMap(d =>
+      (1 to 3).map(i => (d.toLong * 10 + i, 5.0, ts(d))))
+      .toDF("o_orderkey", "o_totalprice", "o_orderdate")
+    val out = Relational.a59Dispersion(orders, epoch = "2024-01-01")
+      .as[(Int, Long, Double, Double, Double)].collect().toSeq
+    assert(out.size == 7 && out.map(_._1) == (0 to 6).toList, out)
+    assert(out.forall(r => r._2 == 4L && r._3 == 3.0 &&
+      r._4 == 0.0 && r._5 == 0.0), out)
+  }
 }
