@@ -1608,6 +1608,14 @@ object SparkEntry {
     // Poisson overdispersion index of daily arrivals per weekday
     "a59_dispersion" -> ((s, d) =>
       Relational.a59Dispersion(t(s, d)("orders"))),
+    // signature-width vs estimate-accuracy table on verified pairs
+    "dedup_k_sensitivity" -> ((s, d) => DedupOps.minhashKSensitivity(
+      t(s, d)("documents"), DedupGraph.minhashPairs(s, d))),
+    // does one raw coordinate leak the label? one-way ANOVA F
+    "sim_dim_leakage" -> ((s, d) =>
+      SimilarityOps.dimLabelAnova(t(s, d)("embeddings"))),
+    // which revenue deciles carry the book (Lorenz curve points)
+    "a60_lorenz" -> ((s, d) => Relational.a60Lorenz(t(s, d)("orders"))),
     // staging-integrity manifest: REAL staged file counts per
     // modality vs the doc_id % 3 routing rule the oracle predicts
     "mm_manifest" -> ((s, d) => {
@@ -8293,6 +8301,82 @@ object SparkEntry {
         |      / CAST(n_days AS DOUBLE)) / CAST(n_days AS DOUBLE))
         |    / (CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE)), 9) AS dispersion
         |FROM g ORDER BY weekday""".stripMargin,
+    // first-k agree counts unroll per k; per-pair errors stage as
+    // round-12 decimals before the order-free means
+    "dedup_k_sensitivity" -> {
+      def agree(k: Int) = (0 until k)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      def errSum(k: Int) =
+        s"""SUM(CAST(ROUND(abs(p.jaccard
+           | - CAST($${AG$k} AS DOUBLE) / $k.0), 12) AS DECIMAL(18,14)))"""
+          .stripMargin.replace("\n", "")
+          .replace(s"$${AG$k}", agree(k))
+      s"""WITH $MinhashPairsCtes,
+         |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    ${errSum(4)} AS e4,
+         |    ${errSum(8)} AS e8,
+         |    ${errSum(16)} AS e16
+         |  FROM pairs p
+         |  JOIN mh a ON a.doc_id = p.doc_a
+         |  JOIN mh b ON b.doc_id = p.doc_b)
+         |SELECT k, n_pairs, mae FROM (
+         |  SELECT 4 AS k, n_pairs,
+         |    round(CAST(e4 AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9) AS mae
+         |  FROM e
+         |  UNION ALL SELECT 8, n_pairs,
+         |    round(CAST(e8 AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9) FROM e
+         |  UNION ALL SELECT 16, n_pairs,
+         |    round(CAST(e16 AS DOUBLE) / CAST(n_pairs AS DOUBLE), 9) FROM e)
+         |ORDER BY k""".stripMargin
+    },
+    // coordinate 0 staged at round-9 feeds the a31 fold
+    "sim_dim_leakage" ->
+      """WITH x AS (SELECT label,
+        |    round(CAST(embedding[1] AS DOUBLE), 9) AS x
+        |  FROM embeddings),
+        |g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS sx_g,
+        |    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS sxx_g
+        |  FROM x GROUP BY 1),
+        |p AS (SELECT n_g, sx_g,
+        |    CAST(ROUND(CAST(sxx_g AS DOUBLE)
+        |      - CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE), 6) AS DECIMAL(28,10)) AS ssw_g,
+        |    CAST(ROUND(CAST(sx_g AS DOUBLE) * CAST(sx_g AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE), 6) AS DECIMAL(28,10)) AS sb_g
+        |  FROM g),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n, SUM(sx_g) AS sx_tot,
+        |    SUM(ssw_g) AS ssw, SUM(sb_g) AS sb FROM p)
+        |SELECT k AS n_labels, n AS n_vecs,
+        |  CASE WHEN ssw > 0 THEN
+        |    round(((CAST(sb AS DOUBLE)
+        |        - CAST(sx_tot AS DOUBLE) * CAST(sx_tot AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+        |      / (CAST(ssw AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 9)
+        |  ELSE NULL END AS f_stat
+        |FROM t WHERE k > 1 AND n > k""".stripMargin,
+    // identical total order (rev, custkey) -> identical ntile fronts;
+    // exact decimal shares divide once in double
+    "a60_lorenz" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |dt AS (SELECT ntile(10) OVER (ORDER BY rev, o_custkey) AS decile, rev
+        |  FROM pc),
+        |bd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    SUM(rev) AS drev FROM dt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(drev) AS DECIMAL(38,2)) AS total FROM bd),
+        |cm AS (SELECT decile, n_customers, drev,
+        |    SUM(drev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+        |  FROM bd)
+        |SELECT decile, n_customers,
+        |  round(CAST(drev AS DOUBLE) / CAST(total AS DOUBLE), 9) AS rev_share,
+        |  round(CAST(crev AS DOUBLE) / CAST(total AS DOUBLE), 9) AS cum_share
+        |FROM cm CROSS JOIN tot ORDER BY decile""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

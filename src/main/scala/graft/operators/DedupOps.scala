@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection for training-data pipelines: MinHash+LSH,
@@ -693,6 +694,40 @@ object DedupOps {
         round(graft.functions.GraftFunctions.jaro_winkler(
           col("a.head"), col("b.head")), 6).as("jw"))
       .filter(col("jw") >= threshold)
+  }
+
+  /** MinHash signature-size sensitivity: on the verified pair list,
+    * the mean absolute error of the k-hash Jaccard estimate
+    * (agreeing minhashes / k, using the FIRST k of the 16 stored
+    * functions) against the exact shingle Jaccard, for k ∈ 4/8/16 —
+    * the storage-vs-accuracy table that justifies (or shrinks) the
+    * signature width. One pair-bounded signature join; every k reads
+    * the same row (unrolled literal comparisons), per-pair errors
+    * stage as round-12 decimals so the means are order-free.
+    */
+  def minhashKSensitivity(documents: DataFrame, pairs: DataFrame,
+      ks: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val sigs = minhashSignatures(documents, ks.max)
+    def side(s: String) = sigs.select(
+      col("doc_id").as(s"doc_$s") +:
+        (0 until ks.max).map(i => col(s"m$i").as(s"$s$i")): _*)
+    def est(k: Int) = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(k.toDouble)
+    def d12(c: Column) = round(c, 12).cast(DecimalType(18, 14))
+    val joined = broadcast(pairs.select(col("doc_a"), col("doc_b"),
+        col("jaccard")))
+      .join(side("a"), Seq("doc_a"))
+      .join(side("b"), Seq("doc_b"))
+    val sums = count(lit(1)).as("n_pairs") +:
+      ks.map(k => sum(d12(abs(col("jaccard") - est(k)))).as(s"e$k"))
+    val agg = joined.agg(sums.head, sums.tail: _*)
+    val rows = ks.map(k => struct(lit(k).as("k"),
+      round(col(s"e$k").cast("double") / col("n_pairs").cast("double"), 9)
+        .as("mae")))
+    agg.select(col("n_pairs"), explode(array(rows: _*)).as("r"))
+      .select(col("r.k").as("k"), col("n_pairs"), col("r.mae").as("mae"))
+      .orderBy("k")
   }
 
   /** ER match-count sweep over the Jaro–Winkler threshold — the

@@ -3730,6 +3730,40 @@ object Relational {
         .as("jarque_bera"))
   }
 
+  /** Lorenz-curve decile table of customer revenue — the
+    * concentration CURVE behind [[a21Gini]]'s single number (which
+    * deciles actually carry the book). Customers rank by exact-
+    * decimal lifetime revenue with the id as the total-order tie key,
+    * ntile them into 10 equal buckets (both engines front-load
+    * remainders identically over an identical total order), and each
+    * decile's exact revenue share + running cumulative share divides
+    * once in double. The rank window sorts the CUSTOMER dimension,
+    * not fact rows — the documented dimension-scale-sort posture.
+    */
+  def a60Lorenz(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    val perCust = orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val w = Window.orderBy(col("rev"), col("o_custkey"))
+    val byDecile = perCust
+      .withColumn("decile", ntile(buckets).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+    val tot = byDecile.agg(sum(col("drev")).cast(DecimalType(38, 2))
+      .as("total"))
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("crev", sum(col("drev")).over(cum))
+      .crossJoin(broadcast(tot)) // single row
+      .select(col("decile"), col("n_customers"),
+        round(col("drev").cast("double") / col("total").cast("double"), 9)
+          .as("rev_share"),
+        round(col("crev").cast("double") / col("total").cast("double"), 9)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** Poisson dispersion index of daily order counts per weekday —
     * the overdispersion test that decides whether a Poisson arrival
     * model (and its control limits) is usable per day-of-week: index

@@ -1404,6 +1404,50 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** Coordinate–label leakage ANOVA: does ONE raw embedding
+    * coordinate already separate the labels? A large F on a single
+    * axis means a trivial univariate threshold is a working linear
+    * probe — the coordinate system is label-aligned, which matters
+    * for any per-dimension pruning/quantization decision (pruning
+    * that axis costs label signal; see [[dimPruneRecall]]). (The NORM
+    * variant of this test is vacuous on unit-normalized embeddings —
+    * exactly this corpus — so the probe reads a coordinate, where
+    * variance survives normalization.) One narrow projection staged
+    * as round-9 doubles into the [[Relational.a31AnovaF]] fold shape;
+    * label-cardinality-bounded after the first aggregate.
+    */
+  def dimLabelAnova(embeddings: DataFrame, dim: Int = 0): DataFrame = {
+    val x = round(element_at(col("embedding"), dim + 1).cast("double"), 9)
+    def d12(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast(DecimalType(28, 12))
+    val g = embeddings
+      .select(col("label"), x.as("x"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_g"), sum(d12(col("x"))).as("sx_g"),
+        sum(d12(col("x") * col("x"))).as("sxx_g"))
+    val sxd = col("sx_g").cast("double")
+    val nd = col("n_g").cast("double")
+    g.select(col("n_g"), col("sx_g"),
+        round(col("sxx_g").cast("double") - sxd * sxd / nd, 6)
+          .cast(DecimalType(28, 10)).as("ssw_g"),
+        round(sxd * sxd / nd, 6).cast(DecimalType(28, 10)).as("sb_g"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("sx_g")).as("sx_tot"),
+        sum(col("ssw_g")).as("ssw"), sum(col("sb_g")).as("sb"))
+      .filter(col("k") > 1 && col("n") > col("k"))
+      .select(col("k").as("n_labels"), col("n").as("n_vecs"),
+        // ssw = 0 means PERFECT separation (F = ∞); NULL on both
+        // engines rather than an engine-divergent inf/error
+        when(col("ssw") > 0,
+          round(((col("sb").cast("double") -
+            col("sx_tot").cast("double") * col("sx_tot").cast("double") /
+              col("n").cast("double")) /
+            (col("k").cast("double") - lit(1.0))) /
+            (col("ssw").cast("double") /
+              (col("n").cast("double") - col("k").cast("double"))), 9))
+          .as("f_stat"))
+  }
+
   /** Recall@k CURVE of the LSH index against brute force, k ∈ `ks` —
     * the index-tuning readout one recall point can't give (LSH recall
     * typically rises with k; a flat-low curve means the plane count

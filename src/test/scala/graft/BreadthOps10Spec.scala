@@ -554,4 +554,48 @@ class BreadthOps10Spec extends SparkSpec {
     assert(out.forall(r => r._2 == 4L && r._3 == 3.0 &&
       r._4 == 0.0 && r._5 == 0.0), out)
   }
+
+  test("minhashKSensitivity: identical docs estimate perfectly at every k") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val out = DedupOps.minhashKSensitivity(docs, pairs)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(out == Seq((4, 1L, 0.0), (8, 1L, 0.0), (16, 1L, 0.0)), out)
+  }
+
+  test("dimLabelAnova: a label-aligned coordinate yields a huge F") {
+    val vecs = (1L to 40L).map { i =>
+      val lab = if (i % 2 == 0) "a" else "b"
+      // dim 0 separates labels (small within-label jitter keeps the
+      // within-variance nonzero); dim 1 is noise-ish
+      val base = if (lab == "a") 1.0f else -1.0f
+      (i, Array(base + (i % 3) * 0.01f, (i % 5).toFloat), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.dimLabelAnova(vecs)
+      .as[(Long, Long, Double)].collect().head
+    assert(out._1 == 2L && out._2 == 40L, out)
+    assert(out._3 > 1e4, out) // near-perfect separation -> huge F
+
+    // perfect separation: within-variance 0 -> f_stat NULL, no error
+    val sep = (1L to 10L).map { i =>
+      val lab = if (i % 2 == 0) "a" else "b"
+      (i, Array(if (lab == "a") 1.0f else -1.0f), lab)
+    }.toDF("vec_id", "embedding", "label")
+    val sepOut = SimilarityOps.dimLabelAnova(sep)
+      .select("f_stat").collect().head
+    assert(sepOut.isNullAt(0), sepOut)
+  }
+
+  test("a60Lorenz: equal customers split shares evenly; cum hits 1") {
+    val orders = (1L to 20L).map(c => (c, c, 10.0, ts(1)))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val out = Relational.a60Lorenz(orders)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.size == 10 && out.forall(r => r._2 == 2L && r._3 == 0.1), out)
+    assert(out.last._4 == 1.0, out)
+    assert(out.map(_._4) == out.map(_._4).sorted, out)
+  }
 }
