@@ -1616,6 +1616,10 @@ object SparkEntry {
       SimilarityOps.dimLabelAnova(t(s, d)("embeddings"))),
     // which revenue deciles carry the book (Lorenz curve points)
     "a60_lorenz" -> ((s, d) => Relational.a60Lorenz(t(s, d)("orders"))),
+    // direction of the id-policy survivor bias (length census)
+    "pipe_survivor_bias" -> ((s, d) => PipelineOps.survivorBias(
+      t(s, d)("documents"),
+      DedupGraph.minhashPairs(s, d).select("doc_a", "doc_b"))),
     // staging-integrity manifest: REAL staged file counts per
     // modality vs the doc_id % 3 routing rule the oracle predicts
     "mm_manifest" -> ((s, d) => {
@@ -8377,6 +8381,27 @@ object SparkEntry {
         |  round(CAST(drev AS DOUBLE) / CAST(total AS DOUBLE), 9) AS rev_share,
         |  round(CAST(crev AS DOUBLE) / CAST(total AS DOUBLE), 9) AS cum_share
         |FROM cm CROSS JOIN tot ORDER BY decile""".stripMargin,
+    // transitive-closure components; population tag via left join
+    "pipe_survivor_bias" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |comp AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS component
+         |  FROM reach GROUP BY u),
+         |tagged AS (SELECT CAST(d.n_chars AS BIGINT) AS len,
+         |    CASE WHEN c.component IS NULL THEN 'untouched'
+         |      WHEN c.doc_id = c.component THEN 'survivor'
+         |      ELSE 'dropped' END AS pop
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+         |SELECT pop, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  round(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+         |    AS mean_chars
+         |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The J1 merge result (base FULL OUTER delta, delta wins, deletes

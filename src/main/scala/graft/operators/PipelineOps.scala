@@ -955,6 +955,35 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** Survivor-bias audit: does keep-lowest-id dedup make the corpus
+    * SHORTER on average? Compares mean document length across the
+    * three populations a dedup pass creates — untouched docs,
+    * surviving component roots, and dropped members — in one row.
+    * A large survivor-vs-dropped gap says the arbitrary id policy is
+    * systematically picking a different document than quality-first
+    * would (cf. [[survivorPolicySensitivity]], which counts the
+    * disagreements; this measures their direction). Components come
+    * from the shared pair graph; the census is three conditional
+    * exact-integer sums over a doc-scale left join.
+    */
+  def survivorBias(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = GraphOps.connectedComponents(pairs)
+      .withColumn("is_root", col("doc_id") === col("component"))
+    val tagged = documents.select(col("doc_id"),
+        col("n_chars").cast("long").as("len"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .select(col("len"),
+        when(col("component").isNull, "untouched")
+          .when(col("is_root"), "survivor")
+          .otherwise("dropped").as("pop"))
+    val g = tagged.groupBy(col("pop"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("chars"))
+    g.select(col("pop"), col("n_docs"),
+        round(col("chars").cast("double") / col("n_docs").cast("double"), 9)
+          .as("mean_chars"))
+      .orderBy("pop")
+  }
+
   /** Quality-vs-quantity tradeoff curve: for each candidate quality
     * cutoff, how many documents and what share of the corpus' TOKENS
     * a [[graft.operators.TextOps.qualityModelScore]] gate would

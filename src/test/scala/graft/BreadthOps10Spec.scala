@@ -598,4 +598,17 @@ class BreadthOps10Spec extends SparkSpec {
     assert(out.last._4 == 1.0, out)
     assert(out.map(_._4) == out.map(_._4).sorted, out)
   }
+
+  test("survivorBias: three populations with exact mean lengths") {
+    val docs = Seq(
+      (1L, 10L), (2L, 90L), // comp {1,2}: 1 survives, 2 drops
+      (9L, 50L)) // untouched
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = PipelineOps.survivorBias(docs, pairs)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("dropped", 1L, 90.0), ("survivor", 1L, 10.0),
+      ("untouched", 1L, 50.0)), out)
+  }
 }
