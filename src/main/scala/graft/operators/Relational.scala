@@ -21,6 +21,62 @@ object Relational {
   /** Exact-sum helper: sum(cast(c as decimal(18,2))) cast back to double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Exact global `row_number() OVER (ORDER BY order…)` WITHOUT the
+    * single-partition window: an unpartitioned `WindowExec` moves the
+    * ENTIRE frame to one task (Spark logs `No Partition Defined`),
+    * which at 10⁹ customers is a one-task sort. This is the two-pass
+    * partition-offset rank instead: range-repartition on the sort key
+    * (Spark's parallel range sort — the same machinery as a
+    * distributed ORDER BY), rank locally inside each range partition,
+    * then add per-partition row-count offsets. The offset table has
+    * one row per shuffle partition — bounded by config, never by
+    * data — and joins back by broadcast. Equivalent to the global
+    * window because range partition i holds strictly lower sort keys
+    * than partition i+1; `order` must be a total order (include a
+    * unique tie-break column) so ranks are deterministic.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      out: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+    // #partitions rows; the unpartitioned window here is over that
+    // bounded table, not over data
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        sum(col("__cnt")).over(Window.orderBy(col("__pid"))) - col("__cnt"))
+      .select(col("__pid"), col("__off"))
+    ranged
+      .withColumn("__lrnk", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(order: _*)))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__lrnk") + col("__off"))
+      .drop("__pid", "__lrnk")
+  }
+
+  /** SQL-standard `ntile(b)` computed arithmetically from an exact
+    * 1-based global rank ([[globalRowNumber]]) and the broadcast frame
+    * count, instead of an unpartitioned ntile window: the first
+    * `n mod b` buckets take `floor(n/b)+1` rows, the rest take
+    * `floor(n/b)` — the same front-loaded-remainder rule Spark and
+    * DuckDB both implement. All arithmetic is exact: integer
+    * subtract-mod floor division (the operands are non-negative), so
+    * the double round-trip of Column `/` cannot flip a boundary row.
+    */
+  def ntileAt(rnk: Column, n: Column, b: Int): Column = {
+    def idiv(x: Column, d: Column) = ((x - x % d) / d).cast("long")
+    val bl = lit(b.toLong)
+    val nL = n.cast("long")
+    val q = idiv(nL, bl) // floor(n/b), exact
+    val big = q + lit(1L)
+    val cut = (nL % bl) * big // rows living in the size-(q+1) buckets
+    val rm1 = rnk.cast("long") - lit(1L)
+    when(rnk <= cut, idiv(rm1, big) + lit(1L))
+      .otherwise(nL % bl + idiv(rm1 - cut, q) + lit(1L))
+      .cast("int")
+  }
+
   /** Flagship pricing-summary aggregate (partial agg map-side, one
     * shuffle on the two low-cardinality grouping keys — scales flat).
     */
@@ -830,17 +886,19 @@ object Relational {
     * of total event value do the top 1% / top 10% of users carry? The
     * "whales" number every engagement dashboard leads with, and the
     * Lorenz complement of [[a21Gini]]'s single coefficient. Per-user
-    * totals are exact decimals off ONE user-keyed aggregate; ranking
-    * is a window over the USER aggregate (dimension-scale, the
-    * [[a35RfmSegments]] posture); cutoffs use ceil(n·p) integer
-    * arithmetic so the cohort is engine-identical; shares divide in
-    * double behind round(…,9).
+    * totals are exact decimals off ONE user-keyed aggregate; the
+    * global revenue rank comes from [[globalRowNumber]]'s two-pass
+    * partition-offset rank (a parallel range sort + a bounded offset
+    * join — NOT a single-partition window, which would collapse the
+    * user dimension onto one task at scale); cutoffs use ceil(n·p)
+    * integer arithmetic so the cohort is engine-identical; shares
+    * divide in double behind round(…,9).
     */
   def a39ParetoShare(events: DataFrame): DataFrame = {
     val per = events.groupBy(col("user_id"))
       .agg(sum(col("value").cast(DecimalType(18, 2))).as("v"))
-    val w = Window.orderBy(col("v").desc, col("user_id"))
-    val ranked = per.withColumn("rnk", row_number().over(w))
+    val ranked =
+      globalRowNumber(per, Seq(col("v").desc, col("user_id")), "rnk")
     val tot = per.agg(count(lit(1)).as("n_users"),
       sum(col("v")).as("total"))
     ranked.crossJoin(broadcast(tot)) // single-row totals
@@ -963,25 +1021,33 @@ object Relational {
     * per customer, Recency (latest order date), Frequency (order
     * count), Monetary (exact decimal revenue sum), each cut into
     * quartiles, concatenated into the 3-digit segment code marketing
-    * pipelines key on. Quartile assignment is ntile(4) over a
-    * deterministic (metric, custkey) order — a GLOBAL sort over the
-    * customer aggregate, which is customer-scale, not order-scale (the
-    * [[w8NtileStats]] posture: at 100 TB this is the range-partitioned
-    * sort of a dimension table, not of the fact stream). One
-    * customer-keyed aggregate feeds all three windows.
+    * pipelines key on. Quartile assignment is the SQL-standard
+    * ntile(4) over a deterministic (metric, custkey) total order —
+    * computed scalably: each metric gets a [[globalRowNumber]]
+    * two-pass partition-offset rank (a parallel range sort; an
+    * unpartitioned ntile window would move the WHOLE customer
+    * dimension to one task) and [[ntileAt]]'s arithmetic bucket rule
+    * against the broadcast customer count, then the three quartile
+    * frames join back on the customer key. One customer-keyed
+    * aggregate (checkpointed — four consumers) feeds all three ranks.
     */
   def a35RfmSegments(orders: DataFrame): DataFrame = {
     val per = orders.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
-    def quart(metric: Column, name: String) =
-      ntile(4).over(Window.orderBy(metric, col("o_custkey"))).as(name)
+      .localCheckpoint(true) // three rank passes + the count read it
+    val n = per.agg(count(lit(1)).as("__n"))
+    def quart(metric: Column, name: String): DataFrame =
+      globalRowNumber(per.select(col("o_custkey"), metric.as("__m")),
+          Seq(col("__m"), col("o_custkey")), "__rnk")
+        .crossJoin(broadcast(n)) // single-row count
+        .select(col("o_custkey"),
+          ntileAt(col("__rnk"), col("__n"), 4).as(name))
     per
-      .select(col("o_custkey"), col("last_order"), col("frequency"),
-        col("monetary"),
-        quart(col("last_order"), "r"), quart(col("frequency"), "f"),
-        quart(col("monetary"), "m"))
+      .join(quart(col("last_order"), "r"), "o_custkey")
+      .join(quart(col("frequency"), "f"), "o_custkey")
+      .join(quart(col("monetary"), "m"), "o_custkey")
       .withColumn("rfm_code",
         (col("r") * 100 + col("f") * 10 + col("m")).cast("int"))
       .select(col("o_custkey"), col("frequency"),
@@ -3451,8 +3517,16 @@ object Relational {
     */
   def w36CohortLtv(events: DataFrame,
       epoch: String = "2024-01-01"): DataFrame = {
-    val week = (datediff(col("ts").cast("date"), lit(epoch).cast("date"))
-      .cast("long") / 7L).cast("long")
+    // Week index = trunc-toward-zero integer division, matching the
+    // oracle's DuckDB `//` (which ALSO truncates toward zero on
+    // integers: -3 // 7 = 0, -8 // 7 = -1 — verified, it is not floor
+    // division). The subtract-mod form keeps the arithmetic in exact
+    // integers (Spark `%` takes the dividend's sign, so
+    // (d - d%7)/7 is trunc division and the `/` divides exactly)
+    // instead of round-tripping through a double divide.
+    val days = datediff(col("ts").cast("date"), lit(epoch).cast("date"))
+      .cast("long")
+    val week = ((days - days % lit(7L)) / lit(7L)).cast("long")
     val base = events.select(col("user_id"), week.as("wk"),
       col("value").cast(DecimalType(18, 2)).as("v"))
     val cohort = base.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
@@ -3673,18 +3747,23 @@ object Relational {
     * part) — because an absolute 50% cut means nothing when every
     * part has 20 near-uniform suppliers (it selects zero rows at
     * every scale on such data). Quantity shares fold from exact
-    * decimal sums per (part, supplier) against a joined per-part
-    * total; the supplier census joins the handful of dominant rows
-    * back to the broadcast dimension chain.
+    * decimal sums per (part, supplier); the per-part total and
+    * supplier count come from a window PARTITIONED BY the part key on
+    * that same aggregate — one exchange on l_partkey total, where an
+    * aggregate+self-join would re-exchange the frame twice. The
+    * window partition is per-part supplier cardinality (bounded);
+    * the supplier census joins the handful of dominant rows back to
+    * the broadcast dimension chain.
     */
   def q20DominantSupplier(nation: DataFrame, supplier: DataFrame,
       lineitem: DataFrame, fairShareMult: Double = 3.0): DataFrame = {
     val perPs = lineitem
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
-    val perPart = perPs.groupBy(col("l_partkey"))
-      .agg(sum(col("qty")).as("part_qty"), count(lit(1)).as("k"))
-    val dominant = perPs.join(perPart, "l_partkey")
+    val wp = Window.partitionBy(col("l_partkey"))
+    val dominant = perPs
+      .withColumn("part_qty", sum(col("qty")).over(wp))
+      .withColumn("k", count(lit(1)).over(wp))
       .filter(col("qty").cast("double") / col("part_qty").cast("double") *
         col("k").cast("double") > fairShareMult)
     val suppNation = supplier
@@ -3733,20 +3812,26 @@ object Relational {
   /** Lorenz-curve decile table of customer revenue — the
     * concentration CURVE behind [[a21Gini]]'s single number (which
     * deciles actually carry the book). Customers rank by exact-
-    * decimal lifetime revenue with the id as the total-order tie key,
-    * ntile them into 10 equal buckets (both engines front-load
-    * remainders identically over an identical total order), and each
-    * decile's exact revenue share + running cumulative share divides
-    * once in double. The rank window sorts the CUSTOMER dimension,
-    * not fact rows — the documented dimension-scale-sort posture.
+    * decimal lifetime revenue with the id as the total-order tie key
+    * via [[globalRowNumber]]'s two-pass partition-offset rank (a
+    * parallel range sort — NOT a single-partition ntile window),
+    * [[ntileAt]] cuts the 10 equal buckets arithmetically against
+    * the broadcast customer count (both engines front-load remainders
+    * identically over an identical total order), and each decile's
+    * exact revenue share + running cumulative share divides once in
+    * double. The only unpartitioned window left runs over the 10
+    * decile rows — bucket-cardinality-bounded.
     */
   def a60Lorenz(orders: DataFrame, buckets: Int = 10): DataFrame = {
     val perCust = orders
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-    val w = Window.orderBy(col("rev"), col("o_custkey"))
-    val byDecile = perCust
-      .withColumn("decile", ntile(buckets).over(w))
+      .localCheckpoint(true) // the rank pass + the count read it
+    val n = perCust.agg(count(lit(1)).as("__n"))
+    val byDecile =
+      globalRowNumber(perCust, Seq(col("rev"), col("o_custkey")), "__rnk")
+      .crossJoin(broadcast(n)) // single-row count
+      .withColumn("decile", ntileAt(col("__rnk"), col("__n"), buckets))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
     val tot = byDecile.agg(sum(col("drev")).cast(DecimalType(38, 2))

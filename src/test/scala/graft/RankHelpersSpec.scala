@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the scale-safe rank helpers to Spark's own window semantics:
+  * [[Relational.globalRowNumber]] (two-pass partition-offset rank)
+  * must equal `row_number() OVER (ORDER BY …)` and
+  * [[Relational.ntileAt]] must equal `ntile(b)` — including remainder
+  * front-loading, tie-breaks, and the n < b degenerate — so the
+  * a35/a39/a60 rewrites provably compute the window they replaced.
+  */
+class RankHelpersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // values with heavy ties; id is the unique tie-break
+  private def frame(n: Int) =
+    (1 to n).map(i => ((i * 7919) % n).toLong -> ((i * 37) % 11).toLong)
+      .toDF("id", "v")
+
+  test("globalRowNumber equals the unpartitioned row_number window") {
+    val df = frame(257)
+    val want = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    val got = Relational.globalRowNumber(df, Seq(col("v"), col("id")), "rnk")
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalRowNumber honors descending sort expressions") {
+    val df = frame(100)
+    val want = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    val got = Relational.globalRowNumber(
+        df, Seq(col("v").desc, col("id")), "rnk")
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("ntileAt matches ntile(b) for every remainder class and n < b") {
+    for (n <- Seq(3, 4, 5, 40, 41, 42, 43, 101); b <- Seq(3, 4, 7, 10)) {
+      val df = frame(n)
+      val want = df.withColumn("t",
+          ntile(b).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val cnt = df.count()
+      val got = Relational.globalRowNumber(df, Seq(col("v"), col("id")), "rnk")
+        .withColumn("t", Relational.ntileAt(col("rnk"), lit(cnt), b))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == want, s"n=$n b=$b")
+    }
+  }
+}
