@@ -78,11 +78,22 @@ object ScaleProbe {
 
   private val IdOffset = 100000000L
 
-  /** The hub-guarded basket operators — the only sensible probe set
-    * under hub-growth staging (everything else sees unchanged inputs).
+  /** The hub-guarded basket operators — the probe set under
+    * hub-growth staging. Round-10 additions: `graph_bfs_ball` rides
+    * [[graft.SparkEntry.BasketGraph]], so shared part keys densify
+    * every frontier hop it expands — exactly the adversarial axis for
+    * a BFS (ball sizes grow with hub degree, and the probe verifies
+    * the eager per-hop truncation keeps that bounded);
+    * `dedup_component_ecc` rides the DOCUMENT pair graph, whose
+    * staging is mode-invariant (vowel-translated disjoint copies in
+    * both modes — duplicate-mass densification of the doc graph would
+    * measure LSH's true quadratic pair mass, not a guard), so its hub
+    * row exists to carry the ratio in the hub artifact and matches
+    * the uniform probe by construction.
     */
   val HubGrowthQueries: Seq[String] =
-    Seq("graph_link_predict", "graph_ktruss", "j11_assoc_rules")
+    Seq("graph_link_predict", "graph_ktruss", "j11_assoc_rules",
+      "graph_bfs_ball", "dedup_component_ecc")
 
   private def stage(spark: SparkSession, src: String, dir: String,
       mult: Int, hubGrowth: Boolean): Unit = {

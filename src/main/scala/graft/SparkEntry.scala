@@ -7440,7 +7440,8 @@ object SparkEntry {
          |    FROM fullsc) WHERE rnk <= 5),
          |prsc AS (SELECT query_id, p2.vec_id,
          |    ${duckCosine("qp", "p")} AS sim
-         |  FROM pe p2 CROSS JOIN q WHERE p2.vec_id <> query_id),
+         |  FROM pe p2 CROSS JOIN q WHERE p2.vec_id <> query_id
+         |    AND ${duckDot("p", "p")} > 0 AND ${duckDot("qp", "qp")} > 0),
          |prt AS (SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk
@@ -8875,9 +8876,9 @@ object SparkEntry {
   /** DuckDB-side cosine over two FLOAT[] columns — same element-wise
     * double cast + sequential accumulation as SimilarityOps.cosineExpr.
     */
-  private def duckCosine(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
+  private def duckDot(x: String, y: String): String =
+    s"list_sum(list_transform(range(1, len($x) + 1), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 }

@@ -279,3 +279,151 @@ case class TopKStrAgg(score: Expression, id: Expression, k: Int,
     copy(score = newChildren(0), id = newChildren(1))
   override def prettyName: String = "top_k_str_agg"
 }
+
+/** [[TopKStrState]] plus one LONG payload per entry: the payload
+  * rides along with whatever (score desc, id asc) keeps — it never
+  * participates in the ordering, so ranking semantics are EXACTLY
+  * [[TopKStrState]]'s.
+  */
+final class TopKStrPayState(val k: Int) {
+  import org.apache.spark.unsafe.types.UTF8String
+  val scores = new Array[Double](k)
+  val ids = new Array[UTF8String](k)
+  val pays = new Array[Long](k)
+  var n: Int = 0
+
+  @inline private def better(s: Double, i: UTF8String, j: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(j))
+    c > 0 || (c == 0 && i.compareTo(ids(j)) < 0)
+  }
+
+  def insert(s: Double, i: UTF8String, p: Long): Unit = {
+    if (n == k && !better(s, i, n - 1)) return
+    var pos = if (n == k) n - 1 else n
+    while (pos > 0 && better(s, i, pos - 1)) pos -= 1
+    // SET semantics on (score, id) — the payload is functionally
+    // determined by the id in every caller, so the duplicate's
+    // payload is identical by contract
+    if (pos > 0 &&
+      java.lang.Double.compare(scores(pos - 1), s) == 0 &&
+      ids(pos - 1).compareTo(i) == 0)
+      return
+    var j = math.min(n, k - 1)
+    while (j > pos) {
+      scores(j) = scores(j - 1); ids(j) = ids(j - 1); pays(j) = pays(j - 1)
+      j -= 1
+    }
+    scores(pos) = s; ids(pos) = i; pays(pos) = p
+    if (n < k) n += 1
+  }
+}
+
+/** [[TopKStrAgg]] carrying an opaque LONG payload per row — built for
+  * rankers that must surface per-row attributes (tf/df counts,
+  * bit-packed) WITHOUT either encoding them into the id string (a
+  * per-input-row allocation on the corpus-scale update path) or
+  * re-attaching them by a docs-scale join/broadcast after ranking.
+  * Ordering is identical to [[TopKStrAgg]] (score desc, id asc by
+  * UTF8String binary compare — Spark's string sort and DuckDB's
+  * default collation), so tie behavior is engine-exact with the bare
+  * id. Emits `array<struct<score double, id string, pay bigint>>`.
+  */
+case class TopKStrPayAgg(score: Expression, id: Expression,
+    pay: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrPayState] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(k >= 1, "top_k_str_pay_agg needs k >= 1")
+
+  override def children: Seq[Expression] = score :: id :: pay :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", StringType, nullable = false),
+      StructField("pay", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType, pay.dataType) match {
+      case (DoubleType, StringType, LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_k_str_pay_agg expects (double, string, bigint), got $other")
+    }
+
+  override def createAggregationBuffer(): TopKStrPayState =
+    new TopKStrPayState(k)
+
+  override def update(buf: TopKStrPayState, input: InternalRow): TopKStrPayState = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val p = pay.eval(input)
+    if (s != null && i != null && p != null)
+      // clone: the input row's bytes are buffer-backed and reused
+      buf.insert(s.asInstanceOf[Double],
+        i.asInstanceOf[UTF8String].clone(), p.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKStrPayState, b: TopKStrPayState): TopKStrPayState = {
+    var j = 0
+    while (j < b.n) { a.insert(b.scores(j), b.ids(j), b.pays(j)); j += 1 }
+    a
+  }
+
+  override def eval(buf: TopKStrPayState): Any = {
+    val rows = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      rows(j) = InternalRow(buf.scores(j), buf.ids(j), buf.pays(j))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKStrPayState): Array[Byte] = {
+    var size = 4
+    var j = 0
+    while (j < buf.n) { size += 8 + 8 + 4 + buf.ids(j).numBytes(); j += 1 }
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(buf.n)
+    j = 0
+    while (j < buf.n) {
+      bb.putDouble(buf.scores(j))
+      bb.putLong(buf.pays(j))
+      val bytes = buf.ids(j).getBytes
+      bb.putInt(bytes.length)
+      bb.put(bytes)
+      j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrPayState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new TopKStrPayState(k)
+    var j = 0
+    while (j < n) {
+      val s = bb.getDouble
+      val p = bb.getLong
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      st.insert(s, UTF8String.fromBytes(arr), p)
+      j += 1
+    }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStrPayAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStrPayAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), pay = newChildren(2))
+  override def prettyName: String = "top_k_str_pay_agg"
+}

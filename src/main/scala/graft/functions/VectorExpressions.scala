@@ -304,6 +304,16 @@ object GraftFunctions {
       ColumnShim.expression(score), ColumnShim.expression(id), k)
       .toAggregateExpression())
 
+  /** [[top_k_str_agg]] carrying one opaque LONG payload per entry
+    * (never part of the ordering); see [[TopKStrPayAgg]].
+    */
+  def top_k_str_pay_agg(score: Column, id: Column, pay: Column,
+      k: Int): Column =
+    ColumnShim.column(TopKStrPayAgg(
+      ColumnShim.expression(score), ColumnShim.expression(id),
+      ColumnShim.expression(pay), k)
+      .toAggregateExpression())
+
   /** ≤k Misra–Gries heavy-hitter candidates (superset of every item
     * with frequency > n/(k+1)) — see [[MGCandidates]].
     */

@@ -1056,8 +1056,12 @@ object GraphOps {
     // each ball is (seeds × nodes)-bounded — eagerly truncate so the
     // next hop and the three size aggregates read a materialized
     // frontier instead of re-running the whole join chain (without
-    // this, sizes(b3) re-executes b1's and b2's adjacency joins)
-    val b1 = broadcast(seeds).join(e, col("s") === col("u"))
+    // this, sizes(b3) re-executes b1's and b2's adjacency joins).
+    // No broadcast hint on seeds: the seed set is modulus-sampled off
+    // the node set and grows linearly with the corpus, so a forced
+    // broadcast would hit the 8 GB hard limit at scale — let AQE pick
+    // the strategy from the observed size (the dupRateByLength rule).
+    val b1 = seeds.join(e, col("s") === col("u"))
       .select(col("s"), col("v")).distinct().localCheckpoint(true)
     def expand(ball: DataFrame): DataFrame = ball
       .unionAll(ball.as("f").join(e.as("g"), col("f.v") === col("g.u"))

@@ -873,6 +873,16 @@ object Multimodal {
       rows.map { r =>
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        // fail loudly on anything but 16-bit little-endian signed PCM
+        // (the require(img != null) convention of the image decoders):
+        // the manual byte assembly below would otherwise produce
+        // silently wrong sample values on an 8/24-bit, big-endian, or
+        // float clip instead of an error
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"doc ${r.getLong(0)}: expected 16-bit LE signed PCM, got $fmt")
         val data = ais.readAllBytes()
         ais.close()
         val ns = data.length / 2

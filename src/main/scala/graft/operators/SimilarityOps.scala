@@ -718,6 +718,18 @@ object SimilarityOps {
     * rows), so the overhead AMORTIZES with corpus size instead of
     * growing — the same reason MLlib accepts driver-resident
     * centroids.
+    *
+    * r10 re-settle (the ratio re-crossed 2x in r9's artifact): two
+    * quiet-host narrowed passes measured min 1.06 / 1.10 s vs the
+    * 0.462 s oracle (~2.3x; the r9 full-suite artifact showed 0.96 s
+    * — narrowed runs lose the suite's JIT warmth, so the band
+    * straddles 2x depending on measurement context). r10 also shaved
+    * the one removable stage: per-iteration means now collect the
+    * bounded k·dim aggregate rows directly and assemble per-cluster
+    * vectors on the driver, deleting the second groupBy(cluster)
+    * exchange+stage each iteration. What remains is exactly the
+    * iters+2 synchronized-action floor documented above; no further
+    * action can be removed without changing Lloyd's semantics.
     */
   def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val q = embeddings.select(col("vec_id"),
@@ -744,17 +756,22 @@ object SimilarityOps {
     }
 
     for (_ <- 0 until iters) {
+      // ONE exchange per iteration: the (cluster, dim) aggregate
+      // map-side combines to ≤ k·dim rows per partition and its
+      // k·dim-row result collects straight to the driver — assembling
+      // per-cluster vectors there instead of a second groupBy(cluster)
+      // exchange+stage (the centroids already live on the driver; this
+      // is the same bounded k·dim footprint, one Spark stage cheaper)
       val means = assigned
         .select(col("cluster"), posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim")
         .agg(round(sum(col("x").cast("decimal(21,6)")).cast("double") /
           count(lit(1)), 6).as("m"))
-        .groupBy("cluster")
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("ms"))
-        .select(col("cluster"), col("ms.m").as("c"))
         .collect()
       // empty clusters drop out, exactly as in the SQL restatement
-      cents = means.map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+      cents = means.groupBy(_.getInt(0)).toSeq.map { case (c, rs) =>
+        (c, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
     }
     val out = assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
     q.unpersist(blocking = false)
@@ -1381,11 +1398,18 @@ object SimilarityOps {
       .crossJoin(broadcast(dims)) // single row
       .select(col(idCol), transform(col("dims"),
         i => element_at(col("embedding"), i + 1)).as(vecOut))
+    // zero-norm guard (both engines, mirrored in the oracle WHERE): a
+    // vector whose kept dimensions are all zero would divide 0/0 —
+    // Spark ranks the NaN FIRST (NaN sorts largest) while DuckDB's
+    // inf/NULL ranks differently, a data-dependent cross-engine
+    // divergence. Dropping zero-norm pruned vectors from the ranking
+    // is a no-op on any corpus that doesn't hit it and deterministic
+    // on one that does.
     val q = withNorm(pruned(
       queries.select(col("vec_id").as("query_id"), col("embedding")),
-      "query_id", "qe"), "qe", "qn")
+      "query_id", "qe"), "qe", "qn").filter(col("qn") > 0)
     val e = withNorm(pruned(embeddings.select(col("vec_id"),
-      col("embedding")), "vec_id", "pe"), "pe", "en")
+      col("embedding")), "vec_id", "pe"), "pe", "en").filter(col("en") > 0)
     val prunedTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("sim",
         vec_dot(col("qe"), col("pe")) / (col("qn") * col("en")))

@@ -389,37 +389,55 @@ object TextOps {
     * [[tfidfTopTerms]]: a last-bit `ln`/accumulation-order difference
     * can never reorder the ranking).
     *
-    * Scale shape: tf+dl are computed per-row by the fused kernel (no
-    * (doc,term) shuffle); df is QUERY-sized and broadcast; corpus
-    * stats (N, Σdl — exact integer sums) are a broadcast scalar; the
-    * top-K is `orderBy.limit` = TakeOrdered, per-partition heaps + a
-    * driver merge of topK·parts rows — never a global single-partition
-    * window. One groupBy(doc_id) is the only data-sized shuffle.
+    * Scale shape: ONE corpus tokenizer pass total — tf, dl, AND the
+    * corpus stats all read the same cached per-doc frame (doc_id, dl,
+    * query-filtered tf entries; ≤|queryTerms| entries per doc, no
+    * text column), where the previous revision re-scanned+re-tokenized
+    * the corpus a second time just for the (N, Σdl) aggregate; df is
+    * QUERY-sized and broadcast; corpus stats (N, Σdl — exact integer
+    * sums) are a broadcast scalar; the top-K is `orderBy.limit` =
+    * TakeOrdered, per-partition heaps + a driver merge of topK·parts
+    * rows — never a global single-partition window. One
+    * groupBy(doc_id) is the only data-sized shuffle.
+    *
+    * 2x-audit note (`text_bm25`, 0.326 s oracle at sf0.1; ~0.70–1.2 s
+    * measured band across narrowed r10 runs, JIT-warmth-sensitive):
+    * the r10 rework fused the former second corpus scan (dl stats)
+    * into the single cached kernel pass above — the remaining cost is
+    * that one tokenizer pass (word_term_freqs + the token count, the
+    * same regex work the DuckDB oracle does in one thread memory-
+    * resident) plus the fixed persist/broadcast/checkpoint stage
+    * ladder. Action inventory: ONE eager action (the topK checkpoint;
+    * stats and df ride its broadcast exchanges), nothing data-scale
+    * beyond the corpus pass itself — the constant amortizes with
+    * corpus size.
     */
   def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
       eager: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // tf feeds TWO consumers (the df aggregation's broadcast exchange
-    // and the probe side of the join): persist the query-term-filtered
-    // frame — ≤|queryTerms| rows per doc, no text column — so the
-    // corpus tokenizer kernel runs once, not once per consumer;
-    // released after the eager topK checkpoint (repo-standard
-    // lifecycle). `eager = false` skips persist+checkpoint and returns
-    // the fully lazy plan — the plan-inspection path (PlansSpec pins
-    // the topK/broadcast shapes a checkpoint would truncate away).
-    val tfBase = documents
+    // base feeds THREE consumers (the stats aggregate, the df
+    // aggregation's broadcast exchange, and the probe side of the
+    // join): persist the narrow per-doc frame so the corpus tokenizer
+    // kernel runs once, not once per consumer; released after the
+    // eager topK checkpoint (repo-standard lifecycle). `eager = false`
+    // skips persist+checkpoint and returns the fully lazy plan — the
+    // plan-inspection path (PlansSpec pins the topK/broadcast shapes
+    // a checkpoint would truncate away).
+    val base0 = documents
       .select(col("doc_id"), size(toksCol).cast("long").as("dl"),
-        explode(graft.functions.GraftFunctions.word_term_freqs(col("text"))).as("tfs"))
+        filter(graft.functions.GraftFunctions.word_term_freqs(col("text")),
+          t => t.getField("term").isInCollection(queryTerms)).as("tfs"))
+    val base = if (eager)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("double").as("total_tokens"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("tfs")).as("tfs"))
       .select(col("doc_id"), col("dl"),
         col("tfs.term").as("term"), col("tfs.tf").as("tf"))
-      .filter(col("term").isin(queryTerms: _*))
-    val tf = if (eager)
-      tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else tfBase
-    val stats = documents.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(size(toksCol).cast("long")).cast("double").as("total_tokens"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // every literal is mirrored as the SAME arithmetic in the SQL
     // oracle (e.g. (k1+1) stays `1.2 + 1.0`, never a pre-folded 2.2):
@@ -440,7 +458,7 @@ object TextOps {
     if (!eager) ranked
     else {
       val out = ranked.localCheckpoint(true)
-      tf.unpersist(blocking = false)
+      base.unpersist(blocking = false)
       out
     }
   }
@@ -452,40 +470,41 @@ object TextOps {
     * Scale shape: tf is one map-side-combining groupBy on (doc, term);
     * the document-frequency table is VOCABULARY-bounded, so it joins
     * back by broadcast — no shuffle of the tf rows on term; and the
-    * per-doc top-K is the bounded [[graft.functions.TopKStrAgg]], so
-    * only K terms per doc per partition cross the one remaining
+    * per-doc top-K is the bounded [[graft.functions.TopKStrPayAgg]],
+    * so only K terms per doc per partition cross the one remaining
     * exchange (a doc-partitioned window would shuffle AND sort every
-    * (doc, term) row). tf and df ride INSIDE the heap id
-    * (`termtfdf` — the separator byte 0x01 sorts below
-    * every token byte `[a-z0-9]`, so packed-id ties order exactly as
-    * bare-term ties), so the output needs NO re-attach join at all:
-    * the previous revision broadcast the ≤K·n_docs selection back onto
-    * the tf scan, a corpus-linear broadcast that would eventually OOM;
-    * now nothing docs-scale is ever broadcast. Scores are rounded to
-    * 6 decimals on both engines so a ±1-ulp `ln` difference can never
-    * reorder the ranking.
+    * (doc, term) row). The heap id is the BARE term — (score desc,
+    * term asc) is the row_number window's exact tie order on both
+    * engines — and tf/df ride as one bit-packed long PAYLOAD, so the
+    * output needs NO re-attach join at all: the r8 revision broadcast
+    * the ≤K·n_docs selection back onto the tf scan, a corpus-linear
+    * broadcast that would eventually OOM; now nothing docs-scale is
+    * ever broadcast. Scores are rounded to 6 decimals on both engines
+    * so a ±1-ulp `ln` difference can never reorder the ranking.
     *
     * `eager = false` (PlansSpec path) skips the persist + checkpoint
     * and returns the fully lazy plan for shape inspection.
     *
-    * 2x-audit note (`text_tfidf`, ~0.22 s oracle, fresh-artifact
-    * ~1.04 s same-host = ~4.9x): r8's 0.79 s ran through a docs-scale
-    * broadcast re-attach — the ADVICE-flagged OOM-at-corpus-scale
-    * path. The r9 payload fusion REMOVED that broadcast and accepts
-    * ~0.25 s of packed-string encode/decode at bench scale as the
-    * price: the trade is deliberately scale-correctness over a
-    * small-corpus constant. The residual is structural: the corpus
-    * kernel pass + cache fill, the vocabulary-bounded broadcast
-    * build, and the doc-keyed bounded aggregate are three
-    * shuffle-scheduled jobs whose fixed cost DuckDB's single
-    * in-process pipeline never pays. Action inventory: tf shuffles
-    * zero times on term, the heap is k-bounded, nothing docs-scale
-    * broadcasts, the tokenizer runs once — no data-scale stage
-    * remains, so the gap amortizes with corpus size.
+    * 2x-audit note (`text_tfidf`, ~0.22 s oracle; r9 artifact 0.96 s
+    * = 4.7x): r8's 0.79 s ran through the docs-scale broadcast
+    * re-attach — the ADVICE-flagged OOM-at-corpus-scale path — and
+    * r9's fix paid a per-input-row packed-STRING encode (term+tf+df
+    * concat per tf row, a corpus-scale allocation on the update path)
+    * plus a per-output-row character split. r10 replaces that with
+    * the payload aggregate: the long pack is codegen arithmetic, the
+    * only string entering the heap is the term itself, and decode is
+    * two bit-ops. The residual is structural: the corpus kernel pass
+    * + cache fill, the vocabulary-bounded broadcast build, and the
+    * doc-keyed bounded aggregate are three shuffle-scheduled jobs
+    * whose fixed cost DuckDB's single in-process pipeline never pays.
+    * Action inventory: tf shuffles zero times on term, the heap is
+    * k-bounded, nothing docs-scale broadcasts, the tokenizer runs
+    * once — no data-scale stage remains, so the gap amortizes with
+    * corpus size.
     */
   def tfidfTopTerms(documents: DataFrame, topK: Int,
       eager: Boolean = true): DataFrame = {
-    import graft.functions.GraftFunctions.top_k_str_agg
+    import graft.functions.GraftFunctions.top_k_str_pay_agg
     // tf is PER-ROW: a doc's tokens all live in its own row, so the
     // fused kernel counts them in one pass — no (doc, term) shuffle.
     // PERSISTED: tf feeds the df aggregation's broadcast-exchange job
@@ -512,25 +531,28 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(1 << 21)
     val nDocs = documents.agg(count(lit(1)).cast("double").as("n_docs"))
-    // rank with the bounded aggregate (score desc, packed-id asc ==
-    // term asc — the row_number window's exact tie order; see the
-    // separator-byte argument above), carrying tf/df in the payload
-    val packed = concat_ws("", col("term"),
-      col("tf").cast("string"), col("df").cast("string"))
+    // rank with the bounded payload aggregate: the id is the BARE
+    // term (score desc, term asc — the row_number window's exact tie
+    // order, no packed-string separator argument needed), and tf/df
+    // ride as one bit-packed long payload (tf << 40 | df). The r9
+    // revision string-packed term+tf+df per INPUT row — a corpus-
+    // scale allocation on the update path; the payload long is pure
+    // codegen arithmetic. Contract (documented bounds, wrap-free by
+    // construction): tf < 2^23 (8.4M tokens in ONE document) and
+    // df < 2^40 (1.1e12 documents).
     val ranked = tf.join(broadcast(dfreq), Seq("term"), "left_outer")
       .crossJoin(broadcast(nDocs))
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0d) / (col("df") + 1.0d)), 6))
       .groupBy("doc_id")
-      .agg(top_k_str_agg(col("tfidf"), packed, topK).as("tk"))
+      .agg(top_k_str_pay_agg(col("tfidf"), col("term"),
+        shiftleft(col("tf"), 40) + col("df"), topK).as("tk"))
       .select(col("doc_id"), posexplode(col("tk")))
-      .select(col("doc_id"), split(col("col.id"), "").as("parts"),
+      .select(col("doc_id"), col("col.id").as("term"),
+        shiftright(col("col.pay"), 40).as("tf"),
+        col("col.pay").bitwiseAND(lit((1L << 40) - 1)).as("df"),
         col("col.score").as("tfidf"), (col("pos") + 1).cast("int").as("rnk"))
-      .select(col("doc_id"), col("parts").getItem(0).as("term"),
-        col("parts").getItem(1).cast("long").as("tf"),
-        col("parts").getItem(2).cast("long").as("df"),
-        col("tfidf"), col("rnk"))
     if (!eager) ranked
     else {
       val out = ranked.localCheckpoint(true)

@@ -801,7 +801,7 @@ class PlansSpec extends SparkSpec {
       Tables(spark, sf0001, "documents"), 5, eager = false)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    assert(p.contains("partial_top_k_str_agg"),
+    assert(p.contains("partial_top_k_str_pay_agg"),
       s"per-doc top-K must combine map-side (bounded heap):\n${p.take(3000)}")
     assert(!p.contains("Window"),
       s"no doc-partitioned ranking window allowed — it would shuffle and " +

@@ -124,4 +124,40 @@ class TopKAggSpec extends SparkSpec {
       s"map-side combine must be present:\n$plan")
     assert(!plan.contains("Window"), s"no window exchange allowed:\n$plan")
   }
+  test("payload variant: ordering identical to top_k_str_agg, payload rides") {
+    import graft.functions.GraftFunctions.{top_k_str_agg, top_k_str_pay_agg}
+    // heavy score ties -> the (score desc, term asc) tie order must be
+    // byte-identical between the two aggregates; the payload must stay
+    // attached to ITS entry across partitionings (merge path)
+    val df = (0 until 4000).map { i =>
+      (i.toLong % 13, f"t${i % 97}%03d", (i % 7).toDouble,
+        (i % 97).toLong << 40 | (i % 13).toLong)
+    }.toDF("g", "term", "score", "pay")
+      // one row per (g, term): ids are keys in every caller
+      .groupBy("g", "term").agg(max("score").as("score"), max("pay").as("pay"))
+    Seq(1, 9).foreach { parts =>
+      val base = df.repartition(parts)
+      val plain = base.groupBy("g")
+        .agg(top_k_str_agg(col("score"), col("term"), 5).as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+        .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val pay = base.groupBy("g")
+        .agg(top_k_str_pay_agg(col("score"), col("term"), col("pay"), 5)
+          .as("tk"))
+        .select(col("g"), posexplode(col("tk")))
+      val payRank = pay
+        .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(plain.toSeq == payRank.toSeq, s"parts=$parts: rank order differs")
+      // every surviving payload decodes back to its own term/group
+      pay.select(col("g"), col("col.id"), col("col.pay")).collect()
+        .foreach { r =>
+          val term = r.getString(1)
+          val p = r.getLong(2)
+          assert((p >> 40) == term.drop(1).toLong, s"payload term part: $r")
+          assert((p & ((1L << 40) - 1)) == r.getLong(0), s"payload g part: $r")
+        }
+    }
+  }
 }
