@@ -1284,6 +1284,19 @@ object SparkEntry {
     // K2+C4: assembled truncate-and-load of a bulk job into Derby, then
     // the loaded table read back — oracle is the same rows from parquet
     "k2_bulk_load" -> ((s, d) => k2BulkLoadQuery(s, d)),
+    // K5 result verification: a real uploadWithResults run through the
+    // mock bulk transport (fresh per invocation — batch/job counters
+    // restart, so the census is run-deterministic), failing every 7th
+    // record per batch; the per-batch success/created/failure census
+    // is row-arithmetic the oracle restates from the same slice
+    "k5_upload_results" -> ((s, d) => {
+      graft.reverse.MockUploadTransport.register("k5_census",
+        new graft.reverse.MockUploadTransport(failEvery = 7))
+      graft.reverse.BulkUpload.uploadResultCensus(
+        t(s, d)("customer").select(col("c_custkey"), col("c_name"))
+          .filter(col("c_custkey") % 3 === 0),
+        "c_custkey", "Customer", "k5_census", maxRecords = 50)
+    }),
     // Structured Streaming end-to-end: file-source readStream over the
     // events table → watermarked sliding-window aggregation →
     // Trigger.AvailableNow → memory sink; oracle is the batch-SQL
@@ -7225,6 +7238,22 @@ object SparkEntry {
         "ORDER BY ordinal_position"),
     "k2_bulk_load" ->
       "SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey",
+    // chunk boundaries every 50 ordered rows; the mock transport fails
+    // record positions (pos+1) % 7 == 0 within each batch — pure
+    // row-number arithmetic over the same source slice
+    "k5_upload_results" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |f AS (SELECT CAST(rn // 50 + 1 AS INT) AS batch_ord,
+        |    CASE WHEN (rn % 50 + 1) % 7 = 0 THEN 1 ELSE 0 END AS fail
+        |  FROM r)
+        |SELECT batch_ord, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  CAST(SUM(1 - fail) AS BIGINT) AS n_success,
+        |  CAST(SUM(1 - fail) AS BIGINT) AS n_created,
+        |  CAST(SUM(fail) AS BIGINT) AS n_failed,
+        |  MAX(CASE WHEN fail = 1 THEN 'MOCK_FAILURE:row rejected'
+        |    ELSE '' END) AS err
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // n_frames comes from the REAL stts parse of the staged MP4s,
     // predicted here from the staging rule (id%24+1)
     "mm_frame_sample" ->

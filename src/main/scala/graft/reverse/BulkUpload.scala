@@ -201,6 +201,42 @@ object BulkUpload {
       .toDF("batch_id", "id", "success", "created", "error")
     (jobId, results)
   }
+
+  /** Per-batch upload-result census — the verification readout a
+    * reverse-ETL run reports (`upload_table.py:89-103` prints each
+    * failed `UploadResult`; a pipeline aggregates them): records,
+    * successes, creates, failures, and the error label per posted
+    * batch, from [[uploadWithResults]]'s result frame.
+    *
+    * Oracle-determinism harness: the source is ordered by `orderCol`
+    * and laid out as ONE partition stream, so chunk boundaries (every
+    * `maxRecords` rows) and the mock transport's per-batch failure
+    * positions are pure row-arithmetic an oracle restates with
+    * `row_number()` — a production upload keeps the parallel
+    * per-partition posting of [[upload]] instead (batch composition
+    * is then layout-dependent, which a real server tolerates and an
+    * oracle cannot). The batch ordinal parses off the transport's
+    * batch counter; result volume is bounded by the upload slice.
+    */
+  def uploadResultCensus(df: DataFrame, orderCol: String,
+      objectName: String, transportName: String,
+      maxRecords: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ordered = df.repartition(1).sortWithinPartitions(orderCol)
+    val (_, res) = uploadWithResults(ordered, objectName, transportName,
+      operation = "insert", maxRecords = maxRecords)
+    res
+      .select(regexp_extract(col("batch_id"), "batch-(\\d+)$", 1)
+        .cast("int").as("batch_ord"),
+        col("success"), col("created"), col("error"))
+      .groupBy("batch_ord")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("n_success"),
+        sum(when(col("created"), 1L).otherwise(0L)).as("n_created"),
+        sum(when(!col("success"), 1L).otherwise(0L)).as("n_failed"),
+        max(col("error")).as("err"))
+      .orderBy("batch_ord")
+  }
 }
 
 /** Per-record upload outcome (`salesforce_bulk.py:29` namedtuple). */

@@ -87,4 +87,19 @@ class ReverseUploadSpec extends SparkSpec {
       operation = "delete")
     assert(del.contains("-delete-") && t.lastExternalIdField.isEmpty)
   }
+  test("uploadResultCensus: per-batch failure census matches hand-computed chunks") {
+    val t = new MockUploadTransport(failEvery = 7)
+    MockUploadTransport.register("up3", t)
+    // 103 ordered rows, 40 per batch -> batches of 40/40/23; every 7th
+    // position in each batch fails -> 5/5/3 failures
+    val df = (1 to 103).map(i => (i.toLong, s"name-$i")).toDF("Id", "Name")
+      .repartition(4) // census re-lays-out to one ordered stream itself
+    val out = BulkUpload.uploadResultCensus(df, "Id", "Contact", "up3",
+      maxRecords = 40)
+      .as[(Int, Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1, 40L, 35L, 35L, 5L, "MOCK_FAILURE:row rejected"),
+      (2, 40L, 35L, 35L, 5L, "MOCK_FAILURE:row rejected"),
+      (3, 23L, 20L, 20L, 3L, "MOCK_FAILURE:row rejected")), out.toString)
+  }
 }
