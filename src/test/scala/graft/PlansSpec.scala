@@ -908,4 +908,38 @@ class PlansSpec extends SparkSpec {
     assert(!p.contains("collect_list"),
       s"no unbounded per-community state:\n${p.take(3000)}")
   }
+  test("q20: per-part totals ride ONE exchange on l_partkey (window, not self-join)") {
+    val df = Relational.q20DominantSupplier(
+      Tables(spark, sf0001, "nation"), Tables(spark, sf0001, "supplier"),
+      Tables(spark, sf0001, "lineitem"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the (part, supplier) aggregate must NOT re-exchange into an
+    // aggregate+self-join: part_qty/k come from a window partitioned
+    // by l_partkey on the same frame. Exchanges: (l_partkey,
+    // l_suppkey) for the aggregate, l_partkey for the window, and
+    // l_suppkey for the dominant-rows census — the former r9 plan
+    // paid a fourth (re-exchanging perPs into a self-join).
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected agg + window + census exchanges only, got $exchanges:\n${p.take(3000)}")
+    assert(p.contains("Window"), s"per-part totals must be a window:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no data-scale self-join allowed:\n${p.take(3000)}")
+  }
+
+  test("a39/a60 rank passes: no unpartitioned data-scale window survives") {
+    // the two-pass partition-offset rank replaces the single-partition
+    // row_number/ntile frame: every remaining unpartitioned window in
+    // these plans must be the bounded #partitions-row offset table or
+    // the decile-grain cumulative sum
+    for (df <- Seq(
+        Relational.a39ParetoShare(Tables(spark, sf0001, "events")),
+        Relational.a60Lorenz(Tables(spark, sf0001, "orders")))) {
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
+        s"rank must ride a parallel range repartition:\n${p.take(3000)}")
+    }
+  }
 }
