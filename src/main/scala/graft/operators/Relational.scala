@@ -40,12 +40,16 @@ object Relational {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
-    // #partitions rows; the unpartitioned window here is over that
-    // bounded table, not over data
+    // #partitions rows; the cumulative sum here runs over that bounded
+    // table, not over data — partitionBy(lit(0)) makes the deliberate
+    // single-partition execution explicit (and keeps the WindowExec
+    // "No Partition Defined" warning out of logs where it would read
+    // as a data-scale frame)
     val offsets = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off",
-        sum(col("__cnt")).over(Window.orderBy(col("__pid"))) - col("__cnt"))
+        sum(col("__cnt")).over(Window.partitionBy(lit(0))
+          .orderBy(col("__pid"))) - col("__cnt"))
       .select(col("__pid"), col("__off"))
     ranged
       .withColumn("__lrnk", row_number().over(
@@ -3749,11 +3753,23 @@ object Relational {
     * every scale on such data). Quantity shares fold from exact
     * decimal sums per (part, supplier); the per-part total and
     * supplier count come from a window PARTITIONED BY the part key on
-    * that same aggregate — one exchange on l_partkey total, where an
-    * aggregate+self-join would re-exchange the frame twice. The
-    * window partition is per-part supplier cardinality (bounded);
-    * the supplier census joins the handful of dominant rows back to
-    * the broadcast dimension chain.
+    * that same aggregate — one exchange on l_partkey total, where the
+    * r9 aggregate+self-join re-exchanged the frame twice (plan-pinned
+    * in PlansSpec). The window partition is per-part supplier
+    * cardinality (bounded); the supplier census joins the handful of
+    * dominant rows back to the broadcast dimension chain.
+    *
+    * 2x-audit note (`q20_dominant_supplier`, r10 probe on a quiet
+    * host, min-of-3): full query 1.04 s, of which the (part,
+    * supplier) aggregate ALONE is 0.55 s — the synthetic lineitem has
+    * ~591k TRUE groups from ~600k rows at sf0.1, so partial
+    * aggregation compresses nothing and the window sorts the full
+    * group set (+0.5 s) — vs a ~0.1-0.2 s DuckDB oracle. Nothing
+    * data-scale is removable: broadcasting the per-part totals
+    * instead would force a part-cardinality broadcast (the repo-wide
+    * never-broadcast-data-scale rule), and the group count is a data
+    * property, not a plan defect. The gap is the shuffle+sort
+    * machinery constant on a frame DuckDB streams in-memory.
     */
   def q20DominantSupplier(nation: DataFrame, supplier: DataFrame,
       lineitem: DataFrame, fairShareMult: Double = 3.0): DataFrame = {
