@@ -56,7 +56,7 @@ object Relational {
         Window.partitionBy(col("__pid")).orderBy(order: _*)))
       .join(broadcast(offsets), "__pid")
       .withColumn(out, col("__lrnk") + col("__off"))
-      .drop("__pid", "__lrnk")
+      .drop("__pid", "__lrnk", "__off")
   }
 
   /** SQL-standard `ntile(b)` computed arithmetically from an exact

@@ -151,4 +151,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(asr.map(r => (r.getLong(0), r.getDouble(1))).toSeq
       === Seq((0L, 0.0)))
   }
+  test("globalRowNumber and ntileAt degrade to empty on zero rows") {
+    val e = Seq.empty[(Long, Long)].toDF("id", "v")
+    val ranked = Relational.globalRowNumber(
+      e, Seq(col("v"), col("id")), "rnk")
+    assert(ranked.isEmpty)
+    assert(ranked.columns.toSeq == Seq("id", "v", "rnk"))
+    // a single row still buckets sanely: rank 1 of 1 -> tile 1
+    val one = Seq((7L, 3L)).toDF("id", "v")
+    val t = Relational.globalRowNumber(one, Seq(col("v"), col("id")), "rnk")
+      .select(Relational.ntileAt(col("rnk"), lit(1L), 4).as("t"))
+      .as[Int].head()
+    assert(t == 1)
+  }
+
+  test("a35/a39/a60 dimension-rank queries are empty-safe") {
+    val noOrders = Seq.empty[(Long, Long, Double, java.sql.Date)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    assert(Relational.a35RfmSegments(noOrders).isEmpty)
+    assert(Relational.a60Lorenz(noOrders).isEmpty)
+    val noEvents = Seq.empty[(Long, Long, Double)]
+      .toDF("event_id", "user_id", "value")
+    assert(Relational.a39ParetoShare(noEvents).isEmpty)
+  }
+
+  test("uploadResultCensus over an empty frame posts nothing and is empty") {
+    graft.reverse.MockUploadTransport.register("empty_census",
+      new graft.reverse.MockUploadTransport(failEvery = 7))
+    val e = Seq.empty[(Long, String)].toDF("Id", "Name")
+    val out = graft.reverse.BulkUpload.uploadResultCensus(
+      e, "Id", "Contact", "empty_census", maxRecords = 50)
+    assert(out.isEmpty)
+    assert(graft.reverse.MockUploadTransport.get("empty_census")
+      .batches.isEmpty)
+  }
 }
