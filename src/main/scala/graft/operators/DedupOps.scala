@@ -369,6 +369,16 @@ object DedupOps {
     * (docs sharing zero shingles never meet — the join IS the blocking;
     * background sharing is what limits scale, which is why minhashLsh
     * is the 100 TB path).
+    *
+    * 2x-audit note (`dedup_ngram_jaccard`, ~2.2 s engine time at
+    * sf0.1 — the ratio against its DuckDB oracle swings 2-4x purely
+    * with the oracle sweep's page-cache state): the cost is the TRUE
+    * exact-census candidate mass Σ C(df, 2) over every shared shingle
+    * — already minimal at two shuffles (bucket + pair fold) with the
+    * lazy PairExplode generator, no O(k²) arrays, no sizes-table
+    * join. Nothing removable without changing exactness; the bounded
+    * production path is [[minhashLsh]] (banded candidates + verify),
+    * and the scale-sane census variant is [[ngramJaccardSampled]].
     */
   def ngramJaccard(documents: DataFrame, threshold: Double): DataFrame = {
     // bucket (doc, n) per shingle and expand ordered pairs in-place: one
