@@ -53,4 +53,41 @@ class RankHelpersSpec extends SparkSpec {
       assert(got == want, s"n=$n b=$b")
     }
   }
+  test("ntileAt equals the SQL-standard bucket rule on randomized (n, b)") {
+    // deterministic LCG over (n, b) combos; reference = front-loaded
+    // remainder rule computed in plain Scala over every rank 1..n
+    var seed = 0x9e3779b97f4a7c15L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (_ <- 1 to 12) {
+      val n = next(4000) + 1
+      val b = next(12) + 1
+      def ref(rnk: Int): Int = {
+        val q = n / b; val r = n % b; val cut = r * (q + 1)
+        if (rnk <= cut) (rnk - 1) / (q + 1) + 1
+        else r + (rnk - cut - 1) / q + 1
+      }
+      val got = spark.range(1, n + 1)
+        .select(col("id").as("rnk"),
+          Relational.ntileAt(col("id"), lit(n.toLong), b).as("t"))
+        .as[(Long, Int)].collect()
+      got.foreach { case (rnk, t) =>
+        assert(t == ref(rnk.toInt), s"n=$n b=$b rnk=$rnk")
+      }
+    }
+  }
+
+  test("globalRowNumber is layout-independent (random pre-partitioning)") {
+    val df = frame(513)
+    val want = Relational.globalRowNumber(df, Seq(col("v"), col("id")), "rnk")
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 7, 64)) {
+      val got = Relational.globalRowNumber(
+          df.repartition(parts), Seq(col("v"), col("id")), "rnk")
+        .select("id", "rnk").as[(Long, Long)].collect().toMap
+      assert(got == want, s"pre-partitioning $parts changed ranks")
+    }
+  }
 }
