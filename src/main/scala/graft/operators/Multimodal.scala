@@ -688,6 +688,27 @@ object Multimodal {
     * decode cannot pass — this proves `javax.sound.sampled` streamed
     * the actual sample data. Narrow mapPartitions, no shuffle.
     */
+  /** Decode a WAV payload to raw PCM bytes + channel count, asserting
+    * 16-bit little-endian signed PCM FIRST — the shared fail-loudly
+    * gate of every audio kernel (the `require(img != null)` rule of
+    * the image decoders): each call site assembles samples with
+    * manual little-endian byte math, which would silently produce
+    * wrong values (not an error) on an 8/24-bit, big-endian, or
+    * float clip.
+    */
+  private def pcm16le(payload: Array[Byte], docId: Long): (Array[Byte], Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"doc $docId: expected 16-bit LE signed PCM, got $fmt")
+    val data = ais.readAllBytes()
+    ais.close()
+    (data, fmt.getChannels)
+  }
+
   /** Per-clip band energy over the REAL PCM decode — the clip split
     * into `bands` equal sample ranges, each reporting its sample count
     * and Σv² energy: the silence/clipping LOCALIZATION probe
@@ -708,10 +729,7 @@ object Multimodal {
       StructField("energy", LongType, nullable = false))))
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.flatMap { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))._1
         require(data.length >= 2,
           s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
             "no complete 16-bit sample (truncated or header-only WAV)")
@@ -736,10 +754,7 @@ object Multimodal {
     val enc = Encoders.row(audioStatsSchema)
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))._1
         // fail loudly on a truncated/header-only clip (the pixelStats
         // discipline): silently emitting sentinel stats for an empty
         // PCM stream would let a broken decode pass as "quiet audio"
@@ -781,10 +796,7 @@ object Multimodal {
       StructField("n_cross", LongType, nullable = false))))
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))._1
         require(data.length >= 4,
           s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
             "fewer than two complete 16-bit samples")
@@ -830,10 +842,7 @@ object Multimodal {
       StructField("n_clipped", LongType, nullable = false))))
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))._1
         require(data.length >= 2,
           s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes")
         val ns = data.length / 2
@@ -871,20 +880,7 @@ object Multimodal {
       StructField("n_silent", LongType, nullable = false))))
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        // fail loudly on anything but 16-bit little-endian signed PCM
-        // (the require(img != null) convention of the image decoders):
-        // the manual byte assembly below would otherwise produce
-        // silently wrong sample values on an 8/24-bit, big-endian, or
-        // float clip instead of an error
-        val fmt = ais.getFormat
-        require(fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-            fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-          s"doc ${r.getLong(0)}: expected 16-bit LE signed PCM, got $fmt")
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))._1
         val ns = data.length / 2
         var silent = 0L
         var firstLoud = -1
@@ -929,11 +925,8 @@ object Multimodal {
     val enc = Encoders.row(audioResampleSchema)
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val frameSize = ais.getFormat.getChannels * 2 // 16-bit PCM
-        val data = ais.readAllBytes()
-        ais.close()
+        val (data, channels) = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))
+        val frameSize = channels * 2 // 16-bit PCM
         val f = data.length / frameSize
         require(f > 0, s"doc ${r.getLong(0)}: no complete PCM frame")
         var sum = 0L
@@ -971,10 +964,7 @@ object Multimodal {
     val enc = Encoders.row(audioDHashSchema)
     audio.select(col("doc_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        val data = ais.readAllBytes()
-        ais.close()
+        val data = pcm16le(r.getAs[Array[Byte]](1), r.getLong(0))._1
         require(data.length >= 2,
           s"doc ${r.getLong(0)}: PCM stream has ${data.length} bytes — " +
             "no complete 16-bit sample (truncated or header-only WAV)")
