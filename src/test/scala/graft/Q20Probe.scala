@@ -40,9 +40,6 @@ object Q20Probe {
     time("agg_window_filter")(dom.count())
     time("full_q20")(graft.operators.Relational
       .q20DominantSupplier(nation, supplier, li).count())
-    time("full_q20_no_order")(graft.operators.Relational
-      .q20DominantSupplier(nation, supplier, li)
-      .queryExecution.toRdd.count()) // skip presentation sort? no — same plan
     spark.stop()
   }
 }
