@@ -402,15 +402,17 @@ object TextOps {
     *
     * 2x-audit note (`text_bm25`, 0.326 s oracle at sf0.1; ~0.70–1.2 s
     * measured band across narrowed r10 runs, JIT-warmth-sensitive):
-    * the r10 rework fused the former second corpus scan (dl stats)
-    * into the single cached kernel pass above — the remaining cost is
-    * that one tokenizer pass (word_term_freqs + the token count, the
-    * same regex work the DuckDB oracle does in one thread memory-
-    * resident) plus the fixed persist/broadcast/checkpoint stage
-    * ladder. Action inventory: ONE eager action (the topK checkpoint;
-    * stats and df ride its broadcast exchanges), nothing data-scale
-    * beyond the corpus pass itself — the constant amortizes with
-    * corpus size.
+    * the r10 rework fused everything into ONE tokenizer kernel per
+    * row — dl is Σ tf over the unfiltered term-freq map (probe: the
+    * former regex-scan-for-dl variant costs 0.334 s for this stage,
+    * the single-kernel form 0.238 s), and the dl-stats aggregate
+    * reads the cached frame instead of re-scanning the corpus. The
+    * remaining cost is that one kernel pass (the same tokenize work
+    * the DuckDB oracle does in one thread memory-resident) plus the
+    * fixed persist/broadcast/checkpoint stage ladder. Action
+    * inventory: ONE eager action (the topK checkpoint; stats and df
+    * ride its broadcast exchanges), nothing data-scale beyond the
+    * corpus pass itself — the constant amortizes with corpus size.
     */
   def bm25TopDocs(documents: DataFrame, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
@@ -424,9 +426,21 @@ object TextOps {
     // skips persist+checkpoint and returns the fully lazy plan — the
     // plan-inspection path (PlansSpec pins the topK/broadcast shapes
     // a checkpoint would truncate away).
+    // ONE tokenizer kernel per row: dl (total token count) is Σ tf
+    // over the unfiltered term-freq map — identical to size(toksCol)
+    // because the kernel and the regex tokenizer are the same token
+    // definition (spec- and oracle-pinned) — so the second regex scan
+    // the previous revision paid for dl is gone. The two consumers of
+    // `all_tfs` live in a separate projection, which CollapseProject
+    // keeps apart (multi-referenced non-trivial alias), so the kernel
+    // runs once, not twice.
     val base0 = documents
-      .select(col("doc_id"), size(toksCol).cast("long").as("dl"),
-        filter(graft.functions.GraftFunctions.word_term_freqs(col("text")),
+      .select(col("doc_id"), graft.functions.GraftFunctions
+        .word_term_freqs(col("text")).as("all_tfs"))
+      .select(col("doc_id"),
+        aggregate(col("all_tfs"), lit(0L),
+          (acc, x) => acc + x.getField("tf")).as("dl"),
+        filter(col("all_tfs"),
           t => t.getField("term").isInCollection(queryTerms)).as("tfs"))
     val base = if (eager)
       base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
