@@ -353,9 +353,12 @@ object TextOps {
   def repetitionRatio(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"),
-        graft.functions.GraftFunctions.word_term_freqs(col("text")).as("tfs"),
-        size(graft.functions.GraftFunctions.word_shingles(col("text"), 1,
-          distinct = false)).cast("long").as("n_tokens"))
+        graft.functions.GraftFunctions.word_term_freqs(col("text")).as("tfs"))
+      // n_tokens = Σ tf over the map: one kernel pass, not a second
+      // tokenize for the count (the bm25TopDocs r10 rule)
+      .select(col("doc_id"), col("tfs"),
+        aggregate(col("tfs"), lit(0L),
+          (acc, x) => acc + x.getField("tf")).as("n_tokens"))
       .filter(col("n_tokens") >= 1)
       .withColumn("max_tf", expr("array_max(transform(tfs, x -> x.tf))"))
       .select(col("doc_id"), col("n_tokens"), col("max_tf"),
@@ -1155,9 +1158,14 @@ object TextOps {
     */
   def typeTokenRatio(documents: DataFrame): DataFrame =
     documents
+      // one term-freq kernel pass: n_tokens = Σ tf, n_types = map
+      // size — the previous form tokenized TWICE (size + distinct)
+      .select(col("doc_id"), graft.functions.GraftFunctions
+        .word_term_freqs(col("text")).as("tfs"))
       .select(col("doc_id"),
-        size(toksCol).cast("long").as("n_tokens"),
-        size(array_distinct(toksCol)).cast("long").as("n_types"))
+        aggregate(col("tfs"), lit(0L),
+          (acc, x) => acc + x.getField("tf")).as("n_tokens"),
+        size(col("tfs")).cast("long").as("n_types"))
       .withColumn("ttr", when(col("n_tokens") === 0L, lit(0.0))
         .otherwise(round(col("n_types").cast("double") /
           col("n_tokens").cast("double"), 6)))
