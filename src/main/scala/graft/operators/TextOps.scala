@@ -70,14 +70,18 @@ object TextOps {
     */
   def qualityScore(documents: DataFrame): DataFrame =
     documents
+      // stage the token array ONCE: n_tokens / n_stop / total_len all
+      // read it, so the previous inline form ran the same tokenizer
+      // regex three times per row (the bm25TopDocs r10 single-pass
+      // rule); the punct scan keeps its own regex — different pattern
+      .select(col("doc_id"), col("text"), toksCol.as("ws"))
       .select(col("doc_id"),
-        size(toksCol).cast("long").as("n_tokens"),
+        size(col("ws")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_measured"),
         expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("long").as("n_punct"),
-        expr("size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
-          " t -> t IN ('the','a','and','of','to')))").cast("long").as("n_stop"),
-        expr("aggregate(regexp_extract_all(lower(text), '[a-z0-9]+', 0)," +
-          " 0L, (s, t) -> s + length(t))").as("total_len"))
+        expr("size(filter(ws, t -> t IN ('the','a','and','of','to')))")
+          .cast("long").as("n_stop"),
+        expr("aggregate(ws, 0L, (s, t) -> s + length(t))").as("total_len"))
       .withColumn("punct_ratio",
         col("n_punct").cast("double") / col("n_chars_measured"))
       .withColumn("stop_ratio",
