@@ -692,11 +692,12 @@ object PipelineOps {
     * the card's shape is unchanged.
     */
   def datasetCard(documents: DataFrame): DataFrame = {
+    // tokenize once: count and fingerprint read the same staged array
     val toks = documents.select(col("doc_id"), col("lang"), col("n_chars"),
-      size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .cast("long").as("n_toks"),
-      md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
-        .as("fp"))
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("__t"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("__t")).cast("long").as("n_toks"),
+        md5(array_join(col("__t"), " ")).as("fp"))
     val base = toks.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(col("n_toks")).cast("double").as("n_tokens"),

@@ -339,12 +339,11 @@ object TextOps {
     */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
+      // tokenize once: both fingerprints read the same staged array
+      .select(col("doc_id"), toksCol.as("__t"))
       .select(col("doc_id"),
-        md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
-          .as("fp_full"),
-        md5(expr(
-          "concat_ws(' ', slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1, 3))"))
-          .as("fp_head"))
+        md5(array_join(col("__t"), " ")).as("fp_full"),
+        md5(expr("concat_ws(' ', slice(__t, 1, 3))")).as("fp_head"))
       .orderBy("doc_id")
 
   /** Repetition ratio — the boilerplate/spam quality signal (a
