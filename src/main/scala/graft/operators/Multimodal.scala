@@ -649,11 +649,13 @@ object Multimodal {
   def captionIntegrity(spark: SparkSession, images: DataFrame,
       documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val pairs = imageNearDup(spark, images, maxHamming)
+    // tokenize once: the Jaccard token set and the fingerprint read
+    // the same staged array
     val caps = documents.select(col("doc_id"),
-      array_distinct(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .as("toks"),
-      md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
-        .as("fp"))
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("__t"))
+      .select(col("doc_id"),
+        array_distinct(col("__t")).as("toks"),
+        md5(array_join(col("__t"), " ")).as("fp"))
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     val uni = size(col("toks_a")) + size(col("toks_b")) - inter
     pairs
