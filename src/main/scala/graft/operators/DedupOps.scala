@@ -177,6 +177,12 @@ object DedupOps {
     val perSource = documents.groupBy("source")
       .agg(count(lit(1)).as("n_docs"))
     val dup = documents.select(col("doc_id"), col("source"))
+      // touched is candidate-pair-derived (output-bounded, not corpus-
+      // bounded): the unconditional broadcast carries the same fail-
+      // loudly contract as the ngramJaccardPrefix id broadcasts — if
+      // the dup mass ever exceeds broadcast limits, the banding
+      // parameters are wrong for the corpus and the job should fail,
+      // not silently degrade to a corpus-wide shuffle
       .join(broadcast(touched), Seq("doc_id"), "left_semi")
       .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
     perSource.join(dup, Seq("source"), "left")

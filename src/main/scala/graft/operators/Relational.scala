@@ -213,15 +213,20 @@ object Relational {
         coalesce(col("props"), lit("")).as("null_enc"))
       .orderBy("event_id")
 
-  /** Multi-way join with broadcast dims: facts shuffle-join on keys,
-    * small dimensions broadcast (no shuffle for nation/region at any
-    * scale — they are bounded-size).
+  /** Multi-way join: facts shuffle-join on keys. The customer side is
+    * filtered BEFORE the join and carries NO broadcast hint — customer
+    * is a data-scale table (the never-force-a-broadcast-that-scales-
+    * with-data rule; a forced hint would hit the 8 GB broadcast limit
+    * at warehouse scale), so AQE picks broadcast when the filtered
+    * side is actually small and a co-partitioned shuffle join when it
+    * is not. Truly bounded dims (nation/region) keep explicit
+    * broadcasts elsewhere ([[q5BroadcastJoin]]).
     */
   def q3Join(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-      .filter(col("c_mktsegment") === "BUILDING")
+      .join(customer.filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
       .agg(
         sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
