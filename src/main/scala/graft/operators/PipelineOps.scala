@@ -484,6 +484,9 @@ object PipelineOps {
     val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     cleaned
+      // flagged is contamination-hit-bounded (docs sharing ≥ minShared
+      // shingles with the BENCHMARK — benchmark-overlap scale, not
+      // corpus scale); fail-loudly broadcast per the dedup id-set rule
       .join(broadcast(flagged), Seq("doc_id"), "left_anti")
       .withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("int"))

@@ -2616,7 +2616,12 @@ object Relational {
       .cast("long")
     // single-consumer pipeline — no persist needed (the distinct
     // projection flows straight into the weekly aggregate)
-    val du = events.select((day / 7L).cast("long").as("wk"), day.as("d"),
+    val du = events.select(
+      // integer div: both positive (the w28Retention data contract —
+      // ts ≥ epoch); for pre-epoch days both engines would still
+      // agree (DuckDB `//` and this double-div+cast both truncate
+      // toward zero — verified in w36CohortLtv)
+      (day / 7L).cast("long").as("wk"), day.as("d"),
       col("user_id")).distinct()
     val weekly = du.groupBy("wk")
       .agg(countDistinct(col("user_id")).as("wau"),
