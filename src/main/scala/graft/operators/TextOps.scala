@@ -557,17 +557,24 @@ object TextOps {
     // ride as one bit-packed long payload (tf << 40 | df). The r9
     // revision string-packed term+tf+df per INPUT row — a corpus-
     // scale allocation on the update path; the payload long is pure
-    // codegen arithmetic. Contract (documented bounds, wrap-free by
-    // construction): tf < 2^23 (8.4M tokens in ONE document) and
-    // df < 2^40 (1.1e12 documents).
+    // codegen arithmetic. Contract: tf < 2^23 (8.4M tokens in ONE
+    // document) and df < 2^40 (1.1e12 documents) — and the pack FAILS
+    // LOUDLY on an out-of-contract corpus (raise_error below) instead
+    // of silently overflowing into the sign bit and decoding garbage;
+    // the guard is one codegen'd comparison per (doc, term) row.
+    val packed = when(col("tf") >= lit(1L << 23) || col("df") >= lit(1L << 40),
+      raise_error(concat(lit("tfidf payload pack out of contract: tf="),
+        col("tf"), lit(" df="), col("df"),
+        lit(" (bounds tf<2^23, df<2^40)"))))
+      .otherwise(shiftleft(col("tf"), 40) + col("df"))
     val ranked = tf.join(broadcast(dfreq), Seq("term"), "left_outer")
       .crossJoin(broadcast(nDocs))
       .withColumn("df", coalesce(col("df"), lit(1L)))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0d) / (col("df") + 1.0d)), 6))
       .groupBy("doc_id")
-      .agg(top_k_str_pay_agg(col("tfidf"), col("term"),
-        shiftleft(col("tf"), 40) + col("df"), topK).as("tk"))
+      .agg(top_k_str_pay_agg(col("tfidf"), col("term"), packed, topK)
+        .as("tk"))
       .select(col("doc_id"), posexplode(col("tk")))
       .select(col("doc_id"), col("col.id").as("term"),
         shiftright(col("col.pay"), 40).as("tf"),

@@ -216,7 +216,12 @@ object BulkUpload {
     * per-partition posting of [[upload]] instead (batch composition
     * is then layout-dependent, which a real server tolerates and an
     * oracle cannot). The batch ordinal parses off the transport's
-    * batch counter; result volume is bounded by the upload slice.
+    * `batch-<n>` id scheme ([[MockUploadTransport]]'s counter); a
+    * transport minting opaque ids (the HTTP wire's 15/18-char keys)
+    * FAILS LOUDLY below rather than silently collapsing every batch
+    * into one NULL group — this census is a harness readout, and an
+    * id outside the contract means it was pointed at the wrong
+    * transport. Result volume is bounded by the upload slice.
     */
   def uploadResultCensus(df: DataFrame, orderCol: String,
       objectName: String, transportName: String,
@@ -225,9 +230,14 @@ object BulkUpload {
     val ordered = df.repartition(1).sortWithinPartitions(orderCol)
     val (_, res) = uploadWithResults(ordered, objectName, transportName,
       operation = "insert", maxRecords = maxRecords)
+    val ord = regexp_extract(col("batch_id"), "batch-(\\d+)$", 1)
     res
-      .select(regexp_extract(col("batch_id"), "batch-(\\d+)$", 1)
-        .cast("int").as("batch_ord"),
+      .select(when(ord === "",
+          raise_error(concat(lit("uploadResultCensus: batch_id '"),
+            col("batch_id"),
+            lit("' does not match the 'batch-<n>' id scheme this " +
+              "census requires"))))
+        .otherwise(ord.cast("int")).as("batch_ord"),
         col("success"), col("created"), col("error"))
       .groupBy("batch_ord")
       .agg(count(lit(1)).as("n_records"),

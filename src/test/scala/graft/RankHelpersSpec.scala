@@ -79,6 +79,32 @@ class RankHelpersSpec extends SparkSpec {
     }
   }
 
+  test("globalRowNumber is shuffle.partitions-independent (1/2/7/64, " +
+      "parts > rows, empty input)") {
+    // the helper reads numShufflePartitions for its range exchange; a
+    // config change must never change the computed ranks (adversarial
+    // cases: one partition — degenerate single range; more partitions
+    // than rows — empty ranges contribute zero offsets)
+    val df = frame(43)
+    val want = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq(1, 2, 7, 64)) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val got = Relational
+          .globalRowNumber(df, Seq(col("v"), col("id")), "rnk")
+          .select("id", "rnk").as[(Long, Long)].collect().toMap
+        assert(got == want, s"shuffle.partitions=$p changed ranks")
+        val empty = Relational.globalRowNumber(
+          df.filter(lit(false)), Seq(col("v"), col("id")), "rnk")
+        assert(empty.count() == 0L, s"empty input at partitions=$p")
+        assert(empty.columns.toSeq == Seq("id", "v", "rnk"))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("globalRowNumber is layout-independent (random pre-partitioning)") {
     val df = frame(513)
     val want = Relational.globalRowNumber(df, Seq(col("v"), col("id")), "rnk")
