@@ -3072,6 +3072,22 @@ object Relational {
     * probes only remove rows). Supplier is the broadcast-sized dim
     * joined last, AFTER the per-supplier census — group-scale rows,
     * not line-scale.
+    *
+    * 2x-audit note (`q21_waiting_supplier`, ~0.27 s oracle, 1.11 s
+    * r10 artifact; Q21Probe quiet-host min-of-3 decomposition —
+    * full query 0.70 s, the artifact gap above that is suite-neighbor
+    * context): the orders⋈lineitem join+flag ALONE is 0.36 s (two
+    * parquet scans + the AQE-broadcast F-orders build — the scan
+    * floor); the (ok, sk) fold adds ~0.15 s over 198k TRUE groups
+    * from 198k joined rows (the synthetic data has ~1 line per
+    * (order, supplier), so partial aggregation compresses NOTHING —
+    * the same data property q20's note documents); the order fold
+    * and the supplier census add the rest. The measured alternative —
+    * one exchange on ok with two countDistincts — is SLOWER (0.68 s
+    * vs 0.60 s cumulative through fold2) because Expand triples the
+    * line-scale frame before the partial agg. Nothing data-scale is
+    * removable; the residual is shuffle-machinery constants on frames
+    * DuckDB streams in-process, and it amortizes with data.
     */
   def q21WaitingSupplier(supplier: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
