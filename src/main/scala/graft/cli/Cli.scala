@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.reverse.{BulkUpload, UploadTransports}
 import graft.sink.{DerbyDialect, PgDialect, SqlDialect}
-import graft.sources.salesforce.{BatchInfo, JobInfo, SfTransports}
+import graft.sources.salesforce.{BatchInfo, HttpSfTransport, JobInfo, SfLogin, SfTransports}
 import graft.sync.{BulkLoad, IncrementalSync, SyncConfig, SyncStateStore}
 import graft.types.{SfField, SfSchema}
 
@@ -53,10 +53,28 @@ object Cli {
       // `--config FILE` (or GRAFT_CONFIG): the reference's ~/.pgsf
       // supplies option DEFAULTS (jdbc url, schema, quote_name, job
       // dir); explicit flags always win
-      val opts = explicit.get("config").orElse(sys.env.get("GRAFT_CONFIG"))
-        .map(p => ConfigFile.load(p).cliDefaults ++ explicit)
-        .getOrElse(explicit)
+      val cfg = explicit.get("config").orElse(sys.env.get("GRAFT_CONFIG"))
+        .map(ConfigFile.load)
+      val merged = cfg.map(_.cliDefaults ++ explicit).getOrElse(explicit)
+      // config-alone transport bootstrap (`salesforce.py:17-26`: the
+      // reference builds every client from [salesforce] credentials):
+      // no --transport flag + a [salesforce] section -> SOAP-login and
+      // register the HTTP transport under a reserved name, so `query`/
+      // `sync`/`upload` run from ~/.pgsf alone, like the reference
+      val opts =
+        if (merged.contains("transport") || verb == "login") merged
+        else cfg.flatMap(_.salesforce) match {
+          case Some(c) => merged + ("transport" -> bootstrapTransport(c))
+          case None => merged
+        }
       verb match {
+        case "login" =>
+          val c = cfg.flatMap(_.salesforce).getOrElse(throw
+            new IllegalArgumentException("login requires --config with a " +
+              "[salesforce] section"))
+          val r = doLogin(c)
+          out(s"instance=${c.instanceUrl.map(SfLogin.instanceOf)
+            .getOrElse(r.instance)} session_chars=${r.sessionId.length}")
         case "tabledesc" => tabledesc(opts, out)
         case "query" => query(opts, out)
         case "bulkload" => bulkload(opts, out)
@@ -76,8 +94,37 @@ object Cli {
   }
 
   private val usage =
-    "usage: graft.cli.Cli <tabledesc|query|bulkload|sync|upload|search|abort|gc|explain> " +
+    "usage: graft.cli.Cli <login|tabledesc|query|bulkload|sync|upload|search|abort|gc|explain> " +
       "[--config FILE] [--opt value ...]"
+
+  /** SOAP login from `[salesforce]` credentials (`salesforce.py:17-26`
+    * via `SalesforceLogin`); the engine-extension `instance_url` key
+    * overrides the host the login returns (proxies / local fixtures).
+    */
+  private def doLogin(c: ConfigFile.SfCredentials): SfLogin.LoginResult =
+    SfLogin.login(c.username, c.password,
+      securityToken = Some(c.securityToken),
+      apiVersion = c.apiVersion,
+      domain = c.domain.getOrElse("login"),
+      soapUrlOverride = c.loginUrl)
+
+  /** Registered-transport name for the config-bootstrap path. */
+  val ConfigTransportName = "config-salesforce"
+
+  /** Login + register the production HTTP transport (REST/bulk scan
+    * AND upload wire) under [[ConfigTransportName]]; idempotent per
+    * JVM run — verbs resolve it by name exactly like an explicitly
+    * registered transport.
+    */
+  private def bootstrapTransport(c: ConfigFile.SfCredentials): String = {
+    val r = doLogin(c)
+    val base = c.instanceUrl.getOrElse(r.instanceUrl)
+    val t = new HttpSfTransport(base, r.sessionId, apiVersion = c.apiVersion)
+    SfTransports.register(ConfigTransportName, t)
+    UploadTransports.register(ConfigTransportName,
+      t: graft.reverse.BulkUpload.UploadTransport)
+    ConfigTransportName
+  }
 
   /** `search --transport t (--sosl "FIND {…}" | --term word)` — SOSL
     * full-text search across objects (`simple_salesforce/api.py:

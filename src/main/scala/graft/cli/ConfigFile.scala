@@ -15,6 +15,11 @@ package graft.cli
   */
 object ConfigFile {
 
+  /** Parsed `[salesforce]` section (see [[Config.salesforce]]). */
+  final case class SfCredentials(username: String, password: String,
+      securityToken: String, domain: Option[String], apiVersion: String,
+      loginUrl: Option[String], instanceUrl: Option[String])
+
   /** configparser's boolean convention, shared by the config file and
     * the `--quote-name` flag: unrecognized values ERROR (configparser
     * raises ValueError) — a typo like `ture` must not silently flip
@@ -58,6 +63,35 @@ object ConfigFile {
             (if (params.isEmpty) "" else params.mkString("?", "&", ""))
         }
       }
+
+    /** `[salesforce]` credentials, exactly the keys the reference
+      * reads (`salesforce.py:7-15`): username / password /
+      * security_token are REQUIRED (KeyError there, a clean error
+      * here), `domain` only when present and non-empty (`:11-13`),
+      * `api_version` required (`:15`). Engine-extension keys for
+      * deployments and specs: `login_url` overrides the SOAP endpoint
+      * (the reference patches `requests` for the same seam in
+      * `test_login.py`); `instance_url` overrides the instance host
+      * the login returns (proxies / local fixtures).
+      *
+      * @return None when the file has no [salesforce] section at all
+      */
+    def salesforce: Option[SfCredentials] = {
+      if (!sections.contains("salesforce")) None
+      else {
+        def req(key: String): String = get("salesforce", key).getOrElse(
+          throw new IllegalArgumentException(
+            s"config [salesforce] is missing required key '$key'"))
+        Some(SfCredentials(
+          username = req("username"),
+          password = req("password"),
+          securityToken = req("security_token"),
+          domain = get("salesforce", "domain").filter(_.nonEmpty),
+          apiVersion = req("api_version"),
+          loginUrl = get("salesforce", "login_url").filter(_.nonEmpty),
+          instanceUrl = get("salesforce", "instance_url").filter(_.nonEmpty)))
+      }
+    }
 
     /** CLI option defaults derived from the file; explicit flags
       * override by map-merge order. Keys mirror the CLI surface:
