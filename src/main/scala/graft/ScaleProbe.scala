@@ -70,7 +70,13 @@ object ScaleProbe {
     // cascade's three-scheme anti-joins, the candidate-bounded
     // weighted-Jaccard verify, and the dim-pruned re-ranking pass
     "graph_bfs_ball", "dedup_component_ecc", "dedup_cascade",
-    "dedup_weighted_jaccard", "sim_dim_prune")
+    "dedup_weighted_jaccard", "sim_dim_prune",
+    // round-11 additions: the customer/user-grain rank family that
+    // replaced the single-partition dimension windows in r10 — the
+    // two-pass range-exchange rank must scale like the exchange
+    // family (~mult), where the one-task sort it replaced would
+    // concentrate the scaled grain on one core
+    "a35_rfm_segments", "a39_pareto_share", "a60_lorenz")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
@@ -147,6 +153,16 @@ object ScaleProbe {
       if (hubGrowth) o
       else o.withColumn("l_partkey", col("l_partkey") + lit(k * IdOffset))
     }.write.parquet(s"$tmp/lineitem.parquet")
+    // orders: order AND customer keys offset per copy — "mult× more
+    // customers at the same per-customer order profile", the scale
+    // axis of the customer-grain rank family (a35/a60): the ranked
+    // grain itself grows mult×, which is exactly what the replaced
+    // one-task sort could not absorb
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    copies(ord) { (o, k) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * IdOffset))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * IdOffset))
+    }.write.parquet(s"$tmp/orders.parquet")
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"ScaleProbe: could not publish $tmp -> $published")
     ()
@@ -174,8 +190,9 @@ object ScaleProbe {
     // re-stage, never reuse a stale scaled corpus
     val srcM = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(s"$src/events.parquet")).toMillis
-    // v2: lineitem joined the staged set — a v1 dir must not be reused
-    val flavor = if (hubGrowth) "hub" else "v2"
+    // v3: orders joined the staged set (v2 added lineitem) — an older
+    // dir must not be reused
+    val flavor = if (hubGrowth) "hub3" else "v3"
     val dir = s"/tmp/graft_scale${mult}_${flavor}_" +
       src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
     System.err.println(s"[scale] staging ${mult}x of $src -> $dir" +

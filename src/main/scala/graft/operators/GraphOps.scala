@@ -872,6 +872,16 @@ object GraphOps {
     * Edge list and round states are eagerly materialized (the
     * pageRank ladder): each state feeds the next round's join and
     * union, and the final state feeds the estimator.
+    *
+    * Bench-band note (r11 two-run drift settle): with NO change to
+    * this operator, full-suite `dedup_ball2_kmv` measured 2.80 s
+    * (r9), 3.16 (r10), 3.29 / 3.66 (two r11 quiet-host runs) — a
+    * 2.8–3.7 s band. Its same-family neighbors REVERTED on the
+    * second run (`dedup_ppr` 2.75→2.34, `dedup_minhash_calibration`
+    * 2.88→2.57, both ≈ their r9 values), so the movement is
+    * suite-context (shared simhash-pair cache build order + JIT/GC
+    * neighborhood), not a plan regression — the executed plan is
+    * unchanged vs r9 (fixed rounds × one exchange per round).
     */
   def kmvBall(pairs: DataFrame, rounds: Int = 2, k: Int = 8): DataFrame = {
     import graft.functions.GraftFunctions.top_k_agg

@@ -47,11 +47,15 @@ object Relational {
     // (nondeterministic after a shuffle), the branches could land on
     // different partitionings — offsets computed against one layout,
     // ranks against another. The eager localCheckpoint pins one
-    // layout for both. Cost: FREE — RankProbe (sf0.1, 3 rank passes
-    // over the customer grain, min-of-3 interleaved) measures 1.116 s
-    // unpinned vs 1.056 s pinned; the cache write is repaid because
-    // lineage truncation stops the offsets branch re-executing the
-    // upstream aggregate.
+    // layout for both. Cost, measured two ways: over a LIVE upstream
+    // aggregate it is free (RankProbe, 3 rank passes at sf0.1:
+    // 1.116 s unpinned vs 1.056 s pinned — lineage truncation stops
+    // the offsets branch re-executing the upstream plan); over an
+    // ALREADY-materialized upstream (a35/a60 checkpoint their
+    // customer grain first) it is a pure cache write, full-suite
+    // a35 0.91→~1.25 s, a39 0.62→0.77 s, a60 1.06→~1.18 s (r11
+    // two-run medians) — ~0.6 s across the suite for removing the
+    // exchange-reuse correctness dependence.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -1057,7 +1061,9 @@ object Relational {
     *
     * Bench-scale cost of the trade (r10, deliberate): 0.22 → 0.83 s
     * at sf0.1 — three range exchanges + offset joins where the old
-    * single-partition ntile window paid one task. At 10⁹ customers
+    * single-partition ntile window paid one task; r11's range-
+    * exchange pin (see [[globalRowNumber]]) adds its cache write,
+    * → ~1.25 s. At 10⁹ customers
     * the window is a ONE-TASK sort (the r9 VERDICT's only new
     * scale-killer); this is a parallel sort — the same
     * constant-for-scale trade as text_tfidf's r9 rework.
@@ -3888,8 +3894,9 @@ object Relational {
     *
     * Bench-scale cost of the trade (r10, deliberate): 0.47 → 1.01 s
     * at sf0.1 (range exchange + offset join + checkpoint replace the
-    * one-task ntile window) — constant paid for the parallel sort
-    * that survives dimension cardinality (see [[a35RfmSegments]]).
+    * one-task ntile window), ~1.18 s with r11's range-exchange pin —
+    * constant paid for the parallel sort that survives dimension
+    * cardinality (see [[a35RfmSegments]]).
     */
   def a60Lorenz(orders: DataFrame, buckets: Int = 10): DataFrame = {
     val perCust = orders
