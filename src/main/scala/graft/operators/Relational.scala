@@ -60,14 +60,18 @@ object Relational {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     // #partitions rows; the cumulative sum here runs over that bounded
-    // table, not over data — partitionBy(lit(0)) makes the deliberate
-    // single-partition execution explicit (and keeps the WindowExec
+    // table, not over data — the constant partition key makes the
+    // deliberate one-group execution explicit and keeps the WindowExec
     // "No Partition Defined" warning out of logs where it would read
-    // as a data-scale frame)
+    // as a data-scale frame. It must be NON-FOLDABLE: a bare lit(0)
+    // is constant-folded out of the window spec (leaving a true
+    // unpartitioned window + an Exchange SinglePartition, verified on
+    // Spark 4.1.2), so derive the constant from the column —
+    // pmod(__pid, 1) is 0 on every row but survives the optimizer.
     val offsets = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off",
-        sum(col("__cnt")).over(Window.partitionBy(lit(0))
+        sum(col("__cnt")).over(Window.partitionBy(pmod(col("__pid"), lit(1)))
           .orderBy(col("__pid"))) - col("__cnt"))
       .select(col("__pid"), col("__off"))
     ranged
@@ -3912,7 +3916,11 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
     val tot = byDecile.agg(sum(col("drev")).cast(DecimalType(38, 2))
       .as("total"))
-    val cum = Window.orderBy(col("decile"))
+    // decile-grain (10 rows); the non-foldable constant partition key
+    // executes the bounded frame as one explicit group instead of an
+    // unpartitioned window (same trick + rationale as globalRowNumber)
+    val cum = Window.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDecile
       .withColumn("crev", sum(col("drev")).over(cum))

@@ -930,16 +930,35 @@ class PlansSpec extends SparkSpec {
 
   test("a39/a60 rank passes: no unpartitioned data-scale window survives") {
     // the two-pass partition-offset rank replaces the single-partition
-    // row_number/ntile frame: every remaining unpartitioned window in
-    // these plans must be the bounded #partitions-row offset table or
-    // the decile-grain cumulative sum
+    // row_number/ntile frame. Since r11 the range exchange executes
+    // INSIDE globalRowNumber's eager localCheckpoint (one pinned
+    // layout for both its consumers — see the scaladoc there), so the
+    // final plan reads the checkpointed RDD; assert that pinned scan
+    // is present and that nothing downstream re-collapsed to a single
+    // partition. The range repartition itself is structural
+    // (globalRowNumber literally calls repartitionByRange; semantics
+    // pinned by RankHelpersSpec across shuffle.partitions 1/2/7/64).
     for (df <- Seq(
         Relational.a39ParetoShare(Tables(spark, sf0001, "events")),
         Relational.a60Lorenz(Tables(spark, sf0001, "orders")))) {
       df.collect()
       val p = plan(df).split("== Initial Plan ==").head
-      assert(p.contains("RangePartitioning") || p.contains("rangepartitioning"),
-        s"rank must ride a parallel range repartition:\n${p.take(3000)}")
+      assert(p.contains("ExistingRDD"),
+        s"rank must read globalRowNumber's pinned range-partitioned " +
+          s"checkpoint:\n${p.take(3000)}")
+      // scalar aggregates legitimately combine partials on a single
+      // partition; what must NOT appear is a Sort or Window CONSUMING
+      // a single-partition exchange — that is the one-task sort the
+      // two-pass rank exists to avoid
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val parents = lines.slice(math.max(0, i - 3), i)
+          assert(!parents.exists(l =>
+              l.contains("Sort [") || l.contains("Window [")),
+            s"one-task sort/window over a SinglePartition exchange:\n" +
+              lines.slice(math.max(0, i - 4), i + 1).mkString("\n"))
+        }
     }
   }
 }
