@@ -53,8 +53,8 @@ object Relational {
     // the offsets branch re-executing the upstream plan); over an
     // ALREADY-materialized upstream (a35/a60 checkpoint their
     // customer grain first) it is a pure cache write, full-suite
-    // a35 0.91→~1.25 s, a39 0.62→0.77 s, a60 1.06→~1.18 s (r11
-    // two-run medians) — ~0.6 s across the suite for removing the
+    // a35 0.91→1.2-1.36 s, a39 0.62→0.77 s, a60 1.06→1.10-1.22 s
+    // (three r11 runs) — ~0.6 s across the suite for removing the
     // exchange-reuse correctness dependence.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -1067,7 +1067,7 @@ object Relational {
     * at sf0.1 — three range exchanges + offset joins where the old
     * single-partition ntile window paid one task; r11's range-
     * exchange pin (see [[globalRowNumber]]) adds its cache write,
-    * → ~1.25 s. At 10⁹ customers
+    * → 1.2-1.36 s across three r11 runs. At 10⁹ customers
     * the window is a ONE-TASK sort (the r9 VERDICT's only new
     * scale-killer); this is a parallel sort — the same
     * constant-for-scale trade as text_tfidf's r9 rework.
@@ -3898,7 +3898,7 @@ object Relational {
     *
     * Bench-scale cost of the trade (r10, deliberate): 0.47 → 1.01 s
     * at sf0.1 (range exchange + offset join + checkpoint replace the
-    * one-task ntile window), ~1.18 s with r11's range-exchange pin —
+    * one-task ntile window), 1.10-1.22 s with r11's range-exchange pin —
     * constant paid for the parallel sort that survives dimension
     * cardinality (see [[a35RfmSegments]]).
     */
