@@ -21,6 +21,19 @@ object Relational {
   /** Exact-sum helper: sum(cast(c as decimal(18,2))) cast back to double. */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Non-foldable all-rows-equal window partition key: executes a
+    * BOUNDED frame (day / decile / bucket / top-k grain — each use
+    * site's scaladoc names its grain) as ONE EXPLICIT GROUP instead
+    * of an unpartitioned window. A bare literal does not work: the
+    * optimizer constant-folds it out of the window spec, reviving
+    * the true unpartitioned window and its one-task `WindowExec`
+    * warning (verified on Spark 4.1.2 — see [[globalRowNumber]]).
+    * Deriving the constant from a column survives the optimizer;
+    * the coalesce keeps NULL order keys in the same single group.
+    */
+  def oneGroup(c: Column): Column =
+    coalesce(pmod(length(c.cast("string")), lit(1)), lit(0))
+
   /** Exact global `row_number() OVER (ORDER BY order…)` WITHOUT the
     * single-partition window: an unpartitioned `WindowExec` moves the
     * ENTIRE frame to one task (Spark logs `No Partition Defined`),
@@ -1933,7 +1946,7 @@ object Relational {
       .agg(min(to_date(col("ts"))).as("day"))
     val perDay = firstDay.groupBy("day")
       .agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy("day")
+    val w = Window.partitionBy(oneGroup(col("day"))).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDay
       .select(col("day"), col("n_new"),
@@ -2046,7 +2059,8 @@ object Relational {
         sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
     val tot = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    val w = Window.orderBy(col("value"))
+    val w = Window.partitionBy(oneGroup(col("value")))
+      .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells
       .withColumn("cuma", sum(col("ca")).over(w))
@@ -2158,7 +2172,8 @@ object Relational {
       .agg(
         sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy(col("value"))
+    val w = Window.partitionBy(oneGroup(col("value")))
+      .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
     cells
       .withColumn("cbefore",
@@ -2346,7 +2361,8 @@ object Relational {
     val cells = events.groupBy(col("value"), col("event_type"))
       .agg(count(lit(1)).as("c"))
     val byVal = cells.groupBy("value").agg(sum(col("c")).as("t"))
-    val w = Window.orderBy(col("value"))
+    val w = Window.partitionBy(oneGroup(col("value")))
+      .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = byVal
       .withColumn("cbefore", coalesce(sum(col("t")).over(w), lit(0L)))
@@ -2417,7 +2433,8 @@ object Relational {
         (col("event_type") === "purchase").cast("long").as("pos"))
       .groupBy("value")
       .agg(count(lit(1)).as("t"), sum(col("pos")).as("tp"))
-    val w = Window.orderBy(col("value"))
+    val w = Window.partitionBy(oneGroup(col("value")))
+      .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = cells
       .withColumn("cbefore", coalesce(sum(col("t")).over(w), lit(0L)))
@@ -2526,7 +2543,7 @@ object Relational {
     val day = datediff(col("ts").cast("date"), lit(epoch).cast("date"))
       .cast("long")
     val daily = events.groupBy(day.as("d")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("d")
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy("d")
       .rowsBetween(Window.unboundedPreceding, -1) // strictly before d
     val tot = daily.agg(sum(col("c")).as("s_all"), count(lit(1)).as("n_all"))
     val scans = daily
@@ -2710,7 +2727,8 @@ object Relational {
         round(col("s6").cast("double") / lit(1.0e6) / col("n").cast("double"), 9)
           .as("boot_mean"))
     // explicit 2.5/97.5 percentile interpolation over the sorted means
-    val wr = Window.orderBy(col("boot_mean"), col("r"))
+    val wr = Window.partitionBy(oneGroup(col("r")))
+      .orderBy(col("boot_mean"), col("r"))
     val rankedM = means.withColumn("rk", row_number().over(wr))
       .crossJoin(broadcast(means.agg(count(lit(1)).as("nb"))))
     def interp(q: Double): Column = {
@@ -3462,7 +3480,7 @@ object Relational {
       .select(col("d"),
         when(col("rev").cast("double") > col("mu"), 1).otherwise(0)
           .as("sgn"))
-    val w = Window.orderBy(col("d"))
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))
     val runs = signed
       .withColumn("chg",
         when(lag(col("sgn"), 1).over(w).isNull ||
@@ -3495,7 +3513,7 @@ object Relational {
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-    val w = Window.orderBy(col("d"))
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))
     val rets = daily
       .withColumn("prev", lag(col("rev"), 1).over(w))
       .filter(col("prev").isNotNull)
@@ -3503,7 +3521,8 @@ object Relational {
         ((col("rev").cast("double") - col("prev").cast("double")) /
           col("prev").cast("double")).as("r"))
     val pairs = rets
-      .withColumn("rn", lead(col("r"), 1).over(Window.orderBy(col("d"))))
+      .withColumn("rn", lead(col("r"), 1).over(
+        Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))))
       .filter(col("rn").isNotNull)
       .select(col("r").as("a"), col("rn").as("b"),
         (col("r") * col("r")).as("a2"), (col("rn") * col("rn")).as("b2"))
@@ -3626,7 +3645,7 @@ object Relational {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
       .select(col("d"), round(log(col("rev").cast("double")), 12).as("l"))
-    val w = Window.orderBy(col("d"))
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))
     def d12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
     def varOf(q: Int): DataFrame = {
       val diff = col("l") - lag(col("l"), q).over(w)
@@ -3978,7 +3997,7 @@ object Relational {
     val mu = daily.agg(
       (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
         .as("mu"))
-    val w = Window.orderBy(col("d"))
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))
     def d6(c: Column) = round(c, 6).cast(DecimalType(38, 6))
     val x = col("rev").cast("double") - col("mu")
     val s = daily.crossJoin(broadcast(mu)) // single row
@@ -4026,7 +4045,7 @@ object Relational {
     val mu = daily.agg(
       (sum(col("rev")).cast("double") / count(lit(1)).cast("double"))
         .as("mu"))
-    val w = Window.orderBy(col("d"))
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))
     val omega = lit(2.0 * math.Pi / period)
     val xt = daily.crossJoin(broadcast(mu)) // single row
       .withColumn("t", (row_number().over(w) - 1).cast("long"))
@@ -4105,7 +4124,8 @@ object Relational {
     def d12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
     val x = col("cnt").cast("double")
     val y = col("rev").cast("double")
-    val w = Window.orderBy(col("d")).rowsBetween(-(windowDays - 1), 0)
+    val w = Window.partitionBy(oneGroup(col("d"))).orderBy(col("d"))
+      .rowsBetween(-(windowDays - 1), 0)
     val rolled = daily.select(col("d"),
       count(lit(1)).over(w).as("n"),
       sum(d12(x)).over(w).as("sx"), sum(d12(y)).over(w).as("sy"),

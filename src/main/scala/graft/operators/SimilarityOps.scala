@@ -536,7 +536,8 @@ object SimilarityOps {
     */
   private def pqCodebook(embeddings: DataFrame, m: Int, k: Int,
       centroidStep: Int): DataFrame = {
-    val w = Window.orderBy("vec_id")
+    val w = Window.partitionBy(Relational.oneGroup(col("vec_id")))
+      .orderBy("vec_id")
     pqSubs(
       embeddings.filter(col("vec_id") % centroidStep === 0)
         .orderBy("vec_id").limit(k)

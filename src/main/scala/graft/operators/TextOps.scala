@@ -259,7 +259,8 @@ object TextOps {
     val newToks = tf.crossJoin(broadcast(mx))
       .groupBy(bucketOf("doc_id").as("bucket"))
       .agg(sum(col("tf")).as("t_new"))
-    val w = Window.orderBy("bucket")
+    val w = Window.partitionBy(Relational.oneGroup(col("bucket")))
+      .orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // bucket-scale from here: ≤ `buckets` rows cross this window
     val pts = newToks.join(newVocab, Seq("bucket"), "left")
@@ -473,7 +474,8 @@ object TextOps {
       .groupBy("doc_id").agg(round(sum(contrib), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(topK)
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        Window.partitionBy(Relational.oneGroup(col("doc_id")))
+          .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "bm25", "rnk")
     if (!eager) ranked
     else {
@@ -833,7 +835,8 @@ object TextOps {
   def vocabEncode(documents: DataFrame, vocabSize: Int): DataFrame = {
     val toks = documents.select(col("doc_id"),
       expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
-    val w = Window.orderBy(col("freq").desc, col("term"))
+    val w = Window.partitionBy(Relational.oneGroup(col("term")))
+      .orderBy(col("freq").desc, col("term"))
     val vocab = toks.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term")).limit(vocabSize)
