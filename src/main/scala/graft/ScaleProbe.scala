@@ -157,12 +157,15 @@ object ScaleProbe {
     // customers at the same per-customer order profile", the scale
     // axis of the customer-grain rank family (a35/a60): the ranked
     // grain itself grows mult×, which is exactly what the replaced
-    // one-task sort could not absorb
-    val ord = spark.read.parquet(s"$src/orders.parquet")
-    copies(ord) { (o, k) =>
-      o.withColumn("o_orderkey", col("o_orderkey") + lit(k * IdOffset))
-        .withColumn("o_custkey", col("o_custkey") + lit(k * IdOffset))
-    }.write.parquet(s"$tmp/orders.parquet")
+    // one-task sort could not absorb. Hub mode skips it (no query in
+    // HubGrowthQueries reads orders — staging it would be dead I/O).
+    if (!hubGrowth) {
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      copies(ord) { (o, k) =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(k * IdOffset))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * IdOffset))
+      }.write.parquet(s"$tmp/orders.parquet")
+    }
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"ScaleProbe: could not publish $tmp -> $published")
     ()
@@ -187,9 +190,13 @@ object ScaleProbe {
       case None => baseSet
     }
     // mtime-keyed like the other stagings: regenerated testdata must
-    // re-stage, never reuse a stale scaled corpus
-    val srcM = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(s"$src/events.parquet")).toMillis
+    // re-stage, never reuse a stale scaled corpus. Key on the max
+    // mtime across every staged table (a partial regen that touches
+    // only orders or lineitem must also invalidate the dir).
+    val srcM = Seq("events", "orders", "lineitem", "documents",
+        "embeddings")
+      .map(t => java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$src/$t.parquet")).toMillis).max
     // v3: orders joined the staged set (v2 added lineitem) — an older
     // dir must not be reused
     val flavor = if (hubGrowth) "hub3" else "v3"

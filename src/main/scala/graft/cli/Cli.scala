@@ -61,8 +61,13 @@ object Cli {
       // no --transport flag + a [salesforce] section -> SOAP-login and
       // register the HTTP transport under a reserved name, so `query`/
       // `sync`/`upload` run from ~/.pgsf alone, like the reference
+      // only for verbs that resolve a transport: gc/explain (and the
+      // usage path) are local-only and must keep working offline with
+      // a credentialed config file present
+      val needsTransport = Set("tabledesc", "query", "bulkload", "sync",
+        "upload", "search", "abort")
       val opts =
-        if (merged.contains("transport") || verb == "login") merged
+        if (merged.contains("transport") || !needsTransport(verb)) merged
         else cfg.flatMap(_.salesforce) match {
           case Some(c) => merged + ("transport" -> bootstrapTransport(c))
           case None => merged

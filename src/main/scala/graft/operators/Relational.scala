@@ -51,40 +51,42 @@ object Relational {
   def globalRowNumber(df: DataFrame, order: Seq[Column],
       out: String): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // Materialize the range exchange ONCE before it fans out to its
-    // two consumers (the offset table and the local ranks). Without
-    // this, correctness would lean on Spark's ReuseExchange unifying
-    // the two subtrees: if reuse is disabled or defeated by plan
-    // divergence, each branch re-runs the range shuffle, and because
-    // RangePartitioner SAMPLES its boundaries from upstream row order
-    // (nondeterministic after a shuffle), the branches could land on
-    // different partitionings — offsets computed against one layout,
-    // ranks against another. The eager localCheckpoint pins one
-    // layout for both. Cost, measured two ways: over a LIVE upstream
-    // aggregate it is free (RankProbe, 3 rank passes at sf0.1:
-    // 1.116 s unpinned vs 1.056 s pinned — lineage truncation stops
-    // the offsets branch re-executing the upstream plan); over an
-    // ALREADY-materialized upstream (a35/a60 checkpoint their
-    // customer grain first) it is a pure cache write, full-suite
-    // a35 0.91→1.2-1.36 s, a39 0.62→0.77 s, a60 1.06→1.10-1.22 s
-    // (three r11 runs) — ~0.6 s across the suite for removing the
-    // exchange-reuse correctness dependence.
+    // Pin the range exchange to ONE shared instance before it fans
+    // out to its two consumers (the offset table and the local
+    // ranks). Without this, correctness would lean on Spark's
+    // ReuseExchange unifying the two subtrees: if reuse is disabled
+    // or defeated by plan divergence, each branch re-runs the range
+    // shuffle, and because RangePartitioner SAMPLES its boundaries
+    // from upstream row order (nondeterministic after a shuffle), the
+    // branches could land on different partitionings — offsets
+    // computed against one layout, ranks against another. The LAZY
+    // localCheckpoint truncates the logical plan to a single RDD
+    // instance, so both consumers share one shuffle dependency and
+    // one sampled partitioner (the pin), while materialization waits
+    // for the first action — constructing the DataFrame (the explain
+    // verb, plan audits) does not execute the upstream plan the way
+    // the eager form would. Cost in the action itself: one cache
+    // write of the frame; full-suite a35 0.91→1.2-1.36 s,
+    // a39 0.62→0.77 s, a60 1.06→1.10-1.22 s (r11 runs) — ~0.6 s
+    // across the suite for removing the exchange-reuse correctness
+    // dependence; free when the upstream was live (RankProbe 1.116 s
+    // unpinned vs 1.056 s pinned — lineage truncation stops the
+    // offsets branch re-executing the upstream aggregate).
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
     // #partitions rows; the cumulative sum here runs over that bounded
     // table, not over data — the constant partition key makes the
     // deliberate one-group execution explicit and keeps the WindowExec
     // "No Partition Defined" warning out of logs where it would read
-    // as a data-scale frame. It must be NON-FOLDABLE: a bare lit(0)
-    // is constant-folded out of the window spec (leaving a true
+    // as a data-scale frame ([[oneGroup]] — a bare lit(0) would be
+    // constant-folded out of the window spec, leaving a true
     // unpartitioned window + an Exchange SinglePartition, verified on
-    // Spark 4.1.2), so derive the constant from the column —
-    // pmod(__pid, 1) is 0 on every row but survives the optimizer.
+    // Spark 4.1.2).
     val offsets = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off",
-        sum(col("__cnt")).over(Window.partitionBy(pmod(col("__pid"), lit(1)))
+        sum(col("__cnt")).over(Window.partitionBy(oneGroup(col("__pid")))
           .orderBy(col("__pid"))) - col("__cnt"))
       .select(col("__pid"), col("__off"))
     ranged
@@ -3935,10 +3937,8 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
     val tot = byDecile.agg(sum(col("drev")).cast(DecimalType(38, 2))
       .as("total"))
-    // decile-grain (10 rows); the non-foldable constant partition key
-    // executes the bounded frame as one explicit group instead of an
-    // unpartitioned window (same trick + rationale as globalRowNumber)
-    val cum = Window.partitionBy(pmod(col("decile"), lit(1)))
+    // decile-grain (10 rows), one explicit group ([[oneGroup]])
+    val cum = Window.partitionBy(oneGroup(col("decile")))
       .orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byDecile

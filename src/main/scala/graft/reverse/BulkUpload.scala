@@ -230,11 +230,16 @@ object BulkUpload {
     val ordered = df.repartition(1).sortWithinPartitions(orderCol)
     val (_, res) = uploadWithResults(ordered, objectName, transportName,
       operation = "insert", maxRecords = maxRecords)
-    val ord = regexp_extract(col("batch_id"), "batch-(\\d+)$", 1)
+    // the ordinal segment must be exactly 'batch-<n>' — at the id
+    // start or after a '/' (the mock mints 'job-<...>/batch-<n>'), so
+    // 'rebatch-7' cannot parse as 7 — and the guard catches NULL ids
+    // too (when(NULL, ...) would fall through to otherwise — the
+    // silent collapse this guard exists to stop)
+    val ord = regexp_extract(col("batch_id"), "(^|/)batch-(\\d+)$", 2)
     res
-      .select(when(ord === "",
+      .select(when(ord.isNull || ord === "",
           raise_error(concat(lit("uploadResultCensus: batch_id '"),
-            col("batch_id"),
+            coalesce(col("batch_id"), lit("NULL")),
             lit("' does not match the 'batch-<n>' id scheme this " +
               "census requires"))))
         .otherwise(ord.cast("int")).as("batch_ord"),

@@ -186,18 +186,21 @@ object SfLogin {
     val resp = HttpClient.newHttpClient()
       .send(req, HttpResponse.BodyHandlers.ofByteArray())
     if (resp.statusCode() != 200) {
-      val code = xmlElementValue(resp.body(), "sf:exceptionCode")
-      val msg = xmlElementValue(resp.body(), "sf:exceptionMessage")
+      // a proxy/LB can answer with non-XML (HTML error page): the
+      // contract is still SfAuthFailed, never a parser exception
+      val (code, msg) =
+        try (xmlElementValue(resp.body(), "sf:exceptionCode"),
+          xmlElementValue(resp.body(), "sf:exceptionMessage"))
+        catch { case _: org.xml.sax.SAXException => (None, None) }
       throw new SfAuthFailed(code.getOrElse(resp.statusCode().toString),
         msg.getOrElse(new String(resp.body(), UTF_8).take(500)))
     }
-    val sessionId = xmlElementValue(resp.body(), "sessionId")
-      .getOrElse(throw new SfAuthFailed("MALFORMED_RESPONSE",
-        "login response carries no sessionId"))
-    val serverUrl = xmlElementValue(resp.body(), "serverUrl")
-      .getOrElse(throw new SfAuthFailed("MALFORMED_RESPONSE",
-        "login response carries no serverUrl"))
-    LoginResult(sessionId, instanceOf(serverUrl))
+    def extract(tag: String): String =
+      (try xmlElementValue(resp.body(), tag)
+      catch { case _: org.xml.sax.SAXException => None })
+        .getOrElse(throw new SfAuthFailed("MALFORMED_RESPONSE",
+          s"login response carries no $tag"))
+    LoginResult(extract("sessionId"), instanceOf(extract("serverUrl")))
   }
 
   // ---- OAuth 2.0 JWT bearer flow (login.py:155-180, 223-259) ---------

@@ -950,14 +950,17 @@ class PlansSpec extends SparkSpec {
       // partition; what must NOT appear is a Sort or Window CONSUMING
       // a single-partition exchange — that is the one-task sort the
       // two-pass rank exists to avoid
+      // 7 lines of look-behind: AQE can interpose WholeStageCodegen /
+      // InputAdapter / AQEShuffleRead / ShuffleQueryStage wrappers
+      // between the consumer and its exchange
       val lines = p.linesIterator.toVector
       lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
         .foreach { case (_, i) =>
-          val parents = lines.slice(math.max(0, i - 3), i)
+          val parents = lines.slice(math.max(0, i - 7), i)
           assert(!parents.exists(l =>
               l.contains("Sort [") || l.contains("Window [")),
             s"one-task sort/window over a SinglePartition exchange:\n" +
-              lines.slice(math.max(0, i - 4), i + 1).mkString("\n"))
+              lines.slice(math.max(0, i - 8), i + 1).mkString("\n"))
         }
     }
   }

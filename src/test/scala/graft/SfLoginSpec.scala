@@ -98,6 +98,9 @@ class SfLoginSpec extends SparkSpec with BeforeAndAfterAll {
               contentType = "text/xml")
           case ("POST", "/soap/fail") =>
             respond(ex, InvalidLoginXml, status = 500, contentType = "text/xml")
+          case ("POST", "/soap/htmlfail") =>
+            respond(ex, "Bad Gateway <<< not xml", status = 502,
+              contentType = "text/html")
           case ("POST", "/oauth2/token") =>
             lastTokenForm = new String(ex.getRequestBody.readAllBytes(), UTF_8)
               .split('&').map { kv =>
@@ -316,6 +319,36 @@ class SfLoginSpec extends SparkSpec with BeforeAndAfterAll {
     assert(code == 1)
     assert(outBuf.exists(l => l.startsWith("error:") &&
       l.contains("INVALID_LOGIN")))
+  }
+
+  test("a non-XML fault body (proxy error page) still raises SfAuthFailed, " +
+      "never a parser exception") {
+    val e = intercept[SfAuthFailed] {
+      SfLogin.login("u", "p", securityToken = Some("t"),
+        soapUrlOverride = Some(s"$base/soap/htmlfail"))
+    }
+    assert(e.code == "502")
+    assert(e.message.contains("Bad Gateway"))
+  }
+
+  test("local-only verbs (gc) never attempt the login bootstrap even " +
+      "with a credentialed config present") {
+    // login_url points at a closed port: any bootstrap attempt fails
+    val f = Files.createTempFile("pgsf", ".cfg")
+    Files.writeString(f,
+      s"""[salesforce]
+         |username = u
+         |password = p
+         |security_token = t
+         |api_version = 47.0
+         |login_url = http://127.0.0.1:1/soap/login
+         |""".stripMargin)
+    val dir = Files.createTempDirectory("gcroot")
+    val outBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.run(
+      Seq("gc", "--config", f.toString, "--dir", dir.toString), outBuf += _)
+    assert(code == 0, outBuf.mkString("\n"))
+    assert(outBuf.exists(_.startsWith("removed 0 entries")))
   }
 
   test("query verb runs from config alone: SOAP login bootstraps the " +
