@@ -66,10 +66,11 @@ object Relational {
     // for the first action — constructing the DataFrame (the explain
     // verb, plan audits) does not execute the upstream plan the way
     // the eager form would. Cost in the action itself: one cache
-    // write of the frame; full-suite a35 0.91→1.2-1.36 s,
-    // a39 0.62→0.77 s, a60 1.06→1.10-1.22 s (r11 runs) — ~0.6 s
-    // across the suite for removing the exchange-reuse correctness
-    // dependence; free when the upstream was live (RankProbe 1.116 s
+    // write of the frame; full-suite with the lazy pin: a35
+    // 0.91→1.16 s, a39 0.62→0.71 s, a60 1.06→1.08 s (r11 final run;
+    // the EAGER form measured 1.2-1.37/0.77/1.10-1.22 — laziness
+    // also skips re-materialization when construction and action are
+    // separated). Free when the upstream was live (RankProbe 1.116 s
     // unpinned vs 1.056 s pinned — lineage truncation stops the
     // offsets branch re-executing the upstream aggregate).
     val ranged = df.repartitionByRange(parts, order: _*)
@@ -1082,7 +1083,7 @@ object Relational {
     * at sf0.1 — three range exchanges + offset joins where the old
     * single-partition ntile window paid one task; r11's range-
     * exchange pin (see [[globalRowNumber]]) adds its cache write,
-    * → 1.2-1.36 s across three r11 runs. At 10⁹ customers
+    * → 1.16 s (final r11 run, lazy pin). At 10⁹ customers
     * the window is a ONE-TASK sort (the r9 VERDICT's only new
     * scale-killer); this is a parallel sort — the same
     * constant-for-scale trade as text_tfidf's r9 rework.
@@ -3919,7 +3920,7 @@ object Relational {
     *
     * Bench-scale cost of the trade (r10, deliberate): 0.47 → 1.01 s
     * at sf0.1 (range exchange + offset join + checkpoint replace the
-    * one-task ntile window), 1.10-1.22 s with r11's range-exchange pin —
+    * one-task ntile window), ~1.08 s with r11's lazy range-exchange pin —
     * constant paid for the parallel sort that survives dimension
     * cardinality (see [[a35RfmSegments]]).
     */
