@@ -191,10 +191,14 @@ object ScaleProbe {
     }
     // mtime-keyed like the other stagings: regenerated testdata must
     // re-stage, never reuse a stale scaled corpus. Key on the max
-    // mtime across every staged table (a partial regen that touches
-    // only orders or lineitem must also invalidate the dir).
-    val srcM = Seq("events", "orders", "lineitem", "documents",
-        "embeddings")
+    // mtime across the tables the selected mode actually STAGES (a
+    // partial regen that touches only lineitem must also invalidate
+    // the dir) — hub mode deliberately skips orders (dead I/O there),
+    // so a testdata dir without orders must not crash hub staging.
+    val stagedTables =
+      if (hubGrowth) Seq("events", "lineitem", "documents", "embeddings")
+      else Seq("events", "orders", "lineitem", "documents", "embeddings")
+    val srcM = stagedTables
       .map(t => java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$src/$t.parquet")).toMillis).max
     // v3: orders joined the staged set (v2 added lineitem) — an older

@@ -73,6 +73,18 @@ object Relational {
     // separated). Free when the upstream was live (RankProbe 1.116 s
     // unpinned vs 1.056 s pinned — lineage truncation stops the
     // offsets branch re-executing the upstream aggregate).
+    // Lifecycle: the checkpointed blocks are released by the
+    // ContextCleaner when the RDD instance becomes unreachable (the
+    // returned DataFrame holds the only reference; no explicit
+    // unpersist hook exists because this function cannot know when
+    // both consumers have materialized — callers that pin many ranked
+    // frames in one long-lived session rely on that GC-driven
+    // cleanup, deliberately). Caveat: local-checkpoint blocks are NOT
+    // recomputable — on a multi-executor cluster, losing the executor
+    // holding a block fails the query with "checkpoint block not
+    // found" instead of recomputing (acceptable: rerun the query; a
+    // reliable checkpoint would pay a distributed-FS write per rank
+    // call). In local mode executor loss is JVM death anyway.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)

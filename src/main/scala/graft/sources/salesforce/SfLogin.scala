@@ -30,9 +30,10 @@ final class SfAuthFailed(val code: String, val message: String)
   *  - three envelope variants: security-token (password+token
   *    concatenated, `login.py:85-105`), organizationId / IP-filtering
   *    (`LoginScopeHeader`, `:109-131`), and plain username/password
-  *    (`:134-153`); the JWT bearer flow (`:155-180`) is out of scope —
-  *    the reference's own pipeline never exercises it
-  *    (`salesforce.py` passes username/password/security_token only);
+  *    (`:134-153`); the JWT bearer flow (`:155-180`) is implemented
+  *    below as `jwtAssertion`/`jwtLogin` (the reference's own pipeline
+  *    passes username/password/security_token only, but the client
+  *    library supports the grant and so do we);
   *  - `CallOptions.client` = `RestForce` or `RestForce/{app}`
   *    (`login.py:7,68-74`);
   *  - username/password HTML-escaped into the XML (`login.py:79-80`,
@@ -292,8 +293,10 @@ object SfLogin {
           throw new SfAuthFailed(resp.statusCode().toString, body.take(500))
       }
     if (resp.statusCode() != 200) {
-      val code = Option(json.get("error")).map(_.asText()).orNull
-      val msg = Option(json.get("error_description")).map(_.asText()).orNull
+      val code = Option(json.get("error")).map(_.asText())
+        .getOrElse(resp.statusCode().toString)
+      val msg = Option(json.get("error_description")).map(_.asText())
+        .getOrElse(body.take(500))
       if (msg == "user hasn't approved this consumer")
         System.err.println("If your connected app policy is set to " +
           "\"All users may self-authorize\", you may need to authorize " +

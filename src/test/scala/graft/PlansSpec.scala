@@ -931,7 +931,7 @@ class PlansSpec extends SparkSpec {
   test("a39/a60 rank passes: no unpartitioned data-scale window survives") {
     // the two-pass partition-offset rank replaces the single-partition
     // row_number/ntile frame. Since r11 the range exchange executes
-    // INSIDE globalRowNumber's eager localCheckpoint (one pinned
+    // INSIDE globalRowNumber's lazy localCheckpoint (one pinned
     // layout for both its consumers — see the scaladoc there), so the
     // final plan reads the checkpointed RDD; assert that pinned scan
     // is present and that nothing downstream re-collapsed to a single
