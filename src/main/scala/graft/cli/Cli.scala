@@ -102,16 +102,26 @@ object Cli {
     "usage: graft.cli.Cli <login|tabledesc|query|bulkload|sync|upload|search|abort|gc|explain> " +
       "[--config FILE] [--opt value ...]"
 
-  /** SOAP login from `[salesforce]` credentials (`salesforce.py:17-26`
-    * via `SalesforceLogin`); the engine-extension `instance_url` key
+  /** Login from `[salesforce]` credentials (`salesforce.py:17-26` via
+    * `SalesforceLogin`), dispatching on the parsed credential arm:
+    * password+token → SOAP, consumer_key+privatekey_file → JWT bearer
+    * (`api.py:146-168`). The engine-extension `login_url` key is the
+    * endpoint seam for whichever arm is active; `instance_url`
     * overrides the host the login returns (proxies / local fixtures).
     */
   private def doLogin(c: ConfigFile.SfCredentials): SfLogin.LoginResult =
-    SfLogin.login(c.username, c.password,
-      securityToken = Some(c.securityToken),
-      apiVersion = c.apiVersion,
-      domain = c.domain.getOrElse("login"),
-      soapUrlOverride = c.loginUrl)
+    c.auth match {
+      case ConfigFile.SfPassword(pw, tok) =>
+        SfLogin.login(c.username, pw,
+          securityToken = Some(tok),
+          apiVersion = c.apiVersion,
+          domain = c.domain.getOrElse("login"),
+          soapUrlOverride = c.loginUrl)
+      case ConfigFile.SfJwt(consumerKey, keyFile) =>
+        SfLogin.jwtLogin(c.username, consumerKey, keyFile,
+          domain = c.domain.getOrElse("login"),
+          tokenUrlOverride = c.loginUrl)
+    }
 
   /** Registered-transport name for the config-bootstrap path. */
   val ConfigTransportName = "config-salesforce"

@@ -15,9 +15,24 @@ package graft.cli
   */
 object ConfigFile {
 
+  /** Credential arm parsed from `[salesforce]` — the two login shapes
+    * the client library dispatches between (`api.py:143-168`).
+    */
+  sealed trait SfAuthMethod
+  /** username + password + security_token → SOAP login
+    * (`api.py:146-156`).
+    */
+  final case class SfPassword(password: String, securityToken: String)
+      extends SfAuthMethod
+  /** username + consumer_key + privatekey_file → JWT bearer grant
+    * (`api.py:158-168`; key names are the reference's kwargs).
+    */
+  final case class SfJwt(consumerKey: String, privateKeyFile: String)
+      extends SfAuthMethod
+
   /** Parsed `[salesforce]` section (see [[Config.salesforce]]). */
-  final case class SfCredentials(username: String, password: String,
-      securityToken: String, domain: Option[String], apiVersion: String,
+  final case class SfCredentials(username: String, auth: SfAuthMethod,
+      domain: Option[String], apiVersion: String,
       loginUrl: Option[String], instanceUrl: Option[String])
 
   /** configparser's boolean convention, shared by the config file and
@@ -64,15 +79,22 @@ object ConfigFile {
         }
       }
 
-    /** `[salesforce]` credentials, exactly the keys the reference
-      * reads (`salesforce.py:7-15`): username / password /
-      * security_token are REQUIRED (KeyError there, a clean error
-      * here), `domain` only when present and non-empty (`:11-13`),
-      * `api_version` required (`:15`). Engine-extension keys for
-      * deployments and specs: `login_url` overrides the SOAP endpoint
-      * (the reference patches `requests` for the same seam in
-      * `test_login.py`); `instance_url` overrides the instance host
-      * the login returns (proxies / local fixtures).
+    /** `[salesforce]` credentials. Two credential shapes, dispatched
+      * in the client library's own order (`api.py:143-168`): username
+      * + password + security_token selects the SOAP arm (checked
+      * FIRST, like `api.py:146` — a file carrying both shapes logs in
+      * by password); otherwise username + consumer_key +
+      * privatekey_file selects the JWT bearer arm (`api.py:158-168`;
+      * the key names are the reference's kwargs verbatim). A section
+      * with neither complete shape is a clean error naming both.
+      * `domain` only when present and non-empty
+      * (`salesforce.py:11-13`), `api_version` required (`:15`).
+      * Engine-extension keys for deployments and specs: `login_url`
+      * overrides the login endpoint — the SOAP URL for the password
+      * arm, the oauth2 token URL for the JWT arm (the reference
+      * patches `requests` for the same seam in `test_login.py`);
+      * `instance_url` overrides the instance host the login returns
+      * (proxies / local fixtures).
       *
       * @return None when the file has no [salesforce] section at all
       */
@@ -82,10 +104,21 @@ object ConfigFile {
         def req(key: String): String = get("salesforce", key).getOrElse(
           throw new IllegalArgumentException(
             s"config [salesforce] is missing required key '$key'"))
+        def opt(key: String): Option[String] =
+          get("salesforce", key).filter(_.nonEmpty)
+        val auth = (opt("password"), opt("security_token")) match {
+          case (Some(pw), Some(tok)) => SfPassword(pw, tok)
+          case _ => (opt("consumer_key"), opt("privatekey_file")) match {
+            case (Some(ck), Some(kf)) => SfJwt(ck, kf)
+            case _ => throw new IllegalArgumentException(
+              "config [salesforce] needs either password + " +
+                "security_token (SOAP arm) or consumer_key + " +
+                "privatekey_file (JWT bearer arm)")
+          }
+        }
         Some(SfCredentials(
           username = req("username"),
-          password = req("password"),
-          securityToken = req("security_token"),
+          auth = auth,
           domain = get("salesforce", "domain").filter(_.nonEmpty),
           apiVersion = req("api_version"),
           loginUrl = get("salesforce", "login_url").filter(_.nonEmpty),
