@@ -101,6 +101,26 @@ object ScaleProbe {
     Seq("graph_link_predict", "graph_ktruss", "j11_assoc_rules",
       "graph_bfs_ball", "dedup_component_ecc")
 
+  /** The LSH-family probe set under skewed-bucket staging
+    * (`SPARK_GRAFT_LSHSKEW=1` → `SCALE_PROBE_LSH.json`). The uniform
+    * and hub stagings never concentrate embedding mass, so the LSH
+    * operators' adversarial axis — ONE hot bucket far deeper than the
+    * occupancy the plane ladder was sized for — went unmeasured
+    * through r11. This mode stages a `mult`×-uniform corpus twin
+    * where 5% of the copied rows are redirected into a single
+    * table-0 bucket (~12× the average 8-plane bucket depth), with
+    * every hot pair BELOW the near-dup threshold, and reports
+    * skew/uniform ratios at IDENTICAL corpus size — the marginal
+    * cost of the hot bucket alone. What must shed it:
+    * `sim_lsh_topk` — candidates grow linearly in bucket depth (per
+    * query sharing the bucket), and the bounded TopKAgg heap ranks
+    * the flood without a window/sort exchange; `sim_neardup_lsh` —
+    * verify-before-distinct kills each false candidate with one
+    * codegen'd O(dim) dot, so the wide distinct only ever sees true
+    * survivors.
+    */
+  val LshSkewQueries: Seq[String] = Seq("sim_lsh_topk", "sim_neardup_lsh")
+
   private def stage(spark: SparkSession, src: String, dir: String,
       mult: Int, hubGrowth: Boolean): Unit = {
     val published = new java.io.File(dir)
@@ -171,6 +191,112 @@ object ScaleProbe {
     ()
   }
 
+  /** Skewed-bucket LSH staging: writes `dir/base/embeddings.parquet`
+    * (`mult`× id-offset copies, identical to the uniform staging) and
+    * `dir/skew/embeddings.parquet` (same row count, but every copy
+    * k≥1 of originals with vec_id % 20 == 3 — 5% of the copied mass —
+    * is REPLACED by `seed + w`, where seed is a query vector and w is
+    * deterministic noise orthogonal to hyperplanes 0–7 at 2.2× the
+    * seed's norm). Orthogonality to the table-0 planes pins the
+    * replaced rows to the seed's 8-bit bucket EXACTLY (dot(w, h_i) is
+    * a ~1e-12 projection residual against sign margins ≥ 5% of the
+    * seed norm — float parquet rounding cannot flip a bit, asserted
+    * per row at stage time), while the noise magnitude caps every
+    * hot-pair cosine: cos(seed, seed+w) = 1/√(1+2.2²) ≈ 0.41 and
+    * cross-pair cosines land lower still — all below the 0.463
+    * near-dup threshold, so the hot bucket is pure FALSE-candidate
+    * mass that candidate generation must carry and verification must
+    * discard. Planes 8–63 see the full noise, so the other 7 banded
+    * tables keep uniform occupancy. Driver-side generation is a
+    * principled fixture write: 9·(N/20) rows × 64 floats, bounded by
+    * the staging multiplier, never by data scale.
+    */
+  private def stageLshSkew(spark: SparkSession, src: String, dir: String,
+      mult: Int): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
+    val tmp = new java.io.File(dir + ".tmp")
+    if (tmp.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    def copies(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(k => f(base, k)).reduce(_ unionByName _)
+    def offset(e: DataFrame, k: Int): DataFrame =
+      e.withColumn("vec_id", col("vec_id") + lit(k * IdOffset))
+    copies(emb)(offset).write.parquet(s"$tmp/base/embeddings.parquet")
+    // ---- driver-side hot-bucket construction --------------------------
+    // the same plane arithmetic as functions.HyperplaneSignature
+    def plane(j: Int): Array[Double] = Array.tabulate(64)(d =>
+      ((j.toLong * 1009L + d) * 2654435761L % 1000L) / 500.0 - 1.0)
+    val planes = Array.tabulate(8)(plane)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    // seed = the first query vector (vec_id % 25 == 0) whose table-0
+    // sign margins are all ≥ 5% of its norm (rounding safety)
+    val seedCands = emb.filter(col("vec_id") % 25 === 0)
+      .orderBy("vec_id").select("vec_id", "embedding").limit(40).collect()
+    val (seedId, seed) = seedCands.iterator.map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }.find { case (_, v) =>
+      val n = norm(v); planes.forall(h => math.abs(dot(v, h)) > 0.05 * n)
+    }.getOrElse(sys.error("lsh-skew: no seed with safe sign margins " +
+      "in the first 40 query vectors"))
+    val seedBits = planes.map(h => dot(seed, h) > 0.0)
+    // orthonormal basis of span(h0..h7) (modified Gram-Schmidt)
+    val q = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    planes.foreach { h =>
+      val v = h.clone()
+      q.foreach { u => val c = dot(v, u); var i = 0
+        while (i < 64) { v(i) -= c * u(i); i += 1 } }
+      val n = norm(v)
+      require(n > 1e-9, "degenerate plane family")
+      q += v.map(_ / n)
+    }
+    val hot = emb.filter(col("vec_id") % 20 === 3)
+      .select("vec_id", "label").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))) // (vec_id, label)
+    val seedNorm = norm(seed)
+    val hotRows = for {
+      k <- 1 until mult
+      (o, label) <- hot
+    } yield {
+      val rnd = new java.util.Random(o * 1000003L + k)
+      val r = Array.fill(64)(rnd.nextDouble() * 2.0 - 1.0)
+      q.foreach { u => val c = dot(r, u); var i = 0
+        while (i < 64) { r(i) -= c * u(i); i += 1 } }
+      val rn = norm(r)
+      require(rn > 1e-9, s"lsh-skew: degenerate noise for ($o, $k)")
+      val scale = 2.2 * seedNorm / rn
+      val vF = Array.tabulate(64)(i => (seed(i) + scale * r(i)).toFloat)
+      // float-rounded vector must still sit in the seed's bucket
+      val vD = vF.map(_.toDouble)
+      planes.zip(seedBits).foreach { case (h, b) =>
+        require((dot(vD, h) > 0.0) == b,
+          s"lsh-skew: bucket bit flipped for ($o, $k)") }
+      (o + k * IdOffset, vF, label)
+    }
+    import spark.implicits._
+    val hotDf = hotRows.toSeq.toDF("vec_id", "embedding", "label")
+    val keep = copies(emb) { (e, k) =>
+      if (k == 0) offset(e, k)
+      else offset(e.filter(col("vec_id") % 20 =!= 3), k)
+    }
+    keep.unionByName(hotDf.select(col("vec_id"),
+        col("embedding").cast("array<float>"), col("label")))
+      .write.parquet(s"$tmp/skew/embeddings.parquet")
+    System.err.println(s"[scale] lsh-skew: seed vec_id=$seedId, " +
+      s"${hotRows.size} hot rows pinned to its table-0 bucket")
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"ScaleProbe: could not publish $tmp -> $published")
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -183,8 +309,19 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_HUBGROWTH=1: the adversarial shared-hot-vertex
     // staging + the hub-guarded probe set; writes SCALE_PROBE_HUB.json
+    // SPARK_GRAFT_LSHSKEW=1: the skewed-bucket embedding staging + the
+    // LSH probe set; writes SCALE_PROBE_LSH.json. In this mode BOTH
+    // sides are `mult`×-staged corpora of identical row count — base
+    // is the uniform twin, scaled the hot-bucket twin — so the ratio
+    // is the marginal cost of the hot bucket alone, not of growth.
     val hubGrowth = sys.env.get("SPARK_GRAFT_HUBGROWTH").contains("1")
-    val baseSet = if (hubGrowth) HubGrowthQueries else DefaultQueries
+    val lshSkew = sys.env.get("SPARK_GRAFT_LSHSKEW").contains("1")
+    require(!(hubGrowth && lshSkew),
+      "pick one probe mode: SPARK_GRAFT_HUBGROWTH or SPARK_GRAFT_LSHSKEW")
+    val baseSet =
+      if (hubGrowth) HubGrowthQueries
+      else if (lshSkew) LshSkewQueries
+      else DefaultQueries
     val names = SparkEntry.onlySubset() match {
       case Some(only) => baseSet.filter(only)
       case None => baseSet
@@ -193,22 +330,31 @@ object ScaleProbe {
     // re-stage, never reuse a stale scaled corpus. Key on the max
     // mtime across the tables the selected mode actually STAGES (a
     // partial regen that touches only lineitem must also invalidate
-    // the dir) — hub mode deliberately skips orders (dead I/O there),
-    // so a testdata dir without orders must not crash hub staging.
+    // the dir) — hub mode deliberately skips orders (dead I/O there)
+    // and lsh-skew stages embeddings only, so a testdata dir missing
+    // an unstaged table must not crash staging.
     val stagedTables =
-      if (hubGrowth) Seq("events", "lineitem", "documents", "embeddings")
+      if (lshSkew) Seq("embeddings")
+      else if (hubGrowth) Seq("events", "lineitem", "documents", "embeddings")
       else Seq("events", "orders", "lineitem", "documents", "embeddings")
     val srcM = stagedTables
       .map(t => java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(s"$src/$t.parquet")).toMillis).max
     // v3: orders joined the staged set (v2 added lineitem) — an older
     // dir must not be reused
-    val flavor = if (hubGrowth) "hub3" else "v3"
+    val flavor =
+      if (hubGrowth) "hub3" else if (lshSkew) "lshskew1" else "v3"
     val dir = s"/tmp/graft_scale${mult}_${flavor}_" +
       src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
     System.err.println(s"[scale] staging ${mult}x of $src -> $dir" +
-      (if (hubGrowth) " (hub-growth: shared part keys)" else ""))
-    stage(spark, src, dir, mult, hubGrowth)
+      (if (hubGrowth) " (hub-growth: shared part keys)"
+       else if (lshSkew) " (lsh-skew: one hot bucket)" else ""))
+    if (lshSkew) stageLshSkew(spark, src, dir, mult)
+    else stage(spark, src, dir, mult, hubGrowth)
+    // lsh-skew compares the two staged twins; the other modes compare
+    // the source corpus against the staged one
+    val baseDir = if (lshSkew) s"$dir/base" else src
+    val scaledDir = if (lshSkew) s"$dir/skew" else dir
 
     def time(name: String, d: String): Double = {
       // cold shared caches per timing: the probe must measure the FULL
@@ -222,11 +368,11 @@ object ScaleProbe {
     // one warm-up pass at base scale (codegen + JIT), then min-of-2
     // timed passes per scale, interleaved across the suite like Bench
     // (separated wall-clock windows defeat bursty external CPU steal)
-    names.foreach { n => time(n, src); () }
+    names.foreach { n => time(n, baseDir); () }
     val samples = scala.collection.mutable.Map
       .empty[(String, String), List[Double]]
     for (pass <- 1 to 2; n <- names; scale <- Seq("base", "scaled")) {
-      val dt = time(n, if (scale == "base") src else dir)
+      val dt = time(n, if (scale == "base") baseDir else scaledDir)
       System.err.println(String.format(java.util.Locale.ROOT,
         "[scale] pass %d %-24s %-6s %8.3f s", Int.box(pass), n, scale,
         Double.box(dt)))
@@ -242,14 +388,19 @@ object ScaleProbe {
     val qs = rows.map { case (n, b, s, r) =>
       s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
-    val metric = if (hubGrowth) "scale_probe_hub" else "scale_probe"
+    val metric =
+      if (hubGrowth) "scale_probe_hub"
+      else if (lshSkew) "scale_probe_lsh"
+      else "scale_probe"
     val line = s"""{"metric":"$metric","mult":$mult,""" +
       s""""total_base":${fmt(rows.map(_._2).sum)},""" +
       s""""total_scaled":${fmt(rows.map(_._3).sum)},""" +
       s""""queries":$qs,"src":"$src"}"""
     println(line)
     val outFile =
-      if (hubGrowth) "SCALE_PROBE_HUB.json" else "SCALE_PROBE.json"
+      if (hubGrowth) "SCALE_PROBE_HUB.json"
+      else if (lshSkew) "SCALE_PROBE_LSH.json"
+      else "SCALE_PROBE.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

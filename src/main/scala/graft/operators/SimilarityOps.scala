@@ -197,6 +197,14 @@ object SimilarityOps {
     * recall; each table is one equi-join shuffle on its bucket key.
     * 2x-audit: see [[rankTopK]]'s ANN-ranker family note
     * (`sim_lsh_topk` sits on the same two-job structural floor).
+    * Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): one hot
+    * bucket at ~12× the average 8-plane depth (900 seed-bucket rows
+    * in a 20k corpus, seed itself a query) costs 1.17× the
+    * same-sized uniform corpus — candidates grow LINEARLY in bucket
+    * depth (depth × queries sharing the bucket, never depth²), and
+    * the bounded TopKAgg heap ranks the flood without a window/sort
+    * exchange, so a hot bucket can slow its own queries but cannot
+    * mint quadratic work.
     */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8, numTables: Int = 1): DataFrame = {
@@ -435,6 +443,18 @@ object SimilarityOps {
       .orderBy("band")
   }
 
+  /** Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): one hot
+    * bucket at ~12× the average table depth — 900 rows pinned to a
+    * single table-0 bucket, every hot pair BELOW the threshold, i.e.
+    * ~400k pure false candidates — costs 1.32× the same-sized uniform
+    * corpus. The shedding mechanism is the verify-before-distinct
+    * order below: each false candidate dies at one codegen'd O(dim)
+    * dot, so the wide distinct exchange only ever carries true
+    * survivors. Residual at extreme depth: same-bucket pair expansion
+    * is keyed work for ONE (tbl, bucket) task; past what a task
+    * absorbs, the remedy is the coarse-quantizer bucket prefix
+    * documented on [[adaptivePlanes]], not a wider code.
+    */
   def lshNearDup(embeddings: DataFrame, threshold: Double,
       numPlanes: Int = 0, numTables: Int = 8): DataFrame = {
     val e = withNorm(embeddings.select(col("vec_id"), col("embedding")),
