@@ -397,10 +397,13 @@ object ScaleProbe {
       s""""total_scaled":${fmt(rows.map(_._3).sum)},""" +
       s""""queries":$qs,"src":"$src"}"""
     println(line)
-    val outFile =
-      if (hubGrowth) "SCALE_PROBE_HUB.json"
-      else if (lshSkew) "SCALE_PROBE_LSH.json"
-      else "SCALE_PROBE.json"
+    // a narrowed (SPARK_GRAFT_ONLY) run must never clobber the
+    // committed full-suite artifact — it lands in *_ONLY.json, for
+    // isolated reruns and band evidence
+    val narrowed = SparkEntry.onlySubset().isDefined
+    val outFile = ((if (hubGrowth) "SCALE_PROBE_HUB"
+      else if (lshSkew) "SCALE_PROBE_LSH"
+      else "SCALE_PROBE") + (if (narrowed) "_ONLY" else "")) + ".json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
