@@ -385,8 +385,35 @@ object ScaleProbe {
       val s = samples((n, "scaled")).min
       (n, b, s, s / b)
     }
+    // a narrowed (SPARK_GRAFT_ONLY) run must never clobber the
+    // committed full-suite artifact — it lands in *_ONLY.json, for
+    // isolated reruns and band evidence
+    val narrowed = SparkEntry.onlySubset().isDefined
+    val outFile = ((if (hubGrowth) "SCALE_PROBE_HUB"
+      else if (lshSkew) "SCALE_PROBE_LSH"
+      else "SCALE_PROBE") + (if (narrowed) "_ONLY" else "")) + ".json"
+    // band evidence (cross-run min/max + isolated-rerun notes, e.g.
+    // graph_ktruss's memory-state band) lives in the artifact itself;
+    // a refresh must CARRY it forward, not silently drop it
+    val oldBands: Map[String, String] = {
+      val f = java.nio.file.Paths.get(outFile)
+      if (!java.nio.file.Files.isReadable(f)) Map.empty
+      else try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val qn = m.readTree(java.nio.file.Files.readString(f)).get("queries")
+        if (qn == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          qn.properties().asScala.flatMap { e =>
+            Option(e.getValue.get("band"))
+              .map(b => e.getKey -> m.writeValueAsString(b))
+          }.toMap
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
     val qs = rows.map { case (n, b, s, r) =>
-      s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}}"""
+      val band = oldBands.get(n).map(j => s""","band":$j""").getOrElse("")
+      s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}$band}"""
     }.mkString("{", ",", "}")
     val metric =
       if (hubGrowth) "scale_probe_hub"
@@ -397,13 +424,6 @@ object ScaleProbe {
       s""""total_scaled":${fmt(rows.map(_._3).sum)},""" +
       s""""queries":$qs,"src":"$src"}"""
     println(line)
-    // a narrowed (SPARK_GRAFT_ONLY) run must never clobber the
-    // committed full-suite artifact — it lands in *_ONLY.json, for
-    // isolated reruns and band evidence
-    val narrowed = SparkEntry.onlySubset().isDefined
-    val outFile = ((if (hubGrowth) "SCALE_PROBE_HUB"
-      else if (lshSkew) "SCALE_PROBE_LSH"
-      else "SCALE_PROBE") + (if (narrowed) "_ONLY" else "")) + ".json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
