@@ -84,6 +84,12 @@ object ScaleProbe {
 
   private val IdOffset = 100000000L
 
+  /** `sim_neardup_lsh`'s registry threshold (SparkEntry) — the
+    * skewed-bucket staging calibrates its noise magnitude and its
+    * stage-time pair census against it.
+    */
+  private val NearDupThreshold = 0.463
+
   /** The hub-guarded basket operators — the probe set under
     * hub-growth staging. Round-10 additions: `graph_bfs_ball` rides
     * [[graft.SparkEntry.BasketGraph]], so shared part keys densify
@@ -196,20 +202,28 @@ object ScaleProbe {
     * `dir/skew/embeddings.parquet` (same row count, but every copy
     * k≥1 of originals with vec_id % 20 == 3 — 5% of the copied mass —
     * is REPLACED by `seed + w`, where seed is a query vector and w is
-    * deterministic noise orthogonal to hyperplanes 0–7 at 2.2× the
-    * seed's norm). Orthogonality to the table-0 planes pins the
-    * replaced rows to the seed's 8-bit bucket EXACTLY (dot(w, h_i) is
-    * a ~1e-12 projection residual against sign margins ≥ 5% of the
-    * seed norm — float parquet rounding cannot flip a bit, asserted
-    * per row at stage time), while the noise magnitude caps every
-    * hot-pair cosine: cos(seed, seed+w) = 1/√(1+2.2²) ≈ 0.41 and
-    * cross-pair cosines land lower still — all below the 0.463
-    * near-dup threshold, so the hot bucket is pure FALSE-candidate
-    * mass that candidate generation must carry and verification must
-    * discard. Planes 8–63 see the full noise, so the other 7 banded
-    * tables keep uniform occupancy. Driver-side generation is a
-    * principled fixture write: 9·(N/20) rows × 64 floats, bounded by
-    * the staging multiplier, never by data scale.
+    * deterministic noise orthogonal to hyperplanes 0–7 AND to the
+    * seed, at 2.2× the seed's norm). Orthogonality to the table-0
+    * planes pins the replaced rows to the seed's 8-bit bucket EXACTLY
+    * (dot(w, h_i) is a ~1e-12 projection residual against sign
+    * margins ≥ 5% of the seed norm — float parquet rounding cannot
+    * flip a bit, asserted per row at stage time); orthogonality to
+    * the seed makes cos(seed, hot) = 1/√(1+2.2²) ≈ 0.41 < 0.463
+    * exactly (asserted per row). Hot–hot pair cosines are
+    * (1 + 2.2²·cos(w_i,w_j))/(1+2.2²) — concentrated near 0.17, but
+    * the random-direction tail puts a FEW hundredths of the ~400k
+    * pairs above the near-dup threshold (no deterministic noise
+    * family of this size can cap the max pairwise coherence in a
+    * 55-dim complement), so the staging CENSUSES the hot-pair
+    * cosines at stage time, prints the residual true-pair fraction,
+    * and asserts it stays under 2%: the hot bucket is ≥98%
+    * false-candidate mass the verify stage must shed, plus a small
+    * measured true-pair remainder it must carry. Planes 8–63 see the
+    * full noise, so the other 7 banded tables keep uniform
+    * occupancy. Driver-side generation is a principled fixture
+    * write, LINEAR in the corpus ((mult−1)·N/20 rows × 64 floats +
+    * an O(hot²·dim) pair census) — fine at probe scales (900 rows /
+    * 26M flops at sf0.1), not a pattern for data-scale inputs.
     */
   private def stageLshSkew(spark: SparkSession, src: String, dir: String,
       mult: Int): Unit = {
@@ -228,9 +242,9 @@ object ScaleProbe {
       e.withColumn("vec_id", col("vec_id") + lit(k * IdOffset))
     copies(emb)(offset).write.parquet(s"$tmp/base/embeddings.parquet")
     // ---- driver-side hot-bucket construction --------------------------
-    // the same plane arithmetic as functions.HyperplaneSignature
+    // the authoritative plane derivation — never a private re-copy
     def plane(j: Int): Array[Double] = Array.tabulate(64)(d =>
-      ((j.toLong * 1009L + d) * 2654435761L % 1000L) / 500.0 - 1.0)
+      graft.functions.HyperplaneSignature.planeValue(j, d))
     val planes = Array.tabulate(8)(plane)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
@@ -248,9 +262,15 @@ object ScaleProbe {
     }.getOrElse(sys.error("lsh-skew: no seed with safe sign margins " +
       "in the first 40 query vectors"))
     val seedBits = planes.map(h => dot(seed, h) > 0.0)
-    // orthonormal basis of span(h0..h7) (modified Gram-Schmidt)
+    // orthonormal basis of span(h0..h7, seed) (modified Gram-Schmidt):
+    // noise orthogonal to the PLANES pins the bucket; orthogonal to
+    // the SEED it also fixes cos(seed, seed+w) at exactly
+    // 1/sqrt(1+scale^2) — without the seed in the basis the noise
+    // keeps a random seed-component and ~28% of hot rows land ABOVE
+    // the near-dup threshold vs the seed (measured before the r12
+    // review fix)
     val q = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    planes.foreach { h =>
+    (planes :+ seed).foreach { h =>
       val v = h.clone()
       q.foreach { u => val c = dot(v, u); var i = 0
         while (i < 64) { v(i) -= c * u(i); i += 1 } }
@@ -274,13 +294,37 @@ object ScaleProbe {
       require(rn > 1e-9, s"lsh-skew: degenerate noise for ($o, $k)")
       val scale = 2.2 * seedNorm / rn
       val vF = Array.tabulate(64)(i => (seed(i) + scale * r(i)).toFloat)
-      // float-rounded vector must still sit in the seed's bucket
+      // float-rounded vector must still sit in the seed's bucket and
+      // stay a sub-threshold (false) candidate vs the seed
       val vD = vF.map(_.toDouble)
       planes.zip(seedBits).foreach { case (h, b) =>
         require((dot(vD, h) > 0.0) == b,
           s"lsh-skew: bucket bit flipped for ($o, $k)") }
+      require(dot(vD, seed) / (norm(vD) * seedNorm) < NearDupThreshold,
+        s"lsh-skew: hot row ($o, $k) is a true near-dup of the seed")
       (o + k * IdOffset, vF, label)
     }
+    // hot-pair cosine census: the noise directions are random, so a
+    // small tail of hot-hot pairs is genuinely above the threshold —
+    // measure it (it is part of what the probe's verify stage carries)
+    // and fail loudly if the bucket stops being mostly-false mass
+    val hotVecs = hotRows.map(_._2.map(_.toDouble)).toArray
+    val hotNorms = hotVecs.map(norm)
+    var truePairs = 0L
+    var i = 0
+    while (i < hotVecs.length) {
+      var j2 = i + 1
+      while (j2 < hotVecs.length) {
+        if (dot(hotVecs(i), hotVecs(j2)) /
+            (hotNorms(i) * hotNorms(j2)) >= NearDupThreshold) truePairs += 1
+        j2 += 1
+      }
+      i += 1
+    }
+    val allPairs = hotVecs.length.toLong * (hotVecs.length - 1) / 2
+    require(allPairs == 0 || truePairs.toDouble / allPairs < 0.02,
+      s"lsh-skew: $truePairs/$allPairs hot pairs above threshold — " +
+        "the hot bucket is no longer mostly false-candidate mass")
     import spark.implicits._
     val hotDf = hotRows.toSeq.toDF("vec_id", "embedding", "label")
     val keep = copies(emb) { (e, k) =>
@@ -291,7 +335,9 @@ object ScaleProbe {
         col("embedding").cast("array<float>"), col("label")))
       .write.parquet(s"$tmp/skew/embeddings.parquet")
     System.err.println(s"[scale] lsh-skew: seed vec_id=$seedId, " +
-      s"${hotRows.size} hot rows pinned to its table-0 bucket")
+      s"${hotRows.size} hot rows pinned to its table-0 bucket; " +
+      s"hot-pair census: $truePairs/$allPairs above threshold " +
+      "(true-pair remainder the verify stage carries)")
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"ScaleProbe: could not publish $tmp -> $published")
     ()
@@ -342,8 +388,10 @@ object ScaleProbe {
         java.nio.file.Paths.get(s"$src/$t.parquet")).toMillis).max
     // v3: orders joined the staged set (v2 added lineitem) — an older
     // dir must not be reused
+    // lshskew2: the r12 review fix (noise orthogonal to the seed too,
+    // stage-time pair census) — an lshskew1 dir must not be reused
     val flavor =
-      if (hubGrowth) "hub3" else if (lshSkew) "lshskew1" else "v3"
+      if (hubGrowth) "hub3" else if (lshSkew) "lshskew2" else "v3"
     val dir = s"/tmp/graft_scale${mult}_${flavor}_" +
       src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
     System.err.println(s"[scale] staging ${mult}x of $src -> $dir" +
@@ -386,16 +434,26 @@ object ScaleProbe {
       (n, b, s, s / b)
     }
     // a narrowed (SPARK_GRAFT_ONLY) run must never clobber the
-    // committed full-suite artifact — it lands in *_ONLY.json, for
-    // isolated reruns and band evidence
+    // committed full-suite artifact OR another narrowed run's
+    // evidence — it lands in a per-subset *_ONLY_<queries>.json
     val narrowed = SparkEntry.onlySubset().isDefined
+    val onlySuffix =
+      if (!narrowed) ""
+      else {
+        val ids = names.sorted.mkString("_")
+        "_ONLY_" + (if (ids.length <= 60) ids
+          else ids.take(52) + "_" + Integer.toHexString(ids.hashCode))
+      }
     val outFile = ((if (hubGrowth) "SCALE_PROBE_HUB"
       else if (lshSkew) "SCALE_PROBE_LSH"
-      else "SCALE_PROBE") + (if (narrowed) "_ONLY" else "")) + ".json"
+      else "SCALE_PROBE") + onlySuffix) + ".json"
     // band evidence (cross-run min/max + isolated-rerun notes, e.g.
     // graph_ktruss's memory-state band) lives in the artifact itself;
-    // a refresh must CARRY it forward, not silently drop it
-    val oldBands: Map[String, String] = {
+    // a refresh must CARRY it forward — and a measurement OUTSIDE the
+    // recorded band widens it, so the headline numbers can never
+    // contradict their own band field. The curated note string rides
+    // along untouched.
+    val oldBands: Map[String, com.fasterxml.jackson.databind.JsonNode] = {
       val f = java.nio.file.Paths.get(outFile)
       if (!java.nio.file.Files.isReadable(f)) Map.empty
       else try {
@@ -405,14 +463,33 @@ object ScaleProbe {
         else {
           import scala.jdk.CollectionConverters._
           qn.properties().asScala.flatMap { e =>
-            Option(e.getValue.get("band"))
-              .map(b => e.getKey -> m.writeValueAsString(b))
+            Option(e.getValue.get("band")).map(e.getKey -> _)
           }.toMap
         }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[scale] WARNING: could not parse existing " +
+            s"$outFile — recorded band evidence will be dropped: $ex")
+          Map.empty
+      }
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def widen(band: com.fasterxml.jackson.databind.JsonNode,
+        field: String, v: Double): Unit = band.get(field) match {
+      case a: com.fasterxml.jackson.databind.node.ArrayNode
+          if a.size == 2 =>
+        val lo = a.get(0).asDouble(); val hi = a.get(1).asDouble()
+        if (v < lo || v > hi) {
+          a.removeAll()
+          a.add(math.min(lo, v)); a.add(math.max(hi, v))
+        }
+      case _ => ()
     }
     val qs = rows.map { case (n, b, s, r) =>
-      val band = oldBands.get(n).map(j => s""","band":$j""").getOrElse("")
+      val band = oldBands.get(n).map { bn =>
+        widen(bn, "scaled", s); widen(bn, "ratio", r)
+        s""","band":${mapper.writeValueAsString(bn)}"""
+      }.getOrElse("")
       s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}$band}"""
     }.mkString("{", ",", "}")
     val metric =

@@ -87,6 +87,11 @@ object ConfigFile {
       * privatekey_file selects the JWT bearer arm (`api.py:158-168`;
       * the key names are the reference's kwargs verbatim). A section
       * with neither complete shape is a clean error naming both.
+      * Deliberate divergence: EMPTY values don't select an arm (the
+      * existing `domain` non-empty convention) — a templated config
+      * whose token variable expanded empty errors cleanly here, where
+      * the reference's presence-based dispatch would attempt a SOAP
+      * login with an empty token and fail server-side.
       * `domain` only when present and non-empty
       * (`salesforce.py:11-13`), `api_version` required (`:15`).
       * Engine-extension keys for deployments and specs: `login_url`

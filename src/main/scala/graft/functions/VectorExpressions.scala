@@ -128,8 +128,7 @@ case class HyperplaneSignature(child: Expression, numPlanes: Int, planeOffset: I
       val v = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
       var j = 0
       while (j < numPlanes) {
-        val h = ((planeOffset + j).toLong * 1009L + d) * 2654435761L % 1000L
-        acc(j) += v * (h / 500.0 - 1.0)
+        acc(j) += v * HyperplaneSignature.planeValue(planeOffset + j, d)
         j += 1
       }
       d += 1
@@ -174,6 +173,19 @@ case class HyperplaneSignature(child: Expression, numPlanes: Int, planeOffset: I
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** The single authoritative plane derivation — plane(i)[d]. The
+    * interpreted eval above and every driver-side consumer
+    * (ScaleProbe's skewed-bucket staging pins hot rows to a bucket
+    * with it) call THIS, so a formula change cannot silently diverge
+    * from a private copy. `doGenCode` inlines the same arithmetic as
+    * Java source 20 lines up — the one remaining mirror, guarded by
+    * the interpreted-vs-codegen equality specs.
+    */
+  def planeValue(plane: Int, d: Int): Double =
+    (plane.toLong * 1009L + d) * 2654435761L % 1000L / 500.0 - 1.0
 }
 
 object GraftFunctions {

@@ -199,7 +199,7 @@ object SimilarityOps {
     * (`sim_lsh_topk` sits on the same two-job structural floor).
     * Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): one hot
     * bucket at ~12× the average 8-plane depth (900 seed-bucket rows
-    * in a 20k corpus, seed itself a query) costs 1.17× the
+    * in a 20k corpus, seed itself a query) costs 1.14× the
     * same-sized uniform corpus — candidates grow LINEARLY in bucket
     * depth (depth × queries sharing the bucket, never depth²), and
     * the bounded TopKAgg heap ranks the flood without a window/sort
@@ -445,15 +445,19 @@ object SimilarityOps {
 
   /** Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): one hot
     * bucket at ~12× the average table depth — 900 rows pinned to a
-    * single table-0 bucket, every hot pair BELOW the threshold, i.e.
-    * ~400k pure false candidates — costs 1.32× the same-sized uniform
-    * corpus. The shedding mechanism is the verify-before-distinct
-    * order below: each false candidate dies at one codegen'd O(dim)
-    * dot, so the wide distinct exchange only ever carries true
-    * survivors. Residual at extreme depth: same-bucket pair expansion
-    * is keyed work for ONE (tbl, bucket) task; past what a task
-    * absorbs, the remedy is the coarse-quantizer bucket prefix
-    * documented on [[adaptivePlanes]], not a wider code.
+    * single table-0 bucket, ~405k candidate pairs of which ≥99.5%
+    * sit below the threshold (the staging's stage-time census:
+    * 1592/404550 true pairs; random noise directions cannot cap the
+    * max pairwise coherence, so a small true remainder is inherent) —
+    * costs 0.92× the same-sized uniform corpus (band 0.92–1.54
+    * across r12 runs, overhead-scale absolutes). The shedding
+    * mechanism is the verify-before-distinct order below: each false
+    * candidate dies at one codegen'd O(dim) dot, so the wide distinct
+    * exchange only carries true survivors. Residual at extreme depth:
+    * same-bucket pair expansion is keyed work for ONE (tbl, bucket)
+    * task; past what a task absorbs, the remedy is the
+    * coarse-quantizer bucket prefix documented on [[adaptivePlanes]],
+    * not a wider code.
     */
   def lshNearDup(embeddings: DataFrame, threshold: Double,
       numPlanes: Int = 0, numTables: Int = 8): DataFrame = {

@@ -208,6 +208,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("executed signature matches a driver recomputation from " +
+      "HyperplaneSignature.planeValue (pins the codegen inline formula " +
+      "and every driver-side consumer to one derivation)") {
+    // non-trivial planeOffset exercises the offset arithmetic too
+    for (offset <- Seq(0, 8)) {
+      val got = SimilarityOps.hyperplaneSignature(vecs, 8, offset)
+        .select("vec_id", "embedding", "bucket")
+        .as[(Long, Array[Float], Long)].collect()
+      assert(got.nonEmpty)
+      got.foreach { case (id, emb, bucket) =>
+        var expect = 0L
+        for (j <- 0 until 8) {
+          var acc = 0.0
+          for (d <- emb.indices)
+            acc += emb(d).toDouble *
+              graft.functions.HyperplaneSignature.planeValue(offset + j, d)
+          if (acc > 0.0) expect |= 1L << j
+        }
+        assert(bucket == expect, s"vec $id offset $offset")
+      }
+    }
+  }
+
   test("kmeansAssign separates well-formed clusters and is deterministic") {
     // seeds: % 23 == 0 → ids 0 and 23, one planted in each blob
     val blobs = Seq(
