@@ -123,9 +123,13 @@ object ScaleProbe {
     * the flood without a window/sort exchange; `sim_neardup_lsh` —
     * verify-before-distinct kills each false candidate with one
     * codegen'd O(dim) dot, so the wide distinct only ever sees true
-    * survivors.
+    * survivors; `sim_multiprobe_topk` — the most exposed shape (its
+    * numPlanes+1 Hamming-1 probes hit the hot bucket from every
+    * adjacent bucket's query too), bounded by the same linear
+    * candidate growth + TopKAgg heap as single-probe.
     */
-  val LshSkewQueries: Seq[String] = Seq("sim_lsh_topk", "sim_neardup_lsh")
+  val LshSkewQueries: Seq[String] =
+    Seq("sim_lsh_topk", "sim_multiprobe_topk", "sim_neardup_lsh")
 
   private def stage(spark: SparkSession, src: String, dir: String,
       mult: Int, hubGrowth: Boolean): Unit = {

@@ -199,7 +199,7 @@ object SimilarityOps {
     * (`sim_lsh_topk` sits on the same two-job structural floor).
     * Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): one hot
     * bucket at ~12× the average 8-plane depth (900 seed-bucket rows
-    * in a 20k corpus, seed itself a query) costs 1.14× the
+    * in a 20k corpus, seed itself a query) costs 1.15× the
     * same-sized uniform corpus — candidates grow LINEARLY in bucket
     * depth (depth × queries sharing the bucket, never depth²), and
     * the bounded TopKAgg heap ranks the flood without a window/sort
@@ -257,6 +257,12 @@ object SimilarityOps {
     * top recovers the rest (see [[annRecallCheck]]'s 4×8 config).
     * 2x-audit: see [[rankTopK]]'s ANN-ranker family note
     * (`sim_multiprobe_topk` sits on the same two-job structural floor).
+    * Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): 1.31× under
+    * one ~12×-depth hot bucket — the most exposed LSH shape, since
+    * the Hamming-1 probes also reach the hot bucket from every
+    * adjacent bucket's query, yet candidate growth stays linear
+    * (probes × depth) and the bounded TopKAgg heap ranks the flood
+    * without a window exchange, same as [[lshTopK]].
     */
   def multiprobeTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
       numPlanes: Int = 8): DataFrame = {
@@ -449,7 +455,7 @@ object SimilarityOps {
     * sit below the threshold (the staging's stage-time census:
     * 1592/404550 true pairs; random noise directions cannot cap the
     * max pairwise coherence, so a small true remainder is inherent) —
-    * costs 0.92× the same-sized uniform corpus (band 0.92–1.54
+    * costs 1.02× the same-sized uniform corpus (band 0.92–1.54
     * across r12 runs, overhead-scale absolutes). The shedding
     * mechanism is the verify-before-distinct order below: each false
     * candidate dies at one codegen'd O(dim) dot, so the wide distinct
