@@ -90,6 +90,32 @@ object ScaleProbe {
     */
   private val NearDupThreshold = 0.463
 
+  /** Per-subset suffix for narrowed (SPARK_GRAFT_ONLY) artifact files
+    * — one debug run must not clobber another subset's committed
+    * evidence; long subsets keep a readable prefix + a hash.
+    */
+  private[graft] def onlyFileSuffix(names: Seq[String]): String = {
+    val ids = names.sorted.mkString("_")
+    "_ONLY_" + (if (ids.length <= 60) ids
+      else ids.take(52) + "_" + Integer.toHexString(ids.hashCode))
+  }
+
+  /** Widen a recorded 2-element band array in place when a new
+    * measurement lands outside it — the artifact's headline numbers
+    * must never contradict their own band field. Non-array or
+    * differently-shaped band fields are left untouched.
+    */
+  private[graft] def widenBand(band: com.fasterxml.jackson.databind.JsonNode,
+      field: String, v: Double): Unit = band.get(field) match {
+    case a: com.fasterxml.jackson.databind.node.ArrayNode if a.size == 2 =>
+      val lo = a.get(0).asDouble(); val hi = a.get(1).asDouble()
+      if (v < lo || v > hi) {
+        a.removeAll()
+        a.add(math.min(lo, v)); a.add(math.max(hi, v))
+      }
+    case _ => ()
+  }
+
   /** The hub-guarded basket operators — the probe set under
     * hub-growth staging. Round-10 additions: `graph_bfs_ball` rides
     * [[graft.SparkEntry.BasketGraph]], so shared part keys densify
@@ -441,13 +467,7 @@ object ScaleProbe {
     // committed full-suite artifact OR another narrowed run's
     // evidence — it lands in a per-subset *_ONLY_<queries>.json
     val narrowed = SparkEntry.onlySubset().isDefined
-    val onlySuffix =
-      if (!narrowed) ""
-      else {
-        val ids = names.sorted.mkString("_")
-        "_ONLY_" + (if (ids.length <= 60) ids
-          else ids.take(52) + "_" + Integer.toHexString(ids.hashCode))
-      }
+    val onlySuffix = if (narrowed) onlyFileSuffix(names) else ""
     val outFile = ((if (hubGrowth) "SCALE_PROBE_HUB"
       else if (lshSkew) "SCALE_PROBE_LSH"
       else "SCALE_PROBE") + onlySuffix) + ".json"
@@ -478,20 +498,9 @@ object ScaleProbe {
       }
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def widen(band: com.fasterxml.jackson.databind.JsonNode,
-        field: String, v: Double): Unit = band.get(field) match {
-      case a: com.fasterxml.jackson.databind.node.ArrayNode
-          if a.size == 2 =>
-        val lo = a.get(0).asDouble(); val hi = a.get(1).asDouble()
-        if (v < lo || v > hi) {
-          a.removeAll()
-          a.add(math.min(lo, v)); a.add(math.max(hi, v))
-        }
-      case _ => ()
-    }
     val qs = rows.map { case (n, b, s, r) =>
       val band = oldBands.get(n).map { bn =>
-        widen(bn, "scaled", s); widen(bn, "ratio", r)
+        widenBand(bn, "scaled", s); widenBand(bn, "ratio", r)
         s""","band":${mapper.writeValueAsString(bn)}"""
       }.getOrElse("")
       s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}$band}"""
