@@ -31,11 +31,24 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   /** Probe set: every ≥1 s bench query whose 100 TB story is "banded /
-    * bucketed / keyed" (the exact all-pairs twins `dedup_ngram_jaccard`
-    * / `dedup_jaccard_prefix` and the brute-force ANN rankers are
-    * documented NON-scale verification paths — probing them at 10×
-    * would measure the data semantics, not the plan; streaming twins
-    * carry fixed micro-batch overhead that drowns the ratio).
+    * bucketed / keyed", PLUS (r13) the exact-twin dedup family and the
+    * quantized brute-force ranker, whose scale claims were argued in
+    * scaladoc but unmeasured: the vowel-permuted document copies keep
+    * near-dup DENSITY rate-constant (distinct shingle vocabulary grows
+    * ~linearly, per-shingle df stays at the original distribution), so
+    * 10× probes each twin's candidate-generation shape, not dup-clique
+    * semantics. The measurable crossover claim
+    * (`DedupOps.ngramJaccardPrefix`): the prefix twin's fixed df/sort
+    * stages amortize while all-pairs bucket counting grows with
+    * Σ C(df,2) mass — its 10× ratio should BEAT the all-pairs twin's.
+    * `sim_int8_topk` is the deliberate outlier: its serve batch (the
+    * query side) is staged 10× along with the corpus, so pair work
+    * grows ~100× — the probe verifies the broadcast+heap SHAPE absorbs
+    * that without a window/sort exchange; production growth is linear
+    * (corpus only) because a serve batch is request-sized, not
+    * data-sized. Streaming twins carry fixed micro-batch overhead that
+    * drowns a ratio here — they get their own state-store probe mode
+    * (`SPARK_GRAFT_STREAMPROBE`) instead.
     */
   val DefaultQueries: Seq[String] = Seq(
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
@@ -76,7 +89,16 @@ object ScaleProbe {
     // two-pass range-exchange rank must scale like the exchange
     // family (~mult), where the one-task sort it replaced would
     // concentrate the scaled grain on one core
-    "a35_rfm_segments", "a39_pareto_share", "a60_lorenz")
+    "a35_rfm_segments", "a39_pareto_share", "a60_lorenz",
+    // round-13 additions (the last >1 s bench entries with no probe
+    // row): the exact-twin shingle-Jaccard pair — all-pairs in-bucket
+    // counting vs PPJoin prefix blocking, probed to MEASURE the
+    // crossover claim — the (lang, head) blocked Levenshtein verifier,
+    // and the persisted-index quantized ranker (serve batch staged 10×
+    // too; see the probe-set scaladoc for why its ratio reads ~100×
+    // work, not 10×)
+    "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_edit_distance",
+    "sim_int8_topk")
 
   // distinct vowel permutations, identity first (copy 0 = the original)
   private val VowelPerms = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
@@ -100,20 +122,108 @@ object ScaleProbe {
       else ids.take(52) + "_" + Integer.toHexString(ids.hashCode))
   }
 
-  /** Widen a recorded 2-element band array in place when a new
-    * measurement lands outside it — the artifact's headline numbers
-    * must never contradict their own band field. Non-array or
-    * differently-shaped band fields are left untouched.
+  /** Every evidence value for `field` carried by one prior artifact
+    * entry: the headline number plus any recorded 2-element band's
+    * endpoints. Malformed or absent fields contribute nothing.
     */
-  private[graft] def widenBand(band: com.fasterxml.jackson.databind.JsonNode,
-      field: String, v: Double): Unit = band.get(field) match {
-    case a: com.fasterxml.jackson.databind.node.ArrayNode if a.size == 2 =>
-      val lo = a.get(0).asDouble(); val hi = a.get(1).asDouble()
-      if (v < lo || v > hi) {
-        a.removeAll()
-        a.add(math.min(lo, v)); a.add(math.max(hi, v))
+  private[graft] def evidencePoints(
+      entry: com.fasterxml.jackson.databind.JsonNode,
+      field: String): Seq[Double] = {
+    val head = Option(entry.get(field)).filter(_.isNumber)
+      .map(_.asDouble()).toList
+    val band = Option(entry.get("band"))
+      .flatMap(b => Option(b.get(field))).toList.flatMap {
+        case a: com.fasterxml.jackson.databind.node.ArrayNode
+            if a.size == 2 =>
+          List(a.get(0).asDouble(), a.get(1).asDouble())
+        case _ => Nil
       }
-    case _ => ()
+    head ++ band
+  }
+
+  /** Merge a query's prior artifact entries with this run's
+    * measurement into a `"band"` JSON fragment (leading comma
+    * included), or `""` when there is no prior evidence — a single
+    * point is not a band, so first sightings stay bare and the band
+    * SELF-SEEDS on the second run. The band is the floor/ceil-3dp
+    * hull of every recorded value (headlines + old band endpoints,
+    * across the full-suite artifact AND the per-subset narrowed-run
+    * files), so committed evidence can only widen it, never shrink
+    * it, and an out-of-band isolated rerun governs the full-suite
+    * band on the next refresh. The first prior band node's curated
+    * `note` (callers order the output file's own entry first) rides
+    * along untouched; `warn` fires whenever the hull extends past a
+    * previously recorded band, because that note may now quote stale
+    * endpoints.
+    */
+  private[graft] def bandFragment(
+      prior: Seq[com.fasterxml.jackson.databind.JsonNode],
+      scaled: Double, ratio: Double, warn: String => Unit): String = {
+    if (prior.isEmpty) return ""
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val base: ObjectNode = prior.iterator
+      .flatMap(e => Option(e.get("band")))
+      .collectFirst { case o: ObjectNode => o.deepCopy(): ObjectNode }
+      .getOrElse(mapper.createObjectNode())
+    def hull(field: String, nv: Double): Unit = {
+      val pts = prior.flatMap(evidencePoints(_, field)) :+ nv
+      val lo = math.floor(pts.min * 1000) / 1000
+      val hi = math.ceil(pts.max * 1000) / 1000
+      Option(base.get(field)).foreach {
+        case a: ArrayNode if a.size == 2 =>
+          val (olo, ohi) = (a.get(0).asDouble(), a.get(1).asDouble())
+          if (lo < olo || hi > ohi) warn(String.format(
+            java.util.Locale.ROOT,
+            "band widened: %s [%.3f, %.3f] -> [%.3f, %.3f] — refresh " +
+              "the curated note if it quotes the old endpoints",
+            field, Double.box(olo), Double.box(ohi),
+            Double.box(lo), Double.box(hi)))
+        case _ => ()
+      }
+      val arr = base.putArray(field)
+      arr.add(lo); arr.add(hi)
+      ()
+    }
+    hull("scaled", scaled); hull("ratio", ratio)
+    s""","band":${mapper.writeValueAsString(base)}"""
+  }
+
+  /** Per-query prior artifact entries for [[bandFragment]], gathered
+    * from every evidence file of one probe mode in cwd: the file
+    * being rewritten FIRST (its curated band note wins), then the
+    * committed full-suite artifact, then every per-subset
+    * `<prefix>_ONLY_*.json` in name order. Unreadable or malformed
+    * files warn and contribute nothing.
+    */
+  private[graft] def priorArtifactEntries(outFile: String,
+      prefix: String, dir: String = "."): Map[String,
+        Seq[com.fasterxml.jackson.databind.JsonNode]] = {
+    val onlyFiles = Option(new java.io.File(dir).listFiles()).toSeq
+      .flatten.map(_.getName)
+      .filter(n => n.startsWith(prefix + "_ONLY_") && n.endsWith(".json"))
+      .sorted
+    val files = (Seq(outFile, prefix + ".json") ++ onlyFiles).distinct
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val entries = files.flatMap { fn =>
+      val f = java.nio.file.Paths.get(dir, fn)
+      if (!java.nio.file.Files.isReadable(f)) Nil
+      else try {
+        val qn = mapper.readTree(java.nio.file.Files.readString(f))
+          .get("queries")
+        if (qn == null) Nil
+        else {
+          import scala.jdk.CollectionConverters._
+          qn.properties().asScala.toList.map(e => e.getKey -> e.getValue)
+        }
+      } catch {
+        case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[scale] WARNING: could not parse $fn — " +
+            s"its band evidence is skipped this refresh: $ex")
+          Nil
+      }
+    }
+    entries.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
   /** The hub-guarded basket operators — the probe set under
@@ -156,6 +266,46 @@ object ScaleProbe {
     */
   val LshSkewQueries: Seq[String] =
     Seq("sim_lsh_topk", "sim_multiprobe_topk", "sim_neardup_lsh")
+
+  /** The streaming state-store probe set (`SPARK_GRAFT_STREAMPROBE=1`
+    * → `SCALE_PROBE_STREAM.json`): the two state-shape extremes among
+    * the bounded replays. `stream_dedup` keeps ONE state row per
+    * event_id ever seen (the replay watermark never evicts), so state
+    * grows with the corpus — the shape RocksDB exists for (heap-held
+    * HDFS-provider state becomes an executor-memory ceiling at 100 TB;
+    * RocksDB bounds it by local disk with changelog checkpoints).
+    * `stream_topk` holds k heap pairs per (window, event_type) group —
+    * state bounded by the window GRAIN, invariant to corpus growth.
+    * Each runs at sf0.1 and at the 10× uniform staging under BOTH
+    * providers; the probe records wall time, the max state-row /
+    * state-memory census from the progress stream, and asserts the
+    * provider swap changes no result. Artifact entries are keyed
+    * `<query>_<provider>` so the band machinery covers them
+    * unchanged.
+    */
+  val StreamProbeQueries: Seq[String] = Seq("stream_dedup", "stream_topk")
+
+  /** The exact-twin Jaccard probe set under boilerplate-flood staging
+    * (`SPARK_GRAFT_BOILERPLATE=1` → `SCALE_PROBE_BOILER.json`). The
+    * uniform staging holds per-shingle df CONSTANT (vowel permutation
+    * makes the copies' vocabularies disjoint), so Σ C(df,2) grows
+    * linearly and the all-pairs twin never explodes — measured r13 at
+    * 10×: `dedup_ngram_jaccard` ratio ~1.5 vs `dedup_jaccard_prefix`
+    * ~2.5; the prefix twin's fixed df/sort/verify stages amortize but
+    * all-pairs stays cheaper under rate-constant df, exactly as its
+    * crossover note predicts for this regime. The crossover claim
+    * ([[graft.operators.DedupOps.ngramJaccardPrefix]]) is about the
+    * OTHER regime — high-df boilerplate whose bucket pair mass grows
+    * C(df,2) while contributing no near-dup pairs — so this mode
+    * stages it adversarially (see [[stageBoiler]]) and reports
+    * boiler/base ratios at identical corpus size: the marginal cost
+    * of the flood alone. Expected shape, now measurable: all-pairs
+    * pays ~18·C(hot,2) extra bucket-pair rows; prefix blocking's
+    * rarest-first order keeps boilerplate shingles out of every
+    * prefix, so its candidate set does not grow at all.
+    */
+  val BoilerQueries: Seq[String] =
+    Seq("dedup_ngram_jaccard", "dedup_jaccard_prefix")
 
   private def stage(spark: SparkSession, src: String, dir: String,
       mult: Int, hubGrowth: Boolean): Unit = {
@@ -244,16 +394,21 @@ object ScaleProbe {
     * the random-direction tail puts a FEW hundredths of the ~400k
     * pairs above the near-dup threshold (no deterministic noise
     * family of this size can cap the max pairwise coherence in a
-    * 55-dim complement), so the staging CENSUSES the hot-pair
-    * cosines at stage time, prints the residual true-pair fraction,
-    * and asserts it stays under 2%: the hot bucket is ≥98%
-    * false-candidate mass the verify stage must shed, plus a small
-    * measured true-pair remainder it must carry. Planes 8–63 see the
-    * full noise, so the other 7 banded tables keep uniform
-    * occupancy. Driver-side generation is a principled fixture
-    * write, LINEAR in the corpus ((mult−1)·N/20 rows × 64 floats +
-    * an O(hot²·dim) pair census) — fine at probe scales (900 rows /
-    * 26M flops at sf0.1), not a pattern for data-scale inputs.
+    * 55-dim complement), so the staging CENSUSES the bucket's FULL
+    * occupancy at stage time — the hot rows PLUS the seed's own
+    * identical copies and every natural resident whose table-0
+    * signature matches (r13: previously hot–hot pairs only, which
+    * asserted less than the doc claimed), weighting each original by
+    * its surviving copy count and counting identical-copy cliques as
+    * true pairs — prints the true-pair fraction, and asserts it
+    * stays under 2%: the hot bucket is ≥98% false-candidate mass the
+    * verify stage must shed, plus a small measured true-pair
+    * remainder it must carry. Planes 8–63 see the full noise, so the
+    * other 7 banded tables keep uniform occupancy. Driver-side
+    * generation is a principled fixture write, LINEAR in the corpus
+    * ((mult−1)·N/20 rows × 64 floats + an O(bucket²·dim) pair census
+    * over ~1k bucket rows) — fine at probe scales, not a pattern for
+    * data-scale inputs.
     */
   private def stageLshSkew(spark: SparkSession, src: String, dir: String,
       mult: Int): Unit = {
@@ -334,26 +489,49 @@ object ScaleProbe {
         s"lsh-skew: hot row ($o, $k) is a true near-dup of the seed")
       (o + k * IdOffset, vF, label)
     }
-    // hot-pair cosine census: the noise directions are random, so a
-    // small tail of hot-hot pairs is genuinely above the threshold —
-    // measure it (it is part of what the probe's verify stage carries)
-    // and fail loudly if the bucket stops being mostly-false mass
-    val hotVecs = hotRows.map(_._2.map(_.toDouble)).toArray
-    val hotNorms = hotVecs.map(norm)
+    // full-bucket pair census: the synthetic hot rows are NOT the
+    // bucket's only occupants — the seed's own identical copies (true
+    // near-dups at cos=1) and every NATURAL resident whose table-0
+    // signature already equals the seed's (each staged as up-to-`mult`
+    // identical copies) share it. The ≥98%-false-mass claim is about
+    // the bucket the verify stage drains, so the census covers its
+    // FULL occupancy: weighted items (vector, surviving-copy count),
+    // identical-copy cliques within one original counted as C(w,2)
+    // true pairs. The noise directions are random, so a small hot-hot
+    // tail is genuinely above the threshold too — measure all of it
+    // and fail loudly if the bucket stops being mostly-false mass.
+    val residents = emb.select("vec_id", "embedding").collect().iterator
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) =>
+        planes.zip(seedBits).forall { case (h, b) => (dot(v, h) > 0.0) == b }
+      }.toArray
+    // copy 0 always survives; copies k>=1 survive unless redirected
+    // into the hot set (vec_id % 20 == 3)
+    val items: Array[(Array[Double], Long)] =
+      residents.map { case (vid, v) =>
+        (v, 1L + (if (vid % 20 != 3) (mult - 1).toLong else 0L))
+      } ++ hotRows.map(hr => (hr._2.map(_.toDouble), 1L))
+    val itemNorms = items.map(it => norm(it._1))
     var truePairs = 0L
+    var allPairs = 0L
     var i = 0
-    while (i < hotVecs.length) {
+    while (i < items.length) {
+      val wi = items(i)._2
+      truePairs += wi * (wi - 1) / 2 // identical copies: cos = 1
+      allPairs += wi * (wi - 1) / 2
       var j2 = i + 1
-      while (j2 < hotVecs.length) {
-        if (dot(hotVecs(i), hotVecs(j2)) /
-            (hotNorms(i) * hotNorms(j2)) >= NearDupThreshold) truePairs += 1
+      while (j2 < items.length) {
+        val w = wi * items(j2)._2
+        allPairs += w
+        if (dot(items(i)._1, items(j2)._1) /
+            (itemNorms(i) * itemNorms(j2)) >= NearDupThreshold)
+          truePairs += w
         j2 += 1
       }
       i += 1
     }
-    val allPairs = hotVecs.length.toLong * (hotVecs.length - 1) / 2
     require(allPairs == 0 || truePairs.toDouble / allPairs < 0.02,
-      s"lsh-skew: $truePairs/$allPairs hot pairs above threshold — " +
+      s"lsh-skew: $truePairs/$allPairs bucket pairs above threshold — " +
         "the hot bucket is no longer mostly false-candidate mass")
     import spark.implicits._
     val hotDf = hotRows.toSeq.toDF("vec_id", "embedding", "label")
@@ -365,12 +543,190 @@ object ScaleProbe {
         col("embedding").cast("array<float>"), col("label")))
       .write.parquet(s"$tmp/skew/embeddings.parquet")
     System.err.println(s"[scale] lsh-skew: seed vec_id=$seedId, " +
-      s"${hotRows.size} hot rows pinned to its table-0 bucket; " +
-      s"hot-pair census: $truePairs/$allPairs above threshold " +
-      "(true-pair remainder the verify stage carries)")
+      s"${hotRows.size} hot rows pinned to its table-0 bucket " +
+      s"alongside ${residents.length} natural-resident originals " +
+      s"(${items.map(_._2).sum - hotRows.size} rows incl. the seed's " +
+      s"identical copies); full-bucket census: $truePairs/$allPairs " +
+      "pairs above threshold (true-pair remainder the verify stage " +
+      "carries)")
     if (!tmp.renameTo(published) && !published.exists())
       sys.error(s"ScaleProbe: could not publish $tmp -> $published")
     ()
+  }
+
+  /** The shared boilerplate sentence: 20 synthetic tokens no natural
+    * document contains (18 pure-boilerplate trigram shingles shared
+    * corpus-wide; the 2 boundary shingles mix in each doc's tail and
+    * stay low-df).
+    */
+  private[graft] val BoilerTokens: String =
+    (0 until 20).map(i => s"bpq$i").mkString(" ")
+
+  /** Boilerplate-flood staging: `dir/base/documents.parquet` = the
+    * uniform `mult`× vowel-permuted staging; `dir/boiler` = the SAME
+    * rows with [[BoilerTokens]] appended to hot docs — original
+    * doc_id % 16 == 3 AND ≥50 whitespace tokens. The append happens
+    * AFTER the per-copy vowel permutation, so the boilerplate
+    * shingles are shared across every copy: their df is the full hot
+    * count (~6% of the staged corpus), the all-pairs bucket regime
+    * the prefix filter exists for. The ≥50-token floor makes the
+    * flood pure candidate mass by construction: two hot docs share
+    * exactly the 18 pure-boilerplate shingles (cross-copy natural
+    * vocabularies are disjoint; within-copy overlap only shrinks
+    * J's complement slack), so J ≤ 18/(2·48 − 18) ≈ 0.23 < 0.3 — the
+    * conservative bound even BEFORE counting the appended tokens in
+    * the denominators — below both registry thresholds (0.3 all-pairs,
+    * 0.7 prefix). The floor is ASSERTED at stage time over the hot
+    * set, not argued (r12 lesson: geometric staging claims need
+    * stage-time asserts).
+    */
+  private def stageBoiler(spark: SparkSession, src: String, dir: String,
+      mult: Int): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
+    require(mult <= VowelPerms.size,
+      s"at most ${VowelPerms.size} copies supported (one vowel perm each)")
+    val tmp = new java.io.File(dir + ".tmp")
+    if (tmp.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until mult).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * IdOffset))
+        .withColumn("text",
+          if (k == 0) col("text")
+          else translate(col("text"), "aeiou", VowelPerms(k)))
+    }.reduce(_ unionByName _)
+      .write.parquet(s"$tmp/base/documents.parquet")
+    val base = spark.read.parquet(s"$tmp/base/documents.parquet")
+    val hot = pmod(col("doc_id"), lit(IdOffset)) % 16 === 3 &&
+      size(split(col("text"), "\\s+")) >= 50
+    base.withColumn("text",
+        when(hot, concat(col("text"), lit(" " + BoilerTokens)))
+          .otherwise(col("text")))
+      .write.parquet(s"$tmp/boiler/documents.parquet")
+    // stage-time census + assert: every hot doc keeps >=48 natural
+    // shingles (>=50 tokens), so the J<=0.23 bound holds for every
+    // boilerplate-only pair
+    val census = base.filter(hot)
+      .agg(count(lit(1)), min(size(split(col("text"), "\\s+"))))
+      .first()
+    val (hotCnt, minTok) = (census.getLong(0), census.getInt(1))
+    require(hotCnt > 0 && minTok >= 50,
+      s"boiler staging: hot set broken (count=$hotCnt, minTokens=$minTok)")
+    System.err.println(s"[scale] boiler: $hotCnt hot docs (min $minTok " +
+      s"tokens) carry the shared 20-token sentence -> 18 shingles at " +
+      s"df=$hotCnt, ~${18L * hotCnt * (hotCnt - 1) / 2} all-pairs " +
+      "bucket-pair rows of pure candidate mass")
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"ScaleProbe: could not publish $tmp -> $published")
+    ()
+  }
+
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+  /** Execute the streaming state-store probe: every
+    * [[StreamProbeQueries]] replay at both scales under both state
+    * providers (min-of-2 interleaved passes, like the batch modes),
+    * with a [[org.apache.spark.sql.streaming.StreamingQueryListener]]
+    * censusing state rows / memory across micro-batches. Returns one
+    * artifact row per `<query>_<provider>`, carrying the SCALED run's
+    * peak state census as extra JSON fields — the number that must
+    * stay bounded at 100 TB. Row counts are asserted identical across
+    * providers and passes at each scale (the provider swap is a pure
+    * storage change; a result drift would invalidate the probe).
+    */
+  private def streamProbeRows(spark: SparkSession, baseDir: String,
+      scaledDir: String,
+      names: Seq[String]): Seq[(String, Double, Double, Double, String)] = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    final class Census extends StreamingQueryListener {
+      @volatile var stateRows = 0L
+      @volatile var stateMem = 0L
+      @volatile var seen = 0L
+      def reset(): Unit = { stateRows = 0L; stateMem = 0L; seen = 0L }
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) {
+          val r = ops.map(_.numRowsTotal).sum
+          // the HDFS provider reports heap bytes in memoryUsedBytes;
+          // RocksDB reports its block-cache/memtable footprint in a
+          // custom metric — take whichever the provider populates
+          val m = ops.map { so =>
+            val rocks = Option(so.customMetrics)
+              .flatMap(cm => Option(cm.get("rocksdbTotalMemoryUsage")))
+              .map(_.longValue()).getOrElse(0L)
+            math.max(so.memoryUsedBytes, rocks)
+          }.sum
+          stateRows = math.max(stateRows, r)
+          stateMem = math.max(stateMem, m)
+        }
+        seen += 1
+      }
+    }
+    val census = new Census
+    spark.streams.addListener(census)
+    try {
+      // (wall s, result rows, peak state rows, peak state bytes)
+      def run(name: String, d: String,
+          rocks: Boolean): (Double, Long, Long, Long) = {
+        census.reset()
+        val t0 = System.nanoTime()
+        val cnt =
+          if (rocks) graft.streaming.StreamingSync.withRocksDbState(spark)(
+            SparkEntry.queries(name)(spark, d).count())
+          else SparkEntry.queries(name)(spark, d).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // progress events ride an async bus: settle until the census
+        // stops moving (bounded wait)
+        var last = -1L; var spins = 0
+        while (census.seen != last && spins < 40) {
+          last = census.seen; Thread.sleep(250); spins += 1
+        }
+        (dt, cnt, census.stateRows, census.stateMem)
+      }
+      val providers = Seq("hdfs" -> false, "rocksdb" -> true)
+      // untimed warm-up per (query, dir): pays the one-off shard
+      // staging + codegen, exactly like the batch modes' warm pass
+      names.foreach { n => run(n, baseDir, rocks = false)
+        run(n, scaledDir, rocks = false); () }
+      val samples = scala.collection.mutable.Map
+        .empty[(String, String, String), List[(Double, Long, Long, Long)]]
+      for (pass <- 1 to 2; n <- names; (pname, rocks) <- providers;
+           scale <- Seq("base", "scaled")) {
+        val res = run(n, if (scale == "base") baseDir else scaledDir, rocks)
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[scale] pass %d %-14s %-8s %-6s %8.3f s  state %d rows" +
+            " / %.1f MB", Int.box(pass), n, pname, scale,
+          Double.box(res._1), Long.box(res._3), Double.box(res._4 / 1e6)))
+        samples.updateWith((n, pname, scale))(s =>
+          Some(res :: s.getOrElse(Nil)))
+      }
+      for (n <- names; scale <- Seq("base", "scaled")) {
+        val counts = providers
+          .flatMap { case (p, _) => samples((n, p, scale)).map(_._2) }
+          .distinct
+        require(counts.size == 1, s"stream probe: $n@$scale result rows " +
+          s"diverge across providers/passes: $counts")
+      }
+      for { n <- names; (pname, _) <- providers } yield {
+        val b = samples((n, pname, "base"))
+        val s = samples((n, pname, "scaled"))
+        val bMin = b.map(_._1).min
+        val sMin = s.map(_._1).min
+        val extra = s""","state_rows":${s.map(_._3).max},""" +
+          s""""state_mem_mb":${fmt(s.map(_._4).max / 1e6)}"""
+        (s"${n}_$pname", bMin, sMin, sMin / bMin, extra)
+      }
+    } finally spark.streams.removeListener(census)
   }
 
   def main(args: Array[String]): Unit = {
@@ -392,11 +748,22 @@ object ScaleProbe {
     // is the marginal cost of the hot bucket alone, not of growth.
     val hubGrowth = sys.env.get("SPARK_GRAFT_HUBGROWTH").contains("1")
     val lshSkew = sys.env.get("SPARK_GRAFT_LSHSKEW").contains("1")
-    require(!(hubGrowth && lshSkew),
-      "pick one probe mode: SPARK_GRAFT_HUBGROWTH or SPARK_GRAFT_LSHSKEW")
+    // SPARK_GRAFT_STREAMPROBE=1: the state-store probe — both
+    // streaming replays at both scales under both providers; writes
+    // SCALE_PROBE_STREAM.json (shares the uniform v3 staging)
+    val streamProbe = sys.env.get("SPARK_GRAFT_STREAMPROBE").contains("1")
+    // SPARK_GRAFT_BOILERPLATE=1: high-df shared-shingle staging for
+    // the exact-twin Jaccard pair; writes SCALE_PROBE_BOILER.json
+    val boiler = sys.env.get("SPARK_GRAFT_BOILERPLATE").contains("1")
+    require(Seq(hubGrowth, lshSkew, streamProbe, boiler)
+        .count(identity) <= 1,
+      "pick one probe mode: SPARK_GRAFT_HUBGROWTH, SPARK_GRAFT_LSHSKEW, " +
+        "SPARK_GRAFT_STREAMPROBE or SPARK_GRAFT_BOILERPLATE")
     val baseSet =
       if (hubGrowth) HubGrowthQueries
       else if (lshSkew) LshSkewQueries
+      else if (streamProbe) StreamProbeQueries
+      else if (boiler) BoilerQueries
       else DefaultQueries
     val names = SparkEntry.onlySubset() match {
       case Some(only) => baseSet.filter(only)
@@ -411,6 +778,7 @@ object ScaleProbe {
     // an unstaged table must not crash staging.
     val stagedTables =
       if (lshSkew) Seq("embeddings")
+      else if (boiler) Seq("documents")
       else if (hubGrowth) Seq("events", "lineitem", "documents", "embeddings")
       else Seq("events", "orders", "lineitem", "documents", "embeddings")
     val srcM = stagedTables
@@ -421,93 +789,93 @@ object ScaleProbe {
     // lshskew2: the r12 review fix (noise orthogonal to the seed too,
     // stage-time pair census) — an lshskew1 dir must not be reused
     val flavor =
-      if (hubGrowth) "hub3" else if (lshSkew) "lshskew2" else "v3"
+      if (hubGrowth) "hub3" else if (lshSkew) "lshskew2"
+      else if (boiler) "boiler1" else "v3"
     val dir = s"/tmp/graft_scale${mult}_${flavor}_" +
       src.replaceAll("[^a-zA-Z0-9]", "_") + s"_m$srcM"
     System.err.println(s"[scale] staging ${mult}x of $src -> $dir" +
       (if (hubGrowth) " (hub-growth: shared part keys)"
-       else if (lshSkew) " (lsh-skew: one hot bucket)" else ""))
+       else if (lshSkew) " (lsh-skew: one hot bucket)"
+       else if (boiler) " (boilerplate flood: shared high-df shingles)"
+       else if (streamProbe) " (stream probe: shared uniform staging)"
+       else ""))
     if (lshSkew) stageLshSkew(spark, src, dir, mult)
+    else if (boiler) stageBoiler(spark, src, dir, mult)
     else stage(spark, src, dir, mult, hubGrowth)
-    // lsh-skew compares the two staged twins; the other modes compare
-    // the source corpus against the staged one
-    val baseDir = if (lshSkew) s"$dir/base" else src
-    val scaledDir = if (lshSkew) s"$dir/skew" else dir
+    // lsh-skew and boiler compare their two staged twins; the other
+    // modes compare the source corpus against the staged one
+    val baseDir =
+      if (lshSkew || boiler) s"$dir/base" else src
+    val scaledDir =
+      if (lshSkew) s"$dir/skew"
+      else if (boiler) s"$dir/boiler"
+      else dir
 
-    def time(name: String, d: String): Double = {
-      // cold shared caches per timing: the probe must measure the FULL
-      // operator including its pair-graph build at both scales (see
-      // SparkEntry.resetSharedCaches) — Bench keeps them warm instead
-      SparkEntry.resetSharedCaches()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, d).count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // one warm-up pass at base scale (codegen + JIT), then min-of-2
-    // timed passes per scale, interleaved across the suite like Bench
-    // (separated wall-clock windows defeat bursty external CPU steal)
-    names.foreach { n => time(n, baseDir); () }
-    val samples = scala.collection.mutable.Map
-      .empty[(String, String), List[Double]]
-    for (pass <- 1 to 2; n <- names; scale <- Seq("base", "scaled")) {
-      val dt = time(n, if (scale == "base") baseDir else scaledDir)
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[scale] pass %d %-24s %-6s %8.3f s", Int.box(pass), n, scale,
-        Double.box(dt)))
-      samples.updateWith((n, scale))(s => Some(dt :: s.getOrElse(Nil)))
-    }
-    def fmt(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val rows = names.map { n =>
-      val b = samples((n, "base")).min
-      val s = samples((n, "scaled")).min
-      (n, b, s, s / b)
-    }
+    // rows: (name, base s, scaled s, ratio, extra JSON fields)
+    val rows: Seq[(String, Double, Double, Double, String)] =
+      if (streamProbe) streamProbeRows(spark, baseDir, scaledDir, names)
+      else {
+        def time(name: String, d: String): Double = {
+          // cold shared caches per timing: the probe must measure the
+          // FULL operator including its pair-graph build at both scales
+          // (see SparkEntry.resetSharedCaches) — Bench keeps them warm
+          SparkEntry.resetSharedCaches()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // one warm-up pass at base scale (codegen + JIT), then min-of-2
+        // timed passes per scale, interleaved across the suite like
+        // Bench (separated wall-clock windows defeat bursty CPU steal)
+        names.foreach { n => time(n, baseDir); () }
+        val samples = scala.collection.mutable.Map
+          .empty[(String, String), List[Double]]
+        for (pass <- 1 to 2; n <- names; scale <- Seq("base", "scaled")) {
+          val dt = time(n, if (scale == "base") baseDir else scaledDir)
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[scale] pass %d %-24s %-6s %8.3f s", Int.box(pass), n, scale,
+            Double.box(dt)))
+          samples.updateWith((n, scale))(s => Some(dt :: s.getOrElse(Nil)))
+        }
+        names.map { n =>
+          val b = samples((n, "base")).min
+          val s = samples((n, "scaled")).min
+          (n, b, s, s / b, "")
+        }
+      }
     // a narrowed (SPARK_GRAFT_ONLY) run must never clobber the
     // committed full-suite artifact OR another narrowed run's
     // evidence — it lands in a per-subset *_ONLY_<queries>.json
     val narrowed = SparkEntry.onlySubset().isDefined
     val onlySuffix = if (narrowed) onlyFileSuffix(names) else ""
-    val outFile = ((if (hubGrowth) "SCALE_PROBE_HUB"
+    val filePrefix =
+      if (hubGrowth) "SCALE_PROBE_HUB"
       else if (lshSkew) "SCALE_PROBE_LSH"
-      else "SCALE_PROBE") + onlySuffix) + ".json"
-    // band evidence (cross-run min/max + isolated-rerun notes, e.g.
-    // graph_ktruss's memory-state band) lives in the artifact itself;
-    // a refresh must CARRY it forward — and a measurement OUTSIDE the
-    // recorded band widens it, so the headline numbers can never
-    // contradict their own band field. The curated note string rides
-    // along untouched.
-    val oldBands: Map[String, com.fasterxml.jackson.databind.JsonNode] = {
-      val f = java.nio.file.Paths.get(outFile)
-      if (!java.nio.file.Files.isReadable(f)) Map.empty
-      else try {
-        val m = new com.fasterxml.jackson.databind.ObjectMapper()
-        val qn = m.readTree(java.nio.file.Files.readString(f)).get("queries")
-        if (qn == null) Map.empty
-        else {
-          import scala.jdk.CollectionConverters._
-          qn.properties().asScala.flatMap { e =>
-            Option(e.getValue.get("band")).map(e.getKey -> _)
-          }.toMap
-        }
-      } catch {
-        case scala.util.control.NonFatal(ex) =>
-          System.err.println(s"[scale] WARNING: could not parse existing " +
-            s"$outFile — recorded band evidence will be dropped: $ex")
-          Map.empty
-      }
-    }
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val qs = rows.map { case (n, b, s, r) =>
-      val band = oldBands.get(n).map { bn =>
-        widenBand(bn, "scaled", s); widenBand(bn, "ratio", r)
-        s""","band":${mapper.writeValueAsString(bn)}"""
-      }.getOrElse("")
-      s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},"ratio":${fmt(r)}$band}"""
+      else if (streamProbe) "SCALE_PROBE_STREAM"
+      else if (boiler) "SCALE_PROBE_BOILER"
+      else "SCALE_PROBE"
+    val outFile = filePrefix + onlySuffix + ".json"
+    // band evidence (cross-run hulls + isolated-rerun notes, e.g.
+    // graph_ktruss's memory-state band) lives in the artifacts
+    // themselves; a refresh CARRIES and SELF-SEEDS it from every file
+    // of the same mode — the committed full-suite artifact, the file
+    // being rewritten, and every per-subset *_ONLY_*.json — so an
+    // out-of-band narrowed measurement governs the full-suite band on
+    // the next refresh, and the headline numbers can never contradict
+    // their own band field. The curated note string rides along
+    // untouched (a stderr warning flags it when the band widens).
+    val priorEntries = priorArtifactEntries(outFile, filePrefix)
+    val qs = rows.map { case (n, b, s, r, extra) =>
+      val band = bandFragment(priorEntries.getOrElse(n, Nil), s, r,
+        msg => System.err.println(s"[scale] WARNING: $n $msg"))
+      s""""$n":{"base":${fmt(b)},"scaled":${fmt(s)},""" +
+        s""""ratio":${fmt(r)}$extra$band}"""
     }.mkString("{", ",", "}")
     val metric =
       if (hubGrowth) "scale_probe_hub"
       else if (lshSkew) "scale_probe_lsh"
+      else if (streamProbe) "scale_probe_stream"
+      else if (boiler) "scale_probe_boiler"
       else "scale_probe"
     val line = s"""{"metric":"$metric","mult":$mult,""" +
       s""""total_base":${fmt(rows.map(_._2).sum)},""" +
