@@ -1848,8 +1848,7 @@ object SparkEntry {
     // regenerated testdata must re-stage, not serve the stale shard
     val srcDir = Paths.get(stagingTag(d, "stream_dedup_src", "events.parquet"))
     Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    ensureLink(link, Paths.get(path))
+    linkParquetFiles(srcDir, "events", Paths.get(path))
     val dup = srcDir.resolve("dups.parquet")
     if (!Files.exists(dup))
       writeSingleFile(
@@ -1925,6 +1924,35 @@ object SparkEntry {
       Files.delete(link) // dangling: re-point below
     if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
       Files.createSymbolicLink(link, target)
+  }
+
+  /** Stage a parquet `target` — a single FILE (the testdata shape) or
+    * a DIRECTORY of part files (10×-staged probe corpora) — into a
+    * streaming source dir as flat `<prefix>*.parquet` symlinks. The
+    * streaming file source lists its directory non-recursively, so a
+    * directory target must be linked file-by-file: a directory
+    * symlink is silently skipped, which made the r13 stream probe's
+    * scaled replay read only the side shard until this was split out.
+    * Part links keep the target's mtime (symlink stat follows the
+    * link), so mtime-ordered staging (events before sentinel) holds.
+    */
+  private def linkParquetFiles(srcDir: java.nio.file.Path, prefix: String,
+      target: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(target)) {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(target)
+      val parts = try listing.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        ensureLink(srcDir.resolve(
+          f"${prefix}_part$i%05d.parquet"), p)
+      }
+    } else ensureLink(srcDir.resolve(s"$prefix.parquet"), target)
   }
 
   private def stagingTag(d: String, tag: String, sourceFile: String): String = {
@@ -2019,8 +2047,7 @@ object SparkEntry {
     val srcDir = Paths.get(
       s"/tmp/graft_stream_${tag}_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
     Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    ensureLink(link, Paths.get(path))
+    linkParquetFiles(srcDir, "events", Paths.get(path))
     val rawSchema = s.read.parquet(path).schema
     val raw0 = s.readStream.schema(rawSchema).parquet(srcDir.toString)
     raw0.withColumn("ts", normalizeEventsTs(raw0))
@@ -2124,8 +2151,7 @@ object SparkEntry {
     val srcDir = Paths.get(
       "/tmp/graft_stream_idxlookup_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
     Files.createDirectories(srcDir)
-    val link = srcDir.resolve("documents.parquet")
-    ensureLink(link, Paths.get(path))
+    linkParquetFiles(srcDir, "documents", Paths.get(path))
     val index = t(s, d)("documents").select(
       md5(expr("array_join(regexp_extract_all(lower(text), '[a-z0-9]+', 0), ' ')"))
         .as("fp"),
@@ -2151,8 +2177,7 @@ object SparkEntry {
     val srcDir = Paths.get(
       "/tmp/graft_stream_erpairs_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
     Files.createDirectories(srcDir)
-    val link = srcDir.resolve("documents.parquet")
-    ensureLink(link, Paths.get(path))
+    linkParquetFiles(srcDir, "documents", Paths.get(path))
     val rawSchema = s.read.parquet(path).schema
     withStreamShuffle(s) {
       val stream = s.readStream.schema(rawSchema).parquet(srcDir.toString)
@@ -2209,8 +2234,7 @@ object SparkEntry {
     // the micro-batch order, so the key forces a fresh staging
     val srcDir = Paths.get(stagingTag(d, s"stream_$tag", "events.parquet"))
     Files.createDirectories(srcDir)
-    val link = srcDir.resolve("a_events.parquet")
-    ensureLink(link, Paths.get(path))
+    linkParquetFiles(srcDir, "a_events", Paths.get(path))
     val sentinel = srcDir.resolve("z_sentinel.parquet")
     if (!Files.exists(sentinel)) {
       val raw = s.read.parquet(path)

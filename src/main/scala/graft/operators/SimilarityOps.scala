@@ -449,14 +449,17 @@ object SimilarityOps {
       .orderBy("band")
   }
 
-  /** Skewed-bucket posture (SCALE_PROBE_LSH.json, r12): one hot
-    * bucket at ~12× the average table depth — 900 rows pinned to a
-    * single table-0 bucket, ~405k candidate pairs of which ≥99.5%
-    * sit below the threshold (the staging's stage-time census:
-    * 1592/404550 true pairs; random noise directions cannot cap the
-    * max pairwise coherence, so a small true remainder is inherent) —
-    * costs 1.02× the same-sized uniform corpus (band 0.92–1.54
-    * across r12 runs, overhead-scale absolutes). The shedding
+  /** Skewed-bucket posture (SCALE_PROBE_LSH.json, r12; full-bucket
+    * census + artifact bands r13): one hot bucket at ~12× the average
+    * table depth — 900 rows pinned to a single table-0 bucket whose
+    * full occupancy (hot rows + the seed's identical copies + natural
+    * residents weighted by copy count) is ≥99.6% sub-threshold pair
+    * mass (stage-time census: 4842/1222266 true pairs; random noise
+    * directions cannot cap the max pairwise coherence, and identical
+    * resident copies are true dups, so a small true remainder is
+    * inherent) — costs 1.02–1.52× the same-sized uniform corpus (the
+    * artifact's band field, hulled across r12–r13 runs;
+    * overhead-scale absolutes). The shedding
     * mechanism is the verify-before-distinct order below: each false
     * candidate dies at one codegen'd O(dim) dot, so the wide distinct
     * exchange only carries true survivors. Residual at extreme depth:
