@@ -90,13 +90,15 @@ object ScaleProbe {
     // family (~mult), where the one-task sort it replaced would
     // concentrate the scaled grain on one core
     "a35_rfm_segments", "a39_pareto_share", "a60_lorenz",
-    // round-13 additions (the last >1 s bench entries with no probe
-    // row): the exact-twin shingle-Jaccard pair — all-pairs in-bucket
-    // counting vs PPJoin prefix blocking, probed to MEASURE the
-    // crossover claim — the (lang, head) blocked Levenshtein verifier,
-    // and the persisted-index quantized ranker (serve batch staged 10×
-    // too; see the probe-set scaladoc for why its ratio reads ~100×
-    // work, not 10×)
+    // round-13 additions: the exact-twin shingle-Jaccard pair and the
+    // quantized ranker were the last >1 s bench entries with no probe
+    // row — all-pairs in-bucket counting vs PPJoin prefix blocking,
+    // probed to MEASURE the crossover claim, and the persisted-index
+    // int8 serve (batch staged 10× too; see the probe-set scaladoc for
+    // why its ratio reads ~100× work, not 10×). The (lang, head)
+    // blocked Levenshtein verifier benches sub-second but rides along
+    // as the ER-verifier family's blocked-equi-join representative
+    // (block-size invariance under corpus growth is ITS scale claim)
     "dedup_ngram_jaccard", "dedup_jaccard_prefix", "dedup_edit_distance",
     "sim_int8_topk")
 
@@ -193,11 +195,16 @@ object ScaleProbe {
     * from every evidence file of one probe mode in cwd: the file
     * being rewritten FIRST (its curated band note wins), then the
     * committed full-suite artifact, then every per-subset
-    * `<prefix>_ONLY_*.json` in name order. Unreadable or malformed
-    * files warn and contribute nothing.
+    * `<prefix>_ONLY_*.json` in name order. A file whose recorded
+    * `mult` or `src` differs from this run's is NOT evidence — a
+    * quick `SPARK_GRAFT_SCALE=3` or sf0.01 debug run must never
+    * pollute the 10×/sf0.1 hulls (bands only ever widen, so one bad
+    * merge would corrupt the committed floor forever). Unreadable or
+    * malformed files warn and contribute nothing.
     */
   private[graft] def priorArtifactEntries(outFile: String,
-      prefix: String, dir: String = "."): Map[String,
+      prefix: String, dir: String = ".", mult: Option[Int] = None,
+      src: Option[String] = None): Map[String,
         Seq[com.fasterxml.jackson.databind.JsonNode]] = {
     val onlyFiles = Option(new java.io.File(dir).listFiles()).toSeq
       .flatten.map(_.getName)
@@ -209,12 +216,22 @@ object ScaleProbe {
       val f = java.nio.file.Paths.get(dir, fn)
       if (!java.nio.file.Files.isReadable(f)) Nil
       else try {
-        val qn = mapper.readTree(java.nio.file.Files.readString(f))
-          .get("queries")
-        if (qn == null) Nil
-        else {
-          import scala.jdk.CollectionConverters._
-          qn.properties().asScala.toList.map(e => e.getKey -> e.getValue)
+        val root = mapper.readTree(java.nio.file.Files.readString(f))
+        val multOk = mult.forall(m =>
+          Option(root.get("mult")).exists(_.asInt(-1) == m))
+        val srcOk = src.forall(s =>
+          Option(root.get("src")).exists(_.asText("") == s))
+        if (!multOk || !srcOk) {
+          System.err.println(s"[scale] note: $fn records a different " +
+            "mult/src — not evidence for this run's bands")
+          Nil
+        } else {
+          val qn = root.get("queries")
+          if (qn == null) Nil
+          else {
+            import scala.jdk.CollectionConverters._
+            qn.properties().asScala.toList.map(e => e.getKey -> e.getValue)
+          }
         }
       } catch {
         case scala.util.control.NonFatal(ex) =>
@@ -307,32 +324,53 @@ object ScaleProbe {
   val BoilerQueries: Seq[String] =
     Seq("dedup_ngram_jaccard", "dedup_jaccard_prefix")
 
-  private def stage(spark: SparkSession, src: String, dir: String,
-      mult: Int, hubGrowth: Boolean): Unit = {
-    val published = new java.io.File(dir)
-    if (published.exists()) return
+  /** The vowel-permuted, id-offset document copies — THE uniform
+    * document scaling rule, single-sourced so every staging mode
+    * (uniform, hub, boilerplate base twin) builds the identical
+    * corpus shape the cross-mode comparisons depend on.
+    */
+  private def docCopies(spark: SparkSession, src: String,
+      mult: Int): DataFrame = {
     require(mult <= VowelPerms.size,
       s"at most ${VowelPerms.size} copies supported (one vowel perm each)")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until mult).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * IdOffset))
+        .withColumn("text",
+          if (k == 0) col("text")
+          else translate(col("text"), "aeiou", VowelPerms(k)))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Crash-safe staging publish shared by every mode: no-op when the
+    * published dir exists; otherwise sweep a partial `.tmp` left by a
+    * killed probe (its leftovers would make every later write.parquet
+    * fail with 'path already exists'), run `build` into it, and
+    * rename atomically — the rename is what makes staging durable.
+    */
+  private def publishStaged(dir: String)(
+      build: java.io.File => Unit): Unit = {
+    val published = new java.io.File(dir)
+    if (published.exists()) return
     val tmp = new java.io.File(dir + ".tmp")
-    // a probe killed mid-stage leaves a partial tmp dir that would make
-    // every later write.parquet fail with 'path already exists' — sweep
-    // it before re-staging (the publish rename is what makes it durable)
     if (tmp.exists()) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
         .reverse.foreach(java.nio.file.Files.delete)
     }
-    val docs = spark.read.parquet(s"$src/documents.parquet")
+    build(tmp)
+    if (!tmp.renameTo(published) && !published.exists())
+      sys.error(s"ScaleProbe: could not publish $tmp -> $published")
+    ()
+  }
+
+  private def stage(spark: SparkSession, src: String, dir: String,
+      mult: Int, hubGrowth: Boolean): Unit = publishStaged(dir) { tmp =>
     val events = Tables(spark, src, "events")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     def copies(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(k => f(base, k)).reduce(_ unionByName _)
-    copies(docs) { (d, k) =>
-      d.withColumn("doc_id", col("doc_id") + lit(k * IdOffset))
-        .withColumn("text",
-          if (k == 0) col("text")
-          else translate(col("text"), "aeiou", VowelPerms(k)))
-    }.write.parquet(s"$tmp/documents.parquet")
+    docCopies(spark, src, mult).write.parquet(s"$tmp/documents.parquet")
     copies(events) { (e, k) =>
       e.withColumn("event_id", col("event_id") + lit(k * IdOffset))
         .withColumn("user_id", col("user_id") + lit(k * IdOffset))
@@ -372,9 +410,6 @@ object ScaleProbe {
           .withColumn("o_custkey", col("o_custkey") + lit(k * IdOffset))
       }.write.parquet(s"$tmp/orders.parquet")
     }
-    if (!tmp.renameTo(published) && !published.exists())
-      sys.error(s"ScaleProbe: could not publish $tmp -> $published")
-    ()
   }
 
   /** Skewed-bucket LSH staging: writes `dir/base/embeddings.parquet`
@@ -411,15 +446,7 @@ object ScaleProbe {
     * data-scale inputs.
     */
   private def stageLshSkew(spark: SparkSession, src: String, dir: String,
-      mult: Int): Unit = {
-    val published = new java.io.File(dir)
-    if (published.exists()) return
-    val tmp = new java.io.File(dir + ".tmp")
-    if (tmp.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.delete)
-    }
+      mult: Int): Unit = publishStaged(dir) { tmp =>
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     def copies(base: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(k => f(base, k)).reduce(_ unionByName _)
@@ -549,9 +576,6 @@ object ScaleProbe {
       s"identical copies); full-bucket census: $truePairs/$allPairs " +
       "pairs above threshold (true-pair remainder the verify stage " +
       "carries)")
-    if (!tmp.renameTo(published) && !published.exists())
-      sys.error(s"ScaleProbe: could not publish $tmp -> $published")
-    ()
   }
 
   /** The shared boilerplate sentence: 20 synthetic tokens no natural
@@ -576,30 +600,16 @@ object ScaleProbe {
     * J's complement slack), so J ≤ 18/(2·48 − 18) ≈ 0.23 < 0.3 — the
     * conservative bound even BEFORE counting the appended tokens in
     * the denominators — below both registry thresholds (0.3 all-pairs,
-    * 0.7 prefix). The floor is ASSERTED at stage time over the hot
-    * set, not argued (r12 lesson: geometric staging claims need
-    * stage-time asserts).
+    * 0.7 prefix). The invariant that bound needs — ≥48 DISTINCT
+    * shingles per hot doc under the real tokenizer, not a raw token
+    * count — is ASSERTED at stage time over the hot set, not argued
+    * (r12 lesson: geometric staging claims need stage-time asserts).
     */
   private def stageBoiler(spark: SparkSession, src: String, dir: String,
-      mult: Int): Unit = {
-    val published = new java.io.File(dir)
-    if (published.exists()) return
-    require(mult <= VowelPerms.size,
-      s"at most ${VowelPerms.size} copies supported (one vowel perm each)")
-    val tmp = new java.io.File(dir + ".tmp")
-    if (tmp.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.delete)
-    }
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    (0 until mult).map { k =>
-      docs.withColumn("doc_id", col("doc_id") + lit(k * IdOffset))
-        .withColumn("text",
-          if (k == 0) col("text")
-          else translate(col("text"), "aeiou", VowelPerms(k)))
-    }.reduce(_ unionByName _)
-      .write.parquet(s"$tmp/base/documents.parquet")
+      mult: Int): Unit = publishStaged(dir) { tmp =>
+    // the base twin IS the uniform document staging (single-sourced in
+    // docCopies — the crossover comparison depends on that identity)
+    docCopies(spark, src, mult).write.parquet(s"$tmp/base/documents.parquet")
     val base = spark.read.parquet(s"$tmp/base/documents.parquet")
     val hot = pmod(col("doc_id"), lit(IdOffset)) % 16 === 3 &&
       size(split(col("text"), "\\s+")) >= 50
@@ -607,22 +617,26 @@ object ScaleProbe {
         when(hot, concat(col("text"), lit(" " + BoilerTokens)))
           .otherwise(col("text")))
       .write.parquet(s"$tmp/boiler/documents.parquet")
-    // stage-time census + assert: every hot doc keeps >=48 natural
-    // shingles (>=50 tokens), so the J<=0.23 bound holds for every
-    // boilerplate-only pair
-    val census = base.filter(hot)
-      .agg(count(lit(1)), min(size(split(col("text"), "\\s+"))))
-      .first()
-    val (hotCnt, minTok) = (census.getLong(0), census.getInt(1))
-    require(hotCnt > 0 && minTok >= 50,
-      s"boiler staging: hot set broken (count=$hotCnt, minTokens=$minTok)")
-    System.err.println(s"[scale] boiler: $hotCnt hot docs (min $minTok " +
-      s"tokens) carry the shared 20-token sentence -> 18 shingles at " +
-      s"df=$hotCnt, ~${18L * hotCnt * (hotCnt - 1) / 2} all-pairs " +
-      "bucket-pair rows of pure candidate mass")
-    if (!tmp.renameTo(published) && !published.exists())
-      sys.error(s"ScaleProbe: could not publish $tmp -> $published")
-    ()
+    // stage-time census + assert, on the invariant the J<=0.23 bound
+    // actually needs: every hot doc must keep >=48 DISTINCT natural
+    // trigram shingles UNDER THE REAL TOKENIZER (the >=50-token hot
+    // predicate is only the selector — a repetitive 50-token doc
+    // could carry a handful of distinct shingles and turn the flood
+    // into true pairs while a token-count assert stays green)
+    val hotCnt = base.filter(hot).count()
+    require(hotCnt > 0, "boiler staging: hot set is empty")
+    val minShingles = graft.operators.DedupOps
+      .shingleRows(base.filter(hot))
+      .agg(min(col("n"))).first().getInt(0)
+    require(minShingles >= 48,
+      s"boiler staging: a hot doc has only $minShingles distinct " +
+        "shingles — the sub-threshold bound J <= 18/(2*48-18) no " +
+        "longer holds and the flood would mint true pairs")
+    System.err.println(s"[scale] boiler: $hotCnt hot docs (min " +
+      s"$minShingles distinct natural shingles) carry the shared " +
+      s"20-token sentence -> 18 shingles at df=$hotCnt, " +
+      s"~${18L * hotCnt * (hotCnt - 1) / 2} all-pairs bucket-pair " +
+      "rows of pure candidate mass")
   }
 
   private def fmt(d: Double): String =
@@ -864,7 +878,8 @@ object ScaleProbe {
     // the next refresh, and the headline numbers can never contradict
     // their own band field. The curated note string rides along
     // untouched (a stderr warning flags it when the band widens).
-    val priorEntries = priorArtifactEntries(outFile, filePrefix)
+    val priorEntries =
+      priorArtifactEntries(outFile, filePrefix, ".", Some(mult), Some(src))
     val qs = rows.map { case (n, b, s, r, extra) =>
       val band = bandFragment(priorEntries.getOrElse(n, Nil), s, r,
         msg => System.err.println(s"[scale] WARNING: $n $msg"))

@@ -1939,8 +1939,18 @@ object SparkEntry {
   private def linkParquetFiles(srcDir: java.nio.file.Path, prefix: String,
       target: java.nio.file.Path): Unit = {
     import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
     if (Files.isDirectory(target)) {
-      import scala.jdk.CollectionConverters._
+      // sweep prior generations first: a target re-staged with FEWER
+      // parts would otherwise leave dangling high-index links that the
+      // stream's directory listing still returns (FileNotFound
+      // mid-replay) — only the mtime keying of SOME call sites hides
+      // that today, and this helper must not depend on it
+      val old = Files.list(srcDir)
+      try old.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"${prefix}_part"))
+        .toSeq.foreach(Files.delete)
+      finally old.close()
       val listing = Files.list(target)
       val parts = try listing.iterator().asScala
         .filter { p =>

@@ -481,6 +481,23 @@ object DedupOps {
     * precisely where all-pairs dies: high-df boilerplate at corpus
     * scale, where Σ C(df,2) explodes quadratically while prefix
     * candidates stay near-dup-density-bounded.
+    *
+    * Both regimes are MEASURED (r13), one probe mode each. Uniform
+    * 10× (`SCALE_PROBE.json`; vowel-permuted copies hold per-shingle
+    * df CONSTANT, so Σ C(df,2) grows linearly): all-pairs ratio ~1.4
+    * vs prefix ~2.5–2.9 — corpus growth alone never triggers the
+    * crossover, exactly as the df-constant analysis above predicts;
+    * the prefix twin's fixed stages amortize but its verify join
+    * tracks the same linear candidate mass. Boilerplate flood
+    * (`SCALE_PROBE_BOILER.json`; one shared 20-token sentence on
+    * ~1.6k docs = 18 shingles at df≈1.6k, identical corpus size):
+    * all-pairs pays 1.87× for ~24.5M extra bucket-pair rows of pure
+    * sub-threshold candidate mass, prefix 0.88× (≈1.0 within noise) —
+    * the rarest-first order keeps every boilerplate shingle out of
+    * every prefix, so the flood never reaches the verify. The
+    * crossover driver is DF GROWTH, not corpus growth; at corpus
+    * scale, where boilerplate df grows with N, C(df,2) dominates and
+    * this is the exact path that survives.
     */
   def ngramJaccardPrefix(documents: DataFrame, threshold: Double): DataFrame = {
     // three consumers of the shingle set (df counts, prefix build,

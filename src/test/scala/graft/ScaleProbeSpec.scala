@@ -111,6 +111,29 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(m("q2").map(_.get("scaled").asDouble()) == Seq(5.0))
   }
 
+  test("priorArtifactEntries rejects evidence from a different mult or src") {
+    val dir = java.nio.file.Files.createTempDirectory("probe_spec_ms")
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+    write("SCALE_PROBE.json",
+      """{"mult":10,"src":"/data/sf0.1",
+         "queries":{"q1":{"scaled":10.0}}}""")
+    // a quick SPARK_GRAFT_SCALE=3 debug run: its ratios are ~mult/3 —
+    // hulling them would corrupt the committed 10x band floor forever
+    write("SCALE_PROBE_ONLY_q1.json",
+      """{"mult":3,"src":"/data/sf0.1","queries":{"q1":{"scaled":3.0}}}""")
+    // same mult against a different source corpus: also not evidence
+    write("SCALE_PROBE_ONLY_q2.json",
+      """{"mult":10,"src":"/data/sf0.01","queries":{"q1":{"scaled":1.0}}}""")
+    val m = ScaleProbe.priorArtifactEntries("SCALE_PROBE.json",
+      "SCALE_PROBE", dir.toString, Some(10), Some("/data/sf0.1"))
+    assert(m("q1").map(_.get("scaled").asDouble()) == Seq(10.0))
+    // no filter requested (legacy callers/tests): everything merges
+    val all = ScaleProbe.priorArtifactEntries("SCALE_PROBE.json",
+      "SCALE_PROBE", dir.toString)
+    assert(all("q1").size == 3)
+  }
+
   test("priorArtifactEntries skips unreadable or malformed files") {
     val dir = java.nio.file.Files.createTempDirectory("probe_spec2")
     java.nio.file.Files.write(dir.resolve("SCALE_PROBE.json"),
