@@ -881,15 +881,20 @@ object GraphOps {
     * pageRank ladder): each state feeds the next round's join and
     * union, and the final state feeds the estimator.
     *
-    * Bench-band note (r11 two-run drift settle): with NO change to
-    * this operator, full-suite `dedup_ball2_kmv` measured 2.80 s
-    * (r9), 3.16 (r10), 3.29 / 3.66 (two r11 quiet-host runs) — a
-    * 2.8–3.7 s band. Its same-family neighbors REVERTED on the
-    * second run (`dedup_ppr` 2.75→2.34, `dedup_minhash_calibration`
-    * 2.88→2.57, both ≈ their r9 values), so the movement is
-    * suite-context (shared simhash-pair cache build order + JIT/GC
-    * neighborhood), not a plan regression — the executed plan is
-    * unchanged vs r9 (fixed rounds × one exchange per round).
+    * Bench-band note (r11 two-run drift settle; r13 steal lesson):
+    * with NO change to this operator, full-suite `dedup_ball2_kmv`
+    * measured 2.80 s (r9), 3.16 (r10), 3.29 / 3.66 (r11), 2.66
+    * (r12), 3.09 (r13 settle run) — a 2.7–3.7 s band. During an r13
+    * host-steal window it read 5.1–5.5 s across four runs INCLUDING
+    * three isolated fresh-JVM mins, while lighter cache-sharing
+    * neighbors stayed near r12 levels and a 32-way pure-CPU
+    * calibration showed only ~0.72 core efficiency — i.e. sustained
+    * steal can inflate exactly one shuffle-heavy query 2× while
+    * spot checks look "quiet"; only a full-suite rerun in a genuinely
+    * calm window (total back to 202 s vs the inflated 239 s) settled
+    * it back to 3.09. Read this query's drift against the SUITE
+    * total first, never in isolation. The executed plan is unchanged
+    * vs r9 (fixed rounds × one exchange per round).
     */
   def kmvBall(pairs: DataFrame, rounds: Int = 2, k: Int = 8): DataFrame = {
     import graft.functions.GraftFunctions.top_k_agg

@@ -106,6 +106,35 @@ NOTES = {
         " probe entry (SCALE_PROBE_STREAM.json)",
     "stream_dedup": "bounded micro-batch replay overhead; state-store"
         " probe entry (SCALE_PROBE_STREAM.json)",
+    # fixed-overhead floor class: engine absolutes 0.3-0.9 s, single
+    # exchange / broadcast-only / narrow-pass plans; they enter the
+    # audit only when the oracle sweep runs slow enough to lift their
+    # denominators over the 0.15 s floor
+    "stream_index_lookup": "streaming fingerprint lookup vs the static"
+        " broadcast index; micro-batch replay overhead dominates"
+        " (engine <0.9 s)",
+    "c10_drift_check": "two-aggregate drift census, one exchange;"
+        " fixed-overhead absolutes",
+    "j10_bucketed_join": "bucketed co-located join: the point IS the"
+        " absent shuffle; engine time is scan + fixed overhead",
+    "j12_band_join": "banded range join: bounded band-key expansion,"
+        " one exchange; fixed-overhead absolutes",
+    "j6_salted_skew_join": "two-phase salted join; the salt fan-out is"
+        " fixed overhead at bench scale and the guard at data scale",
+    "j1_merge_upsert": "staged last-wins merge (one aggregate + one"
+        " join); fixed-overhead absolutes",
+    "a47_markov_stationary": "type²-bounded transition cells + bounded"
+        " power iteration; fixed-overhead absolutes",
+    "mm_audio_zcr": "narrow binary decode pass, no shuffle;"
+        " fixed-overhead absolutes",
+    "mm_audio_silence": "narrow binary decode pass, no shuffle;"
+        " fixed-overhead absolutes",
+    "mm_audio_hash": "narrow binary decode pass, no shuffle;"
+        " fixed-overhead absolutes",
+    "text_inverted_index": "single token-exchange aggregate;"
+        " fixed-overhead absolutes",
+    "text_bigram_freq": "single token-exchange aggregate;"
+        " fixed-overhead absolutes",
 }
 
 
