@@ -2267,8 +2267,23 @@ object SparkEntry {
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     }
     val rawSchema = s.read.parquet(path).schema
+    // "events batch, THEN sentinel batch": every event file must land
+    // in the FIRST micro-batch — events are not time-ordered across a
+    // directory-shaped table's part files, so processing them one file
+    // per batch would advance the watermark off batch 1's max ts and
+    // LATE-DROP older events arriving in later parts (caught by the
+    // r13 directory-shaped regression spec: 670/1000 rows survived).
+    // Sizing the trigger to the event-file count keeps the sentinel —
+    // strictly newest by pinned mtime — alone in batch 2.
+    val eventFiles = {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(srcDir)
+      try listing.iterator().asScala
+        .count(_.getFileName.toString.startsWith("a_events"))
+      finally listing.close()
+    }
     val raw0 = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1") // events batch, THEN sentinel batch
+      .option("maxFilesPerTrigger", eventFiles.toString)
       .parquet(srcDir.toString)
     raw0.withColumn("ts", normalizeEventsTs(raw0))
   }

@@ -343,4 +343,34 @@ class StreamingSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(sessions == Seq((100L, 1L), (100L, 2L), (200L, 1L)))
   }
+
+  test("streaming stagings read directory-shaped parquet tables " +
+    "(the 10x-staged-corpus shape the r13 stream probe tripped on)") {
+    // the sf dirs ship each table as ONE parquet file, but every
+    // ScaleProbe-staged corpus is a DIRECTORY of part files — and the
+    // streaming file source lists its srcDir non-recursively, so a
+    // whole-directory symlink was silently skipped and the scaled
+    // replay read only the flat side shard (state census 10x too
+    // small). This drives the full registry queries over a
+    // directory-shaped sf dir and pins that every row still arrives.
+    val d = Files.createTempDirectory("graft_dirshaped")
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    events.repartition(3).write.parquet(s"$d/events.parquet")
+    val n = spark.read.parquet(s"$d/events.parquet").count()
+    assert(n == events.count(), "staging fixture must preserve rows")
+    // stream_dedup output = distinct event ids of events + dup shard
+    // (the shard is a subset, so the expected count is exactly n)
+    val deduped = SparkEntry.queries("stream_dedup")(spark, d.toString)
+    assert(deduped.count() == n,
+      "a directory-shaped events table must replay in full")
+    // the sentinel staging (mtime-ordered: events parts BEFORE the
+    // sentinel file) must also see every part — the hourly top-k over
+    // a partial replay would drop whole windows
+    val topk = SparkEntry.queries("stream_topk")(spark, d.toString)
+    val fileShaped = SparkEntry.queries("stream_topk")(spark,
+      "/root/testdata/sf0.001") // same rows, single-file staging
+    assert(topk.count() == fileShaped.count(),
+      "directory-shaped sentinel replay must match the file-shaped one")
+  }
 }
