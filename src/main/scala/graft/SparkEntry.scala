@@ -1935,9 +1935,12 @@ object SparkEntry {
     * scaled replay read only the side shard until this was split out.
     * Part links keep the target's mtime (symlink stat follows the
     * link), so mtime-ordered staging (events before sentinel) holds.
+    * Returns the number of files staged — the single source for
+    * trigger sizing (re-deriving it from the naming scheme would put
+    * the convention in two places).
     */
   private def linkParquetFiles(srcDir: java.nio.file.Path, prefix: String,
-      target: java.nio.file.Path): Unit = {
+      target: java.nio.file.Path): Int = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(target)) {
@@ -1962,7 +1965,11 @@ object SparkEntry {
         ensureLink(srcDir.resolve(
           f"${prefix}_part$i%05d.parquet"), p)
       }
-    } else ensureLink(srcDir.resolve(s"$prefix.parquet"), target)
+      parts.size
+    } else {
+      ensureLink(srcDir.resolve(s"$prefix.parquet"), target)
+      1
+    }
   }
 
   private def stagingTag(d: String, tag: String, sourceFile: String): String = {
@@ -2227,11 +2234,17 @@ object SparkEntry {
     }
 
   /** Stage the events table as micro-batch 1 plus a far-future
-    * SENTINEL event (user −1, year 2100) as micro-batch 2 — with
-    * `maxFilesPerTrigger = 1` the sentinel batch pushes the event-time
-    * watermark past every real session/window close, and the trailing
-    * no-data batch flushes all engine state. Shared by both
-    * sessionizer-under-oracle queries. Returns the micro-batch stream.
+    * SENTINEL event (user −1, year 2100) as micro-batch 2 — the
+    * trigger is sized to the EVENT-FILE COUNT so every event file
+    * (one for an sf dir, many for a directory-shaped staged corpus)
+    * lands in batch 1, and the mtime-pinned sentinel alone pushes the
+    * event-time watermark past every real session/window close; the
+    * trailing no-data batch flushes all engine state. One file per
+    * trigger would late-drop events here: parts are not time-ordered,
+    * so batch 1's max ts advances the watermark over older events
+    * still waiting in later parts (r13 regression spec). Shared by
+    * both sessionizer-under-oracle queries. Returns the micro-batch
+    * stream.
     */
   private def stagedSentinelEventsStream(s: SparkSession, d: String,
       tag: String, sentinelTypes: Seq[String] = Nil): DataFrame = {
@@ -2244,7 +2257,7 @@ object SparkEntry {
     // the micro-batch order, so the key forces a fresh staging
     val srcDir = Paths.get(stagingTag(d, s"stream_$tag", "events.parquet"))
     Files.createDirectories(srcDir)
-    linkParquetFiles(srcDir, "a_events", Paths.get(path))
+    val eventFiles = linkParquetFiles(srcDir, "a_events", Paths.get(path))
     val sentinel = srcDir.resolve("z_sentinel.parquet")
     if (!Files.exists(sentinel)) {
       val raw = s.read.parquet(path)
@@ -2275,13 +2288,6 @@ object SparkEntry {
     // r13 directory-shaped regression spec: 670/1000 rows survived).
     // Sizing the trigger to the event-file count keeps the sentinel —
     // strictly newest by pinned mtime — alone in batch 2.
-    val eventFiles = {
-      import scala.jdk.CollectionConverters._
-      val listing = Files.list(srcDir)
-      try listing.iterator().asScala
-        .count(_.getFileName.toString.startsWith("a_events"))
-      finally listing.close()
-    }
     val raw0 = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", eventFiles.toString)
       .parquet(srcDir.toString)
@@ -2412,10 +2418,11 @@ object SparkEntry {
   }
 
   /** The production sessionizer ([[graft.streaming.StreamingSync
-    * .sessionizeEvicting]]) under the oracle gate. Staged two-file
-    * replay with `maxFilesPerTrigger = 1`: the whole events table is
-    * micro-batch 1 (watermark still at epoch — nothing closes), then a
-    * SENTINEL file (one far-future event from user −1) is micro-batch 2
+    * .sessionizeEvicting]]) under the oracle gate. Staged sentinel
+    * replay (trigger sized to the event-file count): the whole events
+    * table is micro-batch 1 (watermark still at epoch — nothing
+    * closes), then the SENTINEL file (one far-future event from
+    * user −1) is micro-batch 2
     * and pushes the event-time watermark past every real session's
     * `end + gap`; the trailing no-data batch fires the EventTimeTimeout
     * for every remaining key, so each real session emits EXACTLY ONCE

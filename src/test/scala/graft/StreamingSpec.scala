@@ -354,8 +354,7 @@ class StreamingSpec extends SparkSpec {
     // small). This drives the full registry queries over a
     // directory-shaped sf dir and pins that every row still arrives.
     val d = Files.createTempDirectory("graft_dirshaped")
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
     events.repartition(3).write.parquet(s"$d/events.parquet")
     val n = spark.read.parquet(s"$d/events.parquet").count()
     assert(n == events.count(), "staging fixture must preserve rows")
@@ -369,7 +368,7 @@ class StreamingSpec extends SparkSpec {
     // a partial replay would drop whole windows
     val topk = SparkEntry.queries("stream_topk")(spark, d.toString)
     val fileShaped = SparkEntry.queries("stream_topk")(spark,
-      "/root/testdata/sf0.001") // same rows, single-file staging
+      sf0001) // same rows, single-file staging
     assert(topk.count() == fileShaped.count(),
       "directory-shaped sentinel replay must match the file-shaped one")
   }
