@@ -46,8 +46,11 @@ object GraphOps {
     * pair graphs are candidate-scale (LSH/blocking already pruned
     * them), so in practice this is the common case even at large
     * corpus sizes — while a pair graph that outgrows the threshold
-    * falls back to the unchanged distributed loop. Labels are
-    * identical on both paths (component = min reachable id).
+    * first passes through a partition-local spanning-forest
+    * contraction (see below) and only then, if still over the gate,
+    * falls back to the distributed loop over the contracted edges.
+    * Labels are identical on every path (component = min reachable
+    * id).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None,
@@ -72,7 +75,36 @@ object GraphOps {
       e.unpersist(blocking = false)
       return driverUnionFind(edges.sparkSession, rows)
     }
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // Partition-local spanning-forest contraction — one NARROW pass, no
+    // shuffle: each task union-finds its own edge slice and emits one
+    // (node, local-root) edge per distinct node it saw. Global
+    // connectivity and the node set are exactly preserved (any original
+    // path still exists through the per-partition roots), so the labels
+    // are identical; the edge count drops from |E| to Σ_p |V_p|. Dense
+    // pair graphs are where the gate overflows in practice (many
+    // verified pairs over few docs — a dup-clique of n docs carries
+    // C(n,2) edges), and for those this is a |E|/|V|-fold cut in the
+    // bytes every loop round would shuffle, usually bringing the graph
+    // back UNDER the driver gate (measured at sf0.1: the SimHash graph,
+    // 1.57M edges over 5k docs, contracts to ~60k edges in one ~0.1 s
+    // pass instead of paying 4 distributed CC rounds). Per-task memory
+    // is two longs per distinct node of the partition — the same order
+    // as a hash-aggregation buffer over the slice.
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val reduced = e.as[(Long, Long)].mapPartitions { it =>
+      val uf = new LocalUnionFind
+      it.foreach { case (u, v) => uf.union(u, v) }
+      uf.nodesIterator.map(n => (n, uf.find(n)))
+    }.toDF("u", "v").persist(StorageLevel.MEMORY_AND_DISK)
+    val mr = reduced.count()
+    e.unpersist(blocking = false)
+    if (mr <= smallGraphThreshold) {
+      val rows = reduced.collect() // bounded by the threshold gate above
+      reduced.unpersist(blocking = false)
+      return driverUnionFind(sess, rows)
+    }
+    val sym = reduced.union(reduced.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // label(u) starts at min(u, best neighbor) — one round of
@@ -125,8 +157,39 @@ object GraphOps {
       i += 1
     }
     sym.unpersist(blocking = false)
-    e.unpersist(blocking = false)
+    reduced.unpersist(blocking = false)
     labels.select(col("u").as("doc_id"), col("label").as("component"))
+  }
+
+  /** Weighted union-find with path halving over longs — the in-memory
+    * kernel shared by the driver fast path and the per-partition
+    * spanning-forest contraction in [[connectedComponents]]. Memory:
+    * two map entries per distinct node touched.
+    */
+  private[operators] final class LocalUnionFind extends Serializable {
+    private val parent = scala.collection.mutable.LongMap.empty[Long]
+    private val rank = scala.collection.mutable.LongMap.empty[Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path
+        x = parent(x)
+      }
+      x
+    }
+    def union(u: Long, v: Long): Unit = {
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (rx, ry) = (find(u), find(v))
+      if (rx != ry) {
+        val (kx, ky) = (rank.getOrElse(rx, 0), rank.getOrElse(ry, 0))
+        if (kx < ky) parent(rx) = ry
+        else if (ky < kx) parent(ry) = rx
+        else { parent(ry) = rx; rank(rx) = kx + 1 }
+      }
+    }
+    def nodesIterator: Iterator[Long] = parent.keysIterator
   }
 
   /** Weighted union-find with path compression over a collected edge
@@ -137,38 +200,15 @@ object GraphOps {
     */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
       rows: Array[org.apache.spark.sql.Row]): DataFrame = {
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    val rank = scala.collection.mutable.LongMap.empty[Int]
-    def find(x0: Long): Long = {
-      var x = x0
-      while (parent.getOrElse(x, x) != x) {
-        val p = parent(x)
-        parent(x) = parent.getOrElse(p, p) // halve the path
-        x = parent(x)
-      }
-      x
-    }
-    def union(x: Long, y: Long): Unit = {
-      val (rx, ry) = (find(x), find(y))
-      if (rx != ry) {
-        val (kx, ky) = (rank.getOrElse(rx, 0), rank.getOrElse(ry, 0))
-        if (kx < ky) parent(rx) = ry
-        else if (ky < kx) parent(ry) = rx
-        else { parent(ry) = rx; rank(rx) = kx + 1 }
-      }
-    }
-    rows.foreach { r =>
-      val (u, v) = (r.getLong(0), r.getLong(1))
-      parent.getOrElseUpdate(u, u)
-      parent.getOrElseUpdate(v, v)
-      union(u, v)
-    }
+    val uf = new LocalUnionFind
+    rows.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
     val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
-    parent.keys.foreach { n =>
-      val r = find(n)
+    uf.nodesIterator.foreach { n =>
+      val r = uf.find(n)
       minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
     }
-    val labels = parent.keys.toArray.sorted.map(n => (n, minOfRoot(find(n))))
+    val labels = uf.nodesIterator.toArray.sorted
+      .map(n => (n, minOfRoot(uf.find(n))))
     import spark.implicits._
     labels.toSeq.toDF("doc_id", "component")
   }
@@ -474,17 +514,21 @@ object GraphOps {
       dampingPct: Int = 85): DataFrame = {
     val pr = pairs.select(col("doc_a").cast("long").as("a"),
       col("doc_b").cast("long").as("b"))
-    // materialization ladder: sym once (so an expensive LSH pair join
-    // isn't re-derived for the degree pass), deg once (vertex-sized;
-    // feeds the edge join, the vertex count, and the rank init), then
-    // the fused (u, v, deg-of-u) edge table once so the loop body
-    // joins a single prebuilt side instead of edges AND degrees
+    // materialization ladder, non-iterative staging discipline (see
+    // [[stagePersist]]): only the fused (u, v, deg-of-u) edge table the
+    // loop body reads every round is eagerly materialized — columnar
+    // persist, NOT localCheckpoint, which stored the 2-3-long rows
+    // deserialized (measured 257 MB + 1.7 s GC for the sf0.1 SimHash
+    // graph where the columnar cache is ~20 MB). `sym` stays lazy (two
+    // selects over the caller's cached pair frame — cheaper to re-derive
+    // once for the deg pass than to materialize a third copy); `deg` is
+    // vertex-sized and persisted lazily, populated by the edges build,
+    // then read by the vertex count and the rank init.
     val sym = pr.select(col("a").as("u"), col("b").as("v"))
       .union(pr.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint(true)
-    val edges = sym.join(deg, "u").localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = stagePersist(sym.join(deg, "u"))
     val nv = deg.count()
     val S = 1000000000000000L // 1e15: rank unit = 1e-15
     // floor order matters for bit-parity: S/100 is exact, then ×(100-d)
@@ -528,20 +572,22 @@ object GraphOps {
       dampingPct: Int = 85, seedMod: Int = 50): DataFrame = {
     val pr = pairs.select(col("doc_a").cast("long").as("a"),
       col("doc_b").cast("long").as("b"))
+    // same non-iterative staging ladder as [[pageRank]]: one eager
+    // columnar materialization (the fused edge table), lazy sym,
+    // lazily-persisted vertex-sized deg
     val sym = pr.select(col("a").as("u"), col("b").as("v"))
       .union(pr.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
-      .localCheckpoint(true)
-    val edges = sym.join(deg, "u").localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = stagePersist(sym.join(deg, "u"))
     val seeds = deg.select(col("u")).filter(col("u") % seedMod === 0)
     val nSeeds = seeds.count()
     require(nSeeds > 0,
       s"personalizedPageRank: no graph vertex has doc_id % $seedMod == 0")
     val S = 1000000000000000L // 1e15: rank unit = 1e-15
     val teleS = S / 100L * (100L - dampingPct) / nSeeds
-    val tele = seeds.select(col("u"), lit(teleS).as("tele"))
-      .localCheckpoint(true) // consumed every round
+    val tele = stagePersist(seeds.select(col("u"), lit(teleS).as("tele")))
+    // ^ consumed every round; vertex-sized, so the eager pass is cheap
     var ranks = seeds.select(col("u"), lit(S / nSeeds).as("r"))
     for (_ <- 1 to iterations) {
       ranks = edges
@@ -692,31 +738,59 @@ object GraphOps {
     math.max(1, math.ceil(maxDeg.toDouble / sliceCap).toInt)
   }
 
+  /** `adjBroadcastEdges` gates a BROADCAST of the per-round adjacency
+    * table — the [[connectedComponents]] size-gate discipline applied
+    * to the support join: without it the plan shuffles every surviving
+    * edge TWICE carrying full neighbor arrays (measured 259 MB shuffled
+    * + a 274 MB round checkpoint for the sf0.1 basket graph whose edge
+    * list is 4.5 MB), while the adjacency table itself totals only
+    * 2·|E| longs. At or under the gate (default 2²² edges ≈ 64 MB of
+    * array payload — mid-range for a broadcast relation, far under the
+    * 8 GB hard cap, and strictly cheaper than shuffling the same
+    * arrays |E|/|V| times over) both support joins become
+    * broadcast-hash over a single shared exchange and the arrays never
+    * cross a shuffle; a graph over the gate keeps the unchanged
+    * shuffle plan. The round's edge count is a cached-scan count (e is
+    * always checkpointed), and results are identical on both paths.
+    */
   def kTruss(pairs: DataFrame, k: Int = 4, rounds: Int = 3,
-      adjSlices: Int = 1): DataFrame = {
+      adjSlices: Int = 1, adjBroadcastEdges: Long = 1L << 22): DataFrame = {
     require(k >= 3 && rounds >= 1 && adjSlices >= 1,
       s"need k>=3, rounds>=1, adjSlices>=1; got $k, $rounds, $adjSlices")
     val Array(a, b) = pairs.columns.take(2)
+    // hash-spread over the full task width before the checkpoint: the
+    // support join is CPU-bound (one sorted-array merge per edge), and
+    // AQE's size-based coalescing otherwise packs the MB-scale edge
+    // list into a handful of partitions, serializing that CPU
+    // (measured 10 tasks × ~1 s instead of width × ~0.3 s). Width =
+    // defaultParallelism — cluster-derived, not a local constant; the
+    // per-round checkpoints inherit the join-stage partitioning, so
+    // one spread covers every round.
+    val width = pairs.sparkSession.sparkContext.defaultParallelism
     var e = pairs.select(
         least(col(a), col(b)).cast("long").as("x"),
         greatest(col(a), col(b)).cast("long").as("y"))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(width, col("x"), col("y"))
+      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      val m = e.count()
+      def gate(adj: DataFrame): DataFrame =
+        if (m <= adjBroadcastEdges) broadcast(adj) else adj
       val sym = e.select(col("x").as("u"), col("y").as("v"))
         .union(e.select(col("y").as("u"), col("x").as("v")))
       val supported =
         if (adjSlices == 1) {
-          val adj = sym.groupBy(col("u").as("vtx"))
-            .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+          val adj = gate(sym.groupBy(col("u").as("vtx"))
+            .agg(sort_array(collect_set(col("v"))).as("nbrs")))
           e.join(adj.as("na"), col("x") === col("na.vtx"))
             .join(adj.as("nb"), col("y") === col("nb.vtx"))
             .select(col("x"), col("y"),
               size(array_intersect(col("na.nbrs"), col("nb.nbrs")))
                 .cast("long").as("supp"))
         } else {
-          val adj = sym.groupBy(col("u").as("vtx"),
+          val adj = gate(sym.groupBy(col("u").as("vtx"),
               pmod(col("v"), lit(adjSlices)).as("sl"))
-            .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+            .agg(sort_array(collect_set(col("v"))).as("nbrs")))
           // an edge with no common slice has support 0 and k >= 3
           // filters it anyway, so the inner slice join is exact
           e.join(adj.as("na"), col("x") === col("na.vtx"))
@@ -902,8 +976,13 @@ object GraphOps {
     val Array(a, b) = pairs.columns.take(2)
     val p = stagePersist(pairs.select(
       col(a).cast("long").as("x"), col(b).cast("long").as("y")))
-    val sym = p.select(col("x").as("u"), col("y").as("v"))
+    // every round's register-merge join probes sym on v — materialize
+    // it once, hash-partitioned on v, so the per-round joins neither
+    // re-derive it from p nor re-shuffle it (the [[bfsBall]] shape;
+    // sym is read rounds+1 times)
+    val sym = stagePersist(p.select(col("x").as("u"), col("y").as("v"))
       .union(p.select(col("y").as("u"), col("x").as("v")))
+      .repartition(col("v")))
     def h(c: Column) =
       conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
     // r = 0: every vertex's register holds its own hash (set-state
@@ -1085,8 +1164,15 @@ object GraphOps {
   def bfsBall(pairs: DataFrame, seedMod: Long = 997L): DataFrame = {
     val p = pairs.select(col("doc_a").cast("long").as("x"),
       col("doc_b").cast("long").as("y"))
+    // the symmetric edge list is the probe side of EVERY hop join, all
+    // keyed on u — materialize it ONCE, already hash-partitioned on u,
+    // so the three hop joins neither re-derive it from the pair frame
+    // nor re-shuffle it per hop (guide §2.4 exchange sharing; measured
+    // 3× 37 MB re-derivations + 3× 21 MB exchanges at sf0.1 without
+    // this). localCheckpoint preserves the repartition's partitioning.
     val e = p.select(col("x").as("u"), col("y").as("v"))
       .unionAll(p.select(col("y").as("u"), col("x").as("v")))
+      .repartition(col("u")).localCheckpoint(true)
     val seeds = e.select(col("u").as("s")).distinct()
       .filter(col("s") % seedMod === 0)
     // each ball is (seeds × nodes)-bounded — eagerly truncate so the
@@ -1134,9 +1220,12 @@ object GraphOps {
     val sizesC = comp.groupBy(col("component")).agg(count(lit(1)).as("sz"))
     val p = pairs.select(col("doc_a").cast("long").as("x"),
       col("doc_b").cast("long").as("y"))
+    // hash-partitioned on u before the checkpoint — every hop join
+    // probes e on u, so the partitioning is established once and the
+    // four hop joins skip their e-side exchange (the [[bfsBall]] shape)
     val e = p.select(col("x").as("u"), col("y").as("v"))
       .unionAll(p.select(col("y").as("u"), col("x").as("v")))
-      .localCheckpoint(true)
+      .repartition(col("u")).localCheckpoint(true)
     val roots = comp.select(col("component").as("s")).distinct()
     val b1 = roots.join(e, col("s") === col("u"))
       .select(col("s"), col("v")).distinct().localCheckpoint(true)

@@ -93,6 +93,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(wrote > 0, "reliable checkpoint must materialize to the directory")
   }
 
+  test("connectedComponents: spanning-forest contraction preserves labels") {
+    // two 12-cliques bridged through a path node, plus an island pair —
+    // dense components are exactly the shape that outgrows the driver
+    // gate in production. Spread over partitions so the contraction
+    // pass must stitch local forests back together across slices.
+    val cliqueA = for (i <- 1L to 12L; j <- (i + 1) to 12L) yield (i, j)
+    val cliqueB = for (i <- 101L to 112L; j <- (i + 1) to 112L) yield (i, j)
+    val bridge = Seq((12L, 50L), (50L, 101L), (200L, 201L))
+    val all = (cliqueA ++ cliqueB ++ bridge) // |E| = 135, |V| = 27
+    val want = GraphOps.connectedComponents(all.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap // driver gate: |E| << 2^20
+    assert(want(112L) == 1L && want(201L) == 200L) // bridged + island
+    // contraction → driver: 2 partitions bound Σ|V_p| ≤ 54 ≤ 134 < |E|,
+    // so the gate re-check after contraction takes the collect path
+    val viaContractDriver = GraphOps.connectedComponents(
+        all.toDF("doc_a", "doc_b").repartition(2), smallGraphThreshold = 134)
+      .as[(Long, Long)].collect().toMap
+    assert(viaContractDriver == want)
+    // contraction → distributed loop (threshold 0 keeps the loop path)
+    val viaContractLoop = GraphOps.connectedComponents(
+        all.toDF("doc_a", "doc_b").repartition(8), smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaContractLoop == want)
+  }
+
   test("connectedComponents: empty edge list yields empty labeling") {
     val edges = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(GraphOps.connectedComponents(edges).count() == 0)
