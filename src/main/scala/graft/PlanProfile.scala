@@ -29,6 +29,24 @@ object PlanProfile {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
 
+    // every SQL action's executed plan, delivered async on the shared
+    // bus — flushed (ListenerBusShim) before attribution, so internal
+    // eager materializations (localCheckpoint ladders) are captured
+    // alongside the top-level plan rather than hiding behind a
+    // checkpoint-scan tail
+    val execPlans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        execPlans.add(s"== action: $funcName (${durationNs / 1000000} ms) ==\n" +
+          qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
+
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageRec]()
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -71,10 +89,20 @@ object PlanProfile {
         // timed run with fresh stage capture; a second run after the
         // first-pass caches settle mirrors the bench's min-of-3
         stages.clear()
+        org.apache.spark.sql.graft.ListenerBusShim.waitUntilEmpty(spark)
+        execPlans.clear()
         spark.sparkContext.setJobDescription(n)
         var t0 = System.nanoTime()
         queries(n)(spark, sfDir).count()
         val dt1 = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.ListenerBusShim.waitUntilEmpty(spark)
+        if (!execPlans.isEmpty) {
+          import scala.jdk.CollectionConverters._
+          Files.write(Paths.get(outDir, s"$n.txt"),
+            (plan + "\n\n== internal executions (run 1) ==\n\n" +
+              execPlans.asScala.mkString("\n\n"))
+              .getBytes(StandardCharsets.UTF_8))
+        }
         stages.clear()
         t0 = System.nanoTime()
         queries(n)(spark, sfDir).count()

@@ -752,7 +752,8 @@ object SparkEntry {
     // estimator honesty: signature-agreement Jaccard vs exact shingle
     // Jaccard per LSH pair — may "12/16 agree" stand in for J≈0.75?
     "dedup_minhash_calibration" -> ((s, d) =>
-      DedupOps.minhashCalibration(t(s, d)("documents"))),
+      DedupOps.minhashCalibrationFrom(t(s, d)("documents"),
+        DedupGraph.minhashPairs(s, d))),
     // pair/cluster/survivor sensitivity at three Jaccard cuts (one
     // LSH+verify pass; per-cut components via the union-find path)
     "dedup_threshold_sweep" -> ((s, d) => DedupOps.thresholdSweepFrom(

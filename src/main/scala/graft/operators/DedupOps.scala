@@ -243,10 +243,23 @@ object DedupOps {
     * per side — candidate-scale, not corpus-scale.
     */
   def minhashCalibration(documents: DataFrame,
+      numHashes: Int = 16): DataFrame =
+    minhashCalibrationFrom(documents,
+      minhashLsh(documents, numHashes), numHashes)
+
+  /** [[minhashCalibration]] over an ALREADY-BUILT verified pair set —
+    * the shared-pair-graph convention of the other registered
+    * consumers ([[thresholdSweepFrom]], [[dupRateBySourceFrom]]):
+    * the calibration census was the one minhash consumer still
+    * re-running the full LSH+verify pipeline per invocation. `pairs`
+    * must be [[minhashLsh]] output under the SAME `numHashes` (the
+    * signature join below re-derives the per-pair agreement against
+    * exactly that family), which the shared cache guarantees.
+    */
+  def minhashCalibrationFrom(documents: DataFrame, pairsIn: DataFrame,
       numHashes: Int = 16): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val pairs = minhashLsh(documents, numHashes)
-      .select("doc_a", "doc_b", "jaccard")
+    val pairs = pairsIn.select("doc_a", "doc_b", "jaccard")
     val sigs = minhashSignatures(documents, numHashes)
     def side(tag: String) = sigs.toDF(sigs.columns
       .map(c => if (c == "doc_id") s"doc_$tag" else s"${tag}_$c"): _*)

@@ -60,3 +60,13 @@ object DatasetShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Diagnostic-only bridge for [[graft.PlanProfile]]: block until the
+  * shared listener bus has drained, so asynchronously-delivered
+  * QueryExecutionListener events (the per-action plan captures) are
+  * all recorded before the profiler attributes them to a query.
+  */
+object ListenerBusShim {
+  def waitUntilEmpty(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(30000L)
+}
