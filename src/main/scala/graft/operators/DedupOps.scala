@@ -371,30 +371,30 @@ object DedupOps {
     val bIds = candidates.select(col("doc_b").as("doc_id")).distinct()
     val shA = sh.join(broadcast(aIds), Seq("doc_id"), "left_semi")
     val shB = sh.join(broadcast(bIds), Seq("doc_id"), "left_semi")
-    // per-doc shingle ARRAYS, then one codegen'd array_intersect per
-    // candidate pair — the [[GraphOps.triangleCount]] edge-iterator
-    // discipline applied to verification. The previous count-by-join
-    // shape exploded every candidate pair into per-shingle witness
-    // rows (Σ_pairs n_a rows through two joins and a (doc, shingle)-
-    // keyed string aggregate — measured 2 × 22 s of CPU at sf0.1);
-    // the array form moves each candidate doc's shingle set exactly
-    // once through one doc-keyed join per side and never materializes
-    // a witness row. `i > 0` preserves the old inner-join semantics (a
-    // pair sharing no shingle never reached the aggregate) for any
-    // threshold; i itself is identical (per-doc shingles are distinct,
-    // so |array_intersect| is the exact overlap count).
-    val arrA = shA.groupBy("doc_id", "n").agg(collect_list("sh").as("sa"))
-    val arrB = shB.groupBy("doc_id", "n").agg(collect_list("sh").as("sb"))
+    // Witness-row shape, NOT per-pair array_intersect: pair i joins shA
+    // on doc_a (one row per shingle of A), then shB on (doc_b, sh) — the
+    // matching rows ARE the intersection, so the aggregate's input is
+    // Σ_pairs n_a codegen'd hash-join rows and the count-by-group costs
+    // nothing per row. An r13 attempt replaced this with per-doc
+    // collect_list arrays + one array_intersect per pair; it profiled
+    // FASTER for the high-threshold prefix path but regressed this
+    // shared minhash verify ~15× at sf0.1 (the t=0.5 banding admits a
+    // large weak-overlap candidate set, and ArrayIntersect allocates a
+    // fresh hash set per PAIR over na+nb strings — measured ~39 s build
+    // vs ~2.7 s for this shape, with the join duplicating every doc
+    // array per pair and the GC churn poisoning neighboring queries).
+    // Row-shaped witnesses keep cost proportional to candidate×shingle
+    // volume through vectorized joins — the shape that survives a weak
+    // candidate set, which is exactly what a 100 TB banding emits.
     candidates
-      .join(arrA.select(col("doc_id").as("doc_a"), col("n").as("na"),
-        col("sa")), "doc_a")
-      .join(arrB.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-        col("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"))
+      .join(shA.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("i"))
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("i") > 0 && col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

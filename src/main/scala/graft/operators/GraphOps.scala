@@ -514,21 +514,23 @@ object GraphOps {
       dampingPct: Int = 85): DataFrame = {
     val pr = pairs.select(col("doc_a").cast("long").as("a"),
       col("doc_b").cast("long").as("b"))
-    // materialization ladder, non-iterative staging discipline (see
-    // [[stagePersist]]): only the fused (u, v, deg-of-u) edge table the
-    // loop body reads every round is eagerly materialized — columnar
-    // persist, NOT localCheckpoint, which stored the 2-3-long rows
-    // deserialized (measured 257 MB + 1.7 s GC for the sf0.1 SimHash
-    // graph where the columnar cache is ~20 MB). `sym` stays lazy (two
-    // selects over the caller's cached pair frame — cheaper to re-derive
-    // once for the deg pass than to materialize a third copy); `deg` is
-    // vertex-sized and persisted lazily, populated by the edges build,
-    // then read by the vertex count and the rank init.
+    // materialization ladder: sym once (so an expensive LSH pair join
+    // isn't re-derived for the degree pass), deg once (vertex-sized;
+    // feeds the edge join, the vertex count, and the rank init), then
+    // the fused (u, v, deg-of-u) edge table once so the loop body
+    // joins a single prebuilt side instead of edges AND degrees.
+    // localCheckpoint, NOT persist: an r13 attempt switched the ladder
+    // to lazy/columnar persist and the steady-state query got SLOWER
+    // (isolated profile 4.0 s vs this shape's 2.95 s suite min — the
+    // per-round joins re-planned against the full cached lineage, and
+    // the un-truncated plan re-derived sym per consumer); checkpointed
+    // row snapshots keep each round's plan flat.
     val sym = pr.select(col("a").as("u"), col("b").as("v"))
       .union(pr.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = stagePersist(sym.join(deg, "u"))
+      .localCheckpoint(true)
+    val edges = sym.join(deg, "u").localCheckpoint(true)
     val nv = deg.count()
     val S = 1000000000000000L // 1e15: rank unit = 1e-15
     // floor order matters for bit-parity: S/100 is exact, then ×(100-d)
@@ -572,22 +574,22 @@ object GraphOps {
       dampingPct: Int = 85, seedMod: Int = 50): DataFrame = {
     val pr = pairs.select(col("doc_a").cast("long").as("a"),
       col("doc_b").cast("long").as("b"))
-    // same non-iterative staging ladder as [[pageRank]]: one eager
-    // columnar materialization (the fused edge table), lazy sym,
-    // lazily-persisted vertex-sized deg
+    // same checkpointed staging ladder as [[pageRank]] (see the note
+    // there: the r13 persist-ladder attempt regressed both walks)
     val sym = pr.select(col("a").as("u"), col("b").as("v"))
       .union(pr.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).cast("long").as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = stagePersist(sym.join(deg, "u"))
+      .localCheckpoint(true)
+    val edges = sym.join(deg, "u").localCheckpoint(true)
     val seeds = deg.select(col("u")).filter(col("u") % seedMod === 0)
     val nSeeds = seeds.count()
     require(nSeeds > 0,
       s"personalizedPageRank: no graph vertex has doc_id % $seedMod == 0")
     val S = 1000000000000000L // 1e15: rank unit = 1e-15
     val teleS = S / 100L * (100L - dampingPct) / nSeeds
-    val tele = stagePersist(seeds.select(col("u"), lit(teleS).as("tele")))
-    // ^ consumed every round; vertex-sized, so the eager pass is cheap
+    val tele = seeds.select(col("u"), lit(teleS).as("tele"))
+      .localCheckpoint(true) // consumed every round
     var ranks = seeds.select(col("u"), lit(S / nSeeds).as("r"))
     for (_ <- 1 to iterations) {
       ranks = edges
@@ -976,13 +978,16 @@ object GraphOps {
     val Array(a, b) = pairs.columns.take(2)
     val p = stagePersist(pairs.select(
       col(a).cast("long").as("x"), col(b).cast("long").as("y")))
-    // every round's register-merge join probes sym on v — materialize
-    // it once, hash-partitioned on v, so the per-round joins neither
-    // re-derive it from p nor re-shuffle it (the [[bfsBall]] shape;
-    // sym is read rounds+1 times)
-    val sym = stagePersist(p.select(col("x").as("u"), col("y").as("v"))
+    // sym stays LAZY (two selects over the cached pair frame): an r13
+    // attempt materialized it hash-partitioned on v (the bfsBall shape),
+    // but the register-merge join BROADCASTS the vertex-sized state —
+    // sym never needs the v-partitioning, and the pre-shuffled persisted
+    // copy replaced a cheap cache re-read with a 3M-row partitioned
+    // materialization the ObjectHashAggregate then consumed WITHOUT
+    // map-side-combine locality (isolated profile: 7.4 s warm vs 3.1 s
+    // for this shape; init round alone 24 s cold)
+    val sym = p.select(col("x").as("u"), col("y").as("v"))
       .union(p.select(col("y").as("u"), col("x").as("v")))
-      .repartition(col("v")))
     def h(c: Column) =
       conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
     // r = 0: every vertex's register holds its own hash (set-state
