@@ -244,6 +244,14 @@ object GraftFunctions {
       ColumnShim.expression(sortedArr), ColumnShim.expression(lo),
       ColumnShim.expression(hi)))
 
+  /** |a ∩ b| of two sorted arrays (set semantics) — one allocation-free
+    * codegen'd merge; the adjacency-intersection kernel that replaces
+    * `size(array_intersect(...))` in the triangle/support hot paths.
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnShim.column(SortedIntersectCount(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** whole-matrix covariance grid aggregate over an embedding column —
     * one narrow pass, exact 128-bit integer state, emits the upper
     * triangle as array<struct<i,j,cov>> (see [[CovGrid]]).

@@ -421,7 +421,18 @@ object DedupOps {
     // Jaccard denominators ride with the rows (shingleRows), so the
     // whole operator is two shuffles total — no sizes table, no joins.
     // Single consumer of the shingle set: no persist needed.
-    shingleRows(documents).groupBy("sh")
+    // Width-spread (the kTruss discipline): the bucket stage's OUTPUT
+    // bytes are tiny but its continuation expands Σ C(df,2) pairs —
+    // work AQE's byte-based coalescing cannot see. Its 1 MB
+    // minPartitionSize floor packed the bucket+expand stage onto 2
+    // tasks (profiled 6.0 CPU-s serialized into 4.6 s of wall at
+    // sf0.1); an explicit-width repartition on the SAME key replaces
+    // the aggregate's own exchange (no extra shuffle) and pins the
+    // expansion at cluster width.
+    shingleRows(documents)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("sh"))
+      .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
       // lazy custom generator: one row per in-bucket pair, no O(k²)
@@ -975,7 +986,12 @@ object DedupOps {
     * SF).
     */
   def containmentPairs(documents: DataFrame, threshold: Double): DataFrame = {
-    shingleRows(documents).groupBy("sh")
+    // width-spread before the bucket+pair-expand stage — see the
+    // [[ngramJaccard]] note (same shape, same AQE-coalescing pathology)
+    shingleRows(documents)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("sh"))
+      .groupBy("sh")
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(graft.functions.GraftFunctions.pair_explode(col("ds"))

@@ -322,7 +322,7 @@ object GraphOps {
     * is a chain of borderline matches). Edge-iterator with adjacency
     * intersection: one groupBy builds each vertex's sorted out-
     * neighbor array, then every edge (x,y) contributes
-    * |adj(x) ∩ adj(y)| via codegen'd `array_intersect` — the triangle
+    * |adj(x) ∩ adj(y)| via the codegen'd sorted-merge intersect kernel — the triangle
     * x<y<z is found exactly once, at its smallest edge (z sits in both
     * out-lists; x never appears in a larger vertex's out-list). Unlike
     * the naive wedge self-join this NEVER materializes a 2-path as a
@@ -382,7 +382,8 @@ object GraphOps {
       e.join(adj.as("na"), col("a") === col("na.v"))
         .join(adj.as("nb"), col("b") === col("nb.v"))
         .select(col("a"), col("b"),
-          size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).cast("long").as("tri"))
+          graft.functions.GraftFunctions.sorted_intersect_count(
+            col("na.nbrs"), col("nb.nbrs")).cast("long").as("tri"))
     } else {
       val adj = e.groupBy(col("a").as("v"),
           pmod(col("b"), lit(adjSlices)).as("sl"))
@@ -391,7 +392,8 @@ object GraphOps {
         .join(adj.as("nb"),
           col("b") === col("nb.v") && col("na.sl") === col("nb.sl"))
         .select(col("a"), col("b"),
-          size(array_intersect(col("na.nbrs"), col("nb.nbrs"))).cast("long").as("tri"))
+          graft.functions.GraftFunctions.sorted_intersect_count(
+            col("na.nbrs"), col("nb.nbrs")).cast("long").as("tri"))
     }
   }
 
@@ -684,7 +686,7 @@ object GraphOps {
     * keeps an edge only if its endpoints share actual witnesses, so
     * chained borderline matches peel even when degrees look healthy).
     * Support is computed per round from sorted adjacency arrays via
-    * codegen'd `array_intersect` — never a wedge row ([[triangleCount]]
+    * codegen'd sorted-merge intersect — never a wedge row ([[triangleCount]]
     * core) — with the same `adjSlices` hot-vertex guard: sliced
     * adjacency intersects per slice and SUMS, so a pathological hub
     * never builds one giant array. Each round is one vertex-keyed
@@ -787,8 +789,8 @@ object GraphOps {
           e.join(adj.as("na"), col("x") === col("na.vtx"))
             .join(adj.as("nb"), col("y") === col("nb.vtx"))
             .select(col("x"), col("y"),
-              size(array_intersect(col("na.nbrs"), col("nb.nbrs")))
-                .cast("long").as("supp"))
+              graft.functions.GraftFunctions.sorted_intersect_count(
+                col("na.nbrs"), col("nb.nbrs")).cast("long").as("supp"))
         } else {
           val adj = gate(sym.groupBy(col("u").as("vtx"),
               pmod(col("v"), lit(adjSlices)).as("sl"))
@@ -799,7 +801,8 @@ object GraphOps {
             .join(adj.as("nb"),
               col("y") === col("nb.vtx") && col("na.sl") === col("nb.sl"))
             .groupBy(col("x"), col("y"))
-            .agg(sum(size(array_intersect(col("na.nbrs"), col("nb.nbrs"))))
+            .agg(sum(graft.functions.GraftFunctions.sorted_intersect_count(
+                col("na.nbrs"), col("nb.nbrs")))
               .cast("long").as("supp"))
         }
       e = supported.filter(col("supp") >= k - 2).select("x", "y")
@@ -843,7 +846,8 @@ object GraphOps {
       .union(p.select(col("y").as("u"), col("x").as("v")))
     val adj = sym.groupBy(col("u").as("vtx"))
       .agg(sort_array(collect_set(col("v"))).as("nbrs"))
-    val inter = size(array_intersect(col("na.nbrs"), col("nb.nbrs")))
+    val inter = graft.functions.GraftFunctions.sorted_intersect_count(
+      col("na.nbrs"), col("nb.nbrs"))
       .cast("long")
     p.join(adj.as("na"), col("x") === col("na.vtx"))
       .join(adj.as("nb"), col("y") === col("nb.vtx"))
@@ -990,12 +994,28 @@ object GraphOps {
       .union(p.select(col("y").as("u"), col("x").as("v")))
     def h(c: Column) =
       conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
-    // r = 0: every vertex's register holds its own hash (set-state
-    // collapses the duplicate group rows map-side)
-    var state = sym.groupBy("u")
-      .agg(top_k_agg(-h(col("u")).cast("double"), h(col("u")), k).as("sk"))
+    // r = 0: every vertex's register is exactly {h(u)} — a SINGLE
+    // element — so the init is one distinct + one md5 per VERTEX
+    // (vertex-sized rows the first round consumes directly), not an
+    // object aggregate over the symmetric edge list. The previous
+    // shape ran top_k_agg over all |sym| rows with two md5 calls each
+    // to produce those same singletons (profiled 12.3 CPU-s at sf0.1
+    // for a 5 k-vertex result); round-1 inputs are identical by
+    // construction: {h(u)} ∪ {h(v) : v ∈ N(u)} per vertex.
+    val verts = sym.select("u").distinct()
+      .select(col("u"), h(col("u")).as("hid"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // round 1 merges raw (u, hid) vertex rows; later rounds merge the
+    // k-sized sketches of the previous state. Both arms end in the
+    // same top_k_agg, so the state schema is TopKAgg's from round 1 on.
+    var state = verts
+      .union(sym.join(verts.withColumnRenamed("u", "v")
+          .withColumnRenamed("hid", "nhid"), "v")
+        .select(col("u"), col("nhid").as("hid")))
+      .groupBy("u")
+      .agg(top_k_agg(-col("hid").cast("double"), col("hid"), k).as("sk"))
+      .localCheckpoint(true)
+    for (_ <- 2 to rounds) {
       val nbr = sym.join(state.withColumnRenamed("u", "v")
           .withColumnRenamed("sk", "nsk"), "v")
         .select(col("u"), explode(col("nsk.id")).as("hid"))
@@ -1134,13 +1154,18 @@ object GraphOps {
       .agg(count(lit(1)).as("d"),
         top_k_agg((-col("v")).cast("double"), col("v"), maxDegree).as("nb"))
       .filter(col("d") <= maxDegree)
+    // lazy pair generator over the (ascending-id) adjacency array — the
+    // [[graft.functions.PairExplode]] shape ngramJaccard uses: the old
+    // nested transform/slice/flatten HOF materialized each center's
+    // ENTIRE C(d,2) pair array through interpreted lambdas before the
+    // explode (profiled 12.6 CPU-s in the wedge stage at sf0.1);
+    // the generator walks the index pair lazily with no allocation
+    // beyond the emitted row. Pair set identical (i < j over the same
+    // ascending array).
     val cand = adjArr
-      .select(explode(expr(
-        """flatten(transform(nb, (a, i) ->
-          |  transform(slice(nb, i + 2, size(nb) - i - 1), b ->
-          |    named_struct('doc_a', a.id, 'doc_b', b.id))))""".stripMargin))
-        .as("pr"))
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .select(graft.functions.GraftFunctions.pair_explode(col("nb"))
+        .as(Seq("wa", "wb")))
+      .select(col("wa.id").as("doc_a"), col("wb.id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
     cand.join(p.select(col("x").as("doc_a"), col("y").as("doc_b")),

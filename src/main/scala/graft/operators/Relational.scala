@@ -727,6 +727,15 @@ object Relational {
       .distinct()
       .agg(sort_array(collect_list(col("m"))).as("ms"))
     lineitem
+      // width-spread ahead of the per-row range kernel: the scan side
+      // arrives as few (possibly one) parquet splits and a scan stage
+      // cannot be widened by AQE, so the binary-search kernel
+      // serialized on ≤3 tasks (profiled 1.4 CPU-s ≈ 1.4 s wall at
+      // sf0.1). Keying the spread by the downstream GROUP key lets the
+      // aggregate reuse this exchange — exchange count unchanged,
+      // kernel at cluster width.
+      .repartition(lineitem.sparkSession.sparkContext.defaultParallelism,
+        col("l_orderkey"), col("l_linenumber"))
       .crossJoin(broadcast(months)) // single-row array: a broadcast constant
       .select(col("l_orderkey"), col("l_linenumber"),
         graft.functions.GraftFunctions.sorted_count_between(col("ms"),

@@ -443,4 +443,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.commonNeighbors(hub, maxDegree = 200, minCommon = 1)
       .count() == 4950)
   }
+
+  test("sortedIntersectCount matches array_intersect size on sorted sets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.sorted_intersect_count
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def arr() = rnd.shuffle((0L until 400L).toList)
+        .take(rnd.nextInt(40)).distinct.sorted
+      (i, arr(), arr())
+    } ++ Seq(
+      (1000, List.empty[Long], List(1L, 2L)),        // empty side
+      (1001, List.empty[Long], List.empty[Long]),    // both empty
+      (1002, List(1L, 2L, 3L), List(1L, 2L, 3L)),    // identical
+      (1003, List(1L, 3L, 5L), List(2L, 4L, 6L)))    // disjoint
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        sorted_intersect_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2), r))
+    // duplicate elements: set semantics on both (array_intersect
+    // dedups), so a dup-carrying sorted input must count once
+    val dup = Seq((1, List(1L, 1L, 2L, 5L, 5L), List(1L, 5L, 5L, 9L)))
+      .toDF("id", "a", "b")
+      .select(sorted_intersect_count(col("a"), col("b")).as("m"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .head()
+    assert(dup.getInt(0) == 2 && dup.getInt(1) == 2, dup)
+  }
 }

@@ -237,10 +237,12 @@ class PlansSpec extends SparkSpec {
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
     // the edge-iterator shape: exactly two joins (edge×adj on each
-    // endpoint) and the array_intersect kernel — a third join would be
-    // the wedge-closing self-join that goes O(n³) on dup cliques
+    // endpoint) and the sorted-merge intersect kernel (r13: replaced
+    // array_intersect's per-row hash set) — a third join would be the
+    // wedge-closing self-join that goes O(n³) on dup cliques
     val joins = "Join".r.findAllIn(p).size
-    assert(p.contains("array_intersect"), s"no intersection kernel:\n${p.take(3000)}")
+    assert(p.toLowerCase.contains("sortedintersectcount"),
+      s"no intersection kernel:\n${p.take(3000)}")
     assert(joins <= 2, s"expected <=2 joins (edge-iterator), got $joins:\n${p.take(3000)}")
   }
 
