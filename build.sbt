@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 16g default: local[32] at sf0.1 runs 32 concurrent tasks in one JVM
+  // (execution memory + broadcasts + the session-scoped pair cache);
+  // the r13 driver bench died with a fatal consistent with memory
+  // pressure at 12g while the same suite passed at 8 cores.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // breadcrumbs for a driver-JVM death mid-suite: die loudly at the
   // first OOM instead of limping into "stopped SparkContext" failures
   "-XX:+ExitOnOutOfMemoryError",

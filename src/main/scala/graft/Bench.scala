@@ -18,16 +18,32 @@ object Bench {
     // One fatal driver/JVM event (stopped SparkContext, OOM) poisons
     // every later attempt; continuing would time zombie failures for
     // minutes and bury the real cause. Abort at once with the FIRST
-    // error as the cause.
+    // error as the cause. Diagnosis line printed LAST (after the stack)
+    // so a tail-truncated stderr capture still carries the query name
+    // and root error; halt() instead of exit() because a dead
+    // SparkContext's shutdown hooks can hang the JVM into an outer
+    // timeout (the r13 driver run died exactly that way: rc=124 with
+    // the fatal's stack as the tail).
     def abortIfDead(name: String, pass: String, e: Throwable): Unit = {
       val dead = spark.sparkContext.isStopped ||
         e.isInstanceOf[OutOfMemoryError] ||
         (e.getMessage != null && e.getMessage.contains("stopped SparkContext"))
       if (dead) {
-        System.err.println(
-          s"[bench] FATAL during $pass '$name': SparkContext dead — aborting suite")
         e.printStackTrace(System.err)
-        sys.exit(3)
+        val rt = Runtime.getRuntime
+        val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        val root = {
+          var c: Throwable = e
+          while (c.getCause != null && c.getCause != c) c = c.getCause
+          c.toString.linesIterator.next()
+        }
+        System.err.println(
+          s"[bench] heap used=${usedMb}m total=${rt.totalMemory() / (1024 * 1024)}m " +
+            s"max=${rt.maxMemory() / (1024 * 1024)}m")
+        System.err.println(
+          s"[bench] FATAL during $pass '$name': $root — aborting suite")
+        System.err.flush()
+        Runtime.getRuntime.halt(3)
       }
     }
     // Warm-up pass at the smallest scale factor sharing the layout:
@@ -56,6 +72,44 @@ object Bench {
     var failures = Map.empty[String, String]
     val names = queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Path = first CLI arg, else $SPARK_GRAFT_BENCH_OUT, else
+    // BENCH_last.json in the working directory.
+    val outPath = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("BENCH_last.json")
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // Serialize the suite state as the one-line JSON record. partial=true
+    // marks an in-flight snapshot (suite not yet complete) so a fatal
+    // mid-suite still leaves every finished measurement on disk — the
+    // r13 driver bench died with NOTHING because results were only
+    // written at exit.
+    def jsonLine(partial: Boolean): String = {
+      val done = names.filter(samples.contains)
+      val qs = done.map(n => "\"" + n + "\":" + samples(n).min)
+        .mkString("{", ",", "}")
+      // Locale.ROOT: a comma-decimal locale would emit "0,123" and
+      // corrupt the JSON line
+      val ps = done.map { n =>
+        "\"" + n + "\":" + samples(n).reverse
+          .map(d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val fj = failures.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+      val total = if (done.nonEmpty) done.map(samples(_).min).sum else 0.0
+      val part = if (partial) "\"partial\":true," else ""
+      s"""{"metric":"total","value":$total,"unit":"sec",$part"queries":$qs,"passes":$ps,"failures":$fj,"sf":"$sfDir"}"""
+    }
+    def writeLine(line: String): Boolean =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] WARN could not write $outPath: $e")
+          false
+      }
     for (pass <- 1 to 3; name <- names) {
       val t0 = System.nanoTime()
       try { queries(name)(spark, sfDir).count() } catch {
@@ -70,44 +124,22 @@ object Bench {
       System.err.println(String.format(java.util.Locale.ROOT,
         "[bench] pass %s %-28s %8.3f s", pass.toString, name, Double.box(dt)))
       samples.updateWith(name)(s => Some(dt :: s.getOrElse(Nil)))
+      // incremental snapshot: a fatal anywhere later in the suite
+      // cannot lose the measurements already taken (r13 Wrong #1)
+      writeLine(jsonLine(partial = true))
     }
-    val results = names.map(n => n -> samples(n).min)
-    def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // per-pass times (chronological) alongside the min: external CPU
     // steal on this host inflates wall-clock 3-10× for seconds at a
     // time, and a burst spanning all of one query's passes makes its
     // min a mirage. A wide min→max spread in "passes" flags exactly
     // that — the artifact is self-diagnosing (see README).
-    // Locale.ROOT: the f-interpolator uses the JVM default locale — a
-    // comma-decimal locale would emit "0,123" and corrupt the JSON line
-    val ps = names.map { n =>
-      "\"" + n + "\":" + samples(n).reverse
-        .map(d => String.format(java.util.Locale.ROOT, "%.3f", Double.box(d)))
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val fj = failures.toSeq.sorted.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"failures":$fj,"sf":"$sfDir"}"""
+    val line = jsonLine(partial = false)
     println(line)
     // ALSO write the line to a file: the driver's stdout tail-capture
     // truncates long lines (round 5 shipped an unparseable artifact),
     // so the full record must live somewhere truncation can't reach.
-    // Path = first CLI arg, else $SPARK_GRAFT_BENCH_OUT, else
-    // BENCH_last.json in the working directory.
-    val outPath = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .getOrElse("BENCH_last.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (writeLine(line))
       System.err.println(s"[bench] full JSON written to $outPath")
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[bench] WARN could not write $outPath: $e")
-    }
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

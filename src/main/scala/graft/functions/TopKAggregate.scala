@@ -147,6 +147,101 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
   override def prettyName: String = "top_k_agg"
 }
 
+/** Merge of PRE-BUILT [[TopKAgg]] sketches — the re-aggregation arm of
+  * an iterative sketch algorithm ([[graft.operators.GraphOps.kmvBall]]'s
+  * round merges): each input row carries a whole
+  * `array<struct<score double, id bigint>>` sketch, and the buffer is
+  * the same [[TopKState]], fed by inserting the array's pairs verbatim.
+  * Semantically identical to exploding the array and running
+  * [[TopKAgg]] over (score, id) rows — insertion order cannot matter
+  * because the rank order is total and insert is a set-insert — but the
+  * aggregate touches one row per SKETCH instead of one per element, so
+  * the explode's k× row amplification through the hash aggregate
+  * (k·|edges| rows of per-row group lookup at every merge round)
+  * disappears (guide §2.3: shuffle/aggregate fewer, wider rows).
+  */
+case class TopKMergeAgg(sketch: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKState] {
+
+  require(k >= 1, "top_k_merge_agg needs k >= 1")
+
+  override def children: Seq[Expression] = sketch :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
+    case ArrayType(StructType(Array(
+      StructField(_, DoubleType, _, _), StructField(_, LongType, _, _))), _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_k_merge_agg expects array<struct<double, bigint>>, got $other")
+  }
+
+  override def createAggregationBuffer(): TopKState = new TopKState(k)
+
+  override def update(buf: TopKState, input: InternalRow): TopKState = {
+    val arr = sketch.eval(input)
+    if (arr != null) {
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var j = 0
+      val n = a.numElements()
+      while (j < n) {
+        val row = a.getStruct(j, 2)
+        buf.insert(row.getDouble(0), row.getLong(1))
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: TopKState, b: TopKState): TopKState = {
+    var j = 0
+    while (j < b.n) { a.insert(b.scores(j), b.ids(j)); j += 1 }
+    a
+  }
+
+  override def eval(buf: TopKState): Any = {
+    val rows = new Array[Any](buf.n)
+    var j = 0
+    while (j < buf.n) {
+      rows(j) = InternalRow(buf.scores(j), buf.ids(j))
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) { bb.putDouble(buf.scores(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val st = new TopKState(k)
+    var j = 0
+    while (j < n) { st.insert(bb.getDouble, bb.getLong); j += 1 }
+    st
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(sketch = newChildren(0))
+  override def prettyName: String = "top_k_merge_agg"
+}
+
 /** [[TopKState]] with STRING ids — rank order (score desc, id asc by
   * UTF8String binary compare, Spark's own string sort order and
   * DuckDB's default collation, so the tie-break is engine-identical).

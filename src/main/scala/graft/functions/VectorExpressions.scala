@@ -316,6 +316,13 @@ object GraftFunctions {
       ColumnShim.expression(score), ColumnShim.expression(id), k)
       .toAggregateExpression())
 
+  /** merge of pre-built [[top_k_agg]] sketch arrays — one input row per
+    * sketch instead of one per element; see [[TopKMergeAgg]].
+    */
+  def top_k_merge_agg(sketch: Column, k: Int): Column =
+    ColumnShim.column(TopKMergeAgg(ColumnShim.expression(sketch), k)
+      .toAggregateExpression())
+
   /** [[top_k_agg]] with string ids (score desc, id asc binary) — the
     * per-document term ranker; see [[TopKStrAgg]].
     */

@@ -539,6 +539,7 @@ object DedupOps {
     * this is the exact path that survives.
     */
   def ngramJaccardPrefix(documents: DataFrame, threshold: Double): DataFrame = {
+    val width = documents.sparkSession.sparkContext.defaultParallelism
     // three consumers of the shingle set (df counts, prefix build,
     // verify): one persisted materialization, released after the eager
     // result checkpoint — same lifecycle as minhashLsh
@@ -550,12 +551,21 @@ object DedupOps {
     // locally as the broadcast variant
     val df = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // width-spread (the ngramJaccard discipline): the per-doc rarest-
+    // first sort + prefix explode amplify CPU far beyond their input
+    // bytes, and AQE's byte-based coalescing packed the stage onto 3
+    // tasks (r14 profile, stage table in plans/r14) — the explicit-
+    // width repartition on the aggregate's own key replaces its
+    // exchange, exempt from coalescing, cluster-derived width
     val prefixes = sh.join(df, "sh")
+      .repartition(width, col("doc_id"), col("n"))
       .groupBy("doc_id", "n")
       .agg(sort_array(collect_list(struct(col("freq"), col("sh")))).as("ordered"))
       .select(col("doc_id"), col("n"),
         explode(slice(col("ordered.sh"), lit(1), prefixLen)).as("sh"))
-    val candidates = prefixes.groupBy("sh")
+    val candidates = prefixes
+      .repartition(width, col("sh"))
+      .groupBy("sh")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(graft.functions.GraftFunctions.pair_explode(col("ds"))
@@ -566,9 +576,49 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
       .localCheckpoint(true)
-    val out = verifyJaccard(sh, candidates, threshold).localCheckpoint(true)
+    val out = verifyJaccardByArrays(sh, candidates, threshold)
+      .localCheckpoint(true)
     sh.unpersist(blocking = false)
     out
+  }
+
+  /** Exact word-trigram Jaccard over a candidate pair set, ARRAY shape:
+    * one shingle array per candidate doc, one `array_intersect` size
+    * per pair. The r14 twin of [[verifyJaccard]] for PREFIX-pruned
+    * candidate sets only — the high-threshold prefix blocking emits an
+    * output-bound, strong-overlap candidate set (~105 k pairs at sf0.1,
+    * t=0.7), where the per-pair set intersection costs ~100 string
+    * compares and the witness-row shape's 7.5 M-row (doc_b, sh)
+    * hash-join probes dominate instead (r14 JprefProbe: 0.40 s vs
+    * 1.41 s for the identical 256-row result). The minhash family
+    * KEEPS the witness shape: its t=0.5 banding admits a weak-overlap
+    * candidate flood where per-pair array materialization regressed
+    * ~15× (r13 autopsy on [[verifyJaccard]]). |A ∩ B| over the distinct
+    * per-doc shingle sets is the same integer either way, so the
+    * output is bit-identical.
+    */
+  private def verifyJaccardByArrays(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    // candidate ids are output-bound: semi-filter the shingle set before
+    // building per-doc arrays, so the array build stays candidate-scale
+    // (same unconditional-broadcast contract as verifyJaccard)
+    val ids = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val arrs = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id", "n")
+      .agg(collect_list(col("sh")).as("arr"))
+    candidates
+      .join(arrs.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("arr").as("aa")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("arr").as("ab")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("aa"), col("ab"))).as("i"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Cross-scheme dedup agreement census — MinHash-LSH (verified

@@ -1015,14 +1015,23 @@ object GraphOps {
       .groupBy("u")
       .agg(top_k_agg(-col("hid").cast("double"), col("hid"), k).as("sk"))
       .localCheckpoint(true)
+    // later rounds merge whole sketches: each (u,v) edge contributes
+    // v's k-entry sketch ARRAY as one row into top_k_merge_agg, instead
+    // of k exploded (u, hid) rows re-scored through top_k_agg — the
+    // explode's k·|sym| row amplification through the hash aggregate
+    // was the dominant per-round cost (r13 verdict Next #5; guide §2.3
+    // aggregate fewer, wider rows). Stored (score, id) pairs re-insert
+    // verbatim (score ≡ -hid by construction), and insert is a
+    // set-insert under a total order, so the merged register set is
+    // identical to the exploded re-aggregation's.
+    import graft.functions.GraftFunctions.top_k_merge_agg
     for (_ <- 2 to rounds) {
       val nbr = sym.join(state.withColumnRenamed("u", "v")
           .withColumnRenamed("sk", "nsk"), "v")
-        .select(col("u"), explode(col("nsk.id")).as("hid"))
-      state = state.select(col("u"), explode(col("sk.id")).as("hid"))
-        .union(nbr)
+        .select(col("u"), col("nsk").as("sk"))
+      state = state.union(nbr)
         .groupBy("u")
-        .agg(top_k_agg(-col("hid").cast("double"), col("hid"), k).as("sk"))
+        .agg(top_k_merge_agg(col("sk"), k).as("sk"))
         .localCheckpoint(true)
     }
     val twoP52 = 4503599627370496.0 // 2^52, the md5-prefix hash range
@@ -1203,6 +1212,7 @@ object GraphOps {
     val e = p.select(col("x").as("u"), col("y").as("v"))
       .unionAll(p.select(col("y").as("u"), col("x").as("v")))
       .repartition(col("u")).localCheckpoint(true)
+    val width = pairs.sparkSession.sparkContext.defaultParallelism
     val seeds = e.select(col("u").as("s")).distinct()
       .filter(col("s") % seedMod === 0)
     // each ball is (seeds × nodes)-bounded — eagerly truncate so the
@@ -1213,21 +1223,54 @@ object GraphOps {
     // the node set and grows linearly with the corpus, so a forced
     // broadcast would hit the 8 GB hard limit at scale — let AQE pick
     // the strategy from the observed size (the dupRateByLength rule).
-    val b1 = seeds.join(e, col("s") === col("u"))
-      .select(col("s"), col("v")).distinct().localCheckpoint(true)
-    def expand(ball: DataFrame): DataFrame = ball
-      .unionAll(ball.as("f").join(e.as("g"), col("f.v") === col("g.u"))
-        .select(col("f.s").as("s"), col("g.v").as("v")))
+    //
+    // FRONTIER expansion, not whole-ball re-expansion (guide §1.2 step
+    // 1 / §2.3): the old shape joined the ENTIRE ball against e each
+    // hop and re-deduped the union — hop 3 re-derived every hop-1 and
+    // hop-2 path again (r14 profile: the b2 distinct alone shuffled
+    // 53 MB at sf0.1). Radius-h reachability only needs the NEIGHBORS
+    // OF THE NEW nodes: f1 = N(seeds), f_h = N(f_{h-1}) \ ball_{h-1},
+    // and since the frontiers are disjoint by construction the ball
+    // sizes are cumulative sums of frontier counts — no ball-scale
+    // union, dedup, or re-join ever happens.
+    //
+    // One v-keyed exchange settles each hop: hashpartitioning(v)
+    // satisfies both the distinct's ClusteredDistribution(s, v) ({v} ⊂
+    // keys — equal (s, v) pairs share v, dedup stays global) and the
+    // anti-joins' (s, v) clustering, and localCheckpoint preserves it,
+    // so the next hop's f.v-keyed probe of e pays no frontier-side
+    // exchange.
+    // one materialization per hop: raw hop join → v-exchange → distinct
+    // → anti-join away already-reached nodes (co-partitioned on v, no
+    // exchange) → checkpoint (preserves the v-partitioning for the
+    // next hop's probe)
+    def settle(ball: DataFrame, minus: Seq[DataFrame]): DataFrame =
+      minus.foldLeft(
+        ball.repartition(width, col("v")).distinct())(
+        (b, m) => b.join(m, Seq("s", "v"), "left_anti"))
+        .localCheckpoint(true)
+    def hop(frontier: DataFrame): DataFrame = frontier.as("f")
+      .join(e.as("g"), col("f.v") === col("g.u"))
+      .select(col("f.s").as("s"), col("g.v").as("v"))
       .filter(col("v") =!= col("s"))
-      .distinct().localCheckpoint(true)
-    val b2 = expand(b1)
-    val b3 = expand(b2)
-    def sizes(ball: DataFrame, name: String) =
-      ball.groupBy(col("s")).agg(count(lit(1)).as(name))
-    sizes(b1, "n_r1")
-      .join(sizes(b2, "n_r2"), "s")
-      .join(sizes(b3, "n_r3"), "s")
-      .select(col("s").as("seed"), col("n_r1"), col("n_r2"), col("n_r3"),
+    val f1 = settle(seeds.join(e, col("s") === col("u"))
+      .select(col("s"), col("v")), Nil)
+    val f2 = settle(hop(f1), Seq(f1))
+    val f3 = settle(hop(f2), Seq(f1, f2))
+    def sizes(frontier: DataFrame, name: String) =
+      frontier.groupBy(col("s")).agg(count(lit(1)).as(name))
+    // cumulative: |ball_h| = Σ |frontier_i|, i ≤ h (frontiers disjoint);
+    // left joins + 0-fill because a saturated ball's later frontiers
+    // are empty — the inner-join-on-balls original never dropped a seed
+    // for the same reason (ball_h ⊇ ball_1 is never empty)
+    sizes(f1, "n_r1")
+      .join(sizes(f2, "d2"), Seq("s"), "left")
+      .join(sizes(f3, "d3"), Seq("s"), "left")
+      .na.fill(0L, Seq("d2", "d3"))
+      .select(col("s").as("seed"), col("n_r1"),
+        (col("n_r1") + col("d2")).as("n_r2"),
+        (col("n_r1") + col("d2") + col("d3")).as("n_r3"))
+      .select(col("seed"), col("n_r1"), col("n_r2"), col("n_r3"),
         round(col("n_r3").cast("double") / col("n_r1").cast("double"), 9)
           .as("expansion"))
       .orderBy("seed")
@@ -1257,23 +1300,39 @@ object GraphOps {
       .unionAll(p.select(col("y").as("u"), col("x").as("v")))
       .repartition(col("u")).localCheckpoint(true)
     val roots = comp.select(col("component").as("s")).distinct()
-    val b1 = roots.join(e, col("s") === col("u"))
-      .select(col("s"), col("v")).distinct().localCheckpoint(true)
-    val balls = Iterator.iterate(b1) { ball =>
-      ball.unionAll(ball.as("f").join(e.as("g"), col("f.v") === col("g.u"))
-          .select(col("f.s").as("s"), col("g.v").as("v")))
-        .filter(col("v") =!= col("s"))
-        .distinct().localCheckpoint(true)
-    }.take(maxHops).toSeq
-    val counts = balls.zipWithIndex.map { case (b, i) =>
-      b.groupBy(col("s")).agg(count(lit(1)).as(s"n_r${i + 1}"))
+    // FRONTIER expansion with one v-keyed exchange + one checkpoint per
+    // hop — the [[bfsBall]] shape (see its settle note): each hop joins
+    // only the NEW nodes, anti-joins away the already-reached ones
+    // (co-partitioned on v, no exchange), and ball sizes come back as
+    // cumulative sums of the disjoint frontier counts.
+    val widthE = pairs.sparkSession.sparkContext.defaultParallelism
+    def settleE(ball: DataFrame, minus: Seq[DataFrame]): DataFrame =
+      minus.foldLeft(
+        ball.repartition(widthE, col("v")).distinct())(
+        (b, m) => b.join(m, Seq("s", "v"), "left_anti"))
+        .localCheckpoint(true)
+    def hopE(frontier: DataFrame): DataFrame = frontier.as("f")
+      .join(e.as("g"), col("f.v") === col("g.u"))
+      .select(col("f.s").as("s"), col("g.v").as("v"))
+      .filter(col("v") =!= col("s"))
+    val f1 = settleE(roots.join(e, col("s") === col("u"))
+      .select(col("s"), col("v")), Nil)
+    val frontiers = (2 to maxHops).foldLeft(Vector(f1)) { (fs, _) =>
+      fs :+ settleE(hopE(fs.last), fs)
     }
-    val joined = counts.reduce(_.join(_, "s"))
+    val counts = frontiers.zipWithIndex.map { case (f, i) =>
+      f.groupBy(col("s")).agg(count(lit(1)).as(s"d${i + 1}"))
+    }
+    // left joins + 0-fill: a saturated ball's later frontiers are empty
+    val joined = counts.reduce((a, b) => a.join(b, Seq("s"), "left"))
+      .na.fill(0L, (2 to maxHops).map(i => s"d$i"))
       .join(sizesC.withColumnRenamed("component", "s"), "s")
-    // eccentricity = first radius whose ball covers the whole
-    // component (root excluded); 4 hops not enough -> capped bucket
+    // eccentricity = first radius whose CUMULATIVE frontier mass covers
+    // the whole component (root excluded); 4 hops not enough -> capped
+    val cum = (1 to maxHops).map(r =>
+      (1 to r).map(i => col(s"d$i")).reduce(_ + _))
     val ecc = (1 to maxHops).foldRight(lit(maxHops + 1): Column) { (r, tail) =>
-      when(col(s"n_r$r") === col("sz") - 1L, r).otherwise(tail)
+      when(cum(r - 1) === col("sz") - 1L, r).otherwise(tail)
     }
     joined.select(ecc.as("root_ecc"), col("sz"))
       .groupBy(col("root_ecc"))

@@ -344,6 +344,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(est >= 10L && est <= 42L, s"estimate $est far from 21")
   }
 
+  test("top_k_merge_agg ≡ explode + top_k_agg over randomized sketch arrays") {
+    import graft.functions.GraftFunctions.{top_k_agg, top_k_merge_agg}
+    import org.apache.spark.sql.functions.{col, explode}
+    // kmvBall's round-merge rewrite (r14): merging whole sketch arrays
+    // must equal re-aggregating their exploded elements — including
+    // duplicate ids across sketches (set semantics) and groups whose
+    // total distinct count is under k
+    val rnd = new scala.util.Random(421)
+    val rows = for {
+      g <- 1 to 17
+      _ <- 1 to (1 + rnd.nextInt(5))
+    } yield {
+      val ids = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(30).toLong)
+      (g.toLong, ids)
+    }
+    val base = rows.toDF("g", "ids")
+      .select(col("g"), explode(col("ids")).as("hid"))
+      .groupBy("g")
+      .agg(top_k_agg(-col("hid").cast("double"), col("hid"), 5).as("sk"))
+      .localCheckpoint(true)
+    // two sketch rows per group via a salted pre-aggregate, then merged
+    val halves = rows.toDF("g", "ids")
+      .select(col("g"), explode(col("ids")).as("hid"))
+      .groupBy(col("g"), (col("hid") % 2).as("salt"))
+      .agg(top_k_agg(-col("hid").cast("double"), col("hid"), 5).as("sk"))
+    val merged = halves.groupBy("g")
+      .agg(top_k_merge_agg(col("sk"), 5).as("sk"))
+    val a = base.select(col("g"), col("sk").cast("string")).as[(Long, String)]
+      .collect().toMap
+    val b = merged.select(col("g"), col("sk").cast("string")).as[(Long, String)]
+      .collect().toMap
+    assert(a == b, s"merge-agg diverged:\n$a\nvs\n$b")
+  }
+
   test("clusterSizeHistogram counts clusters per member count") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val got = GraphOps.clusterSizeHistogram(pairs)
