@@ -2009,11 +2009,22 @@ object SparkEntry {
     * a bounded replay is pure fixed overhead (measured ~9 s across the
     * four streaming queries). Fresh checkpoints every invocation make
     * the narrowing safe; a production deployment sizes this to key
-    * cardinality instead.
+    * cardinality instead — hence the env override.
+    *
+    * Default 2 (r14 sweep at sf0.1/32 cpus with the StreamProfile
+    * durationMs breakdown, same session back-to-back): the per-batch
+    * cost of the heavy stateful queries is store-commit fixed overhead
+    * × partitions, not parallel work — family sample totals 13.3 s at
+    * p=2 vs 15.6 at p=4, 24.2 at p=8, 33.8 at p=16; p=1 loses the
+    * actual work's parallelism (16.1 s). KB-scale state at bench SF is
+    * exactly the regime the scaladoc above describes; the driver's
+    * bench compares like-for-like because the default is a committed
+    * code constant, not a per-host value.
     */
   private def withStreamShuffle[A](s: SparkSession)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+    s.conf.set("spark.sql.shuffle.partitions", n)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
